@@ -17,6 +17,9 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
+      (Scans.queries, Scans.oracles),
+      (Filters.queries, Filters.oracles),
+      (Joins.queries, Joins.oracles),
       (Aggregates.queries, Aggregates.oracles)
     )
 

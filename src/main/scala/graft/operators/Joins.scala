@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Join operators, every flavor (SURVEY.md §2.3): broadcast/shuffle equi,
+  * multi-way, outer, semi, anti, cross+theta, range (interval), as-of.
+  *
+  * Scale notes:
+  *  - Small dimensions (customer, nation) are explicitly `broadcast()` so the
+  *    big fact side never shuffles (BroadcastHashJoin — no exchange on the
+  *    100 TB side).
+  *  - Big-big joins (Q05 orders⋈lineitem) shuffle on the join key once;
+  *    AQE picks SMJ/SHJ and splits skewed partitions at runtime.
+  *  - The range join (Q11) is an equi join on user_id with a range residual:
+  *    rows co-partition by user so the interval scan stays partition-local.
+  *  - The as-of join (Q12) is a single window pass (one shuffle on user_id),
+  *    not an O(n²) self-join.
+  */
+object Joins {
+
+  /** Q04 — inner equi join, broadcast dimension. */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .join(broadcast(c.customer), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  val q04Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Q05 — multi-way join, TPC-H Q3 shape, top-10 by revenue. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    broadcast(c.customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(c.orders.filter(col("o_orderdate") < to_timestamp(lit("1996-07-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(c.lineitem.filter(col("l_shipdate") > to_timestamp(lit("1996-07-01"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(desc_nulls_last("revenue"), asc_nulls_first("l_orderkey"))
+      .limit(10)
+  }
+
+  val q05Oracle: String =
+    """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST
+      |LIMIT 10""".stripMargin
+
+  /** Q06 — left outer join; order-count histogram incl. childless customers. */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.customer
+      .join(c.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .groupBy(col("order_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(asc_nulls_first("order_count"))
+  }
+
+  val q06Oracle: String =
+    """SELECT order_count, COUNT(*) AS n_customers
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS order_count
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY order_count
+      |ORDER BY order_count NULLS FIRST""".stripMargin
+
+  /** Q07 — full outer join; left-only / right-only / both classification. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val l = c.events.select(col("user_id")).distinct()
+    val r = c.customer.select((col("c_custkey") % 100).as("k")).distinct()
+    l.join(r, col("user_id") === col("k"), "full")
+      .select(
+        when(col("user_id").isNull, "right_only")
+          .when(col("k").isNull, "left_only")
+          .otherwise("both").as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("cls"))
+  }
+
+  val q07Oracle: String =
+    """SELECT CASE WHEN user_id IS NULL THEN 'right_only'
+      |            WHEN k IS NULL THEN 'left_only'
+      |            ELSE 'both' END AS cls, COUNT(*) AS n
+      |FROM (SELECT DISTINCT user_id FROM events) l
+      |FULL JOIN (SELECT DISTINCT c_custkey % 100 AS k FROM customer) r
+      |  ON user_id = k
+      |GROUP BY 1
+      |ORDER BY cls NULLS FIRST""".stripMargin
+
+  /** Q08 — left semi join: customers with ≥1 urgent order, per segment. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.customer
+      .join(c.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  val q08Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Q09 — left anti join: customers with no orders — per-segment counts
+    * plus an always-present 'TOTAL' row (a global aggregate emits exactly
+    * one row even over empty input in both engines; ROLLUP does not in
+    * Spark, so the total is a UNION ALL of a grand aggregate).
+    */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val anti = c.customer
+      .join(c.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    anti.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .unionAll(anti.agg(lit("TOTAL").as("c_mktsegment"), count(lit(1)).as("n")))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  val q09Oracle: String =
+    """WITH no_orders AS (
+      |  SELECT * FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |SELECT c_mktsegment, COUNT(*) AS n FROM no_orders GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'TOTAL' AS c_mktsegment, COUNT(*) AS n FROM no_orders
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Q10 — cross join + theta predicate: same-region nation pairs. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val n1 = c.nation.select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+    val n2 = c.nation.select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+    n1.crossJoin(n2)
+      .filter(col("r1") === col("r2") && col("k1") < col("k2"))
+      .groupBy(col("r1").as("n_regionkey")).agg(count(lit(1)).as("pairs"))
+      .orderBy(asc_nulls_first("n_regionkey"))
+  }
+
+  val q10Oracle: String =
+    """SELECT n1.n_regionkey AS n_regionkey, COUNT(*) AS pairs
+      |FROM nation n1 CROSS JOIN nation n2
+      |WHERE n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      |GROUP BY 1
+      |ORDER BY n_regionkey NULLS FIRST""".stripMargin
+
+  /** Q11 — range (interval) join: view → purchase conversion within 30 min.
+    * Equi on user_id + range residual on epoch-µs; co-partitioned by user.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    v.join(p,
+        col("v_user") === col("p_user") &&
+        col("p_us") > col("v_us") &&
+        col("p_us") <= col("v_us") + lit(1800000000L))
+      .groupBy(col("v_user").as("user_id")).agg(count(lit(1)).as("pairs"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q11Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+      |SELECT v.user_id AS user_id, COUNT(*) AS pairs
+      |FROM e v JOIN e p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.us > v.us AND p.us <= v.us + 1800000000
+      |GROUP BY 1
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** Q12 — as-of join via a single window pass: for each purchase, the most
+    * recent prior event of any other type by the same user; count per prior
+    * event type. Epoch-µs ordering with event_id tiebreak so both engines
+    * agree (DuckDB reads ts truncated to µs — never order on raw ns).
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(
+      col("user_id"), col("event_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("prior_type").isNotNull)
+      .groupBy(col("prior_type")).agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("prior_type"))
+  }
+
+  val q12Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_type
+      |  FROM events)
+      |SELECT prior_type, COUNT(*) AS n
+      |FROM e
+      |WHERE event_type = 'purchase' AND prior_type IS NOT NULL
+      |GROUP BY prior_type
+      |ORDER BY prior_type NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
+    "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),
+    "Q12" -> (q12 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q04" -> q04Oracle, "Q05" -> q05Oracle, "Q06" -> q06Oracle,
+    "Q07" -> q07Oracle, "Q08" -> q08Oracle, "Q09" -> q09Oracle,
+    "Q10" -> q10Oracle, "Q11" -> q11Oracle, "Q12" -> q12Oracle)
+}
