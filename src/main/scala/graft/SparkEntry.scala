@@ -20,7 +20,9 @@ object SparkEntry {
       (Scans.queries, Scans.oracles),
       (Filters.queries, Filters.oracles),
       (Joins.queries, Joins.oracles),
-      (Aggregates.queries, Aggregates.oracles)
+      (Aggregates.queries, Aggregates.oracles),
+      (Windows.queries, Windows.oracles),
+      (SortSet.queries, SortSet.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -50,9 +50,121 @@ object Aggregates {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("Q13" -> (q13 _))
+  /** Q14 — exact distinct count per group (expand + two-phase agg). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
 
-  def oracles: Map[String, String] =
-    Map("Q13" -> q13Oracle)
+  val q14Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q15 — ROLLUP over the region⋈nation⋈supplier⋈lineitem snowflake.
+    * All three dimensions broadcast; the fact table never shuffles before
+    * the aggregate.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.lineitem
+      .join(broadcast(c.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val q15Oracle: String =
+    """SELECT r_name, n_name,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Q16 — CUBE + GROUPING() disambiguation columns. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus) AS g_status,
+      |  GROUPING(o_orderpriority) AS g_priority,
+      |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Q17 — HAVING + min/max/avg/stddev_samp per nation over supplier. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.supplier
+      .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("s_acctbal")), 4).as("min_bal"),
+        round(max(col("s_acctbal")), 4).as("max_bal"),
+        round(avg(col("s_acctbal")), 4).as("avg_bal"),
+        round(stddev_samp(col("s_acctbal")), 4).as("sd_bal"))
+      .where(col("n") >= 2)
+      .orderBy(asc_nulls_first("n_name"))
+  }
+
+  val q17Oracle: String =
+    """SELECT n_name, COUNT(*) AS n,
+      |  ROUND(MIN(s_acctbal), 4) AS min_bal,
+      |  ROUND(MAX(s_acctbal), 4) AS max_bal,
+      |  ROUND(AVG(s_acctbal), 4) AS avg_bal,
+      |  ROUND(STDDEV_SAMP(s_acctbal), 4) AS sd_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_name NULLS FIRST""".stripMargin
+
+  /** Q17b / C06 — the custom Aggregator UDAF (log-space product) applied in
+    * Spark; DuckDB oracle is the pure-SQL twin EXP(SUM(LN(x))). Scoped to
+    * l_orderkey ≤ 200 to keep the product's magnitude in hash-safe range.
+    */
+  def q17b(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val logProduct = udaf(graft.functions.LogProduct)
+    c.lineitem
+      .filter(col("l_orderkey") <= 200)
+      .groupBy(col("l_returnflag"))
+      .agg(round(logProduct(lit(1.0) + col("l_tax")), 4).as("tax_product"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  val q17bOracle: String =
+    """SELECT l_returnflag, ROUND(EXP(SUM(LN(1.0 + l_tax))), 4) AS tax_product
+      |FROM lineitem
+      |WHERE l_orderkey <= 200
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
+    "Q17" -> (q17 _), "Q17b" -> (q17b _))
+
+  def oracles: Map[String, String] = Map(
+    "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
+    "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle)
 }
