@@ -22,7 +22,8 @@ object SparkEntry {
       (Joins.queries, Joins.oracles),
       (Aggregates.queries, Aggregates.oracles),
       (Windows.queries, Windows.oracles),
-      (SortSet.queries, SortSet.oracles)
+      (SortSet.queries, SortSet.oracles),
+      (Scalars.queries, Scalars.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
