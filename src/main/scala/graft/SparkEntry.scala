@@ -23,7 +23,9 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracles),
       (Windows.queries, Windows.oracles),
       (SortSet.queries, SortSet.oracles),
-      (Scalars.queries, Scalars.oracles)
+      (Scalars.queries, Scalars.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (VectorOps.queries, VectorOps.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

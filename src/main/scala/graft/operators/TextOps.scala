@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Text / dedup operators over the document corpus (SURVEY.md §2.9):
+  * exact dedup, near-dedup by token-set Jaccard, corpus statistics, and the
+  * doc-term matrix that feeds TF-IDF / tensor builds.
+  *
+  * Scale notes: the exact Jaccard self-join (Q35) is the semantic oracle;
+  * it is quadratic per token group and is only run at declared-query scale.
+  * The 100 TB path is MinHash-LSH (graft.operators.NearDup), property-checked
+  * against Q35's exact pairs (recall on the seeded near-duplicates). The
+  * doc-term matrix (Q37) is the explode→groupBy shape whose shuffle key
+  * (doc_id, token) is fine-grained enough to spread any skew.
+  */
+object TextOps {
+
+  /** Exact dedup as an API: first row per text (the operator form backing
+    * Q34's statistics; exercised in DedupSpec).
+    */
+  def dedupExact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Q34 — exact-duplicate statistics per language plus corpus total. */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val d = c.documents
+    d.groupBy(col("lang"))
+      .agg(
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dups"),
+        countDistinct(col("text")).as("n_distinct"))
+      .unionAll(d.agg(
+        lit("TOTAL").as("lang"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dups"),
+        countDistinct(col("text")).as("n_distinct")))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q34Oracle: String =
+    """SELECT lang, COUNT(*) - COUNT(DISTINCT text) AS n_dups,
+      |  COUNT(DISTINCT text) AS n_distinct
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT 'TOTAL' AS lang, COUNT(*) - COUNT(DISTINCT text) AS n_dups,
+      |  COUNT(DISTINCT text) AS n_distinct
+      |FROM documents
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Distinct (doc_id, token) pairs — the shared shingle relation. */
+  private def docTokens(c: Catalog): DataFrame =
+    c.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+
+  /** Q35 — exact near-dedup: token-set Jaccard ≥ 0.8 pairs.
+    * inter/sizes are integer counts, so J is the same double in both
+    * engines (single exact division) — threshold and ROUND are safe.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = docTokens(c)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val t1 = tok.select(col("doc_id").as("d1"), col("token"))
+    val t2 = tok.select(col("doc_id").as("d2"), col("token"))
+    val inter = t1.join(t2, Seq("token"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .filter(j >= 0.8)
+      .select(col("d1").as("doc_lo"), col("d2").as("doc_hi"), round(j, 4).as("jaccard"))
+      .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
+  }
+
+  val q35Oracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS doc_lo, d2 AS doc_hi,
+      |  ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz s1 ON s1.doc_id = d1
+      |JOIN sz s2 ON s2.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+      |ORDER BY doc_lo NULLS FIRST, doc_hi NULLS FIRST""".stripMargin
+
+  /** Q36 — corpus statistics per language. */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(split(col("text"), " ")).cast("double")), 4).as("avg_tokens"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q36Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  ROUND(AVG(CAST(LEN(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Q37 — doc-term matrix (term frequency) for a probe set of documents. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 20)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("token"))
+  }
+
+  val q37Oracle: String =
+    """SELECT doc_id, token, COUNT(*) AS tf
+      |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |      FROM documents WHERE doc_id <= 20)
+      |GROUP BY doc_id, token
+      |ORDER BY doc_id NULLS FIRST, token NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q34" -> (q34 _), "Q35" -> (q35 _), "Q36" -> (q36 _), "Q37" -> (q37 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q34" -> q34Oracle, "Q35" -> q35Oracle, "Q36" -> q36Oracle,
+    "Q37" -> q37Oracle)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Vector / similarity-search operators over the embeddings table
+  * (SURVEY.md §2.9): brute-force cosine top-k and per-label centroids.
+  *
+  * Scale notes: Q38 broadcasts the (small) probe set against the full
+  * vector table — the big side is scanned once, never shuffled; cosine is a
+  * single codegen'd higher-order-function fold per row (no posexplode
+  * shuffle). Top-k per probe is a window over probe_id — the shuffle is
+  * keyed on probe, whose cardinality bounds the state. The ANN scale path
+  * (BucketedRandomProjectionLSH) lives in graft.operators.Ann and is
+  * recall-checked against this exact form. Q39's centroid is a
+  * posexplode→(label,pos) aggregate: 64·|labels| cells, map-side combined.
+  */
+object VectorOps {
+
+  /** Σ xᵢ·yᵢ over two float arrays, cast to double, left-to-right fold —
+    * the declared deterministic dot product.
+    */
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm with the same fold discipline. */
+  def l2(x: Column): Column = sqrt(dot(x, x))
+
+  /** Brute-force cosine top-k of `probes` against `vectors` (API form). */
+  def cosineTopK(probes: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(
+      col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+      l2(col("embedding")).as("p_norm"))
+    val v = vectors.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      l2(col("embedding")).as("n_norm"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(desc("cos"), asc("n_id"))
+    v.join(broadcast(p), col("p_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("p_emb"), col("n_emb")) / (col("p_norm") * col("n_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Q38 — cosine top-5 neighbors for each probe vec_id < 10. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.embeddings
+    cosineTopK(e.filter(col("vec_id") < 10), e, 5)
+      .select(
+        col("p_id").as("vec_id"), col("rnk"),
+        col("n_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(asc_nulls_first("vec_id"), asc_nulls_first("rnk"))
+  }
+
+  val q38Oracle: String =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    UNNEST(embedding) AS val
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT p.vec_id AS p_id, q.vec_id AS n_id,
+      |    SUM(CAST(p.val AS DOUBLE) * CAST(q.val AS DOUBLE)) AS dot
+      |  FROM flat p JOIN flat q ON p.pos = q.pos
+      |  WHERE p.vec_id < 10 AND p.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |cosv AS (
+      |  SELECT p_id, n_id, dot / (np.nrm * nq.nrm) AS cos
+      |  FROM dots
+      |  JOIN norms np ON np.vec_id = p_id
+      |  JOIN norms nq ON nq.vec_id = n_id),
+      |ranked AS (
+      |  SELECT p_id AS vec_id, n_id AS neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id) AS rnk
+      |  FROM cosv)
+      |SELECT vec_id, rnk, neighbor_id, ROUND(cos, 4) AS cos
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY vec_id NULLS FIRST, rnk NULLS FIRST""".stripMargin
+
+  /** Q39 — per-label centroids + mean member distance to own centroid. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val flat = c.embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("vec_id"), col("pos"), col("v").cast("double").as("val"))
+    val cent = flat.groupBy(col("label"), col("pos")).agg(avg(col("val")).as("cen"))
+    flat.join(cent, Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(pow(col("val") - col("cen"), 2)).as("ss"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(sqrt(col("ss"))), 4).as("avg_dist"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q39Oracle: String =
+    """WITH flat AS (
+      |  SELECT label, vec_id, pos, CAST(val AS DOUBLE) AS val FROM (
+      |    SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      |      UNNEST(embedding) AS val
+      |    FROM embeddings)),
+      |cent AS (SELECT label, pos, AVG(val) AS cen FROM flat GROUP BY 1, 2),
+      |ss AS (
+      |  SELECT f.label, f.vec_id, SUM(POWER(f.val - c.cen, 2)) AS ss
+      |  FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+      |  GROUP BY 1, 2)
+      |SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(SQRT(ss)), 4) AS avg_dist
+      |FROM ss
+      |GROUP BY label
+      |ORDER BY label NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q38" -> (q38 _), "Q39" -> (q39 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q38" -> q38Oracle, "Q39" -> q39Oracle)
+}
