@@ -25,7 +25,8 @@ object SparkEntry {
       (SortSet.queries, SortSet.oracles),
       (Scalars.queries, Scalars.oracles),
       (TextOps.queries, TextOps.oracles),
-      (VectorOps.queries, VectorOps.oracles)
+      (VectorOps.queries, VectorOps.oracles),
+      (EventTime.queries, EventTime.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Event-time operators over the events stream table (SURVEY.md §2.10 batch
+  * forms + §2.11 Q43): tumbling / sliding / session windows and the COO
+  * tensor build. The streaming twins (readStream + window()/session_window())
+  * live in graft.streaming and are asserted batch-equal in StreamingSpec.
+  *
+  * All event-time arithmetic is integer epoch-µs (`ts DIV 1000` ≡ DuckDB
+  * `epoch_us(ts)`) — never raw ns (engines disagree), never float time.
+  *
+  * Scale notes: tumbling/sliding buckets are computed by integer division
+  * before the aggregate, so the shuffle key is (bucket, type) — bounded
+  * cardinality, map-side combined. The sliding form replicates each row
+  * exactly windows-per-slide (4×) — the standard explode trick, linear cost.
+  * Session windows need one shuffle+sort per user (gaps-and-islands); the
+  * 100 TB form is the same plan, or mapGroupsWithState on a live stream.
+  */
+object EventTime {
+
+  private val HourUs = 3600000000L
+  private val SlideUs = 900000000L
+  private val SessionGapUs = 1800000000L
+  private val DayUs = 86400000000L
+
+  /** Q40 — tumbling 1h window: count + sum(value) per (window, type). */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.events
+      .select(expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+      .withColumn("win_start", col("us") - (col("us") % HourUs))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(asc_nulls_first("win_start"), asc_nulls_first("event_type"))
+  }
+
+  val q40Oracle: String =
+    """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_start,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  /** Q41 — sliding 1h window every 15 min via the explode-by-offset trick. */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.events
+      .select(expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+      .withColumn("off", explode(sequence(lit(0), lit(3))))
+      .withColumn("win_start", (expr("us DIV 900000000") - col("off")) * SlideUs)
+      .filter(col("us") >= col("win_start") && col("us") < col("win_start") + HourUs)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(asc_nulls_first("win_start"), asc_nulls_first("event_type"))
+  }
+
+  val q41Oracle: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us, event_type, value, UNNEST(range(4)) AS off
+      |  FROM events),
+      |w AS (
+      |  SELECT (us // 900000000 - off) * 900000000 AS win_start, us, event_type, value
+      |  FROM e)
+      |SELECT win_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM w
+      |WHERE us >= win_start AND us < win_start + 3600000000
+      |GROUP BY 1, 2
+      |ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  /** Q42 — session windows (30 min gap) in batch: gaps-and-islands with a
+    * running session counter per user.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("dur_s"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_events"),
+        round(avg(col("dur_s")), 4).as("avg_dur_s"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q42Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    (MAX(us) - MIN(us)) / 1000000.0 AS dur_s
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  ROUND(AVG(n_events), 4) AS avg_events,
+      |  ROUND(AVG(dur_s), 4) AS avg_dur_s
+      |FROM per_sess
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** Q43 — 3-way COO tensor build from events: (user, event-type id,
+    * day index) → Σ value. The bridge from the relational world to the
+    * CP-ALS decomposition (graft.tensor).
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(
+      col("user_id").as("i"),
+      when(col("event_type") === "click", 0L)
+        .when(col("event_type") === "error", 1L)
+        .when(col("event_type") === "purchase", 2L)
+        .when(col("event_type") === "signup", 3L)
+        .when(col("event_type") === "view", 4L).as("j"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      col("value"))
+    e.crossJoin(broadcast(e.agg(min(col("day")).as("min_day"))))
+      .select(col("i"), col("j"), (col("day") - col("min_day")).as("k"), col("value"))
+      .groupBy(col("i"), col("j"), col("k"))
+      .agg(round(sum(col("value")), 4).as("v"))
+      .orderBy(asc_nulls_first("i"), asc_nulls_first("j"), asc_nulls_first("k"))
+  }
+
+  val q43Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id AS i,
+      |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+      |    END AS j,
+      |    epoch_us(ts) // 86400000000 AS day, value
+      |  FROM events)
+      |SELECT i, j, day - (SELECT MIN(day) FROM e) AS k, ROUND(SUM(value), 4) AS v
+      |FROM e
+      |GROUP BY i, j, day
+      |ORDER BY i NULLS FIRST, j NULLS FIRST, k NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
+    "Q43" -> q43Oracle)
+}
