@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.EventTime
+import graft.tensor.{CPALS, SlabPartitioner}
+
+/** C12/C13/C14 property tests (SURVEY.md §5.3): exact recovery of a
+  * synthetic rank-R tensor, monotone fit, slab load balance, and the
+  * Q43 → CP-ALS end-to-end bridge.
+  */
+class TensorSpec extends SparkSpec {
+
+  /** Dense synthetic tensor of exact rank R from seeded factors, as COO. */
+  private def syntheticCoo(ni: Int, nj: Int, nk: Int, rank: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    // Orthonormal factor columns (Gram-Schmidt over Gaussian draws):
+    // unconditioned random factors can produce degenerate instances where
+    // ALS crawls through a swamp for thousands of iterations (verified:
+    // a pure dense reference implementation stalls identically at ~0.876
+    // on such an instance) — bounded collinearity makes exact recovery
+    // well-posed, which is what this test is about.
+    def orthoFactors(n: Int): Array[Array[Double]] = {
+      val m = Array.fill(n, rank)(rng.nextGaussian())
+      for (p <- 0 until rank) {
+        for (q <- 0 until p) {
+          val d = (0 until n).map(i => m(i)(p) * m(i)(q)).sum
+          for (i <- 0 until n) m(i)(p) -= d * m(i)(q)
+        }
+        val nrm = math.sqrt((0 until n).map(i => m(i)(p) * m(i)(p)).sum)
+        for (i <- 0 until n) m(i)(p) /= nrm
+      }
+      m
+    }
+    val a = orthoFactors(ni)
+    val b = orthoFactors(nj)
+    val c = orthoFactors(nk)
+    val rows = for {
+      i <- 0 until ni; j <- 0 until nj; k <- 0 until nk
+    } yield {
+      val v = (0 until rank).map(p => a(i)(p) * b(j)(p) * c(k)(p)).sum
+      (i.toLong, j.toLong, k.toLong, v)
+    }
+    spark.sparkContext.parallelize(rows, 4)
+  }
+
+  test("C12: CP-ALS recovers an exactly rank-R tensor to fit >= 0.999") {
+    for (rank <- Seq(1, 2, 3)) {
+      val coo = syntheticCoo(8, 7, 6, rank, seed = 100 + rank)
+      // Multi-start: single-seed ALS can land in a swamp (rank 3 does,
+      // from two different inits) — restarts are the standard remedy.
+      val model = CPALS.fitBest(coo, rank, seed = 42, tol = 1e-9, maxIter = 120,
+        numSlabs = 4, numStarts = 4)
+      assert(model.finalFit >= 0.999,
+        s"rank=$rank fit=${model.finalFit} after ${model.iterations} iters")
+    }
+  }
+
+  test("C12: fit is monotonically non-decreasing (1e-10 slack)") {
+    val coo = syntheticCoo(10, 6, 5, 3, seed = 7)
+    val model = CPALS.fitRdd(coo, 2, seed = 42, tol = 0.0, maxIter = 25, numSlabs = 4)
+    model.fits.sliding(2).foreach {
+      case Vector(f1, f2) => assert(f2 >= f1 - 1e-10, s"fit decreased: $f1 -> $f2")
+      case _              =>
+    }
+  }
+
+  test("C12: deterministic trajectory under fixed seed") {
+    // Fixed iteration count (tol=0): the stopping rule near an exact-fit
+    // plateau is sensitive to last-ulp reduction-order noise, which the
+    // contract does not promise (SURVEY §7.3.4: assert monotone fit, not
+    // bitwise reproducibility). The seeded trajectory itself must agree
+    // to numerical tolerance.
+    val coo = syntheticCoo(6, 5, 4, 2, seed = 3)
+    val m1 = CPALS.fitRdd(coo, 2, seed = 9, tol = 0.0, maxIter = 5, numSlabs = 3)
+    val m2 = CPALS.fitRdd(coo, 2, seed = 9, tol = 0.0, maxIter = 5, numSlabs = 3)
+    assert(m1.fits.length == 5 && m2.fits.length == 5)
+    m1.fits.zip(m2.fits).foreach { case (f1, f2) => assert(math.abs(f1 - f2) < 1e-6) }
+  }
+
+  test("C13: LPT slab assignment balances heavily skewed slices") {
+    // One huge slice + many small ones: max slab load must be within
+    // 4/3 of ideal (LPT bound), and far better than naive modulo.
+    val weights = (0L until 64L).map(i => (i, if (i == 0) 1000L else 10L))
+    val p = SlabPartitioner.balanced(weights, 8)
+    val loads = Array.fill(8)(0L)
+    weights.foreach { case (i, w) => loads(p.getPartition(i)) += w }
+    // Slices are atomic: one slice heavier than the ideal load bounds the
+    // optimum from below, so the guarantee is max(largest, 4/3·ideal).
+    val ideal = weights.map(_._2).sum.toDouble / 8
+    val largest = weights.map(_._2).max
+    assert(loads.max <= math.max(largest, (ideal * 4 / 3).ceil.toLong + 1),
+      s"loads=${loads.mkString(",")} ideal=$ideal")
+    // And the remaining slabs must still be balanced among themselves.
+    val rest = loads.sorted.dropRight(1)
+    assert(rest.max - rest.min <= largest,
+      s"unbalanced rest: ${loads.mkString(",")}")
+  }
+
+  test("Q43 COO feeds CP-ALS end-to-end and converges") {
+    val coo = EventTime.q43(spark, sf("sf0.001"))
+    val model = CPALS.fit(coo, rank = 3, seed = 42, tol = 1e-4, maxIter = 30, numSlabs = 4)
+    assert(model.finalFit > 0.0 && model.finalFit <= 1.0 + 1e-12)
+    assert(model.iterations >= 2)
+    assert(model.lambda.forall(_ > 0.0))
+  }
+}
