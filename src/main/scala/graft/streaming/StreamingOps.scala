@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md §2.10).
+  *
+  * The batch twins (graft.operators.EventTime Q40–Q42) are the DuckDB
+  * hash-checked contract; these streaming forms run the SAME Catalyst plan
+  * incrementally (micro-batch), so their final sink state must equal the
+  * batch result — asserted in StreamingSpec by replaying the events parquet
+  * through a file-source stream.
+  *
+  * Scale notes: state per key lives in the executor-local state store
+  * (RocksDB/HDFS-backed on a cluster); watermarks bound state size —
+  * without one, windowed state grows forever, which is why C10 is part of
+  * the contract. Aggregations are keyed on (window, type) / session —
+  * bounded cardinality, partitioned by key across executors.
+  */
+object StreamingOps {
+
+  /** events schema under the nanos-as-long convention (ts: epoch-ns). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+  }
+
+  /** Event-time TimestampType column (µs, truncated from ns — the declared
+    * cross-engine convention).
+    */
+  private def eventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Q40 streaming twin — tumbling 1h windows; win_start kept in epoch-µs
+    * BIGINT so results align with the batch/DuckDB form.
+    */
+  def q40Stream(events: DataFrame): DataFrame =
+    eventTime(events)
+      .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Q40 streaming twin with a 2h watermark (C10): append-mode emission,
+    * late rows beyond the watermark dropped, state finalized and evicted.
+    */
+  def q40StreamWatermarked(events: DataFrame): DataFrame =
+    eventTime(events)
+      .withWatermark("ts_micro", "2 hours")
+      .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Q42 streaming twin — native session windows (30 min gap) per user.
+    * session_window.end = last event + gap, while the batch form defines
+    * duration = last − first event, so the gap is subtracted here to keep
+    * the two semantics identical.
+    */
+  def q42Stream(events: DataFrame): DataFrame =
+    eventTime(events)
+      .groupBy(session_window(col("ts_micro"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(col("session_window.end")) - unix_micros(col("session_window.start"))
+          - lit(1800000000L)).as("dur_us"))
+      .select(col("user_id"), col("n_events"), col("dur_us"))
+
+  /** C11a — streaming exact dedup on event_id within a watermark: state is
+    * bounded by the watermark horizon instead of growing forever.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    eventTime(events)
+      .withWatermark("ts_micro", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** C11b — arbitrary stateful processing: running per-user event counter
+    * via flatMapGroupsWithState (update mode; state = one Long per user).
+    */
+  def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator.single((user, next))
+      }
+      .toDF("user_id", "n_events")
+  }
+}

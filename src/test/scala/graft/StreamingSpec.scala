@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+/** §2.10 streaming acceptance: streaming forms reach batch-equal final
+  * state (t1 assertion); watermark drops late data (C10); stateful ops
+  * run (C11).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Copy the sf0.001 events parquet into a fresh dir as the stream source. */
+  private def stageEvents(): String = {
+    val dir = tmpDir("graft-stream-src")
+    Files.copy(
+      Paths.get(sf("sf0.001") + "/events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("Q40 streaming twin reaches batch-equal final state") {
+    val src = stageEvents()
+    val q = StreamingOps.q40Stream(StreamingOps.eventsStream(spark, src))
+      .writeStream
+      .format("memory")
+      .queryName("q40_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("q40_stream")
+      .select(col("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type").collect()
+    val batch = graft.operators.EventTime.q40(spark, sf("sf0.001")).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getString(1) == b.getString(1)
+        && s.getLong(2) == b.getLong(2)
+        && math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9, s"$s vs $b")
+    }
+  }
+
+  test("Q42 streaming session windows match batch session stats") {
+    val src = stageEvents()
+    val q = StreamingOps.q42Stream(StreamingOps.eventsStream(spark, src))
+      .writeStream
+      .format("memory")
+      .queryName("q42_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Aggregate the streaming per-session rows to the batch Q42 shape.
+    val streamed = spark.table("q42_stream")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_events"),
+        round(avg(col("dur_us") / 1000000.0), 4).as("avg_dur_s"))
+      .orderBy("user_id").collect()
+    val batch = graft.operators.EventTime.q42(spark, sf("sf0.001"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0), s"user: $s vs $b")
+      assert(s.getLong(1) == b.getLong(1), s"n_sessions: $s vs $b")
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6, s"avg_events: $s vs $b")
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6, s"avg_dur: $s vs $b")
+    }
+  }
+
+  test("C10: late rows beyond the watermark are dropped in append mode") {
+    import spark.implicits._
+    val src = tmpDir("graft-late-src")
+    val ckpt = tmpDir("graft-ckpt")
+    val hourUs = 3600L * 1000000L
+    val base = 1700000000000000L // µs, hour-ish aligned below
+    def write(batchId: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "us")
+        .select(col("event_id"), expr("us * 1000").as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$src/b$batchId")
+
+    // Batch 1: events now → watermark advances to max - 2h.
+    write(1, Seq((1L, base + 10 * hourUs), (2L, base + 10 * hourUs + 1)))
+    val stream = spark.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/*")
+    val q = StreamingOps.q40StreamWatermarked(stream)
+      .writeStream.format("memory").queryName("c10_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: a row 8 hours older than the watermark → must be dropped.
+      write(2, Seq((3L, base + 1 * hourUs)))
+      q.processAllAvailable()
+      // Batch 3: advance time to flush closed windows into the append sink.
+      write(3, Seq((4L, base + 20 * hourUs)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("c10_sink").collect()
+    val lateWin = (base + 1 * hourUs) / hourUs * hourUs
+    assert(!rows.exists(_.getLong(0) == lateWin),
+      s"late row leaked into sink: ${rows.mkString(";")}")
+    val mainWin = (base + 10 * hourUs) / hourUs * hourUs
+    assert(rows.exists(r => r.getLong(0) == mainWin && r.getLong(2) == 2L),
+      s"on-time window missing: ${rows.mkString(";")}")
+  }
+
+  test("C11: streaming dedup within watermark + arbitrary running state") {
+    import spark.implicits._
+    val src = tmpDir("graft-dedup-src")
+    val ckpt1 = tmpDir("graft-ckpt")
+    val base = 1700000000000000L
+    Seq((1L, base), (1L, base + 1L), (2L, base + 2L))
+      .toDF("event_id", "us")
+      .select(col("event_id"), expr("us * 1000").as("ts"),
+        (col("event_id") % 2).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$src/b1")
+
+    val dd = StreamingOps.dedupStream(
+        spark.readStream.schema(StreamingOps.eventsSchema).parquet(src + "/*"))
+      .writeStream.format("memory").queryName("c11_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    dd.awaitTermination(120000)
+    val ids = spark.table("c11_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L), s"dedup kept: ${ids.mkString(",")}")
+
+    val rc = StreamingOps.runningCounts(spark,
+        spark.readStream.schema(StreamingOps.eventsSchema).parquet(src + "/*"))
+      .writeStream.format("memory").queryName("c11_counts")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    rc.awaitTermination(120000)
+    val counts = spark.table("c11_counts")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 0L -> 1L), s"counts=$counts")
+  }
+}
