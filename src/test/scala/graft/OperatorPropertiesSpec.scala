@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Property / tolerance tests (SURVEY.md §5.3–§5.4): HLL tolerance (C05),
+  * seeded sampling (C08), dedup idempotence, semi∪anti partition, UNION ALL
+  * additivity, window-vs-join equivalence.
+  */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  test("C05: approx_count_distinct within 5% of exact per event type") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val exact = Aggregates.q14(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = c.events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: exact=$n approx=$a")
+    }
+  }
+
+  test("C08: seeded sample is deterministic, a subset, and binomially sized") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val li = c.lineitem.select("l_orderkey", "l_linenumber")
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 42)
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 42)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty, "not deterministic")
+    assert(s1.exceptAll(li).isEmpty, "not a subset")
+    val n = li.count(); val k = s1.count()
+    val mean = 0.1 * n; val sd = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(k - mean) <= 6 * sd, s"sample size $k vs mean $mean (n=$n)")
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val c = Catalog(spark, sf("sf0.001"))
+    // Materialized via cache: exceptAll directly over dropDuplicates trips
+    // a Catalyst rewrite bug (ATTRIBUTE_NOT_FOUND) in Spark 4.1.2.
+    val once = TextOps.dedupExact(c.documents, Seq("text")).cache()
+    val twice = TextOps.dedupExact(once, Seq("text"))
+    assert(once.count() == twice.count())
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+
+  test("semi and anti join partition the left table") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val urgent = c.orders.filter(col("o_orderpriority") === "1-URGENT")
+    val semi = c.customer.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = c.customer.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+    assert(semi.count() + anti.count() == c.customer.count())
+    assert(semi.select("c_custkey").intersect(anti.select("c_custkey")).count() == 0)
+  }
+
+  test("UNION ALL is count-additive; UNION distinct bounded by key domain") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val a = c.customer.select(col("c_nationkey").as("k"))
+    val b = c.supplier.select(col("s_nationkey").as("k"))
+    assert(a.unionAll(b).count() == a.count() + b.count())
+    assert(a.unionAll(b).distinct().count() <= 25)
+  }
+
+  test("Q35 Jaccard: J(x,x)=1 and symmetry via canonical (lo,hi) ordering") {
+    val pairs = TextOps.q35(spark, sf("sf0.001")).collect()
+    assert(pairs.nonEmpty, "seeded near-duplicates should produce pairs")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair not canonical: $r")
+      val j = r.getDouble(2)
+      assert(j >= 0.8 && j <= 1.0, s"J out of range: $r")
+    }
+  }
+
+  test("Q19 lag equals self-join formulation") {
+    val c = Catalog(spark, sf("sf0.001"))
+    val e = c.events.select(col("user_id"), col("event_id"),
+      expr("ts DIV 1000").as("us"))
+    // Self-join: for each event, the max us among strictly-earlier events
+    // of the same user equals lag(us).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    val viaLag = e.withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .agg(sum(col("us") - col("prev"))).collect()(0).getLong(0)
+    val e2 = e.select(col("user_id").as("u2"), col("us").as("us2"), col("event_id").as("id2"))
+    val viaJoin = e.join(e2,
+        col("user_id") === col("u2") &&
+        (col("us2") < col("us") ||
+          (col("us2") === col("us") && col("id2") < col("event_id"))))
+      .groupBy(col("user_id"), col("event_id"), col("us"))
+      .agg(max(struct(col("us2"), col("id2"))).getField("us2").as("prev"))
+      .agg(sum(col("us") - col("prev"))).collect()(0).getLong(0)
+    assert(viaLag == viaJoin, s"$viaLag != $viaJoin")
+  }
+}

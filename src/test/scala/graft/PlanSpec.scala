@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Physical-plan assertions (SURVEY.md §4, M8) — the plans the 100 TB
+  * design depends on must actually materialize, not just be intended:
+  * broadcast joins stay broadcast, top-k never full-sorts, filters reach
+  * the parquet scan, global sorts range-partition.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("Q04: dimension join is a BroadcastHashJoin (no fact shuffle)") {
+    val p = plan(Joins.q04(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Q22: global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(SortSet.q22(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("Q02: range predicates are pushed to the parquet scan, columns pruned") {
+    val p = plan(Filters.q02(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // Projection pruning: untouched wide columns must not be read.
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"), p)
+  }
+
+  test("C07: full distributed sort is range-partitioned") {
+    val c = Catalog(spark, sf("sf0.001"))
+    val p = plan(c.lineitem.orderBy(col("l_extendedprice")))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.contains("range_partitioning"), p)
+    assert(p.contains("Sort"), p)
+  }
+
+  test("Q13: aggregation is two-phase hash (partial before shuffle)") {
+    val p = plan(Aggregates.q13(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("Q38: probe side broadcast; big vector side not shuffled before join") {
+    val p = plan(VectorOps.q38(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
