@@ -26,7 +26,9 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracles),
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
-      (EventTime.queries, EventTime.oracles)
+      (EventTime.queries, EventTime.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (NearDup.queries, NearDup.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Near-duplicate detection family for LLM training-data pipelines
+  * (builder-prompt north star): SimHash signatures (Q48), word n-gram
+  * shingle Jaccard (Q49), MinHash signatures (Q51), and MinHash-LSH
+  * candidate banding — the 100 TB path in front of the exact verifier.
+  *
+  * Hash discipline: every hash is derived from md5(), which both Spark and
+  * DuckDB expose with identical output, so signatures are cross-engine
+  * hash-checkable — no engine-private hash function appears in any
+  * declared query.
+  *
+  * Scale notes: signatures are one explode + one groupBy per doc (linear);
+  * LSH banding turns all-pairs discovery into an equi-join on
+  * (band, band-signature) buckets — only docs sharing a bucket pair up.
+  * Band count / rows-per-band trade recall vs candidates exactly as in the
+  * standard S-curve P(candidate) = 1-(1-J^rows)^bands.
+  */
+object NearDup {
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Q48 — 32-bit SimHash per document over its distinct token set. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .withColumn("h", md5(col("token")))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("d", expr(s"instr('$HexDigits', substring(h, b DIV 4 + 1, 1)) - 1"))
+      .withColumn("w", expr("2 * (shiftright(d, b % 4) % 2) - 1"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("w")).as("s"))
+      .withColumn("term",
+        expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).as("simhash"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q48Oracle: String =
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |    FROM documents WHERE doc_id <= 100)),
+      |bits AS (
+      |  SELECT doc_id, md5(token) AS h, UNNEST(range(32)) AS b FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    SUM(2 * (((instr('$HexDigits', substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+      |      >> CAST(b % 4 AS INTEGER)) % 2) - 1) AS s
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |                ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** The distinct (doc_id, 3-gram shingle) relation. */
+  private def shingles(c: Catalog): DataFrame =
+    c.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2), ' ',
+          |              element_at(toks, i + 3)))""".stripMargin)).as("token"))
+      .distinct()
+
+  /** Q49 — word-trigram shingle Jaccard ≥ 0.6 pairs: order-sensitive
+    * near-dedup (token-set Jaccard is blind to reordering; shingles are
+    * not).
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
+  }
+
+  val q49Oracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS doc_lo, d2 AS doc_hi,
+      |  ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz s1 ON s1.doc_id = d1
+      |JOIN sz s2 ON s2.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6
+      |ORDER BY doc_lo NULLS FIRST, doc_hi NULLS FIRST""".stripMargin
+
+  /** md5-derived 32-bit hash value for permutation `p` of a token column —
+    * the shared Spark/DuckDB SQL expression (dialect-common subset).
+    */
+  private def hexValueExpr(hCol: String): String =
+    (1 to 8).map { d =>
+      val scale = math.pow(16, 8 - d).toLong
+      s"(instr('$HexDigits', substring($hCol, $d, 1)) - 1) * CAST($scale AS BIGINT)"
+    }.mkString(" + ")
+
+  /** MinHash signatures: k md5-seeded permutations, min over the doc's
+    * distinct tokens. API form over any (doc_id, token) relation.
+    */
+  def minHashSignatures(tok: DataFrame, k: Int): DataFrame =
+    tok
+      .withColumn("p", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("h", md5(concat(col("p").cast("string"), lit(":"), col("token"))))
+      .withColumn("hv", expr(hexValueExpr("h")))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(col("hv")).as("minhash"))
+
+  /** Q51 — MinHash signatures (k=8) for the probe documents. */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = c.documents
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    minHashSignatures(tok, 8)
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("p"))
+  }
+
+  val q51Oracle: String =
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |    FROM documents WHERE doc_id <= 100)),
+      |hashed AS (
+      |  SELECT doc_id, p, md5(CAST(p AS VARCHAR) || ':' || token) AS h
+      |  FROM (SELECT doc_id, token, UNNEST(range(8)) AS p FROM tok)),
+      |valued AS (
+      |  SELECT doc_id, p, ${hexValueExpr("h")} AS hv FROM hashed)
+      |SELECT doc_id, p, MIN(hv) AS minhash
+      |FROM valued
+      |GROUP BY doc_id, p
+      |ORDER BY doc_id NULLS FIRST, p NULLS FIRST""".stripMargin
+
+  /** MinHash-LSH candidate pairs: band the k-row signature into
+    * `bands` bands of k/bands rows; docs sharing any band signature pair
+    * up. This is the 100 TB discovery path whose recall against the exact
+    * Jaccard verifier is property-checked in NearDupSpec.
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val banded = signatures
+      .withColumn("band", col("p") % bands)
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("p").cast("string"), lit("="), col("minhash").cast("string")))))
+        .as("band_sig"))
+    val b1 = banded.select(col("doc_id").as("d1"), col("band"), col("band_sig"))
+    val b2 = banded.select(col("doc_id").as("d2"), col("band"), col("band_sig"))
+    b1.join(b2, Seq("band", "band_sig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1").as("doc_lo"), col("d2").as("doc_hi"))
+      .distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle)
+}

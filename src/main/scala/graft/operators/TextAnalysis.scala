@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Text-analysis operators for LLM training-data pipelines (builder-prompt
+  * north star; extensions beyond SURVEY §2's Q-inventory, declared with the
+  * same oracle discipline): language-ID scoring, quality scoring, token
+  * counting, and order-sensitive document fingerprinting.
+  *
+  * Scale notes: every operator is per-row scalar work over `text` (array
+  * higher-order functions + regex, all codegen'd) followed by at most one
+  * bounded-key aggregate — embarrassingly parallel over a 100 TB corpus,
+  * no shuffle except the final small groupBy. The fingerprint (Q47) is the
+  * explode form; its per-row fold twin is a one-liner with `aggregate`.
+  */
+object TextAnalysis {
+
+  /** Q44 — language identification by marker-token evidence. On this
+    * synthetic corpus only the 'en' markers can fire; the scoring/argmax
+    * structure is the declared operator. Emits the (actual, predicted)
+    * confusion counts.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .withColumn("s_en", expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))"))
+      .withColumn("s_de", expr("size(filter(split(text, ' '), t -> t IN ('der', 'die')))"))
+      .withColumn("s_es", expr("size(filter(split(text, ' '), t -> t IN ('el', 'los')))"))
+      .withColumn("pred", expr(
+        """CASE WHEN s_en > s_de AND s_en > s_es THEN 'en'
+          |     WHEN s_de > s_en AND s_de > s_es THEN 'de'
+          |     WHEN s_es > s_en AND s_es > s_de THEN 'es'
+          |     ELSE 'und' END""".stripMargin))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("pred"))
+  }
+
+  val q44Oracle: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS s_en,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die'))) AS s_de,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los'))) AS s_es
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN s_en > s_de AND s_en > s_es THEN 'en'
+      |       WHEN s_de > s_en AND s_de > s_es THEN 'de'
+      |       WHEN s_es > s_en AND s_es > s_de THEN 'es'
+      |       ELSE 'und' END AS pred,
+      |  COUNT(*) AS n
+      |FROM scored
+      |GROUP BY 1, 2
+      |ORDER BY lang NULLS FIRST, pred NULLS FIRST""".stripMargin
+
+  /** Q45 — document quality scoring: token count, mean token length,
+    * stopword ratio, and a bounded composite score.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 100)
+      .withColumn("n_tokens", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("stop_hits",
+        expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'value')))").cast("long"))
+      .withColumn("avg_tok",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("avg_tok"), 4).as("avg_token_len"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(
+          least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("avg_tok") / 10.0, lit(1.0)) * 0.2, 4).as("quality"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q45Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'value'))) AS BIGINT) AS stop_hits,
+      |    n_chars
+      |  FROM documents WHERE doc_id <= 100),
+      |derived AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_tok,
+      |    CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+      |  FROM base)
+      |SELECT doc_id, n_tokens,
+      |  ROUND(avg_tok, 4) AS avg_token_len,
+      |  ROUND(stop_ratio, 4) AS stop_ratio,
+      |  ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3 +
+      |        LEAST(avg_tok / 10.0, 1.0) * 0.2, 4) AS quality
+      |FROM derived
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q46 — token counting per source: whitespace tokens vs BPE-ish regex
+    * pieces (letter runs / digit runs / single other symbols).
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .withColumn("ws", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("bpe",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q46Oracle: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |    AS sum_bpe_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+
+  /** Q47 — order-sensitive document fingerprint: position-weighted rolling
+    * sum of leading-character codes, mod a prime. Equal fingerprints are
+    * cheap duplicate candidates; unequal fingerprints prove docs differ
+    * in token order — which plain token-set signatures cannot see.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("pos") + 1) * ascii(col("token"))) % 1000000007L).as("fingerprint"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q47Oracle: String =
+    """WITH flat AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      |  CAST(SUM(pos * unicode(token)) % 1000000007 AS BIGINT) AS fingerprint
+      |FROM flat
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
+    "Q47" -> q47Oracle)
+}

@@ -72,10 +72,16 @@ object TextOps {
     * inter/sizes are integer counts, so J is one exact double division in
     * both engines — threshold comparison and ROUND are hash-safe.
     */
-  def jaccardPairs(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+  def jaccardPairs(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame =
+    jaccardFromTokens(spark,
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct(),
+      threshold)
+
+  /** Same operator over an arbitrary distinct (doc_id, token) relation —
+    * the token can be a word, an n-gram shingle (see NearDup.q49), or any
+    * other set element.
+    */
+  def jaccardFromTokens(spark: SparkSession, tok: DataFrame, threshold: Double): DataFrame = {
     val vocab = tok.select(col("token")).distinct().collect().map(_.getString(0)).sorted
     val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     val pairs =
@@ -97,9 +103,14 @@ object TextOps {
           .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
         val t2 = tok.join(sizes, Seq("doc_id"))
           .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
+        // +0.5 slack: sizes are integers and double(threshold) can round
+        // above the exact rational bound, which would wrongly drop a pair
+        // sitting exactly on the threshold; false candidates are removed
+        // by the exact J filter below.
         t1.join(t2,
             col("tk1") === col("tk2") && col("d1") < col("d2") &&
-            col("sz1") * threshold <= col("sz2") && col("sz2") * threshold <= col("sz1"))
+            col("sz1") * threshold <= col("sz2") + 0.5 &&
+            col("sz2") * threshold <= col("sz1") + 0.5)
           .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
           .agg(count(lit(1)).as("inter"))
       }

@@ -117,9 +117,52 @@ object VectorOps {
       |GROUP BY label
       |ORDER BY label NULLS FIRST""".stripMargin
 
+  /** Q50 — embedding-cosine near-duplicate pairs: all (lo,hi) pairs within
+    * a probe set whose cosine ≥ 0.4 (the corpus' pairwise max is ~0.51, so
+    * the threshold bites). The all-pairs form is the exact verifier; the
+    * scale path buckets candidates with random-projection LSH
+    * (graft.operators.Ann) before this verification.
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val v1 = vecs.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val v2 = vecs.select(col("vec_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    v1.join(broadcast(v2), col("d1") < col("d2"))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.4)
+      .select(col("d1").as("vec_lo"), col("d2").as("vec_hi"), round(col("cos"), 4).as("cos"))
+      .orderBy(asc_nulls_first("vec_lo"), asc_nulls_first("vec_hi"))
+  }
+
+  val q50Oracle: String =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      |norms AS (
+      |  SELECT vec_id, SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM v),
+      |flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    UNNEST(embedding) AS val
+      |  FROM v),
+      |dots AS (
+      |  SELECT p.vec_id AS d1, q.vec_id AS d2,
+      |    SUM(CAST(p.val AS DOUBLE) * CAST(q.val AS DOUBLE)) AS dot
+      |  FROM flat p JOIN flat q ON p.pos = q.pos AND p.vec_id < q.vec_id
+      |  GROUP BY 1, 2),
+      |cosv AS (
+      |  SELECT d1, d2, dot / (n1.nrm * n2.nrm) AS cos
+      |  FROM dots
+      |  JOIN norms n1 ON n1.vec_id = d1
+      |  JOIN norms n2 ON n2.vec_id = d2)
+      |SELECT d1 AS vec_lo, d2 AS vec_hi, ROUND(cos, 4) AS cos
+      |FROM cosv WHERE cos >= 0.4
+      |ORDER BY vec_lo NULLS FIRST, vec_hi NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q38" -> (q38 _), "Q39" -> (q39 _))
+    "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _))
 
   def oracles: Map[String, String] = Map(
-    "Q38" -> q38Oracle, "Q39" -> q39Oracle)
+    "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Near-dup scale-path properties (SURVEY.md §5.3): the corpus' seeded
+  * `+" dup"` near-duplicates must be caught by the exact Jaccard form, and
+  * MinHash-LSH banding must recall ≥ 0.9 of them as candidates.
+  */
+class NearDupSpec extends SparkSpec {
+
+  /** The seeded near-dup pairs: doc2.text == doc1.text + " dup". */
+  private def seededPairs(dir: String) = {
+    val d = Catalog(spark, dir).documents
+    val d1 = d.select(col("doc_id").as("a"), col("text").as("t1"))
+    val d2 = d.select(col("doc_id").as("b"), col("text").as("t2"))
+    d1.join(d2, col("t2") === concat(col("t1"), lit(" dup")))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("seeded near-duplicates exist and are caught by exact Jaccard (Q35)") {
+    val seeded = seededPairs(sf("sf0.001"))
+    assert(seeded.size >= 20, s"expected ~24 seeded pairs, got ${seeded.size}")
+    val q35 = TextOps.q35(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = seeded -- q35
+    assert(missed.isEmpty, s"exact Jaccard missed seeded pairs: $missed")
+  }
+
+  test("MinHash-LSH banding recalls >= 0.9 of seeded near-dups as candidates") {
+    val dir = sf("sf0.001")
+    val seeded = seededPairs(dir)
+    val tok = Catalog(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sigs = NearDup.minHashSignatures(tok, k = 8)
+    val candidates = NearDup.lshCandidates(sigs, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (seeded & candidates).size.toDouble / seeded.size
+    assert(recall >= 0.9, s"LSH recall $recall (${(seeded & candidates).size}/${seeded.size})")
+  }
+
+  test("SimHash: seeded near-dup pairs have small hamming distance") {
+    val dir = sf("sf0.001")
+    val seeded = seededPairs(dir)
+    val sig = NearDup.q48(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Only pairs fully inside the doc_id <= 100 probe window are checkable.
+    val checkable = seeded.filter { case (a, b) => sig.contains(a) && sig.contains(b) }
+    assert(checkable.nonEmpty, "no seeded pair inside the probe window")
+    checkable.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sig(a) ^ sig(b))
+      assert(ham <= 8, s"pair ($a,$b) hamming $ham too far for near-dups")
+    }
+  }
+}
