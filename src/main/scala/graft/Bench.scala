@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** BENCH harness (BASELINE.md protocol): warm-up, 3 timed runs per query,
+  * median reported; results fully materialized via the no-op sink (every
+  * operator runs, nothing collects to the driver); CP-ALS timed separately
+  * on the Q43 tensor. Prints exactly one JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warm-up: JVM/codegen/parquet-footer caches.
+    materialize("Q01")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted
+      val median = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
+      name -> median
+    }
+
+    // CP-ALS on the Q43 events tensor (rank 8, fixed 10 iterations).
+    val cpals =
+      try {
+        val coo = operators.EventTime.q43(spark, sfDir)
+        val t0 = System.nanoTime()
+        val model = tensor.CPALS.fit(coo, rank = 8, seed = 42, tol = 0.0,
+          maxIter = 10, numSlabs = cpus.toInt)
+        val total = (System.nanoTime() - t0) / 1e9
+        val perIter = total / model.iterations
+        f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
+      } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
