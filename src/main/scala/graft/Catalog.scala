@@ -19,6 +19,11 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   // (SURVEY.md V10/V11/V17). Runtime-settable; `ts` then reads as LongType
   // epoch-nanoseconds. Cross-engine convention: epoch-µs via `ts div 1000`.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // Engine-native functions (codegen'd expressions). The driver harness
+  // owns the session builder, so registration happens at runtime here;
+  // deployments that own the builder use
+  // spark.sql.extensions=graft.plans.GraftExtensions instead.
+  graft.plans.GraftExtensions.registerRuntime(spark)
 
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 

@@ -19,10 +19,20 @@ import graft.Catalog
   */
 object VectorOps {
 
-  /** Σ xᵢ·yᵢ over two float arrays, cast to double, left-to-right fold —
-    * the declared deterministic dot product.
+  /** Σ xᵢ·yᵢ over two float arrays, double accumulation in array order —
+    * the declared deterministic dot product, compiled by the native
+    * codegen'd expression graft.plans.DotProduct (registered as
+    * `graft_dot` by Catalog / GraftExtensions). Numerically identical to
+    * the higher-order-function fold [[dotHof]], minus its per-row
+    * zipped-array allocation.
     */
-  def dot(x: Column, y: Column): Column =
+  def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+
+  /** Pure-builtin fold form of the same dot product (kept as the
+    * plan-B path and for equivalence testing against the native
+    * expression).
+    */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)

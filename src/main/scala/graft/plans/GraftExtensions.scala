@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions. Two registration paths for the same functions:
+  *
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (the proper deployment hook), or
+  *  - [[GraftExtensions.registerRuntime]] on an existing session (used by
+  *    graft.Catalog, because the driver harness owns the session builder).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, null, "graft_dot",
+    "graft_dot(x, y) - dot product of two float/double arrays with double accumulation in array order.",
+    "")
+
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"), dotInfo,
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Idempotent runtime registration on an already-built session. */
+  def registerRuntime(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+}
