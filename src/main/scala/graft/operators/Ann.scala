@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -53,5 +55,51 @@ object Ann {
       .filter(col("vec_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("neighbor_id"))
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * vector table into `nlist` cells; a probe searches only its `nprobe`
+    * nearest cells, exactly re-ranked with the codegen'd dot product.
+    * The cell assignment is the index build (one pass + tiny centroid
+    * table broadcast); at 100 TB the vectors would be written bucketed by
+    * cell so a probe reads only its cells' files.
+    */
+  def cosineTopKIvf(
+      spark: SparkSession,
+      vectors: DataFrame, // (vec_id, embedding)
+      probeIds: DataFrame, // (vec_id)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val data = vectors
+      .select(col("vec_id"), toUnitVec(col("embedding")).as("features"))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(data)
+    val assigned = model.transform(data)
+      .select(col("vec_id"), col("cell"), vector_to_array(col("features")).as("unit"))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+
+    // Probe → nprobe nearest cells (by cosine to centroid).
+    val probes = assigned.join(probeIds, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("unit").as("p_unit"))
+    val wCell = Window.partitionBy(col("p_id")).orderBy(desc("c_cos"), asc("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", call_function("graft_dot", col("p_unit"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(wCell))
+      .filter(col("c_rnk") <= nprobe)
+      .select(col("p_id"), col("p_unit"), col("cell"))
+
+    // Exact re-rank inside the probed cells only.
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    probeCells.join(assigned, Seq("cell"))
+      .filter(col("p_id") =!= col("vec_id"))
+      .withColumn("cos", call_function("graft_dot", col("p_unit"), col("unit")))
+      .select(col("p_id").as("vec_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 }

@@ -228,6 +228,45 @@ object Joins {
       |GROUP BY prior_type
       |ORDER BY prior_type NULLS FIRST""".stripMargin
 
+  /** Generic as-of join (API form of Q12): for every left row, attach the
+    * latest right row with right time ≤ (or < when `strict`) left time,
+    * within the same `on` keys.
+    *
+    * Union-sort-fill, the scalable pattern: tag both inputs, union them,
+    * sort once per key group, and carry the last-seen right values forward
+    * with an ignore-nulls window. One shuffle on the key — no row-by-row
+    * probing, no O(n²) self-join, works at any skew because the window is
+    * partition-local after the shuffle.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_src", lit(1))
+    val keep = rightCols.map(c => col(c).as(s"_r_$c"))
+    val r = right
+      .select((on.map(col) ++ Seq(col(rightTime).cast("long").as("_t")) ++ keep): _*)
+      .withColumn("_src", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal time unless strict,
+    // so ties attach (≤ semantics) or don't (<).
+    val srcOrder = if (strict) desc("_src") else asc("_src")
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(asc("_t"), srcOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_src") === 1)
+      .drop((rightCols.map(c => s"_r_$c") :+ "_t" :+ "_src"): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),

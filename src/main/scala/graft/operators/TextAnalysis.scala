@@ -152,10 +152,55 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q52 — TF-IDF: smoothed idf = ln((N+1)/(df+1)); top-3 terms per probe
+    * doc by (tfidf desc, token). The doc-term matrix (Q37) is the input;
+    * df is one bounded-key aggregate over it; idf joins back broadcast.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val tf = c.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val n = c.documents.count()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf_raw"), asc("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf_raw",
+        col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)))
+      .filter(col("doc_id") <= 20)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), round(col("tfidf_raw"), 4).as("tfidf"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("rnk"))
+  }
+
+  val q52Oracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    tf.tf * LN((n.n + 1.0) / (df.df + 1.0)) AS tfidf_raw
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |  WHERE tf.doc_id <= 20),
+      |ranked AS (
+      |  SELECT doc_id, token, tfidf_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, token, ROUND(tfidf_raw, 4) AS tfidf
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id NULLS FIRST, rnk NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _))
+    "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
+    "Q52" -> (q52 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
-    "Q47" -> q47Oracle)
+    "Q47" -> q47Oracle, "Q52" -> q52Oracle)
 }

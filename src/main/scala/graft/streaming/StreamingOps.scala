@@ -87,6 +87,29 @@ object StreamingOps {
       .withWatermark("ts_micro", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (Q11's semantics on live streams): views
+    * joined to purchases of the same user within the following 30 minutes.
+    * Both sides carry watermarks so the join state (buffered rows awaiting
+    * matches) is bounded and evicted once the range condition can no
+    * longer match — the only way a stream-stream join survives unbounded
+    * input.
+    */
+  def viewPurchaseJoinStream(events: DataFrame): DataFrame = {
+    val base = eventTime(events)
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_micro").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_micro").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+      col("p_ts") > col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** C11b — arbitrary stateful processing: running per-user event counter
     * via flatMapGroupsWithState (update mode; state = one Long per user).
     */

@@ -79,6 +79,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch range join (Q11)") {
+    val src = stageEvents()
+    val q = StreamingOps.viewPurchaseJoinStream(StreamingOps.eventsStream(spark, src))
+      .writeStream
+      .format("memory")
+      .queryName("q11_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("q11_stream")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.operators.Joins.q11(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq == batch.toSeq,
+      s"${streamed.mkString(",")} vs ${batch.mkString(",")}")
+  }
+
   test("C10: late rows beyond the watermark are dropped in append mode") {
     import spark.implicits._
     val src = tmpDir("graft-late-src")
