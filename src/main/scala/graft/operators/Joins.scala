@@ -267,6 +267,24 @@ object Joins {
       .drop((rightCols.map(c => s"_r_$c") :+ "_t" :+ "_src"): _*)
   }
 
+  /** Skew-salted inner equi join: replicate the (small-enough) right side
+    * `salt` times and scatter left rows across salt buckets, so one hot
+    * key's rows spread over `salt` reducers instead of one straggler
+    * partition. AQE's skew-join split handles moderate skew on its own;
+    * salting is the explicit lever when a single key dominates (SURVEY §4).
+    * Result is row-identical to a plain inner join on `key`.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    val saltedRight = right
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),

@@ -88,11 +88,16 @@ object TextOps {
       if (vocab.length <= 64) {
         val bits = spark.createDataFrame(vocab.zipWithIndex.toSeq)
           .toDF("token", "bit")
+        // cache(): the self-join below references masks twice; without it
+        // Spark re-derives the whole explode→distinct→groupBy lineage on
+        // both sides (seen as doubled exchanges in the plan). One row per
+        // document, so the cached footprint is tiny even at corpus scale.
         val masks = tok.join(broadcast(bits), Seq("token"))
           .groupBy(col("doc_id"))
           .agg(
             sum(expr("shiftleft(1L, bit)")).as("mask"), // distinct bits: sum == OR
             count(lit(1)).as("sz"))
+          .cache()
         val m1 = masks.select(col("doc_id").as("d1"), col("mask").as("k1"), col("sz").as("sz1"))
         val m2 = masks.select(col("doc_id").as("d2"), col("mask").as("k2"), col("sz").as("sz2"))
         m1.join(broadcast(m2), col("d1") < col("d2"))

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** Scale levers from SURVEY §4 that aren't visible in the declared
+  * queries: salted joins for skew, bucketed tables for co-located
+  * (exchange-free) joins, approximate percentiles vs exact.
+  */
+class ScaleHygieneSpec extends SparkSpec {
+
+  test("saltedJoin is row-identical to the plain inner join") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val plain = c.orders.join(c.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+      .orderBy("c_mktsegment").collect()
+    val salted = Joins.saltedJoin(
+        c.orders.withColumnRenamed("o_custkey", "k"),
+        c.customer.withColumnRenamed("c_custkey", "k"), "k", salt = 8)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+      .orderBy("c_mktsegment").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getString(0) == s.getString(0) && p.getLong(1) == s.getLong(1)
+        && math.abs(p.getDouble(2) - s.getDouble(2)) < 1e-6, s"$p vs $s")
+    }
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    // External table paths: warehouse.dir is a static conf, so the
+    // bucketed tables are written to explicit temp locations instead.
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val c = Catalog(spark, sf("sf0.001"))
+    c.orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    c.lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    // At sf0.001 both sides fit the broadcast threshold, which would hide
+    // the bucketed path (at real scale neither side broadcasts) — disable
+    // auto-broadcast for this assertion.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // Co-located: the join itself needs no Exchange under it (only the
+      // final aggregation shuffles).
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin").max(0))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey")
+        && !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles:\n$joinSection")
+      // And it's correct.
+      val expected = c.orders.join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("approx percentile within 1% of exact on order totals") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val row = c.orders.agg(
+      expr("percentile(o_totalprice, array(0.5, 0.9))").as("exact"),
+      expr("percentile_approx(o_totalprice, array(0.5, 0.9), 10000)").as("approx"))
+      .collect()(0)
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e <= 0.01, s"approx $a vs exact $e")
+    }
+  }
+}
