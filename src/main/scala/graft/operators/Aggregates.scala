@@ -160,11 +160,81 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  /** Q53 — pivot (crosstab): per-user event counts, one column per event
+    * type. The value list is fixed so the output schema is static — at
+    * scale an unbounded pivot would need a values-discovery pass first.
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = c.events
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q53Oracle: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |WHERE user_id < 20
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** Q54 — exact interpolated percentiles per group (both engines use the
+    * standard (n−1)·p linear interpolation).
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Q55 — deterministic ordered string aggregation: sorted distinct list
+    * joined with a separator (collect_set order is engine-private, so the
+    * hashable form sorts before joining).
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .groupBy(col("lang"))
+      .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q55Oracle: String =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
-    "Q17" -> (q17 _), "Q17b" -> (q17b _))
+    "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
+    "Q55" -> (q55 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
-    "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle)
+    "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
+    "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle)
 }
