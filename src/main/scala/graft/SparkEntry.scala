@@ -28,7 +28,8 @@ object SparkEntry {
       (VectorOps.queries, VectorOps.oracles),
       (EventTime.queries, EventTime.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
-      (NearDup.queries, NearDup.oracles)
+      (NearDup.queries, NearDup.oracles),
+      (Subqueries.queries, Subqueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
