@@ -95,6 +95,32 @@ class TensorSpec extends SparkSpec {
       s"unbalanced rest: ${loads.mkString(",")}")
   }
 
+  test("relational MTTKRP equals the direct dense computation") {
+    import graft.tensor.RelationalMTTKRP
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val (ni, nj, nk, r) = (5, 4, 3, 2)
+    val coo = (for { i <- 0 until ni; j <- 0 until nj; k <- 0 until nk
+      if rng.nextDouble() < 0.6 } yield
+      (i.toLong, j.toLong, k.toLong, rng.nextGaussian())).toList
+    val b = Array.fill(nj * r)(rng.nextGaussian())
+    val c = Array.fill(nk * r)(rng.nextGaussian())
+    // direct: M(i,p) = Σ v·B(j,p)·C(k,p)
+    val direct = Array.ofDim[Double](ni, r)
+    coo.foreach { case (i, j, k, v) =>
+      for (p <- 0 until r)
+        direct(i.toInt)(p) += v * b(j.toInt * r + p) * c(k.toInt * r + p)
+    }
+    val cooDf = coo.toDF("i", "j", "k", "v")
+    val got = RelationalMTTKRP.mttkrpMode1(cooDf,
+        RelationalMTTKRP.factorRelation(spark, b, nj, r, "j"),
+        RelationalMTTKRP.factorRelation(spark, c, nk, r, "k"))
+      .collect().map(row => ((row.getLong(0), row.getInt(1)), row.getDouble(2))).toMap
+    for (i <- 0 until ni; p <- 0 until r; if direct(i)(p) != 0.0 || got.contains((i.toLong, p)))
+      assert(math.abs(got.getOrElse((i.toLong, p), 0.0) - direct(i)(p)) < 1e-9,
+        s"M($i,$p): ${got.get((i.toLong, p))} vs ${direct(i)(p)}")
+  }
+
   test("Q43 COO feeds CP-ALS end-to-end and converges") {
     val coo = EventTime.q43(spark, sf("sf0.001"))
     val model = CPALS.fit(coo, rank = 3, seed = 42, tol = 1e-4, maxIter = 30, numSlabs = 4)
