@@ -267,6 +267,43 @@ object Joins {
       .drop((rightCols.map(c => s"_r_$c") :+ "_t" :+ "_src"): _*)
   }
 
+  /** Native as-of join through the custom physical operator
+    * (graft.plans.AsOfJoinExec): for each left row, the latest right
+    * `rightValue` with right time ≤ left time on the same key. Key and
+    * time columns must be LongType; the strategy must be registered
+    * (graft.Catalog does, or GraftExtensions at session build).
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValue: String,
+      outName: String = "asof_value"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Fresh aliases on the right side: if both inputs derive from the same
+    // base relation they share ExprIds, and (unlike Join) a custom node
+    // gets no analyzer self-join deduplication — column pruning would then
+    // credit the right side's references to the left child.
+    val rFresh = right.select(right.columns.map(c => col(c).as(s"__r_$c")).toIndexedSeq: _*)
+    val rPlan = rFresh.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val rv = attr(rPlan, s"__r_$rightValue")
+    val out = AttributeReference(outName, rv.dataType, nullable = true)()
+    org.apache.spark.sql.GraftSqlShims.ofRows(spark,
+      graft.plans.AsOfJoinPlan(
+        lPlan, rPlan,
+        attr(lPlan, key), attr(lPlan, leftTime),
+        attr(rPlan, s"__r_$key"), attr(rPlan, s"__r_$rightTime"),
+        rv, out))
+  }
+
   /** Skew-salted inner equi join: replicate the (small-enough) right side
     * `salt` times and scatter left rows across salt buckets, so one hot
     * key's rows spread over `salt` reducers instead of one straggler

@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    graft.Catalog, because the driver harness owns the session builder).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -29,7 +31,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
   /** Idempotent runtime registration on an already-built session. */
-  def registerRuntime(spark: SparkSession): Unit =
+  def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+  }
 }
