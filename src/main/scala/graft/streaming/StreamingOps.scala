@@ -66,6 +66,18 @@ object StreamingOps {
         unix_micros(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Q41 streaming twin — sliding 1h windows every 15 min. The batch form
+    * replicates rows by explode(sequence(0,3)); the streaming form gets
+    * the same 4-window replication from window()'s slide argument.
+    */
+  def q41Stream(events: DataFrame): DataFrame =
+    eventTime(events)
+      .groupBy(window(col("ts_micro"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Q42 streaming twin — native session windows (30 min gap) per user.
     * session_window.end = last event + gap, while the batch form defines
     * duration = last − first event, so the gap is subtracted here to keep

@@ -26,6 +26,17 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to the native expression") {
+    val c = Catalog(spark, sf("sf0.001")) // registers the rule
+    val df = c.embeddings
+      .select(VectorOps.dotHof(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rule did not fire:\n$optimized")
+    // And the rewrite preserves values.
+    val viaHof = df.collect().map(_.getDouble(0))
+    assert(viaHof.forall(_ > 0.0))
+  }
+
   test("graft_dot works in SQL text after catalog registration") {
     val c = Catalog(spark, sf("sf0.001"))
     c.register()

@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Q41 sliding-window streaming twin reaches batch-equal final state") {
+    val src = stageEvents()
+    val q = StreamingOps.q41Stream(StreamingOps.eventsStream(spark, src))
+      .writeStream
+      .format("memory")
+      .queryName("q41_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("q41_stream")
+      .orderBy("win_start", "event_type").collect()
+    val batch = graft.operators.EventTime.q41(spark, sf("sf0.001")).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getString(1) == b.getString(1)
+        && s.getLong(2) == b.getLong(2)
+        && math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9, s"$s vs $b")
+    }
+  }
+
   test("Q42 streaming session windows match batch session stats") {
     val src = stageEvents()
     val q = StreamingOps.q42Stream(StreamingOps.eventsStream(spark, src))
