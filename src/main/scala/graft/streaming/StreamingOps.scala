@@ -122,6 +122,23 @@ object StreamingOps {
         unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
   }
 
+  /** C11c — the Spark 4 transformWithState API: same running per-user
+    * counter through a StatefulProcessor with an explicit ValueState
+    * handle (the state-store-native successor of mapGroupsWithState;
+    * state lives in the executor-local store, TTL-able, schema-evolvable).
+    */
+  def runningCountsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
   /** C11b — arbitrary stateful processing: running per-user event counter
     * via flatMapGroupsWithState (update mode; state = one Long per user).
     */
@@ -141,5 +158,28 @@ object StreamingOps {
           Iterator.single((user, next))
       }
       .toDF("user_id", "n_events")
+  }
+}
+
+/** StatefulProcessor for C11c: one Long ValueState per user key. */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+
+  @transient private var countState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    countState = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val prev = Option(countState.get()).getOrElse(0L)
+    val next = prev + rows.size
+    countState.update(next)
+    Iterator.single((key, next))
   }
 }

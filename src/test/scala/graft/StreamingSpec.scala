@@ -201,5 +201,31 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(max("n_events").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == Map(1L -> 2L, 0L -> 1L), s"counts=$counts")
+
+    // C11c: the same counter through the Spark 4 transformWithState API.
+    // Its ValueState column families need the RocksDB state store
+    // provider (the cluster-scale store; the HDFS-backed default cannot
+    // host multiple column families) — scoped to this query.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = StreamingOps.runningCountsTws(spark,
+          spark.readStream.schema(StreamingOps.eventsSchema).parquet(src + "/*"))
+        .writeStream.format("memory").queryName("c11_tws")
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      tws.awaitTermination(120000)
+      val twsCounts = spark.table("c11_tws")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twsCounts == Map(1L -> 2L, 0L -> 1L), s"twsCounts=$twsCounts")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
   }
 }
