@@ -81,7 +81,11 @@ object TextOps {
     * the token can be a word, an n-gram shingle (see NearDup.q49), or any
     * other set element.
     */
-  def jaccardFromTokens(spark: SparkSession, tok: DataFrame, threshold: Double): DataFrame = {
+  def jaccardFromTokens(spark: SparkSession, tokRaw: DataFrame, threshold: Double): DataFrame = {
+    // cache(): the vocabulary probe below plus both sides of whichever
+    // pair-join strategy wins reference this relation repeatedly; without
+    // it the explode/distinct lineage re-derives each time.
+    val tok = tokRaw.cache()
     val vocab = tok.select(col("token")).distinct().collect().map(_.getString(0)).sorted
     val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     val pairs =
