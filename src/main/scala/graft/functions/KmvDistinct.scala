@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) sketch state: the k smallest 63-bit hashes seen.
+  * Distinct-count estimate: exact while fewer than k distinct hashes;
+  * otherwise (k−1) / x₍ₖ₎ where x₍ₖ₎ is the k-th smallest hash normalized
+  * into (0,1) — the classic KMV estimator.
+  *
+  * Deterministic (unlike sampling sketches): the state is a pure function
+  * of the input SET, so merge order, partitioning, and retries cannot
+  * change the result.
+  */
+final class KmvSketch(val k: Int) extends Serializable {
+  // Sorted set of the k smallest hashes (size bounded by k).
+  val mins: java.util.TreeSet[java.lang.Long] = new java.util.TreeSet[java.lang.Long]()
+
+  def add(h: Long): Unit = {
+    val v = h & Long.MaxValue // 63-bit non-negative
+    if (mins.size < k) { mins.add(v); () }
+    else if (v < mins.last()) {
+      if (mins.add(v)) mins.remove(mins.last())
+    }
+  }
+
+  def merge(other: KmvSketch): KmvSketch = {
+    val it = other.mins.iterator()
+    while (it.hasNext) add(it.next())
+    this
+  }
+
+  def estimate: Long =
+    if (mins.size < k) mins.size.toLong
+    else {
+      val kth = mins.last().toDouble / Long.MaxValue.toDouble
+      math.round((k - 1) / kth)
+    }
+}
+
+/** C06-class custom aggregate, imperative-buffer form (SURVEY.md §2.4 —
+  * the TypedImperativeAggregate shape that HLL-class sketches use, with
+  * explicit serialize/deserialize across partial-aggregation shuffles).
+  * Registered as `graft_kmv_distinct(col, k)` by GraftExtensions /
+  * Catalog. Property-checked against exact COUNT(DISTINCT) in
+  * KmvDistinctSpec; approximate by design, so not DuckDB-hash-declared
+  * (same status as C05's HLL).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
+
+  private def hashValue(v: Any): Long = v match {
+    case l: Long        => scala.util.hashing.MurmurHash3.bytesHash(
+      java.nio.ByteBuffer.allocate(8).putLong(l).array(), 42).toLong * 0x9E3779B97F4A7C15L
+    case i: Int         => hashValue(i.toLong)
+    case s: UTF8String  => scala.util.hashing.MurmurHash3.bytesHash(s.getBytes, 42).toLong * 0x9E3779B97F4A7C15L
+    case d: Double      => hashValue(java.lang.Double.doubleToLongBits(d))
+    case other          => hashValue(other.toString.hashCode.toLong)
+  }
+
+  override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(hashValue(v))
+    buffer
+  }
+
+  override def merge(buffer: KmvSketch, other: KmvSketch): KmvSketch = buffer.merge(other)
+
+  override def eval(buffer: KmvSketch): Any = buffer.estimate
+
+  override def serialize(buffer: KmvSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeInt(buffer.mins.size)
+    val it = buffer.mins.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sketch = new KmvSketch(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { sketch.mins.add(in.readLong()); i += 1 }
+    sketch
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvDistinct =
+    copy(child = newChildren.head)
+  override def prettyName: String = "graft_kmv_distinct"
+}

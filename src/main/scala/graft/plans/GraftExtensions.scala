@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.KmvDistinct
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -15,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -31,10 +33,29 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"), dotInfo,
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  private def kmvBuilder(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv_distinct(col, k): k must be an integer literal, got $other")
+    }
+    KmvDistinct(children.head, k).toAggregateExpression()
+  }
+
+  private val kmvInfo = new ExpressionInfo(
+    classOf[KmvDistinct].getName, null, "graft_kmv_distinct",
+    "graft_kmv_distinct(col, k) - KMV distinct-count sketch estimate with k minimum values.",
+    "")
+
+  val kmvFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_kmv_distinct"), kmvInfo, kmvBuilder _)
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_distinct", kmvBuilder, "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+
+/** KMV distinct sketch (TypedImperativeAggregate): accuracy vs exact,
+  * exactness below k, determinism, and merge algebra.
+  */
+class KmvDistinctSpec extends SparkSpec {
+
+  test("KMV estimate within 15% of exact distinct at k=256") {
+    val c = Catalog(spark, sf("sf0.01")) // registers graft_kmv_distinct
+    c.register()
+    val row = spark.sql(
+      """SELECT COUNT(DISTINCT l_partkey) AS exact,
+        |       graft_kmv_distinct(l_partkey, 256) AS kmv
+        |FROM lineitem""".stripMargin).collect()(0)
+    val exact = row.getLong(0); val est = row.getLong(1)
+    assert(math.abs(est - exact).toDouble / exact <= 0.15, s"exact=$exact kmv=$est")
+  }
+
+  test("KMV is exact below k and deterministic across runs") {
+    val c = Catalog(spark, sf("sf0.01"))
+    c.register()
+    // 5 event types << k=64 → exact.
+    val small = spark.sql(
+      "SELECT graft_kmv_distinct(event_type, 64) AS n FROM events").collect()(0).getLong(0)
+    assert(small == 5, s"expected exact 5, got $small")
+    val r1 = spark.sql(
+      "SELECT graft_kmv_distinct(user_id, 128) FROM events").collect()(0).getLong(0)
+    val r2 = spark.sql(
+      "SELECT graft_kmv_distinct(user_id, 128) FROM events").collect()(0).getLong(0)
+    assert(r1 == r2, s"$r1 != $r2")
+  }
+
+  test("KMV per-group with partial aggregation matches single-pass sketch") {
+    val c = Catalog(spark, sf("sf0.01"))
+    c.register()
+    val grouped = spark.sql(
+      """SELECT event_type, graft_kmv_distinct(user_id, 128) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.sql(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(grouped(t) - n).toDouble / n <= 0.2, s"$t: ${grouped(t)} vs $n")
+    }
+  }
+
+  test("sketch merge is commutative and idempotent on the same set") {
+    def sk(xs: Seq[Long], k: Int): KmvSketch = {
+      val s = new KmvSketch(k); xs.foreach(s.add); s
+    }
+    val a = sk((1L to 500L).map(_ * 7919), 64)
+    val b = sk((200L to 900L).map(_ * 7919), 64)
+    val ab = sk((1L to 500L).map(_ * 7919), 64).merge(sk((200L to 900L).map(_ * 7919), 64))
+    val ba = sk((200L to 900L).map(_ * 7919), 64).merge(sk((1L to 500L).map(_ * 7919), 64))
+    assert(ab.estimate == ba.estimate)
+    val aa = sk((1L to 500L).map(_ * 7919), 64).merge(sk((1L to 500L).map(_ * 7919), 64))
+    assert(aa.estimate == a.estimate)
+  }
+}
