@@ -228,13 +228,46 @@ object Aggregates {
       |GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Q58 — unpivot / melt: wide per-flag measure columns back to long
+    * (measure, value) rows via the native unpivot operator.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("qty"),
+        round(sum(col("l_extendedprice")), 4).as("price"),
+        round(sum(col("l_tax")), 4).as("tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("tax")),
+        "measure", "value")
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("measure"))
+  }
+
+  val q58Oracle: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    ROUND(SUM(l_quantity), 4) AS qty,
+      |    ROUND(SUM(l_extendedprice), 4) AS price,
+      |    ROUND(SUM(l_tax), 4) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'price' AS measure, price AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'tax' AS measure, tax AS value FROM wide
+      |ORDER BY l_returnflag NULLS FIRST, measure NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
-    "Q55" -> (q55 _))
+    "Q55" -> (q55 _), "Q58" -> (q58 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
-    "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle)
+    "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
+    "Q58" -> q58Oracle)
 }
