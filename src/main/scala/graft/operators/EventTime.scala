@@ -156,10 +156,41 @@ object EventTime {
       |GROUP BY i, j, day
       |ORDER BY i NULLS FIRST, j NULLS FIRST, k NULLS FIRST""".stripMargin
 
+  /** Q59 — calendar-series generation + gap fill: every January-1996 day
+    * with its order count, zero-days included — the generated series is
+    * the (tiny, broadcast) left side, the fact side pre-aggregates to
+    * per-day counts, and missing days coalesce to 0. The standard
+    * time-series densification pattern.
+    */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val days = spark.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1996-01-01', DATE'1996-01-31', interval 1 day)")).as("day"))
+    val observed = c.orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    days.join(observed, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  val q59Oracle: String =
+    """WITH days AS (
+      |  SELECT CAST(UNNEST(generate_series(DATE '1996-01-01', DATE '1996-01-31',
+      |    INTERVAL 1 DAY)) AS DATE) AS day),
+      |observed AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT days.day AS day, COALESCE(observed.n, 0) AS n_orders
+      |FROM days LEFT JOIN observed ON days.day = observed.day
+      |ORDER BY day NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _))
+    "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
+    "Q59" -> (q59 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
-    "Q43" -> q43Oracle)
+    "Q43" -> q43Oracle, "Q59" -> q59Oracle)
 }
