@@ -20,6 +20,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Double = {
+      // Drop any relation an operator cached during a previous run: the
+      // cache manager matches canonicalized plans, so a leaked cache would
+      // let the 2nd/3rd timed runs read cached data and under-report the
+      // protocol's "fully-materialized runs" (and caches would accumulate
+      // across the whole 61-query session).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -2,7 +2,7 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,13 +63,20 @@ case class KmvDistinct(
 
   override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
 
+  // Genuine 64-bit hash (xxHash64, the same hasher Spark's xxhash64()
+  // expression uses). A 32-bit hash widened to Long collides at the 32-bit
+  // birthday bound (~1% underestimate near 10^8 distinct, saturating at
+  // 2^32) — useless for 100 TB distinct counts.
+  private val Seed = 42L
   private def hashValue(v: Any): Long = v match {
-    case l: Long        => scala.util.hashing.MurmurHash3.bytesHash(
-      java.nio.ByteBuffer.allocate(8).putLong(l).array(), 42).toLong * 0x9E3779B97F4A7C15L
-    case i: Int         => hashValue(i.toLong)
-    case s: UTF8String  => scala.util.hashing.MurmurHash3.bytesHash(s.getBytes, 42).toLong * 0x9E3779B97F4A7C15L
-    case d: Double      => hashValue(java.lang.Double.doubleToLongBits(d))
-    case other          => hashValue(other.toString.hashCode.toLong)
+    case l: Long       => XXH64.hashLong(l, Seed)
+    case i: Int        => XXH64.hashLong(i.toLong, Seed)
+    case s: UTF8String =>
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+    case d: Double     => XXH64.hashLong(java.lang.Double.doubleToLongBits(d), Seed)
+    case other         =>
+      val b = UTF8String.fromString(other.toString)
+      XXH64.hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes(), Seed)
   }
 
   override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {

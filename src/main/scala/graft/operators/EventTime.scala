@@ -102,12 +102,12 @@ object EventTime {
       |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, us,
+      |  SELECT user_id, event_id, us,
       |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM e),
       |sess AS (
       |  SELECT user_id, us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM flagged),
       |per_sess AS (

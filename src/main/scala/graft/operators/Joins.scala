@@ -294,7 +294,16 @@ object Joins {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    // Analysis-time contract check: the merge loop compares key/time as
+    // Long primitives, so reject anything else here with a clear message
+    // rather than a runtime ClassCastException inside a task.
+    def requireLong(a: org.apache.spark.sql.catalyst.expressions.Attribute, role: String): Unit =
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"asofJoinNative: $role column '${a.name}' must be LongType, got ${a.dataType}")
     val rv = attr(rPlan, s"__r_$rightValue")
+    Seq(attr(lPlan, key) -> "left key", attr(lPlan, leftTime) -> "left time",
+      attr(rPlan, s"__r_$key") -> "right key", attr(rPlan, s"__r_$rightTime") -> "right time")
+      .foreach { case (a, role) => requireLong(a, role) }
     val out = AttributeReference(outName, rv.dataType, nullable = true)()
     org.apache.spark.sql.GraftSqlShims.ofRows(spark,
       graft.plans.AsOfJoinPlan(

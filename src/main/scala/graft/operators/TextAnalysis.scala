@@ -136,6 +136,11 @@ object TextAnalysis {
     c.documents
       .filter(col("doc_id") <= 100)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      // Empty tokens (consecutive/leading/trailing spaces) diverge across
+      // engines: Spark ascii('') = 0 vs DuckDB unicode('') = -1. Drop them
+      // on both sides; positions keep their pre-filter indices so the
+      // fingerprint stays order-sensitive.
+      .filter(col("token") =!= "")
       .groupBy(col("doc_id"))
       .agg((sum((col("pos") + 1) * ascii(col("token"))) % 1000000007L).as("fingerprint"))
       .orderBy(asc_nulls_first("doc_id"))
@@ -149,6 +154,7 @@ object TextAnalysis {
       |SELECT doc_id,
       |  CAST(SUM(pos * unicode(token)) % 1000000007 AS BIGINT) AS fingerprint
       |FROM flat
+      |WHERE token <> ''
       |GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 

@@ -89,28 +89,49 @@ case class AsOfJoinExec(
       var carried: Any = null
       var hasCarried = false
 
+      // NULL discipline: a NULL right key/time can never match (SQL join
+      // semantics) — such rows are skipped; a NULL left key/time matches
+      // nothing and emits a NULL asof value, keeping the left row (as-of
+      // preserves the left side like a left outer join). Spark's
+      // nulls-first sort order puts NULL right rows at the partition head,
+      // so skipping them before the merge keeps the two-pointer invariant.
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        // Advance the right side while it is still at-or-before (k, t).
-        var advancing = rRow != null
-        while (advancing) {
-          val rk = rKey.eval(rRow).asInstanceOf[Long]
-          val rt = rTime.eval(rRow).asInstanceOf[Long]
-          if (rk < k || (rk == k && rt <= t)) {
-            if (rk == k) {
-              carried = rVal.eval(rRow) match {
-                case s: UTF8String => s.copy()
-                case v             => v
-              }
-              carriedKey = k
-              hasCarried = true
+        val kRaw = lKey.eval(lRow)
+        val tRaw = lTime.eval(lRow)
+        if (kRaw == null || tRaw == null) {
+          valueRow.update(0, null)
+          proj(joined(lRow, valueRow))
+        } else {
+          val k = kRaw.asInstanceOf[Long]
+          val t = tRaw.asInstanceOf[Long]
+          // Advance the right side while it is still at-or-before (k, t).
+          var advancing = rRow != null
+          while (advancing) {
+            val rkRaw = rKey.eval(rRow)
+            val rtRaw = rTime.eval(rRow)
+            if (rkRaw == null || rtRaw == null) {
+              if (rIter.hasNext) rRow = rIter.next().copy()
+              else { rRow = null; advancing = false }
+            } else {
+              val rk = rkRaw.asInstanceOf[Long]
+              val rt = rtRaw.asInstanceOf[Long]
+              if (rk < k || (rk == k && rt <= t)) {
+                if (rk == k) {
+                  carried = rVal.eval(rRow) match {
+                    case s: UTF8String => s.copy()
+                    case v             => v
+                  }
+                  carriedKey = k
+                  hasCarried = true
+                }
+                if (rIter.hasNext) rRow = rIter.next().copy()
+                else { rRow = null; advancing = false }
+              } else advancing = false
             }
-            if (rIter.hasNext) rRow = rIter.next().copy() else { rRow = null; advancing = false }
-          } else advancing = false
+          }
+          valueRow.update(0, if (hasCarried && carriedKey == k) carried else null)
+          proj(joined(lRow, valueRow))
         }
-        valueRow.update(0, if (hasCarried && carriedKey == k) carried else null)
-        proj(joined(lRow, valueRow))
       }
     }
   }
