@@ -57,17 +57,28 @@ object TextOps {
   /** Exact token-set Jaccard ≥ threshold pairs — adaptive physical strategy.
     *
     * Semantics are fixed (J = |A∩B| / |A∪B| over distinct-token sets); the
-    * plan is chosen from a cheap statistic, AQE-style:
+    * plan is chosen from cheap exact statistics, AQE-style:
     *
     *  - vocabulary ≤ 64 distinct tokens → dictionary-encode each token to a
     *    bit, reduce every document to ONE 64-bit mask (map-side bit_or),
     *    then a pair join computes |A∩B| as bit_count(m1 & m2). The token
     *    self-join (quadratic in docs-per-token) disappears entirely: the
     *    measured win at sf0.1 is ~120s → ~2s.
-    *  - otherwise → distinct (doc,token) self-join with a size-ratio
-    *    prefilter (J ≥ t needs t·|B| ≤ |A| ≤ |B|/t), count intersections
-    *    per pair. At 100 TB you'd put MinHash-LSH banding (see
-    *    minHashSignatures below) in front of this verifier.
+    *  - otherwise, the strategy is picked from Σ df² over the token df
+    *    relation — that sum IS the direct self-join's exact candidate-pair
+    *    count, so the choice is principled, not a guess:
+    *      · Σ df² small → direct self-join on token (jaccardDirect): one
+    *        shuffle, intersection counts fall straight out of the groupBy.
+    *        Wins on uniform df distributions (no token is common, so the
+    *        join never explodes — e.g. random shingles).
+    *      · Σ df² large → exact prefix filtering (jaccardPrefix; the
+    *        AllPairs/PPJoin family — Bayardo, Ma, Srikant, WWW'07; Xiao et
+    *        al., WWW'08). Wins on Zipfian corpora, where a handful of hot
+    *        tokens make Σ df² explode but the RAREST tokens (each doc's
+    *        prefix) stay selective.
+    *    Both paths return identical rows (property-checked in NearDupSpec);
+    *    MinHash-LSH banding (minHashSignatures below) is the probabilistic
+    *    alternative when recall < 1 is acceptable.
     *
     * inter/sizes are integer counts, so J is one exact double division in
     * both engines — threshold comparison and ROUND are hash-safe.
@@ -82,14 +93,19 @@ object TextOps {
     * other set element.
     */
   def jaccardFromTokens(spark: SparkSession, tokRaw: DataFrame, threshold: Double): DataFrame = {
-    // cache(): the vocabulary probe below plus both sides of whichever
+    // cache(): the strategy probes below plus both sides of whichever
     // pair-join strategy wins reference this relation repeatedly; without
-    // it the explode/distinct lineage re-derives each time.
+    // it the explode/distinct lineage re-derives each time. (Verify/Bench
+    // clearCache() after each query, so nothing leaks across queries.)
     val tok = tokRaw.cache()
-    val vocab = tok.select(col("token")).distinct().collect().map(_.getString(0)).sorted
-    val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
+    // Scale discipline: the probe is an aggregate (one Long to the
+    // driver), never a vocabulary collect — only the ≤64 branch collects,
+    // and then by definition at most 64 rows.
+    val nVocab = tok.agg(countDistinct(col("token"))).first().getLong(0)
     val pairs =
-      if (vocab.length <= 64) {
+      if (nVocab <= 64) {
+        val vocab = tok.select(col("token")).distinct()
+          .collect().map(_.getString(0)).sorted
         val bits = spark.createDataFrame(vocab.zipWithIndex.toSeq)
           .toDF("token", "bit")
         // cache(): the self-join below references masks twice; without it
@@ -107,25 +123,85 @@ object TextOps {
         m1.join(broadcast(m2), col("d1") < col("d2"))
           .withColumn("inter", bit_count(col("k1").bitwiseAND(col("k2"))).cast("long"))
       } else {
-        val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val t1 = tok.join(sizes, Seq("doc_id"))
-          .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
-        val t2 = tok.join(sizes, Seq("doc_id"))
-          .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
-        // +0.5 slack: sizes are integers and double(threshold) can round
-        // above the exact rational bound, which would wrongly drop a pair
-        // sitting exactly on the threshold; false candidates are removed
-        // by the exact J filter below.
-        t1.join(t2,
-            col("tk1") === col("tk2") && col("d1") < col("d2") &&
-            col("sz1") * threshold <= col("sz2") + 0.5 &&
-            col("sz2") * threshold <= col("sz1") + 0.5)
-          .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
-          .agg(count(lit(1)).as("inter"))
+        val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        // Σ df² = the direct self-join's exact candidate-row count.
+        val directCandidates = dfreq
+          .agg(sum(col("df") * col("df"))).first().getLong(0)
+        if (directCandidates <= DirectJoinBudget) jaccardDirect(tok, threshold)
+        else jaccardPrefix(tok, dfreq, threshold)
       }
+    val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     pairs
       .filter(j >= threshold)
       .select(col("d1").as("doc_lo"), col("d2").as("doc_hi"), round(j, 4).as("jaccard"))
+  }
+
+  /** Direct-join budget: candidate rows the token self-join may produce
+    * before the prefix-filtered plan takes over. ~200M int-keyed join rows
+    * is seconds of work spread across a cluster; past that, hot tokens
+    * dominate and prefix filtering wins.
+    */
+  private val DirectJoinBudget = 200L * 1000 * 1000
+
+  /** Direct exact plan: self-join the (doc,token) relation on token with a
+    * size-ratio prefilter; the groupBy count IS the intersection size.
+    * Candidate rows = Σ df² exactly — cheap when no token is hot.
+    */
+  private[graft] def jaccardDirect(tok: DataFrame, threshold: Double): DataFrame = {
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val t1 = tok.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
+    val t2 = tok.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
+    // +0.5 slack: sizes are integers and double(threshold) can round
+    // above the exact rational bound, which would wrongly drop a pair
+    // sitting exactly on the threshold; false candidates are removed
+    // by the exact J filter in the caller.
+    t1.join(t2,
+        col("tk1") === col("tk2") && col("d1") < col("d2") &&
+        col("sz1") * threshold <= col("sz2") + 0.5 &&
+        col("sz2") * threshold <= col("sz1") + 0.5)
+      .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Prefix-filtered exact plan (AllPairs/PPJoin — Bayardo, Ma, Srikant,
+    * WWW'07; Xiao et al., WWW'08): rank each doc's tokens by ascending
+    * global df and keep the first |A| − ⌊t·|A|⌋ + 1 as its prefix; any
+    * pair with J ≥ t must share a prefix token (prefix-filter principle),
+    * so candidate generation joins only the prefix relation — the rarest
+    * tokens — and each survivor is verified exactly with one
+    * array_intersect. floor() keeps the prefix at least as long as the
+    * ⌈t·|A|⌉-based minimum, so a 1-ulp float wobble can only lengthen it
+    * (never lose a true pair).
+    */
+  private[graft] def jaccardPrefix(
+      tok: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("token"))
+    val prefix = tok
+      .join(dfreq, Seq("token"))
+      .withColumn("p", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("p") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("token"), col("sz"))
+    val p1 = prefix.select(col("doc_id").as("d1"), col("token"), col("sz").as("sz1"))
+    val p2 = prefix.select(col("doc_id").as("d2"), col("token"), col("sz").as("sz2"))
+    val cands = p1.join(p2, Seq("token"))
+      .filter(col("d1") < col("d2") &&
+        col("sz1") * threshold <= col("sz2") + 0.5 &&
+        col("sz2") * threshold <= col("sz1") + 0.5)
+      .select(col("d1"), col("d2"), col("sz1"), col("sz2"))
+      .distinct()
+    // Exact verification: one array_intersect per surviving candidate
+    // (tok is distinct, so collect_list yields the token SET).
+    val arrs = tok.groupBy(col("doc_id")).agg(collect_list(col("token")).as("toks"))
+    cands
+      .join(arrs.select(col("doc_id").as("d1"), col("toks").as("tk1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("toks").as("tk2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .select(col("d1"), col("d2"), col("sz1"), col("sz2"), col("inter"))
   }
 
   /** Q35 — exact near-dedup: token-set Jaccard ≥ 0.8 pairs. */

@@ -41,6 +41,28 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall (${(seeded & candidates).size}/${seeded.size})")
   }
 
+  test("prefix-filtered Jaccard plan returns exactly the direct plan's pairs") {
+    val dir = sf("sf0.001")
+    val tok = Catalog(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .cache()
+    def pairsOf(plan: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+      val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
+      plan.filter(j >= 0.6)
+        .select(col("d1"), col("d2"), col("inter"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val direct = pairsOf(TextOps.jaccardDirect(tok, 0.6))
+    val prefixed = pairsOf(TextOps.jaccardPrefix(tok, dfreq, 0.6))
+    assert(direct.nonEmpty, "expected some pairs at J >= 0.6 on the seeded corpus")
+    assert(prefixed == direct,
+      s"plans disagree: onlyDirect=${direct -- prefixed} onlyPrefix=${prefixed -- direct}")
+    tok.unpersist()
+    ()
+  }
+
   test("SimHash: seeded near-dup pairs have small hamming distance") {
     val dir = sf("sf0.001")
     val seeded = seededPairs(dir)
