@@ -260,14 +260,76 @@ object Aggregates {
       |SELECT l_returnflag, 'tax' AS measure, tax AS value FROM wide
       |ORDER BY l_returnflag NULLS FIRST, measure NULLS FIRST""".stripMargin
 
+  /** Q62 — bivariate statistical aggregates: correlation, sample
+    * covariance, and least-squares regression of extendedprice on
+    * quantity per returnflag. All are single-pass partial-aggregable
+    * moments (Σx, Σy, Σxy, Σx², n) — the same two-phase HashAggregate
+    * shape as Q13, so they scale identically.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  val q62Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  /** Q64 — FILTER-clause (conditional) aggregates + boolean aggregates
+    * per order priority: one scan computes each measure over its own
+    * predicate slice — the idiomatic replacement for N self-joins or
+    * CASE-WHEN pyramids, and still a single two-phase hash aggregate.
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+        round(expr("coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0)"), 4)
+          .as("rev_f"),
+        expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big"),
+        expr("bool_and(o_orderstatus <> 'X')").as("never_x"),
+        expr("bool_or(o_totalprice > 400000)").as("any_huge"))
+      .orderBy(asc_nulls_first("o_orderpriority"))
+  }
+
+  val q64Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 4) AS rev_f,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |  bool_and(o_orderstatus <> 'X') AS never_x,
+      |  bool_or(o_totalprice > 400000) AS any_huge
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
-    "Q55" -> (q55 _), "Q58" -> (q58 _))
+    "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
-    "Q58" -> q58Oracle)
+    "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle)
 }

@@ -186,11 +186,84 @@ object EventTime {
       |FROM days LEFT JOIN observed ON days.day = observed.day
       |ORDER BY day NULLS FIRST""".stripMargin
 
+  /** Q63 — ordered funnel analysis: view → click-after-view →
+    * purchase-after-click per user, counting users who reach each stage
+    * IN ORDER (a purchase before the first post-view click does not
+    * count). Each stage is a keyed min-aggregate plus one equi-join on
+    * user_id — the standard scalable funnel plan: no window over the raw
+    * stream, no per-user sort, shuffle keyed by user_id only.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(
+      col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val cl = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(cl, Seq("user_id")).filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(cl.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val q63Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |cl AS (
+      |  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(us) AS t3 FROM e JOIN cl USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM cl) AS n_view_click,
+      |  (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin
+
+  /** Q65 — retention cohort matrix: users grouped by first-activity week
+    * (cohort), counted as active per weeks-since-cohort offset. Two
+    * user-keyed aggregates and one join — the cohort table every product
+    * analytics pipeline materializes, shuffled only on user_id then on
+    * the (tiny) matrix key.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(
+      col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val active = e.distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(
+        (col("c_day") % 7).as("cohort_dow"),
+        expr("(day - c_day) DIV 7").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(asc_nulls_first("cohort_dow"), asc_nulls_first("weeks_since"))
+  }
+
+  val q65Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(day) AS c_day FROM e GROUP BY user_id)
+      |SELECT c_day % 7 AS cohort_dow,
+      |  CAST((day - c_day) // 7 AS BIGINT) AS weeks_since,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN cohort USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_dow NULLS FIRST, weeks_since NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
-    "Q59" -> (q59 _))
+    "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
-    "Q43" -> q43Oracle, "Q59" -> q59Oracle)
+    "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
+    "Q65" -> q65Oracle)
 }

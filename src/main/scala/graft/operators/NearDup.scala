@@ -173,9 +173,73 @@ object NearDup {
       .distinct()
   }
 
+  /** Q61 — winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash each word-trigram k-gram,
+    * slide a window of 4 consecutive k-gram hashes over the document, and
+    * keep the minimum of each window. The distinct selected minima are the
+    * document's fingerprints: any shared substring of ≥ k+w-1 tokens
+    * between two documents is GUARANTEED to share a fingerprint, unlike
+    * plain MinHash which only matches in expectation. Emits per-doc
+    * fingerprint-set statistics for the probe window.
+    *
+    * Scale: per-row k-gram hashing + one (doc)-partitioned window + one
+    * groupBy — linear, one shuffle on doc_id, no cross-document work.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 20)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2), ' ',
+          |              element_at(toks, i + 3)))""".stripMargin)).as(Seq("pos", "sh")))
+      .withColumn("h", md5(col("sh")))
+      .withColumn("hv", expr(hexValueExpr("h")))
+      .withColumn("fp", min(col("hv")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(asc("pos"))
+          .rowsBetween(-3, 0)))
+      .filter(col("pos") >= 3)
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"),
+        sum_distinct(col("fp")).as("sum_fp"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q61Oracle: String =
+    s"""WITH grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    md5(string_split(text, ' ')[i + 1] || ' ' ||
+      |        string_split(text, ' ')[i + 2] || ' ' ||
+      |        string_split(text, ' ')[i + 3]) AS h
+      |  FROM (SELECT doc_id, text, UNNEST(range(len(string_split(text, ' ')) - 2)) AS i
+      |        FROM documents WHERE doc_id <= 20 AND len(string_split(text, ' ')) >= 3)),
+      |valued AS (SELECT doc_id, pos, ${hexValueExpr("h")} AS hv FROM grams),
+      |winnowed AS (
+      |  SELECT doc_id, pos,
+      |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM valued)
+      |SELECT doc_id,
+      |  COUNT(DISTINCT fp) AS n_fp,
+      |  MIN(fp) AS min_fp,
+      |  MAX(fp) AS max_fp,
+      |  CAST(SUM(DISTINCT fp) AS BIGINT) AS sum_fp
+      |FROM winnowed
+      |WHERE pos >= 3
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _))
+    "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _))
 
   def oracles: Map[String, String] = Map(
-    "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle)
+    "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
+    "Q61" -> q61Oracle)
 }

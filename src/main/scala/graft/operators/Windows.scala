@@ -137,10 +137,49 @@ object Windows {
       |GROUP BY ntile
       |ORDER BY ntile NULLS FIRST""".stripMargin
 
+  /** Q60 — true value-RANGE frame: 7-day rolling revenue where the frame
+    * is `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the day NUMBER —
+    * on a gapped calendar this is a genuine 7-day window, while Q20's ROWS
+    * frame is a 7-observation window; n_days exposes the difference.
+    * Output sampled to every 30th day to keep it bounded. Same scale note
+    * as Q20: the global window rides on a pre-aggregated tiny series.
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+        .as("day_num"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(asc("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .filter(col("day_num") % 30 === 0)
+      .select(col("day_num"), round(col("rev7"), 4).as("rev7"), col("n_days"))
+      .orderBy(asc_nulls_first("day_num"))
+  }
+
+  val q60Oracle: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+      |    SUM(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |rolled AS (
+      |  SELECT day_num,
+      |    SUM(rev) OVER w AS rev7,
+      |    COUNT(*) OVER w AS n_days
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day_num, ROUND(rev7, 4) AS rev7, n_days
+      |FROM rolled
+      |WHERE day_num % 30 = 0
+      |ORDER BY day_num NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q18" -> (q18 _), "Q19" -> (q19 _), "Q20" -> (q20 _), "Q21" -> (q21 _))
+    "Q18" -> (q18 _), "Q19" -> (q19 _), "Q20" -> (q20 _), "Q21" -> (q21 _),
+    "Q60" -> (q60 _))
 
   def oracles: Map[String, String] = Map(
     "Q18" -> q18Oracle, "Q19" -> q19Oracle, "Q20" -> q20Oracle,
-    "Q21" -> q21Oracle)
+    "Q21" -> q21Oracle, "Q60" -> q60Oracle)
 }
