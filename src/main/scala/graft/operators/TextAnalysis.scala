@@ -202,11 +202,65 @@ object TextAnalysis {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id NULLS FIRST, rnk NULLS FIRST""".stripMargin
 
+  /** Q66 — repetition / diversity quality signals (the Gopher-rules
+    * family): per document, distinct-token ratio, the most-frequent
+    * token's share, and Shannon entropy of the token distribution —
+    * the standard cheap filters a 100 TB training-data pipeline runs
+    * before any model-based scoring. One explode + two keyed aggregates;
+    * shuffle key (doc_id, token) then doc_id, both fine-grained.
+    *
+    * Entropy fold order: both engines sum -p·ln(p) over the SAME
+    * grouping; the result is rounded to 4, and the per-token terms are
+    * identical doubles, so cross-engine agreement holds as everywhere
+    * else in §2.0.
+    */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tf = c.documents
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"),
+        sum(col("tf") * log(col("tf"))).as("sum_flogf"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("top_tf").cast("double") / col("n_tokens"), 4).as("top_token_ratio"),
+        // H = ln(N) − (Σ f·ln f)/N — one exact rearrangement of
+        // −Σ (f/N)·ln(f/N), avoiding a per-token division.
+        round(log(col("n_tokens")) - col("sum_flogf") / col("n_tokens"), 4).as("entropy"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q66Oracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id <= 100)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+      |    MAX(tf) AS top_tf, SUM(tf * LN(tf)) AS sum_flogf
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  n_distinct,
+      |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+      |  ROUND(CAST(top_tf AS DOUBLE) / n_tokens, 4) AS top_token_ratio,
+      |  ROUND(LN(n_tokens) - sum_flogf / n_tokens, 4) AS entropy
+      |FROM agg
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
-    "Q52" -> (q52 _))
+    "Q52" -> (q52 _), "Q66" -> (q66 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
-    "Q47" -> q47Oracle, "Q52" -> q52Oracle)
+    "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle)
 }

@@ -98,13 +98,19 @@ object TextOps {
     // it the explode/distinct lineage re-derives each time. (Verify/Bench
     // clearCache() after each query, so nothing leaks across queries.)
     val tok = tokRaw.cache()
-    // Scale discipline: the probe is an aggregate (one Long to the
-    // driver), never a vocabulary collect — only the ≤64 branch collects,
-    // and then by definition at most 64 rows.
-    val nVocab = tok.agg(countDistinct(col("token"))).first().getLong(0)
+    // Scale discipline: ONE probe job computes both strategy statistics
+    // (vocabulary size and Σ df², the direct join's exact candidate-row
+    // count) over the token-df relation — two Longs to the driver, never
+    // a vocabulary collect. Only the ≤64 branch collects tokens, and then
+    // by definition at most 64 rows.
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dfreq
+      .agg(count(lit(1)).as("n"), sum(col("df") * col("df")).as("cand")).first()
+    val nVocab = stats.getLong(0)
+    val directCandidates = stats.getLong(1)
     val pairs =
       if (nVocab <= 64) {
-        val vocab = tok.select(col("token")).distinct()
+        val vocab = dfreq.select(col("token"))
           .collect().map(_.getString(0)).sorted
         val bits = spark.createDataFrame(vocab.zipWithIndex.toSeq)
           .toDF("token", "bit")
@@ -122,13 +128,10 @@ object TextOps {
         val m2 = masks.select(col("doc_id").as("d2"), col("mask").as("k2"), col("sz").as("sz2"))
         m1.join(broadcast(m2), col("d1") < col("d2"))
           .withColumn("inter", bit_count(col("k1").bitwiseAND(col("k2"))).cast("long"))
+      } else if (directCandidates <= DirectJoinBudget) {
+        jaccardDirect(tok, threshold)
       } else {
-        val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        // Σ df² = the direct self-join's exact candidate-row count.
-        val directCandidates = dfreq
-          .agg(sum(col("df") * col("df"))).first().getLong(0)
-        if (directCandidates <= DirectJoinBudget) jaccardDirect(tok, threshold)
-        else jaccardPrefix(tok, dfreq, threshold)
+        jaccardPrefix(tok, dfreq, threshold)
       }
     val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     pairs

@@ -72,6 +72,22 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks Q54's exact percentiles within 2%") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val both = c.orders.groupBy(col("o_orderstatus")).agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+      expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+      expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
+    both.collect().foreach { r =>
+      Seq((r.getDouble(1), r.getDouble(2)), (r.getDouble(3), r.getDouble(4))).foreach {
+        case (exact, approx) =>
+          assert(math.abs(approx - exact) / exact <= 0.02,
+            s"approx $approx vs exact $exact for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("Q19 lag equals self-join formulation") {
     val c = Catalog(spark, sf("sf0.001"))
     val e = c.events.select(col("user_id"), col("event_id"),
