@@ -236,10 +236,94 @@ object NearDup {
       |GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with itself; each round every node takes the min of
+    * its own and its neighbors' labels; fixpoint = every node carries its
+    * component's minimum id. The fixpoint is unique, so the result is
+    * deterministic regardless of execution order — hash-checkable.
+    *
+    * Scale: each round is one equi-join + one groupBy (shuffles keyed by
+    * node id), converging in O(component diameter) rounds — near-dup
+    * clusters are shallow (chains of transitively-similar docs), so a
+    * handful of rounds. For adversarially long chains the same loop
+    * accepts the large-star/small-star edge rewriting (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) which
+    * converges in O(log n) rounds; the per-round plan is unchanged.
+    * localCheckpoint truncates the per-round lineage exactly as the
+    * CP-ALS loop does.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+    }
+    labels.select(col("label").as("rep"), col("node").as("member"))
+  }
+
+  /** Q67 — near-dup cluster collapse: connected components over the
+    * verified shingle-Jaccard ≥ 0.6 pairs (Q49's output), emitting
+    * (cluster representative = min doc_id, member). The final stage of
+    * the dedup pipeline: signatures → candidates → exact verify →
+    * CLUSTER → keep one representative per cluster.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    connectedComponents(pairs)
+      .orderBy(asc_nulls_first("rep"), asc_nulls_first("member"))
+  }
+
+  val q67Oracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+      |SELECT MIN(r) AS rep, node AS member
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY rep NULLS FIRST, member NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _))
+    "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
+    "Q67" -> (q67 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
-    "Q61" -> q61Oracle)
+    "Q61" -> q61Oracle, "Q67" -> q67Oracle)
 }

@@ -63,6 +63,31 @@ class NearDupSpec extends SparkSpec {
     ()
   }
 
+  test("connectedComponents equals local union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // Local union-find oracle.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(ra) = rb
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { v =>
+        val comp = nodes.filter(u => find(u.toInt) == find(v.toInt))
+        (comp.min, v)
+      }.toSet
+      import spark.implicits._
+      val got = NearDup.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"mismatch: onlySpark=${got -- expected} onlyLocal=${expected -- got}")
+    }
+  }
+
   test("SimHash: seeded near-dup pairs have small hamming distance") {
     val dir = sf("sf0.001")
     val seeded = seededPairs(dir)
