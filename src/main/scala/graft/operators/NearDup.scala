@@ -236,6 +236,49 @@ object NearDup {
       |GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Incremental corpus dedup: which NEW documents are near-duplicates of
+    * the EXISTING corpus (or of each other)? The production shape of
+    * dedup — the corpus is huge and already signed, the increment is
+    * small — so the discovery join must be asymmetric: band signatures of
+    * the increment join the (pre-materialized at 100 TB) corpus signature
+    * table; only same-bucket cross pairs are exact-verified. Returns
+    * (new_doc_id, dup_of_doc_id, jaccard) for verified pairs ≥ threshold.
+    *
+    * tokens relations: distinct (doc_id, token); doc_ids must be disjoint
+    * across the two inputs.
+    */
+  def incrementalDedup(
+      newTokens: DataFrame,
+      corpusTokens: DataFrame,
+      threshold: Double,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val newSigs = minHashSignatures(newTokens, k)
+    val corpusSigs = minHashSignatures(corpusTokens, k)
+    def banded(sigs: DataFrame, idCol: String) = sigs
+      .withColumn("band", col("p") % bands)
+      .groupBy(col("doc_id").as(idCol), col("band"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("p").cast("string"), lit("="), col("minhash").cast("string")))))
+        .as("band_sig"))
+    val cands = banded(newSigs, "new_id")
+      .join(banded(corpusSigs, "corpus_id"), Seq("band", "band_sig"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    // Exact verification of candidates only: intersect full token sets.
+    val newArr = newTokens.groupBy(col("doc_id").as("new_id"))
+      .agg(collect_list(col("token")).as("tk1"), count(lit(1)).as("sz1"))
+    val corpArr = corpusTokens.groupBy(col("doc_id").as("corpus_id"))
+      .agg(collect_list(col("token")).as("tk2"), count(lit(1)).as("sz2"))
+    val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
+    cands
+      .join(newArr, Seq("new_id"))
+      .join(corpArr, Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .filter(j >= threshold)
+      .select(col("new_id").as("new_doc_id"), col("corpus_id").as("dup_of_doc_id"),
+        round(j, 4).as("jaccard"))
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * starts labeled with itself; each round every node takes the min of
     * its own and its neighbors' labels; fixpoint = every node carries its

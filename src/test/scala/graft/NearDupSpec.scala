@@ -63,6 +63,32 @@ class NearDupSpec extends SparkSpec {
     ()
   }
 
+  test("incrementalDedup flags seeded dups of the corpus with high recall, no false claims") {
+    val dir = sf("sf0.001")
+    val seeded = seededPairs(dir)
+    val d = Catalog(spark, dir).documents
+    // Split: the appended `... dup` docs are the "increment", rest is corpus.
+    val isDup = col("text").endsWith(" dup")
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct()
+    val found = NearDup.incrementalDedup(
+        toks(d.filter(isDup)), toks(d.filter(!isDup)), threshold = 0.8)
+      .collect()
+    // The asymmetric join only sees increment×corpus pairs, so recall is
+    // measured over the seeded pairs that CROSS the split (a dup whose
+    // original itself ends in " dup" lives inside the increment and is
+    // out of scope for this API by construction).
+    val dupIds = d.filter(isDup).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val crossSeeded = seeded.filter { case (a, b) => dupIds(a) ^ dupIds(b) }
+    val foundPairs = found.map(r =>
+      (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(crossSeeded.nonEmpty)
+    val recall = (crossSeeded & foundPairs).size.toDouble / crossSeeded.size
+    assert(recall >= 0.9, s"incremental dedup recall $recall")
+    found.foreach(r => assert(r.getDouble(2) >= 0.8, s"below threshold: $r"))
+  }
+
   test("connectedComponents equals local union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { _ =>
