@@ -122,6 +122,49 @@ object StreamingOps {
         unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
   }
 
+  /** Streaming twin of the ordered funnel (Q63): per-user state machine
+    * over view → click-after-view → purchase-after-click, emitting the
+    * user's current stage (0–3) on every update. Correct under ANY event
+    * arrival order: the state buffers the per-user view-minimum plus the
+    * (deduplicated) click/purchase time sets and re-derives the funnel,
+    * so a late view that predates an already-seen click still promotes
+    * the user. At production scale the buffered sets are bounded with a
+    * watermark (times older than the horizon are folded irrevocably into
+    * the stage and dropped) — the same state-bounding discipline as C10;
+    * kept unbounded here because the twin is asserted batch-equal on a
+    * finite replay.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        expr("ts DIV 1000").as[Long])
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(FunnelState(None, Set.empty, Set.empty))
+          var minView = s0.minView
+          var clicks = s0.clicks
+          var purchases = s0.purchases
+          rows.foreach {
+            case (_, "view", us)     => if (minView.forall(us < _)) minView = Some(us)
+            case (_, "click", us)    => clicks += us
+            case (_, "purchase", us) => purchases += us
+            case _                   => ()
+          }
+          val t1 = minView
+          val t2 = t1.flatMap(t => clicks.filter(_ > t).minOption)
+          val t3 = t2.flatMap(t => purchases.filter(_ > t).minOption)
+          val stage = Seq(t1, t2, t3).takeWhile(_.isDefined).size
+          state.update(FunnelState(minView, clicks, purchases))
+          Iterator.single((user, stage))
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** C11c — the Spark 4 transformWithState API: same running per-user
     * counter through a StatefulProcessor with an explicit ValueState
     * handle (the state-store-native successor of mapGroupsWithState;
@@ -160,6 +203,11 @@ object StreamingOps {
       .toDF("user_id", "n_events")
   }
 }
+
+/** Per-user funnel state: min view time plus the click/purchase time sets
+  * a late-arriving view could still re-qualify against.
+  */
+case class FunnelState(minView: Option[Long], clicks: Set[Long], purchases: Set[Long])
 
 /** StatefulProcessor for C11c: one Long ValueState per user key. */
 class RunningCountProcessor

@@ -123,6 +123,30 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.mkString(",")} vs ${batch.mkString(",")}")
   }
 
+  test("streaming funnel state machine reaches batch-equal stage counts (Q63)") {
+    val src = stageEvents()
+    val q = StreamingOps.funnelStream(spark, StreamingOps.eventsStream(spark, src))
+      .writeStream.format("memory").queryName("q63_stream")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Update mode re-emits a user on every micro-batch; the final stage
+    // per user is the max (stages are monotone under accumulation).
+    val finalStage = spark.table("q63_stream")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamedCounts = (
+      finalStage.values.count(_ >= 1).toLong,
+      finalStage.values.count(_ >= 2).toLong,
+      finalStage.values.count(_ >= 3).toLong)
+    val b = graft.operators.EventTime.q63(spark, sf("sf0.001")).collect()(0)
+    assert(streamedCounts == ((b.getLong(0), b.getLong(1), b.getLong(2))),
+      s"$streamedCounts vs $b")
+  }
+
   test("C10: late rows beyond the watermark are dropped in append mode") {
     import spark.implicits._
     val src = tmpDir("graft-late-src")
