@@ -188,6 +188,33 @@ object Aggregates {
       |GROUP BY user_id
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Scale path for exact percentiles: the built-in `percentile()` buffers
+    * every group value in the aggregation buffer — fine for bounded
+    * groups, an OOM at 100 TB. This form is shuffle-native: one window
+    * rank per group (sort-based, spillable) and a conditional aggregate
+    * that picks the two straddling ranks, interpolating
+    * v_lo·(1−frac) + v_hi·frac with the same (n−1)·q rule. Property-
+    * checked against `percentile()` in OperatorPropertiesSpec.
+    */
+  def exactPercentilesScalable(
+      df: DataFrame, group: String, value: String, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(asc("v"))
+    val ranked = df.select(col(group), col(value).cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+    val aggs = qs.map { q =>
+      val pos = (col("n") - 1) * q
+      val lo = floor(pos) + 1
+      val hi = least(lo + 1, col("n"))
+      val frac = pos - floor(pos)
+      (max(when(col("rn") === lo, col("v") * (lit(1.0) - frac))) +
+        max(when(col("rn") === hi, col("v") * frac)))
+        .as(s"p${math.round(q * 100)}")
+    }
+    ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Q54 — exact interpolated percentiles per group (both engines use the
     * standard (n−1)·p linear interpolation).
     */

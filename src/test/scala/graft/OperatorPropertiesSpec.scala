@@ -72,6 +72,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-native exact percentile equals the buffering builtin") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val scalable = Aggregates
+      .exactPercentilesScalable(c.orders, "o_orderstatus", "o_totalprice", Seq(0.5, 0.9))
+      .orderBy("o_orderstatus").collect()
+    val builtin = c.orders.groupBy(col("o_orderstatus")).agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus").collect()
+    assert(scalable.length == builtin.length)
+    scalable.zip(builtin).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      Seq(1, 2).foreach { i =>
+        assert(math.abs(s.getDouble(i) - b.getDouble(i)) <= 1e-9 * math.abs(b.getDouble(i)),
+          s"${s.getString(0)} col$i: ${s.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
   test("approx_percentile tracks Q54's exact percentiles within 2%") {
     val c = Catalog(spark, sf("sf0.01"))
     val both = c.orders.groupBy(col("o_orderstatus")).agg(
