@@ -109,8 +109,9 @@ object NearDup {
 
   /** md5-derived 32-bit hash value for permutation `p` of a token column —
     * the shared Spark/DuckDB SQL expression (dialect-common subset).
+    * Shared with PipelineOps (deterministic hash sampling).
     */
-  private def hexValueExpr(hCol: String): String =
+  private[operators] def hexValueExpr(hCol: String): String =
     (1 to 8).map { d =>
       val scale = math.pow(16, 8 - d).toLong
       s"(instr('$HexDigits', substring($hCol, $d, 1)) - 1) * CAST($scale AS BIGINT)"
@@ -362,11 +363,66 @@ object NearDup {
       |GROUP BY node
       |ORDER BY rep NULLS FIRST, member NULLS FIRST""".stripMargin
 
+  /** Q68 — the dedup pipeline's closing act: per language, how many
+    * documents remain once every near-dup cluster (Q67) keeps only its
+    * representative. Non-representative members anti-join out of the
+    * corpus; the per-lang totals make the retention rate auditable.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    val dropped = connectedComponents(pairs)
+      .filter(col("member") =!= col("rep"))
+      .select(col("member").as("doc_id"))
+    c.documents
+      .join(broadcast(dropped.withColumn("is_dropped", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q68Oracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+      |dropped AS (
+      |  SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(r) <> node)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept
+      |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+      |GROUP BY d.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
-    "Q67" -> (q67 _))
+    "Q67" -> (q67 _), "Q68" -> (q68 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
-    "Q61" -> q61Oracle, "Q67" -> q67Oracle)
+    "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle)
 }

@@ -49,4 +49,31 @@ class PlanSpec extends SparkSpec {
     val p = plan(VectorOps.q38(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("Q64: N filtered measures run as ONE two-phase aggregate over one scan") {
+    val p = plan(Aggregates.q64(spark, sf("sf0.001")))
+    // One scan, one shuffle: conditional (FILTER-clause) aggregation must
+    // not expand into per-measure scans or joins.
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+    assert("(?i)exchange".r.findAllIn(p).size <= 2, p) // agg + final order
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Q62: moment aggregates (corr/covar/regr) are partial-aggregable") {
+    val p = plan(Aggregates.q62(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Q60: RANGE frame runs on the pre-aggregated daily series, not raw facts") {
+    val df = Windows.q60(spark, sf("sf0.001"))
+    val p = plan(df)
+    // The window must sit ABOVE the (tiny) day-level aggregate: a Window
+    // over raw orders would be the 100 TB anti-pattern.
+    val planLines = p.linesIterator.toSeq
+    val winIdx = planLines.indexWhere(_.contains("Window"))
+    val aggIdx = planLines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected HashAggregate below Window:\n$p")
+  }
 }
