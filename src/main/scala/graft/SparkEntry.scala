@@ -29,7 +29,8 @@ object SparkEntry {
       (EventTime.queries, EventTime.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (NearDup.queries, NearDup.oracles),
-      (Subqueries.queries, Subqueries.oracles)
+      (Subqueries.queries, Subqueries.oracles),
+      (PipelineOps.queries, PipelineOps.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Corpus-curation operators for LLM training-data pipelines (builder-prompt
+  * north star; extensions beyond SURVEY §2's Q-inventory, declared under the
+  * same §2.0 oracle discipline): statistical language-model scoring (Q69),
+  * benchmark decontamination (Q70), quantile-gated quality filtering (Q71),
+  * deterministic hash sampling for domain mixing (Q72), array-function
+  * coverage (Q73), and per-entity first/last attribution (Q74).
+  *
+  * Scale notes (100 TB): every operator here is linear passes + bounded-side
+  * broadcasts. The corpus-level statistics each one needs (unigram LM,
+  * benchmark shingle set, per-domain rates) are SMALL relative to the corpus
+  * — vocabulary, eval-suite n-grams, #domains — so they broadcast, and the
+  * corpus itself is touched only by embarrassingly-parallel map work plus at
+  * most one aggregate. Nothing here shuffles the full corpus on a wide key.
+  */
+object PipelineOps {
+
+  /** Tokens with multiplicity — the unit of LM scoring. */
+  private def tokens(c: Catalog): DataFrame =
+    c.documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Q69 — unigram language-model document scoring (the classic
+    * perplexity-style quality filter: score each document by the mean
+    * log-probability of its tokens under the corpus unigram distribution;
+    * low scorers are gibberish / boilerplate candidates).
+    *
+    * Scale: the LM is one groupBy over tokens (vocabulary-sized result —
+    * bounded, broadcastable even for web-scale corpora at ~10^7 types);
+    * scoring is a broadcast join + per-doc aggregate. One corpus pass for
+    * the LM, one for scoring.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = tokens(c)
+    val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = lm.agg(sum(col("tf")).as("corpus_n"))
+    val probs = lm.crossJoin(broadcast(total))
+      .select(col("token"),
+        (col("tf").cast("double") / col("corpus_n")).as("p"))
+    tok.filter(col("doc_id") <= 100)
+      .join(broadcast(probs), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("p"))), 4).as("avg_logp"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q69Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      |lm AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+      |probs AS (
+      |  SELECT token, CAST(tf AS DOUBLE) / SUM(tf) OVER () AS p FROM lm)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(LN(p.p)), 4) AS avg_logp
+      |FROM tok t JOIN probs p ON t.token = p.token
+      |WHERE t.doc_id <= 100
+      |GROUP BY t.doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Word 5-gram shingles of a document relation (keeps lang/source). */
+  private def shingles5(d: DataFrame): DataFrame = d
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= 5)
+    .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+      """transform(sequence(0, size(toks) - 5),
+        |  i -> concat_ws(' ', slice(toks, i + 1, 5)))""".stripMargin)).as("sh"))
+
+  /** Q70 — benchmark decontamination: flag training documents sharing any
+    * word 5-gram with a held-out evaluation set (here: `source = 'src0'`
+    * plays the benchmark). Emits per-language train size and contamination
+    * count — the report a curation pipeline acts on before training.
+    *
+    * Scale: the eval suite is tiny next to the corpus, so its distinct
+    * shingle set BROADCASTS; the corpus side is a map-side semi join — no
+    * shuffle of the 100 TB side at all.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val evalSh = shingles5(c.documents.filter(col("source") === "src0"))
+      .select(col("sh")).distinct()
+    val train = c.documents.filter(col("source") =!= "src0")
+    val flagged = shingles5(train)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train
+      .join(broadcast(flagged.withColumn("flag", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        count(col("flag")).as("n_contaminated"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q70Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, UNNEST(list_transform(
+      |    range(len(string_split(text, ' ')) - 4),
+      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |         string_split(text, ' ')[i + 2] || ' ' ||
+      |         string_split(text, ' ')[i + 3] || ' ' ||
+      |         string_split(text, ' ')[i + 4] || ' ' ||
+      |         string_split(text, ' ')[i + 5])) AS s
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |eval_sh AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE source <> 'src0' AND s IN (SELECT s FROM eval_sh))
+      |SELECT d.lang, COUNT(*) AS n_train, COUNT(f.doc_id) AS n_contaminated
+      |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      |WHERE d.source <> 'src0'
+      |GROUP BY d.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** The Q45 composite quality score, computed for EVERY document (Q45
+    * itself emits a probe window). Kept textually in sync with Q45.
+    */
+  private def scored(c: Catalog): DataFrame = c.documents
+    .withColumn("n_tokens", expr("size(split(text, ' '))").cast("long"))
+    .withColumn("stop_hits",
+      expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'value')))").cast("long"))
+    .withColumn("avg_tok",
+      (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+    .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+    .withColumn("quality",
+      least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - col("stop_ratio")) * 0.3 +
+      least(col("avg_tok") / 10.0, lit(1.0)) * 0.2)
+
+  /** Q71 — quantile-gated quality filter: within each language, drop the
+    * bottom quartile by composite quality score (Q45's formula) and report
+    * corpus retention. The gate is RANK-based (percent_rank ≥ 0.25), not
+    * value-interpolated: rank arithmetic is exact integer work, so the
+    * cross-engine comparison cannot trip on a 1-ulp interpolation
+    * difference the way a quantile_cont threshold could with tied scores.
+    *
+    * Scale: one window pass partitioned by language + one aggregate. For a
+    * corpus where per-language sorting is too hot, the production variant
+    * computes an approximate threshold (approx_percentile) on a sample and
+    * broadcasts it — the gate then becomes a map-side filter.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val pr = percent_rank().over(
+      Window.partitionBy(col("lang")).orderBy(asc("quality")))
+    scored(c)
+      .withColumn("pr", pr)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("pr") >= 0.25, 1)).as("n_kept"),
+        round(avg(when(col("pr") >= 0.25, col("quality"))), 4).as("avg_kept_quality"),
+        round(min(when(col("pr") >= 0.25, col("quality"))), 4).as("gate_quality"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q71Oracle: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+      |    (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                     t -> t IN ('the', 'a', 'value'))) AS DOUBLE)
+      |           / len(string_split(text, ' '))) * 0.3 +
+      |    LEAST((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |           / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2 AS quality
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, quality,
+      |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality) AS pr
+      |  FROM scored)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (WHERE pr >= 0.25) AS n_kept,
+      |  ROUND(AVG(quality) FILTER (WHERE pr >= 0.25), 4) AS avg_kept_quality,
+      |  ROUND(MIN(quality) FILTER (WHERE pr >= 0.25), 4) AS gate_quality
+      |FROM ranked
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Q72 — deterministic hash sampling for target domain mixing: compute
+    * per-language sampling rates that downsample every language to the
+    * smallest language's size (a uniform target mix), then select
+    * documents by md5-bucket — the reproducible, cluster-order-independent
+    * way a pipeline subsamples (same doc always gets the same verdict,
+    * any executor, any run). Emits per-language corpus size, kept count,
+    * and the applied rate.
+    *
+    * Scale: rates come from a #languages-sized aggregate (broadcast); the
+    * selection itself is a stateless per-row predicate — no shuffle, no
+    * RNG, no driver coordination. This is how you hold a 30/30/40 domain
+    * mix steady across 1000 executors.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val counts = c.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val target = counts.agg(min(col("n")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("lang"), (col("min_n").cast("double") / col("n")).as("rate"))
+    c.documents
+      .withColumn("h", md5(col("text")))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("bucket") < col("rate") * 10000, 1)).as("n_kept"),
+        round(max(col("rate")), 4).as("rate"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q72Oracle: String = {
+    val hv = NearDup.hexValueExpr("h")
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |rates AS (
+      |  SELECT lang, CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n AS rate
+      |  FROM counts),
+      |hashed AS (SELECT lang, md5(text) AS h FROM documents),
+      |bucketed AS (SELECT lang, ($hv) % 10000 AS bucket FROM hashed)
+      |SELECT b.lang AS lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (WHERE bucket < rate * 10000) AS n_kept,
+      |  ROUND(MAX(rate), 4) AS rate
+      |FROM bucketed b JOIN rates r ON b.lang = r.lang
+      |GROUP BY b.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+  }
+
+  /** Q73 — array-function surface over token lists: distinct size, sorted
+    * prefix, stopword intersection, membership probe. Spark array_* and
+    * DuckDB list_* agree on set semantics (intersection deduplicates in
+    * both engines).
+    *
+    * Scale: pure per-row scalar work, codegen'd, zero shuffles before the
+    * output sort.
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 50)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_join(slice(sort_array(array_distinct(col("toks"))), 1, 3), ",")
+          .as("first3"),
+        size(array_intersect(col("toks"),
+          array(lit("the"), lit("a"), lit("value")))).cast("long").as("stop_overlap"),
+        array_contains(col("toks"), "dup").as("has_dup"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q73Oracle: String =
+    """SELECT doc_id,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+      |    AS first3,
+      |  len(list_intersect(string_split(text, ' '), ['the', 'a', 'value']))
+      |    AS stop_overlap,
+      |  list_contains(string_split(text, ' '), 'dup') AS has_dup
+      |FROM documents
+      |WHERE doc_id <= 50
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q74 — per-entity first/last attribution: each user's first and last
+    * event type by event time (event_id tiebreak — ADVICE r1 requires the
+    * total order to be explicit when timestamps can tie) plus their event
+    * count, via unbounded-frame window first/last.
+    *
+    * Scale: one shuffle on user_id serves all three window computations
+    * (same partitioning); at 100 TB this is the canonical "user profile"
+    * pass and the partitioning is reused by any downstream per-user work.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .select(
+        col("user_id"),
+        first(col("event_type")).over(wAll).as("first_type"),
+        last(col("event_type")).over(wAll).as("last_type"),
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).as("n_events"))
+      .distinct()
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q74Oracle: String =
+    """SELECT DISTINCT user_id,
+      |  first_value(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+      |  last_value(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+      |  COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |FROM events
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
+    "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
+    "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle)
+}

@@ -65,6 +65,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("Q70: decontamination semi join broadcasts the eval shingle set") {
+    val p = plan(PipelineOps.q70(spark, sf("sf0.001")))
+    // The corpus side must not shuffle into the semi join: the benchmark
+    // n-gram set is the small side and broadcasts.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q69: unigram LM and scoring join are broadcast (no corpus-wide shuffle join)") {
+    val p = plan(PipelineOps.q69(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q72: sampling predicate is map-side — rates broadcast, no RNG, no corpus shuffle join") {
+    val p = plan(PipelineOps.q72(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("rand"), p)
+  }
+
   test("Q60: RANGE frame runs on the pre-aggregated daily series, not raw facts") {
     val df = Windows.q60(spark, sf("sf0.001"))
     val p = plan(df)
