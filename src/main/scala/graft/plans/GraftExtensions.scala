@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.KmvDistinct
+import graft.functions.{HeavyHitters, KmvDistinct}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
+    ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -50,12 +51,32 @@ object GraftExtensions {
   val kmvFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_kmv_distinct"), kmvInfo, kmvBuilder _)
 
+  private def hhBuilder(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_heavy_hitters(col, k): k must be an integer literal, got $other")
+    }
+    HeavyHitters(children.head, k).toAggregateExpression()
+  }
+
+  private val hhInfo = new ExpressionInfo(
+    classOf[HeavyHitters].getName, null, "graft_heavy_hitters",
+    "graft_heavy_hitters(col, k) - Misra-Gries frequent-items sketch with k counters; " +
+      "returns array<struct<item,est>> sorted by estimate desc.",
+    "")
+
+  val hhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_heavy_hitters"), hhInfo, hhBuilder _)
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", kmvBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters", hhBuilder, "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
