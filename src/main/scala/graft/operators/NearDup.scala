@@ -297,8 +297,13 @@ object NearDup {
     * CP-ALS loop does.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    // Materialize the edge list ONCE before symmetrizing: the union's two
+    // branches would otherwise each recompute the (expensive) upstream
+    // pair-discovery plan — exchange reuse is not guaranteed across the
+    // union's differing projections.
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
