@@ -122,6 +122,25 @@ object StreamingOps {
         unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
   }
 
+  /** Stream-static enrichment join: live events against a batch dimension
+    * (customer, via the Q07 synthetic user↔custkey bridge). The static
+    * side is a plain DataFrame — Catalyst broadcasts it into every
+    * micro-batch, so the stream is never shuffled and no join state
+    * accumulates (unlike stream-stream joins, a static side needs no
+    * watermark). This is the 100 TB pattern for attaching dimensions to a
+    * firehose: broadcast the dimension, map the stream.
+    */
+  def enrichedStream(events: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = customer
+      .select((col("c_custkey") % 100).as("user_id"), col("c_mktsegment"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c_mktsegment")).as("segment"))
+    eventTime(events)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("event_type"), coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .count()
+  }
+
   /** Streaming twin of the ordered funnel (Q63): per-user state machine
     * over view → click-after-view → purchase-after-click, emitting the
     * user's current stage (0–3) on every update. Correct under ANY event

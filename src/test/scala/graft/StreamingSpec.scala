@@ -252,4 +252,29 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset(providerKey)
     }
   }
+
+  test("stream-static enrichment join is batch-equal and needs no join state") {
+    val src = stageEvents()
+    val customer = Catalog(spark, sf("sf0.001")).customer
+    val q = StreamingOps.enrichedStream(StreamingOps.eventsStream(spark, src), customer)
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enriched_stream")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val c = Catalog(spark, sf("sf0.001"))
+    val dim = c.customer
+      .select((col("c_custkey") % 100).as("user_id"), col("c_mktsegment"))
+      .groupBy(col("user_id")).agg(min(col("c_mktsegment")).as("segment"))
+    val batch = c.events
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(col("event_type"), coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
 }
