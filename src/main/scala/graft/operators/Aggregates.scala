@@ -349,14 +349,47 @@ object Aggregates {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Q75 — explicit GROUPING SETS (beyond Q15 ROLLUP / Q16 CUBE: an
+    * arbitrary set list, here with the "priority within status" detail
+    * level skipped), via Spark 4's Dataset.groupingSets API. One Expand +
+    * one two-phase aggregate — same single-shuffle plan family as
+    * rollup/cube.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val q75Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus) AS g_status,
+      |  GROUPING(o_orderpriority) AS g_priority,
+      |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
-    "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _))
+    "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
+    "Q75" -> (q75 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
-    "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle)
+    "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
+    "Q75" -> q75Oracle)
 }

@@ -331,6 +331,34 @@ object Joins {
     saltedLeft.join(saltedRight, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
+  /** Bloom-prefiltered semi join: build a Bloom filter over the small
+    * side's keys (tree-aggregated to the driver by `stat.bloomFilter` —
+    * O(bits) transferred, never the rows) and apply it to the big side as
+    * a map-side predicate BEFORE any shuffle/join. False positives
+    * (bounded by `fpp`) are eliminated by the real semi join that
+    * follows; false negatives cannot occur, so semantics are exactly
+    * `left SEMI JOIN right ON key`.
+    *
+    * 100 TB role: when the small side is too big to broadcast as a hash
+    * relation but its key set fits a few-hundred-MB filter, this turns
+    * "shuffle 100 TB by key" into "shuffle the ~matching fraction" — the
+    * manual form of the runtime row-level filtering Spark applies to
+    * shuffle joins, made explicit and composable (e.g. in front of
+    * incremental-dedup candidate joins).
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val filter = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(filter)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    big.filter(mightContain(col(key)))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),

@@ -27,6 +27,31 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("bloomSemiJoin equals the plain semi join and prefilters map-side") {
+    val c = Catalog(spark, sf("sf0.01"))
+    // Small side: customers of one segment; big side: orders.
+    val small = c.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val plain = c.orders.join(small, Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    val bloomed = Joins.bloomSemiJoin(c.orders, small, "o_custkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    assert(plain.getLong(0) == bloomed.getLong(0), s"$plain vs $bloomed")
+    assert(math.abs(plain.getDouble(1) - bloomed.getDouble(1)) < 1e-6)
+
+    // The prefilter itself must pass every true match (no false negatives)
+    // and reject most non-matches (fpp-bounded false positives).
+    val filter = small.stat.bloomFilter("o_custkey", 10000L, 0.01)
+    val keys = c.orders.select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0))
+    val trueKeys = small.distinct().collect().map(_.getLong(0)).toSet
+    val misses = keys.filterNot(trueKeys)
+    assert(keys.filter(trueKeys).forall(filter.mightContainLong), "false negative!")
+    val fpRate = misses.count(filter.mightContainLong).toDouble / math.max(misses.length, 1)
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate way over configured 0.01")
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     // External table paths: warehouse.dir is a static conf, so the
     // bucketed tables are written to explicit temp locations instead.
