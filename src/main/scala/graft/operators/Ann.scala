@@ -102,4 +102,68 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Physical IVF index: vectors L2-normalized, cell-assigned, and WRITTEN
+    * partitioned by cell — each cell is its own parquet directory. Returns
+    * the (cell, centroid) table to keep (tiny: nlist rows; in production
+    * it rides alongside the index).
+    *
+    * This is the piece that makes IVF pay at 100 TB: the scan layout
+    * matches the search structure, so a probe's nprobe cells map to
+    * nprobe directories and partition pruning skips every other file on
+    * disk. Index build is one k-means fit (sampled in production) + one
+    * linear assignment pass + one partitioned write.
+    */
+  def writeIvfIndex(
+      spark: SparkSession,
+      vectors: DataFrame, // (vec_id, embedding)
+      path: String,
+      nlist: Int = 16): DataFrame = {
+    val data = vectors
+      .select(col("vec_id"), toUnitVec(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(data)
+    model.transform(data)
+      .select(col("vec_id"), vector_to_array(col("features")).as("unit"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+  }
+
+  /** Probe a written IVF index: route each probe vector to its nprobe
+    * nearest centroids (broadcast, tiny), collect the DISTINCT probed cell
+    * ids (≤ nlist integers — bounded by construction, never by data), and
+    * read the index with a static `cell IN (...)` predicate so partition
+    * pruning limits the scan to the probed directories. Exact re-rank with
+    * the codegen'd dot product inside those cells only.
+    */
+  def probeIvfIndex(
+      spark: SparkSession,
+      indexPath: String,
+      probes: DataFrame, // (vec_id, embedding)
+      centroids: DataFrame, // (cell, centroid) from writeIvfIndex
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val p = probes
+      .select(col("vec_id").as("p_id"),
+        vector_to_array(toUnitVec(col("embedding"))).as("p_unit"))
+    val wCell = Window.partitionBy(col("p_id")).orderBy(desc("c_cos"), asc("cell"))
+    val probeCells = p.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", call_function("graft_dot", col("p_unit"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(wCell))
+      .filter(col("c_rnk") <= nprobe)
+      .select(col("p_id"), col("p_unit"), col("cell"))
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexPath).where(col("cell").isin(cells: _*))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    probeCells.join(idx, Seq("cell"))
+      .filter(col("p_id") =!= col("vec_id"))
+      .withColumn("cos", call_function("graft_dot", col("p_unit"), col("unit")))
+      .select(col("p_id").as("vec_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -35,4 +35,30 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
+
+  test("written IVF index: probes partition-prune to their cells and keep recall") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val centroids = Ann.writeIvfIndex(spark, c.embeddings, path, nlist = 10)
+    assert(centroids.count() == 10)
+    // On-disk layout: one directory per cell.
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 10, cellDirs.mkString(","))
+
+    val probes = c.embeddings.filter(col("vec_id") < 10)
+    val res = Ann.probeIvfIndex(spark, path, probes, centroids, k = 5, nprobe = 4)
+    // Partition pruning must reach the scan: the index read carries a
+    // partition filter on cell, not a full-table scan.
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN") ||
+      plan.contains("PartitionFilters: [isnotnull(cell"), plan.take(4000))
+
+    val exact = VectorOps.cosineTopK(probes, c.embeddings, 5)
+      .select(col("p_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.select(col("vec_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"indexed IVF recall@5 = $recall")
+  }
 }
