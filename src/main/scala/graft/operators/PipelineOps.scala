@@ -304,11 +304,87 @@ object PipelineOps {
       |FROM events
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q76 — sliding-window chunking (context-window preparation): split
+    * each document into token windows of size 10 with stride 5 (full
+    * windows only; sub-window docs are excluded — the padding policy is
+    * the trainer's concern). Emits every chunk with its id and text for a
+    * probe set of docs.
+    *
+    * Scale: per-row transform + explode — linear, no shuffle before the
+    * output sort; chunk count per doc is (n−10)/5+1, so output size is
+    * O(corpus tokens / stride), the expected blow-up of any chunker.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 30)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - 10, 5),
+            |  s -> struct(CAST(s DIV 5 AS BIGINT) AS chunk_id,
+            |              concat_ws(' ', slice(toks, s + 1, 10)) AS chunk))"""
+            .stripMargin)).as("c"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_id"))
+  }
+
+  val q76Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS sp
+      |  FROM documents WHERE doc_id <= 30 AND len(string_split(text, ' ')) >= 10)
+      |SELECT doc_id, len(sp) AS n_tokens,
+      |  s // 5 AS chunk_id,
+      |  array_to_string(list_slice(sp, s + 1, s + 10), ' ') AS chunk
+      |FROM (SELECT doc_id, sp, UNNEST(range(0, len(sp) - 9, 5)) AS s FROM d)
+      |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
+  /** Q77 — greedy sequence-packing assignment: concatenate each language's
+    * documents in doc_id order into a token stream cut into 512-token
+    * contexts; a document belongs to the context its first token lands in.
+    * Emits per (lang, bin): document count and token mass — the packing
+    * efficiency report for a training run.
+    *
+    * Scale: one running sum per language partition (window) + one bounded
+    * aggregate. Deterministic: integer cumulative sums, no estimation.
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.documents
+      .withColumn("n_tokens", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) DIV 512"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("bin"))
+  }
+
+  val q77Oracle: String =
+    """WITH sized AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, n_tokens,
+      |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+      |      AS bin
+      |  FROM sized)
+      |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+      |FROM packed
+      |GROUP BY lang, bin
+      |ORDER BY lang NULLS FIRST, bin NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
-    "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _))
+    "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
+    "Q76" -> (q76 _), "Q77" -> (q77 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
-    "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle)
+    "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
+    "Q76" -> q76Oracle, "Q77" -> q77Oracle)
 }
