@@ -59,4 +59,47 @@ object GeneratedPropertiesSpec extends Properties("graft") {
           j(a, b) >= 0.0 && j(a, b) <= 1.0 &&
           math.abs(j(a, b) - alt) < 1e-12
     }
+
+  private val wordStream: Gen[List[String]] = for {
+    n <- Gen.chooseNum(1, 2000)
+    zipf <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.oneOf("hot1", "hot2"),
+      4 -> Gen.oneOf("warm1", "warm2", "warm3"),
+      3 -> Gen.chooseNum(0, 200).map(i => s"cold$i")))
+  } yield zipf
+
+  property("Misra-Gries: freq > n/(k+1) retained; est in [true - n/(k+1), true]") =
+    Prop.forAll(wordStream, Gen.chooseNum(2, 32)) { (words, k) =>
+      val sk = new graft.functions.MgSketch(k)
+      words.foreach(sk.add)
+      val n = words.size
+      val bound = n.toDouble / (k + 1)
+      val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      sk.counts.size <= k &&
+        exact.forall { case (w, c) =>
+          val est = sk.counts.getOrElse(w, 0L)
+          est <= c && est >= c - bound && (c <= bound || est > 0)
+        }
+    }
+
+  property("Misra-Gries merge keeps the guarantee for any stream split") =
+    Prop.forAll(wordStream, Gen.chooseNum(2, 32), Gen.chooseNum(0.0, 1.0)) {
+      (words, k, frac) =>
+        val cut = (words.size * frac).toInt
+        val (l, r) = words.splitAt(cut)
+        val a = new graft.functions.MgSketch(k); l.foreach(a.add)
+        val b = new graft.functions.MgSketch(k); r.foreach(b.add)
+        val m = a.merge(b)
+        val n = words.size
+        // Mergeable-summaries theorem (Agarwal et al., PODS'12): the
+        // subtract-(k+1)th-largest merge keeps TOTAL error ≤ n/(k+1) — it
+        // does not add across the split.
+        val bound = n.toDouble / (k + 1)
+        val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+        m.counts.size <= k &&
+          exact.forall { case (w, c) =>
+            val est = m.counts.getOrElse(w, 0L)
+            est <= c && est >= c - bound
+          }
+    }
 }
