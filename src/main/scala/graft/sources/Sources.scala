@@ -27,4 +27,14 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** ORC source/sink — the second columnar format Spark ships natively;
+    * same pushdown/pruning machinery as parquet. Explicit schema on read
+    * for the same no-inference-pass reason as CSV/JSONL.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
