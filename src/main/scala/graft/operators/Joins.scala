@@ -359,6 +359,41 @@ object Joins {
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 
+  /** Skew-aware join: detect hot keys with the Misra–Gries sketch (one
+    * pass, O(k) state — anything above `hotShare` + n/(k+1) of the left
+    * side is guaranteed caught), then salt ONLY the hot keys and join the
+    * cold remainder normally. Differential salting beats salting
+    * everything: the cold path keeps its clean hash join (no right-side
+    * explosion), while the hot keys — the rows that would have pinned one
+    * task — spread across `salt` partitions.
+    *
+    * Result is row-identical to `left JOIN right ON key` (the hot/cold
+    * split partitions the key space; proven in ScaleHygieneSpec).
+    */
+  def skewAwareJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salt: Int = 8,
+      sketchK: Int = 64,
+      hotShare: Double = 0.01): DataFrame = {
+    graft.plans.GraftExtensions.registerRuntime(left.sparkSession)
+    val n = left.count()
+    val hot = left.select(col(key).cast("string").as("k"))
+      .agg(call_function("graft_heavy_hitters", col("k"), lit(sketchK)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .filter(col("est") > lit(n * hotShare))
+      .collect().map(_.getString(0)).toSeq
+    if (hot.isEmpty) left.join(right, Seq(key), "inner")
+    else {
+      val isHot = col(key).cast("string").isin(hot: _*)
+      saltedJoin(left.filter(isHot), right.filter(isHot), key, salt)
+        .unionByName(
+          left.filter(!isHot).join(right.filter(!isHot), Seq(key), "inner"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),

@@ -27,6 +27,27 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("skewAwareJoin equals the plain join on a 50%-hot-key skew") {
+    import spark.implicits._
+    // Left: half the rows share key 7 (the skew a plain hash join chokes
+    // on); right: one row per key.
+    val left = ((1 to 5000).map(_ => 7L) ++ (1L to 5000L)).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val right = (1L to 100L).toDF("k").withColumn("w", col("k") + 1)
+    val plain = left.join(right, Seq("k"), "inner")
+      .agg(count(lit(1)), sum(col("v")), sum(col("w"))).collect()(0)
+    val skew = Joins.skewAwareJoin(left, right, "k", salt = 4, hotShare = 0.05)
+      .agg(count(lit(1)), sum(col("v")), sum(col("w"))).collect()(0)
+    assert(plain.getLong(0) == skew.getLong(0), s"$plain vs $skew")
+    assert(plain.getLong(1) == skew.getLong(1) && plain.getLong(2) == skew.getLong(2))
+
+    // The guaranteed-detection bound: key 7 is 50% >> 5% + n/(k+1), so the
+    // differential plan (two joins unioned) must actually engage.
+    val planStr = Joins.skewAwareJoin(left, right, "k", salt = 4, hotShare = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("Union"), planStr.take(2000))
+  }
+
   test("bloomSemiJoin equals the plain semi join and prefilters map-side") {
     val c = Catalog(spark, sf("sf0.01"))
     // Small side: customers of one segment; big side: orders.
