@@ -253,6 +253,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitters sketch aggregates incrementally over a stream (exact regime)") {
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val src = stageEvents()
+    val q = StreamingOps.eventsStream(spark, src)
+      .groupBy()
+      .agg(call_function("graft_heavy_hitters", col("event_type"), lit(8)).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hh_stream")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 event types << k=8: the sketch is exact, so the streaming state
+    // (serialized MgSketch merged across micro-batches) must reproduce the
+    // exact batch counts.
+    val batch = Catalog(spark, sf("sf0.001")).events
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("stream-static enrichment join is batch-equal and needs no join state") {
     val src = stageEvents()
     val customer = Catalog(spark, sf("sf0.001")).customer
