@@ -30,7 +30,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (NearDup.queries, NearDup.oracles),
       (Subqueries.queries, Subqueries.oracles),
-      (PipelineOps.queries, PipelineOps.oracles)
+      (PipelineOps.queries, PipelineOps.oracles),
+      (Profiling.queries, Profiling.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
