@@ -378,13 +378,97 @@ object PipelineOps {
       |GROUP BY lang, bin
       |ORDER BY lang NULLS FIRST, bin NULLS FIRST""".stripMargin
 
+  /** Q80 — shared-chunk boilerplate detection (the chunk-level analog of
+    * line-level dedup): hash every 10-token/stride-5 chunk, find hashes
+    * present in ≥ 2 distinct documents, and report per language how many
+    * documents carry at least one shared chunk. High counts mean template
+    * text the near-dup pass should inspect.
+    *
+    * Scale: one chunk explode + one groupBy on the chunk hash (the same
+    * shuffle class as exact dedup) + a broadcast-back of flagged docs;
+    * never a doc×doc comparison.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val chunks = c.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 10, 5),
+          |  s -> concat_ws(' ', slice(toks, s + 1, 10)))""".stripMargin)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .distinct()
+    val shared = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val flagged = chunks.join(shared, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    c.documents
+      .join(broadcast(flagged.withColumn("flag", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), count(col("flag")).as("n_with_shared_chunk"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q80Oracle: String =
+    """WITH chunks AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(
+      |    list_slice(string_split(text, ' '), s + 1, s + 10), ' ')) AS h
+      |  FROM (SELECT doc_id, text,
+      |          UNNEST(range(0, len(string_split(text, ' ')) - 9, 5)) AS s
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 10)),
+      |shared AS (
+      |  SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM chunks WHERE h IN (SELECT h FROM shared))
+      |SELECT d.lang, COUNT(*) AS n_docs, COUNT(f.doc_id) AS n_with_shared_chunk
+      |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      |GROUP BY d.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Q81 — cross-modal coverage: which documents have a paired embedding
+    * (doc_id = vec_id), per language, with the mean L2 norm of the paired
+    * vectors — the join a multimodal corpus runs to find rows missing
+    * their second modality.
+    *
+    * Scale: documents shuffle-join embeddings on the id (both corpus-
+    * sized, the honest plan); norms are per-row folds, codegen'd.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.embeddings.select(col("vec_id"),
+      sqrt(expr(
+        "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .as("norm"))
+    c.documents
+      .join(e, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_with_embedding"),
+        round(avg(col("norm")), 4).as("avg_norm"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q81Oracle: String =
+    """SELECT d.lang, COUNT(*) AS n_docs,
+      |  COUNT(e.vec_id) AS n_with_embedding,
+      |  ROUND(AVG(SQRT(list_sum(list_transform(e.embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+      |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
-    "Q76" -> (q76 _), "Q77" -> (q77 _))
+    "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
+    "Q81" -> (q81 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
     "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
-    "Q76" -> q76Oracle, "Q77" -> q77Oracle)
+    "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
+    "Q81" -> q81Oracle)
 }
