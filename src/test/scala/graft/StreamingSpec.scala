@@ -253,6 +253,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming parquet file sink lands batch-equal rows (exactly-once commit log)") {
+    val src = stageEvents()
+    val outDir = tmpDir("graft-stream-sink")
+    // Append-mode file sink needs a watermark-finalized aggregate; use the
+    // watermarked Q40 so windows close and flush to files.
+    val q = StreamingOps.q40StreamWatermarked(StreamingOps.eventsStream(spark, src))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // With AvailableNow + watermark, all but the trailing window(s) are
+    // finalized; every landed row must match its batch twin exactly.
+    val landed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.operators.EventTime.q40(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(landed.nonEmpty, "no finalized windows landed")
+    landed.foreach { case (k, v) =>
+      assert(batch.contains(k) && batch(k)._1 == v._1
+        && math.abs(batch(k)._2 - v._2) < 1e-9, s"$k -> $v vs ${batch.get(k)}")
+    }
+  }
+
   test("heavy-hitters sketch aggregates incrementally over a stream (exact regime)") {
     graft.plans.GraftExtensions.registerRuntime(spark)
     val src = stageEvents()
