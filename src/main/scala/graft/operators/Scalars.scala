@@ -204,12 +204,68 @@ object Scalars {
       |ORDER BY n DESC NULLS LAST, token NULLS FIRST
       |LIMIT 31""".stripMargin
 
+  /** Q82 — bitwise function family (Spark `^` is xor; DuckDB spells it
+    * `xor()` because its `^` is power — the oracle uses the function form).
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.part
+      .filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        expr("p_partkey & 255").as("and_255"),
+        expr("p_partkey | 16").as("or_16"),
+        expr("p_partkey ^ 85").as("xor_85"),
+        expr("shiftleft(p_partkey, 2)").as("shl_2"),
+        expr("shiftright(p_partkey, 1)").as("shr_1"),
+        expr("CAST(bit_count(p_partkey) AS BIGINT)").as("bits"))
+      .orderBy(asc_nulls_first("p_partkey"))
+  }
+
+  val q82Oracle: String =
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS and_255,
+      |  p_partkey | 16 AS or_16,
+      |  xor(p_partkey, 85) AS xor_85,
+      |  p_partkey << 2 AS shl_2,
+      |  p_partkey >> 1 AS shr_1,
+      |  CAST(bit_count(p_partkey) AS BIGINT) AS bits
+      |FROM part
+      |WHERE p_partkey <= 100
+      |ORDER BY p_partkey NULLS FIRST""".stripMargin
+
+  /** Q83 — ISO calendar extraction: 1996 revenue by ISO week × day-of-week
+    * (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday — the query aligns on
+    * the DuckDB convention; both engines' weekofyear is ISO-8601).
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .filter(expr("year(o_orderdate) = 1996"))
+      .groupBy(
+        expr("CAST(weekofyear(o_orderdate) AS BIGINT)").as("week"),
+        expr("CAST(dayofweek(o_orderdate) - 1 AS BIGINT)").as("dow"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(asc_nulls_first("week"), asc_nulls_first("dow"))
+  }
+
+  val q83Oracle: String =
+    """SELECT CAST(weekofyear(o_orderdate) AS BIGINT) AS week,
+      |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+      |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE year(o_orderdate) = 1996
+      |GROUP BY 1, 2
+      |ORDER BY week NULLS FIRST, dow NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q26" -> (q26 _), "Q27" -> (q27 _), "Q28" -> (q28 _), "Q29" -> (q29 _),
-    "Q30" -> (q30 _), "Q31" -> (q31 _), "Q32" -> (q32 _), "Q33" -> (q33 _))
+    "Q30" -> (q30 _), "Q31" -> (q31 _), "Q32" -> (q32 _), "Q33" -> (q33 _),
+    "Q82" -> (q82 _), "Q83" -> (q83 _))
 
   def oracles: Map[String, String] = Map(
     "Q26" -> q26Oracle, "Q27" -> q27Oracle, "Q28" -> q28Oracle,
     "Q29" -> q29Oracle, "Q30" -> q30Oracle, "Q31" -> q31Oracle,
-    "Q32" -> q32Oracle, "Q33" -> q33Oracle)
+    "Q32" -> q32Oracle, "Q33" -> q33Oracle, "Q82" -> q82Oracle,
+    "Q83" -> q83Oracle)
 }
