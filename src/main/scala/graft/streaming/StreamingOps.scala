@@ -184,6 +184,40 @@ object StreamingOps {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming twin of the Q79 transition matrix: per-user state carries
+    * the latest (time, event_id, type); each batch's events sort after it
+    * and emit (prev_type -> type) pairs. Downstream `groupBy(prev, curr)
+    * .count()` reproduces the batch Markov matrix when replay order
+    * respects event time per user (AvailableNow over a finite source);
+    * cross-batch late events need the usual watermark discipline.
+    * State is O(1) per user — the minimal sequence-mining state shape.
+    */
+  def transitionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String], expr("ts DIV 1000").as[Long])
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          // Order this batch's rows by (us, event_id) — Q79's total order.
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          var prev = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { case (_, eid, tpe, us) =>
+            prev.foreach { case (_, _, pType) => out += ((pType, tpe)) }
+            prev = Some((us, eid, tpe))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("event_type", "next_type")
+  }
+
   /** C11c — the Spark 4 transformWithState API: same running per-user
     * counter through a StatefulProcessor with an explicit ValueState
     * handle (the state-store-native successor of mapGroupsWithState;

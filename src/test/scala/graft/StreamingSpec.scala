@@ -304,6 +304,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"$streamed vs $batch")
   }
 
+  test("streaming transition extractor aggregates to the batch Markov matrix (Q79)") {
+    val src = stageEvents()
+    val q = StreamingOps.transitionStream(spark, StreamingOps.eventsStream(spark, src))
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("trans_stream")
+      .groupBy(col("event_type"), col("next_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Profiling.q79(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("stream-static enrichment join is batch-equal and needs no join state") {
     val src = stageEvents()
     val customer = Catalog(spark, sf("sf0.001")).customer
