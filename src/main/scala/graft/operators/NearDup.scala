@@ -423,11 +423,60 @@ object NearDup {
       |GROUP BY d.lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Q84 — Rabin–Karp rolling-hash fingerprints: every 16-char substring
+    * hash of each probe document via the codegen'd O(n)
+    * `graft_rolling_hash` expression; per-doc summary stats keep the
+    * output bounded. The DuckDB twin recomputes each window hash DIRECTLY
+    * (O(n·k) polynomial sum with the same base/modulus), so the hash
+    * match proves the rolling update exact — not just plausible.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 20)
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"),
+        explode(call_function("graft_rolling_hash", col("text"), lit(16))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hashes"),
+        countDistinct(col("h")).as("n_distinct"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"),
+        sum(col("h")).as("sum_h"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q84Oracle: String = {
+    // B^(15-j) mod 2^32 for j = 0..15, precomputed so the oracle stays
+    // pure integer SQL (DuckDB power() is floating).
+    val B = 1000003L; val M = 0xFFFFFFFFL
+    val pows = Iterator.iterate(1L)(p => (p * B) & M).take(16).toSeq.reverse
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id <= 20 AND len(text) >= 16),
+      |pos AS (
+      |  SELECT doc_id, text, UNNEST(range(len(text) - 15)) AS i FROM d),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(16), j ->
+      |      unicode(substring(text, CAST(i + j + 1 AS INTEGER), 1)) *
+      |        ([${pows.mkString(", ")}])[CAST(j + 1 AS INTEGER)]))
+      |      AS BIGINT) & 4294967295 AS h
+      |  FROM pos)
+      |SELECT doc_id, COUNT(*) AS n_hashes, COUNT(DISTINCT h) AS n_distinct,
+      |  MIN(h) AS min_h, MAX(h) AS max_h, CAST(SUM(h) AS BIGINT) AS sum_h
+      |FROM hashed
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
-    "Q67" -> (q67 _), "Q68" -> (q68 _))
+    "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
-    "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle)
+    "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
+    "Q84" -> q84Oracle)
 }

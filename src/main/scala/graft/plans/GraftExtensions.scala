@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
+    ext.injectFunction(GraftExtensions.rhFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -69,6 +70,24 @@ object GraftExtensions {
   val hhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_heavy_hitters"), hhInfo, hhBuilder _)
 
+  private def rhBuilder(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_rolling_hash(col, k): k must be an integer literal, got $other")
+    }
+    RollingHash(children.head, k)
+  }
+
+  private val rhInfo = new ExpressionInfo(
+    classOf[RollingHash].getName, null, "graft_rolling_hash",
+    "graft_rolling_hash(s, k) - all k-gram Rabin-Karp rolling hashes of s " +
+      "(base 1000003, mod 2^32) as array<bigint>, computed in one O(n) pass.",
+    "")
+
+  val rhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_rolling_hash"), rhInfo, rhBuilder _)
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -77,6 +96,8 @@ object GraftExtensions {
       "graft_kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters", hhBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", rhBuilder, "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
