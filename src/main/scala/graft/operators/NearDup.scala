@@ -471,12 +471,60 @@ object NearDup {
       |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** Q85 — content-defined chunking (CDC) statistics: a chunk boundary
+    * falls wherever the 16-char rolling hash ≡ 0 mod 64 (expected chunk
+    * ~64 chars, boundaries decided by CONTENT, not offsets — insertions
+    * shift chunk edges only locally, which is why CDC dedup survives
+    * edits that defeat fixed-size blocking). Emits per-doc window,
+    * boundary, and expected-chunk-size stats.
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .filter(col("doc_id") <= 50)
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), col("n_chars"),
+        explode(call_function("graft_rolling_hash", col("text"), lit(16))).as("h"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("h") % 64 === 0, 1)).as("n_boundaries"))
+      .select(col("doc_id"), col("n_windows"), col("n_boundaries"),
+        round(col("n_chars").cast("double") / (col("n_boundaries") + 1), 4)
+          .as("avg_chunk_len"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q85Oracle: String = {
+    val B = 1000003L; val M = 0xFFFFFFFFL
+    val pows = Iterator.iterate(1L)(p => (p * B) & M).take(16).toSeq.reverse
+    s"""WITH d AS (
+      |  SELECT doc_id, n_chars, text FROM documents
+      |  WHERE doc_id <= 50 AND len(text) >= 16),
+      |pos AS (
+      |  SELECT doc_id, n_chars, text, UNNEST(range(len(text) - 15)) AS i FROM d),
+      |hashed AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(list_sum(list_transform(range(16), j ->
+      |      unicode(substring(text, CAST(i + j + 1 AS INTEGER), 1)) *
+      |        ([${pows.mkString(", ")}])[CAST(j + 1 AS INTEGER)]))
+      |      AS BIGINT) & 4294967295 AS h
+      |  FROM pos)
+      |SELECT doc_id, COUNT(*) AS n_windows,
+      |  COUNT(*) FILTER (WHERE h % 64 = 0) AS n_boundaries,
+      |  ROUND(CAST(n_chars AS DOUBLE) /
+      |        (COUNT(*) FILTER (WHERE h % 64 = 0) + 1), 4) AS avg_chunk_len
+      |FROM hashed
+      |GROUP BY doc_id, n_chars
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
-    "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _))
+    "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
-    "Q84" -> q84Oracle)
+    "Q84" -> q84Oracle, "Q85" -> q85Oracle)
 }
