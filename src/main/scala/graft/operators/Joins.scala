@@ -352,9 +352,20 @@ object Joins {
       key: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, IntegerType, LongType}
     val filter = small.stat.bloomFilter(key, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(filter)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // Key-type dispatch with explicit null guards (a NULL key matches no
+    // semi join anyway, so it is safe to reject at the prefilter).
+    val mightContain = big.schema(key).dataType match {
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      case other => throw new IllegalArgumentException(
+        s"bloomSemiJoin: unsupported key type ${other.simpleString} " +
+          "(stat.bloomFilter hashes integral and string keys)")
+    }
     big.filter(mightContain(col(key)))
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
