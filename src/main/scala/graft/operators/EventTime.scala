@@ -258,12 +258,79 @@ object EventTime {
       |GROUP BY 1, 2
       |ORDER BY cohort_dow NULLS FIRST, weeks_since NULLS FIRST""".stripMargin
 
+  /** Q86 — cooldown debounce (event-stream hygiene): drop an event when
+    * the same user produced the same event type within the preceding 5
+    * minutes — the duplicate-click / retry-storm filter every event
+    * pipeline runs before counting anything. One (user, type)-keyed
+    * window, total order (us, event_id) per ADVICE r1.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(asc("us"), asc("event_id"))
+    c.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("kept",
+        col("prev_us").isNull || col("us") - col("prev_us") > 300000000L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q86Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE prev_us IS NULL OR us - prev_us > 300000000)
+      |    AS n_kept
+      |FROM seq
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q87 — burst profile (bot/abuse detection): each user's maximum event
+    * count inside ANY trailing 1-hour window, via a RANGE frame over
+    * epoch-µs — the value-based frame makes "any window ending at an
+    * event" exact, no bucketing approximation. One user-keyed window pass.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wRange = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(asc("us"))
+      .rangeBetween(-3600000000L, 0L)
+    c.events
+      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("in_hour", count(lit(1)).over(wRange))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("in_hour")).as("max_burst_1h"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q87Oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS in_hour
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events, MAX(in_hour) AS max_burst_1h
+      |FROM seq
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
-    "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _))
+    "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
+    "Q87" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
-    "Q65" -> q65Oracle)
+    "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle)
 }
