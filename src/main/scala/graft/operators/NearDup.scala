@@ -29,8 +29,8 @@ object NearDup {
     val c = Catalog(spark, dir)
     c.documents
       .filter(col("doc_id") <= 100)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
       .withColumn("h", md5(col("token")))
       .withColumn("b", explode(sequence(lit(0), lit(31))))
       .withColumn("d", expr(s"instr('$HexDigits', substring(h, b DIV 4 + 1, 1)) - 1"))
@@ -65,15 +65,14 @@ object NearDup {
 
   /** The distinct (doc_id, 3-gram shingle) relation. */
   private def shingles(c: Catalog): DataFrame =
-    c.documents
+    TextOps.fanOut(c.documents)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
           |  i -> concat(element_at(toks, i + 1), ' ',
           |              element_at(toks, i + 2), ' ',
-          |              element_at(toks, i + 3)))""".stripMargin)).as("token"))
-      .distinct()
+          |              element_at(toks, i + 3)))""".stripMargin))).as("token"))
 
   /** Q49 — word-trigram shingle Jaccard ≥ 0.6 pairs: order-sensitive
     * near-dedup (token-set Jaccard is blind to reordering; shingles are
@@ -133,8 +132,8 @@ object NearDup {
     val c = Catalog(spark, dir)
     val tok = c.documents
       .filter(col("doc_id") <= 100)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
     minHashSignatures(tok, 8)
       .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("p"))
   }

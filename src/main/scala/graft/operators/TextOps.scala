@@ -48,11 +48,28 @@ object TextOps {
       |FROM documents
       |ORDER BY lang NULLS FIRST""".stripMargin
 
-  /** Distinct (doc_id, token) pairs — the shared shingle relation. */
+  /** Spread a NARROW relation across the cluster before an explode fans
+    * it out: when the input has fewer splits than cores (one small parquet
+    * file locally; a handful of files after compaction in production), the
+    * explode would otherwise run single-threaded and everything downstream
+    * starts unparallel. Repartitioning the compact pre-explode rows is
+    * cheap (docs, not tokens); with healthy split counts this is a no-op.
+    */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
+  /** Distinct (doc_id, token) pairs — the shared shingle relation.
+    * Set semantics come from a per-row array_distinct BEFORE the explode:
+    * dedup happens inside the row, so no shuffle of the exploded relation —
+    * a post-explode `.distinct()` would exchange every token row first.
+    */
   private def docTokens(c: Catalog): DataFrame =
-    c.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+    fanOut(c.documents)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
 
   /** Exact token-set Jaccard ≥ threshold pairs — adaptive physical strategy.
     *
@@ -85,7 +102,8 @@ object TextOps {
     */
   def jaccardPairs(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame =
     jaccardFromTokens(spark,
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct(),
+      fanOut(docs).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token")),
       threshold)
 
   /** Same operator over an arbitrary distinct (doc_id, token) relation —
