@@ -256,11 +256,100 @@ object TextAnalysis {
       |FROM agg
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q88 — split-novelty rate: hold out every 10th document (doc_id % 10
+    * = 0) as validation and measure, per language, how many of its word
+    * trigrams never occur in the training split — the generalization-
+    * hygiene check that a random split actually carries novel text. The
+    * training shingle set is global (any language may cover a shingle).
+    *
+    * Scale: two shingle scans + one anti join on the shingle — the
+    * validation side is 10% of the corpus and the training shingle set
+    * partitions by shingle hash; nothing quadratic.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val sh = c.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin))).as("sh"))
+    val train = sh.filter(col("doc_id") % 10 =!= 0).select(col("sh")).distinct()
+    val valSh = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("lang"), col("sh")).distinct()
+    val unseen = valSh.join(train, Seq("sh"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_unseen"))
+    valSh.groupBy(col("lang")).agg(count(lit(1)).as("n_val_shingles"))
+      .join(unseen, Seq("lang"), "left")
+      .select(col("lang"), col("n_val_shingles"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        round(coalesce(col("n_unseen"), lit(0L)).cast("double") /
+          col("n_val_shingles"), 4).as("novelty_rate"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  val q88Oracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, lang, s FROM (
+      |    SELECT doc_id, lang, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS s
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+      |val_sh AS (SELECT DISTINCT lang, s FROM sh WHERE doc_id % 10 = 0),
+      |unseen AS (
+      |  SELECT lang, COUNT(*) AS n_unseen FROM val_sh
+      |  WHERE s NOT IN (SELECT s FROM train) GROUP BY lang)
+      |SELECT v.lang AS lang, COUNT(*) AS n_val_shingles,
+      |  COALESCE(MAX(u.n_unseen), 0) AS n_unseen,
+      |  ROUND(CAST(COALESCE(MAX(u.n_unseen), 0) AS DOUBLE) / COUNT(*), 4)
+      |    AS novelty_rate
+      |FROM val_sh v LEFT JOIN unseen u ON v.lang = u.lang
+      |GROUP BY v.lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Q89 — lexical diversity per source: document count, token mass,
+    * vocabulary size, and type-token ratio — the corpus-composition table
+    * a mixing strategy is tuned against.
+    *
+    * Scale: one explode + one (source, token)-keyed distinct aggregate;
+    * the per-source rollup is bounded by #sources.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("vocab"),
+        round(countDistinct(col("token")).cast("double") / count(lit(1)), 4)
+          .as("type_token_ratio"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q89Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT token) AS vocab,
+      |  ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 4)
+      |    AS type_token_ratio
+      |FROM tok
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
-    "Q52" -> (q52 _), "Q66" -> (q66 _))
+    "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
-    "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle)
+    "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
+    "Q88" -> q88Oracle, "Q89" -> q89Oracle)
 }
