@@ -380,16 +380,42 @@ object Aggregates {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Q90 — discrete percentiles (the SQL-standard WITHIN GROUP form):
+    * unlike Q54's interpolated `percentile`, percentile_disc returns an
+    * ACTUAL data value (smallest value with cume_dist ≥ p), so no
+    * floating interpolation is involved and the cross-engine compare is
+    * exact by construction.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+  }
+
+  val q90Oracle: String =
+    """SELECT o_orderstatus,
+      |  quantile_disc(o_totalprice, 0.5) AS p50_disc,
+      |  quantile_disc(o_totalprice, 0.9) AS p90_disc,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
     "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
-    "Q75" -> (q75 _))
+    "Q75" -> (q75 _), "Q90" -> (q90 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
     "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
-    "Q75" -> q75Oracle)
+    "Q75" -> q75Oracle, "Q90" -> q90Oracle)
 }
