@@ -406,16 +406,41 @@ object Aggregates {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q91 — top-k VALUES per group via the native bounded-heap aggregate
+    * `graft_topk`: O(k) state per group per partition, map-side combined —
+    * no per-group sort of all rows (the window row_number form sorts
+    * everything). Top-k values of a multiset are merge-order-independent,
+    * so the result is deterministic and hash-declared.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("transform(graft_topk(o_totalprice, 3), x -> round(x, 4))").as("top3"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+  }
+
+  val q91Oracle: String =
+    """SELECT o_orderstatus,
+      |  list_transform(list(o_totalprice ORDER BY o_totalprice DESC)[1:3],
+      |    x -> round(x, 4)) AS top3,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
     "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
-    "Q75" -> (q75 _), "Q90" -> (q90 _))
+    "Q75" -> (q75 _), "Q90" -> (q90 _), "Q91" -> (q91 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
     "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
-    "Q75" -> q75Oracle, "Q90" -> q90Oracle)
+    "Q75" -> q75Oracle, "Q90" -> q90Oracle, "Q91" -> q91Oracle)
 }

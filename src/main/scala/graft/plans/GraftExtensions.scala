@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HeavyHitters, KmvDistinct}
+import graft.functions.{HeavyHitters, KmvDistinct, TopK}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
+    ext.injectFunction(GraftExtensions.topkFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -88,6 +89,24 @@ object GraftExtensions {
   val rhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_rolling_hash"), rhInfo, rhBuilder _)
 
+  private def topkBuilder(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_topk(col, k): k must be an integer literal, got $other")
+    }
+    TopK(children.head, k).toAggregateExpression()
+  }
+
+  private val topkInfo = new ExpressionInfo(
+    classOf[TopK].getName, null, "graft_topk",
+    "graft_topk(col, k) - k largest values as a descending array<double>; " +
+      "O(k) heap state per group, map-side combinable.",
+    "")
+
+  val topkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder _)
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -98,6 +117,8 @@ object GraftExtensions {
       "graft_heavy_hitters", hhBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rhBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", topkBuilder, "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
