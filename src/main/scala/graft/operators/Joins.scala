@@ -313,6 +313,44 @@ object Joins {
         rv, out))
   }
 
+  /** Q92 — purchase→latest-prior-view attribution through the NATIVE
+    * as-of physical operator (AsOfJoinExec: one shuffle per side, sorted
+    * two-pointer merge, O(1) carried state), hash-checked against DuckDB's
+    * built-in ASOF LEFT JOIN — the custom SparkPlan itself sits inside the
+    * correctness gate, not just its unit specs. The carried value is the
+    * matched view's own timestamp, so equal-time ties cannot produce an
+    * ambiguous output.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Catalog(spark, dir)
+    val e = c.events.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts DIV 1000").as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"))
+    asofJoinNative(purchases, views, key = "user_id",
+      leftTime = "us", rightTime = "us", rightValue = "us", outName = "view_us")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("view_us")).as("n_matched"),
+        round(avg((col("us") - col("view_us")) / 1000000.0), 4).as("avg_gap_sec"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q92Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, us AS view_us FROM e WHERE event_type = 'view')
+      |SELECT p.user_id AS user_id, COUNT(*) AS n_purchases,
+      |  COUNT(view_us) AS n_matched,
+      |  ROUND(AVG((p.us - view_us) / 1000000.0), 4) AS avg_gap_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_us <= p.us
+      |GROUP BY p.user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   /** Skew-salted inner equi join: replicate the (small-enough) right side
     * `salt` times and scatter left rows across salt buckets, so one hot
     * key's rows spread over `salt` reducers instead of one straggler
@@ -408,10 +446,11 @@ object Joins {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),
-    "Q12" -> (q12 _))
+    "Q12" -> (q12 _), "Q92" -> (q92 _))
 
   def oracles: Map[String, String] = Map(
     "Q04" -> q04Oracle, "Q05" -> q05Oracle, "Q06" -> q06Oracle,
     "Q07" -> q07Oracle, "Q08" -> q08Oracle, "Q09" -> q09Oracle,
-    "Q10" -> q10Oracle, "Q11" -> q11Oracle, "Q12" -> q12Oracle)
+    "Q10" -> q10Oracle, "Q11" -> q11Oracle, "Q12" -> q12Oracle,
+    "Q92" -> q92Oracle)
 }
