@@ -431,16 +431,49 @@ object Aggregates {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q93 — robust dispersion: median absolute deviation around the median
+    * per group (two exact-percentile passes: per-group median, then the
+    * median of absolute deviations), plus the classic MAD/stddev
+    * comparison column. Outliers move stddev, not MAD.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val med = c.orders.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    c.orders
+      .join(broadcast(med), Seq("o_orderstatus"))
+      .withColumn("absdev", abs(col("o_totalprice") - col("med")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(absdev, 0.5)"), 4).as("mad"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"))
+  }
+
+  val q93Oracle: String =
+    """WITH med AS (
+      |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o.o_orderstatus AS o_orderstatus,
+      |  ROUND(quantile_cont(ABS(o_totalprice - med), 0.5), 4) AS mad,
+      |  ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd,
+      |  COUNT(*) AS n
+      |FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
     "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
-    "Q75" -> (q75 _), "Q90" -> (q90 _), "Q91" -> (q91 _))
+    "Q75" -> (q75 _), "Q90" -> (q90 _), "Q91" -> (q91 _), "Q93" -> (q93 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
     "Q16" -> q16Oracle, "Q17" -> q17Oracle, "Q17b" -> q17bOracle,
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
     "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
-    "Q75" -> q75Oracle, "Q90" -> q90Oracle, "Q91" -> q91Oracle)
+    "Q75" -> q75Oracle, "Q90" -> q90Oracle, "Q91" -> q91Oracle,
+    "Q93" -> q93Oracle)
 }
