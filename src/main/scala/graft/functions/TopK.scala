@@ -55,6 +55,20 @@ case class TopK(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // Fail at analysis time, not inside a task: the update path compares
+  // values as doubles, which only makes sense for numeric children.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _: NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk: k must be >= 1, got $k")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk expects a numeric column, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
@@ -64,7 +78,11 @@ case class TopK(
       case f: Float  => buffer.add(f.toDouble)
       case l: Long   => buffer.add(l.toDouble)
       case i: Int    => buffer.add(i.toDouble)
-      case other     => buffer.add(other.toString.toDouble)
+      case s: Short  => buffer.add(s.toDouble)
+      case b: Byte   => buffer.add(b.toDouble)
+      case d: org.apache.spark.sql.types.Decimal => buffer.add(d.toDouble)
+      case other => throw new IllegalStateException(
+        s"graft_topk: unexpected value type ${other.getClass} (checkInputDataTypes should have rejected it)")
     }
     buffer
   }
