@@ -425,9 +425,13 @@ object Joins {
       key: String,
       salt: Int = 8,
       sketchK: Int = 64,
-      hotShare: Double = 0.01): DataFrame = {
+      hotShare: Double = 0.01,
+      leftCount: Long = -1L): DataFrame = {
     graft.plans.GraftExtensions.registerRuntime(left.sparkSession)
-    val n = left.count()
+    // Detection threshold needs |left|; pass `leftCount` when the caller
+    // already knows it (table stats, a prior action) to save the extra
+    // column-pruned counting pass over the left side.
+    val n = if (leftCount >= 0) leftCount else left.count()
     val hot = left.select(col(key).cast("string").as("k"))
       .agg(call_function("graft_heavy_hitters", col("k"), lit(sketchK)).as("hh"))
       .select(explode(col("hh")).as("e"))

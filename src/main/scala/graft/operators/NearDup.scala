@@ -379,8 +379,12 @@ object NearDup {
     val dropped = connectedComponents(pairs)
       .filter(col("member") =!= col("rep"))
       .select(col("member").as("doc_id"))
+    // No broadcast hint: the dropped set is DATA-dependent (a heavily
+    // duplicated corpus could drop half its docs) — let AQE pick the
+    // strategy from the actual size instead of pinning a driver-sized
+    // assumption.
     c.documents
-      .join(broadcast(dropped.withColumn("is_dropped", lit(1))), Seq("doc_id"), "left")
+      .join(dropped.withColumn("is_dropped", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -90,8 +90,12 @@ object PipelineOps {
     val flagged = shingles5(train)
       .join(broadcast(evalSh), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
+    // flagged is data-dependent (could approach the train size on a badly
+    // contaminated corpus) — no broadcast hint; AQE decides from runtime
+    // stats. The eval shingle set above IS structurally bounded, so it
+    // keeps its hint.
     train
-      .join(broadcast(flagged.withColumn("flag", lit(1))), Seq("doc_id"), "left")
+      .join(flagged.withColumn("flag", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_train"),
@@ -404,8 +408,10 @@ object PipelineOps {
       .select(col("h"))
     val flagged = chunks.join(shared, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
+    // flagged is data-dependent (boilerplate-heavy corpora flag most
+    // docs) — no broadcast hint, AQE decides.
     c.documents
-      .join(broadcast(flagged.withColumn("flag", lit(1))), Seq("doc_id"), "left")
+      .join(flagged.withColumn("flag", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), count(col("flag")).as("n_with_shared_chunk"))
       .orderBy(asc_nulls_first("lang"))
