@@ -201,6 +201,7 @@ object Aggregates {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(group)).orderBy(asc("v"))
     val ranked = df.select(col(group), col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull) // builtin percentile() ignores NULLs too
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
     val aggs = qs.map { q =>
@@ -216,15 +217,18 @@ object Aggregates {
   }
 
   /** Q54 — exact interpolated percentiles per group (both engines use the
-    * standard (n−1)·p linear interpolation).
+    * standard (n−1)·p linear interpolation). Runs on the shuffle-native
+    * rank-and-pick plan (exactPercentilesScalable) rather than the
+    * buffering builtin: per-group state is two rows per quantile instead
+    * of every value, so the same plan survives a 100 TB group.
     */
   def q54(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    c.orders
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+    exactPercentilesScalable(c.orders, "o_orderstatus", "o_totalprice", Seq(0.5, 0.9))
+      .select(
+        col("o_orderstatus"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"))
       .orderBy(asc_nulls_first("o_orderstatus"))
   }
 
@@ -417,19 +421,31 @@ object Aggregates {
     c.orders
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("transform(graft_topk(o_totalprice, 3), x -> round(x, 4))").as("top3"),
+        expr("graft_topk(o_totalprice, 3)").as("top3"),
         count(lit(1)).as("n"))
-      .orderBy(asc_nulls_first("o_orderstatus"))
+      .select(col("o_orderstatus"), posexplode(col("top3")), col("n"))
+      .select(
+        col("o_orderstatus"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        round(col("col"), 4).as("v"),
+        col("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("rnk"))
   }
 
+  // Array outputs can't ride the driver's pandas hash (unhashable ndarray),
+  // so the top-3 is exploded to (rnk, v) rows. Values are deterministic under
+  // ties even though DuckDB's row_number row choice isn't: only the VALUES
+  // are emitted, and the top-3 multiset of values is unique.
   val q91Oracle: String =
-    """SELECT o_orderstatus,
-      |  list_transform(list(o_totalprice ORDER BY o_totalprice DESC)[1:3],
-      |    x -> round(x, 4)) AS top3,
-      |  COUNT(*) AS n
-      |FROM orders
-      |GROUP BY o_orderstatus
-      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+    """SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk, ROUND(v, 4) AS v, n
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice AS v,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderstatus NULLS FIRST, rnk NULLS FIRST""".stripMargin
 
   /** Q93 — robust dispersion: median absolute deviation around the median
     * per group (two exact-percentile passes: per-group median, then the

@@ -390,21 +390,15 @@ object Joins {
       key: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, IntegerType, LongType}
     val filter = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(filter)
-    // Key-type dispatch with explicit null guards (a NULL key matches no
-    // semi join anyway, so it is safe to reject at the prefilter).
-    val mightContain = big.schema(key).dataType match {
-      case StringType =>
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-      case IntegerType | LongType =>
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-      case other => throw new IllegalArgumentException(
-        s"bloomSemiJoin: unsupported key type ${other.simpleString} " +
-          "(stat.bloomFilter hashes integral and string keys)")
-    }
-    big.filter(mightContain(col(key)))
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    // Codegen'd probe (plans.BloomMightContain): the prefilter stays
+    // fused inside the scan's WholeStageCodegen span instead of breaking
+    // it with a boxing Scala UDF. Key-type support is checked at analysis
+    // time by the expression; NULL keys propagate to NULL → rejected.
+    graft.plans.GraftExtensions.registerRuntime(big.sparkSession)
+    big.filter(call_function("graft_bloom_might_contain", col(key), lit(bos.toByteArray)))
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 

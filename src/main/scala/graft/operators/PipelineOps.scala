@@ -377,7 +377,8 @@ object PipelineOps {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
       |      AS bin
       |  FROM sized)
-      |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+      |SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
       |FROM packed
       |GROUP BY lang, bin
       |ORDER BY lang NULLS FIRST, bin NULLS FIRST""".stripMargin

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
     ext.injectFunction(GraftExtensions.topkFunction)
+    ext.injectFunction(GraftExtensions.bloomFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -107,6 +108,24 @@ object GraftExtensions {
   val topkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder _)
 
+  private def bloomBuilder(children: Seq[Expression]): Expression = {
+    val bytes = children(1) match {
+      case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_might_contain(key, filter): filter must be a binary literal, got $other")
+    }
+    BloomMightContain(children.head, bytes)
+  }
+
+  private val bloomInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, null, "graft_bloom_might_contain",
+    "graft_bloom_might_contain(key, filter) - codegen'd membership probe of key " +
+      "against a serialized Bloom filter (stat.bloomFilter layout).",
+    "")
+
+  val bloomFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -119,6 +138,8 @@ object GraftExtensions {
       "graft_rolling_hash", rhBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", topkBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", bloomBuilder, "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

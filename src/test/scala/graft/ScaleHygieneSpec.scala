@@ -61,6 +61,14 @@ class ScaleHygieneSpec extends SparkSpec {
     assert(plain.getLong(0) == bloomed.getLong(0), s"$plain vs $bloomed")
     assert(math.abs(plain.getDouble(1) - bloomed.getDouble(1)) < 1e-6)
 
+    // The probe is a native codegen'd expression — no codegen-opaque
+    // ScalaUDF may appear anywhere in the physical plan.
+    val bloomPlan = Joins.bloomSemiJoin(c.orders, small, "o_custkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("ScalaUDF"), bloomPlan.take(2000))
+    assert(bloomPlan.contains("graft_bloom_might_contain"), bloomPlan.take(2000))
+
     // The prefilter itself must pass every true match (no false negatives)
     // and reject most non-matches (fpp-bounded false positives).
     val filter = small.stat.bloomFilter("o_custkey", 10000L, 0.01)
