@@ -14,20 +14,27 @@ import org.apache.spark.storage.StorageLevel
   *  - The COO tensor is partitioned along mode 1 into load-balanced slabs
   *    ([[SlabPartitioner]]); each Spark partition holds one slab as
   *    primitive arrays (no per-nonzero objects in the inner loop).
-  *  - Factor matrices A (I×R), B (J×R), C (K×R) are dense, driver-resident,
-  *    broadcast each half-iteration; executors compute per-slab partial
-  *    MTTKRPs; `treeAggregate` reduces J×R / K×R partials; the R×R Gram
-  *    solves (Hadamard of Gramians, pseudo-inverted via breeze) happen on
-  *    the driver.
-  *  - Because slabs partition mode 1, the A-side MTTKRP needs NO shuffle at
-  *    all: each slab owns its i-rows exclusively and emits finished rows.
-  *    Per iteration: 3 broadcasts + 3 jobs, exactly the published loop.
+  *  - Mode 1 is the scale mode: factor A (I×R) NEVER visits the driver
+  *    during the loop. Each slab owns its i-rows exclusively, so the
+  *    A-update is embarrassingly parallel: per-slab local MTTKRP rows ×
+  *    the broadcast R×R solve matrix, persisted in place as one primitive
+  *    array per slab. AᵀA is tree-aggregated (R×R per slab), and A is
+  *    collected exactly once, after convergence, to build the returned
+  *    model (at true scale the caller would keep it as a relation; the
+  *    loop itself never needs it centralized).
+  *  - B (J×R), C (K×R) are driver-resident and broadcast each
+  *    half-iteration (modes 2/3 are the small modes in the slab design);
+  *    their MTTKRPs tree-reduce J×R / K×R partials; the R×R Gram solves
+  *    (Hadamard of Gramians, pseudo-inverted via breeze) happen on the
+  *    driver. Per iteration: 3 broadcasts + 4 jobs.
+  *  - The slice→slab histogram is collected exactly only while I fits the
+  *    driver (`maxDriverSlices`); above that the partitioner switches to
+  *    [[SlabPartitioner.balancedSketched]] — top-k heavy slices + hashed
+  *    tail, O(k + numSlabs) driver state regardless of I.
   *
-  * Scale notes: the shuffled state per iteration is only the J×R and K×R
-  * partials (tree-reduced), never the tensor; the tensor itself is read
-  * from the persisted slab RDD. For an I×R too big for the driver, A stays
-  * distributed as emitted — the collect below is a test-scale convenience
-  * documented as such.
+  * Scale notes: per iteration the driver sees only J×R + K×R partials and
+  * three R×R Gramians; the tensor is read from the persisted slab RDD and
+  * A from its per-slab sibling. Nothing driver-side grows with I or nnz.
   *
   * Fit (C14) uses the standard CP identities — ‖X̂‖² = 1ᵀ(AᵀA∘BᵀB∘CᵀC)1 and
   * ⟨X,X̂⟩ = vec(MTTKRP_C)·vec(C) — so the residual norm never materializes
@@ -35,8 +42,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object CPALS {
 
-  /** One slab: column-layout primitive arrays of its nonzeros. */
-  private final case class Slab(is: Array[Int], js: Array[Int], ks: Array[Int], vs: Array[Double])
+  /** One slab: column-layout primitive arrays of its nonzeros, plus the
+    * local mode-1 row index (localIs: local row → global i; iLoc: nonzero →
+    * local row) that lets factor-A rows live beside the slab.
+    */
+  private final case class Slab(
+      localIs: Array[Int],
+      iLoc: Array[Int],
+      js: Array[Int],
+      ks: Array[Int],
+      vs: Array[Double])
 
   final case class CPModel(
       lambda: Array[Double],
@@ -97,11 +112,12 @@ object CPALS {
       seed: Long,
       tol: Double,
       maxIter: Int,
-      numSlabs: Int): CPModel = {
+      numSlabs: Int,
+      maxDriverSlices: Int = 1 << 20): CPModel = {
     val sc = rows.sparkContext
     val r = rank
 
-    // Dims + per-slice histogram in one pass each (map-side combined).
+    // Dims + Frobenius norm in one pass (map-side combined).
     val (maxI, maxJ, maxK, normX2) = rows
       .map { case (i, j, k, v) => (i, j, k, v * v) }
       .treeAggregate((0L, 0L, 0L, 0.0))(
@@ -109,11 +125,18 @@ object CPALS {
         (a, b) => (a._1 max b._1, a._2 max b._2, a._3 max b._3, a._4 + b._4))
     val (ni, nj, nk) = ((maxI + 1).toInt, (maxJ + 1).toInt, (maxK + 1).toInt)
 
-    val sliceWeights = rows.map { case (i, _, _, _) => (i, 1L) }
-      .reduceByKey(_ + _).collect().toSeq
-    val partitioner = SlabPartitioner.balanced(sliceWeights, numSlabs)
+    // Slice histogram stays distributed; only a bounded summary reaches
+    // the driver once I outgrows `maxDriverSlices`.
+    val sliceWeights = rows.map { case (i, _, _, _) => (i, 1L) }.reduceByKey(_ + _)
+    val partitioner =
+      if (ni <= maxDriverSlices)
+        SlabPartitioner.balanced(sliceWeights.collect().toSeq, numSlabs)
+      else
+        SlabPartitioner.balancedSketched(sliceWeights, numSlabs, maxDriverSlices)
 
-    // C13: slab-partitioned, primitive-array packed, persisted once.
+    // C13: slab-partitioned, primitive-array packed, persisted once. The
+    // local i-index is built at pack time so every later pass is a flat
+    // array walk.
     val slabRdd: RDD[Slab] = rows
       .map { case (i, j, k, v) => (i, (j, k, v)) }
       .partitionBy(partitioner)
@@ -123,7 +146,15 @@ object CPALS {
         it.foreach { case (i, (j, k, v)) =>
           is += i.toInt; js += j.toInt; ks += k.toInt; vs += v
         }
-        Iterator.single(Slab(is.result(), js.result(), ks.result(), vs.result()))
+        val gIs = is.result()
+        val localIs = gIs.distinct.sorted
+        val idx = new java.util.HashMap[Int, Int](localIs.length * 2)
+        var li = 0
+        while (li < localIs.length) { idx.put(localIs(li), li); li += 1 }
+        val iLoc = new Array[Int](gIs.length)
+        var n = 0
+        while (n < gIs.length) { iLoc(n) = idx.get(gIs(n)); n += 1 }
+        Iterator.single(Slab(localIs, iLoc, js.result(), ks.result(), vs.result()))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     slabRdd.count() // materialize before iterating
@@ -135,7 +166,6 @@ object CPALS {
     // can trap ALS far from the optimum.
     var bMat = Array.fill(nj * r)(rng.nextGaussian())
     var cMat = Array.fill(nk * r)(rng.nextGaussian())
-    var aMat = new Array[Double](ni * r)
 
     def gram(m: Array[Double], n: Int): DenseMatrix[Double] = {
       val g = DenseMatrix.zeros[Double](r, r)
@@ -175,31 +205,66 @@ object CPALS {
       out
     }
 
-    // MTTKRP against modes 2/3: per-slab dense partial, tree-reduced.
-    def mttkrpJK(
-        mode: Int, // 1 -> rows over j, 2 -> rows over k
-        f1: Array[Double], f2: Array[Double], outRows: Int): Array[Double] = {
-      val bc1 = sc.broadcast(f1); val bc2 = sc.broadcast(f2)
-      val res = slabRdd.treeAggregate(new Array[Double](outRows * r))(
-        (acc, slab) => {
-          val x1 = bc1.value; val x2 = bc2.value
-          var n = 0
-          val len = slab.vs.length
-          while (n < len) {
-            val i = slab.is(n); val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
-            val (outRow, r1, r2) = if (mode == 1) (j, i, k) else (k, i, j)
+    // A lives beside its slab: one primitive array per partition, aligned
+    // with slabRdd by zipPartitions (both sides have exactly one element
+    // per partition by construction).
+    var aRdd: RDD[Array[Double]] = null
+
+    /** MTTKRP against mode 2 (outRows over j) or 3 (outRows over k):
+      * per-slab dense partial from the slab-local A rows and ONE broadcast
+      * factor, tree-reduced to the driver. Never ships A.
+      */
+    def mttkrpJK(mode: Int, other: Array[Double], outRows: Int): Array[Double] = {
+      val bcO = sc.broadcast(other)
+      val res = slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
+        val slab = slabIt.next(); val aLoc = aIt.next()
+        val o = bcO.value
+        val acc = new Array[Double](outRows * r)
+        var n = 0
+        val len = slab.vs.length
+        while (n < len) {
+          val aRow = slab.iLoc(n) * r
+          val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
+          val outRow = if (mode == 1) j else k
+          val oRow = (if (mode == 1) k else j) * r
+          var p = 0
+          while (p < r) {
+            acc(outRow * r + p) += v * aLoc(aRow + p) * o(oRow + p)
+            p += 1
+          }
+          n += 1
+        }
+        Iterator.single(acc)
+      }.treeReduce { (x, y) =>
+        var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x
+      }
+      bcO.destroy()
+      res
+    }
+
+    /** AᵀA from the distributed A: R×R per slab, tree-aggregated. */
+    def gramA(): DenseMatrix[Double] = {
+      val flat = aRdd.treeAggregate(new Array[Double](r * r))(
+        (acc, aLoc) => {
+          val nRows = aLoc.length / r
+          var row = 0
+          while (row < nRows) {
             var p = 0
             while (p < r) {
-              acc(outRow * r + p) += v * x1(r1 * r + p) * x2(r2 * r + p)
+              val vp = aLoc(row * r + p)
+              var q = 0
+              while (q < r) { acc(p * r + q) += vp * aLoc(row * r + q); q += 1 }
               p += 1
             }
-            n += 1
+            row += 1
           }
           acc
         },
         (x, y) => { var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x })
-      bc1.destroy(); bc2.destroy()
-      res
+      val g = DenseMatrix.zeros[Double](r, r)
+      var p = 0
+      while (p < r) { var q = 0; while (q < r) { g(p, q) = flat(p * r + q); q += 1 }; p += 1 }
+      g
     }
 
     val fits = Vector.newBuilder[Double]
@@ -208,48 +273,61 @@ object CPALS {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // --- update A: slab-local (mode-1 ownership), no reduce needed.
-      val gA = pinv(hadamard(gram(bMat, nj), gram(cMat, nk)))
+      // --- update A: slab-local (mode-1 ownership), no reduce, NO collect.
+      val gB = gram(bMat, nj); val gC = gram(cMat, nk)
+      val gA = pinv(hadamard(gB, gC))
       val bcB = sc.broadcast(bMat); val bcC = sc.broadcast(cMat)
       val gaFlat = sc.broadcast(Array.tabulate(r * r)(n => gA(n / r, n % r)))
-      val aRows = slabRdd.flatMap { slab =>
+      val newARdd = slabRdd.map { slab =>
         val b = bcB.value; val c = bcC.value; val g = gaFlat.value
-        val local = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+        val nLocal = slab.localIs.length
+        val m = new Array[Double](nLocal * r)
         var n = 0
         val len = slab.vs.length
         while (n < len) {
-          val row = local.getOrElseUpdate(slab.is(n), new Array[Double](r))
+          val row = slab.iLoc(n) * r
           val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
           var p = 0
-          while (p < r) { row(p) += v * b(j * r + p) * c(k * r + p); p += 1 }
+          while (p < r) { m(row + p) += v * b(j * r + p) * c(k * r + p); p += 1 }
           n += 1
         }
-        local.iterator.map { case (i, m) =>
-          val out = new Array[Double](r)
+        // rows ← rows × gA (R×R): finished A rows, staying in the slab.
+        val out = new Array[Double](nLocal * r)
+        var lrow = 0
+        while (lrow < nLocal) {
           var q = 0
           while (q < r) {
             var s = 0.0; var p = 0
-            while (p < r) { s += m(p) * g(p * r + q); p += 1 }
-            out(q) = s; q += 1
+            while (p < r) { s += m(lrow * r + p) * g(p * r + q); p += 1 }
+            out(lrow * r + q) = s; q += 1
           }
-          (i, out)
+          lrow += 1
         }
-      }.collect() // test-scale convenience; stays distributed at true scale
-      bcB.destroy(); bcC.destroy(); gaFlat.destroy()
-      java.util.Arrays.fill(aMat, 0.0)
-      aRows.foreach { case (i, row) => System.arraycopy(row, 0, aMat, i * r, r) }
+        out
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      val prevARdd = aRdd
+      aRdd = newARdd
+      // --- AᵀA (also materializes newARdd).
+      val gAramA = gramA()
+      if (prevARdd != null) prevARdd.unpersist(blocking = false)
+      // unpersist, NOT destroy: newARdd's (cached) lineage still captures
+      // these broadcasts, and task serialization validates them even when
+      // the cache makes recompute unreachable. unpersist drops the
+      // executor copies now; the ContextCleaner reaps the rest once the
+      // iteration's aRdd is replaced.
+      bcB.unpersist(); bcC.unpersist(); gaFlat.unpersist()
 
       // --- update B from MTTKRP over (A, C).
-      val mB = mttkrpJK(1, aMat, cMat, nj)
-      bMat = matmulInto(mB, nj, pinv(hadamard(gram(aMat, ni), gram(cMat, nk))))
+      val mB = mttkrpJK(1, cMat, nj)
+      bMat = matmulInto(mB, nj, pinv(hadamard(gAramA, gC)))
 
       // --- update C from MTTKRP over (A, B).
-      val mC = mttkrpJK(2, aMat, bMat, nk)
-      cMat = matmulInto(mC, nk, pinv(hadamard(gram(aMat, ni), gram(bMat, nj))))
+      val mC = mttkrpJK(2, bMat, nk)
+      cMat = matmulInto(mC, nk, pinv(hadamard(gAramA, gram(bMat, nj))))
 
       // --- fit via CP identities (no reconstruction).
       val cross = { var s = 0.0; var n = 0; while (n < mC.length) { s += mC(n) * cMat(n); n += 1 }; s }
-      val gAll = hadamard(hadamard(gram(aMat, ni), gram(bMat, nj)), gram(cMat, nk))
+      val gAll = hadamard(hadamard(gAramA, gram(bMat, nj)), gram(cMat, nk))
       val model2 = {
         var s = 0.0; var p = 0
         while (p < r) { var q = 0; while (q < r) { s += gAll(p, q); q += 1 }; p += 1 }
@@ -262,6 +340,21 @@ object CPALS {
       if (fit - prevFit < tol && iter > 0) converged = true
       prevFit = fit
       iter += 1
+    }
+
+    // ONE collect, after convergence, to build the returned dense model
+    // (the loop itself never centralized A). A caller at true scale would
+    // instead keep (i, row) as a DataFrame — mode-1 ownership means this
+    // map is shuffle-free either way.
+    val aMat = new Array[Double](ni * r)
+    if (aRdd != null) {
+      slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
+        val slab = slabIt.next(); val aLoc = aIt.next()
+        slab.localIs.iterator.zipWithIndex.map { case (gi, li) =>
+          (gi, java.util.Arrays.copyOfRange(aLoc, li * r, li * r + r))
+        }
+      }.collect().foreach { case (i, row) => System.arraycopy(row, 0, aMat, i * r, r) }
+      aRdd.unpersist(blocking = false)
     }
 
     // Column-normalize into lambda.

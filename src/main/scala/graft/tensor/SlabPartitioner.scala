@@ -1,6 +1,7 @@
 package graft.tensor
 
 import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
 
 /** C13 — slice→slab load-balancing partitioner (SURVEY.md §2.11).
   *
@@ -11,11 +12,18 @@ import org.apache.spark.Partitioner
   * sorted by descending nonzero count, each placed on the currently
   * lightest slab. LPT guarantees max-load ≤ 4/3 · optimal.
   *
-  * At 100 TB the per-slice histogram comes from one groupBy over the COO
-  * relation (map-side combined); the assignment table is O(I) on the
-  * driver and broadcast implicitly inside this Partitioner. For an I too
-  * large for the driver, the same scheme degrades gracefully to
-  * hash-of-range buckets — not needed at declared scales.
+  * Two construction paths:
+  *  - [[SlabPartitioner.balanced]]: exact, from the full per-slice
+  *    histogram — O(I) driver memory, for I that fits the driver.
+  *  - [[SlabPartitioner.balancedSketched]]: bounded driver memory for
+  *    arbitrary I — only the `maxHeavy` heaviest slices (a distributed
+  *    bounded-heap top-k, O(maxHeavy) on the driver) are LPT-placed; the
+  *    uniform tail falls through to the `i % numSlabs` hash rule, and the
+  *    greedy placement is seeded with the tail's actual per-slab loads
+  *    (numSlabs longs from one reduceByKey) so heavy slices compensate
+  *    any tail imbalance. Skew lives in the head by definition, so the
+  *    LPT guarantee (max ≤ start-max + ideal-share + largest-heavy)
+  *    carries over — property-checked in TensorSpec.
   */
 final class SlabPartitioner(sliceToSlab: Map[Long, Int], val numSlabs: Int)
     extends Partitioner {
@@ -36,10 +44,41 @@ final class SlabPartitioner(sliceToSlab: Map[Long, Int], val numSlabs: Int)
 object SlabPartitioner {
 
   /** Greedy LPT assignment from per-slice weights. */
-  def balanced(sliceWeights: Seq[(Long, Long)], numSlabs: Int): SlabPartitioner = {
+  def balanced(sliceWeights: Seq[(Long, Long)], numSlabs: Int): SlabPartitioner =
+    new SlabPartitioner(lpt(sliceWeights, Array.fill(numSlabs)(0L)), numSlabs)
+
+  /** Bounded-driver-memory assignment from a distributed histogram: LPT
+    * over the `maxHeavy` heaviest slices, seeded with the hashed tail's
+    * real per-slab loads. Driver state: maxHeavy pairs + numSlabs longs,
+    * independent of I.
+    */
+  def balancedSketched(
+      sliceWeights: RDD[(Long, Long)],
+      numSlabs: Int,
+      maxHeavy: Int): SlabPartitioner = {
+    // Distributed bounded heap: O(maxHeavy) per partition and on the driver.
+    val heavy = sliceWeights
+      .top(maxHeavy)(Ordering.by { case (i, w) => (w, i) })
+    val heavyIds = heavy.map(_._1).toSet
+    val bcHeavy = sliceWeights.sparkContext.broadcast(heavyIds)
+    val tailLoads = sliceWeights
+      .filter { case (i, _) => !bcHeavy.value.contains(i) }
+      .map { case (i, w) => ((i % numSlabs).toInt, w) }
+      .reduceByKey(_ + _)
+      .collect() // ≤ numSlabs rows by construction
+    bcHeavy.destroy()
     val loads = Array.fill(numSlabs)(0L)
+    tailLoads.foreach { case (s, w) => loads(s) = w }
+    new SlabPartitioner(lpt(heavy.toSeq, loads), numSlabs)
+  }
+
+  /** Deterministic greedy LPT into pre-loaded slabs: sort by (weight
+    * desc, slice id) so ties break stably, place each on the currently
+    * lightest slab.
+    */
+  private def lpt(sliceWeights: Seq[(Long, Long)], loads: Array[Long]): Map[Long, Int] = {
+    val numSlabs = loads.length
     val assign = Map.newBuilder[Long, Int]
-    // Deterministic: sort by (weight desc, slice id) so ties break stably.
     sliceWeights.sortBy { case (i, w) => (-w, i) }.foreach { case (i, w) =>
       var best = 0
       var m = loads(0)
@@ -51,6 +90,6 @@ object SlabPartitioner {
       loads(best) += w
       assign += (i -> best)
     }
-    new SlabPartitioner(assign.result(), numSlabs)
+    assign.result()
   }
 }

@@ -96,6 +96,31 @@ class TensorSpec extends SparkSpec {
       s"unbalanced rest: ${loads.mkString(",")}")
   }
 
+  test("C13: sketched (bounded-driver) slab assignment preserves the LPT bound") {
+    // 4096 slices, far more than the sketch budget: 4 heavy outliers +
+    // a uniform weight-2 tail. Only 64 heavy slices may reach the driver.
+    val weights = (0L until 4096L).map(i => (i, if (i < 4L) 5000L else 2L))
+    val rdd = spark.sparkContext.parallelize(weights, 8)
+    val p = SlabPartitioner.balancedSketched(rdd, numSlabs = 8, maxHeavy = 64)
+    val loads = Array.fill(8)(0L)
+    weights.foreach { case (i, w) => loads(p.getPartition(i)) += w }
+    // Greedy bound, sketched form: each heavy slice lands on the slab that
+    // was lightest INCLUDING the hashed tail's preloads, so
+    // max ≤ max(tail preload imbalance, ideal) + largest heavy slice.
+    val ideal = weights.map(_._2).sum.toDouble / 8
+    val largest = weights.map(_._2).max
+    assert(loads.max <= ideal.ceil.toLong + largest,
+      s"loads=${loads.mkString(",")} ideal=$ideal")
+    // The tail alone is uniform across residues, so non-outlier slabs
+    // must be near-identical.
+    val rest = loads.sorted.dropRight(1)
+    assert(rest.max - rest.min <= largest, s"unbalanced rest: ${loads.mkString(",")}")
+    // Bounded-memory path must agree with the exact path on which slabs
+    // carry the outliers (both LPT the same heavy set).
+    assert((0L until 4L).map(p.getPartition).distinct.size == 4,
+      "heavy slices not spread across distinct slabs")
+  }
+
   test("relational MTTKRP equals the direct dense computation") {
     import graft.tensor.RelationalMTTKRP
     import spark.implicits._
