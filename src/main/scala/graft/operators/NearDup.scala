@@ -322,6 +322,84 @@ object NearDup {
     labels.select(col("label").as("rep"), col("node").as("member"))
   }
 
+  /** Connected components by alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round path for adversarially deep
+    * components, where min-label propagation's O(diameter) rounds would
+    * dominate. Same fixpoint as [[connectedComponents]] (every node
+    * labeled with its component minimum; property-checked equivalent in
+    * NearDupSpec), different per-round contraction:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its closed neighborhood — long chains halve.
+    *  - small-star: every node and its smaller neighbors re-attach to
+    *    that minimum — stars flatten.
+    *
+    * Each phase is one groupBy + one join on node id (the same shuffle
+    * class as a min-label round, no per-node neighbor list is ever
+    * collected), and the edge set provably contracts to the star forest
+    * (member → component-min) in O(log n) alternations. Convergence is
+    * detected by an order-insensitive edge-set signature (count + key
+    * sums + summed xxhash64) — one tiny aggregate per round.
+    *
+    * Returns (labels as (rep, member) for every node incl. rep→rep,
+    * rounds taken) — the round count is the observable the O(log n)
+    * claim is tested on.
+    */
+  def connectedComponentsStars(edges: DataFrame): (DataFrame, Int) = {
+    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // Order-insensitive, overflow-free under ANSI: decimal(38) key sums
+    // plus an XOR fold of per-edge hashes (edges are distinct, so XOR
+    // cannot cancel duplicates).
+    def signature(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(src, dst))")).collect()(0).toSeq
+    var e = e0
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var sig = signature(e)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      // large-star: emit (v, min(closed nbrs of u)) for v ∈ Γ(u), v > u.
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mL = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(mL, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star: edges are now oriented big→small; re-attach each node
+      // and all its smaller neighbors to the neighborhood minimum.
+      val mS = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = ls.join(mS, "src")
+        .select(explode(array(
+          struct(col("dst").as("a"), col("m").as("b")),
+          struct(col("src").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      val s2 = signature(ss)
+      done = s2 == sig
+      sig = s2
+      e = ss
+      rounds += 1
+    }
+    // e is the star forest oriented (member, rep); singleton components
+    // cannot arise here (every input node has an edge), reps label
+    // themselves via the left join fallthrough.
+    val labels = nodes.join(e, nodes("node") === e("src"), "left")
+      .select(coalesce(col("dst"), col("node")).as("rep"),
+        col("node").as("member"))
+    (labels, rounds)
+  }
+
   /** Q67 — near-dup cluster collapse: connected components over the
     * verified shingle-Jaccard ≥ 0.6 pairs (Q49's output), emitting
     * (cluster representative = min doc_id, member). The final stage of

@@ -114,6 +114,35 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star CC equals min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val n = 40
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst")
+      val viaLabels = NearDup.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (starLabels, _) = NearDup.connectedComponentsStars(df)
+      val viaStars = starLabels
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStars == viaLabels,
+        s"mismatch: onlyStars=${viaStars -- viaLabels} onlyLabels=${viaLabels -- viaStars}")
+    }
+  }
+
+  test("star CC converges in O(log n) rounds on a chain (worst case for min-label)") {
+    import spark.implicits._
+    // A 64-node path graph: diameter 63, so min-label needs ~63 rounds;
+    // the star alternation must stay logarithmic.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = NearDup.connectedComponentsStars(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 64L).map(v => (0L, v)).toSet, s"wrong labels: $got")
+    assert(rounds <= 16, s"chain took $rounds rounds — not O(log n)")
+  }
+
   test("SimHash: seeded near-dup pairs have small hamming distance") {
     val dir = sf("sf0.001")
     val seeded = seededPairs(dir)
