@@ -64,7 +64,7 @@ object NearDup {
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** The distinct (doc_id, 3-gram shingle) relation. */
-  private def shingles(c: Catalog): DataFrame =
+  private[graft] def shingles(c: Catalog): DataFrame =
     TextOps.fanOut(c.documents)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)

@@ -132,6 +132,19 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("star CC and min-label agree on Q67's own near-dup pair set") {
+    val c = Catalog(spark, sf("sf0.001"))
+    val pairs = TextOps.jaccardFromTokens(spark, NearDup.shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    val viaLabels = NearDup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (starLabels, rounds) = NearDup.connectedComponentsStars(pairs)
+    val viaStars = starLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStars == viaLabels,
+      s"mismatch: onlyStars=${viaStars -- viaLabels} onlyLabels=${viaLabels -- viaStars}")
+    assert(viaStars.nonEmpty && rounds >= 1)
+  }
+
   test("star CC converges in O(log n) rounds on a chain (worst case for min-label)") {
     import spark.implicits._
     // A 64-node path graph: diameter 63, so min-label needs ~63 rounds;
