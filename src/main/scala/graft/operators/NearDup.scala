@@ -322,6 +322,61 @@ object NearDup {
     labels.select(col("label").as("rep"), col("node").as("member"))
   }
 
+  /** Q94 — blocked fuzzy string matching (approximate join): for each
+    * probe part (p_partkey < 100), every catalog part whose name is
+    * within levenshtein distance 2, under a same-first-4-chars blocking
+    * key; emit per probe the match count and the closest partner
+    * (tiebreak: smaller distance, then smaller partkey).
+    *
+    * Scale: the blocking key turns an O(n²) all-pairs edit-distance scan
+    * into an equi-join on the prefix — the candidate set is only
+    * same-bucket pairs (the standard entity-resolution "blocking"
+    * discipline; at 100 TB one unions several complementary blocking
+    * keys — length band, phonetic key, rare-token — each an equi-join).
+    * The Spark side uses the thresholded levenshtein (early-exit banded
+    * DP, Spark 3.5+) so non-matches cost O(threshold·len) not O(len²).
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val parts = c.part.select(col("p_partkey"), col("p_name"),
+      substring(col("p_name"), 1, 4).as("blk"))
+    val probes = parts.filter(col("p_partkey") < 100)
+      .select(col("p_partkey").as("probe"), col("p_name").as("probe_name"),
+        col("blk"))
+    val cands = probes.join(parts, Seq("blk"))
+      .filter(col("p_partkey") =!= col("probe"))
+      .withColumn("dist", levenshtein(col("probe_name"), col("p_name"), 2))
+      .filter(col("dist") >= 0)
+    val w = Window.partitionBy(col("probe"))
+    cands
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(asc("dist"), asc("p_partkey"))))
+      .filter(col("rn") === 1)
+      .select(col("probe"), col("n_matches"),
+        col("dist").cast("long").as("best_dist"),
+        col("p_partkey").as("best_partner"))
+      .orderBy(asc_nulls_first("probe"))
+  }
+
+  val q94Oracle: String =
+    """SELECT probe, n_matches, CAST(dist AS BIGINT) AS best_dist,
+      |  p_partkey AS best_partner
+      |FROM (
+      |  SELECT a.p_partkey AS probe, b.p_partkey,
+      |    levenshtein(a.p_name, b.p_name) AS dist,
+      |    COUNT(*) OVER (PARTITION BY a.p_partkey) AS n_matches,
+      |    ROW_NUMBER() OVER (PARTITION BY a.p_partkey
+      |      ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey) AS rn
+      |  FROM part a JOIN part b
+      |    ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+      |   AND a.p_partkey <> b.p_partkey
+      |  WHERE a.p_partkey < 100
+      |    AND levenshtein(a.p_name, b.p_name) <= 2) t
+      |WHERE rn = 1
+      |ORDER BY probe NULLS FIRST""".stripMargin
+
   /** Connected components by alternating large-star/small-star edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the O(log n)-round path for adversarially deep
@@ -602,10 +657,11 @@ object NearDup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
-    "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _))
+    "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
+    "Q94" -> (q94 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
-    "Q84" -> q84Oracle, "Q85" -> q85Oracle)
+    "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle)
 }
