@@ -42,9 +42,32 @@ object Subqueries {
     spark.sql(q57Sql)
   }
 
+  /** Q95 — correlated LATERAL subquery (top-N-per-group as a join
+    * operator): each nation's top-2 suppliers by balance, the lateral
+    * derived table re-evaluated per outer row. Same SQL text both
+    * engines. Catalyst plans the correlated lateral as a
+    * LateralJoin → DomainJoin rewrite — a per-group limit pushed into
+    * the join, not a per-row re-execution; the window-function Q18 shape
+    * is the other spelling of the same semantics, covered separately.
+    */
+  val q95Sql: String =
+    """SELECT n.n_name, t.s_name, ROUND(t.s_acctbal, 4) AS acctbal,
+      |  CAST(t.rnk AS BIGINT) AS rnk
+      |FROM nation n, LATERAL (
+      |  SELECT s_name, s_acctbal,
+      |    ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+      |  FROM supplier WHERE s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+      |ORDER BY n_name NULLS FIRST, rnk NULLS FIRST""".stripMargin
+
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    Catalog(spark, dir).register()
+    spark.sql(q95Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q56" -> (q56 _), "Q57" -> (q57 _))
+    "Q56" -> (q56 _), "Q57" -> (q57 _), "Q95" -> (q95 _))
 
   def oracles: Map[String, String] = Map(
-    "Q56" -> q56Sql, "Q57" -> q57Sql)
+    "Q56" -> q56Sql, "Q57" -> q57Sql, "Q95" -> q95Sql)
 }

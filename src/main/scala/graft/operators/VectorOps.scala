@@ -170,6 +170,69 @@ object VectorOps {
       |FROM cosv WHERE cos >= 0.4
       |ORDER BY vec_lo NULLS FIRST, vec_hi NULLS FIRST""".stripMargin
 
+  /** Distributed PCA of an embedding column, Gram-matrix form — the
+    * exact "tall-skinny" path (n rows ≫ d dims, d driver-manageable):
+    *
+    *  1. ONE treeAggregate pass accumulates the d-vector sum and the d×d
+    *     second-moment matrix per partition (primitive arrays, upper
+    *     triangle mirrored at the end) — the data is never centered or
+    *     copied, and nothing larger than d² crosses the wire.
+    *  2. The d×d covariance eigendecomposes on the driver (breeze
+    *     eigSym — d=64 here; the method is exact for any n).
+    *  3. Projections ride the codegen'd graft_dot against the component
+    *     vectors embedded as array literals — no UDF, no shuffle.
+    *
+    * Returns (components row-major k×d, eigenvalues desc, projected df
+    * with pc_0..pc_{k-1} appended). Property-checked in VectorSpec:
+    * components orthonormal, per-component projected variance equals the
+    * eigenvalue, and the spectrum matches a local breeze reference.
+    */
+  def pca(df: DataFrame, embCol: String, k: Int): (Array[Array[Double]], Array[Double], DataFrame) = {
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val d = df.select(size(col(embCol))).first().getInt(0)
+    val (n, sums, moments) = df.select(col(embCol)).rdd
+      .map(_.getSeq[Float](0))
+      .treeAggregate((0L, new Array[Double](d), new Array[Double](d * d)))(
+        seqOp = { case ((cnt, s, m), v) =>
+          var i = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            s(i) += vi
+            var j = i
+            while (j < d) { m(i * d + j) += vi * v(j).toDouble; j += 1 }
+            i += 1
+          }
+          (cnt + 1, s, m)
+        },
+        combOp = { case ((c1, s1, m1), (c2, s2, m2)) =>
+          var i = 0
+          while (i < d) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < d * d) { m1(i) += m2(i); i += 1 }
+          (c1 + c2, s1, m1)
+        })
+    val cov = BDM.zeros[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = moments(i * d + j) / n - (sums(i) / n) * (sums(j) / n)
+        cov(i, j) = c; cov(j, i) = c
+        j += 1
+      }
+      i += 1
+    }
+    val es = eigSym(cov) // ascending eigenvalues
+    val order = (0 until d).sortBy(p => -es.eigenvalues(p)).take(k)
+    val components = order.map(p => Array.tabulate(d)(r => es.eigenvectors(r, p))).toArray
+    val eigvals = order.map(es.eigenvalues(_)).toArray
+    val projected = components.zipWithIndex.foldLeft(df) { case (acc, (comp, ci)) =>
+      acc.withColumn(s"pc_$ci",
+        dot(col(embCol), array(comp.map(lit(_)).toIndexedSeq: _*)))
+    }
+    (components, eigvals, projected)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _))
 
