@@ -40,6 +40,9 @@ object VectorOps {
   /** L2 norm with the same fold discipline. */
   def l2(x: Column): Column = sqrt(dot(x, x))
 
+  /** Unit-normalized double-array view of a float/double array column. */
+  def unitArr(x: Column): Column = transform(x, v => v.cast("double") / l2(x))
+
   /** Brute-force cosine top-k of `probes` against `vectors` (API form). */
   def cosineTopK(probes: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
     val p = probes.select(

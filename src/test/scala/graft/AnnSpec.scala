@@ -22,6 +22,35 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall@5 = $recall")
   }
 
+  test("SQ8 quantized search: bounded decode error, high recall, 1/4 the bytes") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val (mins, ranges) = Ann.sqFit(c.embeddings, "embedding")
+    assert(mins.length == 64 && ranges.forall(_ > 0))
+    val codes = Ann.sqEncode(c.embeddings, "embedding", mins, ranges)
+      .select(col("vec_id"), col("codes"))
+
+    // Reconstruction error per dimension is bounded by half a quantization
+    // step (range/255 per step, + float slack).
+    val maxErr = Ann.sqEncode(c.embeddings, "embedding", mins, ranges)
+      .select(greatest((0 until 64).map(i =>
+        abs(element_at(Ann.sqDecodeCol(col("codes"), mins, ranges), i + 1) -
+          element_at(col("embedding"), i + 1).cast("double"))): _*).as("err"))
+      .agg(max(col("err"))).collect()(0).getDouble(0)
+    val maxStep = ranges.max / 255.0
+    assert(maxErr <= maxStep * 0.501 + 1e-9, s"decode error $maxErr > step/2 $maxStep")
+
+    // Recall@5 of the quantized search vs the exact float search.
+    val probes = c.embeddings.filter(col("vec_id") < 10)
+    val exact = VectorOps.cosineTopK(probes, c.embeddings, 5)
+      .select(col("p_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.sqTopK(probes, codes, mins, ranges, 5)
+      .select(col("p_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+  }
+
   test("IVF approximate top-5 recalls most exact cosine neighbors") {
     val c = Catalog(spark, sf("sf0.01"))
     val probes = c.embeddings.filter(col("vec_id") < 10).select(col("vec_id"))
