@@ -213,13 +213,21 @@ object CPALS {
     /** MTTKRP against mode 2 (outRows over j) or 3 (outRows over k):
       * per-slab dense partial from the slab-local A rows and ONE broadcast
       * factor, tree-reduced to the driver. Never ships A.
+      *
+      * `withGramA` additionally folds the slab's AᵀA contribution into the
+      * same pass (R×R appended to the reduced buffer) — the mode-2 call
+      * uses it so gram(A) costs no extra job: 2 jobs per ALS iteration
+      * total, one fewer than the collect-based design this replaced.
       */
-    def mttkrpJK(mode: Int, other: Array[Double], outRows: Int): Array[Double] = {
+    def mttkrpJK(
+        mode: Int, other: Array[Double], outRows: Int,
+        withGramA: Boolean): (Array[Double], Option[DenseMatrix[Double]]) = {
       val bcO = sc.broadcast(other)
+      val gramLen = if (withGramA) r * r else 0
       val res = slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
         val slab = slabIt.next(); val aLoc = aIt.next()
         val o = bcO.value
-        val acc = new Array[Double](outRows * r)
+        val acc = new Array[Double](outRows * r + gramLen)
         var n = 0
         val len = slab.vs.length
         while (n < len) {
@@ -234,18 +242,8 @@ object CPALS {
           }
           n += 1
         }
-        Iterator.single(acc)
-      }.treeReduce { (x, y) =>
-        var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x
-      }
-      bcO.destroy()
-      res
-    }
-
-    /** AᵀA from the distributed A: R×R per slab, tree-aggregated. */
-    def gramA(): DenseMatrix[Double] = {
-      val flat = aRdd.treeAggregate(new Array[Double](r * r))(
-        (acc, aLoc) => {
+        if (withGramA) {
+          val base = outRows * r
           val nRows = aLoc.length / r
           var row = 0
           while (row < nRows) {
@@ -253,18 +251,26 @@ object CPALS {
             while (p < r) {
               val vp = aLoc(row * r + p)
               var q = 0
-              while (q < r) { acc(p * r + q) += vp * aLoc(row * r + q); q += 1 }
+              while (q < r) { acc(base + p * r + q) += vp * aLoc(row * r + q); q += 1 }
               p += 1
             }
             row += 1
           }
-          acc
-        },
-        (x, y) => { var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x })
-      val g = DenseMatrix.zeros[Double](r, r)
-      var p = 0
-      while (p < r) { var q = 0; while (q < r) { g(p, q) = flat(p * r + q); q += 1 }; p += 1 }
-      g
+        }
+        Iterator.single(acc)
+      }.treeReduce { (x, y) =>
+        var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x
+      }
+      bcO.destroy()
+      if (!withGramA) (res, None)
+      else {
+        val m = java.util.Arrays.copyOfRange(res, 0, outRows * r)
+        val g = DenseMatrix.zeros[Double](r, r)
+        val base = outRows * r
+        var p = 0
+        while (p < r) { var q = 0; while (q < r) { g(p, q) = res(base + p * r + q); q += 1 }; p += 1 }
+        (m, Some(g))
+      }
     }
 
     val fits = Vector.newBuilder[Double]
@@ -307,8 +313,11 @@ object CPALS {
       }.persist(StorageLevel.MEMORY_AND_DISK)
       val prevARdd = aRdd
       aRdd = newARdd
-      // --- AᵀA (also materializes newARdd).
-      val gAramA = gramA()
+
+      // --- update B from MTTKRP over (A, C); the same pass folds in AᵀA
+      // and materializes newARdd (first action over it).
+      val (mB, gAOpt) = mttkrpJK(1, cMat, nj, withGramA = true)
+      val gAramA = gAOpt.get
       if (prevARdd != null) prevARdd.unpersist(blocking = false)
       // unpersist, NOT destroy: newARdd's (cached) lineage still captures
       // these broadcasts, and task serialization validates them even when
@@ -316,13 +325,10 @@ object CPALS {
       // executor copies now; the ContextCleaner reaps the rest once the
       // iteration's aRdd is replaced.
       bcB.unpersist(); bcC.unpersist(); gaFlat.unpersist()
-
-      // --- update B from MTTKRP over (A, C).
-      val mB = mttkrpJK(1, cMat, nj)
       bMat = matmulInto(mB, nj, pinv(hadamard(gAramA, gC)))
 
       // --- update C from MTTKRP over (A, B).
-      val mC = mttkrpJK(2, bMat, nk)
+      val (mC, _) = mttkrpJK(2, bMat, nk, withGramA = false)
       cMat = matmulInto(mC, nk, pinv(hadamard(gAramA, gram(bMat, nj))))
 
       // --- fit via CP identities (no reconstruction).
