@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * north star): image/audio/video as opaque `binary` columns with typed
   * metadata, processed in per-partition batches.
   *
-  * The DECODE step is a STUB — this container ships no image/audio codecs,
-  * so [[DecodeStub]] produces a deterministic fake "decoded" buffer from
-  * the payload bytes. Everything around it is real and tested: the schema,
-  * the partition-local batch processing shape (mapPartitions — the Scala
-  * analog of mapInPandas batching: one iterator per partition, no
-  * per-row setup cost), the feature extraction, and the metadata algebra.
-  * Swapping DecodeStub for a real codec changes no plumbing.
+  * Decoding: REAL pure-JVM codecs for uncompressed formats — 24-bit BMP
+  * and PCM16 WAV ([[Codecs]], round-trip-tested) — dispatched by mime
+  * through [[Codecs.decodeAny]]. Compressed formats (JPEG/PNG/MP3) would
+  * need external libraries this container doesn't ship, so they fall
+  * back to [[DecodeStub]], a deterministic fake documented as such.
+  * Everything else is real and tested: the schema, the partition-local
+  * batch processing shape (mapPartitions — the Scala analog of
+  * mapInPandas batching: one iterator per partition, no per-row setup
+  * cost), the feature extraction, and the metadata algebra.
   *
   * Scale notes: payloads never shuffle — every transform here is
   * partition-local (mapPartitions / scalar expressions); only the small
@@ -74,17 +76,18 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction in partition-local batches: decode (stub) then a
-    * 16-bin normalized intensity histogram per media item. mapPartitions
-    * keeps one decoder instantiation per partition — the batch shape a
-    * real codec needs.
+  /** Feature extraction in partition-local batches: decode (real codec
+    * where the format allows, stub fallback — [[Codecs.decodeAny]]) then
+    * a 16-bin normalized intensity histogram per media item.
+    * mapPartitions keeps one decoder instantiation per partition — the
+    * batch shape a real codec needs.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // Per-partition (per-batch) setup happens here, once.
       rows.map { m =>
-        val decoded = DecodeStub.decode(m.payload, m.meta)
+        val decoded = Codecs.decodeAny(m.payload, m.meta)
         val hist = new Array[Double](16)
         var n = 0
         decoded.foreach(_.foreach { v =>

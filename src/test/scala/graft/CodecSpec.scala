@@ -1,0 +1,80 @@
+package graft
+
+import graft.multimodal.{Codecs, Multimodal}
+
+/** Real-codec round trips (BMP 24-bit, WAV PCM16) and the distributed
+  * decode → feature pipeline over genuine encoded payloads.
+  */
+class CodecSpec extends SparkSpec {
+
+  test("BMP24 round-trip: encode then decode recovers every pixel") {
+    val (w, h) = (5, 3)
+    val rng = new scala.util.Random(11)
+    val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+    val bytes = Codecs.encodeBmp24(w, h, rgb)
+    val (dw, dh, gray) = Codecs.decodeBmp24(bytes)
+    assert((dw, dh) == (w, h))
+    for (p <- 0 until w * h) {
+      val r = rgb(p * 3) & 0xff; val g = rgb(p * 3 + 1) & 0xff; val b = rgb(p * 3 + 2) & 0xff
+      val want = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      assert(math.abs(gray(p) - want) < 1e-12, s"pixel $p: ${gray(p)} vs $want")
+    }
+    // Odd widths exercise the 4-byte row padding.
+    assert(bytes.length == 54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h)
+  }
+
+  test("WAV PCM16 round-trip: sine wave survives within quantization error") {
+    val sr = 16000
+    val samples = Array.tabulate(800)(i => math.sin(2 * math.Pi * 440 * i / sr) * 0.8)
+    val bytes = Codecs.encodeWavPcm16(samples, sr)
+    val (dsr, decoded) = Codecs.decodeWavPcm16(bytes)
+    assert(dsr == sr && decoded.length == samples.length)
+    samples.zip(decoded).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 0.5 / 32767 + 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("malformed payloads fail loudly, not silently") {
+    intercept[IllegalArgumentException](Codecs.decodeBmp24("nope".getBytes))
+    intercept[IllegalArgumentException](Codecs.decodeWavPcm16(new Array[Byte](50)))
+    // Truncated pixel data must throw too.
+    val ok = Codecs.encodeBmp24(4, 4, new Array[Byte](48))
+    intercept[IllegalArgumentException](Codecs.decodeBmp24(ok.take(ok.length - 8)))
+  }
+
+  test("distributed decode of real BMP/WAV payloads matches local features") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 40L).map { id =>
+      if (id % 2 == 0) {
+        val (w, h) = (6, 4)
+        val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+        Multimodal.MediaRow(id, "image", Codecs.encodeBmp24(w, h, rgb),
+          Multimodal.MediaMeta(w, h, 0, 1, "image/bmp"))
+      } else {
+        val n = 200 + rng.nextInt(100)
+        val s = Array.tabulate(n)(i => math.sin(0.01 * (id + 1) * i) * 0.9)
+        Multimodal.MediaRow(id, "audio", Codecs.encodeWavPcm16(s, 16000),
+          Multimodal.MediaMeta(1, 1, 16000, n, "audio/wav"))
+      }
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val feats = Multimodal.extractFeatures(spark, ds)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 40)
+    rows.foreach { m =>
+      val decoded = Codecs.decodeAny(m.payload, m.meta)
+      val hist = new Array[Double](16)
+      var n = 0
+      decoded.foreach(_.foreach { v => hist(math.min(15, (v * 16).toInt)) += 1.0; n += 1 })
+      (0 until 16).foreach(i => hist(i) /= n)
+      val got = feats(m.media_id)
+      assert(got.dim == 16)
+      got.features.zip(hist).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"media ${m.media_id}: $a vs $b")
+      }
+      // Histograms are probability mass: non-negative, sum to 1.
+      assert(math.abs(got.features.sum - 1.0) < 1e-9)
+    }
+  }
+}
