@@ -467,15 +467,233 @@ object PipelineOps {
       |GROUP BY d.lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Q97 — mixture UP-sampling planner + deterministic materialization
+    * (the complement of Q72's downsample-only mixing): given externally
+    * supplied per-source target weights and a token budget of 2× the
+    * corpus, compute each source's repeat factor (capped at 4 epochs —
+    * the "don't repeat data too often" rule), then materialize the plan
+    * deterministically: every doc gets floor(repeat) full epochs, and the
+    * fractional tail epoch is granted by md5-bucket — same doc, same
+    * verdict, on any executor. Emits planned vs achieved mixture.
+    *
+    * Scale: the plan is a #sources-row aggregate (broadcast); the
+    * materialization is a stateless per-row expression — the up-sampled
+    * corpus is never collected, and the emitted (doc, epoch) multiplicity
+    * is `explode(sequence(1, epochs))` downstream, still shuffle-free.
+    */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents
+      .withColumn("nt",
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long"))
+      .withColumn("w", expr(
+        """CASE WHEN source IN ('src0','src1','src2','src3') THEN 3.0
+          |     WHEN source IN ('src4','src5','src6','src7') THEN 2.0
+          |     ELSE 1.0 END""".stripMargin).cast("double"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+    val perSrc = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      max(col("w")).as("w"))
+    val totals = perSrc.agg(
+      sum(col("w")).as("tot_w"), sum(col("n_tokens")).as("tot_toks"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("target_frac", col("w") / col("tot_w"))
+      .withColumn("rpt", least(
+        lit(2.0) * col("tot_toks") * col("target_frac") / col("n_tokens"),
+        lit(4.0)))
+      .withColumn("full_epochs", floor(col("rpt")))
+      .withColumn("tail_rate", col("rpt") - col("full_epochs"))
+    val emitted = docs
+      .join(broadcast(rates.select(
+        col("source"), col("full_epochs"), col("tail_rate"))), Seq("source"))
+      .withColumn("epochs", col("full_epochs") +
+        when(col("bucket") < col("tail_rate") * 10000, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("epochs")).as("emitted_docs"),
+        sum(col("nt") * col("epochs")).as("emitted_tokens"))
+    val totEmitted = emitted.agg(sum(col("emitted_tokens")).as("tot_emitted"))
+    rates
+      .join(emitted, Seq("source"))
+      .crossJoin(broadcast(totEmitted))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("target_frac"), 4).as("target_frac"),
+        round(col("rpt"), 4).as("repeat_factor"),
+        col("emitted_docs"),
+        round(col("emitted_tokens").cast("double") / col("tot_emitted"), 4)
+          .as("achieved_frac"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q97Oracle: String = {
+    val hv = NearDup.hexValueExpr("h")
+    s"""WITH docs AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+      |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 3.0
+      |         WHEN source IN ('src4','src5','src6','src7') THEN 2.0
+      |         ELSE 1.0 END AS w,
+      |    md5(text) AS h
+      |  FROM documents),
+      |bucketed AS (SELECT source, nt, w, ($hv) % 10000 AS bucket FROM docs),
+      |per_src AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    MAX(w) AS w
+      |  FROM bucketed GROUP BY source),
+      |totals AS (
+      |  SELECT SUM(w) AS tot_w, CAST(SUM(n_tokens) AS BIGINT) AS tot_toks
+      |  FROM per_src),
+      |rates AS (
+      |  SELECT p.source, p.n_docs, p.n_tokens,
+      |    p.w / t.tot_w AS target_frac,
+      |    LEAST(2.0 * t.tot_toks * (p.w / t.tot_w) / p.n_tokens, 4.0) AS rpt
+      |  FROM per_src p, totals t),
+      |rates2 AS (
+      |  SELECT *, FLOOR(rpt) AS full_epochs, rpt - FLOOR(rpt) AS tail_rate
+      |  FROM rates),
+      |emitted AS (
+      |  SELECT b.source,
+      |    CAST(SUM(r.full_epochs +
+      |      CASE WHEN b.bucket < r.tail_rate * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS emitted_docs,
+      |    CAST(SUM(b.nt * (r.full_epochs +
+      |      CASE WHEN b.bucket < r.tail_rate * 10000 THEN 1 ELSE 0 END)) AS BIGINT)
+      |      AS emitted_tokens
+      |  FROM bucketed b JOIN rates2 r ON b.source = r.source
+      |  GROUP BY b.source),
+      |tot_e AS (SELECT CAST(SUM(emitted_tokens) AS BIGINT) AS tot_emitted FROM emitted)
+      |SELECT r.source, r.n_docs, r.n_tokens,
+      |  ROUND(r.target_frac, 4) AS target_frac,
+      |  ROUND(r.rpt, 4) AS repeat_factor,
+      |  e.emitted_docs,
+      |  ROUND(CAST(e.emitted_tokens AS DOUBLE) / t.tot_emitted, 4) AS achieved_frac
+      |FROM rates2 r JOIN emitted e ON r.source = e.source, tot_e t
+      |ORDER BY r.source NULLS FIRST""".stripMargin
+  }
+
+  /** Q98 — end-to-end curation funnel: the pipeline's ops COMPOSED into
+    * one deterministic DAG — (1) composite-quality gate (Q45's score),
+    * (2) exact dedup by content hash, (3) benchmark decontamination
+    * (Q70's 5-gram rule), (4) hash-gated domain rebalance to the smallest
+    * surviving language (Q72's rule) — emitting the per-stage funnel
+    * report (docs in → docs out) a curation run publishes.
+    *
+    * Scale: stages 1–2 are map work + one content-hash shuffle; stage 3 is
+    * a broadcast semi-join (eval shingles are eval-suite-sized); stage 4 is
+    * a stateless hash gate with #languages broadcast rates. The funnel
+    * counts are four scalar aggregates; at production scale each stage's
+    * survivor set persists once instead of re-deriving (noted, not needed
+    * at gate scale).
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val train = scored(c).filter(col("source") =!= "src0")
+      .withColumn("h", md5(col("text")))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+    val s1 = train.filter(col("quality") >= 0.7)
+    val s2 = s1
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(asc("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val evalSh = shingles5(c.documents.filter(col("source") === "src0"))
+      .select(col("sh")).distinct()
+    val flagged = shingles5(s2)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // flagged is data-dependent — no broadcast hint; AQE decides (Q70 rule).
+    val s3 = s2.join(flagged, Seq("doc_id"), "left_anti")
+    val langCounts = s3.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val minN = langCounts.agg(min(col("n")).as("min_n"))
+    val gateRates = langCounts.crossJoin(broadcast(minN))
+      .select(col("lang"), (col("min_n").cast("double") / col("n")).as("rate"))
+    val s4 = s3.join(broadcast(gateRates), Seq("lang"))
+      .filter(col("bucket") < col("rate") * 10000)
+    def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n"))
+    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame =
+      cnt(in).select(lit(name).as("stage"), col("n").as("docs_in"))
+        .crossJoin(cnt(out).select(col("n").as("docs_out")))
+    stage("1_quality", train, s1)
+      .union(stage("2_dedup", s1, s2))
+      .union(stage("3_decontam", s2, s3))
+      .union(stage("4_mix", s3, s4))
+      .orderBy(asc_nulls_first("stage"))
+  }
+
+  val q98Oracle: String = {
+    val hv = NearDup.hexValueExpr("h")
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, source, text,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+      |    (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                     t -> t IN ('the', 'a', 'value'))) AS DOUBLE)
+      |           / len(string_split(text, ' '))) * 0.3 +
+      |    LEAST((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |           / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2 AS quality,
+      |    md5(text) AS h
+      |  FROM documents),
+      |train AS (
+      |  SELECT *, ($hv) % 10000 AS bucket FROM base WHERE source <> 'src0'),
+      |s1 AS (SELECT * FROM train WHERE quality >= 0.7),
+      |s2 AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |    FROM s1) WHERE rn = 1),
+      |sh AS (
+      |  SELECT doc_id, source, UNNEST(list_transform(
+      |    range(len(string_split(text, ' ')) - 4),
+      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |         string_split(text, ' ')[i + 2] || ' ' ||
+      |         string_split(text, ' ')[i + 3] || ' ' ||
+      |         string_split(text, ' ')[i + 4] || ' ' ||
+      |         string_split(text, ' ')[i + 5])) AS s
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |eval_sh AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      |s2sh AS (
+      |  SELECT doc_id, UNNEST(list_transform(
+      |    range(len(string_split(text, ' ')) - 4),
+      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |         string_split(text, ' ')[i + 2] || ' ' ||
+      |         string_split(text, ' ')[i + 3] || ' ' ||
+      |         string_split(text, ' ')[i + 4] || ' ' ||
+      |         string_split(text, ' ')[i + 5])) AS s
+      |  FROM s2 WHERE len(string_split(text, ' ')) >= 5),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM s2sh WHERE s IN (SELECT s FROM eval_sh)),
+      |s3 AS (
+      |  SELECT * FROM s2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+      |lc AS (SELECT lang, COUNT(*) AS n FROM s3 GROUP BY lang),
+      |rates AS (
+      |  SELECT lang, CAST((SELECT MIN(n) FROM lc) AS DOUBLE) / n AS rate
+      |  FROM lc),
+      |s4 AS (
+      |  SELECT s3.* FROM s3 JOIN rates r ON s3.lang = r.lang
+      |  WHERE bucket < rate * 10000)
+      |SELECT * FROM (
+      |  SELECT '1_quality' AS stage,
+      |    (SELECT COUNT(*) FROM train) AS docs_in,
+      |    (SELECT COUNT(*) FROM s1) AS docs_out
+      |  UNION ALL SELECT '2_dedup',
+      |    (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT '3_decontam',
+      |    (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+      |  UNION ALL SELECT '4_mix',
+      |    (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4))
+      |ORDER BY stage NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
     "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
-    "Q81" -> (q81 _))
+    "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
     "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
     "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
-    "Q81" -> q81Oracle)
+    "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle)
 }

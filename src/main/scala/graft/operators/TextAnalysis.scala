@@ -344,12 +344,95 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q96 — intra-document repetition signals (the Gopher/MassiveText
+    * repetition filters, token-level): fraction of tokens covered by the
+    * single most frequent bigram, and fraction of trigram positions whose
+    * trigram repeats within the document. Docs exceeding either threshold
+    * are marked 'reject' — the self-repetition gate that runs before any
+    * cross-document dedup.
+    *
+    * Scale: n-grams are built row-locally from the token array (transform
+    * + slice — no shuffle, no window), then exploded into per-(doc, gram)
+    * aggregates. Everything downstream is keyed by doc_id, so the explode
+    * branches shuffle once each on doc_id and the final joins co-locate;
+    * per-doc state is bounded by the doc's own gram vocabulary.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val base = c.documents
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+    val nTok = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val bigrams = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 2)))""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_bg"))
+    val trigrams = base.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tri"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_tri"))
+    nTok
+      .join(bigrams, Seq("doc_id"), "left")
+      .join(trigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(coalesce(col("top_bg") * 2.0 / col("n_tokens"), lit(0.0)), 4)
+          .as("top_bigram_frac"),
+        round(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)), 4)
+          .as("dup_trigram_frac"))
+      .withColumn("verdict",
+        when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3, "reject")
+          .otherwise("keep"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  val q96Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+      |bg AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(len(toks) - 1),
+      |    i -> toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |  FROM base WHERE len(toks) >= 2),
+      |top_bg AS (
+      |  SELECT doc_id, MAX(cnt) AS top_bg FROM (
+      |    SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(len(toks) - 2),
+      |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS g
+      |  FROM base WHERE len(toks) >= 3),
+      |tri AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tri,
+      |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tri
+      |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM tg GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |joined AS (
+      |  SELECT n.doc_id, n.n_tokens,
+      |    ROUND(COALESCE(b.top_bg * 2.0 / n.n_tokens, 0.0), 4) AS top_bigram_frac,
+      |    ROUND(COALESCE(CAST(t.dup_tri AS DOUBLE) / t.n_tri, 0.0), 4) AS dup_trigram_frac
+      |  FROM ntok n
+      |  LEFT JOIN top_bg b ON n.doc_id = b.doc_id
+      |  LEFT JOIN tri t ON n.doc_id = t.doc_id)
+      |SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+      |  CASE WHEN top_bigram_frac > 0.2 OR dup_trigram_frac > 0.3
+      |       THEN 'reject' ELSE 'keep' END AS verdict
+      |FROM joined
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
-    "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _))
+    "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
+    "Q96" -> (q96 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
-    "Q88" -> q88Oracle, "Q89" -> q89Oracle)
+    "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle)
 }
