@@ -351,39 +351,60 @@ object TextAnalysis {
     * are marked 'reject' — the self-repetition gate that runs before any
     * cross-document dedup.
     *
-    * Scale: n-grams are built row-locally from the token array (transform
-    * + slice — no shuffle, no window), then exploded into per-(doc, gram)
-    * aggregates. Everything downstream is keyed by doc_id, so the explode
-    * branches shuffle once each on doc_id and the final joins co-locate;
-    * per-doc state is bounded by the doc's own gram vocabulary.
+    * Scale: the statistics are PER-DOCUMENT, so nothing needs a shuffle —
+    * n-grams are built row-locally (transform + slice), sorted in-row
+    * (array_sort), and run-length-scanned with the `aggregate` higher-
+    * order function: the most frequent bigram's count is the longest run,
+    * and the duplicated-trigram mass is the total length of runs ≥ 2.
+    * The whole filter is ONE map-only codegen'd pass over the corpus
+    * (the final orderBy is gate cosmetics); the oracle recomputes the
+    * same numbers relationally in DuckDB.
     */
   def q96(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val base = c.documents
+    c.documents
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-    val nTok = base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    val bigrams = base.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 2),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 2)))""".stripMargin)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_bg"))
-    val trigrams = base.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("cnt")).as("n_tri"),
-        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_tri"))
-    nTok
-      .join(bigrams, Seq("doc_id"), "left")
-      .join(trigrams, Seq("doc_id"), "left")
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("bg", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat_ws(' ', slice(toks, i + 1, 2)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("tg", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(0, size(toks) - 3),
+          |    i -> concat_ws(' ', slice(toks, i + 1, 3)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      // Longest run in the sorted bigram array = count of the most
+      // frequent bigram. State: (prev gram, current run, best run).
+      .withColumn("top_bg", expr(
+        """aggregate(array_sort(bg),
+          |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+          |               'best', CAST(0 AS BIGINT)),
+          |  (a, g) -> named_struct(
+          |    'prev', g,
+          |    'run', IF(g = a.prev, a.run + 1, CAST(1 AS BIGINT)),
+          |    'best', GREATEST(a.best, IF(g = a.prev, a.run + 1, CAST(1 AS BIGINT)))),
+          |  a -> a.best)""".stripMargin))
+      // Total mass of runs ≥ 2 in the sorted trigram array = number of
+      // trigram positions whose trigram repeats within the doc.
+      .withColumn("dup_tri", expr(
+        """aggregate(array_sort(tg),
+          |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+          |               'dup', CAST(0 AS BIGINT)),
+          |  (a, g) -> IF(g = a.prev,
+          |    named_struct('prev', g, 'run', a.run + 1, 'dup', a.dup),
+          |    named_struct('prev', g, 'run', CAST(1 AS BIGINT),
+          |      'dup', a.dup + IF(a.run >= 2, a.run, CAST(0 AS BIGINT)))),
+          |  a -> a.dup + IF(a.run >= 2, a.run, CAST(0 AS BIGINT)))""".stripMargin))
+      .withColumn("n_tri", size(col("tg")).cast("long"))
       .select(
         col("doc_id"), col("n_tokens"),
-        round(coalesce(col("top_bg") * 2.0 / col("n_tokens"), lit(0.0)), 4)
+        round(when(col("n_tokens") > 0,
+          col("top_bg") * 2.0 / col("n_tokens")).otherwise(lit(0.0)), 4)
           .as("top_bigram_frac"),
-        round(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)), 4)
+        round(when(col("n_tri") > 0,
+          col("dup_tri").cast("double") / col("n_tri")).otherwise(lit(0.0)), 4)
           .as("dup_trigram_frac"))
       .withColumn("verdict",
         when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3, "reject")
