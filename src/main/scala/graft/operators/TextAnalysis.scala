@@ -362,7 +362,15 @@ object TextAnalysis {
     */
   def q96(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    c.documents
+    repetitionSignals(c.documents).orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** The Q96 computation as an API over any (doc_id, text) relation —
+    * emits (doc_id, n_tokens, top_bigram_frac, dup_trigram_frac, verdict).
+    * Map-only; see q96's scaladoc.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("bg", expr(
@@ -409,7 +417,6 @@ object TextAnalysis {
       .withColumn("verdict",
         when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3, "reject")
           .otherwise("keep"))
-      .orderBy(asc_nulls_first("doc_id"))
   }
 
   val q96Oracle: String =

@@ -107,6 +107,53 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Q96 repetitionSignals matches a naive in-memory model on seeded docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(96)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "a", "b", "c")
+    // Mix of repetition-prone random docs and hand-picked edge cases:
+    // empty text, whitespace runs, single token, pathological repeats.
+    val random = (1L to 60L).map { id =>
+      val n = rnd.nextInt(30)
+      val base = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val doc = if (rnd.nextBoolean() && n >= 4) {
+        val phrase = base.take(3)
+        base ++ phrase ++ phrase ++ phrase // inject a repeated phrase
+      } else base
+      (id, doc.mkString(" "))
+    }
+    val edges = Seq(
+      (101L, ""), (102L, "   "), (103L, "one"), (104L, "a a a a a"),
+      (105L, "x  y   z x  y"), (106L, "p q p q p q p q"))
+    val docs = (random ++ edges).toDF("doc_id", "text")
+
+    def model(text: String): (Long, Double, Double, String) = {
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val n = toks.length.toLong
+      val bg = if (n >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      val tg = if (n >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq else Nil
+      val topBg = if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong
+      val dupTri = tg.groupBy(identity).values
+        .collect { case g if g.size >= 2 => g.size.toLong }.sum
+      val bgFrac = if (n > 0) r4(topBg * 2.0 / n) else 0.0
+      val triFrac = if (tg.nonEmpty) r4(dupTri.toDouble / tg.size) else 0.0
+      val verdict = if (bgFrac > 0.2 || triFrac > 0.3) "reject" else "keep"
+      (n, bgFrac, triFrac, verdict)
+    }
+
+    val got = TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4)))).toMap
+    val texts = (random ++ edges).toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id '" + text + s"': got ${got(id)} want ${model(text)}")
+    }
+  }
+
   test("Q19 lag equals self-join formulation") {
     val c = Catalog(spark, sf("sf0.001"))
     val e = c.events.select(col("user_id"), col("event_id"),
