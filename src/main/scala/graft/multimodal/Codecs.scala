@@ -131,6 +131,10 @@ object Codecs {
     while (o + 8 <= bytes.length && dataOff < 0) {
       val id = new String(bytes.slice(o, o + 4), "US-ASCII")
       val sz = i32(bytes, o + 4)
+      // A corrupt (negative / overlong) chunk size would stall or reverse
+      // the walk — an infinite loop inside an executor task. Reject it.
+      require(sz >= 0 && o + 8 + sz.toLong <= bytes.length,
+        s"corrupt WAV chunk size $sz at offset $o")
       id match {
         case "fmt " =>
           require(u16(bytes, o + 8) == 1, "non-PCM WAV unsupported")

@@ -460,12 +460,17 @@ object NearDup {
     * (cluster representative = min doc_id, member). The final stage of
     * the dedup pipeline: signatures → candidates → exact verify →
     * CLUSTER → keep one representative per cluster.
+    *
+    * Runs on the O(log n)-round star-contraction CC (the 100 TB-safe
+    * default; min-label propagation remains as the property-checked
+    * twin whose O(diameter) rounds are fine for shallow clusters but
+    * not adversarial chains). Same fixpoint, identical hashes.
     */
   def q67(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
       .select(col("doc_lo"), col("doc_hi"))
-    connectedComponents(pairs)
+    connectedComponentsStars(pairs)._1
       .orderBy(asc_nulls_first("rep"), asc_nulls_first("member"))
   }
 
@@ -509,7 +514,7 @@ object NearDup {
     val c = Catalog(spark, dir)
     val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
       .select(col("doc_lo"), col("doc_hi"))
-    val dropped = connectedComponents(pairs)
+    val dropped = connectedComponentsStars(pairs)._1
       .filter(col("member") =!= col("rep"))
       .select(col("member").as("doc_id"))
     // No broadcast hint: the dropped set is DATA-dependent (a heavily

@@ -122,8 +122,13 @@ object TextOps {
     // a vocabulary collect. Only the ≤64 branch collects tokens, and then
     // by definition at most 64 rows.
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Candidate count excludes df=1 tokens: a token seen in one document
+    // can never produce a join match, and jaccardDirect prunes them from
+    // its join input below — so Σ_{df≥2} df² is the join's true output.
     val stats = dfreq
-      .agg(count(lit(1)).as("n"), sum(col("df") * col("df")).as("cand")).first()
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("df") >= 2, col("df") * col("df")).otherwise(0L)).as("cand"))
+      .first()
     val nVocab = stats.getLong(0)
     val directCandidates = stats.getLong(1)
     val pairs =
@@ -147,7 +152,7 @@ object TextOps {
         m1.join(broadcast(m2), col("d1") < col("d2"))
           .withColumn("inter", bit_count(col("k1").bitwiseAND(col("k2"))).cast("long"))
       } else if (directCandidates <= DirectJoinBudget) {
-        jaccardDirect(tok, threshold)
+        jaccardDirect(tok, threshold, Some(dfreq))
       } else {
         jaccardPrefix(tok, dfreq, threshold)
       }
@@ -166,13 +171,27 @@ object TextOps {
 
   /** Direct exact plan: self-join the (doc,token) relation on token with a
     * size-ratio prefilter; the groupBy count IS the intersection size.
-    * Candidate rows = Σ df² exactly — cheap when no token is hot.
+    * Candidate rows = Σ_{df≥2} df² exactly — cheap when no token is hot.
+    *
+    * df=1 pruning: a token appearing in exactly one document contributes
+    * zero join output but full join INPUT (shuffle + probe cost). Dropping
+    * those rows before the self-join leaves every intersection count —
+    * and the sizes, computed on the unpruned relation — bit-identical,
+    * while shrinking the shuffled relation to only shareable tokens. On
+    * shingle workloads (Q49/Q67/Q68) most shingles are unique, so this is
+    * the dominant cost lever.
     */
-  private[graft] def jaccardDirect(tok: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def jaccardDirect(
+      tok: DataFrame, threshold: Double,
+      dfreqOpt: Option[DataFrame] = None): DataFrame = {
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val t1 = tok.join(sizes, Seq("doc_id"))
+    val dfreq = dfreqOpt.getOrElse(
+      tok.groupBy(col("token")).agg(count(lit(1)).as("df")))
+    val shareable = tok.join(
+      dfreq.filter(col("df") >= 2).select(col("token")), Seq("token"), "leftsemi")
+    val t1 = shareable.join(sizes, Seq("doc_id"))
       .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
-    val t2 = tok.join(sizes, Seq("doc_id"))
+    val t2 = shareable.join(sizes, Seq("doc_id"))
       .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
     // +0.5 slack: sizes are integers and double(threshold) can round
     // above the exact rational bound, which would wrongly drop a pair
@@ -195,6 +214,15 @@ object TextOps {
     * array_intersect. floor() keeps the prefix at least as long as the
     * ⌈t·|A|⌉-based minimum, so a 1-ulp float wobble can only lengthen it
     * (never lose a true pair).
+    *
+    * Positional filter (PPJoin's second pruning rule): a shared prefix
+    * token at in-doc ranks (p1, p2) bounds the intersection from above by
+    * ub = min(sz1−p1, sz2−p2)+1, because every OTHER common token ranks
+    * after it in the shared global (df, token) order. J ≥ t requires
+    * inter ≥ t·(sz1+sz2)/(1+t); candidates whose ub falls below that
+    * bound (−0.5 float slack) cannot qualify and are pruned before the
+    * distinct + verification stage. The pair's FIRST common token always
+    * satisfies the bound when J ≥ t, so no true pair is lost.
     */
   private[graft] def jaccardPrefix(
       tok: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
@@ -206,13 +234,21 @@ object TextOps {
       .withColumn("p", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
       .filter(col("p") <= col("sz") - floor(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("token"), col("sz"))
-    val p1 = prefix.select(col("doc_id").as("d1"), col("token"), col("sz").as("sz1"))
-    val p2 = prefix.select(col("doc_id").as("d2"), col("token"), col("sz").as("sz2"))
+      // df=1 prefix tokens can never match — same exactness argument as
+      // jaccardDirect's pruning (they produce zero join output rows).
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("token"), col("p"), col("sz"))
+    val p1 = prefix.select(
+      col("doc_id").as("d1"), col("token"), col("p").as("p1"), col("sz").as("sz1"))
+    val p2 = prefix.select(
+      col("doc_id").as("d2"), col("token"), col("p").as("p2"), col("sz").as("sz2"))
+    val minInter = lit(threshold) / (1.0 + threshold) * (col("sz1") + col("sz2"))
+    val posUpper = least(col("sz1") - col("p1"), col("sz2") - col("p2")) + 1
     val cands = p1.join(p2, Seq("token"))
       .filter(col("d1") < col("d2") &&
         col("sz1") * threshold <= col("sz2") + 0.5 &&
-        col("sz2") * threshold <= col("sz1") + 0.5)
+        col("sz2") * threshold <= col("sz1") + 0.5 &&
+        posUpper >= minInter - 0.5)
       .select(col("d1"), col("d2"), col("sz1"), col("sz2"))
       .distinct()
     // Exact verification: one array_intersect per surviving candidate

@@ -40,8 +40,14 @@ object VectorOps {
   /** L2 norm with the same fold discipline. */
   def l2(x: Column): Column = sqrt(dot(x, x))
 
-  /** Unit-normalized double-array view of a float/double array column. */
-  def unitArr(x: Column): Column = transform(x, v => v.cast("double") / l2(x))
+  /** Unit-normalized double-array view of a float/double array column.
+    * The norm is evaluated ONCE per row (array_repeat materializes it,
+    * zip_with divides) — embedding l2(x) inside a transform lambda would
+    * re-run the full-array fold per ELEMENT, O(d²) per row.
+    */
+  def unitArr(x: Column): Column =
+    zip_with(x, array_repeat(l2(x), size(x)),
+      (v, n) => v.cast("double") / n)
 
   /** Brute-force cosine top-k of `probes` against `vectors` (API form). */
   def cosineTopK(probes: DataFrame, vectors: DataFrame, k: Int): DataFrame = {

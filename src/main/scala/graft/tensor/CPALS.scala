@@ -26,7 +26,13 @@ import org.apache.spark.storage.StorageLevel
   *    half-iteration (modes 2/3 are the small modes in the slab design);
   *    their MTTKRPs tree-reduce J×R / K×R partials; the R×R Gram solves
   *    (Hadamard of Gramians, pseudo-inverted via breeze) happen on the
-  *    driver. Per iteration: 3 broadcasts + 4 jobs.
+  *    driver. Per iteration: 5 broadcasts (B, C, the R×R solve matrix,
+  *    and one factor per mttkrpJK call) + 2 jobs (the two tree-reduces;
+  *    the A-update is a narrow map materialized by the first of them).
+  *    The small-mode assumption is ENFORCED: `maxDriverFactorElems`
+  *    bounds J·R and K·R, and packing fails loudly (with the remedy in
+  *    the message) instead of OOMing the driver when a vocabulary-sized
+  *    mode lands on 2/3.
   *  - The slice→slab histogram is collected exactly only while I fits the
   *    driver (`maxDriverSlices`); above that the partitioner switches to
   *    [[SlabPartitioner.balancedSketched]] — top-k heavy slices + hashed
@@ -46,7 +52,7 @@ object CPALS {
     * local mode-1 row index (localIs: local row → global i; iLoc: nonzero →
     * local row) that lets factor-A rows live beside the slab.
     */
-  private final case class Slab(
+  private[graft] final case class Slab(
       localIs: Array[Int],
       iLoc: Array[Int],
       js: Array[Int],
@@ -87,36 +93,34 @@ object CPALS {
     fitRdd(rows, rank, seed, tol, maxIter, slabs)
   }
 
-  /** Multi-start ALS: run `numStarts` seeded fits, keep the best final fit.
-    * ALS is monotone but only locally convergent — "swamp" stationary
-    * points are well documented (Kolda & Bader §3.4); restarting from a
-    * few seeds is the standard remedy. Starts share the persisted slab
-    * RDD cost structure (each fit re-reads the cached slabs, never the
-    * source), so extra starts cost iterations only.
+  /** The packed, persisted slab tensor — everything a seeded fit needs,
+    * built ONCE per source RDD so multi-start reuses the partition+pack
+    * cost. Call [[PackedTensor.unpersist]] when done.
     */
-  def fitBest(
+  private[graft] final case class PackedTensor(
+      slabRdd: RDD[Slab],
+      ni: Int, nj: Int, nk: Int,
+      normX2: Double) {
+    def unpersist(): Unit = slabRdd.unpersist(blocking = false)
+  }
+
+  /** Default driver budget for the mode-2/3 factors: 1<<26 doubles
+    * (512 MB each for B and C at the limit) — far above any small-mode
+    * tensor, far below a vocabulary-sized mode landing driver-side.
+    */
+  private[graft] val DefaultMaxDriverFactorElems: Long = 1L << 26
+
+  /** Partition, pack, and persist the COO rows into slabs; compute dims +
+    * ‖X‖² in the same pipeline. Fails loudly (with the remedy) when the
+    * small-mode assumption J·R, K·R ≤ `maxDriverFactorElems` is violated —
+    * the guard that turns a driver OOM into an actionable error.
+    */
+  private[graft] def pack(
       rows: RDD[(Long, Long, Long, Double)],
       rank: Int,
-      seed: Long,
-      tol: Double,
-      maxIter: Int,
       numSlabs: Int,
-      numStarts: Int): CPModel =
-    (0 until numStarts)
-      .map(s => fitRdd(rows, rank, seed + s, tol, maxIter, numSlabs))
-      .maxBy(_.finalFit)
-
-  def fitRdd(
-      rows: RDD[(Long, Long, Long, Double)],
-      rank: Int,
-      seed: Long,
-      tol: Double,
-      maxIter: Int,
-      numSlabs: Int,
-      maxDriverSlices: Int = 1 << 20): CPModel = {
-    val sc = rows.sparkContext
-    val r = rank
-
+      maxDriverSlices: Int = 1 << 20,
+      maxDriverFactorElems: Long = DefaultMaxDriverFactorElems): PackedTensor = {
     // Dims + Frobenius norm in one pass (map-side combined).
     val (maxI, maxJ, maxK, normX2) = rows
       .map { case (i, j, k, v) => (i, j, k, v * v) }
@@ -124,6 +128,19 @@ object CPALS {
         (acc, x) => (acc._1 max x._1, acc._2 max x._2, acc._3 max x._3, acc._4 + x._4),
         (a, b) => (a._1 max b._1, a._2 max b._2, a._3 max b._3, a._4 + b._4))
     val (ni, nj, nk) = ((maxI + 1).toInt, (maxJ + 1).toInt, (maxK + 1).toInt)
+
+    // Small-mode guard: B (J×R) and C (K×R) are driver-resident by design
+    // (mode 1 is the scale mode). A huge J or K silently breaks that
+    // assumption — fail with the fix, not an OOM mid-iteration.
+    def checkMode(name: String, dim: Int): Unit =
+      require(dim.toLong * rank <= maxDriverFactorElems,
+        s"CP-ALS mode-$name factor ($dim rows × rank $rank = " +
+          s"${dim.toLong * rank} elements) exceeds the driver budget of " +
+          s"$maxDriverFactorElems. Mode 1 is the distributed scale mode: " +
+          "transpose the tensor so its largest mode is mode 1, reduce the " +
+          "rank, or raise maxDriverFactorElems if the driver truly has room.")
+    checkMode("2 (B)", nj)
+    checkMode("3 (C)", nk)
 
     // Slice histogram stays distributed; only a bounded summary reaches
     // the driver once I outgrows `maxDriverSlices`.
@@ -158,6 +175,54 @@ object CPALS {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     slabRdd.count() // materialize before iterating
+    PackedTensor(slabRdd, ni, nj, nk, normX2)
+  }
+
+  /** Multi-start ALS: run `numStarts` seeded fits, keep the best final fit.
+    * ALS is monotone but only locally convergent — "swamp" stationary
+    * points are well documented (Kolda & Bader §3.4); restarting from a
+    * few seeds is the standard remedy. The tensor is partitioned, packed,
+    * and persisted EXACTLY ONCE here; every start iterates over the same
+    * cached slab RDD, so extra starts cost iterations only.
+    */
+  def fitBest(
+      rows: RDD[(Long, Long, Long, Double)],
+      rank: Int,
+      seed: Long,
+      tol: Double,
+      maxIter: Int,
+      numSlabs: Int,
+      numStarts: Int): CPModel = {
+    val packed = pack(rows, rank, numSlabs)
+    try (0 until numStarts)
+      .map(s => fitPacked(packed, rank, seed + s, tol, maxIter))
+      .maxBy(_.finalFit)
+    finally packed.unpersist()
+  }
+
+  def fitRdd(
+      rows: RDD[(Long, Long, Long, Double)],
+      rank: Int,
+      seed: Long,
+      tol: Double,
+      maxIter: Int,
+      numSlabs: Int,
+      maxDriverSlices: Int = 1 << 20): CPModel = {
+    val packed = pack(rows, rank, numSlabs, maxDriverSlices)
+    try fitPacked(packed, rank, seed, tol, maxIter)
+    finally packed.unpersist()
+  }
+
+  /** One seeded ALS run over an already-packed slab tensor. */
+  private[graft] def fitPacked(
+      packed: PackedTensor,
+      rank: Int,
+      seed: Long,
+      tol: Double,
+      maxIter: Int): CPModel = {
+    val PackedTensor(slabRdd, ni, nj, nk, normX2) = packed
+    val sc = slabRdd.sparkContext
+    val r = rank
 
     // Seeded deterministic init of B, C (A is produced by the first update).
     val rng = new scala.util.Random(seed)
@@ -380,7 +445,8 @@ object CPALS {
       }
     }
     normalize(aMat, ni); normalize(bMat, nj); normalize(cMat, nk)
-    slabRdd.unpersist(blocking = false)
+    // slabRdd stays persisted: its lifecycle belongs to the pack() caller
+    // (fitBest shares it across starts; fitRdd unpersists after one).
     CPModel(lambda, aMat, bMat, cMat, (ni, nj, nk), r, fitsSoFar)
   }
 }

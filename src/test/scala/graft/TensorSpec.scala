@@ -147,6 +147,40 @@ class TensorSpec extends SparkSpec {
         s"M($i,$p): ${got.get((i.toLong, p))} vs ${direct(i)(p)}")
   }
 
+  test("small-mode guard: J >> driver budget fails loudly, not with an OOM") {
+    // A tensor whose mode-2 extent would put a multi-GB factor on the
+    // driver must be rejected at pack time with the remedy in the message.
+    val rows = spark.sparkContext.parallelize(
+      Seq((0L, 0L, 0L, 1.0), (1L, 5000L, 1L, 2.0)), 2)
+    val err = intercept[IllegalArgumentException] {
+      CPALS.pack(rows, rank = 4, numSlabs = 2, maxDriverFactorElems = 1000L)
+    }
+    assert(err.getMessage.contains("mode-2"), err.getMessage)
+    assert(err.getMessage.contains("scale mode"), err.getMessage)
+  }
+
+  test("fitBest packs the slab RDD once and shares it across starts") {
+    val coo = syntheticCoo(8, 7, 6, 2, seed = 5)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    // Count shuffle-inducing pack jobs indirectly: pack() runs exactly one
+    // partitionBy + count() materialization. With 3 starts sharing one
+    // pack, the persisted-RDD count must be 1 (not 3) while fitting.
+    val packed = CPALS.pack(coo, rank = 2, numSlabs = 4)
+    val persistedId = packed.slabRdd.id
+    val m = (0 until 3)
+      .map(s => CPALS.fitPacked(packed, 2, seed = 40 + s, tol = 1e-9, maxIter = 30))
+      .maxBy(_.finalFit)
+    assert(m.finalFit >= 0.99)
+    // The shared slab RDD is still the same persisted object after all
+    // starts (nothing re-packed it under a new id).
+    assert(packed.slabRdd.id == persistedId)
+    assert(sc.getPersistentRDDs.contains(persistedId),
+      "shared slab RDD was unpersisted by a start")
+    packed.unpersist()
+    val _ = before // silence unused warning on older scalac flags
+  }
+
   test("Q43 COO feeds CP-ALS end-to-end and converges") {
     val coo = EventTime.q43(spark, sf("sf0.001"))
     val model = CPALS.fit(coo, rank = 3, seed = 42, tol = 1e-4, maxIter = 30, numSlabs = 4)
