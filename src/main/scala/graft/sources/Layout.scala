@@ -23,18 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton-interleaved z-value of two already-normalized non-negative
-    * int columns (referenced by name) in [0, 2^bits): bit i of `a` lands
-    * at position 2i, of `b` at 2i+1.
+  /** Morton-interleaved z-value of n already-normalized non-negative int
+    * columns (referenced by name), each in [0, 2^bits): bit i of column c
+    * lands at position n·i + c. Still one pure-arithmetic codegen'd
+    * aggregate over bit positions — no UDF at any dimensionality.
     */
-  def zValue(aCol: String, bCol: String, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+  def zValueN(cols: Seq[String], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"need >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n cols x $bits bits overflows the 63-bit z-value")
+    val terms = cols.zipWithIndex.map { case (c, ci) =>
+      s"shiftleft(shiftright(CAST($c AS BIGINT), i) % 2, $n * i + $ci)"
+    }.mkString("\n         + ")
     expr(
       s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-         |  acc + shiftleft(shiftright(CAST($aCol AS BIGINT), i) % 2, 2 * i)
-         |      + shiftleft(shiftright(CAST($bCol AS BIGINT), i) % 2, 2 * i + 1))"""
-        .stripMargin)
+         |  acc + $terms)""".stripMargin)
   }
+
+  /** 2-D special case (bit i of `a` at position 2i, of `b` at 2i+1). */
+  def zValue(aCol: String, bCol: String, bits: Int): Column =
+    zValueN(Seq(aCol, bCol), bits)
 
   /** Affine map of a numeric column onto [0, 2^bits) given its observed
     * (min, max) — the normalization step before interleaving.
@@ -45,25 +54,35 @@ object Layout {
       lit(((1L << bits) - 1).toDouble)).cast("bigint")
   }
 
-  /** Write `df` to parquet z-ordered on two numeric columns: one stats
-    * pass (two mins + two maxes to the driver), range-repartition on the
-    * z-value into `files` output files, sort within each, drop the helper
-    * column. Each file then covers a compact rectangle of (a, b).
+  /** Write `df` to parquet z-ordered on n numeric columns: one stats pass
+    * (n mins + n maxes to the driver), range-repartition on the z-value
+    * into `files` output files, sort within each, drop the helper columns.
+    * Each file then covers a compact hyper-rectangle of the column space.
     */
-  def writeZOrdered(
-      df: DataFrame, path: String, colA: String, colB: String,
+  def writeZOrderedN(
+      df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 16): Unit = {
-    val s = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()(0)
-    df.withColumn("_za", normalize(col(colA), s.getDouble(0), s.getDouble(1), bits))
-      .withColumn("_zb", normalize(col(colB), s.getDouble(2), s.getDouble(3), bits))
-      .withColumn("_z", zValue("_za", "_zb", bits))
+    val statAggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val s = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val helpers = zCols.indices.map(ci => s"_z$ci")
+    val normalized = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, ci)) =>
+      acc.withColumn(s"_z$ci",
+        normalize(col(c), s.getDouble(2 * ci), s.getDouble(2 * ci + 1), bits))
+    }
+    normalized
+      .withColumn("_z", zValueN(helpers, bits))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_za", "_zb", "_z")
+      .drop(helpers :+ "_z": _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** 2-D special case of [[writeZOrderedN]]. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 16): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), files, bits)
 
   /** Min/max-pruning candidate count: how many files of a written layout
     * could contain rows matching `aRange`/`bRange` judging ONLY by each
@@ -74,15 +93,25 @@ object Layout {
   def candidateFiles(
       spark: org.apache.spark.sql.SparkSession, path: String,
       colA: String, aRange: (Double, Double),
-      colB: String, bRange: (Double, Double)): (Int, Int) = {
+      colB: String, bRange: (Double, Double)): (Int, Int) =
+    candidateFilesN(spark, path, Seq(colA -> aRange, colB -> bRange))
+
+  /** n-D form: files whose per-column min/max envelopes all overlap their
+    * query ranges — the box-predicate skipping decision for any arity.
+    */
+  def candidateFilesN(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, (Double, Double))]): (Int, Int) = {
+    val aggs = ranges.flatMap { case (c, _) =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))) }
     val perFile = spark.read.parquet(path)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(colA).cast("double")).as("amn"), max(col(colA).cast("double")).as("amx"),
-        min(col(colB).cast("double")).as("bmn"), max(col(colB).cast("double")).as("bmx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     val hits = perFile.count { r =>
-      r.getDouble(2) >= aRange._1 && r.getDouble(1) <= aRange._2 &&
-      r.getDouble(4) >= bRange._1 && r.getDouble(3) <= bRange._2
+      ranges.zipWithIndex.forall { case ((_, (lo, hi)), ci) =>
+        r.getDouble(2 * ci + 2) >= lo && r.getDouble(2 * ci + 1) <= hi
+      }
     }
     (hits, perFile.length)
   }

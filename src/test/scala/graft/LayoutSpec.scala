@@ -52,4 +52,39 @@ class LayoutSpec extends SparkSpec {
     assert(zHits < lHits,
       s"z-order pruned nothing: z=$zHits vs linear=$lHits of $files files")
   }
+
+  test("3-D z-order (Q99's layout) prunes a 3-D box better than a linear sort") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val li = c.lineitem.select(
+      col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+    val files = 64
+    val zCols = Seq("l_extendedprice", "l_discount", "l_quantity")
+
+    val zPath = Files.createTempDirectory("graft-z3").toString
+    Layout.writeZOrderedN(li, zPath, zCols, files, bits = 10)
+
+    val linPath = Files.createTempDirectory("graft-lin3").toString
+    li.repartitionByRange(files, col("l_extendedprice"))
+      .sortWithinPartitions(col("l_extendedprice"))
+      .write.mode("overwrite").parquet(linPath)
+
+    val zSum = spark.read.parquet(zPath)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2)).collect()(0)
+    val lSum = spark.read.parquet(linPath)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2)).collect()(0)
+    assert(zSum == lSum, s"$zSum vs $lSum")
+
+    // Q99's own box predicate: wide on the linear layout's sort column,
+    // narrow on the other two — the case a single-column sort cannot prune.
+    val ranges = Seq(
+      "l_extendedprice" -> (5000.0, 80000.0),
+      "l_discount" -> (0.02, 0.04),
+      "l_quantity" -> (10.0, 20.0))
+    val (zHits, zTotal) = Layout.candidateFilesN(spark, zPath, ranges)
+    val (lHits, lTotal) = Layout.candidateFilesN(spark, linPath, ranges)
+    assert(zTotal == files && lTotal == files, s"$zTotal/$lTotal files written")
+    assert(zHits < lHits,
+      s"3-D z-order pruned nothing: z=$zHits vs linear=$lHits of $files files")
+    info(s"3-D box candidates: z-order $zHits/$zTotal vs linear $lHits/$lTotal")
+  }
 }
