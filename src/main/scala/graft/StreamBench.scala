@@ -15,14 +15,19 @@ import graft.streaming.StreamingOps
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StreamBench"
   *
-  * Prints one JSON line:
-  *   {"batch_sec":…,"stream_sec":…,"state_rows":…,"state_bytes":…,
-  *    "sessions":…,"batch_equal":…}
+  * Prints one JSON line with the batch reference and one stream leg PER
+  * STATE-STORE PROVIDER — the default HDFS-backed in-memory store and
+  * RocksDB (the production store for large state: state lives off-heap /
+  * on-disk, so capacity is bounded by local disk, not executor heap):
+  *   {"batch_sec":…,"providers":{"hdfs":{"stream_sec":…,"state_rows":…,
+  *    "state_bytes":…,"batch_equal":…},"rocksdb":{…}},"sessions":…}
   *
-  * The stream run is AvailableNow over a finite copy of the source, so
+  * Each stream run is AvailableNow over a finite copy of the source, so
   * stream_sec includes micro-batch planning + state-store maintenance —
   * the honest incremental-execution cost, not a like-for-like throughput
-  * race with the batch plan.
+  * race with the batch plan. RocksDB's memoryUsedBytes covers its
+  * block-cache/memtable usage, not bytes-on-disk — compare capacity
+  * ceilings, not absolute numbers, across providers.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -47,48 +52,64 @@ object StreamBench {
     batchRun() // warm-up
     val batchSec = (1 to 3).map(_ => batchRun()).sorted.apply(1)
 
-    // Native session_window run: finite replay, memory sink, state metrics
-    // from the last progress of the run.
+    // Native session_window runs: finite replay, memory sink, state
+    // metrics from the last progress — once per state-store provider.
     val src = Files.createTempDirectory("graft-streambench-src").toString
     Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(src, "events.parquet"))
-    val t0 = System.nanoTime()
-    val q = StreamingOps.q42Stream(StreamingOps.eventsStream(spark, src))
-      .writeStream
-      .format("memory")
-      .queryName("q42_streambench")
-      .outputMode("complete")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-streambench-ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(600000)
-    val streamSec = (System.nanoTime() - t0) / 1e9
-    val stateOps = q.recentProgress.flatMap(_.stateOperators).lastOption
-    val stateRows = stateOps.map(_.numRowsTotal).getOrElse(-1L)
-    val stateBytes = stateOps.map(_.memoryUsedBytes).getOrElse(-1L)
-
-    // Batch equivalence at this sf (same assertion StreamingSpec makes at
-    // sf0.001): per-user session stats from the streamed sessions.
-    val streamed = spark.table("q42_streambench")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"),
-        round(avg(col("n_events")), 4).as("avg_events"),
-        round(avg(col("dur_us") / 1000000.0), 4).as("avg_dur_s"))
-      .orderBy("user_id").collect()
     val batch = operators.EventTime.q42(spark, sfDir).orderBy("user_id").collect()
-    val equal = streamed.length == batch.length && streamed.zip(batch).forall {
-      case (s, b) =>
-        s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
-        math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6 &&
-        math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6
-    }
-    val sessions = spark.table("q42_streambench").count()
 
-    println(f"""{"batch_sec":$batchSec%.4f,"stream_sec":$streamSec%.4f,""" +
-      s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
-      s""""sessions":$sessions,"batch_equal":$equal,"sf":"$sfDir"}""")
+    def streamLeg(tag: String, providerClass: Option[String]): String = {
+      providerClass match {
+        case Some(cls) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val name = s"q42_streambench_$tag"
+      val t0 = System.nanoTime()
+      val q = StreamingOps.q42Stream(StreamingOps.eventsStream(spark, src))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-streambench-ckpt-$tag").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      val stateOps = q.recentProgress.flatMap(_.stateOperators).lastOption
+      val stateRows = stateOps.map(_.numRowsTotal).getOrElse(-1L)
+      val stateBytes = stateOps.map(_.memoryUsedBytes).getOrElse(-1L)
+
+      // Batch equivalence at this sf (same assertion StreamingSpec makes
+      // at sf0.001): per-user session stats from the streamed sessions.
+      val streamed = spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("n_events")), 4).as("avg_events"),
+          round(avg(col("dur_us") / 1000000.0), 4).as("avg_dur_s"))
+        .orderBy("user_id").collect()
+      val equal = streamed.length == batch.length && streamed.zip(batch).forall {
+        case (s, b) =>
+          s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+          math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6 &&
+          math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6
+      }
+      f""""$tag":{"stream_sec":$streamSec%.4f,"state_rows":$stateRows,""" +
+        s""""state_bytes":$stateBytes,"batch_equal":$equal}"""
+    }
+
+    val hdfsLeg = streamLeg("hdfs", None)
+    val rocksLeg = streamLeg("rocksdb", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val sessions = spark.table("q42_streambench_hdfs").count()
+
+    println(f"""{"batch_sec":$batchSec%.4f,""" +
+      s""""providers":{$hdfsLeg,$rocksLeg},""" +
+      s""""sessions":$sessions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

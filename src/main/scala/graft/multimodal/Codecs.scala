@@ -167,19 +167,71 @@ object Codecs {
     (sampleRate, mono)
   }
 
-  /** Dispatch: real decode for the formats this codebase parses natively,
-    * stub for everything needing external libraries. Returns the
-    * frames × samples shape the feature extractors consume; values are
-    * shifted to [0,1] for audio so histograms bin uniformly.
+  /** Dispatch through [[CodecRegistry]]: real decode for every registered
+    * mime (built-in BMP/WAV plus anything discovered or registered),
+    * stub for everything else. Returns the frames × samples shape the
+    * feature extractors consume; values are shifted to [0,1] for audio so
+    * histograms bin uniformly.
     */
   def decodeAny(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Array[Double]] =
-    meta.mime match {
-      case "image/bmp" =>
-        val (_, _, gray) = decodeBmp24(payload)
-        Array(gray)
-      case "audio/wav" =>
-        val (_, mono) = decodeWavPcm16(payload)
-        Array(mono.map(v => math.max(0.0, math.min(1.0, (v + 1.0) / 2.0))))
-      case _ => Multimodal.DecodeStub.decode(payload, meta)
+    CodecRegistry.lookup(meta.mime) match {
+      case Some(codec) => codec.decode(payload, meta)
+      case None        => Multimodal.DecodeStub.decode(payload, meta)
     }
+}
+
+/** A pluggable media decoder: bytes + metadata in, frames × samples out.
+  * Implementations shipped in a user jar are discovered via the standard
+  * `java.util.ServiceLoader` mechanism (a
+  * `META-INF/services/graft.multimodal.MediaCodec` entry) — so a JPEG or
+  * PNG decoder backed by a real library drops in WITHOUT touching
+  * [[Codecs.decodeAny]]; `CodecRegistry.register` is the programmatic
+  * alternative for tests and ad hoc wiring.
+  */
+trait MediaCodec extends Serializable {
+  /** Mime types this codec claims, e.g. `Seq("image/png")`. */
+  def mimes: Seq[String]
+  def decode(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Array[Double]]
+}
+
+/** Per-JVM codec registry. Executors build the same registry on first
+  * access (object init + ServiceLoader over the task classpath), so a
+  * codec shipped in the application jar is present cluster-wide with no
+  * driver→executor state to synchronize.
+  */
+object CodecRegistry {
+  private val codecs =
+    new java.util.concurrent.ConcurrentHashMap[String, MediaCodec]()
+
+  /** Built-in pure-JVM codecs. */
+  private object BmpCodec extends MediaCodec {
+    def mimes: Seq[String] = Seq("image/bmp")
+    def decode(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Array[Double]] = {
+      val (_, _, gray) = Codecs.decodeBmp24(payload)
+      Array(gray)
+    }
+  }
+  private object WavCodec extends MediaCodec {
+    def mimes: Seq[String] = Seq("audio/wav")
+    def decode(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Array[Double]] = {
+      val (_, mono) = Codecs.decodeWavPcm16(payload)
+      Array(mono.map(v => math.max(0.0, math.min(1.0, (v + 1.0) / 2.0))))
+    }
+  }
+
+  register(BmpCodec)
+  register(WavCodec)
+  // ServiceLoader discovery: later entries win over built-ins only for
+  // mimes the built-ins don't claim first-come; explicit register() after
+  // startup always wins (ConcurrentHashMap.put replaces).
+  java.util.ServiceLoader.load(classOf[MediaCodec]).forEach(c => register(c))
+
+  /** Register (or replace) the codec for each mime it claims. */
+  def register(codec: MediaCodec): Unit =
+    codec.mimes.foreach(m => codecs.put(m, codec))
+
+  def lookup(mime: String): Option[MediaCodec] = Option(codecs.get(mime))
+
+  /** Remove a mime binding (test cleanup). */
+  def deregister(mime: String): Unit = codecs.remove(mime)
 }

@@ -77,4 +77,35 @@ class CodecSpec extends SparkSpec {
       assert(math.abs(got.features.sum - 1.0) < 1e-9)
     }
   }
+
+  test("codec registry: a registered codec takes over its mime, deregister restores the stub") {
+    import graft.multimodal.{CodecRegistry, MediaCodec}
+    val meta = Multimodal.MediaMeta(2, 2, 0, 1, "image/png")
+    val payload = Array[Byte](1, 2, 3, 4)
+    // Before registration: compressed format falls back to the stub.
+    val viaStub = Codecs.decodeAny(payload, meta)
+    val stub = Multimodal.DecodeStub.decode(payload, meta)
+    assert(viaStub.length == stub.length &&
+      viaStub.zip(stub).forall { case (a, b) => a sameElements b })
+
+    // A drop-in codec (e.g. a real PNG decoder from a user jar) registers
+    // for its mime and decodeAny routes through it — decodeAny untouched.
+    object FakePng extends MediaCodec {
+      def mimes: Seq[String] = Seq("image/png")
+      def decode(p: Array[Byte], m: Multimodal.MediaMeta): Array[Array[Double]] =
+        Array(p.map(b => (b & 0xff) / 255.0 + 100.0)) // recognizable output
+    }
+    CodecRegistry.register(FakePng)
+    try {
+      val viaCodec = Codecs.decodeAny(payload, meta)
+      assert(viaCodec(0).forall(_ > 99.0), "registered codec was not used")
+    } finally CodecRegistry.deregister("image/png")
+
+    // Stub fallback restored after deregistration.
+    val again = Codecs.decodeAny(payload, meta)
+    assert(again(0).forall(_ <= 1.0))
+    // Built-ins still intact.
+    assert(CodecRegistry.lookup("image/bmp").nonEmpty &&
+      CodecRegistry.lookup("audio/wav").nonEmpty)
+  }
 }
