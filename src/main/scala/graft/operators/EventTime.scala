@@ -324,13 +324,76 @@ object EventTime {
       |GROUP BY user_id
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q100 — trailing exponentially-weighted moving average (EWMA) of each
+    * user's event values: over the 20 most recent events, weight 2^-i for
+    * the value i steps back, normalized by the weight sum (the
+    * bias-corrected trailing form of the classic smoother). Emits per-user
+    * summary stats of the smoothed series so output stays bounded.
+    *
+    * Determinism discipline: the decay is DYADIC (α = 1/2), so every
+    * weight is an exact power of two computed as `1/shiftleft(1,i)` —
+    * integer shift + exact double division, never `pow()` (libm vs JVM
+    * pow differ in the last ulp, which a hash gate would catch). Both
+    * engines build the same array in the same frame order and fold it in
+    * the same order, so the sums agree bitwise before the final round.
+    *
+    * Scale: one user-keyed window (shuffle on user_id, partition-local
+    * sort), O(20) work per row — linear, no global sort, same plan class
+    * as Q19/Q87.
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("event_id"))
+      .rowsBetween(-19, 0)
+    c.events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+        col("value"))
+      .withColumn("vals", collect_list(col("value")).over(w))
+      .withColumn("ewma", expr(
+        """aggregate(sequence(1, size(vals)), 0.0D, (acc, i) ->
+          |  acc + element_at(vals, i) /
+          |        CAST(shiftleft(1L, size(vals) - i) AS DOUBLE)) /
+          |aggregate(sequence(1, size(vals)), 0.0D, (acc, i) ->
+          |  acc + 1.0D / CAST(shiftleft(1L, size(vals) - i) AS DOUBLE))"""
+          .stripMargin))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("ewma")), 4).as("avg_ewma"),
+        round(min(col("ewma")), 4).as("min_ewma"),
+        round(max(col("ewma")), 4).as("max_ewma"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q100Oracle: String =
+    """WITH smoothed AS (
+      |  SELECT user_id,
+      |    list_sum(list_transform(range(1, len(vals) + 1),
+      |      i -> vals[i] / CAST(1 << (len(vals) - i) AS DOUBLE))) /
+      |    list_sum(list_transform(range(1, len(vals) + 1),
+      |      i -> 1.0 / CAST(1 << (len(vals) - i) AS DOUBLE))) AS ewma
+      |  FROM (
+      |    SELECT user_id,
+      |      list(value) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+      |    FROM events))
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(AVG(ewma), 4) AS avg_ewma,
+      |  ROUND(MIN(ewma), 4) AS min_ewma,
+      |  ROUND(MAX(ewma), 4) AS max_ewma
+      |FROM smoothed
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
-    "Q87" -> (q87 _))
+    "Q87" -> (q87 _), "Q100" -> (q100 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
-    "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle)
+    "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
+    "Q100" -> q100Oracle)
 }

@@ -295,7 +295,14 @@ object NearDup {
     * localCheckpoint truncates the per-round lineage exactly as the
     * CP-ALS loop does.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsMinLabel(edges)._1
+
+  /** Min-label propagation with its round count exposed — the observable
+    * NearDupSpec compares against [[connectedComponentsStars]]'s rounds
+    * (the O(log n) path must not take more rounds than O(diameter)).
+    */
+  private[graft] def connectedComponentsMinLabel(edges: DataFrame): (DataFrame, Int) = {
     // Materialize the edge list ONCE before symmetrizing: the union's two
     // branches would otherwise each recompute the (expensive) upstream
     // pair-discovery plan — exchange reuse is not guaranteed across the
@@ -307,6 +314,7 @@ object NearDup {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = sym
         .join(labels, sym("src") === labels("node"))
@@ -318,8 +326,9 @@ object NearDup {
         .localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
+      rounds += 1
     }
-    labels.select(col("label").as("rep"), col("node").as("member"))
+    (labels.select(col("label").as("rep"), col("node").as("member")), rounds)
   }
 
   /** Q94 — blocked fuzzy string matching (approximate join): for each
@@ -426,10 +435,13 @@ object NearDup {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mL = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // No distinct here: duplicate (v, m) rows are harmless to the
+      // small-star min and are collapsed by its distinct — skipping the
+      // intermediate exchange saves a shuffle stage per round.
       val ls = sym.join(mL, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
       // small-star: edges are now oriented big→small; re-attach each node
       // and all its smaller neighbors to the neighborhood minimum.
       val mS = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))

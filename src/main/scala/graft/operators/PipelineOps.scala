@@ -685,15 +685,72 @@ object PipelineOps {
       |ORDER BY stage NULLS FIRST""".stripMargin
   }
 
+  /** Q101 — weighted sampling without replacement per group (sequential
+    * Poisson / PPS sampling — Ohlsson, "Sequential Poisson Sampling",
+    * J. Official Statistics 14(2), 1998): per language, draw 5 documents
+    * with inclusion probability proportional to length (n_chars) by
+    * ranking on priority u/w, where u is an md5-derived uniform and w the
+    * weight, and keeping the k smallest. The sampling primitive behind
+    * "sample the mixture proportionally to token mass" — deterministic,
+    * reproducible, executor-order-independent.
+    *
+    * Determinism discipline: priority = u/w uses ONLY integer-derived
+    * doubles and one IEEE division (correctly rounded in every engine) —
+    * no pow/log, whose last-ulp engine differences could flip a rank.
+    *
+    * Scale: one per-row hash + one k-bounded window per group (shuffle on
+    * lang, partition-local top-k) — the same plan class as grouped top-k;
+    * no per-group state beyond the heap, no RNG coordination.
+    */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(asc("priority"), asc("doc_id"))
+    c.documents
+      .withColumn("h", md5(concat(lit("q101:"), col("doc_id").cast("string"))))
+      .withColumn("u", expr(NearDup.hexValueExpr("h")) / 4294967296.0)
+      .withColumn("priority", col("u") / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("priority") * 1e6, 4).as("prio_ppm"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("rk"))
+  }
+
+  val q101Oracle: String = {
+    val hv = NearDup.hexValueExpr("h")
+    s"""WITH hashed AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    md5('q101:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |prio AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    (($hv) / 4294967296.0) / n_chars AS priority
+      |  FROM hashed),
+      |ranked AS (
+      |  SELECT lang, doc_id, n_chars, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY priority, doc_id) AS rk
+      |  FROM prio)
+      |SELECT lang, rk, doc_id, n_chars,
+      |  ROUND(priority * 1e6, 4) AS prio_ppm
+      |FROM ranked
+      |WHERE rk <= 5
+      |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
     "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
-    "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _))
+    "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _),
+    "Q101" -> (q101 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
     "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
     "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
-    "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle)
+    "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle,
+    "Q101" -> q101Oracle)
 }

