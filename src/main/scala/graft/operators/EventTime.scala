@@ -341,13 +341,16 @@ object EventTime {
     * sort), O(20) work per row — linear, no global sort, same plan class
     * as Q19/Q87.
     */
-  def q100(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
+  /** API form of the Q100 smoother: append an `ewma` column — the
+    * dyadic-weight trailing EWMA of `value` over each user's last
+    * `window` events ordered by (us, event_id). Model-pinned in
+    * OperatorPropertiesSpec.
+    */
+  def trailingEwma(events: DataFrame, window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 62, s"window $window out of shift range")
     val w = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("event_id"))
-      .rowsBetween(-19, 0)
-    c.events
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
-        col("value"))
+      .rowsBetween(-(window - 1), 0)
+    events
       .withColumn("vals", collect_list(col("value")).over(w))
       .withColumn("ewma", expr(
         """aggregate(sequence(1, size(vals)), 0.0D, (acc, i) ->
@@ -356,6 +359,14 @@ object EventTime {
           |aggregate(sequence(1, size(vals)), 0.0D, (acc, i) ->
           |  acc + 1.0D / CAST(shiftleft(1L, size(vals) - i) AS DOUBLE))"""
           .stripMargin))
+      .drop("vals")
+  }
+
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    trailingEwma(c.events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+        col("value")))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -702,17 +702,29 @@ object PipelineOps {
     * lang, partition-local top-k) — the same plan class as grouped top-k;
     * no per-group state beyond the heap, no RNG coordination.
     */
-  def q101(spark: SparkSession, dir: String): DataFrame = {
+  /** API form of the Q101 sampler: per `groupCol`, the `k` rows with the
+    * smallest sequential-Poisson priority u/w, where u is the md5-derived
+    * uniform of (salt, idCol) and w = `weightCol`. Appends (u, priority,
+    * rk). Model-pinned in OperatorPropertiesSpec.
+    */
+  def ppsSamplePerGroup(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = Catalog(spark, dir)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(asc("priority"), asc("doc_id"))
-    c.documents
-      .withColumn("h", md5(concat(lit("q101:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(asc("priority"), asc(idCol))
+    df
+      .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("u", expr(NearDup.hexValueExpr("h")) / 4294967296.0)
-      .withColumn("priority", col("u") / col("n_chars"))
+      .withColumn("priority", col("u") / col(weightCol))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
+      .drop("h")
+  }
+
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    ppsSamplePerGroup(c.documents, "lang", "doc_id", "n_chars", 5, "q101:")
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
         round(col("priority") * 1e6, 4).as("prio_ppm"))
       .orderBy(asc_nulls_first("lang"), asc_nulls_first("rk"))

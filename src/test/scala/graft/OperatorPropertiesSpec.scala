@@ -154,6 +154,59 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Q100 trailingEwma matches a naive in-memory model on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(100)
+    val rows = for {
+      user <- 1L to 8L
+      i <- 0 until rnd.nextInt(50) + 1
+    } yield (user, user * 1000 + i, i.toLong * 7, rnd.nextDouble() * 100 - 20)
+    val df = rows.toDF("user_id", "event_id", "us", "value")
+    val got = EventTime.trailingEwma(df, window = 20)
+      .select("user_id", "event_id", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // In-memory model: same dyadic weights, same array order, same fold.
+    val byUser = rows.groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)))
+    byUser.foreach { case (_, evs) =>
+      evs.zipWithIndex.foreach { case ((u, eid, _, _), idx) =>
+        val win = evs.slice(math.max(0, idx - 19), idx + 1).map(_._4)
+        val n = win.length
+        val num = win.zipWithIndex.map { case (v, i) => v / (1L << (n - 1 - i)) }.sum
+        val den = win.indices.map(i => 1.0 / (1L << (n - 1 - i))).sum
+        val want = num / den
+        assert(math.abs(got((u, eid)) - want) < 1e-9,
+          s"user $u event $eid: got ${got((u, eid))} want $want")
+      }
+    }
+  }
+
+  test("Q101 ppsSamplePerGroup matches an in-memory md5-priority model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val rows = (1L to 300L).map(id => (id, s"g${id % 4}", rnd.nextInt(5000) + 50))
+    val docs = rows.toDF("doc_id", "grp", "w")
+    val got = PipelineOps.ppsSamplePerGroup(docs, "grp", "doc_id", "w", 7, "pin:")
+      .select("grp", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    // Model: identical md5-derived uniform (first 8 hex digits as a
+    // 32-bit unsigned over 2^32), identical priority, identical tiebreak.
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pin:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) / 4294967296.0
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (id, u(id) / w) }
+        .sortBy { case (id, p) => (p, id) }
+        .take(7).zipWithIndex
+        .map { case ((id, _), i) => (g, i + 1, id) }
+    }.toSet
+    assert(got == expected,
+      s"onlySpark=${got -- expected} onlyModel=${expected -- got}")
+  }
+
   test("Q19 lag equals self-join formulation") {
     val c = Catalog(spark, sf("sf0.001"))
     val e = c.events.select(col("user_id"), col("event_id"),
