@@ -428,6 +428,18 @@ object NearDup {
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint()
     var sig = signature(e)
+    // Size-adaptive parallelism: the verified dup-pair graph is usually a
+    // tiny fraction of the corpus, and every round below is 2 phases × a
+    // handful of stages whose TASK-LAUNCH overhead dominates when a
+    // 32-partition layout carries a few hundred edges. Re-lay the loop
+    // state out at ~1M edges/partition (capped at default parallelism):
+    // same plans, same fixpoint, task counts proportional to data.
+    val edgeCount = sig.head match { case n: Long => n; case n => n.toString.toLong }
+    val parts = math.max(1L, math.min(
+      e.sparkSession.sparkContext.defaultParallelism.toLong,
+      edgeCount / (1L << 20) + 1)).toInt
+    if (parts < e.rdd.getNumPartitions)
+      e = e.repartition(parts).localCheckpoint()
     var rounds = 0
     var done = e.isEmpty
     while (!done) {
