@@ -235,6 +235,28 @@ object StreamingOps {
       .toDF("user_id", "n_events")
   }
 
+  /** Streaming recursive EWMA per user (the incremental time-series
+    * smoother; batch family member: EventTime.trailingEwma / Q100):
+    * y ← (y + x)/2 per event, seeded with the first value — the α = 1/2
+    * recursive form whose state is ONE double per user, updated in O(1)
+    * per event via transformWithState. Rows are applied in (us, event_id)
+    * order within each micro-batch; across batches the file source
+    * replays commit order, so a time-ordered source yields the exact
+    * sequential fold (asserted batch-equal in StreamingSpec).
+    */
+  def ewmaStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").as[Long], expr("ts DIV 1000").as[Long],
+        col("event_id").as[Long], col("value").as[Double])
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "ewma")
+  }
+
   /** C11b — arbitrary stateful processing: running per-user event counter
     * via flatMapGroupsWithState (update mode; state = one Long per user).
     */
@@ -261,6 +283,38 @@ object StreamingOps {
   * a late-arriving view could still re-qualify against.
   */
 case class FunnelState(minView: Option[Long], clicks: Set[Long], purchases: Set[Long])
+
+/** StatefulProcessor for the streaming EWMA: one (seeded, y) pair of
+  * state per user; each batch's rows are sorted by (us, event_id) before
+  * the fold so intra-batch order is event-time order.
+  */
+class EwmaProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Double), (Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+
+  @transient private var ewmaState: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ewmaState = getHandle.getValueState[Double]("ewma", Encoders.scalaDouble,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Double)] = {
+    val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+    // exists(), not Option(get()): get() on an absent primitive-encoded
+    // state yields the zero value, which would silently seed the fold.
+    var y = if (ewmaState.exists()) Some(ewmaState.get()) else None
+    ordered.foreach { case (_, _, _, x) =>
+      y = Some(y.fold(x)(prev => (prev + x) / 2))
+    }
+    y.foreach(ewmaState.update)
+    y.map(v => (key, v)).iterator
+  }
+}
 
 /** StatefulProcessor for C11c: one Long ValueState per user key. */
 class RunningCountProcessor

@@ -253,6 +253,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming recursive EWMA reaches the batch sequential fold per user") {
+    val src = stageEvents()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.ewmaStream(spark,
+          StreamingOps.eventsStream(spark, src))
+        .writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // Update sink may carry one row per trigger: the LAST value per
+      // user is the final smoothed state. Single AvailableNow batch here,
+      // so it is also the only row.
+      val got = spark.table("ewma_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // Batch twin: the same (us, event_id)-ordered fold in plain Scala.
+      val want = Catalog(spark, sf("sf0.001")).events
+        .select(col("user_id"), expr("ts DIV 1000").as("us"),
+          col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (u, rows) =>
+          val ys = rows.sortBy(r => (r._2, r._3)).map(_._4)
+          u -> ys.tail.foldLeft(ys.head)((y, x) => (y + x) / 2)
+        }
+      assert(got.keySet == want.keySet,
+        s"users differ: ${got.keySet.size} vs ${want.keySet.size}")
+      want.foreach { case (u, w) =>
+        assert(math.abs(got(u) - w) < 1e-12, s"user $u: got ${got(u)} want $w")
+      }
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming parquet file sink lands batch-equal rows (exactly-once commit log)") {
     val src = stageEvents()
     val outDir = tmpDir("graft-stream-sink")
