@@ -137,8 +137,9 @@ object CPALS {
         s"CP-ALS mode-$name factor ($dim rows × rank $rank = " +
           s"${dim.toLong * rank} elements) exceeds the driver budget of " +
           s"$maxDriverFactorElems. Mode 1 is the distributed scale mode: " +
-          "transpose the tensor so its largest mode is mode 1, reduce the " +
-          "rank, or raise maxDriverFactorElems if the driver truly has room.")
+          "rotate the largest mode into it (fitLargestModeFirst), use " +
+          "RelationalALS.fit when TWO modes are huge, reduce the rank, or " +
+          "raise maxDriverFactorElems if the driver truly has room.")
     checkMode("2 (B)", nj)
     checkMode("3 (C)", nk)
 

@@ -193,6 +193,26 @@ class TensorSpec extends SparkSpec {
     val _ = before // silence unused warning on older scalac flags
   }
 
+  test("relational ALS (no driver-resident factor) recovers a rank-R tensor") {
+    import spark.implicits._
+    import graft.tensor.RelationalALS
+    // J is the big mode AND nothing may sit on the driver: the scenario
+    // the slab engine's guard rejects when two modes are huge. Recovery
+    // of an exact low-rank tensor proves the relational algebra correct.
+    val coo = syntheticCoo(6, 10, 5, 2, seed = 31)
+      .map { case (i, j, k, v) => (i, j, k, v) }.toDF("i", "j", "k", "v")
+    val m = RelationalALS.fit(coo, rank = 2, seed = 42, tol = 1e-6, maxIter = 30)
+    assert(m.finalFit >= 0.98, s"fit=${m.finalFit} after ${m.iterations} iters")
+    // Fit trajectory is monotone within tolerance, as for the slab engine.
+    m.fits.sliding(2).foreach {
+      case Vector(f1, f2) => assert(f2 >= f1 - 1e-8, s"fit decreased: $f1 -> $f2")
+      case _              =>
+    }
+    // Factors are relations, not driver arrays: right shape, right size.
+    assert(m.a.columns.toSet == Set("i", "pos", "val"))
+    assert(m.b.count() == 10 * 2 && m.c.count() == 5 * 2)
+  }
+
   test("Q43 COO feeds CP-ALS end-to-end and converges") {
     val coo = EventTime.q43(spark, sf("sf0.001"))
     val model = CPALS.fit(coo, rank = 3, seed = 42, tol = 1e-4, maxIter = 30, numSlabs = 4)
