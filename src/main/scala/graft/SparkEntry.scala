@@ -31,7 +31,10 @@ object SparkEntry {
       (NearDup.queries, NearDup.oracles),
       (Subqueries.queries, Subqueries.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
-      (Profiling.queries, Profiling.oracles)
+      (Profiling.queries, Profiling.oracles),
+      (Clustering.queries, Clustering.oracles),
+      (Graphs.queries, Graphs.oracles),
+      (Skyline.queries, Skyline.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

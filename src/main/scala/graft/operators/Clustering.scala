@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+import graft.operators.VectorOps.{dot, l2}
+
+/** Distributed k-means over an embedding column (SURVEY.md §2.13 build
+  * addendum; the ML-analytics family the reference's BASELINE.json:5-6
+  * "ML-lib / direct ML analytics" category declares — reference checkout is
+  * empty, see SURVEY.md §0.1).
+  *
+  * Lloyd's algorithm, Spark-first:
+  *  - Centroids are the SMALL side (k·d doubles) — broadcast every
+  *    iteration; the corpus is scanned once per iteration and never
+  *    shuffled for assignment.
+  *  - Assignment = argmax cosine against the broadcast centroids, computed
+  *    with the codegen'd `graft_dot` (no UDF, no posexplode of the corpus).
+  *  - The update step shuffles only (cluster, dim) cells — k·d rows of
+  *    partial sums with map-side combine, NOT the member vectors.
+  *  - Per-iteration driver state is k·d doubles (the new centroids) —
+  *    independent of corpus size; at 100 TB the same two jobs per
+  *    iteration stand, with the broadcast a few MB for k≤4096, d≤1024.
+  *
+  * Q102 gates ONE deterministic Lloyd step (seed centroids = vec_id < k,
+  * cosine assignment with ties to the lowest centroid id) so DuckDB can
+  * mirror it exactly; the iterated form [[kmeans]] is pinned against an
+  * in-memory model in ClusteringSpec.
+  */
+object Clustering {
+
+  /** One Lloyd step: assign every vector to its argmax-cosine centroid,
+    * then recompute centroids as elementwise member means.
+    *
+    * @param vectors (id, emb) rows; `centroids` (cid, cemb) must be small
+    *                enough to broadcast (k rows).
+    * @return (assignments df: id, cid, cos; newCentroids df: cid, pos, cen)
+    */
+  def lloydStep(vectors: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
+    val v = vectors.select(col("id"), col("emb"), l2(col("emb")).as("nrm"))
+    val c = centroids.select(col("cid"), col("cemb"), l2(col("cemb")).as("cnrm"))
+    // Argmax via min(struct(-cos, cid)): one shuffle keyed by vector id,
+    // k rows of state per key. Ties (equal cos) break to the lowest cid.
+    val w = Window.partitionBy(col("id")).orderBy(desc("cos"), asc("cid"))
+    val assigned = v.join(broadcast(c), lit(true))
+      .withColumn("cos", dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("cid"), col("cos"), col("emb"))
+    // Update: explode members to (cid, pos) cells — the shuffle carries
+    // k·d aggregation cells (map-side combined), not vectors.
+    val newCentroids = assigned
+      .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("val").cast("double")).as("cen"))
+    (assigned.drop("emb"), newCentroids)
+  }
+
+  /** Iterated Lloyd: `iters` steps from the deterministic seed (lowest k
+    * ids). Centroid arrays round-trip driver↔executors as broadcasts of
+    * k·d doubles; members never leave their partitions. Returns
+    * (centroids as cid→array, final assignments).
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): (Map[Long, Array[Double]], DataFrame) = {
+    val spark = vectors.sparkSession
+    val idOrd = vectors.select(col("id")).orderBy(col("id")).limit(k)
+    var cents = vectors.join(idOrd, Seq("id"))
+      .select(col("id").as("cid"), col("emb").cast("array<double>").as("cemb"))
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      // Materialize the (small) new centroids, then re-broadcast — the
+      // classic synchronous Lloyd loop; k·d doubles per iteration on the
+      // driver, nothing else.
+      val (a, nc) = lloydStep(vectors, cents)
+      assigned = a
+      val rows = nc.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cen")))).as("cells"))
+        .select(col("cid"), transform(col("cells"), _.getField("cen")).as("cemb"))
+        .collect()
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), rows.head.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      i += 1
+    }
+    val model = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    (model, assigned)
+  }
+
+  /** Q102 — one deterministic k-means (Lloyd) step on the embeddings
+    * table: seeds = vec_id < 8, cosine assignment, per-cluster member
+    * count, mean member-to-seed cosine, and the L2 norm of the recomputed
+    * centroid.
+    */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val seeds = vecs.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("emb").as("cemb"))
+    val (assigned, newCents) = lloydStep(vecs, seeds)
+    val stats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("avg_cos"))
+    val norms = newCents.groupBy(col("cid"))
+      .agg(round(sqrt(sum(col("cen") * col("cen"))), 4).as("centroid_norm"))
+    stats.join(norms, Seq("cid"))
+      .orderBy(asc_nulls_first("cid"))
+  }
+
+  val q102Oracle: String =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    UNNEST(embedding) AS val
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT v.vec_id AS id, s.vec_id AS cid,
+      |    SUM(CAST(v.val AS DOUBLE) * CAST(s.val AS DOUBLE)) AS dot
+      |  FROM flat v JOIN flat s ON v.pos = s.pos
+      |  WHERE s.vec_id < 8
+      |  GROUP BY 1, 2),
+      |cosv AS (
+      |  SELECT id, cid, dot / (nv.nrm * nc.nrm) AS cos
+      |  FROM dots
+      |  JOIN norms nv ON nv.vec_id = id
+      |  JOIN norms nc ON nc.vec_id = cid),
+      |best AS (
+      |  SELECT id, cid, cos FROM (
+      |    SELECT id, cid, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rnk
+      |    FROM cosv) WHERE rnk = 1),
+      |newc AS (
+      |  SELECT b.cid, f.pos, AVG(CAST(f.val AS DOUBLE)) AS cen
+      |  FROM best b JOIN flat f ON f.vec_id = b.id
+      |  GROUP BY 1, 2),
+      |cnorm AS (SELECT cid, SQRT(SUM(cen * cen)) AS centroid_norm FROM newc GROUP BY 1),
+      |stats AS (
+      |  SELECT cid, COUNT(*) AS n_members, AVG(cos) AS avg_cos
+      |  FROM best GROUP BY 1)
+      |SELECT s.cid AS cid, s.n_members, ROUND(s.avg_cos, 4) AS avg_cos,
+      |  ROUND(c.centroid_norm, 4) AS centroid_norm
+      |FROM stats s JOIN cnorm c ON c.cid = s.cid
+      |ORDER BY s.cid NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q102" -> (q102 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q102" -> q102Oracle)
+}

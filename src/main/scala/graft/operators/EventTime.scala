@@ -397,14 +397,67 @@ object EventTime {
       |GROUP BY user_id
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q104 — ordered conversion funnel view → click → purchase: per stage,
+    * the user count that reached it IN ORDER (each stage's earliest
+    * qualifying event must be strictly after the previous stage's), plus
+    * the mean view-to-purchase latency of completers.
+    *
+    * Scale notes: every stage is a conditional min-aggregation keyed on
+    * user_id — all three shuffles share the same key, so the exchange is
+    * reused, and each stage's input is pre-filtered to one event type
+    * (predicate reaches the scan). No window over the full history, no
+    * per-user event list materialized: state per user is one timestamp
+    * per stage. The latency average is computed over exact integer µs
+    * (partial sums stay < 2^53) and divided once at the end — bitwise
+    * order-independent across engines.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(
+      col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t3"), min(col("t1")).as("t1"))
+    s1.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(s3.agg(
+        count(lit(1)).as("n_purchase_users"),
+        round(avg(col("t3") - col("t1")) / 1000000.0, 4).as("avg_sec_to_purchase")))
+  }
+
+  val q104Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(s1.t1) AS t1
+      |       FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.us) AS t3, MIN(s2.t1) AS t1
+      |       FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_view_users,
+      |       (SELECT COUNT(*) FROM s2) AS n_click_users,
+      |       (SELECT COUNT(*) FROM s3) AS n_purchase_users,
+      |       (SELECT ROUND(AVG(t3 - t1) / 1000000.0, 4) FROM s3)
+      |         AS avg_sec_to_purchase""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
-    "Q87" -> (q87 _), "Q100" -> (q100 _))
+    "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
-    "Q100" -> q100Oracle)
+    "Q100" -> q100Oracle, "Q104" -> q104Oracle)
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Clustering, Graphs, Skyline}
+
+/** In-memory-model pins for the round-4 analytics additions: k-means
+  * (Q102 family), degree-oriented triangle counting (Q103), two-phase
+  * skyline (Q105). Each Spark result is checked against a brute-force
+  * reference computed locally on the same fixed-seed data.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // the operators are exercised without a Catalog here, so register the
+    // engine-native functions (graft_dot) the same way Catalog does
+    graft.plans.GraftExtensions.registerRuntime(spark)
+  }
+
+  private def vecDf(rows: Seq[(Long, Array[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("emb", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v.toSeq) }, 3),
+      schema)
+  }
+
+  test("kmeans matches a local Lloyd reference on fixed-seed data") {
+    val rnd = new scala.util.Random(42)
+    val d = 8
+    // three planted clusters around orthogonal-ish anchors
+    val anchors = Array.tabulate(3, d)((c, i) => if (i % 3 == c) 5f else 0f)
+    val data: Seq[(Long, Array[Float])] = (0L until 60L).map { i =>
+      val a = anchors((i % 3).toInt)
+      i -> a.map(_ + rnd.nextFloat() * 0.5f)
+    }
+    val k = 3; val iters = 3
+    val (model, assigned) = Clustering.kmeans(vecDf(data), k, iters)
+
+    // local reference: identical seed rule (lowest k ids), cosine argmax
+    // with ties to lowest cid, elementwise-mean update
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { s += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      s / math.sqrt(nx * ny)
+    }
+    val pts = data.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    var cents: Map[Long, Array[Double]] =
+      (0L until k.toLong).map(c => c -> pts(c)).toMap
+    var ref: Map[Long, Long] = Map.empty
+    for (_ <- 0 until iters) {
+      ref = pts.map { case (i, v) =>
+        i -> cents.toSeq.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+      }
+      cents = ref.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.toSeq.map(pts)
+        c -> Array.tabulate(vs.head.length)(j => vs.map(_(j)).sum / vs.size)
+      }
+    }
+    val got = assigned.select(col("id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // planted structure recovered: each cluster holds exactly the ids ≡ cid (mod 3)
+    assert(model.keySet === Set(0L, 1L, 2L))
+    model.foreach { case (c, cen) => assert(cen.length === d) }
+  }
+
+  test("degree-oriented triangle corners match brute force on a fixed random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.25
+    } yield (a.toLong, b.toLong)).toSeq
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val got = Graphs.triangleCorners(eDf)
+      .groupBy("node").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val eset = edges.toSet
+    def has(x: Long, y: Long) = eset((math.min(x, y), math.max(x, y)))
+    val refCounts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0
+    for (x <- 0 until n; y <- (x + 1) until n; z <- (y + 1) until n)
+      if (has(x, y) && has(x, z) && has(y, z)) {
+        total += 1
+        Seq(x, y, z).foreach(v => refCounts(v) += 1)
+      }
+    assert(total > 0, "fixture must contain triangles")
+    assert(got === refCounts.toMap)
+  }
+
+  test("two-phase skyline equals the brute-force dominance filter (ties and duplicates included)") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 400).map { i =>
+      (i.toLong, 1 + rnd.nextInt(40), math.rint(rnd.nextDouble() * 50) / 2.0)
+    }
+    // adversarial extras: an exact duplicate pair on the frontier and a
+    // same-price / different-size tie
+    val best = base.minBy(p => (p._3, -p._2))
+    val pts = base ++ Seq(
+      (1000L, best._2, best._3), (1001L, best._2, best._3),
+      (1002L, best._2 - 1, best._3))
+    val df = spark.createDataFrame(pts).toDF("p_partkey", "p_size", "p_retailprice")
+      .repartition(5)
+    val got = Skyline.skyline(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+
+    def dominates(q: (Long, Int, Double), p: (Long, Int, Double)): Boolean =
+      q._3 <= p._3 && q._2 >= p._2 && (q._3 < p._3 || q._2 > p._2)
+    val ref = pts.filter(p => !pts.exists(q => dominates(q, p))).toSet
+    assert(got === ref)
+    // the duplicate frontier pair must BOTH survive
+    assert(got.exists(_._1 == 1000L) === ref.exists(_._1 == 1000L))
+  }
+}
