@@ -36,7 +36,11 @@ object Bench {
     // Warm-up: JVM/codegen/parquet-footer caches.
     materialize("Q01")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Dev-only subset: `runMain graft.Bench Q102 Q103`. The driver passes
+    // no args, so its runs always time the full registry.
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted
       val median = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
@@ -44,8 +48,10 @@ object Bench {
     }
 
     // CP-ALS on the Q43 events tensor (rank 8, fixed 10 iterations).
+    // Skipped on dev subset runs — it times the tensor loop, not a query.
     val cpals =
-      try {
+      if (args.nonEmpty) """{"sec_per_iter":-1}"""
+      else try {
         val coo = operators.EventTime.q43(spark, sfDir)
         val t0 = System.nanoTime()
         val model = tensor.CPALS.fit(coo, rank = 8, seed = 42, tol = 0.0,

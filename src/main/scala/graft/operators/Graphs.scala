@@ -37,7 +37,18 @@ object Graphs {
   }
 
   /** Triangles of an undirected (a<b) edge list, degree-oriented.
-    * Returns one row per triangle corner: (node, x, y, z). */
+    * Returns one row per triangle corner: (node, x, y, z).
+    *
+    * Shape: per-node OUT-adjacency arrays (bounded ≤ O(√m) each by the
+    * orientation), then one pass over the edges intersecting the two
+    * endpoint lists — for oriented (u,v), every w ∈ adj(u) ∩ adj(v)
+    * closes the triangle exactly once (u is the rank-lowest corner, and
+    * only the (u,v) edge sees both out-edges). This replaces the wedge
+    * self-join, whose O(Σ outdeg²) intermediate must cross a shuffle;
+    * here the same work happens inside codegen'd array_intersect with
+    * only the m edge rows shuffled (or none, when the adjacency relation
+    * is small enough for AQE to broadcast — n·O(√m) entries).
+    */
   def triangleCorners(edges: DataFrame): DataFrame = {
     // Total order (deg, id): ranks every node; out-degree under this
     // orientation is ≤ O(√m) regardless of raw degree skew.
@@ -47,17 +58,16 @@ object Graphs {
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
     val oriented = withDeg.select(
-      when(struct(col("da"), col("a")) < struct(col("db"), col("b")), struct(col("a").as("u"), col("b").as("v"), col("da").as("du"), col("db").as("dv")))
-        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("db").as("du"), col("da").as("dv"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.du").as("du"), col("e.dv").as("dv"))
-    // Wedges at the low corner u: pick the out-neighbor pair (v, w) with
-    // rank(v) < rank(w); the triangle closes iff oriented edge v→w exists.
-    val e1 = oriented.select(col("u"), col("v"), col("dv"))
-    val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-    val wedges = e1.join(e2, Seq("u"))
-      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
-    wedges
-      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    oriented
+      .join(adj.select(col("u"), col("nbrs").as("u_nbrs")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("v_nbrs")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"),
         col("u"), col("v"), col("w"))
   }
