@@ -479,11 +479,43 @@ object Aggregates {
       |GROUP BY o.o_orderstatus
       |ORDER BY o.o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q110 — explicit GROUPING SETS (the general form Q15's ROLLUP and
+    * Q16's CUBE are shorthands of): the four sets ((rf,ls),(rf),(ls),())
+    * via the Spark 4 `groupingSets` DataFrame API. Same single Expand +
+    * hash-aggregate plan class as ROLLUP/CUBE — one pass, rows replicated
+    * only per requested set.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val q110Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
     "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
-    "Q75" -> (q75 _), "Q90" -> (q90 _), "Q91" -> (q91 _), "Q93" -> (q93 _))
+    "Q75" -> (q75 _), "Q90" -> (q90 _), "Q91" -> (q91 _), "Q93" -> (q93 _),
+    "Q110" -> (q110 _))
 
   def oracles: Map[String, String] = Map(
     "Q13" -> q13Oracle, "Q14" -> q14Oracle, "Q15" -> q15Oracle,
@@ -491,5 +523,5 @@ object Aggregates {
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
     "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
     "Q75" -> q75Oracle, "Q90" -> q90Oracle, "Q91" -> q91Oracle,
-    "Q93" -> q93Oracle)
+    "Q93" -> q93Oracle, "Q110" -> q110Oracle)
 }

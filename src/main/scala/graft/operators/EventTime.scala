@@ -450,14 +450,105 @@ object EventTime {
       |       (SELECT ROUND(AVG(t3 - t1) / 1000000.0, 4) FROM s3)
       |         AS avg_sec_to_purchase""".stripMargin
 
+  /** Q108 — retention cohort matrix: users grouped by their first active
+    * day (the cohort), counted on each subsequent day-offset ≤ 7 they
+    * return. Pure integer arithmetic end-to-end (epoch-µs floor-division
+    * days), so the gate is hash-exact with no rounding discipline needed.
+    *
+    * Scale notes: the (user, day) activity relation is deduped once
+    * (hash aggregate), the cohort assignment is a min-aggregation on the
+    * same user_id shuffle key the join then reuses, and the matrix
+    * aggregate's key space is bounded (days × 8 offsets) with map-side
+    * combine. No windows, no per-user history lists.
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ud = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    ud.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", col("day") - col("c_day"))
+      .filter(col("day_offset") <= 7)
+      // (user, day) is unique and each user has one cohort, so plain
+      // COUNT is already a distinct-user count — no distinct shuffle.
+      .groupBy(col("c_day").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
+  }
+
+  val q108Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |coh AS (SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1)
+      |SELECT coh.c_day AS cohort_day, ud.day - coh.c_day AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM ud JOIN coh ON coh.user_id = ud.user_id
+      |WHERE ud.day - coh.c_day <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST""".stripMargin
+
+  /** Q109 — time-series resample + gap-fill: each user's event values
+    * summed per day, re-gridded onto that user's full min..max day spine,
+    * missing days filled by last-observation-carried-forward (LOCF).
+    *
+    * Scale notes: the spine is generated per user by `sequence()` —
+    * linear in user-days, no global calendar cross join. The LOCF fill is
+    * one user-keyed window (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame) — partition-local sort, O(1) state per row. Daily
+    * sums are rounded BEFORE the fill so the carried value is the same
+    * rounded double in both engines.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"),
+        col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("day_value").isNull.cast("int").as("is_gap"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("day"))
+  }
+
+  val q109Oracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    ROUND(SUM(value), 4) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |j AS (SELECT s.user_id, s.day, d.day_value
+      |      FROM spine s LEFT JOIN daily d
+      |      ON d.user_id = s.user_id AND d.day = s.day)
+      |SELECT user_id, day,
+      |  last_value(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  CAST(day_value IS NULL AS INT) AS is_gap
+      |FROM j
+      |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
-    "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _))
+    "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
+    "Q108" -> (q108 _), "Q109" -> (q109 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
-    "Q100" -> q100Oracle, "Q104" -> q104Oracle)
+    "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
+    "Q109" -> q109Oracle)
 }

@@ -106,9 +106,151 @@ object Graphs {
       |ORDER BY n_triangles DESC, p_partkey
       |LIMIT 20""".stripMargin
 
+  /** Directed both-ways edge view of the undirected co-order graph with
+    * each source's degree attached — the join input PageRank iterates on.
+    */
+  private def degreeEdges(edges: DataFrame): DataFrame = {
+    val de = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    de.join(deg, Seq("src"))
+  }
+
+  /** PageRank on an undirected edge list: `iters` synchronous power
+    * iterations of r(v) = 0.15 + 0.85·Σ r(u)/deg(u) from r₀ = 1.
+    *
+    * Scale notes: each iteration is ONE join + ONE groupBy, both keyed on
+    * node ids — the same exchange key every round, so at scale the edge
+    * relation is hash-partitioned once and every iteration reuses the
+    * layout (co-partitioned join, map-side-combined sum). Rank state
+    * lives in the cluster (a node-keyed relation), never on the driver;
+    * undirected graphs have no dangling-mass term to redistribute. The
+    * O(diameter)-vs-O(log n) concern of the CC family does not apply —
+    * PageRank's round count is a fixed hyperparameter.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // Materialize the iteration-invariant edge relation ONCE: without
+    // this, every iteration's join re-executes the upstream edge build
+    // (for Q106, the lineitem self-join + distinct) inside one plan —
+    // iters+1 redundant scans. localCheckpoint also truncates lineage,
+    // the same loop-state discipline as the CC family (NearDup.scala).
+    val e = degreeEdges(edges).localCheckpoint()
+    var pr = e.select(col("src")).distinct().withColumn("pr", lit(1.0))
+    var i = 0
+    while (i < iters) {
+      pr = e.join(pr, Seq("src"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
+        .select(col("dst").as("src"), col("pr"))
+      i += 1
+    }
+    pr.select(col("src").as("node"), col("pr"))
+  }
+
+  /** Q106 — 3-iteration PageRank over the co-order part graph: the most
+    * central "bought-with" parts. Ordered by the ROUNDED rank (then key)
+    * so the top-25 cut is stable across engines' summation orders.
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    pageRank(coOrderEdges(c.lineitem), 3)
+      .select(col("node").as("p_partkey"), round(col("pr"), 4).as("pagerank"))
+      .orderBy(desc("pagerank"), asc_nulls_first("p_partkey"))
+      .limit(25)
+  }
+
+  val q106Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |  WHERE l1.l_partkey < l2.l_partkey),
+      |de AS (SELECT a AS src, b AS dst FROM e
+      |       UNION ALL SELECT b AS src, a AS dst FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1),
+      |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+      |r1 AS (SELECT de.dst AS node,
+      |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+      |           SUM(r0.pr / deg.deg) AS pr
+      |       FROM de JOIN r0 ON r0.node = de.src
+      |       JOIN deg ON deg.src = de.src GROUP BY 1),
+      |r2 AS (SELECT de.dst AS node,
+      |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+      |           SUM(r1.pr / deg.deg) AS pr
+      |       FROM de JOIN r1 ON r1.node = de.src
+      |       JOIN deg ON deg.src = de.src GROUP BY 1),
+      |r3 AS (SELECT de.dst AS node,
+      |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+      |           SUM(r2.pr / deg.deg) AS pr
+      |       FROM de JOIN r2 ON r2.node = de.src
+      |       JOIN deg ON deg.src = de.src GROUP BY 1)
+      |SELECT node AS p_partkey, ROUND(pr, 4) AS pagerank
+      |FROM r3
+      |ORDER BY pagerank DESC, p_partkey
+      |LIMIT 25""".stripMargin
+
+  /** Q107 — association rules (market-basket) over co-ordered parts:
+    * per unordered pair with ≥2 co-occurrences, both directional
+    * confidences and the (symmetric) lift, top-20 by lift.
+    *
+    * Determinism: every measure is ONE IEEE division (or multiply) of
+    * exact integer counts — no floating-point summation anywhere, so the
+    * doubles are bit-identical across engines and even the pre-round sort
+    * key is safe.
+    *
+    * Scale notes: item counts and pair counts are two hash aggregations
+    * of the distinct (order, part) relation; the pair self-join is
+    * order-keyed like Q103's edge build. The ≥2-support filter is applied
+    * on the aggregated pair counts — the classic support-pruning step
+    * that keeps rule generation linear in surviving pairs.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val op = c.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // scalar total as a 1-row broadcast, not a driver-side count() action
+    val nOrders = op.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
+    val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = op.select(col("ok"), col("pk").as("a"))
+      .join(op.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(item.select(col("pk").as("a"), col("cnt").as("ca")), Seq("a"))
+      .join(item.select(col("pk").as("b"), col("cnt").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("a"), col("b"), col("n_both"),
+        round(col("n_both") / col("ca"), 4).as("conf_ab"),
+        round(col("n_both") / col("cb"), 4).as("conf_ba"),
+        round(col("n_both") * col("n_orders") / (col("ca") * col("cb")), 4).as("lift"))
+      .orderBy(desc("lift"), asc_nulls_first("a"), asc_nulls_first("b"))
+      .limit(20)
+  }
+
+  val q107Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+      |item AS (SELECT pk, COUNT(*) AS cnt FROM op GROUP BY 1),
+      |pairs AS (
+      |  SELECT o1.pk AS a, o2.pk AS b, COUNT(*) AS n_both
+      |  FROM op o1 JOIN op o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT p.a, p.b, p.n_both,
+      |  ROUND(CAST(p.n_both AS DOUBLE) / ia.cnt, 4) AS conf_ab,
+      |  ROUND(CAST(p.n_both AS DOUBLE) / ib.cnt, 4) AS conf_ba,
+      |  ROUND(CAST(p.n_both AS DOUBLE) * n.n_orders / (ia.cnt * ib.cnt), 4) AS lift
+      |FROM pairs p
+      |JOIN item ia ON ia.pk = p.a
+      |JOIN item ib ON ib.pk = p.b
+      |CROSS JOIN n
+      |ORDER BY lift DESC, a NULLS FIRST, b NULLS FIRST
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q103" -> (q103 _))
+    "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _))
 
   def oracles: Map[String, String] = Map(
-    "Q103" -> q103Oracle)
+    "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle)
 }

@@ -175,11 +175,54 @@ object Windows {
       |WHERE day_num % 30 = 0
       |ORDER BY day_num NULLS FIRST""".stripMargin
 
+  /** Q111 — frame-navigation window family (first_value / last_value /
+    * nth_value) over a centered ±2-row frame per user, summarized per
+    * user: mean frame span (last−first) and mean 2nd frame value. The
+    * frame order key (us, event_id) is unique, so frame contents — and
+    * therefore every navigation value — are deterministic. One user-keyed
+    * window pass + one hash aggregate, same plan class as Q19/Q20.
+    */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+      .rowsBetween(-2, 2)
+    c.events
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("us"), col("value"))
+      .withColumn("fv", first(col("value")).over(w))
+      .withColumn("lv", last(col("value")).over(w))
+      .withColumn("n2", nth_value(col("value"), 2).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("lv") - col("fv")), 4).as("avg_span"),
+        round(avg(col("n2")), 4).as("avg_nth2"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q111Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    first_value(value) OVER w AS fv,
+      |    last_value(value) OVER w AS lv,
+      |    nth_value(value, 2) OVER w AS n2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(AVG(lv - fv), 4) AS avg_span,
+      |  ROUND(AVG(n2), 4) AS avg_nth2
+      |FROM f
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q18" -> (q18 _), "Q19" -> (q19 _), "Q20" -> (q20 _), "Q21" -> (q21 _),
-    "Q60" -> (q60 _))
+    "Q60" -> (q60 _), "Q111" -> (q111 _))
 
   def oracles: Map[String, String] = Map(
     "Q18" -> q18Oracle, "Q19" -> q19Oracle, "Q20" -> q20Oracle,
-    "Q21" -> q21Oracle, "Q60" -> q60Oracle)
+    "Q21" -> q21Oracle, "Q60" -> q60Oracle, "Q111" -> q111Oracle)
 }

@@ -92,6 +92,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === refCounts.toMap)
   }
 
+  test("pageRank matches a local power-iteration reference") {
+    val rnd = new scala.util.Random(19)
+    val n = 25
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.2
+    } yield (a.toLong, b.toLong)).toSeq
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val got = Graphs.pageRank(eDf, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toDouble).toMap
+    var pr: Map[Long, Double] = nbrs.keys.map(_ -> 1.0).toMap
+    for (_ <- 0 until 3)
+      pr = nbrs.keys.map { v =>
+        v -> (0.15 + 0.85 * nbrs(v).map(u => pr(u) / deg(u)).sum)
+      }.toMap
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - pr(v)) < 1e-9, s"node $v") }
+  }
+
   test("two-phase skyline equals the brute-force dominance filter (ties and duplicates included)") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 400).map { i =>
