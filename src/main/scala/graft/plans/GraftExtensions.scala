@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HeavyHitters, KmvDistinct, TopK}
+import graft.functions.{HeavyHitters, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rhFunction)
     ext.injectFunction(GraftExtensions.topkFunction)
     ext.injectFunction(GraftExtensions.bloomFunction)
+    GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -126,6 +127,44 @@ object GraftExtensions {
   val bloomFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_bloom_might_contain"), bloomInfo, bloomBuilder _)
 
+  private def intLit(children: Seq[Expression], fn: String): Int =
+    children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn(col, k): k must be an integer literal, got $other")
+    }
+
+  /** The KMV sketch-column algebra (KmvSetOps.scala): build / merge
+    * aggregates plus estimate / union / intersect / jaccard scalars.
+    */
+  val kmvAlgebra: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, null, "graft_kmv_sketch",
+        "graft_kmv_sketch(col, k) - KMV sketch of the column's distinct values as binary.", ""),
+      (c: Seq[Expression]) =>
+        KmvSketchAgg(c.head, intLit(c, "graft_kmv_sketch")).toAggregateExpression()),
+    (FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, null, "graft_kmv_merge",
+        "graft_kmv_merge(sketch, k) - union of already-built KMV sketches as binary.", ""),
+      (c: Seq[Expression]) =>
+        KmvMergeAgg(c.head, intLit(c, "graft_kmv_merge")).toAggregateExpression()),
+    (FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, null, "graft_kmv_estimate",
+        "graft_kmv_estimate(sketch) - distinct-count estimate of a KMV sketch.", ""),
+      (c: Seq[Expression]) => KmvEstimate(c.head)),
+    (FunctionIdentifier("graft_kmv_union"),
+      new ExpressionInfo(classOf[KmvUnionEstimate].getName, null, "graft_kmv_union",
+        "graft_kmv_union(a, b) - estimated |A ∪ B| from two KMV sketches.", ""),
+      (c: Seq[Expression]) => KmvUnionEstimate(c(0), c(1))),
+    (FunctionIdentifier("graft_kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersectEstimate].getName, null, "graft_kmv_intersect",
+        "graft_kmv_intersect(a, b) - estimated |A ∩ B| from two KMV sketches.", ""),
+      (c: Seq[Expression]) => KmvIntersectEstimate(c(0), c(1))),
+    (FunctionIdentifier("graft_kmv_jaccard"),
+      new ExpressionInfo(classOf[KmvJaccardEstimate].getName, null, "graft_kmv_jaccard",
+        "graft_kmv_jaccard(a, b) - estimated Jaccard similarity from two KMV sketches.", ""),
+      (c: Seq[Expression]) => KmvJaccardEstimate(c(0), c(1))))
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -140,6 +179,10 @@ object GraftExtensions {
       "graft_topk", topkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "built-in")
+    kmvAlgebra.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -49,6 +49,59 @@ class KmvDistinctSpec extends SparkSpec {
     }
   }
 
+  test("sketch-column algebra: union/intersect/jaccard estimates track exact set ops") {
+    val c = Catalog(spark, sf("sf0.01"))
+    c.register()
+    // One sketch column per event type over user ids, then pairwise set
+    // estimates WITHOUT re-touching the events table — the sketch-column
+    // pattern under test.
+    val sketches = spark.sql(
+      """SELECT event_type, graft_kmv_sketch(user_id, 256) AS sk
+        |FROM events GROUP BY event_type""".stripMargin)
+    sketches.createOrReplaceTempView("sketches")
+    val est = spark.sql(
+      """SELECT a.event_type AS ta, b.event_type AS tb,
+        |  graft_kmv_union(a.sk, b.sk) AS u,
+        |  graft_kmv_intersect(a.sk, b.sk) AS i,
+        |  graft_kmv_jaccard(a.sk, b.sk) AS j
+        |FROM sketches a JOIN sketches b ON a.event_type < b.event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val users = spark.sql("SELECT DISTINCT event_type, user_id FROM events")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    est.foreach { case ((ta, tb), (u, i, j)) =>
+      val eu = (users(ta) | users(tb)).size
+      val ei = (users(ta) & users(tb)).size
+      val ej = ei.toDouble / eu
+      assert(math.abs(u - eu).toDouble / eu <= 0.2, s"union $ta/$tb: $u vs $eu")
+      assert(math.abs(i - ei).toDouble / math.max(ei, 1) <= 0.3, s"intersect $ta/$tb: $i vs $ei")
+      assert(math.abs(j - ej) <= 0.15, s"jaccard $ta/$tb: $j vs $ej")
+    }
+  }
+
+  test("sketch rollup: per-day sketches merged == direct sketch, byte-identical") {
+    val c = Catalog(spark, sf("sf0.01"))
+    c.register()
+    val direct = spark.sql(
+      """SELECT event_type, graft_kmv_sketch(user_id, 128) AS sk
+        |FROM events GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rolled = spark.sql(
+      """SELECT event_type, graft_kmv_merge(sk, 128) AS sk FROM (
+        |  SELECT event_type, ts DIV 1000 DIV 86400000000 AS day,
+        |    graft_kmv_sketch(user_id, 128) AS sk
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(direct.keySet == rolled.keySet)
+    direct.foreach { case (t, bytes) =>
+      assert(java.util.Arrays.equals(bytes, rolled(t)),
+        s"$t: rollup changed the sketch — merge is not associativity-safe")
+      assert(KmvSketch.fromBytes(bytes).estimate ==
+        KmvSketch.fromBytes(rolled(t)).estimate)
+    }
+  }
+
   test("sketch merge is commutative and idempotent on the same set") {
     def sk(xs: Seq[Long], k: Int): KmvSketch = {
       val s = new KmvSketch(k); xs.foreach(s.add); s

@@ -23,6 +23,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("C15: approx_percentile within 1% rank error of the exact percentiles") {
+    // The mergeable-quantile capability (GK summaries under the hood):
+    // bounded state per group at any scale, vs Q54's exact rank-and-pick.
+    // Rank error, not value error — the correct metric for quantile
+    // sketches (value error is unbounded on skewed data).
+    val c = Catalog(spark, sf("sf0.01"))
+    val eps = 0.01
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val approx = c.lineitem
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(qs.map(lit(_)): _*), lit((1 / eps).toInt)).as("p"))
+      .collect()(0).getSeq[Double](0)
+    val sorted = c.lineitem.select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    qs.zip(approx).foreach { case (q, v) =>
+      // rank of the returned value must be within eps·n of q·n
+      val rank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) <= eps + 1.0 / n, s"q=$q v=$v rank=$rank")
+    }
+  }
+
   test("C08: seeded sample is deterministic, a subset, and binomially sized") {
     val c = Catalog(spark, sf("sf0.01"))
     val li = c.lineitem.select("l_orderkey", "l_linenumber")
