@@ -397,101 +397,137 @@ object EventTime {
       |GROUP BY user_id
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
-  /** Q104 — ordered conversion funnel view → click → purchase: per stage,
-    * the user count that reached it IN ORDER (each stage's earliest
-    * qualifying event must be strictly after the previous stage's), plus
-    * the mean view-to-purchase latency of completers.
+  /** Q104 — RFM customer segmentation: per user, Recency (last event
+    * time), Frequency (event count), Monetary (value sum, rounded before
+    * ranking so cross-engine summation order cannot move a bucket edge);
+    * each dimension quintiled (ntile 5 over a UNIQUE order key), then
+    * segment-level user counts and mean monetary.
     *
-    * Scale notes: every stage is a conditional min-aggregation keyed on
-    * user_id — all three shuffles share the same key, so the exchange is
-    * reused, and each stage's input is pre-filtered to one event type
-    * (predicate reaches the scan). No window over the full history, no
-    * per-user event list materialized: state per user is one timestamp
-    * per stage. The latency average is computed over exact integer µs
-    * (partial sums stay < 2^53) and divided once at the end — bitwise
-    * order-independent across engines.
+    * NOT the funnel (that's Q63) — this is the orthogonal segmentation
+    * operator: no event ordering, three rank-bucketed dimensions.
+    *
+    * Scale notes: the gated form uses exact ntile — three global sorts —
+    * as the reproducible twin (the same role Q35's exact verifier plays
+    * for LSH). At 100 TB the quintile BOUNDARIES come from a mergeable
+    * quantile sketch (the C15 capability) and assignment becomes a
+    * map-side broadcast compare; the per-user aggregate underneath is
+    * the same single user-keyed pass either way.
     */
   def q104(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val ev = c.events.select(
-      col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id"))
-      .filter(col("us") > col("t1"))
-      .groupBy(col("user_id"))
-      .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, Seq("user_id"))
-      .filter(col("us") > col("t2"))
-      .groupBy(col("user_id"))
-      .agg(min(col("us")).as("t3"), min(col("t1")).as("t1"))
-    s1.agg(count(lit(1)).as("n_view_users"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_click_users")))
-      .crossJoin(s3.agg(
-        count(lit(1)).as("n_purchase_users"),
-        round(avg(col("t3") - col("t1")) / 1000000.0, 4).as("avg_sec_to_purchase")))
+    val per = c.events.groupBy(col("user_id")).agg(
+      max(expr("ts DIV 1000")).as("last_us"),
+      count(lit(1)).as("freq"),
+      round(sum(col("value")), 4).as("monetary"))
+    val r = ntile(5).over(Window.orderBy(desc("last_us"), asc("user_id")))
+    val f = ntile(5).over(Window.orderBy(desc("freq"), asc("user_id")))
+    val m = ntile(5).over(Window.orderBy(desc("monetary"), asc("user_id")))
+    per
+      .withColumn("r_score", r).withColumn("f_score", f).withColumn("m_score", m)
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("monetary")), 4).as("avg_monetary"))
+      .orderBy(asc_nulls_first("r_score"), asc_nulls_first("f_score"),
+        asc_nulls_first("m_score"))
   }
 
   val q104Oracle: String =
-    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
-      |       WHERE event_type = 'view' GROUP BY 1),
-      |s2 AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(s1.t1) AS t1
-      |       FROM ev e JOIN s1 ON s1.user_id = e.user_id
-      |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
-      |s3 AS (SELECT e.user_id, MIN(e.us) AS t3, MIN(s2.t1) AS t1
-      |       FROM ev e JOIN s2 ON s2.user_id = e.user_id
-      |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
-      |SELECT (SELECT COUNT(*) FROM s1) AS n_view_users,
-      |       (SELECT COUNT(*) FROM s2) AS n_click_users,
-      |       (SELECT COUNT(*) FROM s3) AS n_purchase_users,
-      |       (SELECT ROUND(AVG(t3 - t1) / 1000000.0, 4) FROM s3)
-      |         AS avg_sec_to_purchase""".stripMargin
+    """WITH per AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+      |    ROUND(SUM(value), 4) AS monetary
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT
+      |    NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score,
+      |    monetary
+      |  FROM per)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+      |  ROUND(AVG(monetary), 4) AS avg_monetary
+      |FROM scored
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_score NULLS FIRST, f_score NULLS FIRST,
+      |  m_score NULLS FIRST""".stripMargin
 
-  /** Q108 — retention cohort matrix: users grouped by their first active
-    * day (the cohort), counted on each subsequent day-offset ≤ 7 they
-    * return. Pure integer arithmetic end-to-end (epoch-µs floor-division
-    * days), so the gate is hash-exact with no rounding discipline needed.
+  /** Shared Wilson-interval arithmetic (z = 1.96), written once and
+    * interpolated into BOTH engines' expressions so every IEEE operation
+    * happens in the same order on the same exact-integer inputs — the
+    * result is bit-deterministic, no summation anywhere. Literals are
+    * CAST to DOUBLE because bare decimal literals are DECIMAL-typed in
+    * both SQL dialects (and decimal division would diverge).
+    */
+  private def wilson(nCol: String, cCol: String): (String, String, String) = {
+    val p = s"(CAST($cCol AS DOUBLE) / $nCol)"
+    val z2 = "CAST(3.8416 AS DOUBLE)" // 1.96²
+    val z = "CAST(1.96 AS DOUBLE)"
+    val center = s"($p + $z2 / (2 * $nCol))"
+    val margin = s"($z * SQRT($p * (CAST(1.0 AS DOUBLE) - $p) / $nCol + $z2 / (4.0 * $nCol * $nCol)))"
+    val denom = s"(CAST(1.0 AS DOUBLE) + $z2 / $nCol)"
+    (p, s"(($center - $margin) / $denom)", s"(($center + $margin) / $denom)")
+  }
+
+  /** Q108 — deterministic A/B bucket conversion analysis: users split
+    * 50/50 by md5 of a salted user key (reproducible across runs,
+    * engines, and cluster layouts — no RNG), conversion = any purchase
+    * event; per bucket the conversion rate with its 95% Wilson score
+    * interval.
     *
-    * Scale notes: the (user, day) activity relation is deduped once
-    * (hash aggregate), the cohort assignment is a min-aggregation on the
-    * same user_id shuffle key the join then reuses, and the matrix
-    * aggregate's key space is bounded (days × 8 offsets) with map-side
-    * combine. No windows, no per-user history lists.
+    * NOT the cohort matrix (that's Q65) — this is the experimentation
+    * operator: hash-bucket assignment + binomial interval arithmetic.
+    *
+    * Scale notes: bucket assignment is a map-side hash on the row, the
+    * per-user conversion flag is one user-keyed aggregate, and the final
+    * relation is 2 rows. The interval math runs on exact integer counts
+    * through the shared-text formula (see [[wilson]]) — bit-identical in
+    * both engines, no rounding discipline needed before the final ROUND.
     */
   def q108(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val ud = c.events
-      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
-      .distinct()
-    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
-    ud.join(cohort, Seq("user_id"))
-      .withColumn("day_offset", col("day") - col("c_day"))
-      .filter(col("day_offset") <= 7)
-      // (user, day) is unique and each user has one cohort, so plain
-      // COUNT is already a distinct-user count — no distinct shuffle.
-      .groupBy(col("c_day").as("cohort_day"), col("day_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
+    val (p, lo, hi) = wilson("n_users", "n_converted")
+    c.events
+      .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .select(col("bucket"), col("n_users"), col("n_converted"),
+        expr(s"ROUND($p, 4)").as("conv_rate"),
+        expr(s"ROUND($lo, 4)").as("wilson_lo"),
+        expr(s"ROUND($hi, 4)").as("wilson_hi"))
+      .orderBy(asc_nulls_first("bucket"))
   }
 
-  val q108Oracle: String =
-    """WITH ud AS (
-      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-      |  FROM events),
-      |coh AS (SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1)
-      |SELECT coh.c_day AS cohort_day, ud.day - coh.c_day AS day_offset,
-      |  COUNT(*) AS n_users
-      |FROM ud JOIN coh ON coh.user_id = ud.user_id
-      |WHERE ud.day - coh.c_day <= 7
-      |GROUP BY 1, 2
-      |ORDER BY cohort_day NULLS FIRST, day_offset NULLS FIRST""".stripMargin
+  val q108Oracle: String = {
+    val (p, lo, hi) = wilson("n_users", "n_converted")
+    s"""WITH flags AS (
+       |  SELECT user_id,
+       |    (${NearDup.hexValueExpr("md5('exp1:' || CAST(user_id AS VARCHAR))")}) % 2
+       |      AS bucket,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT bucket, COUNT(*) AS n_users,
+       |    CAST(SUM(converted) AS BIGINT) AS n_converted
+       |  FROM flags GROUP BY 1)
+       |SELECT bucket, n_users, n_converted,
+       |  ROUND($p, 4) AS conv_rate,
+       |  ROUND($lo, 4) AS wilson_lo,
+       |  ROUND($hi, 4) AS wilson_hi
+       |FROM agg
+       |ORDER BY bucket NULLS FIRST""".stripMargin
+  }
 
   /** Q109 — time-series resample + gap-fill: each user's event values
     * summed per day, re-gridded onto that user's full min..max day spine,
     * missing days filled by last-observation-carried-forward (LOCF).
+    *
+    * Distinct from Q59's calendar join: Q59 zero-fills COUNTS against a
+    * fixed global calendar (absence means zero); Q109 INTERPOLATES a
+    * per-entity measurement series (absence means "unchanged since last
+    * observation") — the stateful fill mode sensor/metric pipelines need,
+    * requiring the ignoreNulls running window rather than a coalesce.
     *
     * Scale notes: the spine is generated per user by `sequence()` —
     * linear in user-days, no global calendar cross join. The LOCF fill is
