@@ -103,7 +103,8 @@ object Clustering {
       .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("avg_cos"))
     val norms = newCents.groupBy(col("cid"))
       .agg(round(sqrt(sum(col("cen") * col("cen"))), 4).as("centroid_norm"))
-    stats.join(norms, Seq("cid"))
+    // both sides are k rows — broadcast is correct at any corpus size
+    stats.join(broadcast(norms), Seq("cid"))
       .orderBy(asc_nulls_first("cid"))
   }
 

@@ -86,6 +86,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("rand"), p)
   }
 
+  test("Q102: centroid side broadcasts; the vector table never shuffles for assignment") {
+    val p = plan(Clustering.q102(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q103: triangle closure runs inside codegen (array_intersect), no cartesian") {
+    val p = plan(Graphs.q103(spark, sf("sf0.001")))
+    assert(p.contains("array_intersect"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q105: skyline is join-free — dominated rows die in partition-local sweeps") {
+    val p = plan(Skyline.q105(spark, sf("sf0.001")))
+    assert(!p.contains("Join"), p)
+    // one exchange for the candidate coalesce, one for the final order —
+    // never a data-sized shuffle
+    assert("(?i)exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("Q106: PageRank iterations read the checkpointed edge relation, not its lineage") {
+    val p = plan(Graphs.q106(spark, sf("sf0.001")))
+    // localCheckpoint materializes the edge build once; the iteration
+    // joins must scan the RDD, with no parquet re-scan of lineitem per round
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert("lineitem".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("Q108: A/B analysis is pure aggregation — hash-bucket map-side, no join, no RNG") {
+    val p = plan(EventTime.q108(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("rand("), p)
+  }
+
   test("Q60: RANGE frame runs on the pre-aggregated daily series, not raw facts") {
     val df = Windows.q60(spark, sf("sf0.001"))
     val p = plan(df)
