@@ -34,7 +34,8 @@ object SparkEntry {
       (Profiling.queries, Profiling.oracles),
       (Clustering.queries, Clustering.oracles),
       (Graphs.queries, Graphs.oracles),
-      (Skyline.queries, Skyline.oracles)
+      (Skyline.queries, Skyline.oracles),
+      (Cdc.queries, Cdc.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

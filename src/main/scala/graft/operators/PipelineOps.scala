@@ -752,17 +752,65 @@ object PipelineOps {
       |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin
   }
 
+  /** Q113 — vocabulary build + token-ID encoding: the text→ids step of a
+    * training-data pipeline. Token ids are frequency ranks (count desc,
+    * token asc — a total order, so ids are deterministic); documents are
+    * re-emitted as (doc_id, pos, token_id) rows, the exploded form of the
+    * id sequence (exploded because the gate hashes rows, and because the
+    * row form is what sequence packing consumes).
+    *
+    * Scale notes: the vocabulary is one token-keyed aggregate whose
+    * result is vocabulary-sized (bounded, ~10^7 types at web scale — the
+    * id-assignment window runs on THAT, never on the corpus) and then
+    * broadcasts into the encode join; encoding itself is the linear
+    * explode + broadcast-join + map. Same broadcast-the-statistic shape
+    * as Q69's LM scoring.
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = tokens(c)
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("tf"), asc("token"))))
+      .select(col("token"), col("token_id"))
+    c.documents.filter(col("doc_id") <= 5)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("pos") < 10)
+      .join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("token_id"))
+      .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("pos"))
+  }
+
+  val q113Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+      |  FROM tok GROUP BY token),
+      |seq AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+      |    UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents WHERE doc_id <= 5)
+      |SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, v.token_id
+      |FROM seq s JOIN vocab v ON v.token = s.token
+      |WHERE s.pos < 10
+      |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
     "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
     "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _),
-    "Q101" -> (q101 _))
+    "Q101" -> (q101 _), "Q113" -> (q113 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
     "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
     "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
     "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle,
-    "Q101" -> q101Oracle)
+    "Q101" -> q101Oracle, "Q113" -> q113Oracle)
 }
