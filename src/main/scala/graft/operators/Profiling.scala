@@ -93,9 +93,157 @@ object Profiling {
       |GROUP BY event_type, next_type
       |ORDER BY event_type NULLS FIRST, next_type NULLS FIRST""".stripMargin
 
+  /** Q114 — IQR anomaly detection over each event type's daily-volume
+    * series: discrete quartiles by rank-and-pick (PURE integer ranks —
+    * value at row floor((cnt−1)·q)+1 of the (n, day)-sorted series, the
+    * same shuffle-native discipline as Q54, no interpolation, no
+    * buffering percentile state), Tukey fences at 1.5·IQR, days outside
+    * the fences counted as anomalies.
+    *
+    * Scale notes: the window runs over the DAILY aggregate (bounded:
+    * days × types rows), never raw events; one keyed sort + one hash
+    * aggregate. The only floating-point op is the single fence
+    * multiply-add on exact integers — bit-deterministic.
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("n"), asc("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("cnt")).as("n_days"),
+        max(when(col("rn") === expr("(cnt - 1) DIV 4 + 1"), col("n"))).as("q1"),
+        max(when(col("rn") === expr("(3 * (cnt - 1)) DIV 4 + 1"), col("n"))).as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .join(daily, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_days")).as("n_days"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        count(when(col("n") < col("lo_fence") || col("n") > col("hi_fence"), 1))
+          .as("n_anomaly_days"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q114Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, day, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM daily),
+      |quart AS (
+      |  SELECT event_type, MAX(cnt) AS n_days,
+      |    MAX(CASE WHEN rn = (cnt - 1) // 4 + 1 THEN n END) AS q1,
+      |    MAX(CASE WHEN rn = (3 * (cnt - 1)) // 4 + 1 THEN n END) AS q3
+      |  FROM ranked GROUP BY 1),
+      |fenced AS (
+      |  SELECT event_type, n_days, q1, q3,
+      |    q1 - (q3 - q1) * 1.5 AS lo_fence,
+      |    q3 + (q3 - q1) * 1.5 AS hi_fence
+      |  FROM quart)
+      |SELECT f.event_type AS event_type, MAX(f.n_days) AS n_days,
+      |  MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+      |  COUNT(CASE WHEN d.n < f.lo_fence OR d.n > f.hi_fence THEN 1 END)
+      |    AS n_anomaly_days
+      |FROM fenced f JOIN daily d ON d.event_type = f.event_type
+      |GROUP BY 1
+      |ORDER BY f.event_type NULLS FIRST""".stripMargin
+
+  /** Q115 — declarative data-quality constraint audit (the Deequ-style
+    * expectation layer a pipeline gates a new data drop on): nullness,
+    * value-range, referential-integrity (orphan keys), and key-uniqueness
+    * checks, one row per check with its violation count.
+    *
+    * Scale notes: the value checks are conditional counts fused into one
+    * scan per table (map-side combinable); the orphan check is a
+    * left-anti join where the key side aggregates to distinct keys
+    * first; uniqueness is a keyed count filtered >1. Nothing driver-side;
+    * each check row is an O(1) result of a distributed aggregate.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem
+    val liChecks = li.agg(
+      count(lit(1)).as("n_checked"),
+      count(when(col("l_quantity") <= 0, 1)).as("v_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("v_disc"),
+      count(when(col("l_shipdate") < to_timestamp(lit("1992-01-01")) ||
+        col("l_shipdate") >= to_timestamp(lit("2002-01-01")), 1)).as("v_date"),
+      count(when(col("l_extendedprice") <= 0, 1)).as("v_price"))
+    val orphans = li.join(c.orders.select(col("o_orderkey").as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val dupKeys = c.orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).agg(count(lit(1)).as("n_dup"))
+    val nullCust = c.orders.agg(
+      count(lit(1)).as("n_orders"),
+      count(lit(1)).minus(count(col("o_custkey"))).as("n_null"))
+    val checks = liChecks.crossJoin(orphans).crossJoin(dupKeys).crossJoin(nullCust)
+    def row(name: String, viol: Column, checked: Column) =
+      checks.select(lit(name).as("check_name"), viol.as("n_violations"),
+        checked.as("n_checked"))
+    row("lineitem.l_quantity_positive", col("v_qty"), col("n_checked"))
+      .unionByName(row("lineitem.l_discount_in_unit_range", col("v_disc"), col("n_checked")))
+      .unionByName(row("lineitem.l_shipdate_in_domain", col("v_date"), col("n_checked")))
+      .unionByName(row("lineitem.l_extendedprice_positive", col("v_price"), col("n_checked")))
+      .unionByName(row("lineitem.orderkey_ref_integrity", col("n_orphans"), col("n_checked")))
+      .unionByName(row("orders.o_orderkey_unique", col("n_dup"), col("n_orders")))
+      .unionByName(row("orders.o_custkey_not_null", col("n_null"), col("n_orders")))
+      .withColumn("passed", (col("n_violations") === 0).cast("int"))
+      .orderBy(asc_nulls_first("check_name"))
+  }
+
+  val q115Oracle: String =
+    """WITH li AS (
+      |  SELECT COUNT(*) AS n_checked,
+      |    COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS v_qty,
+      |    COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS v_disc,
+      |    COUNT(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01' OR
+      |      l_shipdate >= TIMESTAMP '2002-01-01' THEN 1 END) AS v_date,
+      |    COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS v_price
+      |  FROM lineitem),
+      |orph AS (
+      |  SELECT COUNT(*) AS n_orphans FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |dup AS (
+      |  SELECT COUNT(*) AS n_dup FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+      |oc AS (
+      |  SELECT COUNT(*) AS n_orders,
+      |    COUNT(*) - COUNT(o_custkey) AS n_null
+      |  FROM orders),
+      |rows_out AS (
+      |  SELECT 'lineitem.l_quantity_positive' AS check_name,
+      |    v_qty AS n_violations, n_checked FROM li
+      |  UNION ALL SELECT 'lineitem.l_discount_in_unit_range', v_disc, n_checked FROM li
+      |  UNION ALL SELECT 'lineitem.l_shipdate_in_domain', v_date, n_checked FROM li
+      |  UNION ALL SELECT 'lineitem.l_extendedprice_positive', v_price, n_checked FROM li
+      |  UNION ALL SELECT 'lineitem.orderkey_ref_integrity', n_orphans,
+      |    (SELECT n_checked FROM li) FROM orph
+      |  UNION ALL SELECT 'orders.o_orderkey_unique', n_dup,
+      |    (SELECT n_orders FROM oc) FROM dup
+      |  UNION ALL SELECT 'orders.o_custkey_not_null', n_null, n_orders FROM oc)
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations = 0 AS INT) AS passed
+      |FROM rows_out
+      |ORDER BY check_name NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q78" -> (q78 _), "Q79" -> (q79 _))
+    "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _))
 
   def oracles: Map[String, String] = Map(
-    "Q78" -> q78Oracle, "Q79" -> q79Oracle)
+    "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
+    "Q115" -> q115Oracle)
 }
