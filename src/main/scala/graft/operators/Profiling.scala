@@ -240,10 +240,76 @@ object Profiling {
       |FROM rows_out
       |ORDER BY check_name NULLS FIRST""".stripMargin
 
+  /** Q116 — categorical dependence profile between two columns: the
+    * contingency table's mutual information (nats), chi-square statistic,
+    * degrees of freedom, and Cramér's V. The feature-redundancy /
+    * independence-test measure a profiling pass computes before feature
+    * selection (complements Q62's numeric corr family and Q108's
+    * interval arithmetic).
+    *
+    * Scale notes: one hash aggregate to the contingency table (cells ≤
+    * |dom(a)|·|dom(b)| — bounded), margins re-aggregated from the CELLS,
+    * not the data, and the statistics are a fold over cells. The corpus
+    * is scanned exactly once. Cell-level terms involve log/÷ of exact
+    * counts; the ≤ r·c-term sums land inside round(4), which absorbs
+    * libm last-ulp and summation-order differences.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.lineitem
+      .groupBy(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("o")).as("na"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("ra"), countDistinct(col("b")).as("rb"))
+    cells
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("o") / col("n"))
+      .withColumn("e", col("na") * col("nb") / col("n").cast("double"))
+      .agg(
+        max(col("n")).as("n"),
+        round(sum(col("p") * log(col("p") / ((col("na") / col("n")) * (col("nb") / col("n"))))), 4)
+          .as("mi_nats"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+        max((col("ra") - 1) * (col("rb") - 1)).as("dof"),
+        round(sqrt(
+          sum(pow(col("o") - col("e"), 2) / col("e")) /
+            (max(col("n")) * least(max(col("ra")) - 1, max(col("rb")) - 1))), 4)
+          .as("cramers_v"))
+  }
+
+  val q116Oracle: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY 1),
+      |mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ra,
+      |  COUNT(DISTINCT b) AS rb FROM cells),
+      |j AS (
+      |  SELECT c.o, c.o / t.n AS p,
+      |    ma.na * mb.nb / CAST(t.n AS DOUBLE) AS e,
+      |    ma.na / t.n AS pa, mb.nb / t.n AS pb,
+      |    t.n, t.ra, t.rb
+      |  FROM cells c
+      |  JOIN ma ON ma.a = c.a
+      |  JOIN mb ON mb.b = c.b
+      |  CROSS JOIN tot t)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |  ROUND(SUM(p * LN(p / (pa * pb))), 4) AS mi_nats,
+      |  ROUND(SUM(POWER(o - e, 2) / e), 4) AS chi2,
+      |  CAST(MAX((ra - 1) * (rb - 1)) AS BIGINT) AS dof,
+      |  ROUND(SQRT(SUM(POWER(o - e, 2) / e) /
+      |    (MAX(n) * LEAST(MAX(ra) - 1, MAX(rb) - 1))), 4) AS cramers_v
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _))
+    "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
+    "Q116" -> (q116 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
-    "Q115" -> q115Oracle)
+    "Q115" -> q115Oracle, "Q116" -> q116Oracle)
 }
