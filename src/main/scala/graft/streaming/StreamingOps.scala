@@ -29,12 +29,17 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of events parquet files.
+    * `maxFilesPerTrigger` caps files per micro-batch (source option —
+    * the lever that turns a staged multi-file log into a multi-batch
+    * replay).
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
+    val r = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
   }
 
   /** Event-time TimestampType column (µs, truncated from ns — the declared
@@ -257,6 +262,28 @@ object StreamingOps {
       .toDF("user_id", "ewma")
   }
 
+  /** Streaming twin of the Q112 CDC dimension (graft.operators.Cdc):
+    * type-1 SCD maintenance as a CHANGELOG stream — per user, keep the
+    * (us, event_id)-latest event_type; emit a row only when the kept
+    * value changes, stamped with the version it is valid as of. State is
+    * one (Long, Long, String) per key; out-of-order rows within or
+    * across batches cannot regress the state (max-by semantics, the
+    * same total order as the batch stateAsOf window). Asserted
+    * batch-equal in StreamingSpec over a multi-batch replay.
+    */
+  def dimensionStateStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").as[Long], expr("ts DIV 1000").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DimensionStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "new_type", "as_of_us", "as_of_event_id")
+  }
+
   /** C11b — arbitrary stateful processing: running per-user event counter
     * via flatMapGroupsWithState (update mode; state = one Long per user).
     */
@@ -313,6 +340,46 @@ class EwmaProcessor
     }
     y.foreach(ewmaState.update)
     y.map(v => (key, v)).iterator
+  }
+}
+
+/** StatefulProcessor for the SCD changelog: state = the (us, event_id,
+  * type) of the latest event seen per user; a batch's rows fold in
+  * (us, event_id) order and a changelog row is emitted only when the
+  * resulting latest TYPE differs from the batch-entry state (version
+  * churn within a batch collapses to one row — changelog compaction).
+  */
+class DimensionStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String), (Long, String, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+
+  @transient private var latest: ValueState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[(Long, Long, String)]("latest",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    val entry = if (latest.exists()) Some(latest.get()) else None
+    var cur = entry
+    rows.foreach { case (_, us, eid, tpe) =>
+      if (cur.forall(c => us > c._1 || (us == c._1 && eid > c._2)))
+        cur = Some((us, eid, tpe))
+    }
+    cur match {
+      case Some(c) =>
+        latest.update(c)
+        if (entry.map(_._3) != Some(c._3))
+          Iterator.single((key, c._3, c._1, c._2))
+        else Iterator.empty
+      case None => Iterator.empty
+    }
   }
 }
 

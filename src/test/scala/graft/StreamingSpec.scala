@@ -24,6 +24,58 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("streaming SCD changelog converges to the batch as-of state over a multi-batch replay") {
+    // Stage the event log as THREE time-ordered files so the file source
+    // replays them as separate micro-batches (append-log shape) — the
+    // changelog must survive cross-batch state, not just one fold.
+    val srcDir = tmpDir("graft-cdc-src")
+    val ev = Catalog(spark, sf("sf0.001")).events
+    val cuts = Seq(
+      ("0", col("ts") < 1704931200000000000L),
+      ("1", col("ts") >= 1704931200000000000L && col("ts") < 1705795200000000000L),
+      ("2", col("ts") >= 1705795200000000000L))
+    cuts.foreach { case (name, pred) =>
+      val stage = tmpDir(s"graft-cdc-stage$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20) // distinct mtimes → deterministic batch order
+    }
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val log = try {
+      val q = StreamingOps.dimensionStateStream(spark,
+          StreamingOps.eventsStream(spark, srcDir, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName("cdc_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table("cdc_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+    // Final state per user = the changelog row with the max version stamp.
+    val finalState = log.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._3, r._4))._2
+    }
+    val want = graft.operators.Cdc.stateAsOf(ev, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(finalState == want,
+      s"changelog end-state diverges: ${finalState.size} vs ${want.size} users")
+    // Incremental proof: at least one user's type actually changed across
+    // batches, so the changelog carries more rows than users.
+    assert(log.length > want.size, s"no cross-batch change rows: ${log.length}")
+  }
+
   test("Q40 streaming twin reaches batch-equal final state") {
     val src = stageEvents()
     val q = StreamingOps.q40Stream(StreamingOps.eventsStream(spark, src))
