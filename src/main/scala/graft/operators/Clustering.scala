@@ -63,6 +63,8 @@ object Clustering {
     * (centroids as cid→array, final assignments).
     */
   def kmeans(vectors: DataFrame, k: Int, iters: Int): (Map[Long, Array[Double]], DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = vectors.sparkSession
     val idOrd = vectors.select(col("id")).orderBy(col("id")).limit(k)
     var cents = vectors.join(idOrd, Seq("id"))
