@@ -28,11 +28,21 @@ object Graphs {
     * pathological mega-order is exactly what AQE skew-split handles).
     */
   def coOrderEdges(lineitem: DataFrame): DataFrame = {
-    val l1 = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-    val l2 = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
-    l1.join(l2, Seq("ok"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
+    // One groupBy (map-side combined collect_set) instead of an
+    // order-keyed SELF-JOIN: the shuffle carries each line once, pair
+    // expansion happens map-side on the sorted per-order array (bounded
+    // by order size), and only the pair distinct shuffles wide. sort +
+    // (i<j) slicing yields a<b directly. A pathological mega-order makes
+    // one big array — the same row AQE's skew-split would have handled
+    // in the join form; per-order line counts are bounded in practice.
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
