@@ -220,10 +220,17 @@ object Graphs {
     // scalar total as a 1-row broadcast, not a driver-side count() action
     val nOrders = op.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
     val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val pairs = op.select(col("ok"), col("pk").as("a"))
-      .join(op.select(col("ok"), col("pk").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+    // per-order array + map-side pair expansion (same shape as
+    // coOrderEdges), counting multiplicity across orders — no self-join
+    val pairs = op
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 2)
     pairs
       .join(item.select(col("pk").as("a"), col("cnt").as("ca")), Seq("a"))

@@ -92,6 +92,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === refCounts.toMap)
   }
 
+  test("collect_set edge build equals the self-join formulation on real lineitem") {
+    val li = Catalog(spark, sf("sf0.001")).lineitem
+    val viaArrays = Graphs.coOrderEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+    val viaJoin = l1.join(l2, Seq("ok")).filter(col("a") < col("b"))
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArrays == viaJoin, s"${viaArrays.size} vs ${viaJoin.size}")
+  }
+
   test("pageRank matches a local power-iteration reference") {
     val rnd = new scala.util.Random(19)
     val n = 25
