@@ -27,17 +27,25 @@ object Graphs {
     * scale the per-order line count bounds the pair fanout, and a
     * pathological mega-order is exactly what AQE skew-split handles).
     */
+  /** Basket-size cap for pair expansion: a basket of b items expands to
+    * b²/2 pairs, so one pathological mega-basket (a 10⁶-line order)
+    * would emit 10¹² rows from a single task. The standard market-basket
+    * discipline caps the basket: baskets over the cap are truncated to
+    * their `MaxBasket` smallest item ids — deterministic, and a no-op on
+    * realistic order sizes (fixture max ≈ 7). The cap bounds per-task
+    * output at MaxBasket²/2 regardless of input skew.
+    */
+  private val MaxBasket = 1000
+
   def coOrderEdges(lineitem: DataFrame): DataFrame = {
     // One groupBy (map-side combined collect_set) instead of an
     // order-keyed SELF-JOIN: the shuffle carries each line once, pair
-    // expansion happens map-side on the sorted per-order array (bounded
-    // by order size), and only the pair distinct shuffles wide. sort +
-    // (i<j) slicing yields a<b directly. A pathological mega-order makes
-    // one big array — the same row AQE's skew-split would have handled
-    // in the join form; per-order line counts are bounded in practice.
+    // expansion happens map-side on the sorted per-order array, and only
+    // the pair distinct shuffles wide. sort + (i<j) slicing yields a<b
+    // directly; slice applies the MaxBasket skew guard.
     lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket).as("parts"))
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)), y ->
@@ -221,10 +229,11 @@ object Graphs {
     val nOrders = op.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
     val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
     // per-order array + map-side pair expansion (same shape as
-    // coOrderEdges), counting multiplicity across orders — no self-join
+    // coOrderEdges, same MaxBasket skew guard), counting multiplicity
+    // across orders — no self-join
     val pairs = op
       .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .agg(slice(sort_array(collect_set(col("pk"))), 1, MaxBasket).as("parts"))
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)), y ->
