@@ -1,0 +1,168 @@
+package graft.tensor
+
+import breeze.linalg.{eigSym, DenseMatrix => BDM}
+import org.apache.spark.sql.DataFrame
+
+/** Tucker decomposition by truncated HOSVD (De Lathauwer, De Moor &
+  * Vandewalle, "A Multilinear Singular Value Decomposition", SIMAX 21(4)
+  * 2000 — reference checkout is empty, SURVEY.md §0.1, so semantics
+  * follow the published algorithm). Completes the tensor family next to
+  * [[CPALS]]: CP explains the tensor as a sum of rank-1 terms, Tucker as
+  * a small dense core × per-mode orthonormal bases — the form used for
+  * subspace compression and mode-interaction analysis.
+  *
+  * Distribution design (what runs where):
+  *  - Per mode n, the Gram matrix G_n = X_(n)·X_(n)ᵀ accumulates
+  *    FIBER-WISE: nonzeros sharing the other two indices form a sparse
+  *    fiber vector x_f, and G_n = Σ_f x_f·x_fᵀ. One shuffle keyed by the
+  *    fiber id, sparse outer products inside each partition (cost
+  *    Σ nnz_f² — fibers are sparse), tree-combined I_n² partial arrays.
+  *    The tensor itself is never unfolded or densified.
+  *  - G_n eigendecomposes on the driver (breeze eigSym) — I_n² doubles,
+  *    guarded by `maxGramDim` with a loud failure naming the remedy
+  *    (randomized/iterative eigensolver) when a mode is too large for
+  *    the exact path.
+  *  - The core G = X ×₁U₁ᵀ ×₂U₂ᵀ ×₃U₃ᵀ is ONE pass over the nonzeros
+  *    with the (small) factors broadcast: R₁R₂R₃ multiply-adds per
+  *    nonzero, tree-aggregated. Nothing larger than the core crosses
+  *    the wire.
+  *  - Fit uses the orthonormal-basis identity ‖X−X̂‖² = ‖X‖² − ‖G‖², so
+  *    the reconstruction is never materialized (same discipline as
+  *    CP-ALS' C14 fit identities).
+  */
+object Tucker {
+
+  final case class TuckerModel(
+      /** factors(n) holds R_n orthonormal basis vectors, each of length I_n. */
+      factors: Array[Array[Array[Double]]],
+      /** Row-major R₁×R₂×R₃ core. */
+      core: Array[Double],
+      ranks: (Int, Int, Int),
+      dims: (Int, Int, Int),
+      normX: Double,
+      /** 1 − ‖X−X̂‖/‖X‖ ∈ [0,1]; 1 = exact. */
+      fit: Double)
+
+  /** Truncated HOSVD of a COO DataFrame with columns (i,j,k,v); indices
+    * must be dense 0-based (Q43's tensor contract).
+    */
+  def hosvd(
+      coo: DataFrame,
+      ranks: (Int, Int, Int),
+      maxGramDim: Int = 4096): TuckerModel = {
+    val rdd = coo.selectExpr("CAST(i AS INT)", "CAST(j AS INT)", "CAST(k AS INT)", "CAST(v AS DOUBLE)")
+      .rdd.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (di, dj, dk) = {
+        val (mi, mj, mk) = rdd
+          .map { case (i, j, k, _) => (i, j, k) }
+          .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), math.max(a._3, b._3)))
+        (mi + 1, mj + 1, mk + 1)
+      }
+      val dims = Seq(di, dj, dk)
+      dims.foreach { d =>
+        require(d <= maxGramDim,
+          s"mode dimension $d exceeds maxGramDim=$maxGramDim: the exact " +
+            "Gram eigendecomposition is driver-side O(d^2); use a " +
+            "randomized/iterative eigensolver for larger modes")
+      }
+      val (r1, r2, r3) = ranks
+      require(r1 >= 1 && r1 <= di && r2 >= 1 && r2 <= dj && r3 >= 1 && r3 <= dk,
+        s"ranks $ranks out of range for dims ($di,$dj,$dk)")
+
+      // --- per-mode fiber Grams -----------------------------------------
+      def gram(mode: Int, d: Int): Array[Double] = {
+        val keyed = rdd.map {
+          case (i, j, k, v) => mode match {
+            case 0 => ((j.toLong << 32) | (k.toLong & 0xffffffffL), (i, v))
+            case 1 => ((i.toLong << 32) | (k.toLong & 0xffffffffL), (j, v))
+            case _ => ((i.toLong << 32) | (j.toLong & 0xffffffffL), (k, v))
+          }
+        }
+        keyed.groupByKey().mapPartitions { fibers =>
+          val g = new Array[Double](d * d)
+          fibers.foreach { case (_, entries) =>
+            val e = entries.toArray
+            var a = 0
+            while (a < e.length) {
+              val (ia, va) = e(a)
+              var b = 0
+              while (b < e.length) {
+                g(ia * d + e(b)._1) += va * e(b)._2
+                b += 1
+              }
+              a += 1
+            }
+          }
+          Iterator.single(g)
+        }.treeReduce { (g1, g2) =>
+          var x = 0
+          while (x < g1.length) { g1(x) += g2(x); x += 1 }
+          g1
+        }
+      }
+
+      def leadingEigvecs(g: Array[Double], d: Int, r: Int): Array[Array[Double]] = {
+        val m = new BDM[Double](d, d)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { m(i, j) = g(i * d + j); j += 1 }
+          i += 1
+        }
+        val es = eigSym(m) // ascending eigenvalues
+        val order = (0 until d).sortBy(p => -es.eigenvalues(p)).take(r)
+        // deterministic sign: first nonzero component positive
+        order.map { p =>
+          val v = Array.tabulate(d)(row => es.eigenvectors(row, p))
+          val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+          if (lead < 0) v.map(-_) else v
+        }.toArray
+      }
+
+      val u1 = leadingEigvecs(gram(0, di), di, r1) // r1 × di
+      val u2 = leadingEigvecs(gram(1, dj), dj, r2)
+      val u3 = leadingEigvecs(gram(2, dk), dk, r3)
+
+      // --- core + norm in one broadcast pass ----------------------------
+      val sc = rdd.sparkContext
+      val bu1 = sc.broadcast(u1); val bu2 = sc.broadcast(u2); val bu3 = sc.broadcast(u3)
+      val (core, normSq) = rdd.mapPartitions { it =>
+        val c1 = bu1.value; val c2 = bu2.value; val c3 = bu3.value
+        val core = new Array[Double](r1 * r2 * r3)
+        var n2 = 0.0
+        it.foreach { case (i, j, k, v) =>
+          n2 += v * v
+          var a = 0
+          while (a < r1) {
+            val va = v * c1(a)(i)
+            var b = 0
+            while (b < r2) {
+              val vab = va * c2(b)(j)
+              var c = 0
+              while (c < r3) {
+                core((a * r2 + b) * r3 + c) += vab * c3(c)(k)
+                c += 1
+              }
+              b += 1
+            }
+            a += 1
+          }
+        }
+        Iterator.single((core, n2))
+      }.treeReduce { case ((ca, na), (cb, nb)) =>
+        var x = 0
+        while (x < ca.length) { ca(x) += cb(x); x += 1 }
+        (ca, na + nb)
+      }
+      bu1.destroy(); bu2.destroy(); bu3.destroy()
+
+      val coreSq = core.map(x => x * x).sum
+      val residSq = math.max(0.0, normSq - coreSq) // orthonormal-basis identity
+      val fit = 1.0 - math.sqrt(residSq) / math.sqrt(normSq)
+      TuckerModel(Array(u1, u2, u3), core, ranks, (di, dj, dk),
+        math.sqrt(normSq), fit)
+    } finally { rdd.unpersist(); () }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.tensor.Tucker
+
+/** Tucker/HOSVD properties: orthonormal factors, exact reconstruction at
+  * full ranks, energy monotonicity in rank, and the fit identity checked
+  * against an explicit dense reconstruction.
+  */
+class TuckerSpec extends SparkSpec {
+
+  private def cooDf(entries: Seq[(Int, Int, Int, Double)]) = {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("k", IntegerType), StructField("v", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(entries.map(e => Row(e._1, e._2, e._3, e._4)), 4),
+      schema)
+  }
+
+  // fixed-seed sparse 8×6×5 tensor, ~50% fill
+  private lazy val entries: Seq[(Int, Int, Int, Double)] = {
+    val rnd = new scala.util.Random(23)
+    for {
+      i <- 0 until 8; j <- 0 until 6; k <- 0 until 5
+      if rnd.nextDouble() < 0.5
+    } yield (i, j, k, math.rint(rnd.nextDouble() * 100) / 10.0)
+  }
+
+  test("factors are orthonormal in every mode") {
+    val m = Tucker.hosvd(cooDf(entries), (3, 3, 3))
+    m.factors.foreach { basis =>
+      for (a <- basis.indices; b <- basis.indices) {
+        val dot = basis(a).zip(basis(b)).map { case (x, y) => x * y }.sum
+        val want = if (a == b) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"U($a)·U($b) = $dot")
+      }
+    }
+  }
+
+  test("full-rank HOSVD reconstructs the tensor exactly") {
+    val m = Tucker.hosvd(cooDf(entries), (8, 6, 5))
+    assert(m.fit > 1.0 - 1e-9, s"fit ${m.fit}")
+    // explicit dense reconstruction equals the input elementwise
+    val (r1, r2, r3) = m.ranks
+    val dense = Array.fill(8, 6, 5)(0.0)
+    entries.foreach { case (i, j, k, v) => dense(i)(j)(k) = v }
+    for (i <- 0 until 8; j <- 0 until 6; k <- 0 until 5) {
+      var xhat = 0.0
+      for (a <- 0 until r1; b <- 0 until r2; c <- 0 until r3)
+        xhat += m.core((a * r2 + b) * r3 + c) *
+          m.factors(0)(a)(i) * m.factors(1)(b)(j) * m.factors(2)(c)(k)
+      assert(math.abs(xhat - dense(i)(j)(k)) < 1e-8, s"($i,$j,$k)")
+    }
+  }
+
+  test("fit is monotone in rank and the fit identity matches explicit residual") {
+    val fits = Seq((1, 1, 1), (2, 2, 2), (4, 4, 4), (8, 6, 5))
+      .map(r => Tucker.hosvd(cooDf(entries), r).fit)
+    assert(fits.sliding(2).forall { case Seq(a, b) => b >= a - 1e-12 }, fits.toString)
+
+    val m = Tucker.hosvd(cooDf(entries), (3, 2, 2))
+    val (r1, r2, r3) = m.ranks
+    val dense = Array.fill(8, 6, 5)(0.0)
+    entries.foreach { case (i, j, k, v) => dense(i)(j)(k) = v }
+    var residSq = 0.0
+    for (i <- 0 until 8; j <- 0 until 6; k <- 0 until 5) {
+      var xhat = 0.0
+      for (a <- 0 until r1; b <- 0 until r2; c <- 0 until r3)
+        xhat += m.core((a * r2 + b) * r3 + c) *
+          m.factors(0)(a)(i) * m.factors(1)(b)(j) * m.factors(2)(c)(k)
+      residSq += math.pow(dense(i)(j)(k) - xhat, 2)
+    }
+    val fitExplicit = 1.0 - math.sqrt(residSq) / m.normX
+    assert(math.abs(m.fit - fitExplicit) < 1e-9,
+      s"identity fit ${m.fit} vs explicit $fitExplicit")
+  }
+
+  test("runs on the real Q43 event tensor with sane compression") {
+    val coo = graft.operators.EventTime.q43(spark, sf("sf0.001"))
+      .selectExpr("i", "j", "k", "v")
+    val m = Tucker.hosvd(coo, (8, 3, 8))
+    assert(m.fit > 0.0 && m.fit <= 1.0 + 1e-12, s"fit ${m.fit}")
+    assert(m.core.length == 8 * 3 * 8)
+  }
+}
