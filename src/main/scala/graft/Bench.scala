@@ -61,10 +61,21 @@ object Bench {
         f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
       } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
 
+    // Tucker/HOSVD on the same tensor (skipped on dev subset runs).
+    val tucker =
+      if (args.nonEmpty) """{"sec":-1}"""
+      else try {
+        val coo = operators.EventTime.q43(spark, sfDir).selectExpr("i", "j", "k", "v")
+        val t0 = System.nanoTime()
+        val m = tensor.Tucker.hosvd(coo, (16, 4, 16))
+        val sec = (System.nanoTime() - t0) / 1e9
+        f"""{"sec":$sec%.4f,"fit":${m.fit}%.6f}"""
+      } catch { case _: Throwable => """{"sec":-1}""" }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"tucker":$tucker,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,7 +49,34 @@ object Tucker {
   def hosvd(
       coo: DataFrame,
       ranks: (Int, Int, Int),
-      maxGramDim: Int = 4096): TuckerModel = {
+      maxGramDim: Int = 4096): TuckerModel =
+    decompose(coo, ranks, maxGramDim, sweeps = 0)
+
+  /** HOOI refinement (higher-order orthogonal iteration — the ALS analog
+    * for Tucker): start from the HOSVD bases, then per sweep re-extract
+    * each mode's basis from the tensor PROJECTED onto the other modes'
+    * current bases. Monotonically non-decreasing core energy, so fit
+    * never drops below the HOSVD starting point (asserted in TuckerSpec).
+    *
+    * Scale shape per mode per sweep: one broadcast pass over the
+    * nonzeros accumulating the projected unfolding Y_(n) — a DENSE
+    * I_n × (Π_{m≠n} R_m) matrix, tree-aggregated; its reduced SVD runs
+    * on the driver. Driver state is I_n·ΠR, bounded by the same
+    * maxGramDim guard as the Gram path (ranks are small by Tucker's
+    * purpose). The raw tensor is never unfolded.
+    */
+  def hooi(
+      coo: DataFrame,
+      ranks: (Int, Int, Int),
+      sweeps: Int = 2,
+      maxGramDim: Int = 4096): TuckerModel =
+    decompose(coo, ranks, maxGramDim, sweeps = sweeps)
+
+  private def decompose(
+      coo: DataFrame,
+      ranks: (Int, Int, Int),
+      maxGramDim: Int,
+      sweeps: Int): TuckerModel = {
     val rdd = coo.selectExpr("CAST(i AS INT)", "CAST(j AS INT)", "CAST(k AS INT)", "CAST(v AS DOUBLE)")
       .rdd.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -121,9 +148,62 @@ object Tucker {
         }.toArray
       }
 
-      val u1 = leadingEigvecs(gram(0, di), di, r1) // r1 × di
-      val u2 = leadingEigvecs(gram(1, dj), dj, r2)
-      val u3 = leadingEigvecs(gram(2, dk), dk, r3)
+      var u1 = leadingEigvecs(gram(0, di), di, r1) // r1 × di
+      var u2 = leadingEigvecs(gram(1, dj), dj, r2)
+      var u3 = leadingEigvecs(gram(2, dk), dk, r3)
+
+      // --- HOOI sweeps (sweeps = 0 → plain truncated HOSVD) -------------
+      def signFix(v: Array[Double]): Array[Double] = {
+        val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+        if (lead < 0) v.map(-_) else v
+      }
+      def refineMode(mode: Int, ua: Array[Array[Double]],
+          ub: Array[Array[Double]], d: Int, r: Int): Array[Array[Double]] = {
+        val ra = ua.length; val rb = ub.length
+        val sctx = rdd.sparkContext
+        val ba = sctx.broadcast(ua); val bb = sctx.broadcast(ub)
+        val y = rdd.mapPartitions { it =>
+          val pa = ba.value; val pb = bb.value
+          val buf = new Array[Double](d * ra * rb)
+          it.foreach { case (i, j, k, v) =>
+            val row = mode match { case 0 => i; case 1 => j; case _ => k }
+            val x1 = if (mode == 0) j else i
+            val x2 = if (mode == 2) j else k
+            var a = 0
+            while (a < ra) {
+              val va = v * pa(a)(x1)
+              var c = 0
+              while (c < rb) {
+                buf(row * ra * rb + a * rb + c) += va * pb(c)(x2)
+                c += 1
+              }
+              a += 1
+            }
+          }
+          Iterator.single(buf)
+        }.treeReduce { (y1, y2) =>
+          var x = 0
+          while (x < y1.length) { y1(x) += y2(x); x += 1 }
+          y1
+        }
+        ba.destroy(); bb.destroy()
+        val m = new BDM[Double](d, ra * rb)
+        var row = 0
+        while (row < d) {
+          var cc = 0
+          while (cc < ra * rb) { m(row, cc) = y(row * ra * rb + cc); cc += 1 }
+          row += 1
+        }
+        val res = breeze.linalg.svd.reduced(m) // singular values descending
+        Array.tabulate(r)(p => signFix(Array.tabulate(d)(rr => res.leftVectors(rr, p))))
+      }
+      var s = 0
+      while (s < sweeps) {
+        u1 = refineMode(0, u2, u3, di, r1)
+        u2 = refineMode(1, u1, u3, dj, r2)
+        u3 = refineMode(2, u1, u2, dk, r3)
+        s += 1
+      }
 
       // --- core + norm in one broadcast pass ----------------------------
       val sc = rdd.sparkContext

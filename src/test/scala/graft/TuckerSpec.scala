@@ -77,6 +77,21 @@ class TuckerSpec extends SparkSpec {
       s"identity fit ${m.fit} vs explicit $fitExplicit")
   }
 
+  test("HOOI never fits worse than its HOSVD start and keeps orthonormal factors") {
+    val ranks = (3, 2, 2)
+    val base = Tucker.hosvd(cooDf(entries), ranks)
+    val one = Tucker.hooi(cooDf(entries), ranks, sweeps = 1)
+    val two = Tucker.hooi(cooDf(entries), ranks, sweeps = 2)
+    assert(one.fit >= base.fit - 1e-12, s"sweep1 ${one.fit} < hosvd ${base.fit}")
+    assert(two.fit >= one.fit - 1e-12, s"sweep2 ${two.fit} < sweep1 ${one.fit}")
+    two.factors.foreach { basis =>
+      for (a <- basis.indices; b <- basis.indices) {
+        val dot = basis(a).zip(basis(b)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9)
+      }
+    }
+  }
+
   test("runs on the real Q43 event tensor with sane compression") {
     val coo = graft.operators.EventTime.q43(spark, sf("sf0.001"))
       .selectExpr("i", "j", "k", "v")
