@@ -18,10 +18,12 @@ import org.apache.spark.sql.DataFrame
   *    fiber id, sparse outer products inside each partition (cost
   *    Σ nnz_f² — fibers are sparse), tree-combined I_n² partial arrays.
   *    The tensor itself is never unfolded or densified.
-  *  - G_n eigendecomposes on the driver (breeze eigSym) — I_n² doubles,
-  *    guarded by `maxGramDim` with a loud failure naming the remedy
-  *    (randomized/iterative eigensolver) when a mode is too large for
-  *    the exact path.
+  *  - G_n eigendecomposes on the driver (breeze eigSym) — I_n² doubles.
+  *    Modes whose dimension exceeds `maxGramDim` switch AUTOMATICALLY to
+  *    the randomized range-finder path (Halko et al. 2011): two fiber
+  *    passes with deterministic per-fiber Gaussians, driver/broadcast
+  *    state d·(r+8) — the same order as the returned factor — instead
+  *    of d².
   *  - The core G = X ×₁U₁ᵀ ×₂U₂ᵀ ×₃U₃ᵀ is ONE pass over the nonzeros
   *    with the (small) factors broadcast: R₁R₂R₃ multiply-adds per
   *    nonzero, tree-aggregated. Nothing larger than the core crosses
@@ -87,13 +89,6 @@ object Tucker {
           .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), math.max(a._3, b._3)))
         (mi + 1, mj + 1, mk + 1)
       }
-      val dims = Seq(di, dj, dk)
-      dims.foreach { d =>
-        require(d <= maxGramDim,
-          s"mode dimension $d exceeds maxGramDim=$maxGramDim: the exact " +
-            "Gram eigendecomposition is driver-side O(d^2); use a " +
-            "randomized/iterative eigensolver for larger modes")
-      }
       val (r1, r2, r3) = ranks
       require(r1 >= 1 && r1 <= di && r2 >= 1 && r2 <= dj && r3 >= 1 && r3 <= dk,
         s"ranks $ranks out of range for dims ($di,$dj,$dk)")
@@ -148,9 +143,107 @@ object Tucker {
         }.toArray
       }
 
-      var u1 = leadingEigvecs(gram(0, di), di, r1) // r1 × di
-      var u2 = leadingEigvecs(gram(1, dj), dj, r2)
-      var u3 = leadingEigvecs(gram(2, dk), dk, r3)
+      // --- randomized range-finder for modes beyond the exact-Gram budget
+      // (Halko, Martinsson & Tropp, SIAM Rev. 53(2) 2011, via the fiber
+      // form: X_(n) = [x_f]_f with sparse fiber columns):
+      //  1. Y = Σ_f x_f·g_fᵀ with g_f a DETERMINISTIC per-fiber Gaussian
+      //     (seeded by the fiber id — reproducible under any partitioning,
+      //     no Ω ever materialized); Y is d×S, S = r + oversample.
+      //  2. thin QR of Y on the driver → range basis Q (d×S).
+      //  3. M = QᵀGQ accumulated WITHOUT G: Σ_f (Qᵀx_f)(Qᵀx_f)ᵀ — S×S.
+      //  4. U_n = Q · (top-r eigvecs of M).
+      // Driver/broadcast state is d·S (the same order as the returned
+      // factor itself) instead of the exact path's d² — the large-mode
+      // design. The exact fiber-Gram path stays the default below the
+      // budget.
+      def randomizedBasis(mode: Int, d: Int, r: Int): Array[Array[Double]] = {
+        val over = 8
+        val s = math.min(d, r + over)
+        val seedBase = 0x5DEECE66DL + mode
+        def fiberGauss(fiber: Long): Array[Double] = {
+          val rnd = new java.util.Random(seedBase ^ (fiber * 0x9E3779B97F4A7C15L))
+          Array.fill(s)(rnd.nextGaussian())
+        }
+        val keyed = rdd.map {
+          case (i, j, k, v) => mode match {
+            case 0 => ((j.toLong << 32) | (k.toLong & 0xffffffffL), (i, v))
+            case 1 => ((i.toLong << 32) | (k.toLong & 0xffffffffL), (j, v))
+            case _ => ((i.toLong << 32) | (j.toLong & 0xffffffffL), (k, v))
+          }
+        }
+        val y = keyed.groupByKey().mapPartitions { fibers =>
+          val buf = new Array[Double](d * s)
+          fibers.foreach { case (fid, entries) =>
+            val g = fiberGauss(fid)
+            entries.foreach { case (row, v) =>
+              var c = 0
+              while (c < s) { buf(row * s + c) += v * g(c); c += 1 }
+            }
+          }
+          Iterator.single(buf)
+        }.treeReduce { (a, b) =>
+          var x = 0
+          while (x < a.length) { a(x) += b(x); x += 1 }
+          a
+        }
+        val ym = new BDM[Double](d, s)
+        var row = 0
+        while (row < d) {
+          var c = 0
+          while (c < s) { ym(row, c) = y(row * s + c); c += 1 }
+          row += 1
+        }
+        val qr = breeze.linalg.qr.reduced(ym)
+        val q = Array.tabulate(s)(c => Array.tabulate(d)(rr => qr.q(rr, c))) // s × d rows
+        val bq = rdd.sparkContext.broadcast(q)
+        val m = keyed.groupByKey().mapPartitions { fibers =>
+          val qq = bq.value
+          val acc = new Array[Double](s * s)
+          val z = new Array[Double](s)
+          fibers.foreach { case (_, entries) =>
+            java.util.Arrays.fill(z, 0.0)
+            entries.foreach { case (row, v) =>
+              var c = 0
+              while (c < s) { z(c) += v * qq(c)(row); c += 1 }
+            }
+            var a = 0
+            while (a < s) {
+              var b = 0
+              while (b < s) { acc(a * s + b) += z(a) * z(b); b += 1 }
+              a += 1
+            }
+          }
+          Iterator.single(acc)
+        }.treeReduce { (a, b) =>
+          var x = 0
+          while (x < a.length) { a(x) += b(x); x += 1 }
+          a
+        }
+        bq.destroy()
+        val w = leadingEigvecs(m, s, r) // r × s
+        // U = Q · W — project back to d-space, then sign-normalize
+        Array.tabulate(r) { p =>
+          val u = new Array[Double](d)
+          var rr = 0
+          while (rr < d) {
+            var c = 0
+            var acc = 0.0
+            while (c < s) { acc += q(c)(rr) * w(p)(c); c += 1 }
+            u(rr) = acc
+            rr += 1
+          }
+          val lead = u.find(math.abs(_) > 1e-12).getOrElse(1.0)
+          if (lead < 0) u.map(-_) else u
+        }
+      }
+
+      def basis(mode: Int, d: Int, r: Int): Array[Array[Double]] =
+        if (d <= maxGramDim) leadingEigvecs(gram(mode, d), d, r)
+        else randomizedBasis(mode, d, r)
+
+      var u1 = basis(0, di, r1) // r1 × di
+      var u2 = basis(1, dj, r2)
+      var u3 = basis(2, dk, r3)
 
       // --- HOOI sweeps (sweeps = 0 → plain truncated HOSVD) -------------
       def signFix(v: Array[Double]): Array[Double] = {

@@ -92,6 +92,34 @@ class TuckerSpec extends SparkSpec {
     }
   }
 
+  test("randomized large-mode path recovers a planted low-rank tensor like the exact path") {
+    val rnd = new scala.util.Random(31)
+    val a = Array.fill(2, 12)(rnd.nextGaussian())
+    val b = Array.fill(2, 10)(rnd.nextGaussian())
+    val c = Array.fill(2, 9)(rnd.nextGaussian())
+    val planted = for (i <- 0 until 12; j <- 0 until 10; k <- 0 until 9) yield {
+      val v = a(0)(i) * b(0)(j) * c(0)(k) + a(1)(i) * b(1)(j) * c(1)(k)
+      (i, j, k, v)
+    }
+    val df = cooDf(planted)
+    val exact = Tucker.hosvd(df, (2, 2, 2))
+    // maxGramDim = 2 forces every mode through the randomized range finder
+    val rand = Tucker.hosvd(df, (2, 2, 2), maxGramDim = 2)
+    // the ‖X‖²−‖G‖² identity cancels catastrophically near fit=1, so
+    // ~1e-8 is the numerical floor for BOTH paths here
+    assert(exact.fit > 1.0 - 1e-6, s"exact ${exact.fit}")
+    assert(rand.fit > 1.0 - 1e-6, s"randomized ${rand.fit}")
+    rand.factors.foreach { basis =>
+      for (x <- basis.indices; y <- basis.indices) {
+        val dot = basis(x).zip(basis(y)).map { case (p, q) => p * q }.sum
+        assert(math.abs(dot - (if (x == y) 1.0 else 0.0)) < 1e-8)
+      }
+    }
+    // determinism: same seed structure → identical factors
+    val rand2 = Tucker.hosvd(df, (2, 2, 2), maxGramDim = 2)
+    assert(rand.core.zip(rand2.core).forall { case (p, q) => math.abs(p - q) < 1e-12 })
+  }
+
   test("runs on the real Q43 event tensor with sane compression") {
     val coo = graft.operators.EventTime.q43(spark, sf("sf0.001"))
       .selectExpr("i", "j", "k", "v")
