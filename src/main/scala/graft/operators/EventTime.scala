@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
@@ -413,12 +413,42 @@ object EventTime {
     * map-side broadcast compare; the per-user aggregate underneath is
     * the same single user-keyed pass either way.
     */
-  def q104(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    val per = c.events.groupBy(col("user_id")).agg(
+  /** The per-user RFM measures Q104 and [[rfmSegmentsScalable]] share. */
+  private def rfmMeasures(c: Catalog): DataFrame =
+    c.events.groupBy(col("user_id")).agg(
       max(expr("ts DIV 1000")).as("last_us"),
       count(lit(1)).as("freq"),
       round(sum(col("value")), 4).as("monetary"))
+
+  /** The implemented 100 TB path Q104's scaladoc declares: quintile
+    * BOUNDARIES from the mergeable quantile sketch (percentile_approx —
+    * bounded state, no global sort), broadcast into a map-side bucket
+    * assignment. Buckets are approximately equal-sized (sketch rank
+    * error), vs ntile's exactly-equal — the classic exact-vs-scalable
+    * trade, tolerance-tested in OperatorPropertiesSpec.
+    */
+  def rfmSegmentsScalable(c: Catalog, accuracy: Int = 10000): DataFrame = {
+    val per = rfmMeasures(c)
+    val qs = array((1 to 4).map(q => lit(q / 5.0)): _*)
+    val bounds = per.agg(
+      percentile_approx(col("last_us"), qs, lit(accuracy)).as("b_r"),
+      percentile_approx(col("freq"), qs, lit(accuracy)).as("b_f"),
+      percentile_approx(col("monetary"), qs, lit(accuracy)).as("b_m"))
+    def score(v: Column, b: Column): Column =
+      lit(1) + when(v > b.getItem(0), 1).otherwise(0) +
+        when(v > b.getItem(1), 1).otherwise(0) +
+        when(v > b.getItem(2), 1).otherwise(0) +
+        when(v > b.getItem(3), 1).otherwise(0)
+    per.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("monetary"),
+        score(col("last_us"), col("b_r")).as("r_score"),
+        score(col("freq"), col("b_f")).as("f_score"),
+        score(col("monetary"), col("b_m")).as("m_score"))
+  }
+
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val per = rfmMeasures(c)
     val r = ntile(5).over(Window.orderBy(desc("last_us"), asc("user_id")))
     val f = ntile(5).over(Window.orderBy(desc("freq"), asc("user_id")))
     val m = ntile(5).over(Window.orderBy(desc("monetary"), asc("user_id")))

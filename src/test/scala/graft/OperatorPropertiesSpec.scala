@@ -45,6 +45,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sketch-boundary RFM buckets are near-equal-sized (Q104's declared scale path)") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val seg = EventTime.rfmSegmentsScalable(c).cache()
+    try {
+      val n = seg.count().toDouble
+      Seq("r_score", "f_score", "m_score").foreach { dim =>
+        val sizes = seg.groupBy(col(dim)).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(sizes.keySet.subsetOf((1 to 5).toSet), s"$dim: ${sizes.keySet}")
+        // each quintile within a loose band of n/5 (sketch rank error +
+        // tie mass; freq especially is heavily tied at small counts)
+        sizes.foreach { case (b, s) =>
+          assert(s <= n * 0.45, s"$dim bucket $b grossly oversized: $s of $n")
+        }
+        assert(sizes.values.sum.toDouble == n)
+      }
+    } finally { seg.unpersist(); () }
+  }
+
   test("C08: seeded sample is deterministic, a subset, and binomially sized") {
     val c = Catalog(spark, sf("sf0.01"))
     val li = c.lineitem.select("l_orderkey", "l_linenumber")
