@@ -189,17 +189,22 @@ object Profiling {
     val nullCust = c.orders.agg(
       count(lit(1)).as("n_orders"),
       count(lit(1)).minus(count(col("o_custkey"))).as("n_null"))
-    val checks = liChecks.crossJoin(orphans).crossJoin(dupKeys).crossJoin(nullCust)
-    def row(name: String, viol: Column, checked: Column) =
-      checks.select(lit(name).as("check_name"), viol.as("n_violations"),
+    // ONE row-generating explode over the single joined one-row relation:
+    // a unionByName of per-check selects would duplicate the whole
+    // aggregate subtree once per check (7× the scans and exchanges).
+    def cell(name: String, viol: Column, checked: Column) =
+      struct(lit(name).as("check_name"), viol.as("n_violations"),
         checked.as("n_checked"))
-    row("lineitem.l_quantity_positive", col("v_qty"), col("n_checked"))
-      .unionByName(row("lineitem.l_discount_in_unit_range", col("v_disc"), col("n_checked")))
-      .unionByName(row("lineitem.l_shipdate_in_domain", col("v_date"), col("n_checked")))
-      .unionByName(row("lineitem.l_extendedprice_positive", col("v_price"), col("n_checked")))
-      .unionByName(row("lineitem.orderkey_ref_integrity", col("n_orphans"), col("n_checked")))
-      .unionByName(row("orders.o_orderkey_unique", col("n_dup"), col("n_orders")))
-      .unionByName(row("orders.o_custkey_not_null", col("n_null"), col("n_orders")))
+    liChecks.crossJoin(orphans).crossJoin(dupKeys).crossJoin(nullCust)
+      .select(explode(array(
+        cell("lineitem.l_quantity_positive", col("v_qty"), col("n_checked")),
+        cell("lineitem.l_discount_in_unit_range", col("v_disc"), col("n_checked")),
+        cell("lineitem.l_shipdate_in_domain", col("v_date"), col("n_checked")),
+        cell("lineitem.l_extendedprice_positive", col("v_price"), col("n_checked")),
+        cell("lineitem.orderkey_ref_integrity", col("n_orphans"), col("n_checked")),
+        cell("orders.o_orderkey_unique", col("n_dup"), col("n_orders")),
+        cell("orders.o_custkey_not_null", col("n_null"), col("n_orders")))).as("c"))
+      .select(col("c.check_name"), col("c.n_violations"), col("c.n_checked"))
       .withColumn("passed", (col("n_violations") === 0).cast("int"))
       .orderBy(asc_nulls_first("check_name"))
   }
