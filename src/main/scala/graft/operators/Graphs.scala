@@ -68,18 +68,27 @@ object Graphs {
     * is small enough for AQE to broadcast — n·O(√m) entries).
     */
   def triangleCorners(edges: DataFrame): DataFrame = {
+    // Materialize the edge list once: it feeds BOTH the degree aggregate
+    // and the orientation join, and un-checkpointed each reference would
+    // re-execute the whole upstream edge build (for Q103, the lineitem
+    // pair expansion + distinct) — the same lineage discipline as
+    // pageRank's loop state.
+    val e0 = edges.localCheckpoint()
     // Total order (deg, id): ranks every node; out-degree under this
     // orientation is ≤ O(√m) regardless of raw degree skew.
-    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges
+    val withDeg = e0
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    // oriented is referenced three times below (adjacency + two joins) —
+    // checkpoint it too, or each reference replays the degree joins.
     val oriented = withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
     val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
     oriented
       .join(adj.select(col("u"), col("nbrs").as("u_nbrs")), Seq("u"))
@@ -149,10 +158,12 @@ object Graphs {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     // Materialize the iteration-invariant edge relation ONCE: without
     // this, every iteration's join re-executes the upstream edge build
-    // (for Q106, the lineitem self-join + distinct) inside one plan —
+    // (for Q106, the lineitem pair expansion + distinct) inside one plan —
     // iters+1 redundant scans. localCheckpoint also truncates lineage,
     // the same loop-state discipline as the CC family (NearDup.scala).
-    val e = degreeEdges(edges).localCheckpoint()
+    // The inner checkpoint matters too: degreeEdges references its input
+    // four times (both union legs, the degree agg, the join).
+    val e = degreeEdges(edges.localCheckpoint()).localCheckpoint()
     var pr = e.select(col("src")).distinct().withColumn("pr", lit(1.0))
     var i = 0
     while (i < iters) {
