@@ -568,11 +568,14 @@ object EventTime {
     */
   def q109(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // referenced by the spine build AND the fill join — checkpoint so the
+    // daily aggregate runs once
     val daily = c.events
       .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"),
         col("value"))
       .groupBy(col("user_id"), col("day"))
       .agg(round(sum(col("value")), 4).as("day_value"))
+      .localCheckpoint()
     val spine = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -22,11 +22,6 @@ import graft.Catalog
   */
 object Graphs {
 
-  /** Distinct undirected edges (a < b) between parts co-occurring in the
-    * same order. The self-join is keyed on l_orderkey (shuffle join; at
-    * scale the per-order line count bounds the pair fanout, and a
-    * pathological mega-order is exactly what AQE skew-split handles).
-    */
   /** Basket-size cap for pair expansion: a basket of b items expands to
     * b²/2 pairs, so one pathological mega-basket (a 10⁶-line order)
     * would emit 10¹² rows from a single task. The standard market-basket
@@ -37,6 +32,9 @@ object Graphs {
     */
   private val MaxBasket = 1000
 
+  /** Distinct undirected edges (a < b) between parts co-occurring in the
+    * same order.
+    */
   def coOrderEdges(lineitem: DataFrame): DataFrame = {
     // One groupBy (map-side combined collect_set) instead of an
     // order-keyed SELF-JOIN: the shuffle carries each line once, pair
@@ -234,8 +232,10 @@ object Graphs {
     */
   def q107(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // referenced three times below (total, item counts, pairs) —
+    // checkpoint so the distinct runs once
     val op = c.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().localCheckpoint()
     // scalar total as a 1-row broadcast, not a driver-side count() action
     val nOrders = op.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
     val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))

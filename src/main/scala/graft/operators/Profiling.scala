@@ -107,10 +107,13 @@ object Profiling {
     */
   def q114(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // referenced by the quartile ranking AND the fence join — checkpoint
+    // so the daily aggregate runs once
     val daily = c.events
       .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("event_type")).orderBy(asc("n"), asc("day"))
     val wAll = Window.partitionBy(col("event_type"))
     daily
@@ -261,9 +264,12 @@ object Profiling {
     */
   def q116(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // referenced four times (margins ×2, totals, the stats join) —
+    // checkpoint so the corpus aggregates once
     val cells = c.lineitem
       .groupBy(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val ma = cells.groupBy(col("a")).agg(sum(col("o")).as("na"))
     val mb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
     val tot = cells.agg(sum(col("o")).as("n"),
