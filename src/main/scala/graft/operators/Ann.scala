@@ -215,6 +215,157 @@ object Ann {
     * AnnSpec — SQ8's quantization error is ~range/510 per dim, far below
     * typical neighbor gaps.
     */
+  /** Product quantization (Jégou, Douze & Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 33(1) 2011): split each d-vector
+    * into m subvectors, learn a ksub-centroid codebook per subspace
+    * (Lloyd, deterministic seeds = the first ksub vectors' subvectors),
+    * store each vector as m small codes. With m=16, ksub=16 a 64-float
+    * (256-byte) embedding compresses to 16 4-bit codes = 8 bytes — 32×,
+    * vs SQ8's 4× (on unstructured data more subquantizers beat more
+    * centroids; recall-tuned in AnnSpec).
+    *
+    * Scale shape: fitting broadcasts the m·ksub·dsub codebook and
+    * reduces (sub, centroid)-keyed partial sums per iteration (same
+    * discipline as Clustering.lloydStep — corpus never shuffled);
+    * encoding is one map pass; ADC search broadcasts a per-probe m×ksub
+    * lookup table and scores each code row with a codegen'd fold, then
+    * exactly re-ranks only the shortlist.
+    */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) // (sub)(centroid)(dim)
+
+  // PQ operates on L2-NORMALIZED vectors so subspace L2 distance is a
+  // monotone surrogate of cosine (the same normalization the LSH path
+  // uses); the final re-rank is exact cosine on the raw floats.
+  private def subVectors(df: DataFrame, embCol: String, m: Int, dsub: Int) =
+    df.select(col("vec_id"), VectorOps.unitArr(col(embCol)).as("nemb"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}, 1), s -> slice(nemb, s * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "svec")))
+      .select(col("vec_id"), col("sub"),
+        col("svec").cast("array<double>").as("svec"))
+
+  def pqFit(df: DataFrame, embCol: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5): PqModel = {
+    val d = df.select(size(col(embCol))).first().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val subRdd = subVectors(df, embCol, m, dsub)
+      .rdd.map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sc = subRdd.sparkContext
+      var cb: Array[Array[Array[Double]]] = {
+        val seeds = subRdd.filter(_._2 < ksub)
+          .map { case (s, id, v) => ((s, id.toInt), v) }.collectAsMap()
+        Array.tabulate(m, ksub)((s, c) => seeds((s, c)))
+      }
+      def argmin(book: Array[Array[Double]], v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var dist = 0.0; var i = 0
+          val cen = book(c)
+          while (i < v.length) { val t = v(i) - cen(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        best
+      }
+      var it = 0
+      while (it < iters) {
+        val b = sc.broadcast(cb)
+        val sums = subRdd
+          .map { case (s, _, v) => ((s, argmin(b.value(s), v)), (v, 1L)) }
+          .reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+            var i = 0
+            while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+            (a._1, a._2 + b._2)
+          }
+          .collectAsMap()
+        b.destroy()
+        cb = Array.tabulate(m, ksub) { (s, c) =>
+          sums.get((s, c))
+            .map { case (v, n) => v.map(_ / n) }
+            .getOrElse(cb(s)(c)) // empty cell keeps its centroid
+        }
+        it += 1
+      }
+      PqModel(m, ksub, dsub, cb)
+    } finally { subRdd.unpersist(); () }
+  }
+
+  /** Encode every vector as its m nearest-centroid codes. */
+  def pqEncode(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
+    // distance to each centroid unrolled as a codegen'd least-chain over
+    // literal centroid arrays — no UDF in the encode path
+    def subCode(s: Int): org.apache.spark.sql.Column = {
+      val sv = expr(s"slice(nemb, ${s * model.dsub} + 1, ${model.dsub})")
+      val dists = (0 until model.ksub).map { c =>
+        val cen = array(model.codebooks(s)(c).map(lit(_)).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(sv, cen, (x, y) => {
+            val t = x.cast("double") - y; t * t
+          }), lit(0.0), (acc, x) => acc + x).as("dist"),
+          lit(c).as("code"))
+      }
+      least(dists: _*).getField("code")
+    }
+    df.select(col("vec_id"), VectorOps.unitArr(col(embCol)).as("nemb"))
+      .select(col("vec_id"),
+        array((0 until model.m).map(subCode): _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance) top-k: score codes against each probe's
+    * per-subspace lookup table, shortlist, then exact cosine re-rank.
+    */
+  def pqTopK(probes: DataFrame, codesDf: DataFrame, vectors: DataFrame,
+      model: PqModel, k: Int, shortlist: Int = 50): DataFrame = {
+    val spark = probes.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // per-probe LUT: lut(s)(c) = ‖probe_sub(s) − centroid(s)(c)‖²
+    val probeRows = probes.select(col("vec_id"),
+      VectorOps.unitArr(col("embedding"))).collect().map { r =>
+      val id = r.getLong(0)
+      val emb = r.getSeq[Double](1).toArray
+      val lut = Array.tabulate(model.m, model.ksub) { (s, c) =>
+        var acc = 0.0; var i = 0
+        val cen = model.codebooks(s)(c)
+        while (i < model.dsub) {
+          val t = emb(s * model.dsub + i) - cen(i); acc += t * t; i += 1
+        }
+        acc
+      }
+      Row(id, lut.map(_.toSeq).toSeq)
+    }
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("p_id", LongType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    val wAdc = Window.partitionBy(col("p_id")).orderBy(asc("adc"), asc("vec_id"))
+    val short = codesDf.crossJoin(broadcast(lutDf))
+      .filter(col("p_id") =!= col("vec_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= shortlist)
+      .select(col("p_id"), col("vec_id").as("n_id"))
+    // exact re-rank of the shortlist only
+    val v = vectors.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      VectorOps.l2(col("embedding")).as("n_norm"))
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+      VectorOps.l2(col("embedding")).as("p_norm"))
+    val wCos = Window.partitionBy(col("p_id")).orderBy(desc("cos"), asc("n_id"))
+    short.join(v, Seq("n_id")).join(broadcast(p), Seq("p_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("p_emb"), col("n_emb")) / (col("p_norm") * col("n_norm")))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .select(col("p_id"), col("rnk"), col("n_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   def sqTopK(probes: DataFrame, codesDf: DataFrame,
       mins: Array[Double], ranges: Array[Double], k: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("p_id"),

@@ -90,4 +90,31 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.5, s"indexed IVF recall@5 = $recall")
   }
+
+  test("PQ: 8-byte codes, ADC shortlist + exact rerank keeps recall") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val model = Ann.pqFit(c.embeddings, "embedding", m = 16, ksub = 16, iters = 4)
+    assert(model.codebooks.length == 16)
+    assert(model.codebooks.forall(b => b.length == 16 && b.forall(_.length == 4)))
+
+    val codes = Ann.pqEncode(c.embeddings, "embedding", model).cache()
+    try {
+      // every code fits in 4 bits → 16 codes = 8 bytes per vector (32×
+      // smaller than the 256-byte float embedding)
+      val r = codes
+        .agg(max(size(col("codes"))).as("m"), max(array_max(col("codes"))).as("mx"))
+        .collect()(0)
+      assert(r.getInt(0) == 16 && r.getInt(1) < 16, r.toString)
+
+      val probes = c.embeddings.filter(col("vec_id") < 10)
+      val exact = VectorOps.cosineTopK(probes, c.embeddings, 5)
+        .select(col("p_id"), col("n_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val got = Ann.pqTopK(probes, codes, c.embeddings, model, 5, shortlist = 100)
+        .select(col("p_id"), col("neighbor_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.6, s"PQ recall@5 = $recall")
+    } finally { codes.unpersist(); () }
+  }
 }
