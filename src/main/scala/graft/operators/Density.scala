@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Density-based clustering (SURVEY.md §2.13 build addendum; reference
+  * checkout is empty, SURVEY.md §0.1 — the algorithm is published
+  * grid-partitioned DBSCAN, Ester et al. KDD 1996 semantics with the
+  * cell-join candidate generation of the MR-DBSCAN family).
+  *
+  * Complements [[Clustering]]'s centroid k-means: density clustering
+  * finds arbitrary-shape clusters and labels sparse points as noise —
+  * the outlier-aware grouping a curation pipeline wants for embedding
+  * neighborhoods (project to 2-D with [[VectorOps.pca]], then cluster).
+  *
+  * Scale shape: points bin into eps-sized grid cells (map-side), so
+  * every eps-neighbor of a point lies in its 3×3 cell block — candidate
+  * pairs come from ONE equi-join on cell ids (each point replicated 9×),
+  * never an all-pairs pass. Core status is a keyed count; cluster
+  * formation runs the O(log n)-round star-contraction CC over core-core
+  * edges ([[NearDup.connectedComponentsStars]] — the same engine the
+  * dedup family uses); border points attach map-side to the minimum
+  * neighboring core cluster. Deterministic throughout (min-rep ties).
+  * A dense cell at 100 TB concentrates its pairs in one join key — the
+  * standard mitigation is the same AQE skew split the dedup joins rely
+  * on; eps chosen so cells hold O(minPts·c) points keeps the quadratic
+  * term bounded by construction.
+  */
+object Density {
+
+  /** DBSCAN over 2-D points (id, x, y). Returns (id, cluster, role):
+    * cluster = min core id of the density-connected component, −1 for
+    * noise; role ∈ core | border | noise. Border points with several
+    * eps-reachable clusters take the minimum cluster id (deterministic
+    * tie-break; classic DBSCAN leaves this order-dependent).
+    */
+  def dbscan2d(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"eps=$eps minPts=$minPts")
+    val p = points
+      .select(col("id").cast("long").as("id"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps))
+      .withColumn("cy", floor(col("y") / eps))
+      .localCheckpoint() // referenced by the probe side, the join, and labeling
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probes = p.select(
+        col("id").as("pid"), col("x").as("px"), col("y").as("py"),
+        explode(offsets).as("o"),
+        col("cx").as("hcx"), col("cy").as("hcy"))
+      .select(col("pid"), col("px"), col("py"),
+        (col("hcx") + col("o.dx")).as("cx"), (col("hcy") + col("o.dy")).as("cy"))
+    // each unordered eps-pair appears in BOTH directions (every point
+    // probes the other's home cell), so per-point neighbor counts and
+    // border attachment read directly off `pairs`
+    val pairs = probes.join(p, Seq("cx", "cy"))
+      .filter(col("pid") =!= col("id"))
+      .filter(pow(col("px") - col("x"), 2) + pow(col("py") - col("y"), 2)
+        <= eps * eps)
+      .select(col("pid").as("a"), col("id").as("b"))
+      .localCheckpoint()
+    // DBSCAN counts the point itself toward minPts
+    val core = pairs.groupBy(col("a")).agg(count(lit(1)).as("n"))
+      .filter(col("n") + 1 >= minPts)
+      .select(col("a").as("id"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "a"), Seq("a"))
+      .join(core.withColumnRenamed("id", "b"), Seq("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val (labels, _) = NearDup.connectedComponentsStars(coreEdges)
+    // isolated cores (no core neighbor) label themselves
+    val coreClusters = core
+      .join(labels.withColumnRenamed("member", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"))
+      .localCheckpoint()
+    val borderClusters = pairs
+      .join(coreClusters.withColumnRenamed("id", "b")
+        .withColumnRenamed("cluster", "b_cluster"), Seq("b"))
+      .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+      .groupBy(col("a").as("id"))
+      .agg(min(col("b_cluster")).as("cluster"))
+    p.select(col("id"))
+      .join(coreClusters.withColumnRenamed("cluster", "core_c"), Seq("id"), "left")
+      .join(borderClusters.withColumnRenamed("cluster", "border_c"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("core_c"), col("border_c"), lit(-1L)).as("cluster"),
+        when(col("core_c").isNotNull, "core")
+          .when(col("border_c").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+}
