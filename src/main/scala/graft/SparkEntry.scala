@@ -35,7 +35,8 @@ object SparkEntry {
       (Clustering.queries, Clustering.oracles),
       (Graphs.queries, Graphs.oracles),
       (Skyline.queries, Skyline.oracles),
-      (Cdc.queries, Cdc.oracles)
+      (Cdc.queries, Cdc.oracles),
+      (Density.queries, Density.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

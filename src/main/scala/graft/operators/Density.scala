@@ -90,4 +90,59 @@ object Density {
           .when(col("border_c").isNotNull, "border")
           .otherwise("noise").as("role"))
   }
+
+  /** Q117 — the full DBSCAN hash-gated cross-engine: cluster parts in
+    * (size, price/5) feature space (eps 0.5, minPts 4). Every step is
+    * exact arithmetic both engines share — squared-distance compares,
+    * integer counts, min-id components — so an entire iterative
+    * clustering algorithm hash-matches a recursive-CTE oracle.
+    */
+  def q117(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val c = graft.Catalog(spark, dir)
+    dbscan2d(
+      c.part.select(col("p_partkey").as("id"),
+        col("p_size").cast("double").as("x"),
+        (col("p_retailprice") / 5).as("y")),
+      eps = 0.5, minPts = 4)
+      .orderBy(asc_nulls_first("id"))
+  }
+
+  val q117Oracle: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x,
+      |    p_retailprice / 5 AS y
+      |  FROM part),
+      |nb AS (
+      |  SELECT p.id AS a, q.id AS b
+      |  FROM pts p JOIN pts q ON p.id <> q.id
+      |  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+      |    <= 0.5 * 0.5),
+      |core AS (SELECT a AS id FROM nb GROUP BY a HAVING COUNT(*) + 1 >= 4),
+      |ce AS (
+      |  SELECT a, b FROM nb
+      |  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+      |reach(node, r) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT ce.b, reach.r FROM reach JOIN ce ON ce.a = reach.node),
+      |lab AS (SELECT node AS id, MIN(r) AS cluster FROM reach GROUP BY node),
+      |border AS (
+      |  SELECT nb.a AS id, MIN(lab.cluster) AS cluster
+      |  FROM nb JOIN lab ON lab.id = nb.b
+      |  WHERE nb.a NOT IN (SELECT id FROM core)
+      |  GROUP BY nb.a)
+      |SELECT p.id, COALESCE(l.cluster, bo.cluster, -1) AS cluster,
+      |  CASE WHEN l.cluster IS NOT NULL THEN 'core'
+      |       WHEN bo.cluster IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role
+      |FROM pts p
+      |LEFT JOIN lab l ON l.id = p.id
+      |LEFT JOIN border bo ON bo.id = p.id
+      |ORDER BY p.id NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "Q117" -> (q117 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q117" -> q117Oracle)
 }
