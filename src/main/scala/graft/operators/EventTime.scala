@@ -608,16 +608,78 @@ object EventTime {
       |FROM j
       |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Q118 — classical seasonal decomposition of the daily value series:
+    * additive value = trend + seasonal + residual, with the trend a
+    * CENTERED 7-day moving average (defined only where the full window
+    * exists — the textbook moving-average decomposition), the seasonal
+    * index the mean detrended value per day-of-week, and the residual
+    * what remains. Each component is rounded before feeding the next so
+    * both engines propagate identical doubles.
+    *
+    * Scale notes: everything runs on the DAILY aggregate (bounded rows —
+    * the corpus collapses in the first hash aggregate); the trend is one
+    * ordered window over that small series, the seasonal index one
+    * 7-key aggregate joined back broadcast. Same plan discipline as
+    * Q60's window-above-aggregate rule.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    // values are 2-decimal monetary: summing exact integer CENTS makes
+    // the daily total order-independent and bit-identical cross-engine —
+    // a round(sum(double)) here once landed exactly on a 4-dp rounding
+    // boundary and flipped between engines
+    val daily = c.events
+      .select(expr("ts DIV 1000 DIV 86400000000").as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("s"))
+      .localCheckpoint() // feeds the trend window AND the final join
+    val w = Window.orderBy(asc("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === 7, round(avg(col("s")).over(w), 4)))
+      .withColumn("detr", round(col("s") - col("trend"), 4))
+      .withColumn("dow", col("day") % 7)
+    val seasonal = trended.filter(col("detr").isNotNull)
+      .groupBy(col("dow")).agg(round(avg(col("detr")), 4).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day"), col("dow"), col("s"), col("trend"),
+        col("seasonal"),
+        round(col("detr") - col("seasonal"), 4).as("residual"))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  val q118Oracle: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS s
+      |  FROM events GROUP BY 1),
+      |trended AS (
+      |  SELECT day, s,
+      |    CASE WHEN COUNT(*) OVER w = 7
+      |         THEN ROUND(AVG(s) OVER w, 4) END AS trend,
+      |    day % 7 AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |detrended AS (
+      |  SELECT day, dow, s, trend, ROUND(s - trend, 4) AS detr FROM trended),
+      |seasonal AS (
+      |  SELECT dow, ROUND(AVG(detr), 4) AS seasonal
+      |  FROM detrended WHERE detr IS NOT NULL GROUP BY 1)
+      |SELECT d.day, d.dow, d.s, d.trend, se.seasonal,
+      |  ROUND(d.detr - se.seasonal, 4) AS residual
+      |FROM detrended d LEFT JOIN seasonal se ON se.dow = d.dow
+      |ORDER BY d.day NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
-    "Q108" -> (q108 _), "Q109" -> (q109 _))
+    "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
-    "Q109" -> q109Oracle)
+    "Q109" -> q109Oracle, "Q118" -> q118Oracle)
 }
