@@ -590,21 +590,25 @@ object PipelineOps {
     */
   def q98(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // every stage is counted twice (as its own output and the next
+    // stage's input) — checkpoint each so the funnel chain executes once
     val train = scored(c).filter(col("source") =!= "src0")
       .withColumn("h", md5(col("text")))
       .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
-    val s1 = train.filter(col("quality") >= 0.7)
+      .localCheckpoint()
+    val s1 = train.filter(col("quality") >= 0.7).localCheckpoint()
     val s2 = s1
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("h")).orderBy(asc("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
     val evalSh = shingles5(c.documents.filter(col("source") === "src0"))
       .select(col("sh")).distinct()
     val flagged = shingles5(s2)
       .join(broadcast(evalSh), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     // flagged is data-dependent — no broadcast hint; AQE decides (Q70 rule).
-    val s3 = s2.join(flagged, Seq("doc_id"), "left_anti")
+    val s3 = s2.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
     val langCounts = s3.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val minN = langCounts.agg(min(col("n")).as("min_n"))
     val gateRates = langCounts.crossJoin(broadcast(minN))
