@@ -19,21 +19,37 @@ object Profiling {
     * distinct count, and (numeric columns only) rounded min/max. The
     * numeric range stays DOUBLE — casting min/max to string would hash
     * differently across engines' float formatting.
+    *
+    * ONE scan for the whole profile: all columns' measures compute in a
+    * single aggregate whose row is then exploded to per-column rows — a
+    * per-column unionByName would scan the table once per column, which
+    * at a 100 TB × 50-column table is 50 corpus passes. (countDistinct
+    * over several columns in one aggregate expands to an Expand-based
+    * multi-distinct — still one scan.)
     */
-  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
-    cols.map { case (name, numeric) =>
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val measures = cols.flatMap { case (name, numeric) =>
       val (vmin, vmax): (Column, Column) =
         if (numeric)
           (round(min(col(name)).cast("double"), 4),
             round(max(col(name)).cast("double"), 4))
         else (lit(null).cast("double"), lit(null).cast("double"))
-      df.agg(
-        count(lit(1)).minus(count(col(name))).as("n_nulls"),
-        countDistinct(col(name)).as("n_distinct"),
-        vmin.as("vmin"), vmax.as("vmax"))
-        .select(lit(name).as("col_name"), col("n_nulls"), col("n_distinct"),
-          col("vmin"), col("vmax"))
-    }.reduce(_ unionByName _)
+      Seq(
+        count(lit(1)).minus(count(col(name))).as(s"${name}__nulls"),
+        countDistinct(col(name)).as(s"${name}__distinct"),
+        vmin.as(s"${name}__min"), vmax.as(s"${name}__max"))
+    }
+    df.agg(measures.head, measures.tail: _*)
+      .select(explode(array(cols.map { case (name, _) =>
+        struct(lit(name).as("col_name"),
+          col(s"${name}__nulls").as("n_nulls"),
+          col(s"${name}__distinct").as("n_distinct"),
+          col(s"${name}__min").as("vmin"),
+          col(s"${name}__max").as("vmax"))
+      }: _*)).as("c"))
+      .select(col("c.col_name"), col("c.n_nulls"), col("c.n_distinct"),
+        col("c.vmin"), col("c.vmax"))
+  }
 
   /** Q78 — profile of the orders table's analysis columns. */
   def q78(spark: SparkSession, dir: String): DataFrame = {
