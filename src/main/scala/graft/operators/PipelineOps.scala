@@ -492,10 +492,15 @@ object PipelineOps {
           |     ELSE 1.0 END""".stripMargin).cast("double"))
       .withColumn("h", md5(col("text")))
       .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+    // the small aggregates below are each referenced twice — checkpoint
+    // them (source-count-sized rows) so their corpus-scanning lineage
+    // executes once; the corpus itself is deliberately NOT checkpointed
+    // (two pushdown map passes beat materializing 100 TB)
     val perSrc = docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("nt")).as("n_tokens"),
       max(col("w")).as("w"))
+      .localCheckpoint()
     val totals = perSrc.agg(
       sum(col("w")).as("tot_w"), sum(col("n_tokens")).as("tot_toks"))
     val rates = perSrc.crossJoin(broadcast(totals))
@@ -505,6 +510,7 @@ object PipelineOps {
         lit(4.0)))
       .withColumn("full_epochs", floor(col("rpt")))
       .withColumn("tail_rate", col("rpt") - col("full_epochs"))
+      .localCheckpoint()
     val emitted = docs
       .join(broadcast(rates.select(
         col("source"), col("full_epochs"), col("tail_rate"))), Seq("source"))
@@ -514,6 +520,7 @@ object PipelineOps {
       .agg(
         sum(col("epochs")).as("emitted_docs"),
         sum(col("nt") * col("epochs")).as("emitted_tokens"))
+      .localCheckpoint()
     val totEmitted = emitted.agg(sum(col("emitted_tokens")).as("tot_emitted"))
     rates
       .join(emitted, Seq("source"))
