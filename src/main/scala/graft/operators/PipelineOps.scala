@@ -403,6 +403,10 @@ object PipelineOps {
           |  s -> concat_ws(' ', slice(toks, s + 1, 10)))""".stripMargin)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"))
       .distinct()
+      // referenced by the shared-hash aggregate AND the semi-join probe;
+      // the distinct just shuffled this into compact form, so pinning it
+      // costs nothing beyond what the shuffle already wrote
+      .localCheckpoint()
     val shared = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
