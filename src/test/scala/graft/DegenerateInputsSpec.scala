@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Density, Graphs, Skyline}
+
+/** Degenerate-input behavior of the library APIs: empty and single-row
+  * inputs must return empty/trivial results (or fail loudly with a
+  * message), never throw obscure runtime errors — the contract a library
+  * caller relies on when an upstream filter happens to drain a relation.
+  */
+class DegenerateInputsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.plans.GraftExtensions.registerRuntime(spark)
+  }
+
+  private def emptyLL(cols: (String, DataType)*) =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+
+  test("skyline of an empty relation is empty; single point is its own frontier") {
+    val empty = emptyLL("p_partkey" -> LongType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType)
+    assert(Skyline.skyline(empty).count() == 0)
+    val one = spark.createDataFrame(Seq((1L, 5, 10.0)))
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    val res = Skyline.skyline(one).collect()
+    assert(res.length == 1 && res(0).getLong(0) == 1L)
+  }
+
+  test("triangleCorners and pageRank on an empty edge list are empty") {
+    val empty = emptyLL("a" -> LongType, "b" -> LongType)
+    assert(Graphs.triangleCorners(empty).count() == 0)
+    assert(Graphs.pageRank(empty, 3).count() == 0)
+  }
+
+  test("pageRank on a single edge converges to the symmetric fixpoint") {
+    val one = spark.createDataFrame(Seq((1L, 2L))).toDF("a", "b")
+    val pr = Graphs.pageRank(one, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L))
+    // two symmetric nodes: r = 0.15 + 0.85·r has fixpoint 1.0
+    pr.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, pr.toString))
+  }
+
+  test("dbscan2d labels an isolated point as noise and an empty input as empty") {
+    val one = spark.createDataFrame(Seq((7L, 0.0, 0.0))).toDF("id", "x", "y")
+    val res = Density.dbscan2d(one, eps = 1.0, minPts = 2).collect()
+    assert(res.length == 1)
+    assert(res(0).getLong(1) == -1L && res(0).getString(2) == "noise")
+    val empty = emptyLL("id" -> LongType, "x" -> DoubleType, "y" -> DoubleType)
+    assert(Density.dbscan2d(empty, eps = 1.0, minPts = 2).count() == 0)
+  }
+
+  test("kmeans with k larger than the corpus degrades to one cluster per vector") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("emb", ArrayType(FloatType))))
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1f, 0f)), Row(1L, Seq(0f, 1f))), 2), schema)
+    val (model, assigned) = graft.operators.Clustering.kmeans(tiny, k = 5, iters = 1)
+    assert(model.keySet == Set(0L, 1L))
+    assert(assigned.count() == 2)
+  }
+}
