@@ -83,6 +83,7 @@ object Tucker {
       .rdd.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      require(!rdd.isEmpty(), "Tucker.hosvd/hooi: the COO tensor is empty")
       val (di, dj, dk) = {
         val (mi, mj, mk) = rdd
           .map { case (i, j, k, _) => (i, j, k) }

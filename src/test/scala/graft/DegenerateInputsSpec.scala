@@ -56,6 +56,15 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Density.dbscan2d(empty, eps = 1.0, minPts = 2).count() == 0)
   }
 
+  test("Tucker on an empty tensor fails loudly, not with a bare reduce error") {
+    val empty = emptyLL("i" -> IntegerType, "j" -> IntegerType,
+      "k" -> IntegerType, "v" -> DoubleType)
+    val e = intercept[IllegalArgumentException] {
+      graft.tensor.Tucker.hosvd(empty, (2, 2, 2))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("kmeans with k larger than the corpus degrades to one cluster per vector") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("emb", ArrayType(FloatType))))
