@@ -83,6 +83,20 @@ object KmvSketch {
     m.merge(a).merge(b)
   }
 
+  /** Merge `other` into `buffer`, reconciling mismatched k: the result
+    * lives at min(buffer.k, other.k) — the only resolution both operands
+    * support (same rule as [[combined]]). Without the clamp, merging a
+    * smaller-k (already truncated) sketch into a larger-k buffer leaves
+    * the min-set under-full, so `estimate` takes its size<k "exact"
+    * branch and grossly underestimates.
+    */
+  def mergeClamped(buffer: KmvSketch, other: KmvSketch): KmvSketch =
+    if (other.k >= buffer.k) buffer.merge(other)
+    else {
+      val m = new KmvSketch(other.k)
+      m.merge(buffer).merge(other)
+    }
+
   def unionEstimate(a: KmvSketch, b: KmvSketch): Long = combined(a, b).estimate
 
   /** ρ·D̂(A∪B); exact while the union has fewer than k distinct hashes. */

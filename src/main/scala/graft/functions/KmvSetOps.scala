@@ -78,13 +78,19 @@ case class KmvMergeAgg(
 
   override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
 
+  // Both paths clamp the effective k to the smallest seen (see
+  // KmvSketch.mergeClamped): a k=128 input sketch merged under
+  // graft_kmv_merge(sk, 256) must yield a k=128 result, not a 256-slot
+  // buffer that never fills and estimates "exactly".
   override def update(buffer: KmvSketch, input: InternalRow): KmvSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.merge(KmvSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buffer
+    if (v != null)
+      KmvSketch.mergeClamped(buffer, KmvSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
+    else buffer
   }
 
-  override def merge(buffer: KmvSketch, other: KmvSketch): KmvSketch = buffer.merge(other)
+  override def merge(buffer: KmvSketch, other: KmvSketch): KmvSketch =
+    KmvSketch.mergeClamped(buffer, other)
   override def eval(buffer: KmvSketch): Any = KmvSketch.toBytes(buffer)
   override def serialize(buffer: KmvSketch): Array[Byte] = KmvSketch.toBytes(buffer)
   override def deserialize(bytes: Array[Byte]): KmvSketch = KmvSketch.fromBytes(bytes)

@@ -218,7 +218,8 @@ object Ann {
   /** Product quantization (Jégou, Douze & Schmid, "Product Quantization
     * for Nearest Neighbor Search", TPAMI 33(1) 2011): split each d-vector
     * into m subvectors, learn a ksub-centroid codebook per subspace
-    * (Lloyd, deterministic seeds = the first ksub vectors' subvectors),
+    * (Lloyd, deterministic seeds = the subvectors of the ksub smallest
+    * vec_ids present),
     * store each vector as m small codes. With m=16, ksub=16 a 64-float
     * (256-byte) embedding compresses to 16 4-bit codes = 8 bytes — 32×,
     * vs SQ8's 4× (on unstructured data more subquantizers beat more
@@ -247,17 +248,27 @@ object Ann {
 
   def pqFit(df: DataFrame, embCol: String, m: Int = 8, ksub: Int = 16,
       iters: Int = 5): PqModel = {
-    val d = df.select(size(col(embCol))).first().getInt(0)
+    val head = df.select(size(col(embCol))).head(1)
+    require(head.nonEmpty, "pqFit requires a non-empty vectors relation")
+    val d = head(0).getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
+    // Deterministic seeds = the ksub SMALLEST vec_ids actually present
+    // (the ids need not be dense from 0 — a filtered corpus is fine).
+    val seedIds = df.select(col("vec_id")).orderBy(col("vec_id")).limit(ksub)
+      .collect().map(_.getLong(0))
+    require(seedIds.length == ksub,
+      s"pqFit needs at least ksub=$ksub distinct vectors, found ${seedIds.length}")
+    val seedRank = seedIds.zipWithIndex.toMap // id → centroid slot
     val subRdd = subVectors(df, embCol, m, dsub)
       .rdd.map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2).toArray))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sc = subRdd.sparkContext
       var cb: Array[Array[Array[Double]]] = {
-        val seeds = subRdd.filter(_._2 < ksub)
-          .map { case (s, id, v) => ((s, id.toInt), v) }.collectAsMap()
+        val rankB = sc.broadcast(seedRank)
+        val seeds = subRdd.filter(t => rankB.value.contains(t._2))
+          .map { case (s, id, v) => ((s, rankB.value(id)), v) }.collectAsMap()
         Array.tabulate(m, ksub)((s, c) => seeds((s, c)))
       }
       def argmin(book: Array[Array[Double]], v: Array[Double]): Int = {

@@ -66,15 +66,33 @@ object Clustering {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = vectors.sparkSession
+    // Fail loudly up front (same discipline as the Tucker empty-tensor
+    // guard): an empty relation would surface as an opaque head-of-empty
+    // deep in the loop, and a zero-norm embedding makes cosine NaN — which
+    // sorts FIRST under desc(cos) and would silently claim the vector.
+    val audit = vectors.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("emb").isNull || l2(col("emb")) === 0, 1L).otherwise(0L)).as("bad"))
+      .head()
+    require(audit.getLong(0) > 0, "kmeans requires a non-empty vectors relation")
+    require(audit.getLong(1) == 0,
+      s"kmeans: ${audit.getLong(1)} null or zero-norm embeddings — cosine is " +
+        "undefined for them; filter or re-embed before clustering")
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cemb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
     val idOrd = vectors.select(col("id")).orderBy(col("id")).limit(k)
     var cents = vectors.join(idOrd, Seq("id"))
       .select(col("id").as("cid"), col("emb").cast("array<double>").as("cemb"))
     var assigned: DataFrame = null
     var i = 0
     while (i < iters) {
-      // Materialize the (small) new centroids, then re-broadcast — the
-      // classic synchronous Lloyd loop; k·d doubles per iteration on the
-      // driver, nothing else.
+      // Materialize the (small) new centroids as a LOCAL relation, then
+      // re-broadcast — the classic synchronous Lloyd loop; k·d doubles per
+      // iteration on the driver, and no 1-partition mini-job (the local
+      // rows feed lloydStep's broadcast directly).
       val (a, nc) = lloydStep(vectors, cents)
       assigned = a
       val rows = nc.groupBy(col("cid"))
@@ -82,7 +100,7 @@ object Clustering {
         .select(col("cid"), transform(col("cells"), _.getField("cen")).as("cemb"))
         .collect()
       cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), rows.head.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+        java.util.Arrays.asList(rows: _*), centSchema)
       i += 1
     }
     val model = cents.collect()

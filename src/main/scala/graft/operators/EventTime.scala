@@ -610,17 +610,23 @@ object EventTime {
 
   /** Q118 — classical seasonal decomposition of the daily value series:
     * additive value = trend + seasonal + residual, with the trend a
-    * CENTERED 7-day moving average (defined only where the full window
-    * exists — the textbook moving-average decomposition), the seasonal
-    * index the mean detrended value per day-of-week, and the residual
-    * what remains. Each component is rounded before feeding the next so
-    * both engines propagate identical doubles.
+    * CENTERED 7-CALENDAR-day moving average (defined only where all 7
+    * calendar days exist AND have data — the textbook moving-average
+    * decomposition), the seasonal index the mean detrended value per
+    * day-of-week, and the residual what remains. The daily series is
+    * re-gridded onto its full min..max day spine (same discipline as
+    * Q109's LOCF resample) before the window, so on a GAPPED series the
+    * trend goes NULL around the gap instead of silently averaging
+    * non-adjacent days; gap days themselves are not emitted. Each
+    * component is rounded before feeding the next so both engines
+    * propagate identical doubles.
     *
     * Scale notes: everything runs on the DAILY aggregate (bounded rows —
-    * the corpus collapses in the first hash aggregate); the trend is one
-    * ordered window over that small series, the seasonal index one
-    * 7-key aggregate joined back broadcast. Same plan discipline as
-    * Q60's window-above-aggregate rule.
+    * the corpus collapses in the first hash aggregate); the spine is one
+    * `sequence()` off a 1-row bounds aggregate; the trend is one ordered
+    * window over that small series, the seasonal index one 7-key
+    * aggregate joined back broadcast. Same plan discipline as Q60's
+    * window-above-aggregate rule.
     */
   def q118(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -632,11 +638,15 @@ object EventTime {
       .select(expr("ts DIV 1000 DIV 86400000000").as("day"), col("value"))
       .groupBy(col("day"))
       .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("s"))
-      .localCheckpoint() // feeds the trend window AND the final join
+      .localCheckpoint() // feeds the spine bounds, the grid join, twice
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("day"), "left")
     val w = Window.orderBy(asc("day")).rowsBetween(-3, 3)
-    val trended = daily
+    val trended = grid
       .withColumn("trend",
-        when(count(lit(1)).over(w) === 7, round(avg(col("s")).over(w), 4)))
+        when(count(col("s")).over(w) === 7, round(avg(col("s")).over(w), 4)))
+      .filter(col("s").isNotNull) // gap days shaped the window; not emitted
       .withColumn("detr", round(col("s") - col("trend"), 4))
       .withColumn("dow", col("day") % 7)
     val seasonal = trended.filter(col("detr").isNotNull)
@@ -653,15 +663,21 @@ object EventTime {
       |  SELECT epoch_us(ts) // 86400000000 AS day,
       |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS s
       |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+      |                                (SELECT MAX(day) FROM daily))) AS day),
+      |grid AS (
+      |  SELECT sp.day, d.s FROM spine sp LEFT JOIN daily d ON d.day = sp.day),
       |trended AS (
       |  SELECT day, s,
-      |    CASE WHEN COUNT(*) OVER w = 7
+      |    CASE WHEN COUNT(s) OVER w = 7
       |         THEN ROUND(AVG(s) OVER w, 4) END AS trend,
       |    day % 7 AS dow
-      |  FROM daily
+      |  FROM grid
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |detrended AS (
-      |  SELECT day, dow, s, trend, ROUND(s - trend, 4) AS detr FROM trended),
+      |  SELECT day, dow, s, trend, ROUND(s - trend, 4) AS detr
+      |  FROM trended WHERE s IS NOT NULL),
       |seasonal AS (
       |  SELECT dow, ROUND(AVG(detr), 4) AS seasonal
       |  FROM detrended WHERE detr IS NOT NULL GROUP BY 1)

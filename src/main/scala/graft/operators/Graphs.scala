@@ -111,11 +111,20 @@ object Graphs {
       .limit(20)
   }
 
+  // The oracles mirror the MaxBasket truncation (1000 smallest part ids
+  // per order, via ROW_NUMBER) so engine and oracle share one semantics:
+  // on a dataset with a >1000-part order the gate still compares
+  // like-for-like instead of silently diverging. A no-op on the fixtures
+  // (max basket ≈ 7).
   val q103Oracle: String =
-    """WITH e AS (
-      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-      |  WHERE l1.l_partkey < l2.l_partkey),
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
       |t AS (
       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
       |  FROM e e1
@@ -187,10 +196,14 @@ object Graphs {
   }
 
   val q106Oracle: String =
-    """WITH e AS (
-      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-      |  WHERE l1.l_partkey < l2.l_partkey),
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
       |de AS (SELECT a AS src, b AS dst FROM e
       |       UNION ALL SELECT b AS src, a AS dst FROM e),
       |deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1),
@@ -267,11 +280,15 @@ object Graphs {
 
   val q107Oracle: String =
     """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
       |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
       |item AS (SELECT pk, COUNT(*) AS cnt FROM op GROUP BY 1),
       |pairs AS (
       |  SELECT o1.pk AS a, o2.pk AS b, COUNT(*) AS n_both
-      |  FROM op o1 JOIN op o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+      |  FROM capped o1 JOIN capped o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 2)
       |SELECT p.a, p.b, p.n_both,

@@ -150,4 +150,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the duplicate frontier pair must BOTH survive
     assert(got.exists(_._1 == 1000L) === ref.exists(_._1 == 1000L))
   }
+
+  test("Q118 trend is 7-CALENDAR-day: a gap day nulls every window that spans it") {
+    // Synthetic 15-day series with day 7 missing entirely. The day-spine
+    // re-grid must leave trend defined only at t=3 (days 0..6) and t=11
+    // (days 8..14); every window that would span the gap goes NULL instead
+    // of averaging non-adjacent days (the pre-fix 7-ROW behavior).
+    val dir = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    val rows = (0 to 14).filter(_ != 7).flatMap { day =>
+      // two events per day so the daily aggregate is exercised
+      Seq((day * 86400000000L * 1000L, 10.0 + day),
+        (day * 86400000000L * 1000L + 1000L, 20.0 + day))
+    }
+    spark.createDataFrame(rows).toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q118(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.keySet == (0 to 14).filter(_ != 7).map(_.toLong).toSet,
+      "gap days must not be emitted")
+    val defined = got.filter(_._2.isDefined).keySet
+    assert(defined == Set(3L, 11L),
+      s"trend must survive only where all 7 calendar days have data, got $defined")
+    // day 3's window is days 0..6: mean of daily sums (10+d)+(20+d) = 30+2d
+    val expect3 = (0 to 6).map(d => 30.0 + 2 * d).sum / 7
+    assert(math.abs(got(3L).get - expect3) < 1e-9)
+  }
 }

@@ -75,4 +75,41 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(model.keySet == Set(0L, 1L))
     assert(assigned.count() == 2)
   }
+
+  test("kmeans fails loudly on empty input and on zero-norm embeddings") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("emb", ArrayType(FloatType))))
+    val empty = emptyLL("id" -> LongType, "emb" -> ArrayType(FloatType))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Clustering.kmeans(empty, k = 2, iters = 1)
+    }
+    assert(e1.getMessage.contains("non-empty"))
+    val withZero = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1f, 0f)), Row(1L, Seq(0f, 0f))), 2), schema)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Clustering.kmeans(withZero, k = 2, iters = 1)
+    }
+    assert(e2.getMessage.contains("zero-norm"))
+  }
+
+  test("pqFit seeds from the smallest ids PRESENT (non-dense id space) and guards tiny corpora") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // ids start at 1000 — the old seeds(id < ksub) lookup would throw
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      Row(1000L + i, Seq.fill(8)(rng.nextFloat()))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val model = graft.operators.Ann.pqFit(df, "embedding", m = 4, ksub = 8, iters = 2)
+    assert(model.codebooks.length == 4 && model.codebooks(0).length == 8)
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.take(3), 1), schema)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Ann.pqFit(tiny, "embedding", m = 4, ksub = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("ksub"))
+  }
 }

@@ -102,6 +102,23 @@ class KmvDistinctSpec extends SparkSpec {
     }
   }
 
+  test("merge with a larger k clamps to the inputs' k instead of underestimating") {
+    val c = Catalog(spark, sf("sf0.01"))
+    c.register()
+    // Saturated k=128 sketches rolled up under graft_kmv_merge(sk, 256):
+    // the old buffer kept 256 slots that the 128-hash inputs could never
+    // fill, so estimate() took its "exact" size<k branch — a gross
+    // underestimate. The clamped merge must land near the k=128 estimate.
+    val direct = spark.sql(
+      "SELECT graft_kmv_distinct(user_id, 128) FROM events").collect()(0).getLong(0)
+    val mergedBig = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv_merge(sk, 256)) FROM (
+        |  SELECT event_type, graft_kmv_sketch(user_id, 128) AS sk
+        |  FROM events GROUP BY 1)""".stripMargin).collect()(0).getLong(0)
+    assert(math.abs(mergedBig - direct).toDouble / direct <= 0.25,
+      s"k-mismatch merge drifted: direct k=128 $direct vs merge-at-256 $mergedBig")
+  }
+
   test("sketch merge is commutative and idempotent on the same set") {
     def sk(xs: Seq[Long], k: Int): KmvSketch = {
       val s = new KmvSketch(k); xs.foreach(s.add); s
