@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized derived relations — compute an expensive shared relation
+  * ONCE per dataset, persist it as a BUCKETED parquet artifact, and serve
+  * every consumer from the artifact (the materialized-view mechanism the
+  * round-4 verdict named as the engine's last architecture gap).
+  *
+  * The first (and so far only) derived relation is the co-order part
+  * graph: Q103 (triangles), Q106 (PageRank), and Q107 (association
+  * rules) all consume the same ~lineitem-squared pair relation, and each
+  * independently re-ran the order-keyed pair expansion + wide distinct
+  * every execution. At 100 TB that edge build dwarfs the per-query
+  * algorithm cost; here it runs once per dataset and lands on disk
+  * bucketed by `a` (sorted by a, b), so consumers that join or aggregate
+  * on the leading edge endpoint start from a co-located, sorted layout
+  * with no exchange under the join (the `ScaleHygieneSpec` bucketed-join
+  * machinery, now applied to a derived relation instead of a base table).
+  *
+  * Artifact lifecycle:
+  *  - Cache key = md5 of the dataset path + the lineitem file listing
+  *    (names, sizes, mtimes) — regenerated data invalidates the artifact;
+  *    a production deployment would version artifacts explicitly.
+  *  - Location = `spark.graft.derivedDir` (conf) or
+  *    `java.io.tmpdir/graft-derived`; never inside the (read-only)
+  *    dataset directory.
+  *  - Within a session the artifact is a catalog table (so Spark's
+  *    bucketing metadata applies); a fresh session over existing files
+  *    re-registers the same external bucketed table by DDL instead of
+  *    rebuilding.
+  *
+  * Storage is (a, b, n_pairs) — pair counts, NOT just distinct edges:
+  * the count column is free at build time (same shuffle), Q107 needs it,
+  * and Q103/Q106 get their distinct edge list by projection (every
+  * stored pair is distinct by construction of the groupBy).
+  */
+object Derived {
+
+  /** Basket-size cap for pair expansion: a basket of b items expands to
+    * b²/2 pairs, so one pathological mega-basket (a 10⁶-line order)
+    * would emit 10¹² rows from a single task. Baskets over the cap are
+    * truncated to their `MaxBasket` smallest item ids — deterministic,
+    * a no-op on realistic order sizes (fixture max ≈ 7), and mirrored in
+    * the Q103/Q106/Q107 oracle SQL so the gate compares like-for-like.
+    */
+  private[operators] val MaxBasket = 1000
+
+  /** Map-side pair expansion of a distinct (ok, pk) relation: one
+    * groupBy (map-side combined collect_set) instead of an order-keyed
+    * SELF-JOIN — the shuffle carries each (order, part) once, expansion
+    * happens on the sorted per-order array, and sort + (i<j) slicing
+    * yields a<b directly. One output row per (order, unordered pair).
+    */
+  private[operators] def pairOccurrences(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  /** The unmaterialized build: distinct co-order pairs with their
+    * cross-order multiplicity. Exposed for the bench (which times a
+    * forced fresh build) and for tests that pin build == artifact.
+    */
+  def buildCoOrderPairCounts(lineitem: DataFrame): DataFrame =
+    pairOccurrences(lineitem)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  private def datasetKey(spark: SparkSession, dir: String): String = {
+    val src = new Path(s"$dir/lineitem.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing =
+      if (fs.exists(src))
+        fs.listStatus(src)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString("|")
+      else "missing"
+    MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$listing".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  private def baseDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.derivedDir")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-derived")
+
+  /** Get-or-build the co-order pair-count artifact for a dataset.
+    * Subsequent calls (same session or a fresh one) read the bucketed
+    * table; the expensive expansion runs at most once per dataset
+    * fingerprint.
+    */
+  def coOrderPairCounts(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKey(spark, dir)
+    val table = s"graft_co_pairs_$key"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val loc = s"${baseDir(spark)}/co_pairs_$key"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      // Fresh session, artifact already on disk: register the external
+      // bucketed table over the existing files (written by the bucketed
+      // save below, so the bucket-file layout matches the DDL).
+      spark.sql(
+        s"""CREATE TABLE $table (a BIGINT, b BIGINT, n_pairs BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (a) SORTED BY (a, b) INTO 8 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      return spark.table(table)
+    }
+    buildCoOrderPairCounts(graft.Catalog(spark, dir).lineitem)
+      .write.mode("overwrite")
+      .bucketBy(8, "a").sortBy("a", "b")
+      .option("path", loc)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Drop and rebuild the artifact — the bench uses this so the build
+    * cost is timed as its own leg and query timings are pure consumers
+    * (stale /tmp state can never flatter them).
+    */
+  def rebuildCoOrderPairCounts(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKey(spark, dir)
+    val table = s"graft_co_pairs_$key"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(s"${baseDir(spark)}/co_pairs_$key")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    coOrderPairCounts(spark, dir)
+  }
+}

@@ -124,6 +124,44 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("co-order artifact equals a fresh build; graph family consumes it, not the expansion") {
+    val dir = sf("sf0.001")
+    // isolate from any previous /tmp artifact state
+    val derivedBase = Files.createTempDirectory("graft-derived-test").toString
+    spark.conf.set("spark.graft.derivedDir", derivedBase)
+    try {
+      val c = Catalog(spark, dir)
+      val artifact = graft.operators.Derived.rebuildCoOrderPairCounts(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val fresh = graft.operators.Derived.buildCoOrderPairCounts(c.lineitem)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(artifact == fresh, "bucketed artifact diverged from a fresh build")
+      assert(artifact.nonEmpty)
+
+      // The artifact itself resolves to the bucketed catalog table.
+      val artPlan = graft.operators.Derived.coOrderPairCounts(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(artPlan.contains("co_pairs"), s"artifact is not a catalog table read:\n$artPlan")
+
+      // Q103/Q106 must read ONLY the artifact: no lineitem scan, no
+      // collect_set pair expansion anywhere in their physical plans (the
+      // artifact scan itself sits behind the loop-state localCheckpoint,
+      // so it shows as an ExistingRDD here).
+      for (q <- Seq(graft.operators.Graphs.q103 _, graft.operators.Graphs.q106 _)) {
+        val plan = q(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("lineitem"), s"graph query still scans lineitem:\n$plan")
+        assert(!plan.contains("collect_set"), s"graph query still expands pairs:\n$plan")
+      }
+      // Q107 still aggregates lineitem for item counts, but its pair
+      // relation must come from the artifact (no expansion in the plan).
+      val p107 = graft.operators.Graphs.q107(spark, dir).queryExecution.executedPlan.toString
+      assert(!p107.contains("collect_set"), s"Q107 still expands pairs:\n$p107")
+      assert(p107.contains("co_pairs"), s"Q107 does not read the artifact:\n$p107")
+    } finally {
+      spark.conf.unset("spark.graft.derivedDir")
+    }
+  }
+
   test("approx percentile within 1% of exact on order totals") {
     val c = Catalog(spark, sf("sf0.01"))
     val row = c.orders.agg(
