@@ -237,17 +237,25 @@ object Ann {
 
   // PQ operates on L2-NORMALIZED vectors so subspace L2 distance is a
   // monotone surrogate of cosine (the same normalization the LSH path
-  // uses); the final re-rank is exact cosine on the raw floats.
-  private def subVectors(df: DataFrame, embCol: String, m: Int, dsub: Int) =
-    df.select(col("vec_id"), VectorOps.unitArr(col(embCol)).as("nemb"))
+  // uses); the final re-rank is exact cosine on the raw floats. The
+  // IVF-PQ residual path passes normalize=false: residuals are already
+  // in the centroid's tangent space and re-normalizing them would
+  // destroy the distance structure.
+  private def subVectors(df: DataFrame, embCol: String, m: Int, dsub: Int,
+      normalize: Boolean = true) = {
+    val prepared =
+      if (normalize) VectorOps.unitArr(col(embCol))
+      else col(embCol).cast("array<double>")
+    df.select(col("vec_id"), prepared.as("nemb"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}, 1), s -> slice(nemb, s * $dsub + 1, $dsub))"))
       .as(Seq("sub", "svec")))
       .select(col("vec_id"), col("sub"),
         col("svec").cast("array<double>").as("svec"))
+  }
 
   def pqFit(df: DataFrame, embCol: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 5): PqModel = {
+      iters: Int = 5, normalize: Boolean = true): PqModel = {
     val head = df.select(size(col(embCol))).head(1)
     require(head.nonEmpty, "pqFit requires a non-empty vectors relation")
     val d = head(0).getInt(0)
@@ -260,7 +268,7 @@ object Ann {
     require(seedIds.length == ksub,
       s"pqFit needs at least ksub=$ksub distinct vectors, found ${seedIds.length}")
     val seedRank = seedIds.zipWithIndex.toMap // id → centroid slot
-    val subRdd = subVectors(df, embCol, m, dsub)
+    val subRdd = subVectors(df, embCol, m, dsub, normalize)
       .rdd.map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2).toArray))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -306,8 +314,11 @@ object Ann {
     } finally { subRdd.unpersist(); () }
   }
 
-  /** Encode every vector as its m nearest-centroid codes. */
-  def pqEncode(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
+  /** Encode every vector as its m nearest-centroid codes. `keep` carries
+    * extra columns (e.g. the IVF cell id) through the encode projection.
+    */
+  def pqEncode(df: DataFrame, embCol: String, model: PqModel,
+      normalize: Boolean = true, keep: Seq[String] = Nil): DataFrame = {
     // distance to each centroid unrolled as a codegen'd least-chain over
     // literal centroid arrays — no UDF in the encode path
     def subCode(s: Int): org.apache.spark.sql.Column = {
@@ -322,9 +333,13 @@ object Ann {
       }
       least(dists: _*).getField("code")
     }
-    df.select(col("vec_id"), VectorOps.unitArr(col(embCol)).as("nemb"))
-      .select(col("vec_id"),
-        array((0 until model.m).map(subCode): _*).as("codes"))
+    val prepared =
+      if (normalize) VectorOps.unitArr(col(embCol))
+      else col(embCol).cast("array<double>")
+    val kept = keep.map(col)
+    df.select(Seq(col("vec_id"), prepared.as("nemb")) ++ kept: _*)
+      .select(Seq(col("vec_id"),
+        array((0 until model.m).map(subCode): _*).as("codes")) ++ kept: _*)
   }
 
   /** ADC (asymmetric distance) top-k: score codes against each probe's
@@ -362,7 +377,14 @@ object Ann {
       .withColumn("rnk", row_number().over(wAdc))
       .filter(col("rnk") <= shortlist)
       .select(col("p_id"), col("vec_id").as("n_id"))
-    // exact re-rank of the shortlist only
+    exactRerank(short, probes, vectors, k)
+  }
+
+  /** Exact cosine re-rank of an ADC shortlist (p_id, n_id) against the
+    * raw float vectors — the final stage of every compressed-search path.
+    */
+  private def exactRerank(short: DataFrame, probes: DataFrame,
+      vectors: DataFrame, k: Int): DataFrame = {
     val v = vectors.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       VectorOps.l2(col("embedding")).as("n_norm"))
     val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
@@ -375,6 +397,103 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("p_id"), col("rnk"), col("n_id").as("neighbor_id"),
         col("cos"))
+  }
+
+  /** IVF-PQ composition (FAISS-style IVFADC; Jégou, Douze & Schmid TPAMI
+    * 33(1) 2011 §IV): the IVF coarse quantizer prunes CELLS, and PQ codes
+    * over the per-cell RESIDUALS (x − centroid) compress what remains —
+    * the form that actually runs at 10⁹ vectors: a probe touches
+    * ≈ nprobe/nlist of the corpus, and what it touches is m bytes per
+    * vector, not 4d.
+    *
+    * Scale shape: the coarse fit is one sampled k-means; residuals are a
+    * broadcast-join map pass; the PQ fit reduces (sub, centroid)-keyed
+    * partial sums (corpus never shuffled); candidate generation at query
+    * time is an EQUI-JOIN on the cell id — at rest the codes relation
+    * would be written partitioned by cell (like [[writeIvfIndex]]) so the
+    * probed cells map to directories and partition pruning skips the rest.
+    */
+  final case class IvfPqModel(nlist: Int, centroids: Array[Array[Double]], pq: PqModel)
+
+  /** Fit coarse + residual-PQ and encode the corpus. Returns the model
+    * and the codes relation (vec_id, cell, codes) — m small ints per
+    * vector, the 32×-compressed index.
+    */
+  def ivfPqFit(vectors: DataFrame, nlist: Int = 16, m: Int = 8,
+      ksub: Int = 16, iters: Int = 5): (IvfPqModel, DataFrame) = {
+    val spark = vectors.sparkSession
+    val data = vectors.select(col("vec_id"), toUnitVec(col("embedding")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(data)
+    val centroids = km.clusterCenters.map(_.toArray)
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    // residual = unit − centroid[cell]: a broadcast join + one zip_with —
+    // checkpointed because the PQ fit (iterative) and the encode both
+    // consume it.
+    val residuals = km.transform(data)
+      .select(col("vec_id"), col("cell"), vector_to_array(col("features")).as("unit"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("unit"), col("centroid"), (x, y) => x - y).as("res"))
+      .localCheckpoint()
+    val pq = pqFit(residuals, "res", m, ksub, iters, normalize = false)
+    val codes = pqEncode(residuals, "res", pq, normalize = false, keep = Seq("cell"))
+    (IvfPqModel(nlist, centroids, pq), codes)
+  }
+
+  /** IVFADC search: route each probe to its nprobe nearest cells (by the
+    * assignment metric, argmin ‖q − c‖²), build one m×ksub LUT per
+    * (probe, cell) on the residual q − c, ADC-score ONLY the probed
+    * cells' code rows via the cell equi-join, then exact-rerank the
+    * shortlist on raw floats. Driver state: |probes|·nprobe·m·ksub
+    * doubles — independent of corpus size.
+    */
+  def ivfPqTopK(probes: DataFrame, codes: DataFrame, vectors: DataFrame,
+      model: IvfPqModel, k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val spark = probes.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mm = model.pq
+    val probeRows = probes.select(col("vec_id"),
+      VectorOps.unitArr(col("embedding"))).collect().flatMap { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val nearCells = model.centroids.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0; var j = 0
+        while (j < q.length) { val t = q(j) - c(j); acc += t * t; j += 1 }
+        (acc, i)
+      }.sortBy(t => (t._1, t._2)).take(nprobe)
+      nearCells.map { case (_, cell) =>
+        val c = model.centroids(cell)
+        val lut = Array.tabulate(mm.m, mm.ksub) { (s, cc) =>
+          var acc = 0.0; var i = 0
+          val cen = mm.codebooks(s)(cc)
+          while (i < mm.dsub) {
+            val t = (q(s * mm.dsub + i) - c(s * mm.dsub + i)) - cen(i)
+            acc += t * t; i += 1
+          }
+          acc
+        }
+        Row(id, cell, lut.map(_.toSeq).toSeq)
+      }
+    }
+    val lutDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(StructField("p_id", LongType),
+        StructField("cell", IntegerType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    val wAdc = Window.partitionBy(col("p_id")).orderBy(asc("adc"), asc("vec_id"))
+    val short = codes.join(broadcast(lutDf), Seq("cell"))
+      .filter(col("p_id") =!= col("vec_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= shortlist)
+      .select(col("p_id"), col("vec_id").as("n_id"))
+    exactRerank(short, probes, vectors, k)
   }
 
   def sqTopK(probes: DataFrame, codesDf: DataFrame,

@@ -117,4 +117,53 @@ class AnnSpec extends SparkSpec {
       assert(recall >= 0.6, s"PQ recall@5 = $recall")
     } finally { codes.unpersist(); () }
   }
+
+  test("IVF-PQ: cell-pruned candidates, 32x-compressed codes, recall >= 0.9 at high nprobe") {
+    val c = Catalog(spark, sf("sf0.01"))
+    val nlist = 10
+    val (model, codesRaw) = Ann.ivfPqFit(c.embeddings, nlist = nlist, m = 16,
+      ksub = 16, iters = 4)
+    val codes = codesRaw.cache()
+    try {
+      val corpus = codes.count()
+      // index geometry: every vector has a cell and 16 4-bit codes
+      val r = codes.agg(max(size(col("codes"))).as("m"),
+        max(array_max(col("codes"))).as("mx")).collect()(0)
+      assert(r.getInt(0) == 16 && r.getInt(1) < 16, r.toString)
+
+      val probes = c.embeddings.filter(col("vec_id") < 10)
+      val exact = VectorOps.cosineTopK(probes, c.embeddings, 5)
+        .select(col("p_id"), col("n_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+
+      // nprobe sweep: recall must rise with nprobe and clear 0.9 when
+      // probing (nearly) all cells; candidate rows stay ≤ the probed-cell
+      // share of the corpus (cell pruning is real, not cosmetic).
+      val recalls = Seq(2, 4, nlist).map { nprobe =>
+        val got = Ann.ivfPqTopK(probes, codes, c.embeddings, model, 5,
+            nprobe = nprobe, shortlist = 100)
+          .select(col("p_id"), col("neighbor_id"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        nprobe -> (exact & got).size.toDouble / exact.size
+      }.toMap
+      assert(recalls(nlist) >= 0.9, s"IVF-PQ full-probe recall@5 = ${recalls(nlist)}")
+      assert(recalls(2) <= recalls(nlist) + 1e-9, s"recall did not rise with nprobe: $recalls")
+
+      // candidate bound at nprobe=2: the scanned code rows are exactly the
+      // probed cells' rows — measure the fraction directly.
+      val cellSizes = codes.groupBy(col("cell")).count()
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      val probeIds = probes.select(col("vec_id"),
+        graft.operators.VectorOps.unitArr(col("embedding"))).collect()
+      val probedRows = probeIds.map { row =>
+        val q = row.getSeq[Double](1).toArray
+        model.centroids.zipWithIndex.map { case (cen, i) =>
+          (cen.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }.sortBy(t => (t._1, t._2)).take(2).map(t => cellSizes.getOrElse(t._2, 0L)).sum
+      }.max
+      assert(probedRows < corpus, s"nprobe=2 still touches the whole corpus")
+      assert(probedRows.toDouble / corpus <= 0.7,
+        s"nprobe=2 candidate share ${probedRows.toDouble / corpus} not pruned")
+    } finally { codes.unpersist(); () }
+  }
 }
