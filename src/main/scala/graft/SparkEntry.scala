@@ -36,7 +36,8 @@ object SparkEntry {
       (Graphs.queries, Graphs.oracles),
       (Skyline.queries, Skyline.oracles),
       (Cdc.queries, Cdc.oracles),
-      (Density.queries, Density.oracles)
+      (Density.queries, Density.oracles),
+      (Bpe.queries, Bpe.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
