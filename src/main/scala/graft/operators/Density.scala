@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   * edges ([[NearDup.connectedComponentsStars]] — the same engine the
   * dedup family uses); border points attach map-side to the minimum
   * neighboring core cluster. Deterministic throughout (min-rep ties).
-  * A dense cell at 100 TB concentrates its pairs in one join key — the
-  * standard mitigation is the same AQE skew split the dedup joins rely
-  * on; eps chosen so cells hold O(minPts·c) points keeps the quadratic
-  * term bounded by construction.
+  *
+  * Dense-cell skew: a dense cell at 100 TB concentrates its pairs in one
+  * join key. The `salt` parameter is the ENFORCED bound (the MaxBasket
+  * discipline, applied to a join instead of a basket): the home-cell side
+  * splits into `salt` hash groups and probes replicate across them, so
+  * per-join-key build rows — and with them per-task pair work — shrink by
+  * the salt factor while the pair set stays EXACTLY the same (every
+  * (probe, point) pair meets exactly once, in the point's one salt
+  * group). AQE's runtime skew split remains as the second layer; eps
+  * sized so cells hold O(minPts·c) points bounds the quadratic term by
+  * construction. DensitySpec manufactures the all-points-in-one-cell
+  * case and asserts both the bound and exactness.
   */
 object Density {
 
@@ -34,13 +42,18 @@ object Density {
     * eps-reachable clusters take the minimum cluster id (deterministic
     * tie-break; classic DBSCAN leaves this order-dependent).
     */
-  def dbscan2d(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+  def dbscan2d(points: DataFrame, eps: Double, minPts: Int,
+      salt: Int = 1): DataFrame = {
     require(eps > 0 && minPts >= 1, s"eps=$eps minPts=$minPts")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val p = points
       .select(col("id").cast("long").as("id"),
         col("x").cast("double").as("x"), col("y").cast("double").as("y"))
       .withColumn("cx", floor(col("x") / eps))
       .withColumn("cy", floor(col("y") / eps))
+      // salt group: splits a dense cell's build rows across `salt` join
+      // keys — deterministic (murmur3 of the id), exactness-neutral
+      .withColumn("sg", pmod(hash(col("id")), lit(salt)))
       .localCheckpoint() // referenced by the probe side, the join, and labeling
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
@@ -50,10 +63,14 @@ object Density {
         col("cx").as("hcx"), col("cy").as("hcy"))
       .select(col("pid"), col("px"), col("py"),
         (col("hcx") + col("o.dx")).as("cx"), (col("hcy") + col("o.dy")).as("cy"))
+      // probes replicate across every salt group: each (probe, point)
+      // pair still meets exactly once — in the point's one group
+      .select(col("pid"), col("px"), col("py"), col("cx"), col("cy"),
+        explode(sequence(lit(0), lit(salt - 1))).as("sg"))
     // each unordered eps-pair appears in BOTH directions (every point
     // probes the other's home cell), so per-point neighbor counts and
     // border attachment read directly off `pairs`
-    val pairs = probes.join(p, Seq("cx", "cy"))
+    val pairs = probes.join(p, Seq("cx", "cy", "sg"))
       .filter(col("pid") =!= col("id"))
       .filter(pow(col("px") - col("x"), 2) + pow(col("py") - col("y"), 2)
         <= eps * eps)

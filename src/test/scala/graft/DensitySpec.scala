@@ -62,6 +62,42 @@ class DensitySpec extends SparkSpec {
     assert(got.values.exists(_._2 == "noise"))
   }
 
+  test("adversarial dense cell: salted join bounds per-key build rows and stays exact") {
+    // The case the scaladoc warns about: EVERY point lands in one
+    // eps-cell, so the cell join concentrates all n build rows on a
+    // single key (n² pair work in one task without mitigation).
+    val n = 600
+    val pts = (0 until n).map { i =>
+      (i.toLong, 0.05 + (i % 25) * 0.015, 0.05 + (i / 25) * 0.015)
+    }
+    val df = spark.createDataFrame(pts).toDF("id", "x", "y").repartition(4)
+    val eps = 0.5; val minPts = 4; val salt = 8
+
+    // exactness: the salted run is row-identical to the unsalted one
+    val base = Density.dbscan2d(df, eps, minPts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Density.dbscan2d(df, eps, minPts, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == base, "salting changed the clustering")
+
+    // the bound: per-(cell, salt-group) build rows shrink from n to
+    // ~n/salt — the per-task pair work a dense cell can concentrate is
+    // bounded by (max group)·(probe rows), not n²
+    val groups = df
+      .select(col("id"), floor(col("x") / eps).as("cx"), floor(col("y") / eps).as("cy"))
+      .withColumn("sg", pmod(hash(col("id")), lit(salt)))
+      .groupBy(col("cx"), col("cy"), col("sg")).count()
+      .collect().map(_.getLong(3))
+    assert(groups.length == salt, s"expected $salt salt groups, got ${groups.length}")
+    assert(groups.max <= 2L * n / salt,
+      s"salt groups unbalanced: max ${groups.max} vs n/salt ${n / salt}")
+
+    // and the dense cell really is dense: one cluster, all cores
+    assert(base.size == n)
+    assert(base.forall(_._3 == "core"))
+    assert(base.map(_._2).size == 1, s"expected one cluster, got ${base.map(_._2)}")
+  }
+
   test("composes with PCA: density clusters over projected embeddings run end-to-end") {
     val c = Catalog(spark, sf("sf0.01"))
     val (_, _, projected) = VectorOps.pca(c.embeddings, "embedding", 2)
