@@ -25,8 +25,10 @@ import graft.operators.VectorOps.{dot, l2}
   *
   * Q102 gates ONE deterministic Lloyd step (seed centroids = vec_id < k,
   * cosine assignment with ties to the lowest centroid id) so DuckDB can
-  * mirror it exactly; the iterated form [[kmeans]] is pinned against an
-  * in-memory model in ClusteringSpec.
+  * mirror it exactly; Q120 gates the ITERATED form end-to-end (3 rounds,
+  * final assignment hash-matched against a chained-CTE oracle), and
+  * [[kmeans]] is additionally pinned against a local Lloyd reference in
+  * AnalyticsOpsSpec.
   */
 object Clustering {
 
@@ -128,6 +130,73 @@ object Clustering {
       .orderBy(asc_nulls_first("cid"))
   }
 
+  /** Q120 — the WHOLE iterated algorithm, model-pinned end-to-end (the
+    * Q117-DBSCAN pattern applied to the centroid family): 3 synchronous
+    * Lloyd iterations from the deterministic lowest-8-ids seed, final
+    * per-vector assignment hash-matched against a chained-CTE oracle that
+    * replays the identical 3 rounds. The output is pure integers
+    * (vec_id, cluster_id), so the hash pins the ASSIGNMENT decisions of
+    * every iteration, not a rounded summary.
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val (_, assigned) = kmeans(vecs, k = 8, iters = 3)
+    assigned.select(col("id"), col("cid")).orderBy(asc("id"))
+  }
+
+  /** Three unrolled Lloyd rounds: seeds → a1 → c2 → a2 → c3 → a3. Mirrors
+    * [[kmeans]] exactly (argmax cosine, ties to the lowest cid, member
+    * means per dimension); everything computed in DOUBLE like the engine.
+    */
+  val q120Oracle: String =
+    """WITH flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS val
+      |  FROM embeddings),
+      |vnorm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM flat GROUP BY 1),
+      |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c1 AS (
+      |  SELECT f.vec_id AS cid, f.pos, f.val AS cen
+      |  FROM flat f JOIN seeds s ON s.vec_id = f.vec_id),
+      |n1 AS (SELECT cid, SQRT(SUM(cen * cen)) AS cnrm FROM c1 GROUP BY 1),
+      |d1 AS (
+      |  SELECT f.vec_id AS id, c.cid, SUM(f.val * c.cen) AS dot
+      |  FROM flat f JOIN c1 c ON c.pos = f.pos GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT d.id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.id
+      |      ORDER BY d.dot / (v.nrm * n.cnrm) DESC, d.cid) AS rnk
+      |    FROM d1 d JOIN vnorm v ON v.vec_id = d.id JOIN n1 n ON n.cid = d.cid)
+      |  WHERE rnk = 1),
+      |c2 AS (
+      |  SELECT a.cid, f.pos, AVG(f.val) AS cen
+      |  FROM a1 a JOIN flat f ON f.vec_id = a.id GROUP BY 1, 2),
+      |n2 AS (SELECT cid, SQRT(SUM(cen * cen)) AS cnrm FROM c2 GROUP BY 1),
+      |d2 AS (
+      |  SELECT f.vec_id AS id, c.cid, SUM(f.val * c.cen) AS dot
+      |  FROM flat f JOIN c2 c ON c.pos = f.pos GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT d.id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.id
+      |      ORDER BY d.dot / (v.nrm * n.cnrm) DESC, d.cid) AS rnk
+      |    FROM d2 d JOIN vnorm v ON v.vec_id = d.id JOIN n2 n ON n.cid = d.cid)
+      |  WHERE rnk = 1),
+      |c3 AS (
+      |  SELECT a.cid, f.pos, AVG(f.val) AS cen
+      |  FROM a2 a JOIN flat f ON f.vec_id = a.id GROUP BY 1, 2),
+      |n3 AS (SELECT cid, SQRT(SUM(cen * cen)) AS cnrm FROM c3 GROUP BY 1),
+      |d3 AS (
+      |  SELECT f.vec_id AS id, c.cid, SUM(f.val * c.cen) AS dot
+      |  FROM flat f JOIN c3 c ON c.pos = f.pos GROUP BY 1, 2),
+      |a3 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT d.id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.id
+      |      ORDER BY d.dot / (v.nrm * n.cnrm) DESC, d.cid) AS rnk
+      |    FROM d3 d JOIN vnorm v ON v.vec_id = d.id JOIN n3 n ON n.cid = d.cid)
+      |  WHERE rnk = 1)
+      |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
+
   val q102Oracle: String =
     """WITH norms AS (
       |  SELECT vec_id, SQRT(list_sum(list_transform(embedding,
@@ -167,8 +236,10 @@ object Clustering {
       |ORDER BY s.cid NULLS FIRST""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q102" -> (q102 _))
+    "Q102" -> (q102 _),
+    "Q120" -> (q120 _))
 
   def oracles: Map[String, String] = Map(
-    "Q102" -> q102Oracle)
+    "Q102" -> q102Oracle,
+    "Q120" -> q120Oracle)
 }
