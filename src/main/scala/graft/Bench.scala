@@ -72,6 +72,21 @@ object Bench {
         f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
       } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
 
+    // Nonnegative CP via HALS on the same tensor (the Q43 values are sums
+    // of nonnegative event values, so the NN model is meaningful here).
+    // Skipped on dev subset runs.
+    val nnhals =
+      if (args.nonEmpty) """{"sec_per_iter":-1}"""
+      else try {
+        val coo = operators.EventTime.q43(spark, sfDir)
+        val t0 = System.nanoTime()
+        val model = tensor.NnHals.fit(coo, rank = 8, seed = 42, tol = 0.0,
+          maxIter = 10, numSlabs = cpus.toInt)
+        val total = (System.nanoTime() - t0) / 1e9
+        val perIter = total / model.iterations
+        f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
+      } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
+
     // Tucker/HOSVD on the same tensor (skipped on dev subset runs).
     val tucker =
       if (args.nonEmpty) """{"sec":-1}"""
@@ -86,7 +101,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"tucker":$tucker,"derived_build":$derivedBuild,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":$derivedBuild,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -251,6 +251,175 @@ object CPALS {
     }
   }
 
+  // ---- Shared dense/slab kernels (used by the ALS loop here and by the
+  // ---- nonnegative HALS loop in [[NnHals]]) ----
+
+  private[tensor] def gram(m: Array[Double], n: Int, r: Int): DenseMatrix[Double] = {
+    val g = DenseMatrix.zeros[Double](r, r)
+    var row = 0
+    while (row < n) {
+      var p = 0
+      while (p < r) {
+        val vp = m(row * r + p)
+        var q = 0
+        while (q < r) { g(p, q) += vp * m(row * r + q); q += 1 }
+        p += 1
+      }
+      row += 1
+    }
+    g
+  }
+
+  private[tensor] def hadamard(
+      x: DenseMatrix[Double], y: DenseMatrix[Double], r: Int): DenseMatrix[Double] = {
+    val z = DenseMatrix.zeros[Double](r, r)
+    var p = 0
+    while (p < r) { var q = 0; while (q < r) { z(p, q) = x(p, q) * y(p, q); q += 1 }; p += 1 }
+    z
+  }
+
+  private[tensor] def matmulInto(
+      m: Array[Double], n: Int, g: DenseMatrix[Double], r: Int): Array[Double] = {
+    val out = new Array[Double](n * r)
+    var row = 0
+    while (row < n) {
+      var q = 0
+      while (q < r) {
+        var s = 0.0
+        var p = 0
+        while (p < r) { s += m(row * r + p) * g(p, q); p += 1 }
+        out(row * r + q) = s
+        q += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Per-slab mode-1 MTTKRP: dense rows (nLocal×R) of Σ v·b_j∘c_k over the
+    * slab's nonzeros, against the two broadcast factors. Row-local to the
+    * slab (mode-1 ownership) — no shuffle, no reduce.
+    */
+  private[tensor] def slabMttkrpA(
+      slab: Slab, b: Array[Double], c: Array[Double], r: Int): Array[Double] = {
+    val m = new Array[Double](slab.localIs.length * r)
+    var n = 0
+    val len = slab.vs.length
+    while (n < len) {
+      val row = slab.iLoc(n) * r
+      val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
+      var p = 0
+      while (p < r) { m(row + p) += v * b(j * r + p) * c(k * r + p); p += 1 }
+      n += 1
+    }
+    m
+  }
+
+  /** MTTKRP against mode 2 (outRows over j) or 3 (outRows over k):
+    * per-slab dense partial from the slab-local A rows and ONE broadcast
+    * factor, tree-reduced to the driver. Never ships A.
+    *
+    * `withGramA` additionally folds the slab's AᵀA contribution into the
+    * same pass (R×R appended to the reduced buffer) — the mode-2 call
+    * uses it so gram(A) costs no extra job: 2 jobs per iteration
+    * total, one fewer than the collect-based design this replaced.
+    */
+  private[tensor] def mttkrpJK(
+      slabRdd: RDD[Slab], aRdd: RDD[Array[Double]], r: Int,
+      mode: Int, other: Array[Double], outRows: Int,
+      withGramA: Boolean): (Array[Double], Option[DenseMatrix[Double]]) = {
+    val sc = slabRdd.sparkContext
+    val bcO = sc.broadcast(other)
+    val gramLen = if (withGramA) r * r else 0
+    val res = slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
+      val slab = slabIt.next(); val aLoc = aIt.next()
+      val o = bcO.value
+      val acc = new Array[Double](outRows * r + gramLen)
+      var n = 0
+      val len = slab.vs.length
+      while (n < len) {
+        val aRow = slab.iLoc(n) * r
+        val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
+        val outRow = if (mode == 1) j else k
+        val oRow = (if (mode == 1) k else j) * r
+        var p = 0
+        while (p < r) {
+          acc(outRow * r + p) += v * aLoc(aRow + p) * o(oRow + p)
+          p += 1
+        }
+        n += 1
+      }
+      if (withGramA) {
+        val base = outRows * r
+        val nRows = aLoc.length / r
+        var row = 0
+        while (row < nRows) {
+          var p = 0
+          while (p < r) {
+            val vp = aLoc(row * r + p)
+            var q = 0
+            while (q < r) { acc(base + p * r + q) += vp * aLoc(row * r + q); q += 1 }
+            p += 1
+          }
+          row += 1
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce { (x, y) =>
+      var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x
+    }
+    bcO.destroy()
+    if (!withGramA) (res, None)
+    else {
+      val m = java.util.Arrays.copyOfRange(res, 0, outRows * r)
+      val g = DenseMatrix.zeros[Double](r, r)
+      val base = outRows * r
+      var p = 0
+      while (p < r) { var q = 0; while (q < r) { g(p, q) = res(base + p * r + q); q += 1 }; p += 1 }
+      (m, Some(g))
+    }
+  }
+
+  /** ONE collect, after convergence, to centralize the slab-resident A for
+    * the returned dense model (the loops themselves never do). A caller at
+    * true scale would keep (i, row) as a relation — mode-1 ownership means
+    * this map is shuffle-free either way.
+    */
+  private[tensor] def collectA(
+      slabRdd: RDD[Slab], aRdd: RDD[Array[Double]], ni: Int, r: Int): Array[Double] = {
+    val aMat = new Array[Double](ni * r)
+    slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
+      val slab = slabIt.next(); val aLoc = aIt.next()
+      slab.localIs.iterator.zipWithIndex.map { case (gi, li) =>
+        (gi, java.util.Arrays.copyOfRange(aLoc, li * r, li * r + r))
+      }
+    }.collect().foreach { case (i, row) => System.arraycopy(row, 0, aMat, i * r, r) }
+    aMat
+  }
+
+  /** Column-normalize each factor in place, accumulating norms into the
+    * returned lambda (shared by the ALS and HALS model assembly).
+    */
+  private[tensor] def normalizeColumns(
+      factors: Seq[(Array[Double], Int)], r: Int): Array[Double] = {
+    val lambda = Array.fill(r)(1.0)
+    factors.foreach { case (m, n) =>
+      var p = 0
+      while (p < r) {
+        var s = 0.0; var row = 0
+        while (row < n) { val x = m(row * r + p); s += x * x; row += 1 }
+        val nrm = math.sqrt(s)
+        if (nrm > 0) {
+          lambda(p) *= nrm
+          row = 0
+          while (row < n) { m(row * r + p) /= nrm; row += 1 }
+        }
+        p += 1
+      }
+    }
+    lambda
+  }
+
   /** One seeded ALS run over an already-packed slab tensor. */
   private[graft] def fitPacked(
       packed: PackedTensor,
@@ -270,111 +439,21 @@ object CPALS {
     var bMat = Array.fill(nj * r)(rng.nextGaussian())
     var cMat = Array.fill(nk * r)(rng.nextGaussian())
 
-    def gram(m: Array[Double], n: Int): DenseMatrix[Double] = {
-      val g = DenseMatrix.zeros[Double](r, r)
-      var row = 0
-      while (row < n) {
-        var p = 0
-        while (p < r) {
-          val vp = m(row * r + p)
-          var q = 0
-          while (q < r) { g(p, q) += vp * m(row * r + q); q += 1 }
-          p += 1
-        }
-        row += 1
-      }
-      g
-    }
-    def hadamard(x: DenseMatrix[Double], y: DenseMatrix[Double]): DenseMatrix[Double] = {
-      val z = DenseMatrix.zeros[Double](r, r)
-      var p = 0
-      while (p < r) { var q = 0; while (q < r) { z(p, q) = x(p, q) * y(p, q); q += 1 }; p += 1 }
-      z
-    }
-    def matmulInto(m: Array[Double], n: Int, g: DenseMatrix[Double]): Array[Double] = {
-      val out = new Array[Double](n * r)
-      var row = 0
-      while (row < n) {
-        var q = 0
-        while (q < r) {
-          var s = 0.0
-          var p = 0
-          while (p < r) { s += m(row * r + p) * g(p, q); p += 1 }
-          out(row * r + q) = s
-          q += 1
-        }
-        row += 1
-      }
-      out
-    }
+    def gram(m: Array[Double], n: Int): DenseMatrix[Double] = CPALS.gram(m, n, r)
+    def hadamard(x: DenseMatrix[Double], y: DenseMatrix[Double]): DenseMatrix[Double] =
+      CPALS.hadamard(x, y, r)
+    def matmulInto(m: Array[Double], n: Int, g: DenseMatrix[Double]): Array[Double] =
+      CPALS.matmulInto(m, n, g, r)
 
     // A lives beside its slab: one primitive array per partition, aligned
     // with slabRdd by zipPartitions (both sides have exactly one element
     // per partition by construction).
     var aRdd: RDD[Array[Double]] = null
 
-    /** MTTKRP against mode 2 (outRows over j) or 3 (outRows over k):
-      * per-slab dense partial from the slab-local A rows and ONE broadcast
-      * factor, tree-reduced to the driver. Never ships A.
-      *
-      * `withGramA` additionally folds the slab's AᵀA contribution into the
-      * same pass (R×R appended to the reduced buffer) — the mode-2 call
-      * uses it so gram(A) costs no extra job: 2 jobs per ALS iteration
-      * total, one fewer than the collect-based design this replaced.
-      */
     def mttkrpJK(
         mode: Int, other: Array[Double], outRows: Int,
-        withGramA: Boolean): (Array[Double], Option[DenseMatrix[Double]]) = {
-      val bcO = sc.broadcast(other)
-      val gramLen = if (withGramA) r * r else 0
-      val res = slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
-        val slab = slabIt.next(); val aLoc = aIt.next()
-        val o = bcO.value
-        val acc = new Array[Double](outRows * r + gramLen)
-        var n = 0
-        val len = slab.vs.length
-        while (n < len) {
-          val aRow = slab.iLoc(n) * r
-          val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
-          val outRow = if (mode == 1) j else k
-          val oRow = (if (mode == 1) k else j) * r
-          var p = 0
-          while (p < r) {
-            acc(outRow * r + p) += v * aLoc(aRow + p) * o(oRow + p)
-            p += 1
-          }
-          n += 1
-        }
-        if (withGramA) {
-          val base = outRows * r
-          val nRows = aLoc.length / r
-          var row = 0
-          while (row < nRows) {
-            var p = 0
-            while (p < r) {
-              val vp = aLoc(row * r + p)
-              var q = 0
-              while (q < r) { acc(base + p * r + q) += vp * aLoc(row * r + q); q += 1 }
-              p += 1
-            }
-            row += 1
-          }
-        }
-        Iterator.single(acc)
-      }.treeReduce { (x, y) =>
-        var n = 0; while (n < x.length) { x(n) += y(n); n += 1 }; x
-      }
-      bcO.destroy()
-      if (!withGramA) (res, None)
-      else {
-        val m = java.util.Arrays.copyOfRange(res, 0, outRows * r)
-        val g = DenseMatrix.zeros[Double](r, r)
-        val base = outRows * r
-        var p = 0
-        while (p < r) { var q = 0; while (q < r) { g(p, q) = res(base + p * r + q); q += 1 }; p += 1 }
-        (m, Some(g))
-      }
-    }
+        withGramA: Boolean): (Array[Double], Option[DenseMatrix[Double]]) =
+      CPALS.mttkrpJK(slabRdd, aRdd, r, mode, other, outRows, withGramA)
 
     val fits = Vector.newBuilder[Double]
     var fitsSoFar = Vector.empty[Double]
@@ -390,16 +469,7 @@ object CPALS {
       val newARdd = slabRdd.map { slab =>
         val b = bcB.value; val c = bcC.value; val g = gaFlat.value
         val nLocal = slab.localIs.length
-        val m = new Array[Double](nLocal * r)
-        var n = 0
-        val len = slab.vs.length
-        while (n < len) {
-          val row = slab.iLoc(n) * r
-          val j = slab.js(n); val k = slab.ks(n); val v = slab.vs(n)
-          var p = 0
-          while (p < r) { m(row + p) += v * b(j * r + p) * c(k * r + p); p += 1 }
-          n += 1
-        }
+        val m = slabMttkrpA(slab, b, c, r)
         // rows ← rows × gA (R×R): finished A rows, staying in the slab.
         val out = new Array[Double](nLocal * r)
         var lrow = 0
@@ -452,37 +522,16 @@ object CPALS {
     }
 
     // ONE collect, after convergence, to build the returned dense model
-    // (the loop itself never centralized A). A caller at true scale would
-    // instead keep (i, row) as a DataFrame — mode-1 ownership means this
-    // map is shuffle-free either way.
-    val aMat = new Array[Double](ni * r)
-    if (aRdd != null) {
-      slabRdd.zipPartitions(aRdd) { (slabIt, aIt) =>
-        val slab = slabIt.next(); val aLoc = aIt.next()
-        slab.localIs.iterator.zipWithIndex.map { case (gi, li) =>
-          (gi, java.util.Arrays.copyOfRange(aLoc, li * r, li * r + r))
-        }
-      }.collect().foreach { case (i, row) => System.arraycopy(row, 0, aMat, i * r, r) }
-      aRdd.unpersist(blocking = false)
-    }
+    // (the loop itself never centralized A).
+    val aMat =
+      if (aRdd != null) {
+        val m = collectA(slabRdd, aRdd, ni, r)
+        aRdd.unpersist(blocking = false)
+        m
+      } else new Array[Double](ni * r)
 
     // Column-normalize into lambda.
-    val lambda = Array.fill(r)(1.0)
-    def normalize(m: Array[Double], n: Int): Unit = {
-      var p = 0
-      while (p < r) {
-        var s = 0.0; var row = 0
-        while (row < n) { val x = m(row * r + p); s += x * x; row += 1 }
-        val nrm = math.sqrt(s)
-        if (nrm > 0) {
-          lambda(p) *= nrm
-          row = 0
-          while (row < n) { m(row * r + p) /= nrm; row += 1 }
-        }
-        p += 1
-      }
-    }
-    normalize(aMat, ni); normalize(bMat, nj); normalize(cMat, nk)
+    val lambda = normalizeColumns(Seq((aMat, ni), (bMat, nj), (cMat, nk)), r)
     // slabRdd stays persisted: its lifecycle belongs to the pack() caller
     // (fitBest shares it across starts; fitRdd unpersists after one).
     CPModel(lambda, aMat, bMat, cMat, (ni, nj, nk), r, fitsSoFar)

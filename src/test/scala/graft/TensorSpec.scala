@@ -220,4 +220,75 @@ class TensorSpec extends SparkSpec {
     assert(model.iterations >= 2)
     assert(model.lambda.forall(_ > 0.0))
   }
+
+  /** Dense exact-rank-R tensor from PLANTED NONNEGATIVE factors, as COO.
+    * Sparse nonnegative entries (half zero, half in (0.5, 1.5)): two
+    * all-positive columns correlate at ~0.75 — near-collinear planted
+    * factors put exact recovery in a swamp regardless of algorithm (the
+    * same reason syntheticCoo orthonormalizes) — while the sparsity
+    * pattern decorrelates columns WITHOUT leaving the nonnegative
+    * orthant.
+    */
+  private def nonnegCoo(ni: Int, nj: Int, nk: Int, rank: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    def factor(n: Int): Array[Array[Double]] =
+      Array.fill(n, rank)(
+        if (rng.nextDouble() < 0.5) 0.0 else 0.5 + rng.nextDouble())
+    val a = factor(ni); val b = factor(nj); val c = factor(nk)
+    val rows = for {
+      i <- 0 until ni; j <- 0 until nj; k <- 0 until nk
+    } yield {
+      val v = (0 until rank).map(p => a(i)(p) * b(j)(p) * c(k)(p)).sum
+      (i.toLong, j.toLong, k.toLong, v)
+    }
+    spark.sparkContext.parallelize(rows, 4)
+  }
+
+  test("NN-HALS recovers a planted nonnegative rank-R tensor to fit >= 0.999") {
+    import graft.tensor.NnHals
+    for (rank <- Seq(1, 2, 3)) {
+      val coo = nonnegCoo(12, 10, 8, rank, seed = 500 + rank)
+      val model = NnHals.fitBest(coo, rank, seed = 42, tol = 1e-10, maxIter = 300,
+        numSlabs = 4, numStarts = 3)
+      assert(model.finalFit >= 0.999,
+        s"rank=$rank fit=${model.finalFit} after ${model.iterations} iters")
+    }
+  }
+
+  test("NN-HALS factors are nonnegative and the fit is monotone") {
+    import graft.tensor.NnHals
+    // Rank 2 on a rank-3 tensor: under-fitting keeps the plateau away from
+    // fit=1.0, where the resid² identity loses all its significant digits
+    // to cancellation (same reason the ALS monotone test under-fits).
+    val coo = nonnegCoo(10, 7, 6, 3, seed = 77)
+    val model = NnHals.fitRdd(coo, rank = 2, seed = 11, tol = 0.0, maxIter = 40,
+      numSlabs = 4)
+    assert(model.a.forall(_ >= 0.0) && model.b.forall(_ >= 0.0) &&
+      model.c.forall(_ >= 0.0), "a HALS factor went negative")
+    assert(model.lambda.forall(_ >= 0.0))
+    // Each HALS column update is the exact constrained minimizer over that
+    // column, so the objective — and hence the fit — is monotone.
+    model.fits.sliding(2).foreach {
+      case Vector(f1, f2) => assert(f2 >= f1 - 1e-10, s"fit decreased: $f1 -> $f2")
+      case _              =>
+    }
+  }
+
+  test("NN-HALS seeded trajectory is deterministic") {
+    import graft.tensor.NnHals
+    val coo = nonnegCoo(6, 5, 4, 2, seed = 3)
+    val m1 = NnHals.fitRdd(coo, 2, seed = 9, tol = 0.0, maxIter = 5, numSlabs = 3)
+    val m2 = NnHals.fitRdd(coo, 2, seed = 9, tol = 0.0, maxIter = 5, numSlabs = 3)
+    assert(m1.fits.length == 5 && m2.fits.length == 5)
+    m1.fits.zip(m2.fits).foreach { case (f1, f2) => assert(math.abs(f1 - f2) < 1e-6) }
+  }
+
+  test("NN-HALS on the Q43 events tensor: nonnegative data, nonnegative model") {
+    import graft.tensor.NnHals
+    val coo = EventTime.q43(spark, sf("sf0.001"))
+    val model = NnHals.fit(coo, rank = 3, seed = 42, tol = 1e-4, maxIter = 30, numSlabs = 4)
+    assert(model.finalFit > 0.0 && model.finalFit <= 1.0 + 1e-12)
+    assert(model.a.forall(_ >= 0.0) && model.b.forall(_ >= 0.0) &&
+      model.c.forall(_ >= 0.0))
+  }
 }
