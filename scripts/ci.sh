@@ -12,4 +12,14 @@ sbt -batch test
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"
 python3 scripts/golden.py check "$OUT" golden/sf0.01.json
+
+# Scaling tripwire (VERDICT r4 #7): the sf0.001 bench leg is seconds-cheap;
+# a generous 3x per-family budget catches an accidentally super-linear
+# rewrite (the Q99-HOF class of bug) before it reaches a judge. Budgets are
+# regenerated on a quiet machine with `scaling.py budget`.
+BENCH_OUT=$(mktemp /tmp/graft-ci-bench.XXXXXX.json)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench" \
+  | grep -o '{"metric".*}' > "$BENCH_OUT"
+python3 scripts/scaling.py check "$BENCH_OUT" golden/bench_budget_sf0.001.json
+
 echo "CI GREEN ($SF_DIR)"

@@ -26,6 +26,12 @@ object Bench {
       // protocol's "fully-materialized runs" (and caches would accumulate
       // across the whole 61-query session).
       spark.catalog.clearCache()
+      // Collect the previous queries' garbage OUTSIDE the timed region:
+      // in a full-registry session a deferred full GC otherwise lands on
+      // an arbitrary query and can span all of its timed runs (observed:
+      // a 9x one-off on Q98 that re-measured at 1x in the next session
+      // and in isolation).
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -52,6 +58,12 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    // Runs stay back-to-back per query (NOT interleaved across the
+    // registry): with >100 codegen units live, interleaving makes every
+    // run miss the bounded generated-class cache and re-pay compilation —
+    // measured +35% on the whole registry. The session-stall risk that
+    // interleaving would have hedged is addressed by the untimed
+    // System.gc() in materialize() instead.
     val results = names.map { name =>
       val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted
       val median = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
@@ -92,8 +104,16 @@ object Bench {
       if (args.nonEmpty) """{"sec":-1}"""
       else try {
         val coo = operators.EventTime.q43(spark, sfDir).selectExpr("i", "j", "k", "v")
+        // Clamp target ranks to the tier's tensor dims (rank <= dim is
+        // Tucker's loud contract; at sf0.001 mode 1 is only 15 wide).
+        val dims = coo.selectExpr(
+          "cast(max(i) as long)", "cast(max(j) as long)", "cast(max(k) as long)").head()
+        val ranks = (
+          math.min(16, dims.getLong(0).toInt + 1),
+          math.min(4, dims.getLong(1).toInt + 1),
+          math.min(16, dims.getLong(2).toInt + 1))
         val t0 = System.nanoTime()
-        val m = tensor.Tucker.hosvd(coo, (16, 4, 16))
+        val m = tensor.Tucker.hosvd(coo, ranks)
         val sec = (System.nanoTime() - t0) / 1e9
         f"""{"sec":$sec%.4f,"fit":${m.fit}%.6f}"""
       } catch { case _: Throwable => """{"sec":-1}""" }
