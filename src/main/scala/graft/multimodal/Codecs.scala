@@ -1,13 +1,13 @@
 package graft.multimodal
 
-/** Real, dependency-free codecs for the uncompressed media formats a JVM
-  * can parse with plain byte arithmetic: 24-bit BMP (BITMAPINFOHEADER,
-  * bottom-up, 4-byte row padding) and PCM16 WAV (RIFF chunk walk,
-  * mono/stereo). These retire the decode stub for these formats — the
-  * container has no JPEG/PNG/MP3 libraries, so compressed formats still
-  * fall back to [[Multimodal.DecodeStub]], but the decode path itself is
-  * no longer fake: bytes in, samples out, round-trip-tested against the
-  * matching encoders in CodecSpec.
+/** Real, dependency-free codecs: 24-bit BMP (BITMAPINFOHEADER, bottom-up,
+  * 4-byte row padding) and PCM16 WAV (RIFF chunk walk, mono/stereo)
+  * parsed with plain byte arithmetic, plus PNG/JPEG/GIF through the JDK's
+  * own `javax.imageio` (see [[CodecRegistry]]). These retire the decode
+  * stub for every image format the JDK can read — only formats with no
+  * JDK decoder (MP3, video) still fall back to [[Multimodal.DecodeStub]].
+  * Bytes in, samples out, round-trip-tested against the matching encoders
+  * in CodecSpec.
   *
   * Both decoders validate magic numbers and bounds and throw on
   * malformed input — a corrupt payload must fail loudly in a pipeline,
@@ -219,8 +219,41 @@ object CodecRegistry {
     }
   }
 
+  /** PNG/JPEG via `javax.imageio` — part of the JDK (java.desktop,
+    * headless-safe), so these compressed formats decode for real with
+    * ZERO added dependencies; only formats the JDK lacks a decoder for
+    * (MP3, video) still fall back to the stub. Output is the same
+    * luminance-weighted grayscale in [0,1], top-down row-major, that
+    * [[Codecs.decodeBmp24]] produces, so every image mime feeds the
+    * feature extractors identically.
+    */
+  private object ImageIoCodec extends MediaCodec {
+    def mimes: Seq[String] = Seq("image/png", "image/jpeg", "image/gif")
+    def decode(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Array[Double]] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // ImageIO returns null (not an exception) on an unreadable payload;
+      // a corrupt image must fail loudly in a pipeline, not emit garbage.
+      require(img != null, s"unreadable ${meta.mime} payload (${payload.length} bytes)")
+      val w = img.getWidth; val h = img.getHeight
+      val gray = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          gray(y * w + x) = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      Array(gray)
+    }
+  }
+
   register(BmpCodec)
   register(WavCodec)
+  register(ImageIoCodec)
   // ServiceLoader discovery: later entries win over built-ins only for
   // mimes the built-ins don't claim first-come; explicit register() after
   // startup always wins (ConcurrentHashMap.put replaces).

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
   * north star): image/audio/video as opaque `binary` columns with typed
   * metadata, processed in per-partition batches.
   *
-  * Decoding: REAL pure-JVM codecs for uncompressed formats — 24-bit BMP
-  * and PCM16 WAV ([[Codecs]], round-trip-tested) — dispatched by mime
-  * through [[Codecs.decodeAny]]. Compressed formats (JPEG/PNG/MP3) would
-  * need external libraries this container doesn't ship, so they fall
-  * back to [[DecodeStub]], a deterministic fake documented as such.
+  * Decoding: REAL pure-JVM codecs — 24-bit BMP and PCM16 WAV ([[Codecs]],
+  * round-trip-tested) plus PNG/JPEG/GIF through the JDK's own
+  * `javax.imageio` — dispatched by mime through [[Codecs.decodeAny]].
+  * Only formats with no JDK decoder (MP3, video) fall back to
+  * [[DecodeStub]], a deterministic fake documented as such.
   * Everything else is real and tested: the schema, the partition-local
   * batch processing shape (mapPartitions — the Scala analog of
   * mapInPandas batching: one iterator per partition, no per-row setup

@@ -80,32 +80,78 @@ class CodecSpec extends SparkSpec {
 
   test("codec registry: a registered codec takes over its mime, deregister restores the stub") {
     import graft.multimodal.{CodecRegistry, MediaCodec}
-    val meta = Multimodal.MediaMeta(2, 2, 0, 1, "image/png")
+    // webp: a format with NO built-in codec (PNG/JPEG/GIF now decode for
+    // real through javax.imageio, so they never reach the stub).
+    val meta = Multimodal.MediaMeta(2, 2, 0, 1, "image/webp")
     val payload = Array[Byte](1, 2, 3, 4)
-    // Before registration: compressed format falls back to the stub.
+    // Before registration: unknown compressed format falls back to the stub.
     val viaStub = Codecs.decodeAny(payload, meta)
     val stub = Multimodal.DecodeStub.decode(payload, meta)
     assert(viaStub.length == stub.length &&
       viaStub.zip(stub).forall { case (a, b) => a sameElements b })
 
-    // A drop-in codec (e.g. a real PNG decoder from a user jar) registers
+    // A drop-in codec (e.g. a real WebP decoder from a user jar) registers
     // for its mime and decodeAny routes through it — decodeAny untouched.
-    object FakePng extends MediaCodec {
-      def mimes: Seq[String] = Seq("image/png")
+    object FakeWebp extends MediaCodec {
+      def mimes: Seq[String] = Seq("image/webp")
       def decode(p: Array[Byte], m: Multimodal.MediaMeta): Array[Array[Double]] =
         Array(p.map(b => (b & 0xff) / 255.0 + 100.0)) // recognizable output
     }
-    CodecRegistry.register(FakePng)
+    CodecRegistry.register(FakeWebp)
     try {
       val viaCodec = Codecs.decodeAny(payload, meta)
       assert(viaCodec(0).forall(_ > 99.0), "registered codec was not used")
-    } finally CodecRegistry.deregister("image/png")
+    } finally CodecRegistry.deregister("image/webp")
 
     // Stub fallback restored after deregistration.
     val again = Codecs.decodeAny(payload, meta)
     assert(again(0).forall(_ <= 1.0))
     // Built-ins still intact.
     assert(CodecRegistry.lookup("image/bmp").nonEmpty &&
-      CodecRegistry.lookup("audio/wav").nonEmpty)
+      CodecRegistry.lookup("audio/wav").nonEmpty &&
+      CodecRegistry.lookup("image/png").nonEmpty &&
+      CodecRegistry.lookup("image/jpeg").nonEmpty)
+  }
+
+  test("PNG decodes for real (lossless): javax.imageio path matches exact luminance") {
+    val (w, h) = (6, 4)
+    val rng = new scala.util.Random(23)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val want = new Array[Double](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = rng.nextInt(256); val g = rng.nextInt(256); val b = rng.nextInt(256)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      want(y * w + x) = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val frames = Codecs.decodeAny(out.toByteArray,
+      Multimodal.MediaMeta(w, h, 0, 1, "image/png"))
+    assert(frames.length == 1 && frames(0).length == w * h)
+    frames(0).zip(want).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+    }
+  }
+
+  test("JPEG decodes for real (lossy): flat field survives within codec error") {
+    val (w, h) = (16, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val frames = Codecs.decodeAny(out.toByteArray,
+      Multimodal.MediaMeta(w, h, 0, 1, "image/jpeg"))
+    val want = 0x80 / 255.0
+    assert(frames(0).length == w * h)
+    frames(0).foreach(v => assert(math.abs(v - want) < 0.02, s"$v vs $want"))
+  }
+
+  test("corrupt PNG fails loudly, not with garbage features") {
+    intercept[IllegalArgumentException] {
+      Codecs.decodeAny("not a png at all".getBytes,
+        Multimodal.MediaMeta(2, 2, 0, 1, "image/png"))
+    }
   }
 }
