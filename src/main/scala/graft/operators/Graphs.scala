@@ -275,9 +275,200 @@ object Graphs {
       |ORDER BY lift DESC, a NULLS FIRST, b NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** Hop distances from the graph's smallest node id over an undirected
+    * edge list, breadth-first, bounded at `maxHops` rounds.
+    *
+    * Frontier BFS, not label-correcting: each round joins only the NEWLY
+    * discovered frontier against the edge relation, so per-round work is
+    * proportional to the edges incident to the frontier — never a full
+    * re-relaxation of the settled set. For an unweighted graph the first
+    * discovery IS the shortest distance, so one pass per depth suffices.
+    *
+    * Scale notes: the both-ways edge relation is checkpointed once and
+    * every round's join keys on the same node id — one hash layout,
+    * reused across rounds (co-partitioned under AQE). Frontier and
+    * settled relations live in the cluster; the loop's driver state is
+    * one boolean (frontier emptiness) per round. `maxHops` bounds the
+    * round count a priori, and the early exit on an empty frontier is
+    * exactly equivalent to running the remaining rounds (an empty
+    * frontier generates nothing forever after) — engine and the
+    * hop-capped recursive oracle share one semantics on any dataset.
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint()
+    val de = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    // Deterministic source = the smallest node id (pairs are a < b, so
+    // min(a) is the global min endpoint). A bounded 1-value collect.
+    val srcRow = e0.agg(min(col("a"))).head()
+    if (srcRow.isNullAt(0)) return Seq.empty[(Long, Int)].toDF("node", "hops")
+    var settled = Seq((srcRow.getLong(0), 0)).toDF("node", "hops").localCheckpoint()
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("node").as("src"))
+        .join(de, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      settled = settled.unionAll(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    settled
+  }
+
+  /** Q121 — BFS hop distances (≤ 6) from the smallest part id over the
+    * SUPPORT-PRUNED co-order graph (pairs co-ordered ≥ 2 times — the
+    * Q107 support filter, which leaves real neighborhood structure
+    * instead of one dense near-clique). Gates the whole iterative
+    * traversal: every (node, hops) row must match the oracle's
+    * recursive-CTE BFS exactly.
+    */
+  val MaxBfsHops = 6
+
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    bfsHops(edges, MaxBfsHops)
+      .select(col("node").as("p_partkey"), col("hops").cast("int").as("hops"))
+      .orderBy(asc("hops"), asc_nulls_first("p_partkey"))
+  }
+
+  val q121Oracle: String =
+    s"""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+       |    FROM op) WHERE rn <= 1000),
+       |e AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+       |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+       |    GROUP BY 1, 2)
+       |  WHERE c >= 2),
+       |de AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |                    UNION ALL SELECT b AS src, a AS dst FROM e),
+       |bfs AS (
+       |  SELECT MIN(a) AS node, 0 AS hops FROM e
+       |  UNION
+       |  SELECT de.dst AS node, bfs.hops + 1 AS hops
+       |  FROM bfs JOIN de ON de.src = bfs.node
+       |  WHERE bfs.hops < $MaxBfsHops)
+       |SELECT node AS p_partkey, CAST(MIN(hops) AS INT) AS hops
+       |FROM bfs WHERE node IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY hops, p_partkey NULLS FIRST""".stripMargin
+
+  /** k-core of an undirected edge list by iterated peeling (Seidman 1983;
+    * the distributed form of Batagelj–Zaveršnik): repeatedly drop nodes
+    * whose degree within the surviving set is < k, at most `maxRounds`
+    * rounds. Returns the surviving nodes with their within-core degree.
+    *
+    * Scale notes: each round is one co-partitioned double semi-join of
+    * the (checkpointed) edge relation against the alive set plus one
+    * node-keyed count — same exchange key every round. The alive set
+    * shrinks monotonically, so per-round cost only falls; driver state
+    * is one count per round. Early exit when the alive COUNT stops
+    * changing is exact (alive' ⊆ alive, so equal cardinality ⇒ equal
+    * sets ⇒ every later round is a no-op), which keeps the bounded
+    * engine loop bit-equal to the oracle's full `maxRounds` unroll on
+    * any dataset, converged or not.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val e0 = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint()
+    var alive = e0.select(col("a").as("node")).unionAll(e0.select(col("b").as("node")))
+      .distinct().localCheckpoint()
+    var aliveCount = alive.count()
+    var deg = alive.select(col("node"), lit(0L).as("core_deg")).filter(lit(false))
+    var r = 0
+    var converged = aliveCount == 0L
+    while (r < maxRounds && !converged) {
+      val ae = e0
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      deg = ae.select(col("a").as("node")).unionAll(ae.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .localCheckpoint()
+      val n = deg.count()
+      converged = n == aliveCount
+      aliveCount = n
+      alive = deg.select(col("node"))
+      r += 1
+    }
+    deg
+  }
+
+  /** Q122 — the 3-core of the support-pruned co-order graph, peeled for
+    * up to 12 rounds (the whole iterative algorithm gated: every
+    * surviving part and its within-core degree must hash-match the
+    * oracle's generated 12-round unroll — the Q117/Q119 discipline on
+    * the peeling family).
+    */
+  val KCoreK = 3
+  val KCoreRounds = 12
+
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    kCore(edges, KCoreK, KCoreRounds)
+      .select(col("node").as("p_partkey"), col("core_deg"))
+      .orderBy(asc_nulls_first("p_partkey"))
+  }
+
+  /** Generated, not hand-written (the Q119 oracle discipline): the round
+    * count can never drift between engine and oracle. Per-round CTEs are
+    * MATERIALIZED — each feeds two downstream references, and default
+    * inlining would make the chain exponential.
+    */
+  val q122Oracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |capped AS (
+             |  SELECT ok, pk FROM (
+             |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+             |    FROM op) WHERE rn <= 1000),
+             |e AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+             |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+             |    GROUP BY 1, 2)
+             |  WHERE c >= 2),
+             |a0 AS MATERIALIZED (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e))""".stripMargin
+    for (r <- 1 to KCoreRounds) {
+      val prev = s"a${r - 1}"
+      sb ++= s""",
+                |j$r AS MATERIALIZED (
+                |  SELECT e.a, e.b FROM e
+                |  JOIN $prev x ON e.a = x.node
+                |  JOIN $prev y ON e.b = y.node),
+                |d$r AS MATERIALIZED (
+                |  SELECT node, COUNT(*) AS deg FROM (
+                |    SELECT a AS node FROM j$r UNION ALL SELECT b AS node FROM j$r)
+                |  GROUP BY 1),
+                |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node AS p_partkey, deg AS core_deg
+              |FROM d$KCoreRounds WHERE deg >= $KCoreK
+              |ORDER BY p_partkey NULLS FIRST""".stripMargin
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _))
+    "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
+    "Q121" -> (q121 _), "Q122" -> (q122 _))
 
   def oracles: Map[String, String] = Map(
-    "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle)
+    "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
+    "Q121" -> q121Oracle, "Q122" -> q122Oracle)
 }

@@ -38,6 +38,18 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Graphs.pageRank(empty, 3).count() == 0)
   }
 
+  test("bfsHops and kCore on an empty edge list are empty; single edge behaves") {
+    val empty = emptyLL("a" -> LongType, "b" -> LongType)
+    assert(Graphs.bfsHops(empty, 6).count() == 0)
+    assert(Graphs.kCore(empty, 3, 12).count() == 0)
+    val one = spark.createDataFrame(Seq((1L, 2L))).toDF("a", "b")
+    val hops = Graphs.bfsHops(one, 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1L -> 0, 2L -> 1))
+    // a single edge gives both endpoints degree 1 < 2: the 2-core is empty
+    assert(Graphs.kCore(one, 2, 12).count() == 0)
+  }
+
   test("pageRank on a single edge converges to the symmetric fixpoint") {
     val one = spark.createDataFrame(Seq((1L, 2L))).toDF("a", "b")
     val pr = Graphs.pageRank(one, 5).collect()
