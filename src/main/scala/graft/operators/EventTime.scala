@@ -686,16 +686,123 @@ object EventTime {
       |FROM detrended d LEFT JOIN seasonal se ON se.dow = d.dow
       |ORDER BY d.day NULLS FIRST""".stripMargin
 
+  /** Holt linear-trend (double-exponential) smoothing of a keyed series
+    * with α = β = 1/2 (Holt 1957; the Hyndman & Athanasopoulos "fpp"
+    * additive-trend form): l_t = (y_t + (l_{t-1} + b_{t-1})) / 2,
+    * b_t = (b_{t-1} + (l_t - l_{t-1})) / 2, initialized l_0 = y_0,
+    * b_0 = 0.
+    *
+    * Input: (key, k, y) rows — k the 0-based contiguous position, y the
+    * observation. Returns one row per key: (key, n_obs, l, b) — the
+    * final level and trend; the h-step forecast is l + h·b.
+    *
+    * Determinism discipline (the Q100 rule): the recurrence uses ONLY
+    * IEEE adds, subtracts, and divisions by 2 with a FIXED
+    * parenthesization, duplicated textually in the oracle — so the
+    * doubles are bit-identical cross-engine even after the dyadic values
+    * outgrow the 53-bit mantissa (every individual operation is
+    * correctly rounded and both engines execute the same operation
+    * sequence). No pow(), no libm.
+    *
+    * Scale notes: a smoother is sequential IN ITS KEY — the right
+    * distributed shape is "parallel across keys, linear within key". The
+    * series arrives as a bounded per-key array (the corpus collapses in
+    * the upstream daily aggregate first — Q118 discipline) and the fold
+    * is one codegen'd higher-order `aggregate` over it: O(n_obs) per
+    * key, no shuffle beyond the collect_list aggregation, no driver
+    * state. Per-key state is the series itself; for year-scale daily
+    * series that is thousands of elements, not corpus-scale.
+    */
+  def holtLinear(series: DataFrame, keyCol: String): DataFrame =
+    series.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("k"), col("y")))).as("ser"))
+      .withColumn("fit", expr(
+        """aggregate(ser,
+          |  named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE), 'started', false),
+          |  (acc, x) -> IF(NOT acc.started,
+          |    named_struct('l', CAST(x.y AS DOUBLE), 'b', CAST(0 AS DOUBLE), 'started', true),
+          |    named_struct(
+          |      'l', (CAST(x.y AS DOUBLE) + (acc.l + acc.b)) / 2D,
+          |      'b', (acc.b + ((CAST(x.y AS DOUBLE) + (acc.l + acc.b)) / 2D - acc.l)) / 2D,
+          |      'started', true)))""".stripMargin))
+      .select(col(keyCol), size(col("ser")).cast("long").as("n_obs"),
+        col("fit.l").as("l"), col("fit.b").as("b"))
+
+  /** Q123 — Holt forecast of each event type's daily event count: the
+    * per-type series is zero-filled onto its min..max day spine (a count
+    * series — absence means zero, the Q59 fill mode), smoothed with
+    * [[holtLinear]], and extrapolated 7 days ahead. The whole recurrence
+    * is gated: any drift in any iteration of any series breaks the hash
+    * against the oracle's recursive-CTE replay.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    // referenced by the bounds aggregate AND the grid join
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("k"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    holtLinear(grid, "event_type")
+      .select(col("event_type"), col("n_obs"), col("l"), col("b"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .select(col("event_type"), col("h"), col("n_obs"),
+        round(col("l"), 4).as("level"),
+        round(col("b"), 4).as("trend"),
+        round(col("l") + col("h").cast("double") * col("b"), 4).as("forecast"))
+      .orderBy(asc_nulls_first("event_type"), asc("h"))
+  }
+
+  val q123Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, d0, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day - s.d0 AS k, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |maxk AS (SELECT event_type, MAX(k) AS kmax FROM grid GROUP BY 1),
+      |holt AS (
+      |  SELECT event_type, k, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM grid WHERE k = 0
+      |  UNION ALL
+      |  SELECT g.event_type, g.k,
+      |    (CAST(g.y AS DOUBLE) + (h.l + h.b)) / 2,
+      |    (h.b + ((CAST(g.y AS DOUBLE) + (h.l + h.b)) / 2 - h.l)) / 2
+      |  FROM holt h JOIN grid g
+      |  ON g.event_type = h.event_type AND g.k = h.k + 1),
+      |fin AS (
+      |  SELECT h.event_type, m.kmax + 1 AS n_obs, h.l, h.b
+      |  FROM holt h JOIN maxk m
+      |  ON m.event_type = h.event_type AND h.k = m.kmax)
+      |SELECT f.event_type, CAST(hz.h AS INT) AS h, f.n_obs,
+      |  ROUND(f.l, 4) AS level, ROUND(f.b, 4) AS trend,
+      |  ROUND(f.l + CAST(hz.h AS DOUBLE) * f.b, 4) AS forecast
+      |FROM fin f CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) hz
+      |ORDER BY f.event_type NULLS FIRST, h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
-    "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _))
+    "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
+    "Q123" -> (q123 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
-    "Q109" -> q109Oracle, "Q118" -> q118Oracle)
+    "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle)
 }

@@ -176,4 +176,89 @@ class AnalyticsOpsSpec extends SparkSpec {
     val expect3 = (0 to 6).map(d => 30.0 + 2 * d).sum / 7
     assert(math.abs(got(3L).get - expect3) < 1e-9)
   }
+
+  test("bfsHops matches a local BFS reference on a fixed random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    // sparse enough that some nodes sit beyond the hop cap
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.06
+    } yield (a.toLong, b.toLong)).toSeq
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val maxHops = 3
+    val got = Graphs.bfsHops(eDf, maxHops).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = edges.map(_._1).min
+    var ref = Map(src -> 0)
+    var frontier = Seq(src)
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(nbrs.getOrElse(_, Nil))
+        .distinct.filterNot(ref.contains)
+      ref ++= next.map(_ -> h)
+      frontier = next
+    }
+    assert(ref.values.max == maxHops, "fixture must exercise every round")
+    assert(got === ref)
+  }
+
+  test("holtLinear is bit-equal to a local recurrence (same IEEE op order)") {
+    // two series shapes: noisy upward trend, clean downward trend
+    val series = Seq.tabulate(25)(t => ("up", t.toLong, (3 * t + 7 + (t % 5)).toLong)) ++
+      Seq.tabulate(10)(t => ("down", t.toLong, (100 - 2 * t).toLong))
+    val df = spark.createDataFrame(series).toDF("key", "k", "y").repartition(4)
+    val got = graft.operators.EventTime.holtLinear(df, "key").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+
+    val ref = series.groupBy(_._1).map { case (key, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys.head; var b = 0.0
+      for (y <- ys.tail) {
+        val l2 = (y + (l + b)) / 2
+        b = (b + (l2 - l)) / 2
+        l = l2
+      }
+      key -> ((ys.size.toLong, l, b))
+    }
+    // exact equality, not a tolerance: the engine must execute the same
+    // operation sequence, which is what lets Q123 hash-gate the fold
+    assert(got === ref)
+    // the clean linear series must converge toward its true slope
+    assert(math.abs(got("down")._3 - (-2.0)) < 0.1)
+  }
+
+  test("kCore matches a local peeling reference on a fixed random graph") {
+    // p=0.12 at n=30 puts the mean degree near k, so peeling cascades
+    // over several rounds instead of converging in one.
+    val rnd = new scala.util.Random(23)
+    val n = 30
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)).toSeq
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val k = 3
+    val got = Graphs.kCore(eDf, k, 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var done = false
+    var refDeg = Map.empty[Long, Long]
+    while (!done) {
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val next = deg.filter(_._2 >= k).keySet
+      done = next == alive
+      refDeg = deg.filter(_._2 >= k)
+      alive = next
+    }
+    assert(refDeg.nonEmpty && refDeg.size < edges.flatMap(e => Seq(e._1, e._2)).distinct.size,
+      "fixture must actually peel something and keep something")
+    assert(got === refDeg)
+  }
 }
