@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HeavyHitters, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
+import graft.functions.{HeavyHitters, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topkFunction)
     ext.injectFunction(GraftExtensions.bloomFunction)
     GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
+    GraftExtensions.kllAlgebra.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -165,6 +166,33 @@ object GraftExtensions {
         "graft_kmv_jaccard(a, b) - estimated Jaccard similarity from two KMV sketches.", ""),
       (c: Seq[Expression]) => KmvJaccardEstimate(c(0), c(1))))
 
+  /** The KLL quantile-sketch column algebra (KllQuantile.scala): build /
+    * merge aggregates plus quantile / rank / exact-n scalars.
+    */
+  val kllAlgebra: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo(classOf[KllBuildAgg].getName, null, "graft_kll_sketch",
+        "graft_kll_sketch(col, k) - KLL quantile sketch of a numeric column as binary.", ""),
+      (c: Seq[Expression]) =>
+        KllBuildAgg(c.head, intLit(c, "graft_kll_sketch")).toAggregateExpression()),
+    (FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, null, "graft_kll_merge",
+        "graft_kll_merge(sketch, k) - merge of already-built KLL sketches as binary.", ""),
+      (c: Seq[Expression]) =>
+        KllMergeAgg(c.head, intLit(c, "graft_kll_merge")).toAggregateExpression()),
+    (FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, null, "graft_kll_quantile",
+        "graft_kll_quantile(sketch, q) - quantile probe of a KLL sketch; NULL when empty.", ""),
+      (c: Seq[Expression]) => KllQuantileExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_kll_rank"),
+      new ExpressionInfo(classOf[KllRankExpr].getName, null, "graft_kll_rank",
+        "graft_kll_rank(sketch, x) - estimated fraction of mass <= x; NULL when empty.", ""),
+      (c: Seq[Expression]) => KllRankExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_kll_n"),
+      new ExpressionInfo(classOf[KllCountExpr].getName, null, "graft_kll_n",
+        "graft_kll_n(sketch) - exact total count folded into a KLL sketch.", ""),
+      (c: Seq[Expression]) => KllCountExpr(c.head)))
+
   /** Idempotent runtime registration on an already-built session. */
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -179,7 +207,7 @@ object GraftExtensions {
       "graft_topk", topkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "built-in")
-    kmvAlgebra.foreach { case (id, _, builder) =>
+    (kmvAlgebra ++ kllAlgebra).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
