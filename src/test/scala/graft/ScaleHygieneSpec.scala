@@ -157,6 +157,14 @@ class ScaleHygieneSpec extends SparkSpec {
       val p107 = graft.operators.Graphs.q107(spark, dir).queryExecution.executedPlan.toString
       assert(!p107.contains("collect_set"), s"Q107 still expands pairs:\n$p107")
       assert(p107.contains("co_pairs"), s"Q107 does not read the artifact:\n$p107")
+      // The round-5 traversal gates ride the same artifact: their loops
+      // run on checkpointed relations, so only an edge rebuild would put
+      // lineitem or the pair expansion back into their plans.
+      for (q <- Seq(graft.operators.Graphs.q121 _, graft.operators.Graphs.q122 _)) {
+        val plan = q(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("lineitem"), s"traversal gate scans lineitem:\n$plan")
+        assert(!plan.contains("collect_set"), s"traversal gate expands pairs:\n$plan")
+      }
     } finally {
       spark.conf.unset("spark.graft.derivedDir")
     }
