@@ -792,17 +792,177 @@ object EventTime {
       |FROM fin f CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) hz
       |ORDER BY f.event_type NULLS FIRST, h""".stripMargin
 
+  /** Q124 — CUSUM change-point detection (Page 1954) on each event
+    * type's zero-filled daily count series, all-integer and therefore
+    * bit-exact cross-engine by construction. Reference level mu is the
+    * per-type floor mean, allowance kappa = mu DIV 4, decision threshold
+    * h = 3·(mu+1) — every parameter derived from the data by integer
+    * arithmetic, no floats anywhere.
+    *
+    * The engine does NOT run the sequential recurrence
+    * s_i = max(0, s_{i-1} + d_i). It uses the prefix-sum identity
+    * s_i = S_i − min(0, min_{j≤i} S_j) (S = running sum of the
+    * deviations d), which turns the whole detector into two running
+    * window aggregates over one (type, day) sort — a single shuffle,
+    * fully codegen'd, no per-key fold state. The oracle replays the
+    * textbook clamped recurrence in a recursive CTE, so the hash match
+    * PROVES the identity on real data, per series, per day.
+    *
+    * Scale notes: the only shuffle is the daily pre-aggregate plus one
+    * window sort by (type, day) — the series length is days, not events,
+    * so the window input is bounded by spine size. The identity matters
+    * at scale: a clamped fold needs a sequential pass per key (Q123's
+    * collect_list shape), while prefix sums stay in Spark's streaming
+    * window frame with O(1) state per row.
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("total", sum(col("y")).over(wAll))
+      .withColumn("ndays", count(lit(1)).over(wAll))
+      .withColumn("mu", expr("total DIV ndays"))
+      .withColumn("d", col("y") - col("mu") - expr("mu DIV 4"))
+      .withColumn("ps", sum(col("d")).over(wRun))
+      .withColumn("pm", min(col("ps")).over(wRun))
+      .withColumn("stat", col("ps") - least(col("pm"), lit(0L)))
+      .select(col("event_type"), col("day"), col("y"), col("mu"), col("stat"),
+        (col("stat") > (col("mu") + lit(1L)) * 3L).cast("int").as("alarm"))
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+  }
+
+  val q124Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |param AS (
+      |  SELECT event_type, SUM(y) // COUNT(*) AS mu FROM grid GROUP BY 1),
+      |g2 AS (
+      |  SELECT g.event_type, g.day, g.y, p.mu,
+      |    g.y - p.mu - (p.mu // 4) AS d,
+      |    ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.day) - 1 AS k
+      |  FROM grid g JOIN param p ON p.event_type = g.event_type),
+      |cusum AS (
+      |  SELECT event_type, k, day, y, mu,
+      |    GREATEST(CAST(0 AS BIGINT), d) AS stat
+      |  FROM g2 WHERE k = 0
+      |  UNION ALL
+      |  SELECT g.event_type, g.k, g.day, g.y, g.mu,
+      |    GREATEST(CAST(0 AS BIGINT), c.stat + g.d)
+      |  FROM cusum c JOIN g2 g
+      |  ON g.event_type = c.event_type AND g.k = c.k + 1)
+      |SELECT event_type, day, y, mu, stat,
+      |  CAST(stat > (mu + 1) * 3 AS INT) AS alarm
+      |FROM cusum
+      |ORDER BY event_type NULLS FIRST, day""".stripMargin
+
+  /** Q125 — per-type linear trend fit (ordinary least squares on the
+    * zero-filled daily count series) via the integer normal equations:
+    * slope = (n·Σky − Σk·Σy) / (n·Σk² − (Σk)²) with k the 0-based day
+    * index. Numerator and denominator are exact int64 in both engines
+    * (Q107's exact-integer-division discipline); the only float is one
+    * final cast+divide+round for display. The fit classifies each
+    * series as rising / falling / flat by the numerator's sign.
+    *
+    * Scale notes: one daily pre-aggregate, then a 5-sum groupBy per
+    * type — map-side combined, output rows = distinct types. This is
+    * the textbook "regression as aggregation" shape: no iteration, no
+    * driver math, any series length.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("k"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("k")).as("sk"),
+        sum(col("y")).as("sy"), sum(col("k") * col("y")).as("sky"),
+        sum(col("k") * col("k")).as("skk"))
+      .select(col("event_type"), col("n_obs"),
+        (col("n_obs") * col("sky") - col("sk") * col("sy")).as("slope_num"),
+        (col("n_obs") * col("skk") - col("sk") * col("sk")).as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") > 0L,
+          round(col("slope_num").cast("double") / col("slope_den").cast("double"), 6)))
+      .withColumn("direction",
+        when(col("slope_den") === 0L, lit(null).cast("string"))
+          .when(col("slope_num") > 0L, lit("rising"))
+          .when(col("slope_num") < 0L, lit("falling"))
+          .otherwise(lit("flat")))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q125Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, d0, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day - s.d0 AS k, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n_obs, SUM(k) AS sk, SUM(y) AS sy,
+      |    SUM(k * y) AS sky, SUM(k * k) AS skk
+      |  FROM grid GROUP BY 1)
+      |SELECT event_type, n_obs,
+      |  n_obs * sky - sk * sy AS slope_num,
+      |  n_obs * skk - sk * sk AS slope_den,
+      |  CASE WHEN n_obs * skk - sk * sk > 0 THEN
+      |    ROUND(CAST(n_obs * sky - sk * sy AS DOUBLE)
+      |          / CAST(n_obs * skk - sk * sk AS DOUBLE), 6) END AS slope,
+      |  CASE WHEN n_obs * skk - sk * sk = 0 THEN NULL
+      |       WHEN n_obs * sky - sk * sy > 0 THEN 'rising'
+      |       WHEN n_obs * sky - sk * sy < 0 THEN 'falling'
+      |       ELSE 'flat' END AS direction
+      |FROM sums
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
-    "Q123" -> (q123 _))
+    "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
-    "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle)
+    "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
+    "Q124" -> q124Oracle, "Q125" -> q125Oracle)
 }

@@ -177,6 +177,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(got(3L).get - expect3) < 1e-9)
   }
 
+  test("Q124 CUSUM: planted drift fires the alarm, and the window identity " +
+    "matches the clamped recurrence") {
+    // type "a": 20 quiet days at 10/day then a level shift to 30/day —
+    // mu = 500/30 = 16, kappa = 4, so deviations are -10 before the
+    // shift (stat pinned at 0) and +10 after (stat climbs 10/day);
+    // threshold 3*(16+1) = 51 first exceeded on shift day 5 (day 25).
+    // type "b": flat 10/day — its own mu = 10, kappa = 2, stat never
+    // leaves... climbs? d = 10-12 = -2 < 0, stat stays 0, no alarms.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q124").toString
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => ((day * 86400000000L + i) * 1000L, tpe))
+    val rows = (0 until 30).flatMap { d =>
+      burst("a", d, if (d < 20) 10 else 30) ++ burst("b", d, 10)
+    }
+    spark.createDataFrame(rows).toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q124(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    val aAlarms = got.collect { case (("a", day), (_, _, _, 1)) => day }.toSet
+    assert(aAlarms == (25L to 29L).toSet,
+      s"drift must alarm exactly on days 25..29, got $aAlarms")
+    assert(got.collect { case (("b", _), v) => v }.forall(v => v._3 == 0L && v._4 == 0),
+      "a flat series must never accumulate or alarm")
+    // the prefix-sum/running-min identity vs the textbook recurrence,
+    // replayed locally from the same (y, mu) inputs
+    for (tpe <- Seq("a", "b")) {
+      val series = got.collect { case ((`tpe`, day), v) => (day, v._1, v._2, v._3) }
+        .toSeq.sortBy(_._1)
+      var s = 0L
+      for ((day, y, mu, stat) <- series) {
+        s = math.max(0L, s + (y - mu - mu / 4))
+        assert(stat == s, s"identity diverges from recurrence at $tpe/$day")
+      }
+    }
+  }
+
+  test("Q125 OLS: an exact linear series recovers its slope; degenerate " +
+    "series classify as expected") {
+    // "lin": y = 2k+3 for k=0..9 — exact fit, slope exactly 2.
+    // "flat": constant 5/day — zero numerator, 'flat'.
+    // "one": a single day — zero denominator, NULL slope and direction.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q125").toString
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => ((day * 86400000000L + i) * 1000L, tpe))
+    val rows = (0 until 10).flatMap(k => burst("lin", k, 2 * k + 3)) ++
+      (0 until 10).flatMap(k => burst("flat", k, 5)) ++ burst("one", 4, 7)
+    spark.createDataFrame(rows).toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q125(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = got("lin")
+    assert(lin.getLong(2) == 2L * lin.getLong(3) && lin.getLong(3) > 0L,
+      "exact linear series must yield slope_num == 2 * slope_den")
+    assert(lin.getDouble(4) == 2.0 && lin.getString(5) == "rising")
+    assert(got("flat").getLong(2) == 0L && got("flat").getString(5) == "flat")
+    assert(got("one").getLong(3) == 0L && got("one").isNullAt(4) &&
+      got("one").isNullAt(5), "a one-point series has no defined slope")
+  }
+
   test("bfsHops matches a local BFS reference on a fixed random graph") {
     val rnd = new scala.util.Random(11)
     val n = 40
