@@ -951,12 +951,181 @@ object EventTime {
       |FROM sums
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q128 — autocorrelation function (lags 1..7) of each event type's
+    * zero-filled daily count series, as the exact-integer Pearson
+    * correlation between the series and its lag-L shift (the Q125
+    * discipline): num = m·Σab − Σa·Σb and both variance terms are exact
+    * int64 in both engines; the only floats are the final SQRT and one
+    * divide, with a fixed evaluation order duplicated textually. NULL
+    * where either side of the overlap is constant (zero variance).
+    *
+    * Scale notes: the grid is the bounded daily spine (days × types
+    * rows, never raw events). The lag shift is a self-join on
+    * (type, day+L) rather than 7 distinct window passes — one shuffle
+    * produces all 7 lags, and the 5-sum aggregate is map-side combined
+    * down to types × 7 output rows. Intermediates stay int64 well past
+    * 10⁵-scale daily counts (m·Σa² ≈ days²·peak² must stay < 2⁶³ —
+    * at 10 years × 10⁶/day that is 10⁷·10¹² ≈ 10¹⁹, the one place a
+    * 100 TB deployment would widen to DECIMAL(38,0), same plan shape).
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    val a = grid.crossJoin(broadcast(lags))
+      .select(col("event_type"), col("lag"), col("day"), col("y").as("ya"))
+    val b = grid.select(col("event_type").as("bt"), col("day").as("bday"),
+      col("y").as("yb"))
+    a.join(b, col("bt") === col("event_type") &&
+        col("bday") === col("day") + col("lag"))
+      .select(col("event_type"), col("lag"), col("ya"), col("yb"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("ya")).as("sa"),
+        sum(col("yb")).as("sb"), sum(col("ya") * col("yb")).as("sab"),
+        sum(col("ya") * col("ya")).as("saa"),
+        sum(col("yb") * col("yb")).as("sbb"))
+      .select(col("event_type"), col("lag"), col("m"),
+        (col("m") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("m") * col("saa") - col("sa") * col("sa")).as("den_a"),
+        (col("m") * col("sbb") - col("sb") * col("sb")).as("den_b"))
+      .withColumn("acf",
+        when(col("den_a") > 0L && col("den_b") > 0L,
+          round(col("num").cast("double") /
+            sqrt(col("den_a").cast("double") * col("den_b").cast("double")), 6)))
+      .select(col("event_type"), col("lag"), col("m"), col("num"), col("acf"))
+      .orderBy(asc_nulls_first("event_type"), asc("lag"))
+  }
+
+  val q128Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |lagged AS (
+      |  SELECT a.event_type, l.lag AS lag, a.y AS ya, b.y AS yb
+      |  FROM grid a
+      |  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+      |  JOIN grid b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+      |sums AS (
+      |  SELECT event_type, lag, COUNT(*) AS m, SUM(ya) AS sa, SUM(yb) AS sb,
+      |    SUM(ya*yb) AS sab, SUM(ya*ya) AS saa, SUM(yb*yb) AS sbb
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT event_type, lag, m,
+      |  m*sab - sa*sb AS num,
+      |  CASE WHEN (m*saa - sa*sa) > 0 AND (m*sbb - sb*sb) > 0 THEN
+      |    ROUND(CAST(m*sab - sa*sb AS DOUBLE)
+      |      / SQRT(CAST(m*saa - sa*sa AS DOUBLE)
+      |             * CAST(m*sbb - sb*sb AS DOUBLE)), 6)
+      |  END AS acf
+      |FROM sums
+      |ORDER BY event_type NULLS FIRST, lag""".stripMargin
+
+  /** Q130 — Theil–Sen robust trend estimate per event type: the median
+    * of all pairwise slopes (y_j − y_i)/(j − i) over the zero-filled
+    * daily series. Each slope is ONE int64 subtraction and ONE IEEE
+    * divide — identical in both engines — and the median is
+    * rank-and-pick over the slope multiset (ties carry equal doubles,
+    * so the pick is deterministic without a tiebreak); an even count
+    * averages the two middle values with the same (a+b)/2 in both
+    * engines. Complements Q125: OLS answers "what is the LS fit", the
+    * Theil–Sen breakdown point of 29% answers "what is the trend after
+    * up to a third of the days are corrupted".
+    *
+    * Scale notes: pairs are quadratic in DAYS, not events — bounded by
+    * spine², e.g. a 10-year series is ~6.6M slope rows per type, one
+    * shuffle, well inside a single executor's sort budget; the raw
+    * event table never self-joins. Distinct rationals with day-bounded
+    * denominators are farther apart than double ULP at these
+    * magnitudes, so the double sort order equals the exact rational
+    * order.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("k"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val a = grid.select(col("event_type"), col("k").as("ka"), col("y").as("ya"))
+    val b = grid.select(col("event_type").as("bt"), col("k").as("kb"),
+      col("y").as("yb"))
+    val slopes = a.join(b, a("event_type") === col("bt") && col("kb") > col("ka"))
+      .select(col("event_type"),
+        ((col("yb") - col("ya")).cast("double") /
+          (col("kb") - col("ka")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("slope"))
+    val wAll = Window.partitionBy(col("event_type"))
+    slopes
+      .withColumn("i", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        round(avg(when(col("i") === expr("(np + 1) DIV 2") ||
+          col("i") === expr("(np + 2) DIV 2"), col("slope"))), 6)
+          .as("theil_sen"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q130Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, d0, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day - s.d0 AS k, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.k - a.k AS DOUBLE) AS slope
+      |  FROM grid a JOIN grid b
+      |  ON b.event_type = a.event_type AND b.k > a.k),
+      |rk AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS i,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM slopes)
+      |SELECT event_type, MAX(np) AS n_pairs,
+      |  ROUND(AVG(CASE WHEN i IN ((np+1)//2, (np+2)//2) THEN slope END), 6)
+      |    AS theil_sen
+      |FROM rk GROUP BY 1
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
-    "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _))
+    "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
+    "Q128" -> (q128 _), "Q130" -> (q130 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -964,5 +1133,6 @@ object EventTime {
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
     "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
-    "Q124" -> q124Oracle, "Q125" -> q125Oracle)
+    "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
+    "Q130" -> q130Oracle)
 }

@@ -684,13 +684,59 @@ object NearDup {
       |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** Q126 — edit-distance fuzzy matching, the record-linkage member of
+    * the near-dup family (token-set Jaccard = Q49, byte-hash = SimHash;
+    * this is CHARACTER-level noise: typos, OCR errors, truncations).
+    * Within each p_brand block, every part-name pair at Levenshtein
+    * distance ≤ 2 is found and the matches are profiled per
+    * (brand, distance): pair count + how many distinct left-side parts
+    * participate. Distance 0 pairs are exact name duplicates under
+    * different part keys — the classic entity-resolution signal.
+    *
+    * Scale notes: the blocking key turns the quadratic all-pairs scan
+    * into per-block self-joins — an equi-join on p_brand that shuffles
+    * each block to one reducer, cost Σ block², the standard blocking
+    * bound (Newcombe 1959). The engine side uses Spark's THRESHOLD
+    * variant `levenshtein(l, r, 2)`, which abandons a pair once the
+    * banded DP proves d > 2 — O(threshold·len) per pair instead of
+    * O(len²) — and returns −1, making the keep-filter `d >= 0` ≡ the
+    * oracle's plain `d <= 2`. A skewed block (one brand = half the
+    * catalog) would salt the self-join exactly as Q49's shingle join
+    * does.
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val p = c.part.select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val b = p.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
+      col("p_name").as("nb"))
+    p.join(b, col("bb") === col("p_brand") && col("kb") > col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"),
+        levenshtein(col("p_name"), col("nb"), 2).as("d"))
+      .filter(col("d") >= 0)
+      .groupBy(col("p_brand"), col("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_partkey")).as("n_lo_parts"))
+      .orderBy(asc_nulls_first("p_brand"), asc("d"))
+  }
+
+  val q126Oracle: String =
+    """SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d,
+      |  COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT a.p_partkey) AS n_lo_parts
+      |FROM part a JOIN part b
+      |ON b.p_brand = a.p_brand AND b.p_partkey > a.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
-    "Q94" -> (q94 _))
+    "Q94" -> (q94 _), "Q126" -> (q126 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
-    "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle)
+    "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
+    "Q126" -> q126Oracle)
 }

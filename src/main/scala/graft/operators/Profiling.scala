@@ -332,11 +332,116 @@ object Profiling {
       |    (MAX(n) * LEAST(MAX(ra) - 1, MAX(rb) - 1))), 4) AS cramers_v
       |FROM j""".stripMargin
 
+  /** Q127 — Gini concentration of customer revenue per market segment:
+    * how unequal is spend across a segment's customers? Revenue is
+    * fixed to exact integer CENTS at the ROW level (one IEEE
+    * multiply+round per order — identical both engines), so the
+    * per-customer sums, the rank weights, and the Gini numerator
+    * Σ(2i−n−1)·x (x ascending) are all exact integer arithmetic; the
+    * weighted sum accumulates in DECIMAL(38,0) because rank·cents
+    * overflows int64 at warehouse row counts. Ties in x make the
+    * weighted sum permutation-invariant within the tie group, so no
+    * tiebreak is needed for determinism (one is used anyway). The only
+    * float is the single final divide.
+    *
+    * Scale notes: orders pre-aggregate to one row per customer BEFORE
+    * the segment join (shrinks the join input by the order fan-out);
+    * the rank is one window sort per segment — Gini fundamentally
+    * needs a per-group sort, and this does exactly one, over the
+    * already-aggregated per-customer rows, not raw orders.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rev = c.orders
+      .select(col("o_custkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("order_cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_cents")).as("cents"))
+      .join(c.customer.select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("seg")).orderBy(asc("cents"), asc("c_custkey"))
+    val wAll = Window.partitionBy(col("seg"))
+    rev
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("seg"))
+      .agg(max(col("n")).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((col("i") * 2L - col("n") - 1L).cast(dec) * col("cents").cast(dec))
+          .as("num"))
+      .select(col("seg"), col("n_customers"), col("total_cents"),
+        round(col("num").cast("double") /
+          (col("n_customers").cast(dec) * col("total_cents").cast(dec))
+            .cast("double"), 6).as("gini"))
+      .orderBy(asc_nulls_first("seg"))
+  }
+
+  val q127Oracle: String =
+    """WITH rev AS (
+      |  SELECT c.c_mktsegment AS seg, c.c_custkey,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT seg, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS i,
+      |    COUNT(*) OVER (PARTITION BY seg) AS n
+      |  FROM rev)
+      |SELECT seg, MAX(n) AS n_customers, SUM(cents) AS total_cents,
+      |  ROUND(CAST(SUM(CAST(2*i - n - 1 AS DECIMAL(38,0))
+      |                 * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(CAST(MAX(n) AS DECIMAL(38,0))
+      |           * CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE), 6) AS gini
+      |FROM rk GROUP BY seg
+      |ORDER BY seg NULLS FIRST""".stripMargin
+
+  /** Q129 — third-order behavior paths: the full trigram distribution
+    * of consecutive event-type triples per user, extending Q79's
+    * first-order Markov matrix to the sequence-mining shape (a
+    * PrefixSpan-style length-3 pattern count with a window instead of
+    * projected databases). Ordering is (event time, event_id) — the
+    * same total order Q79 declares — so the gate is exact-count
+    * deterministic.
+    *
+    * Scale notes: one user-partitioned window pass (two leads share
+    * one sort) + one bounded |types|³ aggregate, map-side combined.
+    * No self-join: the window turns the quadratic "pairs of pairs"
+    * formulation into a linear scan per user.
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("event_id"))
+    c.events
+      .select(col("user_id"), col("event_id"), col("event_type").as("t1"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"),
+        asc_nulls_first("t3"))
+  }
+
+  val q129Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |    LEAD(event_type, 1) OVER w AS t2,
+      |    LEAD(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT t1, t2, t3, COUNT(*) AS n
+      |FROM seq WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY t1 NULLS FIRST, t2 NULLS FIRST, t3 NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
-    "Q116" -> (q116 _))
+    "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
-    "Q115" -> q115Oracle, "Q116" -> q116Oracle)
+    "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
+    "Q129" -> q129Oracle)
 }

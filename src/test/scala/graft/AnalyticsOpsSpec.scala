@@ -238,6 +238,94 @@ class AnalyticsOpsSpec extends SparkSpec {
       got("one").isNullAt(5), "a one-point series has no defined slope")
   }
 
+  test("Q128 ACF: a perfectly alternating series gives acf(1) = -1 and " +
+    "acf(2) = +1 exactly") {
+    // 2,4,2,4,… for 8 days: the lag-1 overlap is perfectly anti-aligned
+    // (num = -den), the lag-2 overlap perfectly aligned — both cancel to
+    // exactly ±1.0 in the integer normal equations, no tolerance needed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q128").toString
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => ((day * 86400000000L + i) * 1000L, tpe))
+    val rows = (0 until 8).flatMap(d => burst("alt", d, if (d % 2 == 0) 2 else 4))
+    spark.createDataFrame(rows).toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q128(spark, dir).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(got.size == 7, "lags 1..7 must all be present")
+    assert(got(1L).getDouble(4) == -1.0 && got(2L).getDouble(4) == 1.0)
+    assert(got(1L).getLong(2) == 7 && got(2L).getLong(2) == 6,
+      "overlap length must shrink by one per lag")
+    // at lag 7 the overlap is a single pair -> both variances are zero
+    assert(got(7L).isNullAt(4), "a zero-variance overlap must yield NULL")
+  }
+
+  test("Q130 Theil-Sen: recovers the true slope of a linear series even " +
+    "with a corrupted day (where OLS Q125 moves)") {
+    // y = 3k+1 for k=0..10, except the LAST day is corrupted to 1000
+    // events (max leverage for OLS — a center outlier would cancel).
+    // 45 of the 55 pairwise slopes avoid day 10 and equal exactly 3, so
+    // the median is 3.0; the OLS fit on the same data is dragged far off.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => ((day * 86400000000L + i) * 1000L, tpe))
+    val rows = (0 until 11).flatMap(k =>
+      burst("s", k, if (k == 10) 1000 else 3 * k + 1))
+    spark.createDataFrame(rows).toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ts = graft.operators.EventTime.q130(spark, dir).collect()
+    assert(ts.length == 1 && ts(0).getLong(1) == 55L)
+    assert(ts(0).getDouble(2) == 3.0, s"median slope must be exact 3.0")
+    val ols = graft.operators.EventTime.q125(spark, dir).collect()(0)
+    assert(math.abs(ols.getDouble(4) - 3.0) > 1.0,
+      "the corrupted day must actually drag OLS, else the fixture is weak")
+  }
+
+  test("Q127 Gini: hand-computed value on a 4-customer segment, zero on " +
+    "perfect equality, and order-sum exactness") {
+    // seg "X": per-customer revenues 1.00, 2.00, 3.00, 4.00 dollars ->
+    // cents 100..400, Gini = sum((2i-n-1)x) / (n*sum(x)) = 1000/4000 = 0.25.
+    // seg "E": three equal customers -> Gini exactly 0. Customer 99 has no
+    // orders and must not appear in any rank.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q127").toString
+    val customers = Seq((1L, "X"), (2L, "X"), (3L, "X"), (4L, "X"),
+      (5L, "E"), (6L, "E"), (7L, "E"), (99L, "X"))
+    // customer 4's 4.00 arrives as two orders (1.50 + 2.50) to prove the
+    // per-customer cents sum happens before ranking
+    val orders = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 1.5), (4L, 2.5),
+      (5L, 2.0), (6L, 2.0), (7L, 2.0))
+    spark.createDataFrame(customers).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.createDataFrame(orders).toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Profiling.q127(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("X").getLong(1) == 4L && got("X").getLong(2) == 1000L)
+    assert(got("X").getDouble(3) == 0.25)
+    assert(got("E").getDouble(3) == 0.0, "perfect equality must be Gini 0")
+  }
+
+  test("Q129 trigrams: known sequences produce exactly their trigram " +
+    "counts, with event_id breaking a timestamp tie") {
+    // user 1: A B A B -> ABA, BAB. user 2: A A A A A -> AAA x3.
+    // user 3 has two events at the SAME ts where only event_id order
+    // yields CBA (ids 31,32,33 at ts 0,5,5: C then B@5(id32) then A@5(id33)).
+    val dir = java.nio.file.Files.createTempDirectory("graft-q129").toString
+    val rows = Seq(
+      (10L, 0L, 1L, "A"), (11L, 1000000L, 1L, "B"),
+      (12L, 2000000L, 1L, "A"), (13L, 3000000L, 1L, "B")) ++
+      (0 until 5).map(i => (20L + i, i * 1000000L, 2L, "A")) ++
+      Seq((31L, 0L, 3L, "C"), (32L, 5000000L, 3L, "B"), (33L, 5000000L, 3L, "A"))
+    spark.createDataFrame(rows.map { case (id, us, u, t) => (id, us * 1000L, u, t) })
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Profiling.q129(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      ("A", "B", "A") -> 1L, ("B", "A", "B") -> 1L,
+      ("A", "A", "A") -> 3L, ("C", "B", "A") -> 1L))
+  }
+
   test("bfsHops matches a local BFS reference on a fixed random graph") {
     val rnd = new scala.util.Random(11)
     val n = 40

@@ -174,4 +174,44 @@ class NearDupSpec extends SparkSpec {
       assert(ham <= 8, s"pair ($a,$b) hamming $ham too far for near-dups")
     }
   }
+
+  test("Q126 edit-distance fuzzy match: matches a local DP reference and " +
+    "respects the brand blocking") {
+    // Planted typo cluster in brand B1 (exact dup, insert, substitute,
+    // double-substitute, far outlier) plus an identical name in brand B2
+    // that must NOT pair across the block boundary.
+    val parts = Seq(
+      (1L, "B1", "widget"), (2L, "B1", "widget"), (3L, "B1", "widgets"),
+      (4L, "B1", "midget"), (5L, "B1", "gadget"), (6L, "B1", "zzzzzzzz"),
+      (7L, "B2", "widget"), (8L, "B2", "widgef"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q126").toString
+    spark.createDataFrame(parts).toDF("p_partkey", "p_brand", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ka, ba, na) <- parts; (kb, bb, nb) <- parts
+      if ba == bb && ka < kb && lev(na, nb) <= 2
+    } yield (ba, lev(na, nb), ka))
+      .groupBy { case (b, d, _) => (b, d) }
+      .map { case ((b, d), g) =>
+        (b, d.toLong) -> (g.size.toLong, g.map(_._3).distinct.size.toLong) }
+    assert(expected.exists { case ((b, _), _) => b == "B2" },
+      "fixture must exercise a second block")
+    assert(lev("widget", "widgets") == 1 && lev("widgets", "midget") == 2,
+      "reference DP sanity")
+
+    val got = graft.operators.NearDup.q126(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"engine fuzzy-match disagrees with DP reference: $got vs $expected")
+  }
 }
