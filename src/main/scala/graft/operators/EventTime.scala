@@ -1119,13 +1119,67 @@ object EventTime {
       |FROM rk GROUP BY 1
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q132 — weekly cohort retention triangle: users are assigned to the
+    * epoch-week of their FIRST event (the cohort), and each cell
+    * (cohort_wk, wk_offset) counts how many of that cohort's users were
+    * active k weeks after their first — the standard product-analytics
+    * retention matrix, plus each cell's share of its cohort size. All
+    * counts are exact integers; the share is one float divide.
+    *
+    * Scale notes: raw events collapse to DISTINCT (user, week) FIRST —
+    * the only pass over the full table — then the first-week aggregate
+    * and the activity join are co-keyed on user_id (one shuffle
+    * partitioning serves both sides). After the join, rows are already
+    * unique per (user, week), so the cell count is a plain map-side-
+    * combinable COUNT, not a COUNT DISTINCT shuffle of user ids. The
+    * cohort-size attach is a window over the weeks²-bounded matrix,
+    * never over event rows.
+    */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val uw = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 604800000000").as("wk"))
+      .distinct()
+      .localCheckpoint()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy(col("cohort_wk"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("wk_offset") === 0L, col("n_users"))).over(wc))
+      .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+        round(col("n_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy(asc("cohort_wk"), asc("wk_offset"))
+  }
+
+  val q132Oracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |first_wk AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+      |cells AS (
+      |  SELECT f.cohort_wk, u.wk - f.cohort_wk AS wk_offset,
+      |    COUNT(*) AS n_users
+      |  FROM uw u JOIN first_wk f ON f.user_id = u.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_wk, wk_offset, n_users,
+      |  ROUND(CAST(n_users AS DOUBLE)
+      |    / CAST(MAX(CASE WHEN wk_offset = 0 THEN n_users END)
+      |           OVER (PARTITION BY cohort_wk) AS DOUBLE), 6) AS retention
+      |FROM cells
+      |ORDER BY cohort_wk, wk_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
-    "Q128" -> (q128 _), "Q130" -> (q130 _))
+    "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1134,5 +1188,5 @@ object EventTime {
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
     "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
-    "Q130" -> q130Oracle)
+    "Q130" -> q130Oracle, "Q132" -> q132Oracle)
 }

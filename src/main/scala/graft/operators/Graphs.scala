@@ -464,11 +464,99 @@ object Graphs {
     sb.toString
   }
 
+  /** Q131 — common-neighbor link prediction over the support-pruned
+    * co-order graph: the top-100 NON-adjacent part pairs ranked by how
+    * many co-order neighbors they share (Liben-Nowell & Kleinberg 2003,
+    * the common-neighbors and Jaccard predictors). "Parts never ordered
+    * together but whose neighborhoods overlap" is the recommender /
+    * assortment-gap question. Rank and cut are on the exact integer
+    * common-neighbor count with (pa, pb) tiebreak — fully deterministic;
+    * the Jaccard score cn/(deg(pa)+deg(pb)−cn) is carried as a column,
+    * one float divide from exact int64 inputs.
+    *
+    * Scale notes: open wedges x–z–y are enumerated at their CENTER z by
+    * one self-equi-join of the (checkpointed) directed neighbor list —
+    * the same Σ deg(z)² bound as triangle counting, and the same two
+    * defenses Q103's scaladoc names: the ≥2-support prune bounds hub
+    * degree before any join, and a residual hot z is an AQE-splittable
+    * skewed join key (a z with degree d contributes d(d−1)/2 wedges on
+    * one key). Adjacency removal is a co-keyed left-anti join against
+    * the bucketed edge artifact; degrees attach by two broadcast-sized
+    * joins on the node-count relation. Output is top-k bounded.
+    */
+  val LinkPredTopK = 100
+
+  /** Common-neighbor/Jaccard scores for every NON-adjacent pair of an
+    * undirected (a < b) edge list, top-k by exact (cn, pa, pb). See
+    * [[q131]]'s scaladoc for the wedge-centered cost model.
+    */
+  def linkPredict(edges: DataFrame, topK: Int): DataFrame = {
+    val e0 = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    val de = e0.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    val deg = de.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = de.select(col("nbr").as("z"), col("node").as("pa"))
+      .join(de.select(col("nbr").as("zz"), col("node").as("pb")),
+        col("zz") === col("z") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cn"))
+    wedges
+      .join(e0.select(col("a").as("pa"), col("b").as("pb")),
+        Seq("pa", "pb"), "left_anti")
+      .join(deg.select(col("node").as("pa"), col("deg").as("dega")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("degb")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("dega") + col("degb") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(desc("cn"), asc("pa"), asc("pb"))
+      .limit(topK)
+  }
+
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    linkPredict(edges, LinkPredTopK)
+  }
+
+  val q131Oracle: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+       |    FROM op) WHERE rn <= 1000),
+       |e AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+       |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+       |    GROUP BY 1, 2)
+       |  WHERE c >= 2),
+       |de AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+       |                    UNION ALL SELECT b AS node, a AS nbr FROM e),
+       |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM de GROUP BY 1),
+       |wedges AS (
+       |  SELECT l.node AS pa, r.node AS pb, COUNT(*) AS cn
+       |  FROM de l JOIN de r ON r.nbr = l.nbr AND l.node < r.node
+       |  GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT w.pa, w.pb, w.cn FROM wedges w
+       |  LEFT JOIN e ON e.a = w.pa AND e.b = w.pb
+       |  WHERE e.a IS NULL)
+       |SELECT n.pa, n.pb, n.cn,
+       |  ROUND(CAST(n.cn AS DOUBLE)
+       |        / CAST(dx.deg + dy.deg - n.cn AS DOUBLE), 6) AS jaccard
+       |FROM nonadj n
+       |JOIN deg dx ON dx.node = n.pa
+       |JOIN deg dy ON dy.node = n.pb
+       |ORDER BY n.cn DESC, n.pa, n.pb
+       |LIMIT $LinkPredTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
-    "Q121" -> (q121 _), "Q122" -> (q122 _))
+    "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
-    "Q121" -> q121Oracle, "Q122" -> q122Oracle)
+    "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle)
 }

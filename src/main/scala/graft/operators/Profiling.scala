@@ -436,12 +436,103 @@ object Profiling {
       |GROUP BY 1, 2, 3
       |ORDER BY t1 NULLS FIRST, t2 NULLS FIRST, t3 NULLS FIRST""".stripMargin
 
+  /** Q133 — MAD (median-absolute-deviation) robust anomaly days per
+    * event type, the 50%-breakdown sibling of Q114's IQR fences (Hampel
+    * 1974): med = median(daily n), mad = median(|n − med|), and a day is
+    * anomalous when |n − med| > 3·mad. Every number stays EXACT in IEEE
+    * doubles — counts are int64, each median is rank-and-pick averaging
+    * at most two integers (dyadic halves), deviations are dyadic
+    * (|int − x.5|), the second median quarters, and 3·mad is an exact
+    * small-dyadic product — so engine and oracle agree bitwise with no
+    * rounding step, and the deviation sort order (dev, day) is the same
+    * total order in both engines.
+    *
+    * Scale notes: the Q114 shape — both medians rank over the
+    * DAY-bounded per-type grid (types × days rows), never raw events;
+    * the raw table is touched once by the daily aggregate. Two window
+    * sorts (values, then deviations) is the irreducible cost of a
+    * nested-median statistic; each reuses the same event_type hash
+    * partitioning. The MAD=0 degenerate case (>50% of days identical)
+    * flags any deviating day, which is the documented Hampel behavior,
+    * not a division hazard — no divide exists here.
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wN = Window.partitionBy(col("event_type")).orderBy(asc("n"), asc("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(wN))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_days"),
+        avg(when(col("rn") === expr("(cnt + 1) DIV 2") ||
+          col("rn") === expr("(cnt + 2) DIV 2"), col("n"))).as("med"))
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+      .localCheckpoint()
+    val wD = Window.partitionBy(col("event_type")).orderBy(asc("dev"), asc("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(avg(when(col("rn") === expr("(cnt + 1) DIV 2") ||
+        col("rn") === expr("(cnt + 2) DIV 2"), col("dev"))).as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("dev") > lit(3d) * col("mad"), 1))
+          .as("n_anomaly_days"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q133Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rkn AS (
+      |  SELECT event_type, day, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM daily),
+      |med AS (
+      |  SELECT event_type, MAX(cnt) AS n_days,
+      |    AVG(CASE WHEN rn IN ((cnt + 1) // 2, (cnt + 2) // 2) THEN n END)
+      |      AS med
+      |  FROM rkn GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, ABS(d.n - m.med) AS dev,
+      |    m.n_days, m.med
+      |  FROM daily d JOIN med m ON m.event_type = d.event_type),
+      |rkd AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type,
+      |    AVG(CASE WHEN rn IN ((cnt + 1) // 2, (cnt + 2) // 2) THEN dev END)
+      |      AS mad
+      |  FROM rkd GROUP BY 1)
+      |SELECT d.event_type, MAX(d.n_days) AS n_days,
+      |  MAX(d.med) AS med, MAX(m.mad) AS mad,
+      |  COUNT(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS n_anomaly_days
+      |FROM dev d JOIN mad m ON m.event_type = d.event_type
+      |GROUP BY 1
+      |ORDER BY d.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
-    "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _))
+    "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
+    "Q133" -> (q133 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
-    "Q129" -> q129Oracle)
+    "Q129" -> q129Oracle, "Q133" -> q133Oracle)
 }

@@ -410,4 +410,66 @@ class AnalyticsOpsSpec extends SparkSpec {
       "fixture must actually peel something and keep something")
     assert(got === refDeg)
   }
+
+  test("Q131 linkPredict: hand graph gives exact common-neighbor counts, " +
+    "excludes adjacent pairs, and respects top-k") {
+    // Triangle-plus-tail component: 1-2, 1-3, 2-3, 2-4, 3-4. The only
+    // non-adjacent pair is (1,4): N(1)={2,3} = N(4), so cn=2 and
+    // Jaccard 2/(2+2-2) = 1.0. (2,3) also shares two neighbors but IS an
+    // edge and must not appear. Star 10-{11,12,13}: leaves pair up with
+    // cn=1, Jaccard 1/(1+1-1) = 1.0.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L))
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val got = Graphs.linkPredict(eDf, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 1.0),
+      (11L, 12L, 1L, 1.0), (11L, 13L, 1L, 1.0), (12L, 13L, 1L, 1.0)),
+      s"ranked by (cn desc, pa, pb): $got")
+    val top2 = Graphs.linkPredict(eDf, 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top2.toSeq == Seq((1L, 4L), (11L, 12L)), "top-k cut must be deterministic")
+  }
+
+  test("Q132 cohort retention: hand fixture gives the exact triangle and " +
+    "in-week duplicates collapse") {
+    // Cohort week 0: u1 active wks 0,1,2 (two events in wk 0 — must count
+    // once), u2 wks 0,1, u3 wk 0. Cohort week 1: u4 active wks 1,3.
+    val wkUs = 604800000000L
+    def ev(user: Long, wk: Long, i: Int) = ((wk * wkUs + i) * 1000L, user)
+    val rows = Seq(ev(1, 0, 0), ev(1, 0, 1), ev(1, 1, 0), ev(1, 2, 0),
+      ev(2, 0, 0), ev(2, 1, 0), ev(3, 0, 0), ev(4, 1, 0), ev(4, 3, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q132").toString
+    spark.createDataFrame(rows).toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q132(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> (3L, 1.0), (0L, 1L) -> (2L, 0.666667), (0L, 2L) -> (1L, 0.333333),
+      (1L, 0L) -> (1L, 1.0), (1L, 2L) -> (1L, 1.0)), s"got $got")
+  }
+
+  test("Q133 MAD anomalies: exact medians on odd and even day counts, " +
+    "and the MAD=0 degenerate case flags every deviating day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q133").toString
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => ((day * 86400000000L + i) * 1000L, tpe))
+    // "m7": counts 5,5,5,5,5,100,1 -> med 5.0; devs {0x5, 4, 95} -> MAD 0;
+    // the 3*MAD fence collapses to dev > 0, flagging exactly 2 days
+    // (Hampel's documented majority-constant behavior).
+    // "e4": counts 1,2,3,4 -> med (2+3)/2 = 2.5; devs 1.5,0.5,0.5,1.5 ->
+    // MAD (0.5+1.5)/2 = 1.0; no dev exceeds 3.0 -> 0 anomalies.
+    val rows = Seq(5, 5, 5, 5, 5, 100, 1).zipWithIndex
+      .flatMap { case (n, d) => burst("m7", d, n) } ++
+      Seq(1, 2, 3, 4).zipWithIndex.flatMap { case (n, d) => burst("e4", d, n) }
+    spark.createDataFrame(rows).toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Profiling.q133(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == Map(
+      "m7" -> (7L, 5.0, 0.0, 2L),
+      "e4" -> (4L, 2.5, 1.0, 0L)), s"got $got")
+  }
 }
