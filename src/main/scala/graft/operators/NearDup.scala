@@ -693,23 +693,40 @@ object NearDup {
     * participate. Distance 0 pairs are exact name duplicates under
     * different part keys — the classic entity-resolution signal.
     *
-    * Scale notes: the blocking key turns the quadratic all-pairs scan
-    * into per-block self-joins — an equi-join on p_brand that shuffles
-    * each block to one reducer, cost Σ block², the standard blocking
-    * bound (Newcombe 1959). The engine side uses Spark's THRESHOLD
-    * variant `levenshtein(l, r, 2)`, which abandons a pair once the
-    * banded DP proves d > 2 — O(threshold·len) per pair instead of
-    * O(len²) — and returns −1, making the keep-filter `d >= 0` ≡ the
-    * oracle's plain `d <= 2`. A skewed block (one brand = half the
-    * catalog) would salt the self-join exactly as Q49's shingle join
-    * does.
+    * Scale notes: a FIXED blocking key (25 brands) makes the blocked
+    * self-join quadratic in table size — Σ block² DP evaluations grew
+    * this gate 0.46→6.6s over one measured decade (exp +1.16, the
+    * scaling ladder's catch). The plan is therefore FastSS (Bocek,
+    * Hunt & Stiller 2007): each name explodes into its ≤2-deletion
+    * neighborhood signatures via the codegen'd O(1)-per-variant
+    * [[graft.plans.DeletionHashes]] expression, candidates come from an
+    * equi-join on (brand, signature) — LINEAR rows in table size, never
+    * all pairs — and only deduped candidates pay the banded THRESHOLD
+    * DP `levenshtein(l, r, 2)` (O(k·len)/pair, −1 sentinel ≡ the
+    * oracle's plain `d <= 2`). Signature completeness (any pair at
+    * ed ≤ 2 shares a variant) plus verify-on-candidate makes the
+    * rewrite exact: the golden hash is unchanged from the blocked
+    * all-pairs form, which the oracle still runs.
     */
   def q126(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val p = c.part.select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val b = p.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
-      col("p_name").as("nb"))
-    p.join(b, col("bb") === col("p_brand") && col("kb") > col("p_partkey"))
+      .localCheckpoint()
+    val sigs = p.select(col("p_brand"), col("p_partkey"),
+        explode(array_distinct(expr("graft_deletion_hashes(p_name, 2)")))
+          .as("sig"))
+      .localCheckpoint()
+    val cands = sigs
+      .join(sigs.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
+          col("sig").as("sb")),
+        col("bb") === col("p_brand") && col("sb") === col("sig") &&
+          col("kb") > col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), col("kb"))
+      .distinct()
+    cands
+      .join(p.select(col("p_partkey"), col("p_name")), Seq("p_partkey"))
+      .join(p.select(col("p_partkey").as("kb"), col("p_name").as("nb")),
+        Seq("kb"))
       .select(col("p_brand"), col("p_partkey"),
         levenshtein(col("p_name"), col("nb"), 2).as("d"))
       .filter(col("d") >= 0)

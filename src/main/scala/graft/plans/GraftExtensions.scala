@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
+    ext.injectFunction(GraftExtensions.dhFunction)
     ext.injectFunction(GraftExtensions.topkFunction)
     ext.injectFunction(GraftExtensions.bloomFunction)
     GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
@@ -91,6 +92,25 @@ object GraftExtensions {
 
   val rhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_rolling_hash"), rhInfo, rhBuilder _)
+
+  private def dhBuilder(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_deletion_hashes(col, k): k must be an integer literal, got $other")
+    }
+    DeletionHashes(children.head, k)
+  }
+
+  private val dhInfo = new ExpressionInfo(
+    classOf[DeletionHashes].getName, null, "graft_deletion_hashes",
+    "graft_deletion_hashes(s, k) - FastSS deletion-neighborhood signatures for " +
+      "edit-distance <= k candidate generation (k in {1,2}): one 64-bit hash per " +
+      "variant of s with at most k characters deleted, as array<bigint>.",
+    "")
+
+  val dhFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_deletion_hashes"), dhInfo, dhBuilder _)
 
   private def topkBuilder(children: Seq[Expression]): Expression = {
     val k = children(1) match {
@@ -203,6 +223,8 @@ object GraftExtensions {
       "graft_heavy_hitters", hhBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rhBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deletion_hashes", dhBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", topkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
