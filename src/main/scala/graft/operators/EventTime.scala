@@ -1173,13 +1173,170 @@ object EventTime {
       |FROM cells
       |ORDER BY cohort_wk, wk_offset""".stripMargin
 
+  /** Q134 — time-series resample + LINEAR-interpolation gap fill: the
+    * interpolating sibling of Q109's LOCF. Each user's daily value series
+    * is re-gridded onto that user's min..max day spine; a missing day is
+    * filled on the straight line between its nearest observed neighbors
+    * — the fill mode metric pipelines use for continuously-varying
+    * quantities (LOCF is for step-function state).
+    *
+    * Exactness: daily values are summed as integer CENTS (Q118
+    * discipline), so prev/next observations are exact int64. The
+    * interpolated value is computed as ONE exact integer numerator
+    * `pc·(nd−day) + nc·(day−pd)` over ONE exact integer denominator
+    * `nd−pd` — both well inside 2⁵³ — followed by exactly two IEEE
+    * divides (`num/den`, then `/100.0`) duplicated textually in the
+    * oracle: bit-reproducible cross-engine with zero rounding steps.
+    * Spine endpoints are observed days, so every gap has both neighbors
+    * and the denominator is ≥ 2 wherever the interpolating branch runs.
+    *
+    * Scale notes: identical plan shape to Q109 — per-user `sequence()`
+    * spine (linear in user-days, no global calendar cross join), then
+    * TWO mirrored ignoreNulls windows (unbounded-preceding `last` for
+    * the previous observation, unbounded-following `first` for the
+    * next) over the SAME partition/order, sharing one per-user sort.
+    * O(1) window state per row; the daily aggregate is checkpointed
+    * because the spine bounds and the grid join both consume it.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"),
+        col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(asc("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents").cast("double") / lit(100.0))
+          .otherwise(
+            ((col("pc") * (col("nd") - col("day"))
+              + col("nc") * (col("day") - col("pd"))).cast("double")
+              / (col("nd") - col("pd")).cast("double")) / lit(100.0))
+          .as("filled_value"),
+        col("cents").isNull.cast("int").as("is_gap"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("day"))
+  }
+
+  val q134Oracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |j AS (SELECT s.user_id, s.day, d.cents
+      |      FROM spine s LEFT JOIN daily d
+      |      ON d.user_id = s.user_id AND d.day = s.day),
+      |nb AS (
+      |  SELECT user_id, day, cents,
+      |    last_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, day,
+      |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+      |       ELSE (CAST(pc * (nd - day) + nc * (day - pd) AS DOUBLE)
+      |             / CAST(nd - pd AS DOUBLE)) / 100.0 END AS filled_value,
+      |  CAST(cents IS NULL AS INT) AS is_gap
+      |FROM nb
+      |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** Q136 — longest consecutive-day activity streak per user: the
+    * classic gaps-and-islands engagement metric (the "N-day streak" a
+    * product dashboard shows). An island is a maximal run of consecutive
+    * ACTIVE calendar days; the gate reports each user's best streak, the
+    * day it started (earliest such streak on ties), and the totals.
+    *
+    * All-integer and tie-deterministic: island identity is the exact
+    * `day − row_number` constant on the per-user DISTINCT day sequence;
+    * the best streak is picked by (length DESC, start_day ASC) — no
+    * floats anywhere.
+    *
+    * Scale notes: one DISTINCT (user, day) aggregate collapses the
+    * corpus first (map-side combinable), so everything downstream is
+    * bounded by user-days. Both windows and the island groupBy key on
+    * user_id — one exchange, one per-user sort, reused; the unordered
+    * totals window shares the rank window's partitioning. O(1) state
+    * per row, no self-joins.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val days = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(asc("day"))
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(wSeq))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wUser = Window.partitionBy(col("user_id"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(desc("len"), asc("start_day"))
+    streaks
+      .withColumn("n_streaks", count(lit(1)).over(wUser))
+      .withColumn("n_active_days", sum(col("len")).over(wUser))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("len").cast("int").as("best_streak"),
+        col("start_day"), col("n_streaks"), col("n_active_days"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q136Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM isl GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT user_id, CAST(len AS INT) AS best_streak, start_day,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+      |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY len DESC, start_day) AS rn
+      |  FROM streaks)
+      |SELECT user_id, best_streak, start_day, n_streaks, n_active_days
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
-    "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _))
+    "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
+    "Q134" -> (q134 _), "Q136" -> (q136 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1188,5 +1345,6 @@ object EventTime {
     "Q100" -> q100Oracle, "Q104" -> q104Oracle, "Q108" -> q108Oracle,
     "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
-    "Q130" -> q130Oracle, "Q132" -> q132Oracle)
+    "Q130" -> q130Oracle, "Q132" -> q132Oracle,
+    "Q134" -> q134Oracle, "Q136" -> q136Oracle)
 }

@@ -552,11 +552,126 @@ object Graphs {
        |ORDER BY n.cn DESC, n.pa, n.pb
        |LIMIT $LinkPredTopK""".stripMargin
 
+  /** Weighted single-source shortest paths by bounded synchronous
+    * Bellman-Ford (min-plus relaxation): `maxRounds` rounds of
+    * dist' = min(dist, min over incoming edges (dist[src] + w)), which
+    * yields exact shortest distances among paths of ≤ `maxRounds` edges.
+    * BFS (Q121) settles a node at first touch — correct only when every
+    * edge costs 1; with weights a later, longer-hop path can be CHEAPER,
+    * so each round must re-relax the full label table (label-correcting,
+    * not label-setting).
+    *
+    * Scale notes: each round is one equi-join of the current label table
+    * against the (checkpointed) directed edge relation plus one
+    * node-keyed min — the same exchange key every round, co-partitioned
+    * under AQE. Driver state per round is one (count, sum) pair. The
+    * early exit compares the (node-count, Σdist) signature across
+    * rounds, which is EXACT: the node set only grows and per-node
+    * distances only fall, so equal count and equal sum force identical
+    * tables, and a fixpoint round is a no-op forever after — the
+    * bounded engine loop stays bit-equal to the oracle's full
+    * `maxRounds` unroll on any dataset, converged or not. (Delta-stepping
+    * / frontier-limited relaxation is the constant-factor refinement at
+    * extreme diameter; round count here is bounded a priori.)
+    */
+  def ssspBellmanFord(weightedEdges: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = weightedEdges.sparkSession
+    import spark.implicits._
+    val e0 = weightedEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val de = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    val srcRow = e0.agg(min(col("a"))).head()
+    if (srcRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("node", "dist")
+    var dist = Seq((srcRow.getLong(0), 0L)).toDF("node", "dist").localCheckpoint()
+    var sig = (1L, 0L)
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      val relaxed = dist.select(col("node").as("src"), col("dist"))
+        .join(de, Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val s = dist.agg(count(lit(1)), sum(col("dist"))).head()
+      val next = (s.getLong(0), s.getLong(1))
+      converged = next == sig
+      sig = next
+      r += 1
+    }
+    dist
+  }
+
+  /** Q135 — weighted shortest paths (≤ 6 relaxation rounds) from the
+    * smallest part id over the support-pruned co-order graph, with the
+    * edge cost INVERSELY tied to co-order support: w = 1000000 ÷ n_pairs
+    * (integer division) — strongly co-ordered parts are "close", so the
+    * distance field ranks parts by cumulative affinity to the source,
+    * not hop count. Exact-integer min-plus arithmetic end to end; the
+    * whole iterative algorithm is gated against a GENERATED 6-round
+    * unrolled oracle (Q122 discipline — round counts can't drift).
+    */
+  val SsspRounds = 6
+
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2)
+      .select(col("a"), col("b"), expr("1000000 DIV n_pairs").as("w"))
+    ssspBellmanFord(edges, SsspRounds)
+      .select(col("node").as("p_partkey"), col("dist"))
+      .orderBy(asc("dist"), asc_nulls_first("p_partkey"))
+  }
+
+  /** Generated unroll, one CTE pair per relaxation round (the Q122
+    * oracle discipline); per-round CTEs are MATERIALIZED because each
+    * label table feeds both the carry branch and the relax join.
+    */
+  val q135Oracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |capped AS (
+             |  SELECT ok, pk FROM (
+             |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+             |    FROM op) WHERE rn <= 1000),
+             |e AS MATERIALIZED (
+             |  SELECT a, b, 1000000 // c AS w FROM (
+             |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+             |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+             |    GROUP BY 1, 2)
+             |  WHERE c >= 2),
+             |de AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e
+             |                    UNION ALL SELECT b AS src, a AS dst, w FROM e),
+             |d0 AS MATERIALIZED (
+             |  SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS dist FROM e
+             |  WHERE a IS NOT NULL)""".stripMargin
+    for (r <- 1 to SsspRounds) {
+      val prev = s"d${r - 1}"
+      sb ++= s""",
+                |d$r AS MATERIALIZED (
+                |  SELECT node, MIN(dist) AS dist FROM (
+                |    SELECT node, dist FROM $prev
+                |    UNION ALL
+                |    SELECT de.dst AS node, $prev.dist + de.w AS dist
+                |    FROM $prev JOIN de ON de.src = $prev.node)
+                |  GROUP BY 1)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node AS p_partkey, dist FROM d$SsspRounds
+              |WHERE node IS NOT NULL
+              |ORDER BY dist, p_partkey NULLS FIRST""".stripMargin
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
-    "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _))
+    "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
+    "Q135" -> (q135 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
-    "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle)
+    "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
+    "Q135" -> q135Oracle)
 }

@@ -472,4 +472,67 @@ class AnalyticsOpsSpec extends SparkSpec {
       "m7" -> (7L, 5.0, 0.0, 2L),
       "e4" -> (4L, 2.5, 1.0, 0L)), s"got $got")
   }
+
+  test("Q134 linear interpolation: exact straight-line fill between " +
+    "neighbors, including a non-terminating division") {
+    // user 1 observes days 0,2,6 at 10.00/30.00/14.00 -> day 1 is the
+    // 20.00 midpoint; days 3,4,5 descend the (14-30)/4 = -4/day line.
+    // user 2's 3-day gap divides 4 cents by 3: the result must be the
+    // bit-exact IEEE (4.0/3.0)/100.0, proving the no-rounding contract.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q134").toString
+    def ev(u: Long, day: Int, v: Double) =
+      (u, day * 86400000000L * 1000L, v)
+    val rows = Seq(ev(1L, 0, 10.0), ev(1L, 2, 30.0), ev(1L, 6, 14.0),
+      ev(2L, 0, 0.01), ev(2L, 3, 0.02))
+    spark.createDataFrame(rows).toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q134(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(got((1L, 0L)) == (10.0, 0) && got((1L, 2L)) == (30.0, 0))
+    assert(got((1L, 1L)) == (20.0, 1), "midpoint of 10 and 30")
+    assert(got((1L, 3L)) == (26.0, 1) && got((1L, 4L)) == (22.0, 1) &&
+      got((1L, 5L)) == (18.0, 1), "the -4/day line to 14.0")
+    assert(got((2L, 1L))._1 == (4.0 / 3.0) / 100.0 &&
+      got((2L, 2L))._1 == (5.0 / 3.0) / 100.0,
+      "inexact divisions must be the bare IEEE quotient, unrounded")
+    assert(got.size == 11, "both spines fully gridded")
+  }
+
+  test("Q135 Bellman-Ford: a cheaper two-hop path beats the direct edge, " +
+    "and the round bound truncates the horizon exactly") {
+    import spark.implicits._
+    // triangle: direct 1-3 costs 10, but 1-2-3 costs 2+3=5
+    val tri = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L))
+      .toDF("a", "b", "w")
+    val got = Graphs.ssspBellmanFord(tri, Graphs.SsspRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L),
+      s"label correction must revisit node 3: $got")
+    // unit-weight chain 0-1-...-7: 6 rounds reach exactly 6 edges out
+    val chain = (0L until 7L).map(i => (i, i + 1, 1L)).toDF("a", "b", "w")
+    val hull = Graphs.ssspBellmanFord(chain, Graphs.SsspRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hull == (0L to 6L).map(i => i -> i).toMap,
+      s"node 7 is 7 edges away and must be outside the 6-round horizon: $hull")
+  }
+
+  test("Q136 streaks: island lengths, totals, and the earliest-start " +
+    "tie-break") {
+    // user 1: days {0,1,2, 5,6, 10} -> best 3 starting day 0, 3 streaks;
+    // user 2: {1,2, 7,8} -> two length-2 streaks, tie broken to start 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-q136").toString
+    def ev(u: Long, day: Int) = (u, (day * 86400000000L + u) * 1000L, 1.0)
+    val rows = Seq(0, 1, 2, 5, 6, 10).map(ev(1L, _)) ++
+      Seq(1, 2, 7, 8).map(ev(2L, _)) ++
+      Seq(ev(1L, 1)) // duplicate activity on an active day must not count twice
+    spark.createDataFrame(rows).toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q136(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> (3, 0L, 3L, 6L),
+      2L -> (2, 1L, 2L, 4L)), s"got $got")
+  }
 }
