@@ -37,7 +37,8 @@ object SparkEntry {
       (Skyline.queries, Skyline.oracles),
       (Cdc.queries, Cdc.oracles),
       (Density.queries, Density.oracles),
-      (Bpe.queries, Bpe.oracles)
+      (Bpe.queries, Bpe.oracles),
+      (Stats.queries, Stats.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Classical statistical hypothesis tests and dependence measures — the
+  * experiment-analysis layer (A/B deep-dives, drift detection between
+  * cohorts) that sits next to the Q108 Wilson interval and the Q114/Q133
+  * anomaly gates.
+  *
+  * Exactness discipline (the Q125/Q128 house rules): every statistic is
+  * assembled from a handful of per-group aggregates (counts stay int64;
+  * double sums are combined with a fixed, textually-duplicated formula) and
+  * only the final scalar is rounded. Rank statistics (Q138/Q139) avoid
+  * floats entirely until the last divide: average ranks are carried as
+  * DOUBLED int64 ranks and ECDF gaps as integer numerators, so both
+  * engines compare exact integers.
+  *
+  * Scale notes: all four gates reduce to bounded-cardinality aggregates.
+  * The pairwise tests first collapse the corpus to per-(type[, value])
+  * aggregates — shuffle keys of at most (types × distinct values) — then
+  * join the tiny per-type summary table (k rows, broadcast) to form the
+  * k·(k−1)/2 pairs. The corpus is scanned once per gate and never
+  * self-joined at event granularity.
+  */
+object Stats {
+
+  /** Per-type moment summary of events.value: n, Σv, Σv² — the sufficient
+    * statistics for every mean/variance test. One map-side-combined scan. */
+  private def typeMoments(c: Catalog): DataFrame =
+    c.events
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        sum(col("value")).as("s1"),
+        sum(col("value") * col("value")).as("s2"))
+
+  /** All unordered type pairs (ta < tb) of a per-type summary, by
+    * self-joining the bounded summary relation — k rows, broadcast. */
+  private def pairs(summary: DataFrame, cols: Seq[String]): DataFrame = {
+    val a = summary.select(col("event_type").as("type_a") +:
+      cols.map(n => col(n).as(s"${n}_a")): _*)
+    val b = summary.select(col("event_type").as("type_b") +:
+      cols.map(n => col(n).as(s"${n}_b")): _*)
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+  }
+
+  /** Q137 — Welch's unequal-variance t-test between every pair of event
+    * types on `value` (Welch 1947): t = (m̄a − m̄b)/√(va/na + vb/nb) with
+    * the Welch–Satterthwaite df. Means and sample variances derive from
+    * the (n, Σv, Σv²) sufficient statistics with the identical expression
+    * text in both engines; t and df are the only emitted floats, rounded
+    * to 4 (double-sum order across engines differs at ~1e-12 relative,
+    * far inside the rounding).
+    *
+    * Scale notes: one corpus scan to k summary rows, then a k×k broadcast
+    * self-join — no data-granularity shuffle at any size.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val p = pairs(typeMoments(c), Seq("n", "s1", "s2"))
+    p.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("s1_a") / col("n_a")).as("ma"),
+        (col("s1_b") / col("n_b")).as("mb"),
+        ((col("s2_a") - col("s1_a") * col("s1_a") / col("n_a")) /
+          (col("n_a") - 1)).as("va"),
+        ((col("s2_b") - col("s1_b") * col("s1_b") / col("n_b")) /
+          (col("n_b") - 1)).as("vb"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round(col("ma"), 4).as("mean_a"),
+        round(col("mb"), 4).as("mean_b"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4).as("t"),
+        round(pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
+          (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 2).as("df"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q137Oracle: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(value) AS n, SUM(value) AS s1,
+      |         SUM(value*value) AS s2
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b,
+      |    a.s1/a.n AS ma, b.s1/b.n AS mb,
+      |    (a.s2 - a.s1*a.s1/a.n)/(a.n - 1) AS va,
+      |    (b.s2 - b.s1*b.s1/b.n)/(b.n - 1) AS vb
+      |  FROM m a JOIN m b ON a.event_type < b.event_type)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+      |  ROUND((ma - mb)/SQRT(va/n_a + vb/n_b), 4) AS t,
+      |  ROUND(POW(va/n_a + vb/n_b, 2)
+      |    / (POW(va/n_a, 2)/(n_a - 1) + POW(vb/n_b, 2)/(n_b - 1)), 2) AS df
+      |FROM p
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
+  /** Q138 — Mann–Whitney U (Wilcoxon rank-sum) between every pair of event
+    * types on `value` (Mann & Whitney 1947), with midranks for ties and
+    * the tie-corrected normal approximation. Ranks never materialize as
+    * floats: for a tie group of size c starting after cum predecessors,
+    * the DOUBLED midrank is the exact int64 `2·cum + c + 1`, so the rank
+    * sum is carried as int64 `r2_a = Σ cnt_a·(2·cum + c + 1)` and
+    * U_a = (r2_a − 2·na(na+1)/2)/2 is an exact half-integer. The only
+    * floats are the final z (tie-corrected variance) rounded to 4.
+    *
+    * Scale notes: the corpus collapses to per-(type, value) counts first
+    * (one map-side-combined shuffle); each pair's merged value list is
+    * then at most 2·|distinct values| rows, windowed per pair. Each
+    * distinct-value row joins into k−1 pairs — replication is in the
+    * COLLAPSED domain, never the raw events.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = byVal.select(col("event_type")).distinct()
+    val pairTags = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    // Per-(pair, value) side counts: each collapsed (type, value) row
+    // fans out to the k−1 pairs containing its type — replication in the
+    // collapsed domain only.
+    val sided = broadcast(pairTags)
+      .join(byVal, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("value"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt"))
+          .otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === col("type_b"), col("cnt"))
+          .otherwise(0L)).as("cnt_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(asc("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sided
+      .withColumn("c", col("cnt_a") + col("cnt_b"))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("type_a"), col("type_b"),
+        (col("cnt_a") * (lit(2L) * col("cum") + col("c") + 1L)).as("r2a"),
+        col("cnt_a"), col("cnt_b"),
+        (col("c") * col("c") * col("c") - col("c")).as("t3"))
+    ranked.groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"),
+        sum(col("r2a")).as("r2a"), sum(col("t3")).as("ties3"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        ((col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2)
+          .as("u_a"),
+        col("ties3"))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("z", round(
+        (col("u_a") - col("na").cast("double") * col("nb") / 2) /
+          sqrt(col("na").cast("double") * col("nb") / 12 *
+            ((col("nn") + 1) - col("ties3").cast("double") /
+              (col("nn") * (col("nn") - 1)))), 4))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("u_a"), col("z"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q138Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM byval) a
+      |  JOIN (SELECT DISTINCT event_type FROM byval) b
+      |    ON a.event_type < b.event_type),
+      |sided AS (
+      |  SELECT p.type_a, p.type_b, v.value,
+      |    SUM(CASE WHEN v.event_type = p.type_a THEN v.cnt ELSE 0 END) AS cnt_a,
+      |    SUM(CASE WHEN v.event_type = p.type_b THEN v.cnt ELSE 0 END) AS cnt_b
+      |  FROM pairs p JOIN byval v
+      |    ON v.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT type_a, type_b, cnt_a, cnt_b,
+      |    cnt_a + cnt_b AS c,
+      |    COALESCE(SUM(cnt_a + cnt_b) OVER (
+      |      PARTITION BY type_a, type_b ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM sided),
+      |agg AS (
+      |  SELECT type_a, type_b, SUM(cnt_a) AS na, SUM(cnt_b) AS nb,
+      |    SUM(cnt_a * (2*cum + c + 1)) AS r2a,
+      |    SUM(c*c*c - c) AS ties3
+      |  FROM ranked GROUP BY 1, 2)
+      |SELECT type_a, type_b, na, nb,
+      |  CAST(r2a - na*(na+1) AS DOUBLE)/2 AS u_a,
+      |  ROUND((CAST(r2a - na*(na+1) AS DOUBLE)/2 - CAST(na AS DOUBLE)*nb/2)
+      |    / SQRT(CAST(na AS DOUBLE)*nb/12
+      |        * ((na+nb+1) - CAST(ties3 AS DOUBLE)/((na+nb)*(na+nb-1)))),
+      |    4) AS z
+      |FROM agg
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
+  /** Q139 — two-sample Kolmogorov–Smirnov statistic between every pair of
+    * event types on `value`: D = max over the merged value set of
+    * |F̂a(v) − F̂b(v)|. The ECDF gap is carried as the exact int64
+    * numerator |cuma·nb − cumb·na| over the common denominator na·nb —
+    * both engines take a max over integers, and only the final
+    * D = num/(na·nb) is a (rounded) float.
+    *
+    * Scale notes: same collapsed-domain shape as Q138 — per-(type, value)
+    * counts once, pair replication only over distinct values, one window
+    * pass per pair for the two running ECDFs, then a max aggregate.
+    * num ≈ na·nb caps at ~10¹⁸ for 10⁹-row sides — inside int64; beyond
+    * that the same plan carries DECIMAL(38,0).
+    */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = byVal.select(col("event_type")).distinct()
+    val pairTags = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val sided = broadcast(pairTags)
+      .join(byVal, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("value"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt"))
+          .otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === col("type_b"), col("cnt"))
+          .otherwise(0L)).as("cnt_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(asc("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("type_a"), col("type_b"))
+    sided
+      .withColumn("cum_a", sum(col("cnt_a")).over(w))
+      .withColumn("cum_b", sum(col("cnt_b")).over(w))
+      .withColumn("na", max(col("cum_a")).over(wAll))
+      .withColumn("nb", max(col("cum_b")).over(wAll))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("ks_num"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("ks_num"),
+        round(col("ks_num").cast("double") /
+          (col("na").cast("double") * col("nb")), 6).as("d"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q139Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM byval) a
+      |  JOIN (SELECT DISTINCT event_type FROM byval) b
+      |    ON a.event_type < b.event_type),
+      |sided AS (
+      |  SELECT p.type_a, p.type_b, v.value,
+      |    SUM(CASE WHEN v.event_type = p.type_a THEN v.cnt ELSE 0 END) AS cnt_a,
+      |    SUM(CASE WHEN v.event_type = p.type_b THEN v.cnt ELSE 0 END) AS cnt_b
+      |  FROM pairs p JOIN byval v
+      |    ON v.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |cums AS (
+      |  SELECT type_a, type_b,
+      |    SUM(cnt_a) OVER w AS cum_a, SUM(cnt_b) OVER w AS cum_b
+      |  FROM sided
+      |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT type_a, type_b, MAX(cum_a) AS na, MAX(cum_b) AS nb
+      |  FROM cums GROUP BY 1, 2)
+      |SELECT c.type_a AS type_a, c.type_b AS type_b, t.na AS na, t.nb AS nb,
+      |  MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS ks_num,
+      |  ROUND(CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
+      |    / (CAST(t.na AS DOUBLE) * t.nb), 6) AS d
+      |FROM cums c JOIN tot t
+      |  ON t.type_a = c.type_a AND t.type_b = c.type_b
+      |GROUP BY c.type_a, c.type_b, t.na, t.nb
+      |ORDER BY c.type_a NULLS FIRST, c.type_b NULLS FIRST""".stripMargin
+
+  /** Q140 — Pearson correlation matrix over the lineitem measures
+    * (quantity, extendedprice, discount, tax): every pairwise
+    * corr = (n·Σxy − Σx·Σy)/√((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)), all ten
+    * sufficient sums computed in ONE corpus scan (the Q78 one-scan
+    * discipline) and exploded to the 6 upper-triangle pairs. Only the
+    * final coefficient is rounded (4 dp; double-sum order noise is
+    * ~1e-12 relative).
+    *
+    * Scale notes: one map-side-combined aggregate to a single 14-measure
+    * row — no shuffle wider than the combine tree, output bounded by
+    * column-pair count, never data size. NULL if either variance term
+    * is zero (constant column).
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums: Seq[Column] =
+      count(lit(1)).as("n") +:
+        cols.map(x => sum(col(x)).as(s"s_$x")) ++:
+        (for { i <- cols.indices; j <- i until cols.length } yield
+          sum(col(cols(i)) * col(cols(j))).as(s"s_${cols(i)}_${cols(j)}"))
+    val wide = c.lineitem.agg(sums.head, sums.tail: _*)
+    val pairRows = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield struct(
+        lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        (col("n") * col(s"s_${cols(i)}_${cols(j)}") -
+          col(s"s_${cols(i)}") * col(s"s_${cols(j)}")).as("num"),
+        (col("n") * col(s"s_${cols(i)}_${cols(i)}") -
+          col(s"s_${cols(i)}") * col(s"s_${cols(i)}")).as("den_x"),
+        (col("n") * col(s"s_${cols(j)}_${cols(j)}") -
+          col(s"s_${cols(j)}") * col(s"s_${cols(j)}")).as("den_y"))
+    wide
+      .select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"),
+        when(col("p.den_x") > 0d && col("p.den_y") > 0d,
+          round(col("p.num") / sqrt(col("p.den_x") * col("p.den_y")), 4))
+          .as("corr"))
+      .orderBy(asc_nulls_first("col_x"), asc_nulls_first("col_y"))
+  }
+
+  val q140Oracle: String =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(l_quantity) AS sq, SUM(l_extendedprice) AS se,
+      |    SUM(l_discount) AS sd, SUM(l_tax) AS st,
+      |    SUM(l_quantity*l_quantity) AS sqq,
+      |    SUM(l_quantity*l_extendedprice) AS sqe,
+      |    SUM(l_quantity*l_discount) AS sqd,
+      |    SUM(l_quantity*l_tax) AS sqt,
+      |    SUM(l_extendedprice*l_extendedprice) AS see,
+      |    SUM(l_extendedprice*l_discount) AS sed,
+      |    SUM(l_extendedprice*l_tax) AS set_,
+      |    SUM(l_discount*l_discount) AS sdd,
+      |    SUM(l_discount*l_tax) AS sdt,
+      |    SUM(l_tax*l_tax) AS stt
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+      |    n*sqe - sq*se AS num, n*sqq - sq*sq AS den_x, n*see - se*se AS den_y
+      |  FROM s
+      |  UNION ALL SELECT 'l_quantity', 'l_discount',
+      |    n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM s
+      |  UNION ALL SELECT 'l_quantity', 'l_tax',
+      |    n*sqt - sq*st, n*sqq - sq*sq, n*stt - st*st FROM s
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+      |    n*sed - se*sd, n*see - se*se, n*sdd - sd*sd FROM s
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+      |    n*set_ - se*st, n*see - se*se, n*stt - st*st FROM s
+      |  UNION ALL SELECT 'l_discount', 'l_tax',
+      |    n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM s)
+      |SELECT col_x, col_y,
+      |  CASE WHEN den_x > 0 AND den_y > 0
+      |       THEN ROUND(num / SQRT(den_x * den_y), 4) END AS corr
+      |FROM p
+      |ORDER BY col_x NULLS FIRST, col_y NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
+    "Q140" -> (q140 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
+    "Q140" -> q140Oracle)
+}

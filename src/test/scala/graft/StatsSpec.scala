@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.operators.Stats
+
+/** In-memory-model pins for the Q137–Q140 hypothesis-test gates: each
+  * Spark statistic is checked against a straightforward local reference
+  * on small fixed data (including the tie cases the rank tests exist
+  * for). The cross-engine hash gate is the DuckDB oracle; these pin the
+  * MODEL (formulas, tie handling, exact-integer rank carry).
+  */
+class StatsSpec extends SparkSpec {
+
+  private def eventsDf(rows: Seq[(String, Double)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (t, v) => Row(t, v) }, 3),
+      schema)
+  }
+
+  /** Run a Stats gate against an in-memory events table by writing it as
+    * a one-table mini-catalog. */
+  private def withMiniCatalog(rows: Seq[(String, Double)])(
+      f: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("stats-spec").toString
+    val n = rows.size
+    eventsDf(rows)
+      .selectExpr("monotonically_increasing_id() AS event_id",
+        "timestamp '2024-01-01 00:00:00' AS ts",
+        s"CAST(monotonically_increasing_id() % $n AS BIGINT) AS user_id",
+        "event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    f(dir)
+  }
+
+  test("Q137 Welch t matches a local two-sample reference") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val b = Seq(2.0, 2.5, 3.5, 3.0)
+    val rows = a.map("alpha" -> _) ++ b.map("beta" -> _)
+    val out = withMiniCatalog(rows)(Stats.q137(spark, _)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    def meanVar(x: Seq[Double]) = {
+      val m = x.sum / x.size
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.size - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val se2 = va / a.size + vb / b.size
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 / (math.pow(va / a.size, 2) / (a.size - 1) +
+      math.pow(vb / b.size, 2) / (b.size - 1))
+    assert(r.getAs[Long]("n_a") === a.size)
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-3)
+    assert(math.abs(r.getAs[Double]("df") - df) < 1e-1)
+  }
+
+  test("Q138 Mann-Whitney midranks: U and z match a local reference with ties") {
+    // deliberate ties within and across groups
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 5.0)
+    val b = Seq(2.0, 3.0, 3.0, 4.0)
+    val rows = a.map("alpha" -> _) ++ b.map("beta" -> _)
+    val out = withMiniCatalog(rows)(Stats.q138(spark, _)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // local midrank reference
+    val all = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var pos = 1
+    all.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      ranks(v) = (2 * pos + g.size - 1) / 2.0 // midrank
+      pos += g.size
+    }
+    val ra = a.map(ranks).sum
+    val ua = ra - a.size * (a.size + 1) / 2.0
+    val n = a.size + b.size
+    val ties3 = all.groupBy(_._1).values.map(g =>
+      math.pow(g.size, 3) - g.size).sum
+    val varU = a.size.toDouble * b.size / 12 *
+      ((n + 1) - ties3 / (n.toDouble * (n - 1)))
+    val z = (ua - a.size.toDouble * b.size / 2) / math.sqrt(varU)
+    assert(r.getAs[Double]("u_a") === ua)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("Q139 KS statistic is the exact max ECDF gap") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(3.0, 4.0, 5.0, 6.0)
+    val rows = a.map("alpha" -> _) ++ b.map("beta" -> _)
+    val out = withMiniCatalog(rows)(Stats.q139(spark, _)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // ECDF gap peaks at v=2: F_a=2/4, F_b=0 → D = 1/2, numerator 2*4-0=8
+    assert(r.getAs[Long]("ks_num") === 8L)
+    assert(math.abs(r.getAs[Double]("d") - 0.5) < 1e-9)
+  }
+
+  test("Q140 correlation matrix: perfect and anti correlations pin sign") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-spec").toString
+    val schema = StructType(Seq(
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType)))
+    val rows = (1 to 50).map(i => Row(
+      i.toDouble, 2.0 * i + 1.0, 50.0 - i, (i % 7).toDouble))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Stats.q140(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(math.abs(out(("l_quantity", "l_extendedprice")) - 1.0) < 1e-9)
+    assert(math.abs(out(("l_quantity", "l_discount")) + 1.0) < 1e-9)
+    assert(math.abs(out(("l_extendedprice", "l_discount")) + 1.0) < 1e-9)
+  }
+}
