@@ -38,7 +38,8 @@ object SparkEntry {
       (Cdc.queries, Cdc.oracles),
       (Density.queries, Density.oracles),
       (Bpe.queries, Bpe.oracles),
-      (Stats.queries, Stats.oracles)
+      (Stats.queries, Stats.oracles),
+      (TextRank.queries, TextRank.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

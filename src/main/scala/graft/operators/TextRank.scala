@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Classical IR ranking and collocation mining over the documents table —
+  * the retrieval layer next to the Q37 doc-term matrix and the Q44-47
+  * text-analysis family.
+  *
+  * Tokenization is the Q37 contract: literal single-space split, exactly
+  * `string_split(text, ' ')` in DuckDB — both engines see byte-identical
+  * token streams.
+  *
+  * Scale notes: both gates collapse the corpus to bounded aggregate
+  * domains before any join — (doc × query-term) for BM25 (query terms are
+  * a constant), (vocab²) for bigram PMI — and all corpus-wide totals ride
+  * one broadcast one-row aggregate. The corpus is scanned once per gate
+  * and never self-joined at document granularity.
+  */
+object TextRank {
+
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** The fixed benchmark query — three mid-frequency vocabulary terms. */
+  private val QueryTerms = Seq("spark", "join", "window")
+
+  /** Q141 — Okapi BM25 ranking (Robertson & Spärck Jones lineage;
+    * Robertson et al., TREC-3 1994) of all documents against a fixed
+    * 3-term query: score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2, b=0.75. tf, dl,
+    * df, N are exact int64 in both engines; the per-term score is a fixed
+    * textually-duplicated float expression, summed over ≤3 terms and
+    * rounded to 6 before the ORDER BY, so the top-20 cut and its
+    * tie-break (doc_id) are decided on identical rounded keys.
+    *
+    * Scale notes: one corpus scan produces (doc, term, tf, dl) only for
+    * the ≤|Q| query terms (the explode filters immediately — predicate
+    * inside the scan projection); df and the corpus totals are two
+    * bounded aggregates broadcast back. No shuffle is wider than
+    * docs-containing-a-query-term.
+    */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents
+      .select(col("doc_id"), split(col("text"), " ").as("p"))
+      .select(col("doc_id"), col("p"), size(col("p")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("p")).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") /
+            (col("sdl").cast("double") / col("n"))))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val q141Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS p,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, dl, UNNEST(p) AS token FROM docs)
+      |  WHERE token IN ('spark', 'join', 'window')
+      |  GROUP BY 1, 2, 3),
+      |totals AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM docs),
+      |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  ROUND(SUM(
+      |    LN(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5))
+      |      * (f.tf * (1.2 + 1))
+      |      / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl
+      |           / (CAST(t.sdl AS DOUBLE) / t.n)))), 6) AS bm25
+      |FROM tf f JOIN dfreq d ON d.token = f.token, totals t
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Q142 — pointwise-mutual-information bigram collocations (Church &
+    * Hanks 1990) over consecutive token pairs:
+    * pmi(x,y) = ln(c_xy·Nu² / (Nb·c_x·c_y)) for bigrams seen ≥10 times.
+    * The log argument is ONE exact int64 rational (all five factors are
+    * counts), so both engines call ln on the identical value and the
+    * 6-dp round absorbs any last-ulp libm difference.
+    *
+    * Scale notes: bigrams form in-row (an array transform over the
+    * already-split token list — no per-document window shuffle, no
+    * positional self-join); the only shuffles are the vocab-bounded
+    * unigram and bigram count aggregates, map-side combined. The int64
+    * product c_xy·Nu² caps around 10¹⁸ for ~10⁹-token corpora — past
+    * that the same plan carries DECIMAL(38,0) (the Q139 discipline).
+    */
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = c.documents
+      .select(split(col("text"), " ").as("p"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("p")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val nu = toks.select(explode(col("p")).as("x"))
+      .agg(count(lit(1)).as("nu"))
+    val big = toks
+      .select(explode(expr(
+        "transform(sequence(0, size(p) - 2), i -> struct(p[i] AS x, p[i+1] AS y))"))
+        .as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 10)
+    val nb = toks.select((size(col("p")) - 1).cast("long").as("m"))
+      .agg(sum(col("m")).as("nb"))
+    big
+      .join(broadcast(uni), Seq("x"))
+      .join(broadcast(uni.select(col("x").as("y"), col("cx").as("cy"))),
+        Seq("y"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("cxy"),
+        round(log((col("cxy") * col("nu") * col("nu")).cast("double") /
+          (col("nb") * col("cx") * col("cy")).cast("double")), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc_nulls_first("x"), asc_nulls_first("y"))
+      .limit(30)
+  }
+
+  val q142Oracle: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS p FROM documents),
+      |uni AS (
+      |  SELECT x, COUNT(*) AS cx
+      |  FROM (SELECT UNNEST(p) AS x FROM toks) GROUP BY 1),
+      |nu AS (SELECT SUM(cx) AS nu FROM uni),
+      |pos AS (
+      |  SELECT p, UNNEST(generate_series(1, len(p) - 1)) AS i FROM toks),
+      |big AS (
+      |  SELECT p[i] AS x, p[i+1] AS y, COUNT(*) AS cxy
+      |  FROM pos
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 10),
+      |nb AS (SELECT SUM(len(p) - 1) AS nb FROM toks)
+      |SELECT b.x AS x, b.y AS y, b.cxy AS cxy,
+      |  ROUND(LN(CAST(b.cxy * nu.nu * nu.nu AS DOUBLE)
+      |           / CAST(nb.nb * ux.cx * uy.cx AS DOUBLE)), 6) AS pmi
+      |FROM big b
+      |JOIN uni ux ON ux.x = b.x
+      |JOIN uni uy ON uy.x = b.y, nu, nb
+      |ORDER BY pmi DESC, b.x NULLS FIRST, b.y NULLS FIRST
+      |LIMIT 30""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q141" -> (q141 _), "Q142" -> (q142 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q141" -> q141Oracle, "Q142" -> q142Oracle)
+}
