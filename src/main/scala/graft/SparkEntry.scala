@@ -39,7 +39,8 @@ object SparkEntry {
       (Density.queries, Density.oracles),
       (Bpe.queries, Bpe.oracles),
       (Stats.queries, Stats.oracles),
-      (TextRank.queries, TextRank.oracles)
+      (TextRank.queries, TextRank.oracles),
+      (Reshape.queries, Reshape.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
