@@ -665,13 +665,73 @@ object Graphs {
     sb.toString
   }
 
+  /** Q145 — local clustering coefficient (Watts & Strogatz 1998) of the
+    * co-order graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close a
+    * part's co-purchase neighborhood is to a clique. T(v) rides the same
+    * degree-oriented triangle enumeration as Q103 and deg(v) the same
+    * edge relation, so both inputs are exact int64; the one float is the
+    * final ratio of identical integers in both engines, rounded to 6
+    * before the (cc desc, partkey) top-30 cut.
+    *
+    * Scale notes: output is bounded by node count, the triangle pass is
+    * the O(m^1.5) oriented enumeration, and the degree aggregate is one
+    * map-side-combined pass over the materialized edge artifact — no new
+    * shuffle shape beyond Q103's.
+    */
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b")).localCheckpoint()
+    val tri = triangleCorners(edges)
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    tri.join(deg, Seq("node"))
+      .select(col("node").as("p_partkey"), col("deg"), col("n_triangles"),
+        round(lit(2.0) * col("n_triangles") /
+          (col("deg").cast("double") * (col("deg") - 1)), 6).as("cc"))
+      .orderBy(desc("cc"), asc_nulls_first("p_partkey"))
+      .limit(30)
+  }
+
+  val q145Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
+      |t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tri AS (
+      |  SELECT node, COUNT(*) AS n_triangles FROM (
+      |    SELECT x AS node FROM t
+      |    UNION ALL SELECT y FROM t
+      |    UNION ALL SELECT z FROM t)
+      |  GROUP BY 1),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1)
+      |SELECT tri.node AS p_partkey, deg.deg AS deg, tri.n_triangles AS n_triangles,
+      |  ROUND(2.0 * tri.n_triangles
+      |    / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) AS cc
+      |FROM tri JOIN deg ON deg.node = tri.node
+      |ORDER BY cc DESC, p_partkey NULLS FIRST
+      |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
-    "Q135" -> (q135 _))
+    "Q135" -> (q135 _), "Q145" -> (q145 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
-    "Q135" -> q135Oracle)
+    "Q135" -> q135Oracle, "Q145" -> q145Oracle)
 }

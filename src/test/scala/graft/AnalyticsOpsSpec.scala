@@ -535,4 +535,20 @@ class AnalyticsOpsSpec extends SparkSpec {
       1L -> (3, 0L, 3L, 6L),
       2L -> (2, 1L, 2L, 4L)), s"got $got")
   }
+  test("Q145 clustering coefficient: triangle corners are closed, the " +
+    "hub with a pendant edge is diluted, pendant-only nodes are absent") {
+    import spark.implicits._
+    // order 10: parts 1,2,3 (a triangle); order 11: parts 1,4 (pendant)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q145").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graphs.q145(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // cc: parts 2,3 close their whole (deg 2) neighborhood -> 1.0;
+    // part 1 has deg 3 with one closed pair -> 1/3; part 4 never appears
+    assert(got.toSeq === Seq(
+      (2L, (2L, 1L, 1.0)), (3L, (2L, 1L, 1.0)),
+      (1L, (3L, 1L, 0.333333))), s"got ${got.toSeq}")
+  }
 }
