@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HeavyHitters, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
+import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, HeavyHitters, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomFunction)
     GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
     GraftExtensions.kllAlgebra.foreach(ext.injectFunction)
+    GraftExtensions.cmsAlgebra.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
@@ -186,6 +187,36 @@ object GraftExtensions {
         "graft_kmv_jaccard(a, b) - estimated Jaccard similarity from two KMV sketches.", ""),
       (c: Seq[Expression]) => KmvJaccardEstimate(c(0), c(1))))
 
+  private def intLitAt(children: Seq[Expression], pos: Int, fn: String): Int =
+    children(pos) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  /** The Count-Min sketch-column algebra (CountMin.scala): build / merge
+    * aggregates plus point-frequency / exact-n scalars.
+    */
+  val cmsAlgebra: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cms_sketch"),
+      new ExpressionInfo(classOf[CmsBuildAgg].getName, null, "graft_cms_sketch",
+        "graft_cms_sketch(col, depth, width) - Count-Min frequency sketch of a string column as binary.", ""),
+      (c: Seq[Expression]) =>
+        CmsBuildAgg(c.head, intLitAt(c, 1, "graft_cms_sketch"),
+          intLitAt(c, 2, "graft_cms_sketch")).toAggregateExpression()),
+    (FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, null, "graft_cms_merge",
+        "graft_cms_merge(sketch) - elementwise rollup of already-built CMS sketches as binary.", ""),
+      (c: Seq[Expression]) => CmsMergeAgg(c.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_cms_query"),
+      new ExpressionInfo(classOf[CmsQueryExpr].getName, null, "graft_cms_query",
+        "graft_cms_query(sketch, item) - one-sided frequency estimate (never undercounts).", ""),
+      (c: Seq[Expression]) => CmsQueryExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_cms_n"),
+      new ExpressionInfo(classOf[CmsCountExpr].getName, null, "graft_cms_n",
+        "graft_cms_n(sketch) - exact total count folded into a CMS sketch.", ""),
+      (c: Seq[Expression]) => CmsCountExpr(c.head)))
+
   /** The KLL quantile-sketch column algebra (KllQuantile.scala): build /
     * merge aggregates plus quantile / rank / exact-n scalars.
     */
@@ -229,7 +260,7 @@ object GraftExtensions {
       "graft_topk", topkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "built-in")
-    (kmvAlgebra ++ kllAlgebra).foreach { case (id, _, builder) =>
+    (kmvAlgebra ++ kllAlgebra ++ cmsAlgebra).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
