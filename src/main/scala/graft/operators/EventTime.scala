@@ -637,20 +637,30 @@ object EventTime {
     val daily = c.events
       .select(expr("ts DIV 1000 DIV 86400000000").as("day"), col("value"))
       .groupBy(col("day"))
-      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("s"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("s_cents"))
       .localCheckpoint() // feeds the spine bounds, the grid join, twice
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val grid = spine.join(daily, Seq("day"), "left")
+      .withColumn("s", col("s_cents") / 100.0)
     val w = Window.orderBy(asc("day")).rowsBetween(-3, 3)
+    // trend from the exact integer cent sum over the 7-day frame (÷700
+    // in one step): a float AVG here is summation-order-dependent and
+    // once flipped a 4-dp boundary RUN-TO-RUN inside one engine
     val trended = grid
       .withColumn("trend",
-        when(count(col("s")).over(w) === 7, round(avg(col("s")).over(w), 4)))
+        when(count(col("s_cents")).over(w) === 7,
+          round(sum(col("s_cents")).over(w) / 700.0, 4)))
       .filter(col("s").isNotNull) // gap days shaped the window; not emitted
       .withColumn("detr", round(col("s") - col("trend"), 4))
       .withColumn("dow", col("day") % 7)
+    // seasonal mean over exact ten-thousandths (detr is a 4-dp value):
+    // int64 sums are order-independent, so the mean can't wobble
     val seasonal = trended.filter(col("detr").isNotNull)
-      .groupBy(col("dow")).agg(round(avg(col("detr")), 4).as("seasonal"))
+      .withColumn("detr_i", round(col("detr") * 10000).cast("long"))
+      .groupBy(col("dow"))
+      .agg(round(sum(col("detr_i")) /
+        (count(col("detr_i")) * 10000.0), 4).as("seasonal"))
     trended.join(broadcast(seasonal), Seq("dow"), "left")
       .select(col("day"), col("dow"), col("s"), col("trend"),
         col("seasonal"),
@@ -661,17 +671,18 @@ object EventTime {
   val q118Oracle: String =
     """WITH daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day,
-      |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS s
+      |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s_cents
       |  FROM events GROUP BY 1),
       |spine AS (
       |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
       |                                (SELECT MAX(day) FROM daily))) AS day),
       |grid AS (
-      |  SELECT sp.day, d.s FROM spine sp LEFT JOIN daily d ON d.day = sp.day),
+      |  SELECT sp.day, d.s_cents, d.s_cents / 100.0 AS s
+      |  FROM spine sp LEFT JOIN daily d ON d.day = sp.day),
       |trended AS (
       |  SELECT day, s,
-      |    CASE WHEN COUNT(s) OVER w = 7
-      |         THEN ROUND(AVG(s) OVER w, 4) END AS trend,
+      |    CASE WHEN COUNT(s_cents) OVER w = 7
+      |         THEN ROUND(SUM(s_cents) OVER w / 700.0, 4) END AS trend,
       |    day % 7 AS dow
       |  FROM grid
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
@@ -679,7 +690,8 @@ object EventTime {
       |  SELECT day, dow, s, trend, ROUND(s - trend, 4) AS detr
       |  FROM trended WHERE s IS NOT NULL),
       |seasonal AS (
-      |  SELECT dow, ROUND(AVG(detr), 4) AS seasonal
+      |  SELECT dow, ROUND(SUM(CAST(ROUND(detr * 10000, 0) AS BIGINT))
+      |    / (COUNT(detr) * 10000.0), 4) AS seasonal
       |  FROM detrended WHERE detr IS NOT NULL GROUP BY 1)
       |SELECT d.day, d.dow, d.s, d.trend, se.seasonal,
       |  ROUND(d.detr - se.seasonal, 4) AS residual
