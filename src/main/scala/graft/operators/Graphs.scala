@@ -725,13 +725,110 @@ object Graphs {
       |ORDER BY cc DESC, p_partkey NULLS FIRST
       |LIMIT 30""".stripMargin
 
+  /** Hop distances from EVERY node of a seed set at once, frontier BFS
+    * keyed by (src, node) — the multi-source generalization of
+    * [[bfsHops]]. One loop serves all sources: per round the combined
+    * frontier joins the edge relation once, so the round count stays
+    * `maxHops` (not sources × maxHops) and the per-round join is keyed
+    * on the same node id as the single-source form with src riding
+    * along as a payload column. At 1000 sources the frontier relation
+    * is at most sources × |V| rows — the standard landmark-selection
+    * trade, stated in the Q147 scaladoc.
+    */
+  def multiSourceBfsHops(edges: DataFrame, nSources: Int, maxHops: Int): DataFrame = {
+    val e0 = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint()
+    val de = e0.select(col("a").as("node"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("dst")))
+      .localCheckpoint()
+    val seeds = de.select(col("node")).distinct()
+      .orderBy(asc("node")).limit(nSources)
+    var settled = seeds
+      .select(col("node").as("src"), col("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("src"), col("node"))
+        .join(de, Seq("node"))
+        .select(col("src"), col("dst").as("node")).distinct()
+        .join(settled.select(col("src"), col("node")), Seq("src", "node"),
+          "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      settled = settled.unionAll(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    settled
+  }
+
+  /** Q147 — harmonic centrality (Boldi & Vigna 2014) of the 20
+    * smallest-id parts over the support-pruned co-order graph, horizon
+    * ≤ 6 hops: H(s) = Σ_{v≠s reachable} 1/d(s,v). Distances come from
+    * one multi-source frontier BFS; the reciprocal sum is carried as
+    * the EXACT int64 Σ 60/d (every d ∈ 1..6 divides 60, so h60 is an
+    * integer in both engines — no float sums anywhere), and only the
+    * final /60 display value is rounded.
+    *
+    * Scale notes: landmark centrality, not all-pairs — the seed set is
+    * a constant, the BFS loop shares each round's single edge join
+    * across all seeds, and the oracle's recursive CTE dedups on
+    * (src, node, hops) exactly like the engine's anti-join. Output is
+    * |seeds| rows.
+    */
+  val HarmonicSources = 20
+  val HarmonicHops = 6
+
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    multiSourceBfsHops(edges, HarmonicSources, HarmonicHops)
+      .filter(col("hops") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("60 DIV hops")).as("h60"))
+      .select(col("src").as("p_partkey"), col("n_reached"), col("h60"),
+        round(col("h60") / 60.0, 6).as("harmonic"))
+      .orderBy(desc("h60"), asc_nulls_first("p_partkey"))
+  }
+
+  val q147Oracle: String =
+    s"""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+       |    FROM op) WHERE rn <= 1000),
+       |e AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+       |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+       |    GROUP BY 1, 2)
+       |  WHERE c >= 2),
+       |de AS MATERIALIZED (SELECT a AS node, b AS dst FROM e
+       |                    UNION ALL SELECT b AS node, a AS dst FROM e),
+       |seeds AS (SELECT DISTINCT node FROM de ORDER BY node LIMIT $HarmonicSources),
+       |bfs AS (
+       |  SELECT node AS src, node AS node, 0 AS hops FROM seeds
+       |  UNION
+       |  SELECT bfs.src, de.dst AS node, bfs.hops + 1 AS hops
+       |  FROM bfs JOIN de ON de.node = bfs.node
+       |  WHERE bfs.hops < $HarmonicHops),
+       |dist AS (
+       |  SELECT src, node, MIN(hops) AS d FROM bfs GROUP BY 1, 2)
+       |SELECT src AS p_partkey, COUNT(*) AS n_reached,
+       |  SUM(60 // d) AS h60, ROUND(SUM(60 // d) / 60.0, 6) AS harmonic
+       |FROM dist WHERE d > 0
+       |GROUP BY 1
+       |ORDER BY h60 DESC, p_partkey NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
-    "Q135" -> (q135 _), "Q145" -> (q145 _))
+    "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
-    "Q135" -> q135Oracle, "Q145" -> q145Oracle)
+    "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle)
 }

@@ -358,11 +358,98 @@ object Stats {
       |FROM p
       |ORDER BY col_x NULLS FIRST, col_y NULLS FIRST""".stripMargin
 
+  /** Q146 — Kaplan–Meier survival curve (Kaplan & Meier 1958) for
+    * time-to-first-purchase: per user, t = hours from first event to
+    * first 'purchase', administratively right-censored at 72 h (deaths
+    * at t precede censoring at t, the standard convention). One row per
+    * death time: at-risk n, deaths d, and Ŝ(t) = Π (1 − d/n).
+    *
+    * Exactness: n and d are exact int64 window sums over the bounded
+    * per-time aggregate. The product is carried as a CUMULATIVE INT64
+    * SUM of ln(1 − d/n)·10⁸ per-step integers (the Q118 fixed-point
+    * discipline — float sums never cross engines unorder-rounded), and
+    * only the final exp is rounded. A step with d = n zeroes the curve
+    * from that time on via a cumulative flag instead of feeding ln(0).
+    *
+    * Scale notes: the corpus collapses to one row per user in the first
+    * aggregate (shuffle on user_id), then to one row per distinct death
+    * time — everything after is window passes over a bounded series.
+    */
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perUser = c.events
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("us0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("pus"))
+      .select(expr("(pus - us0) DIV 3600000000").as("t_h"))
+      .select(when(col("t_h").isNotNull && col("t_h") <= 72, col("t_h"))
+        .as("t_death"))
+    // t_obs = death time, or the 72 h censoring horizon
+    val obs = perUser.select(
+      coalesce(col("t_death"), lit(72L)).as("t_obs"),
+      when(col("t_death").isNotNull, 1L).otherwise(0L).as("death"))
+    val byTime = obs.groupBy(col("t_obs"))
+      .agg(count(lit(1)).as("leaving"), sum(col("death")).as("d"))
+    val wDesc = Window.orderBy(desc("t_obs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(asc("t_obs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTime
+      .withColumn("n", sum(col("leaving")).over(wDesc)) // at risk: t_obs >= t
+      .filter(col("d") > 0)
+      .withColumn("l8",
+        when(col("d") < col("n"),
+          round(log((col("n") - col("d")).cast("double") / col("n")) *
+            100000000L).cast("long")).otherwise(0L))
+      .withColumn("dead_all", max((col("d") >= col("n")).cast("int")).over(wAsc))
+      .withColumn("km",
+        when(col("dead_all") === 1, 0.0)
+          .otherwise(round(exp(sum(col("l8")).over(wAsc) / 1e8), 6)))
+      .select(col("t_obs").as("t"), col("n"), col("d"), col("km"))
+      .orderBy(asc("t"))
+  }
+
+  val q146Oracle: String =
+    """WITH per_user AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS us0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pus
+      |  FROM events GROUP BY 1),
+      |obs AS (
+      |  SELECT
+      |    COALESCE(CASE WHEN pus IS NOT NULL
+      |                   AND (pus - us0) // 3600000000 <= 72
+      |              THEN (pus - us0) // 3600000000 END, 72) AS t_obs,
+      |    CASE WHEN pus IS NOT NULL
+      |          AND (pus - us0) // 3600000000 <= 72 THEN 1 ELSE 0 END AS death
+      |  FROM per_user),
+      |by_time AS (
+      |  SELECT t_obs, COUNT(*) AS leaving, SUM(death) AS d
+      |  FROM obs GROUP BY 1),
+      |risked AS (
+      |  SELECT t_obs, d,
+      |    SUM(leaving) OVER (ORDER BY t_obs DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      |  FROM by_time),
+      |steps AS (
+      |  SELECT t_obs, n, d,
+      |    CASE WHEN d < n THEN CAST(ROUND(
+      |      LN(CAST(n - d AS DOUBLE) / n) * 100000000, 0) AS BIGINT)
+      |      ELSE 0 END AS l8
+      |  FROM risked WHERE d > 0)
+      |SELECT t_obs AS t, n, d,
+      |  CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER wa = 1 THEN 0.0
+      |       ELSE ROUND(EXP(SUM(l8) OVER wa / 1e8), 6) END AS km
+      |FROM steps
+      |WINDOW wa AS (ORDER BY t_obs
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
-    "Q140" -> (q140 _))
+    "Q140" -> (q140 _), "Q146" -> (q146 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
-    "Q140" -> q140Oracle)
+    "Q140" -> q140Oracle, "Q146" -> q146Oracle)
 }

@@ -551,4 +551,17 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, (2L, 1L, 1.0)), (3L, (2L, 1L, 1.0)),
       (1L, (3L, 1L, 0.333333))), s"got ${got.toSeq}")
   }
+  test("Q147 multi-source BFS: distances per seed on a path graph, " +
+    "exact 60/d harmonic carry") {
+    import spark.implicits._
+    // path 1-2-3-4-5: from seed 1, d(2)=1 d(3)=2 d(4)=3 d(5)=4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val hops = Graphs.multiSourceBfsHops(path, 2, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(hops((1L, 5L)) === 4 && hops((1L, 3L)) === 2)
+    assert(hops((2L, 5L)) === 3 && hops((2L, 1L)) === 1)
+    // h60 for seed 1: 60 + 30 + 20 + 15 = 125
+    val h60 = hops.collect { case ((s, v), d) if s == 1L && d > 0 => 60 / d }.sum
+    assert(h60 === 125)
+  }
 }

@@ -98,6 +98,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("d") - 0.5) < 1e-9)
   }
 
+  test("Q146 Kaplan-Meier: censoring keeps users at risk, the 72h " +
+    "boundary counts as a death, and steps multiply exactly") {
+    import spark.implicits._
+    val H = 3600000000L // one hour in µs
+    def ev(u: Long, hours: Long, typ: String) =
+      (u * 10 + hours, hours * H * 1000L, u, typ, 1.0, "{}")
+    // u1: purchase at +10h (death); u2: purchase at +80h (censored at 72);
+    // u3: never purchases (censored); u4: death at +10h; u5: death at
+    // exactly +72h (boundary: 72 <= 72 is a death)
+    val rows = Seq(
+      ev(1, 0, "view"), ev(1, 10, "purchase"),
+      ev(2, 0, "view"), ev(2, 80, "purchase"),
+      ev(3, 0, "view"), ev(3, 90, "click"),
+      ev(4, 0, "view"), ev(4, 10, "purchase"),
+      ev(5, 0, "view"), ev(5, 72, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("stats-km").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Stats.q146(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // t=10: n=5 at risk, d=2 -> S = 3/5; t=72: deaths precede censoring,
+    // n=3 (u2, u3, u5 still at risk), d=1 -> S = 0.6 * 2/3 = 0.4
+    assert(out.toSeq === Seq(
+      (10L, (5L, 2L, 0.6)), (72L, (3L, 1L, 0.4))), s"got ${out.toSeq}")
+  }
+
   test("Q140 correlation matrix: perfect and anti correlations pin sign") {
     val dir = java.nio.file.Files.createTempDirectory("stats-spec").toString
     val schema = StructType(Seq(
