@@ -1341,6 +1341,80 @@ object EventTime {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q149 — moving-average crossover signals per event type: days where
+    * the trailing 3-day mean of the zero-filled daily count crosses the
+    * trailing 7-day mean ("golden" up-cross / "death" down-cross). The
+    * comparison is the EXACT INTEGER inequality s3·7 vs s7·3 (both
+    * sides int64 window sums of counts — no float MA is ever formed),
+    * so the crossing indicator and its lag are bit-identical in both
+    * engines by construction. Signals are defined only from the first
+    * day where both trailing frames are full on the PREVIOUS day
+    * (position ≥ 8 on the spine).
+    *
+    * Scale notes: the grid is the bounded daily spine (Q128
+    * discipline); two trailing window sums + one lag over it, zero
+    * corpus re-scans.
+    */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+    val w3 = byType.rowsBetween(-2, 0)
+    val w7 = byType.rowsBetween(-6, 0)
+    grid
+      .withColumn("k", row_number().over(byType))
+      .withColumn("s3", sum(col("y")).over(w3))
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("above", (col("s3") * 7 > col("s7") * 3).cast("int"))
+      .withColumn("prev", lag(col("above"), 1).over(byType))
+      .filter(col("k") >= 8 && col("above") =!= col("prev"))
+      .select(col("event_type"), col("day"), col("s3"), col("s7"),
+        when(col("above") === 1, "golden").otherwise("death").as("signal"))
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+  }
+
+  val q149Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |ma AS (
+      |  SELECT event_type, day,
+      |    ROW_NUMBER() OVER wt AS k,
+      |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+      |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7
+      |  FROM grid
+      |  WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+      |sig AS (
+      |  SELECT event_type, day, k, s3, s7,
+      |    CAST(s3 * 7 > s7 * 3 AS INT) AS above,
+      |    LAG(CAST(s3 * 7 > s7 * 3 AS INT), 1) OVER (
+      |      PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM ma)
+      |SELECT event_type, day, s3, s7,
+      |  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS signal
+      |FROM sig
+      |WHERE k >= 8 AND above <> prev
+      |ORDER BY event_type NULLS FIRST, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1348,7 +1422,7 @@ object EventTime {
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
-    "Q134" -> (q134 _), "Q136" -> (q136 _))
+    "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1358,5 +1432,5 @@ object EventTime {
     "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
-    "Q134" -> q134Oracle, "Q136" -> q136Oracle)
+    "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle)
 }

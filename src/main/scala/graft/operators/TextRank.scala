@@ -157,9 +157,56 @@ object TextRank {
       |ORDER BY pmi DESC, b.x NULLS FIRST, b.y NULLS FIRST
       |LIMIT 30""".stripMargin
 
+  /** Q148 — inverted-index build (the retrieval-side twin of Q37's
+    * forward doc-term matrix): per token, document frequency over the
+    * whole corpus plus the head of its posting list (the 20 smallest
+    * doc ids, sorted). Postings are CAPPED BEFORE COLLECTION by a
+    * per-token row_number window — a bare collect_list would
+    * materialize an unbounded array for a stopword-grade token, the
+    * classic 100 TB aggregation-state blowup; here per-group state is
+    * ≤ 20 ids no matter how common the token is, while df still counts
+    * every document from the uncapped aggregate.
+    */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val td = c.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .localCheckpoint() // feeds df and the capped postings
+    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(asc("doc_id"))
+    val postings = td
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfreq.join(postings, Seq("token"))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy(desc("df"), asc_nulls_first("token"))
+  }
+
+  val q148Oracle: String =
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |    FROM documents)),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM td GROUP BY 1),
+      |capped AS (
+      |  SELECT token, doc_id FROM (
+      |    SELECT token, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      |    FROM td) WHERE rn <= 20),
+      |postings AS (
+      |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
+      |  FROM capped GROUP BY 1)
+      |SELECT d.token AS token, d.df AS df, p.postings AS postings
+      |FROM dfreq d JOIN postings p ON p.token = d.token
+      |ORDER BY df DESC, token NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q141" -> (q141 _), "Q142" -> (q142 _))
+    "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _))
 
   def oracles: Map[String, String] = Map(
-    "Q141" -> q141Oracle, "Q142" -> q142Oracle)
+    "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle)
 }

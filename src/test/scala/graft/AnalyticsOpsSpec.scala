@@ -564,4 +564,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     val h60 = hops.collect { case ((s, v), d) if s == 1L && d > 0 => 60 / d }.sum
     assert(h60 === 125)
   }
+  test("Q149 MA crossover: a step series golden-crosses once, exactly " +
+    "where 7*s3 first exceeds 3*s7, and never before day 8") {
+    import spark.implicits._
+    // one event type, 14 days: low (1/day) for 9 days then high (10/day)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q149").toString
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d < 9) 1 else 10
+      (0 until n).map(i => (d.toLong * 100 + i, (d * 86400000000L + i) * 1000L,
+        1L, "click", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventTime.q149(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(4)))
+    // day 9 (0-based): s3 = 1+1+10 = 12, s7 = 6*1+10 = 16 -> 84 > 48: cross
+    assert(out.headOption === Some((9L, "golden")), s"got ${out.toSeq}")
+    // the step up never crosses back down within horizon
+    assert(out.count(_._2 == "death") === 0)
+  }
 }

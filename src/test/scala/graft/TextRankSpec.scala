@@ -43,6 +43,18 @@ class TextRankSpec extends SparkSpec {
     assert(out(0L) > out(1L)) // higher tf, shorter doc must win
   }
 
+  test("Q148 inverted index: df counts every doc, postings cap at 20") {
+    // token 'hot' in 25 docs, 'cold' in 2
+    val texts = (0 until 25).map(i => if (i < 2) "hot cold" else "hot x")
+    val dir = docsDir(texts)
+    val out = graft.operators.TextRank.q148(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toList)).toMap
+    assert(out("hot")._1 === 25L)
+    assert(out("hot")._2 === (0L until 20L).toList) // capped, smallest ids
+    assert(out("cold") === ((2L, List(0L, 1L))))
+  }
+
   test("Q142 PMI matches the closed-form count formula") {
     // 'x y' always adjacent (10 times); fillers break other pairings
     val dir = docsDir(Seq.fill(10)("x y f1 f2 f3 f4 f5 f6 f7 f8"))
