@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Table catalog over the driver-generated parquet testdata.
   *
@@ -14,11 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every downstream operator declares its plan against these scans.
   */
 final class Catalog(val spark: SparkSession, val dir: String) {
-  // Mandatory before touching events.parquet: its `ts` column is parquet
-  // INT64 TIMESTAMP(NANOS) which Spark 4.1.2 refuses by default
-  // (SURVEY.md V10/V11/V17). Runtime-settable; `ts` then reads as LongType
-  // epoch-nanoseconds. Cross-engine convention: epoch-µs via `ts div 1000`.
+  // Legacy-tolerant events read: the 2026-08-12 testdata regen changed
+  // events.ts from parquet INT64 TIMESTAMP(NANOS) to timestamp[us]
+  // (SURVEY.md §1.3 addendum). nanosAsLong keeps the legacy ns files
+  // readable (as LongType); normalizeTs below maps either physical type to
+  // the engine convention: epoch-ns LongType, epoch-µs via `ts div 1000`.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // The ns convention is UTC-anchored; the NTZ→instant cast in normalizeTs
+  // is only the identity on the stored micros under a UTC session.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
   // Engine-native functions (codegen'd expressions). The driver harness
   // owns the session builder, so registration happens at runtime here;
   // deployments that own the builder use
@@ -34,13 +40,19 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  def events: DataFrame     = Catalog.normalizeTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Register all tables as temp views for SQL entry (SURVEY §3.2 E2). */
+  /** Register all tables as temp views for SQL entry (SURVEY §3.2 E2).
+    * `events` is registered in its normalized (`ts` = epoch-ns LongType)
+    * form so SQL sites share the `ts DIV 1000` convention with the API.
+    */
   def register(): Unit =
-    Catalog.tableNames.foreach(t => table(t).createOrReplaceTempView(t))
+    Catalog.tableNames.foreach { t =>
+      val df = if (t == "events") events else table(t)
+      df.createOrReplaceTempView(t)
+    }
 }
 
 object Catalog {
@@ -49,4 +61,21 @@ object Catalog {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Catalog = new Catalog(spark, dir)
+
+  /** Normalize an events frame's `ts` to epoch-nanoseconds LongType
+    * regardless of the on-disk physical type:
+    *   - legacy INT64 TIMESTAMP(NANOS) read under nanosAsLong → already
+    *     LongType epoch-ns, passthrough;
+    *   - timestamp[us] (TIMESTAMP_NTZ since the 2026-08-12 regen) → cast to
+    *     an instant (identity on the stored micros under the UTC session
+    *     set in the Catalog constructor) and widen µs → ns.
+    * Downstream operators keep their single `ts DIV 1000` epoch-µs
+    * convention, matching the DuckDB oracles' `epoch_us(ts)`.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema under the nanos-as-long convention (ts: epoch-ns). */
+  /** events schema under the engine's normalized convention (ts: epoch-ns
+    * LongType). Synthetic test fixtures write files in this shape directly;
+    * driver-generated parquet carries ts as timestamp[us] instead, which
+    * `eventsStream` detects by probing the files and normalizes on read.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -32,14 +36,19 @@ object StreamingOps {
   /** File-source stream over a directory of events parquet files.
     * `maxFilesPerTrigger` caps files per micro-batch (source option —
     * the lever that turns a staged multi-file log into a multi-batch
-    * replay).
+    * replay). Streaming sources need an explicit schema, and the on-disk
+    * `ts` physical type varies (timestamp[us] vs legacy ns-long), so the
+    * schema is probed with a one-off batch read of the same directory and
+    * `ts` is then normalized to epoch-ns LongType — every downstream
+    * operator keeps the single `ts DIV 1000` epoch-µs convention.
     */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(eventsSchema)
+    val fileSchema = spark.read.parquet(dir).schema
+    val r = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
+    graft.Catalog.normalizeTs(r.parquet(dir))
   }
 
   /** Event-time TimestampType column (µs, truncated from ns — the declared
