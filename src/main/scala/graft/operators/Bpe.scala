@@ -138,7 +138,7 @@ object Bpe {
     val c = Catalog(spark, dir)
     val merges = train(wordTable(c.documents, "text"), NumMerges)
     spark.createDataFrame(merges).toDF("step", "lhs", "rhs", "pair_count")
-      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
+      .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"),
         col("pair_count").cast("long").as("pair_count"))
       .orderBy(asc("step"))
   }
@@ -172,7 +172,8 @@ object Bpe {
                 |  FROM $prev, b$r m)""".stripMargin
     }
     sb ++= s"""
-              |SELECT step, a AS lhs, b AS rhs, n AS pair_count FROM (
+              |SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+              |  CAST(n AS BIGINT) AS pair_count FROM (
               |  ${(1 to NumMerges).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
               |ORDER BY step""".stripMargin
     sb.toString

@@ -816,8 +816,9 @@ object Graphs {
        |  WHERE bfs.hops < $HarmonicHops),
        |dist AS (
        |  SELECT src, node, MIN(hops) AS d FROM bfs GROUP BY 1, 2)
-       |SELECT src AS p_partkey, COUNT(*) AS n_reached,
-       |  SUM(60 // d) AS h60, ROUND(SUM(60 // d) / 60.0, 6) AS harmonic
+       |SELECT src AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(SUM(60 // d) AS BIGINT) AS h60,
+       |  ROUND(SUM(60 // d) / 60.0, 6) AS harmonic
        |FROM dist WHERE d > 0
        |GROUP BY 1
        |ORDER BY h60 DESC, p_partkey NULLS FIRST""".stripMargin

@@ -388,7 +388,8 @@ object Profiling {
       |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS i,
       |    COUNT(*) OVER (PARTITION BY seg) AS n
       |  FROM rev)
-      |SELECT seg, MAX(n) AS n_customers, SUM(cents) AS total_cents,
+      |SELECT seg, MAX(n) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
       |  ROUND(CAST(SUM(CAST(2*i - n - 1 AS DECIMAL(38,0))
       |                 * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
       |    / CAST(CAST(MAX(n) AS DECIMAL(38,0))

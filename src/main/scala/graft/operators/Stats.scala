@@ -185,7 +185,8 @@ object Stats {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
       |  FROM sided),
       |agg AS (
-      |  SELECT type_a, type_b, SUM(cnt_a) AS na, SUM(cnt_b) AS nb,
+      |  SELECT type_a, type_b,
+      |    CAST(SUM(cnt_a) AS BIGINT) AS na, CAST(SUM(cnt_b) AS BIGINT) AS nb,
       |    SUM(cnt_a * (2*cum + c + 1)) AS r2a,
       |    SUM(c*c*c - c) AS ties3
       |  FROM ranked GROUP BY 1, 2)
@@ -271,10 +272,11 @@ object Stats {
       |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY value
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |tot AS (
-      |  SELECT type_a, type_b, MAX(cum_a) AS na, MAX(cum_b) AS nb
+      |  SELECT type_a, type_b,
+      |    CAST(MAX(cum_a) AS BIGINT) AS na, CAST(MAX(cum_b) AS BIGINT) AS nb
       |  FROM cums GROUP BY 1, 2)
       |SELECT c.type_a AS type_a, c.type_b AS type_b, t.na AS na, t.nb AS nb,
-      |  MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS ks_num,
+      |  CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS ks_num,
       |  ROUND(CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
       |    / (CAST(t.na AS DOUBLE) * t.nb), 6) AS d
       |FROM cums c JOIN tot t

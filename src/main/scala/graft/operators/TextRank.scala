@@ -165,7 +165,10 @@ object TextRank {
     * materialize an unbounded array for a stopword-grade token, the
     * classic 100 TB aggregation-state blowup; here per-group state is
     * ≤ 20 ids no matter how common the token is, while df still counts
-    * every document from the uncapped aggregate.
+    * every document from the uncapped aggregate. The posting head is
+    * emitted as a canonical comma-joined string (numeric sort first, then
+    * stringify) — same information, but hashable by any downstream
+    * row-compare that can't order raw array cells.
     */
   def q148(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -180,7 +183,9 @@ object TextRank {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
       .groupBy(col("token"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
     dfreq.join(postings, Seq("token"))
       .select(col("token"), col("df"), col("postings"))
       .orderBy(desc("df"), asc_nulls_first("token"))
@@ -198,7 +203,8 @@ object TextRank {
       |      ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
       |    FROM td) WHERE rn <= 20),
       |postings AS (
-      |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
+      |  SELECT token,
+      |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |  FROM capped GROUP BY 1)
       |SELECT d.token AS token, d.df AS df, p.postings AS postings
       |FROM dfreq d JOIN postings p ON p.token = d.token
