@@ -118,10 +118,22 @@ object Bench {
         f"""{"sec":$sec%.4f,"fit":${m.fit}%.6f}"""
       } catch { case _: Throwable => """{"sec":-1}""" }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 4-decimal legs keep the one-line JSON compact: the driver's bench
+    // artifact retains only a bounded stdout tail, and full-precision
+    // doubles push a 151-leg map past it (sub-0.1ms precision is noise at
+    // these run times anyway).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":$derivedBuild,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query map to the repo so the timing data
+    // survives even when the stdout tail truncates (committed next round).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("docs/BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

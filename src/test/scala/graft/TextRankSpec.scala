@@ -48,11 +48,11 @@ class TextRankSpec extends SparkSpec {
     val texts = (0 until 25).map(i => if (i < 2) "hot cold" else "hot x")
     val dir = docsDir(texts)
     val out = graft.operators.TextRank.q148(spark, dir).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getSeq[Long](2).toList)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(out("hot")._1 === 25L)
-    assert(out("hot")._2 === (0L until 20L).toList) // capped, smallest ids
-    assert(out("cold") === ((2L, List(0L, 1L))))
+    // postings serialize as a comma-joined, numerically-sorted string
+    assert(out("hot")._2 === (0L until 20L).mkString(",")) // capped, smallest ids
+    assert(out("cold") === ((2L, "0,1")))
   }
 
   test("Q142 PMI matches the closed-form count formula") {
