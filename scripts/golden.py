@@ -68,9 +68,13 @@ def main():
             bad += 1
         else:
             print(f"PASS {name}")
+    # A registered gate with no pinned golden is a coverage regression
+    # (VERDICT r6 #5: hash-file count must equal registry count), so it
+    # fails the check rather than just noting.
     missing = set(hashes) - set(golden)
     if missing:
-        print(f"NOTE: queries without goldens: {sorted(missing)}")
+        print(f"FAIL: queries without goldens: {sorted(missing)}")
+        bad += len(missing)
     print(f"== {len(golden) - bad} pass, {bad} fail ==")
     sys.exit(1 if bad else 0)
 
