@@ -118,21 +118,21 @@ object Bench {
         f"""{"sec":$sec%.4f,"fit":${m.fit}%.6f}"""
       } catch { case _: Throwable => """{"sec":-1}""" }
 
-    // 4-decimal legs keep the one-line JSON compact: the driver's bench
-    // artifact retains only a bounded stdout tail, and full-precision
-    // doubles push a 151-leg map past it (sub-0.1ms precision is noise at
-    // these run times anyway).
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    // The driver's bench artifact retains only a ~2000-char stdout tail; a
+    // 151-leg map at full double precision overruns it and the artifact
+    // ends up unparseable (ADVICE r6). Stdout therefore prints 2-decimal
+    // legs (10ms resolution — inside the box's measured ±6% run-to-run
+    // band), which keeps the whole line under the tail, while the repo
+    // copy in docs/BENCH_LAST.json keeps 4 decimals.
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full per-query map to the repo so the timing data
-    // survives even when the stdout tail truncates (committed next round).
+    }
+    println(line(v => if (v < 0) "-1" else f"$v%.2f"))
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("docs/BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line(v => if (v < 0) "-1" else f"$v%.4f") + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }
