@@ -53,10 +53,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
 
-    // Dev-only subset: `runMain graft.Bench Q102 Q103`. The driver passes
-    // no args, so its runs always time the full registry.
+    // Dev-only subset: `runMain graft.Bench Q102 Q103`, or
+    // `runMain graft.Bench tensors` for the tensor legs alone (isolates
+    // them from end-of-session registry pressure). The driver passes no
+    // args, so its runs always time the full registry.
+    val tensorsOnly = args.sameElements(Array("tensors"))
     val names =
-      if (args.nonEmpty) args.toSeq.sorted
+      if (tensorsOnly) Seq.empty
+      else if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     // Runs stay back-to-back per query (NOT interleaved across the
     // registry): with >100 codegen units live, interleaving makes every
@@ -73,7 +77,7 @@ object Bench {
     // CP-ALS on the Q43 events tensor (rank 8, fixed 10 iterations).
     // Skipped on dev subset runs — it times the tensor loop, not a query.
     val cpals =
-      if (args.nonEmpty) """{"sec_per_iter":-1}"""
+      if (args.nonEmpty && !tensorsOnly) """{"sec_per_iter":-1}"""
       else try {
         val coo = operators.EventTime.q43(spark, sfDir)
         val t0 = System.nanoTime()
@@ -88,7 +92,7 @@ object Bench {
     // of nonnegative event values, so the NN model is meaningful here).
     // Skipped on dev subset runs.
     val nnhals =
-      if (args.nonEmpty) """{"sec_per_iter":-1}"""
+      if (args.nonEmpty && !tensorsOnly) """{"sec_per_iter":-1}"""
       else try {
         val coo = operators.EventTime.q43(spark, sfDir)
         val t0 = System.nanoTime()
@@ -101,7 +105,7 @@ object Bench {
 
     // Tucker/HOSVD on the same tensor (skipped on dev subset runs).
     val tucker =
-      if (args.nonEmpty) """{"sec":-1}"""
+      if (args.nonEmpty && !tensorsOnly) """{"sec":-1}"""
       else try {
         val coo = operators.EventTime.q43(spark, sfDir).selectExpr("i", "j", "k", "v")
         // Clamp target ranks to the tier's tensor dims (rank <= dim is
@@ -130,10 +134,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sfDir"}"""
     }
     println(line(v => if (v < 0) "-1" else f"$v%.2f"))
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("docs/BENCH_LAST.json"),
-      (line(v => if (v < 0) "-1" else f"$v%.4f") + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // Only a full-registry (driver-shaped) run may refresh the repo copy —
+    // a dev subset would clobber it with a partial map.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/BENCH_LAST.json"),
+        (line(v => if (v < 0) "-1" else f"$v%.4f") + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
