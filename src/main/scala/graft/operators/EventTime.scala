@@ -1415,6 +1415,48 @@ object EventTime {
       |WHERE k >= 8 AND above <> prev
       |ORDER BY event_type NULLS FIRST, day""".stripMargin
 
+  /** Q150 — rolling 7-day MEDIAN of daily revenue per event type: the
+    * robust-trend twin of Q118's mean-based decomposition (a single
+    * flash-sale day drags a rolling mean for a week; the median shrugs it
+    * off — the robustness argument for monitoring pipelines). Daily sums
+    * accumulate as exact integer cents (the Q118/Q127 discipline), so the
+    * only cross-engine float op is the final interpolated median of
+    * BIGINTs — identical `lower + frac·(upper−lower)` arithmetic in
+    * Spark's `percentile` and DuckDB's windowed `MEDIAN`.
+    *
+    * Scale shape: the events scan aggregates down to (type × day) — a few
+    * hundred rows regardless of SF — so the windowed median runs on a
+    * vanishingly small frame; the work that scales (the daily rollup) is
+    * one partial-aggregated shuffle. Capability: reference engine's
+    * time-series family (`n/a — reference empty`, SURVEY.md §0.1).
+    */
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("dcents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("med7_cents", expr("percentile(dcents, 0.5)").over(w7))
+      .select(col("event_type"), col("day"), col("dcents"),
+        round(col("med7_cents"), 4).as("med7_cents"))
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+  }
+
+  val q150Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS dcents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, dcents,
+      |  ROUND(MEDIAN(dcents) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7_cents
+      |FROM daily
+      |ORDER BY event_type NULLS FIRST, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1422,7 +1464,8 @@ object EventTime {
     "Q108" -> (q108 _), "Q109" -> (q109 _), "Q118" -> (q118 _),
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
-    "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _))
+    "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
+    "Q150" -> (q150 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1432,5 +1475,6 @@ object EventTime {
     "Q109" -> q109Oracle, "Q118" -> q118Oracle, "Q123" -> q123Oracle,
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
-    "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle)
+    "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
+    "Q150" -> q150Oracle)
 }

@@ -527,13 +527,72 @@ object Profiling {
       |GROUP BY 1
       |ORDER BY d.event_type NULLS FIRST""".stripMargin
 
+  /** Q151 — join-key skew profile: the distribution of per-key row counts
+    * for `lineitem.l_orderkey`, the diagnostic an engine consults BEFORE
+    * choosing a shuffle-join strategy (a benign p99/p50 says hash-join
+    * plainly; a hot max_cnt / top10_share says salt the build side or
+    * let AQE split the skewed partition). One row out: key count, total
+    * rows, max per-key count, interpolated p50/p99 of the count
+    * distribution, and the row share of the 10 hottest keys.
+    *
+    * Exactness: counts are integers; the only float ops are the
+    * interpolated percentiles (identical lower+frac·(upper−lower)
+    * arithmetic in Spark `percentile` and DuckDB `QUANTILE_CONT`) and the
+    * final share divide. Scale notes: per-key counts partial-aggregate
+    * map-side; Spark's exact percentile buffers value→count pairs, and
+    * DISTINCT per-key counts are bounded by the max fan-out (7 here, low
+    * hundreds in any real key distribution), so aggregation state stays
+    * tiny no matter how many keys exist; the top-10 is a TakeOrdered
+    * (per-partition heads + driver merge), never a global sort.
+    */
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cnts = c.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = cnts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5D)").as("p50"),
+      expr("percentile(cnt, 0.99D)").as("p99"))
+    val top10 = cnts
+      .orderBy(desc("cnt"), asc("l_orderkey")).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    agg.crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        round(col("p50"), 4).as("p50_cnt"),
+        round(col("p99"), 4).as("p99_cnt"),
+        col("top10_rows"),
+        round(col("top10_rows").cast("double") / col("total_rows"), 6)
+          .as("top10_share"))
+  }
+
+  val q151Oracle: String =
+    """WITH cnts AS (
+      |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |top10 AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+      |    SELECT cnt FROM cnts ORDER BY cnt DESC, l_orderkey LIMIT 10)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    ROUND(QUANTILE_CONT(cnt, 0.5), 4) AS p50_cnt,
+      |    ROUND(QUANTILE_CONT(cnt, 0.99), 4) AS p99_cnt
+      |  FROM cnts)
+      |SELECT a.n_keys, a.total_rows, a.max_cnt, a.p50_cnt, a.p99_cnt,
+      |  t.top10_rows,
+      |  ROUND(CAST(t.top10_rows AS DOUBLE) / a.total_rows, 6) AS top10_share
+      |FROM agg a, top10 t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
-    "Q133" -> (q133 _))
+    "Q133" -> (q133 _), "Q151" -> (q151 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
-    "Q129" -> q129Oracle, "Q133" -> q133Oracle)
+    "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle)
 }

@@ -583,4 +583,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the step up never crosses back down within horizon
     assert(out.count(_._2 == "death") === 0)
   }
+
+  test("Q150 rolling median shrugs off a one-day spike that drags the mean") {
+    import spark.implicits._
+    // one type, 9 days at 1.00/day except day 4 at 1000.00 — the median of
+    // any full 7-day window stays 100 cents while the mean would be ~143x
+    val dir = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val rows = (0 until 9).map { d =>
+      val v = if (d == 4) 1000.0 else 1.0
+      (d.toLong, d * 86400000000L * 1000L, 1L, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q150(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // day 6 window = days 0..6: six 100s and one 100000 -> median 100
+    assert(got(6L) === 100.0, s"median must ignore the spike, got ${got(6L)}")
+    // day 4 window = days 0..4 (5 values, spike is the max) -> median 100
+    assert(got(4L) === 100.0)
+    // day 1 window = days 0..1 -> interpolated median of {100, 100} = 100
+    assert(got(1L) === 100.0)
+  }
+
+  test("Q151 skew profile: planted hot key shows up in max/p99/top10_share") {
+    import spark.implicits._
+    // 100 keys with 2 rows each + key 999 with 60 rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-q151").toString
+    val rows = (0 until 100).flatMap(k => Seq.fill(2)(k.toLong)) ++
+      Seq.fill(60)(999L)
+    rows.map(Tuple1(_)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Profiling.q151(spark, dir).collect().head
+    assert(r.getLong(0) === 101L)        // n_keys
+    assert(r.getLong(1) === 260L)        // total_rows
+    assert(r.getLong(2) === 60L)         // max_cnt
+    assert(r.getDouble(3) === 2.0)       // p50: all-but-one key at 2
+    assert(r.getDouble(4) === 2.0)       // p99: index .99*100 = 99 -> 2
+    // top 10 = hot key (60) + nine cold keys (2 each) = 78 rows
+    assert(r.getLong(5) === 78L)
+    assert(math.abs(r.getDouble(6) - 78.0 / 260) < 1e-9)
+  }
 }
