@@ -1457,6 +1457,105 @@ object EventTime {
       |FROM daily
       |ORDER BY event_type NULLS FIRST, day""".stripMargin
 
+  /** Q152 — grouped equi-width histogram of `value` per event type (the
+    * `width_bucket` staple): 20 bins of width 25 over [0, 500), boundary
+    * bins clamped so out-of-range values land in the edge buckets rather
+    * than vanishing. Bin share is within-type, so each type's histogram
+    * is a distribution regardless of type volume.
+    *
+    * Exactness: FLOOR(value/25) is one IEEE divide+floor, identical in
+    * both engines; counts are integers and the share divide is the only
+    * other float op. Scale shape: bin id is row-local arithmetic, the
+    * aggregation is a (type × ≤20)-cardinality partial-agg shuffle, and
+    * the within-type share reuses a window over the already-aggregated
+    * ≤100 rows — nothing global touches raw events twice.
+    */
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wType = Window.partitionBy(col("event_type"))
+    c.events
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+          .cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wType), 6))
+      .select(col("event_type"), col("bin"), col("n"), col("share"))
+      .orderBy(asc_nulls_first("event_type"), asc("bin"))
+  }
+
+  val q152Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT) AS bin
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1, 2)
+      |SELECT event_type, bin, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    SUM(n) OVER (PARTITION BY event_type), 6) AS share
+      |FROM h
+      |ORDER BY event_type NULLS FIRST, bin""".stripMargin
+
+  /** Q153 — view→purchase conversion latency distribution: per user, the
+    * interval from the FIRST view to the first purchase at-or-after it;
+    * interpolated p50/p90/p99 (and max) of those intervals across
+    * converting users, plus the converting-user count. The product
+    * question behind every activation funnel: "how long does conversion
+    * take, and how heavy is the tail?".
+    *
+    * Exactness: intervals are integer microseconds; the percentiles are
+    * the same interpolated `lower + frac·(upper−lower)` in Spark
+    * `percentile` and DuckDB `QUANTILE_CONT`. Scale shape: both sides of
+    * the user join are pre-aggregated/filtered (first-view table is one
+    * row per viewing user, purchases are filtered before the join), the
+    * join and the per-user MIN share the user_id shuffle key, and the
+    * final percentile aggregates one latency per converting user —
+    * bounded by the user count, never the event count.
+    */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.events.select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000").as("us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v"))
+    e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("v"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - min(col("v"))).as("lat_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lat_us, 0.5D)").as("p50"),
+        expr("percentile(lat_us, 0.9D)").as("p90"),
+        expr("percentile(lat_us, 0.99D)").as("p99"),
+        max(col("lat_us")).as("max_us"))
+      .select(col("n_converted"),
+        round(col("p50"), 4).as("p50_us"),
+        round(col("p90"), 4).as("p90_us"),
+        round(col("p99"), 4).as("p99_us"),
+        col("max_us"))
+  }
+
+  val q153Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fv AS (
+      |  SELECT user_id, MIN(us) AS v FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      |  SELECT p.user_id, MIN(p.us) - MIN(fv.v) AS lat_us
+      |  FROM e p JOIN fv ON fv.user_id = p.user_id
+      |  WHERE p.event_type = 'purchase' AND p.us >= fv.v
+      |  GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  ROUND(QUANTILE_CONT(lat_us, 0.5), 4) AS p50_us,
+      |  ROUND(QUANTILE_CONT(lat_us, 0.9), 4) AS p90_us,
+      |  ROUND(QUANTILE_CONT(lat_us, 0.99), 4) AS p99_us,
+      |  CAST(MAX(lat_us) AS BIGINT) AS max_us
+      |FROM conv""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1465,7 +1564,7 @@ object EventTime {
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
-    "Q150" -> (q150 _))
+    "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1476,5 +1575,5 @@ object EventTime {
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
-    "Q150" -> q150Oracle)
+    "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle)
 }

@@ -605,6 +605,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(1L) === 100.0)
   }
 
+  test("Q152 histogram clamps out-of-range values into the edge bins") {
+    import spark.implicits._
+    // values: -5 (underflow), 12 (bin 0), 30 (bin 1), 510 (overflow), 499 (bin 19)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q152").toString
+    val vals = Seq(-5.0, 12.0, 30.0, 510.0, 499.0)
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong * 1000000000L, 1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventTime.q152(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((2L, 0.4)))  // -5 clamped + 12
+    assert(got(1L) === ((1L, 0.2)))
+    assert(got(19L) === ((2L, 0.4))) // 510 clamped + 499
+    assert(got.keySet === Set(0L, 1L, 19L)) // empty bins not emitted
+  }
+
+  test("Q153 conversion latency: purchases before the first view don't count") {
+    import spark.implicits._
+    val us = 1000000L
+    // user 1: purchase at t=5 BEFORE first view t=10; converts at t=30 -> lat 20s
+    // user 2: view t=0, purchase t=100 -> lat 100s
+    // user 3: views only -> never converts
+    val rows = Seq(
+      (1L, 5L, "purchase"), (1L, 10L, "view"), (1L, 30L, "purchase"),
+      (2L, 0L, "view"), (2L, 100L, "purchase"),
+      (3L, 1L, "view"), (3L, 2L, "view"))
+    rows.zipWithIndex.map { case ((u, t, tpe), i) =>
+      (i.toLong, t * us * 1000L, u, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir153/events.parquet")
+    val r = graft.operators.EventTime.q153(spark, dir153).collect().head
+    assert(r.getLong(0) === 2L)                       // users 1 and 2
+    assert(r.getDouble(1) === (20L + 100L) * us / 2.0) // interpolated median
+    assert(r.getLong(4) === 100L * us)                 // max
+  }
+  private lazy val dir153 =
+    java.nio.file.Files.createTempDirectory("graft-q153").toString
+
   test("Q151 skew profile: planted hot key shows up in max/p99/top10_share") {
     import spark.implicits._
     // 100 keys with 2 rows each + key 999 with 60 rows
