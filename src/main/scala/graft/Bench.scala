@@ -128,18 +128,27 @@ object Bench {
     // legs (10ms resolution — inside the box's measured ±6% run-to-run
     // band), which keeps the whole line under the tail, while the repo
     // copy in docs/BENCH_LAST.json keeps 4 decimals.
-    def line(fmt: Double => String): String = {
+    def line(fmt: Double => String, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sf"}"""
     }
-    println(line(v => if (v < 0) "-1" else f"$v%.2f"))
+    // Stdout form: trailing zeros trimmed ("0.10"→"0.1", "3.00"→"3" —
+    // still valid JSON numbers) and sf as its basename; every byte helps
+    // the full line survive the collector's bounded tail.
+    def compact(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = f"$v%.2f"
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+      }
+    println(line(compact, sfDir.split('/').last))
     // Only a full-registry (driver-shaped) run may refresh the repo copy —
     // a dev subset would clobber it with a partial map.
     if (args.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/BENCH_LAST.json"),
-        (line(v => if (v < 0) "-1" else f"$v%.4f") + "\n").getBytes("UTF-8"))
+        (line(v => if (v < 0) "-1" else f"$v%.4f", sfDir) + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     spark.stop()
   }
