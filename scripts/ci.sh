@@ -8,6 +8,17 @@ SF_DIR=${1:-/root/testdata/sf0.01}
 OUT=$(mktemp -d /tmp/graft-ci.XXXXXX)
 
 sbt -batch compile
+
+# Oracle dtype preflight (VERDICT r7 #2): HUGEINT/DECIMAL oracle columns
+# hash-mismatch in the driver's pandas comparator even when values are
+# identical; catch them in seconds before the expensive sweep.
+sbt -batch "runMain graft.OracleDump $OUT"
+python3 scripts/oracle_dtypes.py /root/testdata/sf0.001 "$OUT"
+
+# Provenance hygiene (VERDICT r7 #5): fails on any non-public
+# import/URL/bucket/credential-shaped string in shipped files.
+python3 scripts/leakcheck.py "${GRAFT_ROUND:-0}" "$OUT/leakcheck.json"
+
 sbt -batch test
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"

@@ -60,7 +60,7 @@ def main():
         print(f"wrote {len(hashes)} golden hashes to {golden_file}")
         return
     golden = json.load(open(golden_file))
-    bad = 0
+    passed = bad = 0
     for name in sorted(golden):
         got = hashes.get(name)
         if got != golden[name]:
@@ -68,6 +68,7 @@ def main():
             bad += 1
         else:
             print(f"PASS {name}")
+            passed += 1
     # A registered gate with no pinned golden is a coverage regression
     # (VERDICT r6 #5: hash-file count must equal registry count), so it
     # fails the check rather than just noting.
@@ -75,7 +76,7 @@ def main():
     if missing:
         print(f"FAIL: queries without goldens: {sorted(missing)}")
         bad += len(missing)
-    print(f"== {len(golden) - bad} pass, {bad} fail ==")
+    print(f"== {passed} pass, {bad} fail ==")
     sys.exit(1 if bad else 0)
 
 

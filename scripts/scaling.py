@@ -71,12 +71,16 @@ def family_totals(bench):
     if missing:
         print(f"WARN: queries with no source family: {sorted(missing)}",
               file=sys.stderr)
-    # Tensor/bench legs keyed by their JSON field.
+    # Tensor/bench legs keyed by their JSON field. Stdout flattens each leg
+    # to its bare headline number (tail-size budget, VERDICT r7 #8) while
+    # docs/BENCH_LAST.json keeps the full object — accept both.
     for leg, field in (("cpals", "sec_per_iter"), ("nnhals", "sec_per_iter"),
                        ("tucker", "sec")):
         v = bench.get(leg, {})
-        if isinstance(v, dict) and v.get(field, -1) > 0:
-            tot[f"leg:{leg}"] = v[field]
+        if isinstance(v, dict):
+            v = v.get(field, -1)
+        if isinstance(v, (int, float)) and v > 0:
+            tot[f"leg:{leg}"] = v
     if bench.get("derived_build", -1) > 0:
         tot["leg:derived_build"] = bench["derived_build"]
     return tot

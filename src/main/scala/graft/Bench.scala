@@ -8,16 +8,26 @@ import org.apache.spark.sql.SparkSession
   * on the Q43 tensor. Prints exactly one JSON line.
   */
 object Bench {
+  /** Locale-pinned decimal format: the f interpolator uses the JVM default
+    * locale, and a comma-decimal locale would make the bench stdout/
+    * BENCH_LAST.json line unparseable JSON (ADVICE r7). */
+  private def d(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     def materialize(name: String): Double = {
       // Drop any relation an operator cached during a previous run: the
@@ -68,11 +78,31 @@ object Bench {
     // measured +35% on the whole registry. The session-stall risk that
     // interleaving would have hedged is addressed by the untimed
     // System.gc() in materialize() instead.
-    val results = names.map { name =>
-      val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted
-      val median = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
-      name -> median
-    }
+    //
+    // Session recycling (VERDICT r7 #3): a 155-query x 3-run session
+    // accumulates block-manager state (localCheckpoint RDD blocks) and
+    // old-gen heap debt that the per-query System.gc() bounds but does
+    // not eliminate; late-position graph legs (Q103/Q145) measured up to
+    // 3.7x their dedicated-session medians under that pressure. Restart
+    // the session every RECYCLE queries (untimed, ~1-2s each) so no leg
+    // carries more than a bounded chunk of debt. The JVM-global codegen
+    // class cache survives the restart, so back-to-back runs still hit it;
+    // the Derived bucketed artifact re-registers from disk in the fresh
+    // session (Derived.coOrderPairCounts external-table path).
+    val RECYCLE = 30
+    val results = names.grouped(RECYCLE).flatMap { chunk =>
+      if (chunk.head != names.head) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
+      chunk.map { name =>
+        val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted
+        val median = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
+        name -> median
+      }
+    }.toSeq
 
     // CP-ALS on the Q43 events tensor (rank 8, fixed 10 iterations).
     // Skipped on dev subset runs — it times the tensor loop, not a query.
@@ -85,7 +115,7 @@ object Bench {
           maxIter = 10, numSlabs = cpus.toInt)
         val total = (System.nanoTime() - t0) / 1e9
         val perIter = total / model.iterations
-        f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
+        s"""{"sec_per_iter":${d("%.4f", perIter)},"iters":${model.iterations},"fit":${d("%.6f", model.finalFit)}}"""
       } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
 
     // Nonnegative CP via HALS on the same tensor (the Q43 values are sums
@@ -100,7 +130,7 @@ object Bench {
           maxIter = 10, numSlabs = cpus.toInt)
         val total = (System.nanoTime() - t0) / 1e9
         val perIter = total / model.iterations
-        f"""{"sec_per_iter":$perIter%.4f,"iters":${model.iterations},"fit":${model.finalFit}%.6f}"""
+        s"""{"sec_per_iter":${d("%.4f", perIter)},"iters":${model.iterations},"fit":${d("%.6f", model.finalFit)}}"""
       } catch { case _: Throwable => """{"sec_per_iter":-1}""" }
 
     // Tucker/HOSVD on the same tensor (skipped on dev subset runs).
@@ -119,19 +149,29 @@ object Bench {
         val t0 = System.nanoTime()
         val m = tensor.Tucker.hosvd(coo, ranks)
         val sec = (System.nanoTime() - t0) / 1e9
-        f"""{"sec":$sec%.4f,"fit":${m.fit}%.6f}"""
+        s"""{"sec":${d("%.4f", sec)},"fit":${d("%.6f", m.fit)}}"""
       } catch { case _: Throwable => """{"sec":-1}""" }
 
-    // The driver's bench artifact retains only a ~2000-char stdout tail; a
-    // 151-leg map at full double precision overruns it and the artifact
-    // ends up unparseable (ADVICE r6). Stdout therefore prints 2-decimal
-    // legs (10ms resolution — inside the box's measured ±6% run-to-run
-    // band), which keeps the whole line under the tail, while the repo
-    // copy in docs/BENCH_LAST.json keeps 4 decimals.
-    def line(fmt: Double => String, sf: String): String = {
+    // The driver's bench artifact retains only a ~2000-char stdout tail
+    // (with ~85 of that spent on sbt's [success] trailer); the r7 line
+    // measured ~1980 chars and still lost its head, leaving parsed:null
+    // (VERDICT r7 #8). Stdout therefore prints 2-decimal legs (10ms
+    // resolution — inside the box's measured ±6% run-to-run band) AND
+    // flattens the tensor legs to their bare headline numbers (~110 chars
+    // saved); the repo copy in docs/BENCH_LAST.json keeps 4 decimals and
+    // the full tensor objects (iters/fit).
+    def line(fmt: Double => String, sf: String, tensorObjects: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cpals,"nnhals":$nnhals,"tucker":$tucker,"derived_build":${fmt(derivedBuild)},"sf":"$sf"}"""
+      def headline(obj: String, field: String): String = {
+        val m = (s""""$field":(-?[0-9.]+)""").r.findFirstMatchIn(obj)
+        m.map(_.group(1)).getOrElse("-1")
+      }
+      val (cp, nn, tk) =
+        if (tensorObjects) (cpals, nnhals, tucker)
+        else (headline(cpals, "sec_per_iter"), headline(nnhals, "sec_per_iter"),
+          headline(tucker, "sec"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"sf":"$sf"}"""
     }
     // Stdout form: trailing zeros trimmed ("0.10"→"0.1", "3.00"→"3" —
     // still valid JSON numbers) and sf as its basename; every byte helps
@@ -139,16 +179,19 @@ object Bench {
     def compact(v: Double): String =
       if (v < 0) "-1"
       else {
-        val s = f"$v%.2f"
+        val s = d("%.2f", v)
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
       }
-    println(line(compact, sfDir.split('/').last))
-    // Only a full-registry (driver-shaped) run may refresh the repo copy —
-    // a dev subset would clobber it with a partial map.
-    if (args.isEmpty)
+    println(line(compact, sfDir.split('/').last, tensorObjects = false))
+    // Only a full-registry (driver-shaped) run AT THE DRIVER'S SF may
+    // refresh the repo copy — a dev subset would clobber it with a partial
+    // map, and a CI sf0.001 sweep would clobber it with the wrong tier's
+    // numbers.
+    if (args.isEmpty && sfDir.split('/').last == "sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/BENCH_LAST.json"),
-        (line(v => if (v < 0) "-1" else f"$v%.4f", sfDir) + "\n").getBytes("UTF-8"))
+        (line(v => if (v < 0) "-1" else d("%.4f", v), sfDir, tensorObjects = true) + "\n")
+          .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     spark.stop()
   }

@@ -76,6 +76,12 @@ object Catalog {
     df.schema("ts").dataType match {
       case LongType => df
       case _ =>
+        // The NTZ→instant cast reads the session timezone at EXECUTION
+        // time; it is the identity on the stored micros only under UTC.
+        // Callers inside graft always run UTC sessions, but an external
+        // caller on a non-UTC session would silently get shifted epoch-ns
+        // values — pin the conf here too (ADVICE r7).
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
     }
 }

@@ -31,6 +31,12 @@ object Verify {
       // relation) so caches don't pile up across the full query sweep.
       spark.catalog.clearCache()
     }
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** Dump SparkEntry.oracleSql as oracle_sql.json for the DuckDB compare. */
+  def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+  }
+}
+
+/** Writes oracle_sql.json only — no SparkSession, so the DuckDB dtype
+  * preflight (scripts/oracle_dtypes.py) can run in seconds before any
+  * full Verify sweep. */
+object OracleDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    new java.io.File(outDir).mkdirs()
+    Verify.writeOracleJson(outDir)
   }
 }

@@ -884,7 +884,8 @@ object EventTime {
       |    GREATEST(CAST(0 AS BIGINT), c.stat + g.d)
       |  FROM cusum c JOIN g2 g
       |  ON g.event_type = c.event_type AND g.k = c.k + 1)
-      |SELECT event_type, day, y, mu, stat,
+      |SELECT event_type, day, y, CAST(mu AS BIGINT) AS mu,
+      |  CAST(stat AS BIGINT) AS stat,
       |  CAST(stat > (mu + 1) * 3 AS INT) AS alarm
       |FROM cusum
       |ORDER BY event_type NULLS FIRST, day""".stripMargin
@@ -951,8 +952,8 @@ object EventTime {
       |    SUM(k * y) AS sky, SUM(k * k) AS skk
       |  FROM grid GROUP BY 1)
       |SELECT event_type, n_obs,
-      |  n_obs * sky - sk * sy AS slope_num,
-      |  n_obs * skk - sk * sk AS slope_den,
+      |  CAST(n_obs * sky - sk * sy AS BIGINT) AS slope_num,
+      |  CAST(n_obs * skk - sk * sk AS BIGINT) AS slope_den,
       |  CASE WHEN n_obs * skk - sk * sk > 0 THEN
       |    ROUND(CAST(n_obs * sky - sk * sy AS DOUBLE)
       |          / CAST(n_obs * skk - sk * sk AS DOUBLE), 6) END AS slope,
@@ -1040,7 +1041,7 @@ object EventTime {
       |    SUM(ya*yb) AS sab, SUM(ya*ya) AS saa, SUM(yb*yb) AS sbb
       |  FROM lagged GROUP BY 1, 2)
       |SELECT event_type, lag, m,
-      |  m*sab - sa*sb AS num,
+      |  CAST(m*sab - sa*sb AS BIGINT) AS num,
       |  CASE WHEN (m*saa - sa*sa) > 0 AND (m*sbb - sb*sb) > 0 THEN
       |    ROUND(CAST(m*sab - sa*sb AS DOUBLE)
       |      / SQRT(CAST(m*saa - sa*sa AS DOUBLE)
@@ -1409,16 +1410,24 @@ object EventTime {
       |    LAG(CAST(s3 * 7 > s7 * 3 AS INT), 1) OVER (
       |      PARTITION BY event_type ORDER BY day) AS prev
       |  FROM ma)
-      |SELECT event_type, day, s3, s7,
+      |SELECT event_type, day, CAST(s3 AS BIGINT) AS s3,
+      |  CAST(s7 AS BIGINT) AS s7,
       |  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS signal
       |FROM sig
       |WHERE k >= 8 AND above <> prev
       |ORDER BY event_type NULLS FIRST, day""".stripMargin
 
-  /** Q150 — rolling 7-day MEDIAN of daily revenue per event type: the
-    * robust-trend twin of Q118's mean-based decomposition (a single
-    * flash-sale day drags a rolling mean for a week; the median shrugs it
-    * off — the robustness argument for monitoring pipelines). Daily sums
+  /** Q150 — rolling 7-ROW median of daily revenue per event type (ROWS
+    * BETWEEN 6 PRECEDING AND CURRENT ROW in both engines, NOT a
+    * 7-calendar-day RANGE frame: the daily series is not densified here,
+    * so a calendar gap in (type, day) makes the window span more than 7
+    * days — the declared semantics are last-7-OBSERVED-days, the
+    * trading-days convention; densify via the Q124-style spine if true
+    * calendar windows are wanted. ADVICE r7). The robust-trend twin of
+    * Q118's mean-based
+    * decomposition (a single flash-sale day drags a rolling mean for a
+    * week; the median shrugs it off — the robustness argument for
+    * monitoring pipelines). Daily sums
     * accumulate as exact integer cents (the Q118/Q127 discipline), so the
     * only cross-engine float op is the final interpolated median of
     * BIGINTs — identical `lower + frac·(upper−lower)` arithmetic in

@@ -439,7 +439,7 @@ object Stats {
       |      LN(CAST(n - d AS DOUBLE) / n) * 100000000, 0) AS BIGINT)
       |      ELSE 0 END AS l8
       |  FROM risked WHERE d > 0)
-      |SELECT t_obs AS t, n, d,
+      |SELECT t_obs AS t, CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS d,
       |  CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER wa = 1 THEN 0.0
       |       ELSE ROUND(EXP(SUM(l8) OVER wa / 1e8), 6) END AS km
       |FROM steps

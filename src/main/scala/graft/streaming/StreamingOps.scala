@@ -45,7 +45,14 @@ object StreamingOps {
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    // The batch probe throws AnalysisException when the directory is empty
+    // (no parquet files yet — a legitimate state for a stream that starts
+    // before its producer). Fall back to the declared eventsSchema so the
+    // stream can still be constructed; normalizeTs passes the LongType ts
+    // through unchanged (ADVICE r7).
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     val r = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     graft.Catalog.normalizeTs(r.parquet(dir))
