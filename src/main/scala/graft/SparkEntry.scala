@@ -40,7 +40,8 @@ object SparkEntry {
       (Bpe.queries, Bpe.oracles),
       (Stats.queries, Stats.oracles),
       (TextRank.queries, TextRank.oracles),
-      (Reshape.queries, Reshape.oracles)
+      (Reshape.queries, Reshape.oracles),
+      (Pii.queries, Pii.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1565,6 +1565,65 @@ object EventTime {
       |  CAST(MAX(lat_us) AS BIGINT) AS max_us
       |FROM conv""".stripMargin
 
+  /** Q157 — TRUE 7-calendar-day rolling statistics per event type, via a
+    * RANGE frame over the integer day key (RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW): the calendar-window twin of Q150's ROWS frame
+    * (ADVICE r7 — ROWS spans 7 OBSERVED days; RANGE spans 7 CALENDAR
+    * days with no densification needed, because the frame is keyed by
+    * the day VALUE, not the row position). Emits, per observed day: the
+    * 7-day event count, how many of the 7 calendar days had activity,
+    * and the min/max daily revenue-cents in the window — every measure
+    * exact integer arithmetic, bit-identical across engines.
+    *
+    * Scale notes: the events scan collapses to the bounded (type × day)
+    * grid first (one partial-aggregated shuffle); the RANGE window then
+    * runs on a few hundred rows per type. At 100 TB the plan is
+    * unchanged — the window input stays bounded by the calendar, not
+    * the corpus.
+    */
+  /** The Q157 window as an API over any (event_type, day, n, dcents)
+    * daily relation — RANGE-framed on the day VALUE, so calendar gaps
+    * shrink the window instead of stretching it.
+    */
+  def calendarRolling7(daily: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n7", sum(col("n")).over(w7))
+      .withColumn("active7", count(lit(1)).over(w7))
+      .withColumn("min7_cents", min(col("dcents")).over(w7))
+      .withColumn("max7_cents", max(col("dcents")).over(w7))
+      .select(col("event_type"), col("day"), col("n7"), col("active7"),
+        col("min7_cents"), col("max7_cents"))
+  }
+
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("dcents"))
+    calendarRolling7(daily)
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+  }
+
+  val q157Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS dcents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day,
+      |  CAST(SUM(n) OVER w7 AS BIGINT) AS n7,
+      |  COUNT(*) OVER w7 AS active7,
+      |  MIN(dcents) OVER w7 AS min7_cents,
+      |  MAX(dcents) OVER w7 AS max7_cents
+      |FROM daily
+      |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type NULLS FIRST, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1573,7 +1632,8 @@ object EventTime {
     "Q123" -> (q123 _), "Q124" -> (q124 _), "Q125" -> (q125 _),
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
-    "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _))
+    "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
+    "Q157" -> (q157 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1584,5 +1644,6 @@ object EventTime {
     "Q124" -> q124Oracle, "Q125" -> q125Oracle, "Q128" -> q128Oracle,
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
-    "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle)
+    "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
+    "Q157" -> q157Oracle)
 }

@@ -823,13 +823,111 @@ object Graphs {
        |GROUP BY 1
        |ORDER BY h60 DESC, p_partkey NULLS FIRST""".stripMargin
 
+  /** Synchronized label propagation (Raghavan et al. 2007, made
+    * deterministic): every node starts labeled with its own id; each
+    * round, every node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken toward the smaller label. The
+    * async/random-order variants of LPA are irreproducible by design;
+    * the synchronous min-tiebreak form is a pure dataflow — identical in
+    * any engine — at the cost of possible 2-cycles, which a fixed round
+    * count bounds.
+    *
+    * Scale shape: each round is ONE edge-keyed join (labels are a
+    * node-keyed relation, edges shuffle-keyed on dst) + one
+    * (node, label) count + one per-node argmax window — all
+    * AQE-skew-splittable, no driver state. Rounds are O(diameter)-few by
+    * the algorithm's published convergence behavior.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val de = e0.select(col("a").as("node"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = de.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(desc("cnt"), asc("nl"))
+    for (_ <- 1 to rounds) {
+      val votes = de
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("cnt"))
+      labels = votes.withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nl").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Q156 — label-propagation communities (3 synchronized rounds) over
+    * the support-pruned co-order graph: the 25 largest communities by
+    * member count. Complements the exact star-contraction CC (Q67/Q68)
+    * with the density-sensitive community notion LPA finds — CC merges
+    * everything reachable; LPA splits a connected graph along sparse
+    * cuts.
+    */
+  val LpaRounds = 3
+
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    labelPropagation(edges, LpaRounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(desc("n_members"), asc_nulls_first("community"))
+      .limit(25)
+  }
+
+  val q156Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+      |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+      |    GROUP BY 1, 2)
+      |  WHERE c >= 2),
+      |de AS MATERIALIZED (SELECT a AS node, b AS dst FROM e
+      |                    UNION ALL SELECT b AS node, a AS dst FROM e),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM de),
+      |v1 AS (SELECT de.node, l0.label, COUNT(*) AS cnt
+      |       FROM de JOIN l0 ON l0.node = de.dst GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v1)
+      |  WHERE rn = 1),
+      |v2 AS (SELECT de.node, l1.label, COUNT(*) AS cnt
+      |       FROM de JOIN l1 ON l1.node = de.dst GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v2)
+      |  WHERE rn = 1),
+      |v3 AS (SELECT de.node, l2.label, COUNT(*) AS cnt
+      |       FROM de JOIN l2 ON l2.node = de.dst GROUP BY 1, 2),
+      |l3 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v3)
+      |  WHERE rn = 1)
+      |SELECT label AS community, COUNT(*) AS n_members, MIN(node) AS min_member
+      |FROM l3
+      |GROUP BY 1
+      |ORDER BY n_members DESC, community NULLS FIRST
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
-    "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _))
+    "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
+    "Q156" -> (q156 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
-    "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle)
+    "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
+    "Q156" -> q156Oracle)
 }

@@ -586,13 +586,72 @@ object Profiling {
       |  ROUND(CAST(t.top10_rows AS DOUBLE) / a.total_rows, 6) AS top10_share
       |FROM agg a, top10 t""".stripMargin
 
+  /** Q159 — Benford first-significant-digit audit of order totals per
+    * priority class (Benford 1938; the classic forensic data-quality
+    * screen — synthetic or tampered monetary columns diverge from the
+    * log₁₀(1+1/d) law, organic ones don't). Emits each digit's observed
+    * count and frequency, the Benford expectation, and the per-class
+    * Pearson χ² distance so one scan flags the suspicious class.
+    *
+    * Determinism: the digit is extracted via EXACT integer cents
+    * (floor(x·100) — same doubles, same IEEE multiply and floor in both
+    * engines) rendered to a string, never via log10-of-double whose ULP
+    * at a power-of-10 boundary could flip floor across engines. The χ²
+    * sum has 9 terms — far below rounding sensitivity.
+    *
+    * Scale notes: one map pass + a (priority × digit ≤ 45)-key
+    * aggregate; the χ² rollup is a window over those 45 rows. Nothing
+    * else shuffles at any corpus size.
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val d = c.orders.select(col("o_orderpriority").as("priority"),
+      substring(floor(col("o_totalprice") * 100).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val wAll = Window.partitionBy(col("priority"))
+    d.groupBy(col("priority"), col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("obs_f", col("n") / col("tot"))
+      .withColumn("exp_f", log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      // (x)*(x), not pow(x, 2): Math.pow is not guaranteed bit-equal to
+      // the plain IEEE multiply DuckDB's * performs
+      .withColumn("chi2", sum(col("tot") * (col("obs_f") - col("exp_f"))
+        * (col("obs_f") - col("exp_f")) / col("exp_f")).over(wAll))
+      .select(col("priority"), col("digit"), col("n"),
+        round(col("obs_f"), 4).as("obs_f"), round(col("exp_f"), 4).as("exp_f"),
+        round(col("chi2"), 4).as("chi2"))
+      .orderBy(asc_nulls_first("priority"), asc("digit"))
+  }
+
+  val q159Oracle: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |agg AS (
+      |  SELECT priority, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+      |w AS (
+      |  SELECT priority, digit, n,
+      |    CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS tot,
+      |    n / CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS obs_f,
+      |    ln(1.0 + 1.0 / digit) / ln(10.0) AS exp_f
+      |  FROM agg)
+      |SELECT priority, digit, n, ROUND(obs_f, 4) AS obs_f,
+      |  ROUND(exp_f, 4) AS exp_f,
+      |  ROUND(SUM(tot * (obs_f - exp_f) * (obs_f - exp_f) / exp_f)
+      |    OVER (PARTITION BY priority), 4) AS chi2
+      |FROM w
+      |ORDER BY priority NULLS FIRST, digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
-    "Q133" -> (q133 _), "Q151" -> (q151 _))
+    "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
-    "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle)
+    "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
+    "Q159" -> q159Oracle)
 }

@@ -454,13 +454,103 @@ object TextAnalysis {
       |FROM joined
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q158 — Jensen–Shannon divergence between every pair of sources'
+    * unigram token distributions: THE standard domain-shift /
+    * mixture-composition diagnostic (JSD is symmetric, bounded [0, 1]
+    * in bits, and defined even where supports differ — exactly why
+    * pipelines prefer it over raw KL for corpus comparison). Emits the
+    * shared-vocabulary size alongside so a low JSD from tiny overlap is
+    * visible.
+    *
+    * Determinism: probabilities are single IEEE divisions of exact
+    * counts; the log terms accumulate at ~1e-16 relative error against
+    * a 1e-4 rounding grid — the Q52/Q69 ln-parity precedent.
+    *
+    * Scale notes: token counts are one (source, token)-keyed aggregate
+    * of the corpus (the only data-sized shuffle). The pairwise stage
+    * runs on the DENSE (source × vocab) grid — fine here because the
+    * fixture vocabulary is bounded; a 100 TB deployment caps the grid
+    * by top-K global tokens first (the published practice: JSD over the
+    * head vocabulary), which the same plan expresses as one extra
+    * rank-filter on the count relation.
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    jsdBySource(c.documents)
+  }
+
+  /** The Q158 computation as an API over any (source, text) relation. */
+  def jsdBySource(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val p = cnt.join(tot, Seq("source"))
+      .select(col("source"), col("token"), (col("cnt") / col("tot")).as("p"))
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(cnt.select(col("token")).distinct())
+      .join(p, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), coalesce(col("p"), lit(0.0)).as("p"))
+    val pair = grid.as("x")
+      .join(grid.as("y"),
+        col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.p").as("p"), col("y.p").as("q"))
+      .filter(col("p") > 0 || col("q") > 0)
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0))
+          + when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)))
+    pair.groupBy(col("src_a"), col("src_b"))
+      .agg(
+        sum(((col("p") > 0) && (col("q") > 0)).cast("long")).as("shared_vocab"),
+        round(sum(col("term")) / (2 * math.log(2.0)), 4).as("jsd_bits"))
+      .orderBy(asc_nulls_first("src_a"), asc_nulls_first("src_b"))
+  }
+
+  val q158Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (
+      |  SELECT source, token, COUNT(*) AS cnt FROM tok
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+      |        FROM cnt GROUP BY 1),
+      |p AS (
+      |  SELECT cnt.source, cnt.token, cnt.cnt / tot.tot AS p
+      |  FROM cnt JOIN tot ON tot.source = cnt.source),
+      |grid AS (
+      |  SELECT s.source, v.token, COALESCE(p.p, 0.0) AS p
+      |  FROM (SELECT DISTINCT source FROM cnt) s
+      |  CROSS JOIN (SELECT DISTINCT token FROM cnt) v
+      |  LEFT JOIN p ON p.source = s.source AND p.token = v.token),
+      |pair AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, x.p AS p, y.p AS q,
+      |    (x.p + y.p) / 2 AS m
+      |  FROM grid x JOIN grid y
+      |  ON x.token = y.token AND x.source < y.source
+      |  WHERE x.p > 0 OR y.p > 0)
+      |SELECT src_a, src_b,
+      |  CAST(SUM(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS shared_vocab,
+      |  ROUND(SUM(
+      |    CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END
+      |    + CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END)
+      |    / (2 * ln(2.0)), 4) AS jsd_bits
+      |FROM pair
+      |GROUP BY 1, 2
+      |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
-    "Q96" -> (q96 _))
+    "Q96" -> (q96 _), "Q158" -> (q158 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
-    "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle)
+    "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
+    "Q158" -> q158Oracle)
 }
