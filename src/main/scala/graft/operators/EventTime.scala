@@ -1624,6 +1624,60 @@ object EventTime {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type NULLS FIRST, day""".stripMargin
 
+  /** Q165 — inter-event arrival-time distribution per type: the gap
+    * between consecutive events under the (ts, event_id) total order, as
+    * exact integer microseconds; count/min/max plus interpolated
+    * p50/p90/p99 (Q153's percentile pairing) and the mean as one float
+    * divide. The capacity-planning primitive: burstiness shows up as
+    * p99/mean ratio, and a Poisson-ish stream has mean ≈ p50/ln 2.
+    *
+    * Scale notes: one window sort per type partition (the same sort every
+    * sessionization gate pays), then a k-row aggregate. The percentile
+    * aggregate sees one gap per event — linear state, no materialized
+    * all-gaps collect.
+    */
+  def q165(spark: SparkSession, dir: String): DataFrame =
+    interArrival(Catalog(spark, dir).events
+      .select(col("event_type"), expr("ts DIV 1000").as("us"), col("event_id")))
+
+  /** The Q165 computation as an API over any (event_type, us, event_id)
+    * relation. */
+  def interArrival(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    e
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_us"),
+        max(col("gap")).as("max_us"),
+        round(expr("percentile(gap, 0.5D)"), 4).as("p50_us"),
+        round(expr("percentile(gap, 0.9D)"), 4).as("p90_us"),
+        round(expr("percentile(gap, 0.99D)"), 4).as("p99_us"),
+        round(sum(col("gap")).cast("double") / count(lit(1)), 4).as("mean_us"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q165Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |      AS gap
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_us,
+      |  ROUND(QUANTILE_CONT(gap, 0.5), 4) AS p50_us,
+      |  ROUND(QUANTILE_CONT(gap, 0.9), 4) AS p90_us,
+      |  ROUND(QUANTILE_CONT(gap, 0.99), 4) AS p99_us,
+      |  ROUND(CAST(SUM(gap) AS DOUBLE)/COUNT(*), 4) AS mean_us
+      |FROM gaps WHERE gap IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1633,7 +1687,7 @@ object EventTime {
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
     "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
-    "Q157" -> (q157 _))
+    "Q157" -> (q157 _), "Q165" -> (q165 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1645,5 +1699,5 @@ object EventTime {
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
     "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
-    "Q157" -> q157Oracle)
+    "Q157" -> q157Oracle, "Q165" -> q165Oracle)
 }

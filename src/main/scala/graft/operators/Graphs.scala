@@ -919,15 +919,93 @@ object Graphs {
       |ORDER BY n_members DESC, community NULLS FIRST
       |LIMIT 25""".stripMargin
 
+  /** Q162 — degree assortativity (Newman 2002) of the support-pruned
+    * co-order graph: the Pearson correlation of endpoint degrees over the
+    * directed edge list (each undirected edge contributes both
+    * orientations). Positive r = hubs prefer hubs; negative r = hub-leaf
+    * (the typical basket-graph shape). One number that predicts how
+    * skew-prone every downstream graph join is — the graph-family sibling
+    * of Q151's join-key skew profile.
+    *
+    * Exactness: degrees and the five correlation sums are exact int64
+    * (deg ≤ the support-pruned max degree, far inside int64 at any scale
+    * that fits a machine word of edges); r is one final float expression
+    * over the exactly-cast sums, rounded to 4 (Q125/Q161 discipline).
+    *
+    * Scale notes: consumes the bucketed [[Derived.coOrderPairCounts]]
+    * artifact (no rebuild); degrees are one groupBy of the edge list; the
+    * degree join back to edges is co-keyed on the endpoint; the final
+    * reduce is a single-row aggregate. No row-granularity sort, no
+    * enumeration beyond the edge list itself.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    val directed = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val ed = directed
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val sums = ed.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx")).cast("double").as("sx"),
+      sum(col("dy")).cast("double").as("sy"),
+      sum(col("dx") * col("dx")).cast("double").as("sxx"),
+      sum(col("dy") * col("dy")).cast("double").as("syy"),
+      sum(col("dx") * col("dy")).cast("double").as("sxy"))
+    nNodes.crossJoin(sums)
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        round((col("m").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("m").cast("double") * col("sxx") - col("sx") * col("sx")) *
+            (col("m").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("assortativity"))
+  }
+
+  val q162Oracle: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |pairs AS (
+      |  SELECT o1.pk AS a, o2.pk AS b
+      |  FROM capped o1 JOIN capped o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |directed AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b, a FROM pairs),
+      |deg AS (SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY 1),
+      |ed AS (
+      |  SELECT da.d AS dx, db.d AS dy
+      |  FROM directed e
+      |  JOIN deg da ON da.node = e.src
+      |  JOIN deg db ON db.node = e.dst)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+      |  ROUND((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dx*dy) AS DOUBLE)
+      |           - CAST(SUM(dx) AS DOUBLE)*CAST(SUM(dy) AS DOUBLE)) /
+      |        SQRT((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dx*dx) AS DOUBLE)
+      |           - CAST(SUM(dx) AS DOUBLE)*CAST(SUM(dx) AS DOUBLE)) *
+      |             (CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dy*dy) AS DOUBLE)
+      |           - CAST(SUM(dy) AS DOUBLE)*CAST(SUM(dy) AS DOUBLE))), 4)
+      |    AS assortativity
+      |FROM ed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
-    "Q156" -> (q156 _))
+    "Q156" -> (q156 _), "Q162" -> (q162 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
-    "Q156" -> q156Oracle)
+    "Q156" -> q156Oracle, "Q162" -> q162Oracle)
 }

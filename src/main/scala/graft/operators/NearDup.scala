@@ -746,14 +746,157 @@ object NearDup {
       |GROUP BY 1, 2
       |ORDER BY 1 NULLS FIRST, 2""".stripMargin
 
+  /** Q160 — the MinHash-LSH dedup pipeline END-TO-END, hash-gated:
+    * shingle → MinHash(k=8) → band(b=4) → bucket-join candidates → exact
+    * Jaccard verify ≥ 0.6. Q51 gates the signatures and NearDupSpec
+    * property-checks banding recall; this gate pins the WHOLE discovery→
+    * verify composition (the production dedup shape at 100 TB — the exact
+    * verifier only ever touches candidate pairs, never all pairs) against
+    * a DuckDB replay of the identical pipeline. Every hash is md5-derived
+    * (file-level discipline), so both engines compute the same buckets,
+    * the same candidates, and the same verified pairs.
+    *
+    * Scale notes: signatures are linear (one explode + one groupBy);
+    * banding is an equi-join on (band, band_sig) — only same-bucket docs
+    * pair up; verification joins candidates to the token relation keyed
+    * on (doc, token), so its cost is Σ_cand |tokens(lo)| — candidate-
+    * bounded, never corpus-quadratic. The exact-Jaccard filter makes LSH
+    * false positives harmless (dropped), while false negatives are the
+    * tunable S-curve miss rate the recall spec measures.
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = shingles(c).cache()
+    val cand = lshCandidates(minHashSignatures(tok, 8), 4)
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_lo"), col("token")), Seq("doc_lo"))
+      .join(tok.select(col("doc_id").as("doc_hi"), col("token")),
+        Seq("doc_hi", "token"))
+      .groupBy(col("doc_lo"), col("doc_hi"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("sz1") + col("sz2") - col("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_lo"), col("sz").as("sz1")),
+        Seq("doc_lo"))
+      .join(sz.select(col("doc_id").as("doc_hi"), col("sz").as("sz2")),
+        Seq("doc_hi"))
+      .filter(j >= 0.6)
+      .select(col("doc_lo"), col("doc_hi"), round(j, 4).as("jaccard"))
+      .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
+  }
+
+  val q160Oracle: String =
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |hashed AS (
+      |  SELECT doc_id, p, md5(CAST(p AS VARCHAR) || ':' || token) AS h
+      |  FROM (SELECT doc_id, token, UNNEST(range(8)) AS p FROM tok)),
+      |sigs AS (
+      |  SELECT doc_id, p, MIN(${hexValueExpr("h")}) AS minhash
+      |  FROM hashed GROUP BY doc_id, p),
+      |banded AS (
+      |  SELECT doc_id, p % 4 AS band,
+      |    string_agg(CAST(p AS VARCHAR) || '=' || CAST(minhash AS VARCHAR),
+      |               ',' ORDER BY CAST(p AS VARCHAR)) AS band_sig
+      |  FROM sigs GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+      |  FROM banded b1 JOIN banded b2
+      |    ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |verified AS (
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.d1
+      |  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.token = t1.token
+      |  GROUP BY c.d1, c.d2)
+      |SELECT v.d1 AS doc_lo, v.d2 AS doc_hi,
+      |  ROUND(CAST(v.inter AS DOUBLE) / (s1.sz + s2.sz - v.inter), 4)
+      |    AS jaccard
+      |FROM verified v
+      |JOIN sz s1 ON s1.doc_id = v.d1
+      |JOIN sz s2 ON s2.doc_id = v.d2
+      |WHERE CAST(v.inter AS DOUBLE) / (s1.sz + s2.sz - v.inter) >= 0.6
+      |ORDER BY doc_lo NULLS FIRST, doc_hi NULLS FIRST""".stripMargin
+
+  /** Q166 — cross-source duplication flow matrix: verified near-dup pairs
+    * (Q49's exact shingle-Jaccard ≥ 0.6) rolled up to (source, source)
+    * cells with pair counts and mean similarity. The corpus-governance
+    * view of dedup — "which sources copy which" — that decides source
+    * weights and crawl exclusions in a training-data pipeline.
+    *
+    * Scale notes: the expensive part IS Q49's adaptive exact-Jaccard
+    * engine (candidate-bounded, df=1-pruned); this adds two broadcast-able
+    * joins against the (doc_id, source) projection and a
+    * sources²-bounded rollup.
+    */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val src = c.documents.select(col("doc_id"), col("source"))
+    TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .join(src.select(col("doc_id").as("doc_lo"), col("source").as("src_a")),
+        Seq("doc_lo"))
+      .join(src.select(col("doc_id").as("doc_hi"), col("source").as("src_b")),
+        Seq("doc_hi"))
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"), col("jaccard"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(asc_nulls_first("src_lo"), asc_nulls_first("src_hi"))
+  }
+
+  val q166Oracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2
+      |    ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT d1, d2,
+      |    ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS j
+      |  FROM pairs
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |srcd AS (
+      |  SELECT LEAST(da.source, db.source) AS src_lo,
+      |         GREATEST(da.source, db.source) AS src_hi, v.j
+      |  FROM verified v
+      |  JOIN documents da ON da.doc_id = v.d1
+      |  JOIN documents db ON db.doc_id = v.d2)
+      |SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+      |  ROUND(AVG(j), 4) AS avg_jaccard
+      |FROM srcd GROUP BY 1, 2
+      |ORDER BY src_lo NULLS FIRST, src_hi NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
-    "Q94" -> (q94 _), "Q126" -> (q126 _))
+    "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
+    "Q166" -> (q166 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
-    "Q126" -> q126Oracle)
+    "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle)
 }

@@ -447,11 +447,187 @@ object Stats {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY t""".stripMargin
 
+  /** Doubled midranks of one measure joined back to rows: the window runs
+    * over the COLLAPSED per-value relation (Q138 discipline — never a
+    * row-granularity global sort), then the bounded ranked relation joins
+    * back on the value (co-partitioned join key). For a tie group of size
+    * c after cum strict predecessors, the doubled midrank is the exact
+    * int64 2·cum + c + 1.
+    */
+  private[operators] def doubledMidranks(
+      rows: DataFrame, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+    val ranked = rows.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("v"), (lit(2L) * col("cum") + col("c") + 1).as("r2"))
+    rows.join(ranked, rows(valueCol) === ranked("v")).drop("v")
+  }
+
+  private val SpearmanMeasures =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Q161 — Spearman rank correlation matrix over the lineitem measures:
+    * Pearson on midranks, the tie-correct definition (Spearman 1904).
+    * Monotone dependence that Q140's Pearson r underweights (and outlier
+    * sensitivity it overweights) shows up here — the robust member of the
+    * dependence-profile family (Q116, Q140).
+    *
+    * Exactness: doubled midranks are exact int64 (Q138 house rule); all
+    * fifteen pairwise sums accumulate in DECIMAL(38,0) with the cast
+    * applied BEFORE the product (Q127 overflow rule — Σ(2r)² is 4n³,
+    * past int64 at warehouse row counts); each r is one float expression
+    * over the exactly-cast sums, rounded to 4. The oracle's row-level
+    * RANK()+COUNT() midranks equal 2·cum+c+1 identically.
+    *
+    * Scale notes: per measure, one groupBy to the distinct-value
+    * relation, one window over that bounded relation, one value-keyed
+    * join back. All sums then come from ONE aggregate pass over the
+    * joined rows (a single-row result reused by all 6 pairs); no
+    * row-granularity global sort anywhere in the plan.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val meas = SpearmanMeasures
+    val base = c.lineitem.select(
+      col("l_orderkey") +: col("l_linenumber") +: meas.map(col): _*)
+    val withRanks = meas.foldLeft(base) { (df, m) =>
+      doubledMidranks(df, m).withColumnRenamed("r2", s"r2_$m")
+    }
+    val dec = "decimal(38,0)"
+    def d(m: String): Column = col(s"r2_$m").cast(dec)
+    val pairsIdx = for {
+      i <- meas.indices; j <- meas.indices if i < j
+    } yield (meas(i), meas(j))
+    val aggExprs =
+      meas.map(m => sum(d(m)).cast("double").as(s"s_$m")) ++
+      meas.map(m => sum(d(m) * d(m)).cast("double").as(s"ss_$m")) ++
+      pairsIdx.map { case (a, b) =>
+        sum(d(a) * d(b)).cast("double").as(s"sp_${a}_$b") }
+    val sums = withRanks
+      .agg(count(lit(1)).as("n"), aggExprs: _*)
+      .cache()
+    pairsIdx.map { case (a, b) =>
+      sums.select(lit(a).as("measure_a"), lit(b).as("measure_b"), col("n"),
+        round((col("n").cast("double") * col(s"sp_${a}_$b") -
+            col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n").cast("double") * col(s"ss_$a") -
+              col(s"s_$a") * col(s"s_$a")) *
+            (col("n").cast("double") * col(s"ss_$b") -
+              col(s"s_$b") * col(s"s_$b"))), 4).as("spearman_r"))
+    }.reduce(_ union _)
+      .orderBy(asc_nulls_first("measure_a"), asc_nulls_first("measure_b"))
+  }
+
+  val q161Oracle: String = {
+    // All four doubled midranks come from ONE scan (four window functions
+    // over the same rows), so rank pairing is by physical row with no join
+    // key needed — (l_orderkey, l_linenumber) is NOT unique in the fixture.
+    val meas = SpearmanMeasures
+    val rankCols = meas.map { m =>
+      s"""    2*RANK() OVER (ORDER BY $m)
+         |       + COUNT(*) OVER (PARTITION BY $m) - 1 AS r2_$m""".stripMargin
+    }.mkString(",\n")
+    val pairs = for {
+      i <- meas.indices; j <- meas.indices if i < j
+    } yield {
+      val (a, b) = (meas(i), meas(j))
+      s"""SELECT '$a' AS measure_a, '$b' AS measure_b, n,
+         |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) /
+         |        SQRT((CAST(n AS DOUBLE)*sxx - sx*sx) *
+         |             (CAST(n AS DOUBLE)*syy - sy*sy)), 4) AS spearman_r
+         |FROM (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(r2_$a) AS DOUBLE) AS sx,
+         |    CAST(SUM(r2_$b) AS DOUBLE) AS sy,
+         |    CAST(SUM(r2_$a*r2_$a) AS DOUBLE) AS sxx,
+         |    CAST(SUM(r2_$b*r2_$b) AS DOUBLE) AS syy,
+         |    CAST(SUM(r2_$a*r2_$b) AS DOUBLE) AS sxy
+         |  FROM r)""".stripMargin
+    }
+    "WITH r AS (\n  SELECT\n" + rankCols + "\n  FROM lineitem)\n" +
+      pairs.mkString("\nUNION ALL\n") +
+      "\nORDER BY measure_a NULLS FIRST, measure_b NULLS FIRST"
+  }
+
+  /** Q163 — Kruskal–Wallis H (rank one-way ANOVA; Kruskal & Wallis 1952)
+    * across event types on `value`, with midrank ties and the tie
+    * correction — the k-sample extension of Q138's two-sample U. Rank
+    * sums are carried as exact int64 Σ cnt·(2·cum+c+1) doubled midranks;
+    * the statistic is assembled from the per-type exact sums with the
+    * textually-shared float formula; H and its tie-corrected form are the
+    * only floats, rounded to 4.
+    *
+    * Scale notes: one (type, value) map-side-combined aggregate, a pooled
+    * window over the DISTINCT value relation, one value-keyed join back,
+    * and a k-row final reduce — never a row-level sort. The tie term
+    * Σ(c³−c) stays exact int64 on the bounded distinct-value relation.
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byval = c.events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value")).rowsBetween(Long.MinValue, -1)
+    val ranked = byval.groupBy(col("value")).agg(sum(col("cnt")).as("c"))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("value"), col("c"),
+        (lit(2L) * col("cum") + col("c") + 1).as("r2"))
+    val perType = byval
+      .join(ranked.select(col("value"), col("r2")), Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_t"), sum(col("cnt") * col("r2")).as("rsum2"))
+    val tot = perType.agg(
+      sum(col("n_t")).as("n"), count(lit(1)).as("k"),
+      sum(col("rsum2").cast("double") * col("rsum2") /
+        (lit(4.0) * col("n_t"))).as("sr"))
+    val ties = ranked.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).cast("double").as("tie3"))
+    val h = lit(12.0) * col("sr") /
+      (col("n").cast("double") * (col("n") + 1)) - lit(3.0) * (col("n") + 1)
+    tot.crossJoin(ties)
+      .select(col("n"), col("k"), (col("k") - 1).as("dof"),
+        round(h, 4).as("h"),
+        round(h / (lit(1.0) - col("tie3") /
+          (col("n").cast("double") * col("n") * col("n") - col("n"))), 4)
+          .as("h_tie_corrected"))
+  }
+
+  val q163Oracle: String =
+    """WITH s AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |byval AS (
+      |  SELECT event_type, value, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+      |pooled AS (SELECT value, SUM(cnt) AS c FROM byval GROUP BY 1),
+      |ranked AS (
+      |  SELECT value, c,
+      |    2*(SUM(c) OVER (ORDER BY value) - c) + c + 1 AS r2
+      |  FROM pooled),
+      |per_type AS (
+      |  SELECT b.event_type, SUM(b.cnt) AS n_t, SUM(b.cnt * r.r2) AS rsum2
+      |  FROM byval b JOIN ranked r ON r.value = b.value
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_t) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(CAST(rsum2 AS DOUBLE)*rsum2/(4.0*n_t)) AS sr
+      |  FROM per_type),
+      |ties AS (SELECT CAST(SUM(c*c*c - c) AS DOUBLE) AS tie3 FROM pooled)
+      |SELECT n, k, k - 1 AS dof,
+      |  ROUND(12.0*sr/(CAST(n AS DOUBLE)*(n+1)) - 3.0*(n+1), 4) AS h,
+      |  ROUND((12.0*sr/(CAST(n AS DOUBLE)*(n+1)) - 3.0*(n+1)) /
+      |        (1.0 - tie3/(CAST(n AS DOUBLE)*n*n - n)), 4) AS h_tie_corrected
+      |FROM tot CROSS JOIN ties""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
-    "Q140" -> (q140 _), "Q146" -> (q146 _))
+    "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
+    "Q163" -> (q163 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
-    "Q140" -> q140Oracle, "Q146" -> q146Oracle)
+    "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
+    "Q163" -> q163Oracle)
 }

@@ -543,14 +543,139 @@ object TextAnalysis {
       |GROUP BY 1, 2
       |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
 
+  /** Q164 — syllable-complexity profile per source: vowel-group syllable
+    * counts (every maximal [aeiouy]+ run is one syllable nucleus — the
+    * classic readability heuristic, floored at 1 per word), the
+    * ≥3-syllable "complex word" fraction (the Gunning-fog/SMOG
+    * ingredient; the corpus has no sentence punctuation, so the
+    * sentence-length term is out of domain and the per-word terms are
+    * reported directly), and mean word length. Exact integer tallies,
+    * three final float divides rounded to 4.
+    *
+    * Scale notes: one codegen'd map pass (`regexp_count` per word) over
+    * the exploded word relation, then a sources-bounded rollup — linear,
+    * one shuffle.
+    */
+  def q164(spark: SparkSession, dir: String): DataFrame =
+    syllableProfile(Catalog(spark, dir).documents)
+
+  /** The Q164 computation as an API over any (source, text) relation. */
+  def syllableProfile(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("source"), length(col("w")).as("wlen"),
+        greatest(regexp_count(lower(col("w")), lit("[aeiouy]+")), lit(1))
+          .as("syl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("syl")).as("n_syllables"),
+        sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("n_complex"),
+        sum(col("wlen")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_syllables"),
+        col("n_complex"),
+        round(col("n_syllables").cast("double") / col("n_words"), 4)
+          .as("syllables_per_word"),
+        round(col("n_complex").cast("double") / col("n_words"), 4)
+          .as("complex_word_frac"),
+        round(col("n_chars").cast("double") / col("n_words"), 4)
+          .as("avg_word_len"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q164Oracle: String =
+    """WITH words AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |scored AS (
+      |  SELECT source, length(w) AS wlen,
+      |    GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1) AS syl
+      |  FROM words WHERE w <> ''),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_words,
+      |    CAST(SUM(syl) AS BIGINT) AS n_syllables,
+      |    CAST(SUM(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_complex,
+      |    CAST(SUM(wlen) AS BIGINT) AS n_chars
+      |  FROM scored GROUP BY 1)
+      |SELECT source, n_words, n_syllables, n_complex,
+      |  ROUND(CAST(n_syllables AS DOUBLE)/n_words, 4) AS syllables_per_word,
+      |  ROUND(CAST(n_complex AS DOUBLE)/n_words, 4) AS complex_word_frac,
+      |  ROUND(CAST(n_chars AS DOUBLE)/n_words, 4) AS avg_word_len
+      |FROM agg ORDER BY source NULLS FIRST""".stripMargin
+
+  /** Q167 — bigram conditional entropy H(w₂|w₁) per source, in bits: the
+    * sequence-predictability / compressibility diagnostic (Shannon's
+    * entropy rate at order 1). Low H = templated/repetitive text, high
+    * H = diverse text — the sequence-aware complement of Q66's unigram
+    * entropy and Q158's cross-source JSD. Probabilities are single IEEE
+    * divisions of exact counts and the ln terms follow the Q158 ln-parity
+    * discipline; only the final bits value is rounded (4).
+    *
+    * Scale notes: positional bigrams are a row-local transform+explode;
+    * everything after is (source, w1[, w2])-keyed aggregation —
+    * vocab²-bounded, one data-sized shuffle.
+    */
+  def q167(spark: SparkSession, dir: String): DataFrame =
+    bigramCondEntropy(Catalog(spark, dir).documents)
+
+  /** The Q167 computation as an API over any (source, text) relation. */
+  def bigramCondEntropy(docs: DataFrame): DataFrame = {
+    val big = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(element_at(toks, i + 1) AS w1,
+          |              element_at(toks, i + 2) AS w2))""".stripMargin)).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = big.groupBy(col("source"), col("w1")).agg(sum(col("c2")).as("c1"))
+    val n = big.groupBy(col("source")).agg(sum(col("c2")).as("nb"))
+    big.join(uni, Seq("source", "w1")).join(n, Seq("source"))
+      .groupBy(col("source"), col("nb"))
+      .agg(count(lit(1)).as("distinct_bigrams"),
+        round(-sum(col("c2").cast("double") / col("nb") *
+          log(col("c2").cast("double") / col("c1"))) / math.log(2.0), 4)
+          .as("cond_entropy_bits"))
+      .select(col("source"), col("nb").as("n_bigrams"),
+        col("distinct_bigrams"), col("cond_entropy_bits"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q167Oracle: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ')[i + 1] AS w1,
+      |    string_split(text, ' ')[i + 2] AS w2
+      |  FROM (SELECT source, text,
+      |          UNNEST(range(len(string_split(text, ' ')) - 1)) AS i
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+      |big AS (
+      |  SELECT source, w1, w2, COUNT(*) AS c2 FROM toks
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2, 3),
+      |uni AS (SELECT source, w1, SUM(c2) AS c1 FROM big GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(SUM(c2) AS BIGINT) AS nb FROM big GROUP BY 1)
+      |SELECT b.source, n.nb AS n_bigrams,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+      |  ROUND(-SUM(CAST(b.c2 AS DOUBLE)/n.nb
+      |             * ln(CAST(b.c2 AS DOUBLE)/u.c1)) / ln(2.0), 4)
+      |    AS cond_entropy_bits
+      |FROM big b
+      |JOIN uni u ON u.source = b.source AND u.w1 = b.w1
+      |JOIN n ON n.source = b.source
+      |GROUP BY b.source, n.nb
+      |ORDER BY b.source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
-    "Q96" -> (q96 _), "Q158" -> (q158 _))
+    "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
+    "Q167" -> (q167 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
-    "Q158" -> q158Oracle)
+    "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle)
 }

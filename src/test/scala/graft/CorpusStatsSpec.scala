@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{EventTime, Graphs, NearDup, Stats, TextAnalysis, TextOps}
+
+/** Model pins for the round-8 session-2 family: the end-to-end MinHash-LSH
+  * dedup pipeline (Q160), Spearman rank correlation (Q161), degree
+  * assortativity (Q162), Kruskal–Wallis (Q163), syllable complexity
+  * (Q164), inter-arrival gaps (Q165), the cross-source duplication matrix
+  * (Q166), and bigram conditional entropy (Q167). Cross-engine hashes are
+  * the DuckDB gates; these pin the MODELS on handcrafted data with local
+  * references, plus pipeline-consistency properties at sf0.001.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** Minimal lineitem mini-catalog: enough schema for Q161/Q162. */
+  private def writeLineitem(dir: String,
+      rows: Seq[(Long, Int, Long, Double, Double, Double, Double)]): Unit = {
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map {
+        case (ok, ln, pk, q, e, d, t) => Row(ok, ln, pk, q, e, d, t)
+      }, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Local midrank helper: value -> doubled midrank (2·cum + c + 1). */
+  private def midrank2(xs: Seq[Double]): Map[Double, Long] = {
+    val sorted = xs.sorted
+    val byVal = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    byVal.map { case (v, c) =>
+      v -> (2L * sorted.count(_ < v) + c + 1)
+    }
+  }
+
+  private def localSpearman(a: Seq[Double], b: Seq[Double]): Double = {
+    val (ra, rb) = (midrank2(a), midrank2(b))
+    val x = a.map(ra(_).toDouble); val y = b.map(rb(_).toDouble)
+    val n = x.size
+    val (sx, sy) = (x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (u, v) => u * v }.sum
+    (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("Q160 LSH pipeline: every pair exact-verified, subset of the exact engine, high recall") {
+    val got = NearDup.q160(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.6))
+    val c = Catalog(spark, sf("sf0.001"))
+    val exact = TextOps.jaccardFromTokens(spark, NearDup.shingles(c), 0.6)
+      .collect().map(r => (r.getAs[Long]("doc_lo"), r.getAs[Long]("doc_hi")))
+      .toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs.subsetOf(exact),
+      s"LSH emitted non-exact pairs: ${gotPairs.diff(exact)}")
+    assert(exact.nonEmpty)
+    // k=8/b=4 banding at the seeded-dup similarity level (J >= 0.9) has
+    // candidate probability ~1-(1-J^2)^4 > 0.999; recall well above half.
+    assert(gotPairs.size >= exact.size / 2,
+      s"recall ${gotPairs.size}/${exact.size}")
+  }
+
+  test("Q161 Spearman: +1 / -1 on monotone columns, midrank reference under ties") {
+    val dir = tmpDir("spearman-spec")
+    val q = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val tax = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0)
+    writeLineitem(dir, q.indices.map { i =>
+      (i.toLong, i, i.toLong, q(i), q(i) * 10 + 1, -q(i), tax(i))
+    })
+    val got = Stats.q161(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("l_quantity", "l_extendedprice")) === 1.0)
+    assert(got(("l_quantity", "l_discount")) === -1.0)
+    val ref = localSpearman(q, tax)
+    assert(math.abs(got(("l_quantity", "l_tax")) - ref) < 1e-3)
+  }
+
+  test("Q162 assortativity is -1 on a support-pruned star") {
+    val dir = tmpDir("assort-spec")
+    // parts {1,2},{1,3},{1,4} each co-ordered twice -> star around 1;
+    // a noise pair {5,6} seen once is support-pruned away.
+    val orders = Seq(
+      Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 3L),
+      Seq(1L, 4L), Seq(1L, 4L), Seq(5L, 6L))
+    writeLineitem(dir, orders.zipWithIndex.flatMap { case (parts, oi) =>
+      parts.zipWithIndex.map { case (pk, li) =>
+        (oi.toLong, li, pk, 1.0, 1.0, 0.0, 0.0)
+      }
+    })
+    val r = Graphs.q162(spark, dir).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("Q163 Kruskal-Wallis matches a local midrank reference with ties") {
+    val groups = Map(
+      "alpha" -> Seq(1.0, 2.0, 3.0),
+      "beta" -> Seq(2.0, 3.0, 4.0, 4.0),
+      "gamma" -> Seq(10.0, 11.0))
+    val rows = groups.toSeq.flatMap { case (t, vs) => vs.map(t -> _) }
+    val pooled = rows.map(_._2)
+    val r2 = midrank2(pooled)
+    val n = pooled.size
+    val sr = groups.values.map { vs =>
+      val rsum = vs.map(r2(_).toDouble / 2).sum
+      rsum * rsum / vs.size
+    }.sum
+    val h = 12.0 * sr / (n * (n + 1.0)) - 3 * (n + 1)
+    val tie3 = pooled.groupBy(identity).values
+      .map(g => { val c = g.size.toDouble; c * c * c - c }).sum
+    val hc = h / (1.0 - tie3 / (n.toDouble * n * n - n))
+
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val dir = tmpDir("kw-spec")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (t, v) => Row(t, v) }, 2),
+      schema)
+      .selectExpr("monotonically_increasing_id() AS event_id",
+        "timestamp '2024-01-01 00:00:00' AS ts",
+        "CAST(0 AS BIGINT) AS user_id", "event_type", "value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.q163(spark, dir).collect().head
+    assert(got.getAs[Long]("n") === n.toLong)
+    assert(got.getAs[Long]("k") === 3L)
+    assert(got.getAs[Long]("dof") === 2L)
+    assert(math.abs(got.getAs[Double]("h") - h) < 1e-3)
+    assert(math.abs(got.getAs[Double]("h_tie_corrected") - hc) < 1e-3)
+  }
+
+  test("Q164 syllable model: vowel groups, floor at 1, >=3 is complex") {
+    import spark.implicits._
+    val docs = Seq(("s", "hello rhythm bcd beautiful a")).toDF("source", "text")
+    val r = TextAnalysis.syllableProfile(docs).collect().head
+    assert(r.getAs[Long]("n_words") === 5L)
+    // hello=2, rhythm=1 (y), bcd=0->1 floored, beautiful=3 (eau,i,u), a=1
+    assert(r.getAs[Long]("n_syllables") === 8L)
+    assert(r.getAs[Long]("n_complex") === 1L)
+    assert(r.getAs[Double]("syllables_per_word") === 1.6)
+    assert(r.getAs[Double]("complex_word_frac") === 0.2)
+    assert(r.getAs[Double]("avg_word_len") === 4.8)
+  }
+
+  test("Q165 inter-arrival gaps: handcrafted percentiles and mean") {
+    import spark.implicits._
+    val e = Seq(("a", 0L, 1L), ("a", 10L, 2L), ("a", 30L, 3L),
+      ("a", 100L, 4L)).toDF("event_type", "us", "event_id")
+    val r = EventTime.interArrival(e).collect().head
+    assert(r.getAs[Long]("n_gaps") === 3L)
+    assert(r.getAs[Long]("min_us") === 10L)
+    assert(r.getAs[Long]("max_us") === 70L)
+    // gaps sorted [10, 20, 70]: p50 = 20; p90 = 20 + 0.8*(70-20) = 60;
+    // p99 = 20 + 0.98*50 = 69; mean = 100/3
+    assert(r.getAs[Double]("p50_us") === 20.0)
+    assert(r.getAs[Double]("p90_us") === 60.0)
+    assert(r.getAs[Double]("p99_us") === 69.0)
+    assert(r.getAs[Double]("mean_us") === 33.3333)
+  }
+
+  test("Q166 matrix totals equal the exact verified pair count at sf0.001") {
+    val c = Catalog(spark, sf("sf0.001"))
+    val exactPairs = TextOps
+      .jaccardFromTokens(spark, NearDup.shingles(c), 0.6).count()
+    val cells = NearDup.q166(spark, sf("sf0.001")).collect()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum === exactPairs)
+    assert(cells.forall(r =>
+      r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
+  }
+
+  test("Q167 bigram entropy: deterministic sequence = 0 bits, fair branch = 2/3 bit") {
+    import spark.implicits._
+    val docs = Seq(("det", "a b a b a b a"), ("mix", "x a x b"))
+      .toDF("source", "text")
+    val got = TextAnalysis.bigramCondEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("distinct_bigrams"),
+          r.getAs[Double]("cond_entropy_bits"))).toMap
+    // det: (a,b)x3, (b,a)x3 — every prefix has one successor
+    assert(got("det") === ((6L, 2L, 0.0)))
+    // mix: (x,a), (a,x), (x,b) — prefix x branches 50/50 on 2/3 of mass
+    val (nb, db, hb) = got("mix")
+    assert(nb === 3L && db === 3L)
+    assert(math.abs(hb - 2.0 / 3.0) < 1e-3)
+  }
+}
