@@ -1678,6 +1678,76 @@ object EventTime {
       |GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q169 — GLOBAL session-length distribution: Q42's gaps-and-islands
+    * sessionization (30-min inactivity gap) rolled up corpus-wide —
+    * session count, single-event "bounce" sessions, interpolated
+    * p50/p90/max of events-per-session and of session duration. The
+    * engagement-shape diagnostic next to Q42's per-user view: bounce
+    * share and the p90 tail are what capacity and UX decisions read.
+    *
+    * Exactness: session boundaries are integer-µs comparisons under the
+    * (us, event_id) total order; durations are exact integer µs;
+    * percentiles are the shared interpolated form (Q153 pairing).
+    * Scale notes: one per-user window sort (shared with every
+    * sessionization gate), one (user, session) aggregate, then a
+    * single-row reduce over one row per session — linear, two shuffles.
+    */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(expr("percentile(n_events, 0.5D)"), 4).as("p50_events"),
+        round(expr("percentile(n_events, 0.9D)"), 4).as("p90_events"),
+        max(col("n_events")).as("max_events"),
+        round(expr("percentile(dur_us, 0.5D)"), 4).as("p50_dur_us"),
+        round(expr("percentile(dur_us, 0.9D)"), 4).as("p90_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+  }
+
+  val q169Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+      |      AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    MAX(us) - MIN(us) AS dur_us
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  ROUND(QUANTILE_CONT(n_events, 0.5), 4) AS p50_events,
+      |  ROUND(QUANTILE_CONT(n_events, 0.9), 4) AS p90_events,
+      |  CAST(MAX(n_events) AS BIGINT) AS max_events,
+      |  ROUND(QUANTILE_CONT(dur_us, 0.5), 4) AS p50_dur_us,
+      |  ROUND(QUANTILE_CONT(dur_us, 0.9), 4) AS p90_dur_us,
+      |  CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+      |FROM per_sess""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1687,7 +1757,7 @@ object EventTime {
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
     "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
-    "Q157" -> (q157 _), "Q165" -> (q165 _))
+    "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1699,5 +1769,5 @@ object EventTime {
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
     "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
-    "Q157" -> q157Oracle, "Q165" -> q165Oracle)
+    "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle)
 }

@@ -997,15 +997,117 @@ object Graphs {
       |    AS assortativity
       |FROM ed""".stripMargin
 
+  /** Q168 — Newman modularity of the Q156 label-propagation communities:
+    * Q = Σ_c [ intra_c/m − (d_c/2m)² ] over the support-pruned co-order
+    * graph, computed as Σ_c [ intra2_c/2m − (d_c/2m)² ] from the directed
+    * edge list (intra2 = both orientations of intra-community edges).
+    * The community QUALITY score Q156 itself cannot see — near 0 means
+    * the partition explains no more edge mass than a random degree-
+    * preserving graph, so downstream per-community processing won't
+    * localize work. Counts are exact int64; Q is one float expression
+    * over the exactly-cast sums, rounded to 4.
+    *
+    * Scale notes: LPA is the Q156 engine (3 bounded rounds, one
+    * join+groupBy each); the modularity terms add two label-keyed
+    * broadcast-able joins and a communities-bounded reduce. Nothing
+    * enumerates beyond the edge list.
+    */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+      .localCheckpoint()
+    val labels = labelPropagation(edges, LpaRounds)
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val mRow = edges.agg(count(lit(1)).as("m"))
+    val intra2 = directed
+      .join(labels.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra2"))
+    val dsum = labels.join(deg, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("d")).as("dtot"))
+    val terms = dsum.join(intra2, Seq("label"), "left")
+      .select(col("label"), coalesce(col("intra2"), lit(0L)).as("intra2"),
+        col("dtot"))
+    terms.crossJoin(mRow)
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges"),
+        round(sum(col("intra2").cast("double") / (lit(2) * col("m")) -
+          (col("dtot").cast("double") / (lit(2) * col("m"))) *
+            (col("dtot").cast("double") / (lit(2) * col("m")))), 4)
+          .as("modularity"))
+  }
+
+  val q168Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+      |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+      |    GROUP BY 1, 2)
+      |  WHERE c >= 2),
+      |de AS MATERIALIZED (SELECT a AS node, b AS dst FROM e
+      |                    UNION ALL SELECT b AS node, a AS dst FROM e),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM de),
+      |v1 AS (SELECT de.node, l0.label, COUNT(*) AS cnt
+      |       FROM de JOIN l0 ON l0.node = de.dst GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v1)
+      |  WHERE rn = 1),
+      |v2 AS (SELECT de.node, l1.label, COUNT(*) AS cnt
+      |       FROM de JOIN l1 ON l1.node = de.dst GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v2)
+      |  WHERE rn = 1),
+      |v3 AS (SELECT de.node, l2.label, COUNT(*) AS cnt
+      |       FROM de JOIN l2 ON l2.node = de.dst GROUP BY 1, 2),
+      |l3 AS MATERIALIZED (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v3)
+      |  WHERE rn = 1),
+      |m AS (SELECT COUNT(*) AS m FROM e),
+      |deg AS (SELECT node, COUNT(*) AS d FROM de GROUP BY 1),
+      |intra AS (
+      |  SELECT la.label, COUNT(*) AS intra2
+      |  FROM de JOIN l3 la ON la.node = de.node JOIN l3 lb ON lb.node = de.dst
+      |  WHERE la.label = lb.label
+      |  GROUP BY 1),
+      |dsum AS (
+      |  SELECT l3.label, CAST(SUM(deg.d) AS BIGINT) AS dtot
+      |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1),
+      |terms AS (
+      |  SELECT ds.label, COALESCE(i.intra2, 0) AS intra2, ds.dtot
+      |  FROM dsum ds LEFT JOIN intra i ON i.label = ds.label)
+      |SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+      |  (SELECT m FROM m) AS n_edges,
+      |  ROUND(SUM(CAST(intra2 AS DOUBLE)/(2*(SELECT m FROM m))
+      |        - (CAST(dtot AS DOUBLE)/(2*(SELECT m FROM m)))
+      |          * (CAST(dtot AS DOUBLE)/(2*(SELECT m FROM m)))), 4)
+      |    AS modularity
+      |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
-    "Q156" -> (q156 _), "Q162" -> (q162 _))
+    "Q156" -> (q156 _), "Q162" -> (q162 _), "Q168" -> (q168 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
-    "Q156" -> q156Oracle, "Q162" -> q162Oracle)
+    "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle)
 }

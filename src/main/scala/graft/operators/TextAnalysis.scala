@@ -667,15 +667,71 @@ object TextAnalysis {
       |GROUP BY b.source, n.nb
       |ORDER BY b.source NULLS FIRST""".stripMargin
 
+  /** Q170 — vocabulary concentration per source: token mass, vocabulary
+    * size, hapax legomena (freq-1 types — the Heaps'-law growth frontier:
+    * their share predicts how fast vocab grows with more data), and
+    * top-10-type mass share (Zipf head concentration). Complements Q89
+    * (TTR/diversity) with the two ends of the frequency spectrum. All
+    * tallies exact int64; two final divides rounded to 4.
+    *
+    * Scale notes: one (source, token) map-side-combined aggregate, one
+    * per-source rank window over the VOCAB relation (bounded by distinct
+    * types, not tokens), one sources-bounded rollup.
+    */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("c"), asc("token"))
+    c.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("hapax_frac"),
+        round(sum(when(col("rk") <= 10, col("c")).otherwise(0L)).cast("double") /
+          sum(col("c")), 4).as("top10_mass_frac"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q170Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, token, COUNT(*) AS c FROM tok
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, token)
+      |      AS rk
+      |  FROM cnt)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 4) AS hapax_frac,
+      |  ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+      |    / SUM(c), 4) AS top10_mass_frac
+      |FROM ranked
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
-    "Q167" -> (q167 _))
+    "Q167" -> (q167 _), "Q170" -> (q170 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
-    "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle)
+    "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
+    "Q170" -> q170Oracle)
 }

@@ -242,9 +242,79 @@ object VectorOps {
     (components, eigvals, projected)
   }
 
+  /** Q171 — per-label embedding cluster geometry: centroid norm and mean
+    * within-cluster dispersion, via the variance decomposition
+    * avg‖x−c‖² = avg‖x‖² − ‖c‖². For the unit-normalized corpus,
+    * centroid norm IS intra-label cohesion (1 = all vectors identical,
+    * → 0 = label carries no direction) — the health check before cosine
+    * ANN (Q38/Q50) or per-label centroid routing (Q39/IVF) is trusted.
+    *
+    * Determinism: per-vector ‖x‖² is a row-local codegen'd fold in fixed
+    * element order; per-dimension means are double sums of exact
+    * float32→double values whose cross-engine accumulation-order error
+    * (~1e-12 relative) sits far inside the 1e-4 rounding grid (Q137
+    * precedent). Scale notes: one explode to (label, dim) cells —
+    * labels×dims bounded — plus one row-local map; no vector ever
+    * crosses the network whole.
+    */
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val coords = c.embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("label"), col("vec_id"), col("d"),
+        col("xf").cast("double").as("x"))
+    val dimmean = coords.groupBy(col("label"), col("d"))
+      .agg((sum(col("x")) / count(lit(1))).as("mu"))
+    val cent = dimmean.groupBy(col("label"))
+      .agg(sqrt(sum(col("mu") * col("mu"))).as("cn"))
+    val sq = c.embeddings.select(col("label"),
+      expr("aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+        .as("s"))
+    val avgsq = sq.groupBy(col("label"))
+      .agg((sum(col("s")) / count(lit(1))).as("asq"),
+        count(lit(1)).as("n_vecs"))
+    avgsq.join(cent, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("cn"), 4).as("centroid_norm"),
+        round(col("asq") - col("cn") * col("cn"), 4).as("dispersion"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q171Oracle: String =
+    """WITH coords AS (
+      |  SELECT label, vec_id, CAST(x AS DOUBLE) AS x
+      |  FROM (SELECT label, vec_id, UNNEST(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |dimmean AS (
+      |  SELECT label, d, SUM(x) / COUNT(*) AS mu
+      |  FROM (SELECT label, vec_id, CAST(x AS DOUBLE) AS x, d
+      |        FROM (SELECT label, vec_id, UNNEST(embedding) AS x,
+      |                generate_subscripts(embedding, 1) AS d
+      |              FROM embeddings))
+      |  GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label, SQRT(SUM(mu * mu)) AS cn FROM dimmean GROUP BY 1),
+      |sq AS (
+      |  SELECT label, vec_id,
+      |    list_aggregate(list_transform(embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum') AS s
+      |  FROM embeddings),
+      |avgsq AS (
+      |  SELECT label, SUM(s) / COUNT(*) AS asq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM sq GROUP BY 1)
+      |SELECT a.label, a.n_vecs,
+      |  ROUND(c.cn, 4) AS centroid_norm,
+      |  ROUND(a.asq - c.cn * c.cn, 4) AS dispersion
+      |FROM avgsq a JOIN cent c ON c.label = a.label
+      |ORDER BY a.label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _))
+    "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _))
 
   def oracles: Map[String, String] = Map(
-    "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle)
+    "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
+    "Q171" -> q171Oracle)
 }

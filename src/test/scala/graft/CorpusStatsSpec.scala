@@ -183,6 +183,88 @@ class CorpusStatsSpec extends SparkSpec {
       r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
   }
 
+  test("Q168 modularity of two clean LPA triangles is 0.5") {
+    val dir = tmpDir("modularity-spec")
+    // two disjoint triangles, every edge co-ordered twice (support prune
+    // keeps all six); LPA(3) converges to the min label per triangle.
+    val triEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    writeLineitem(dir, triEdges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(2 * i, 2 * i + 1).flatMap { oi =>
+        Seq((oi.toLong, 0, a, 1.0, 1.0, 0.0, 0.0),
+          (oi.toLong, 1, b, 1.0, 1.0, 0.0, 0.0))
+      }
+    })
+    val r = Graphs.q168(spark, dir).collect().head
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    // per community: intra2/2m - (dtot/2m)^2 = 6/12 - (6/12)^2 = 0.25
+    assert(r.getAs[Double]("modularity") === 0.5)
+  }
+
+  test("Q169 session distribution on handcrafted sessions") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("us", LongType)))
+    val dir = tmpDir("sessdist-spec")
+    // user 1: 0s, 10s, 2000s -> sessions [0,10] and [2000]; user 2: one
+    val rows = Seq((1L, 1L, 0L), (2L, 1L, 10000000L), (3L, 1L, 2000000000L),
+      (4L, 2L, 0L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map {
+        case (e, u, us) => Row(e, u, us)
+      }, 2), schema)
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventTime.q169(spark, dir).collect().head
+    assert(r.getAs[Long]("n_sessions") === 3L)
+    assert(r.getAs[Long]("n_bounce") === 2L)
+    // events/session sorted [1,1,2]: p50 = 1, p90 = 1 + 0.8*(2-1) = 1.8
+    assert(r.getAs[Double]("p50_events") === 1.0)
+    assert(r.getAs[Double]("p90_events") === 1.8)
+    assert(r.getAs[Long]("max_events") === 2L)
+    // durations sorted [0, 0, 10^7]: p50 = 0, p90 = 0.8*10^7
+    assert(r.getAs[Double]("p50_dur_us") === 0.0)
+    assert(r.getAs[Double]("p90_dur_us") === 8000000.0)
+    assert(r.getAs[Long]("max_dur_us") === 10000000L)
+  }
+
+  test("Q170 vocab concentration: hapax and head mass on handcrafted text") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = tmpDir("vocab-spec")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(0L, "s", "a a a b c")), 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.q170(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("vocab_size") === 3L)
+    assert(r.getAs[Long]("n_hapax") === 2L)
+    assert(r.getAs[Double]("hapax_frac") === 0.6667)
+    assert(r.getAs[Double]("top10_mass_frac") === 1.0)
+  }
+
+  test("Q171 cluster geometry: identical vectors cohere, opposed vectors cancel") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = tmpDir("geom-spec")
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f), 0), Row(1L, Seq(1.0f, 0.0f), 0),
+      Row(2L, Seq(1.0f, 0.0f), 1), Row(3L, Seq(-1.0f, 0.0f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.q171(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_norm"),
+          r.getAs[Double]("dispersion"))).toMap
+    assert(got(0) === ((2L, 1.0, 0.0)))
+    assert(got(1) === ((2L, 0.0, 1.0)))
+  }
+
   test("Q167 bigram entropy: deterministic sequence = 0 bits, fair branch = 2/3 bit") {
     import spark.implicits._
     val docs = Seq(("det", "a b a b a b a"), ("mix", "x a x b"))
