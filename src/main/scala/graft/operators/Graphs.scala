@@ -956,12 +956,15 @@ object Graphs {
       sum(col("dx") * col("dx")).cast("double").as("sxx"),
       sum(col("dy") * col("dy")).cast("double").as("syy"),
       sum(col("dx") * col("dy")).cast("double").as("sxy"))
+    // NULL on a degree-regular graph (zero degree variance, e.g. one
+    // isolated edge) — the Q125 degenerate rule, mirrored by NULLIF.
+    val num = col("m").cast("double") * col("sxy") - col("sx") * col("sy")
+    val den =
+      sqrt((col("m").cast("double") * col("sxx") - col("sx") * col("sx")) *
+        (col("m").cast("double") * col("syy") - col("sy") * col("sy")))
     nNodes.crossJoin(sums)
       .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
-        round((col("m").cast("double") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("m").cast("double") * col("sxx") - col("sx") * col("sx")) *
-            (col("m").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
-          .as("assortativity"))
+        round(num / when(den =!= 0, den), 4).as("assortativity"))
   }
 
   val q162Oracle: String =
@@ -990,10 +993,10 @@ object Graphs {
       |  CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
       |  ROUND((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dx*dy) AS DOUBLE)
       |           - CAST(SUM(dx) AS DOUBLE)*CAST(SUM(dy) AS DOUBLE)) /
-      |        SQRT((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dx*dx) AS DOUBLE)
+      |        NULLIF(SQRT((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dx*dx) AS DOUBLE)
       |           - CAST(SUM(dx) AS DOUBLE)*CAST(SUM(dx) AS DOUBLE)) *
       |             (CAST(COUNT(*) AS DOUBLE)*CAST(SUM(dy*dy) AS DOUBLE)
-      |           - CAST(SUM(dy) AS DOUBLE)*CAST(SUM(dy) AS DOUBLE))), 4)
+      |           - CAST(SUM(dy) AS DOUBLE)*CAST(SUM(dy) AS DOUBLE))), 0), 4)
       |    AS assortativity
       |FROM ed""".stripMargin
 

@@ -509,13 +509,16 @@ object Stats {
       .agg(count(lit(1)).as("n"), aggExprs: _*)
       .cache()
     pairsIdx.map { case (a, b) =>
+      // NULL on zero rank variance (a constant measure) — the Q125
+      // degenerate-series rule, mirrored by the oracle's NULLIF.
+      val num = col("n").cast("double") * col(s"sp_${a}_$b") -
+        col(s"s_$a") * col(s"s_$b")
+      val den = sqrt((col("n").cast("double") * col(s"ss_$a") -
+          col(s"s_$a") * col(s"s_$a")) *
+        (col("n").cast("double") * col(s"ss_$b") -
+          col(s"s_$b") * col(s"s_$b")))
       sums.select(lit(a).as("measure_a"), lit(b).as("measure_b"), col("n"),
-        round((col("n").cast("double") * col(s"sp_${a}_$b") -
-            col(s"s_$a") * col(s"s_$b")) /
-          sqrt((col("n").cast("double") * col(s"ss_$a") -
-              col(s"s_$a") * col(s"s_$a")) *
-            (col("n").cast("double") * col(s"ss_$b") -
-              col(s"s_$b") * col(s"s_$b"))), 4).as("spearman_r"))
+        round(num / when(den =!= 0, den), 4).as("spearman_r"))
     }.reduce(_ union _)
       .orderBy(asc_nulls_first("measure_a"), asc_nulls_first("measure_b"))
   }
@@ -535,8 +538,8 @@ object Stats {
       val (a, b) = (meas(i), meas(j))
       s"""SELECT '$a' AS measure_a, '$b' AS measure_b, n,
          |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) /
-         |        SQRT((CAST(n AS DOUBLE)*sxx - sx*sx) *
-         |             (CAST(n AS DOUBLE)*syy - sy*sy)), 4) AS spearman_r
+         |        NULLIF(SQRT((CAST(n AS DOUBLE)*sxx - sx*sx) *
+         |             (CAST(n AS DOUBLE)*syy - sy*sy)), 0), 4) AS spearman_r
          |FROM (
          |  SELECT COUNT(*) AS n,
          |    CAST(SUM(r2_$a) AS DOUBLE) AS sx,
@@ -587,12 +590,14 @@ object Stats {
       sum(col("c") * col("c") * col("c") - col("c")).cast("double").as("tie3"))
     val h = lit(12.0) * col("sr") /
       (col("n").cast("double") * (col("n") + 1)) - lit(3.0) * (col("n") + 1)
+    // NULL tie-corrected H when every pooled value is identical (the
+    // correction denominator hits 0) or n = 1 — mirrored by NULLIF.
+    val inner = col("n").cast("double") * col("n") * col("n") - col("n")
+    val corr = lit(1.0) - col("tie3") / when(inner =!= 0, inner)
     tot.crossJoin(ties)
       .select(col("n"), col("k"), (col("k") - 1).as("dof"),
         round(h, 4).as("h"),
-        round(h / (lit(1.0) - col("tie3") /
-          (col("n").cast("double") * col("n") * col("n") - col("n"))), 4)
-          .as("h_tie_corrected"))
+        round(h / when(corr =!= 0, corr), 4).as("h_tie_corrected"))
   }
 
   val q163Oracle: String =
@@ -618,7 +623,8 @@ object Stats {
       |SELECT n, k, k - 1 AS dof,
       |  ROUND(12.0*sr/(CAST(n AS DOUBLE)*(n+1)) - 3.0*(n+1), 4) AS h,
       |  ROUND((12.0*sr/(CAST(n AS DOUBLE)*(n+1)) - 3.0*(n+1)) /
-      |        (1.0 - tie3/(CAST(n AS DOUBLE)*n*n - n)), 4) AS h_tie_corrected
+      |        NULLIF(1.0 - tie3/NULLIF(CAST(n AS DOUBLE)*n*n - n, 0), 0), 4)
+      |    AS h_tie_corrected
       |FROM tot CROSS JOIN ties""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

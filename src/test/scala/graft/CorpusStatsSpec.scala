@@ -265,6 +265,42 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1) === ((2L, 0.0, 1.0)))
   }
 
+  test("degenerate inputs: constant measure / regular graph / all-tied values go NULL, not NaN") {
+    // Q161: l_tax constant -> zero rank variance -> spearman_r NULL
+    val dir1 = tmpDir("degen-spearman")
+    writeLineitem(dir1, (0 until 4).map { i =>
+      (i.toLong, i, i.toLong, i + 1.0, (i + 1.0) * 10, -(i + 1.0), 7.0)
+    })
+    val s = Stats.q161(spark, dir1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(s(("l_quantity", "l_tax")).isNullAt(3))
+    assert(s(("l_quantity", "l_extendedprice")).getDouble(3) === 1.0)
+
+    // Q162: one support-pruned edge -> both degrees 1 -> NULL
+    val dir2 = tmpDir("degen-assort")
+    writeLineitem(dir2, Seq(
+      (0L, 0, 1L, 1.0, 1.0, 0.0, 0.0), (0L, 1, 2L, 1.0, 1.0, 0.0, 0.0),
+      (1L, 0, 1L, 1.0, 1.0, 0.0, 0.0), (1L, 1, 2L, 1.0, 1.0, 0.0, 0.0)))
+    val g = Graphs.q162(spark, dir2).collect().head
+    assert(g.getAs[Long]("n_edges") === 1L)
+    assert(g.isNullAt(g.fieldIndex("assortativity")))
+
+    // Q163: every value identical -> tie correction denominator 0 -> NULL
+    val dir3 = tmpDir("degen-kw")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("a", 5.0), Row("a", 5.0), Row("b", 5.0)), 2), schema)
+      .selectExpr("monotonically_increasing_id() AS event_id",
+        "timestamp '2024-01-01 00:00:00' AS ts",
+        "CAST(0 AS BIGINT) AS user_id", "event_type", "value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir3/events.parquet")
+    val k = Stats.q163(spark, dir3).collect().head
+    assert(k.isNullAt(k.fieldIndex("h_tie_corrected")))
+  }
+
   test("Q167 bigram entropy: deterministic sequence = 0 bits, fair branch = 2/3 bit") {
     import spark.implicits._
     val docs = Seq(("det", "a b a b a b a"), ("mix", "x a x b"))
