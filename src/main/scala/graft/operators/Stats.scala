@@ -505,10 +505,10 @@ object Stats {
       meas.map(m => sum(d(m) * d(m)).cast("double").as(s"ss_$m")) ++
       pairsIdx.map { case (a, b) =>
         sum(d(a) * d(b)).cast("double").as(s"sp_${a}_$b") }
-    val sums = withRanks
-      .agg(count(lit(1)).as("n"), aggExprs: _*)
-      .cache()
-    pairsIdx.map { case (a, b) =>
+    val sums = withRanks.agg(count(lit(1)).as("n"), aggExprs: _*)
+    // All six pair correlations come off the ONE single-row sums result
+    // (struct-array + explode — no 6-way union re-deriving the aggregate).
+    val pairStructs = pairsIdx.map { case (a, b) =>
       // NULL on zero rank variance (a constant measure) — the Q125
       // degenerate-series rule, mirrored by the oracle's NULLIF.
       val num = col("n").cast("double") * col(s"sp_${a}_$b") -
@@ -517,9 +517,13 @@ object Stats {
           col(s"s_$a") * col(s"s_$a")) *
         (col("n").cast("double") * col(s"ss_$b") -
           col(s"s_$b") * col(s"s_$b")))
-      sums.select(lit(a).as("measure_a"), lit(b).as("measure_b"), col("n"),
+      struct(lit(a).as("measure_a"), lit(b).as("measure_b"),
         round(num / when(den =!= 0, den), 4).as("spearman_r"))
-    }.reduce(_ union _)
+    }
+    sums
+      .select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.measure_a"), col("p.measure_b"), col("n"),
+        col("p.spearman_r"))
       .orderBy(asc_nulls_first("measure_a"), asc_nulls_first("measure_b"))
   }
 
