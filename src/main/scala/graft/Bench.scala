@@ -96,6 +96,14 @@ object Bench {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         spark = newSession()
+        // Prime the fresh session OUTSIDE any timed region: the first
+        // post-recycle query otherwise absorbs the old context's async
+        // teardown (executor/block-manager cleanup of 30 queries' state)
+        // plus fresh-session catalog/footer setup across ALL THREE of its
+        // timed runs — observed as Q145 at 8.66 s full-registry vs 3.07 s
+        // dedicated on the same build. One untimed materialization of the
+        // chunk head soaks both before timing starts.
+        materialize(chunk.head)
       }
       chunk.map { name =>
         val runs = (1 to 3).map(_ => materialize(name)).filter(_ >= 0).sorted

@@ -888,15 +888,79 @@ object NearDup {
       |FROM srcd GROUP BY 1, 2
       |ORDER BY src_lo NULLS FIRST, src_hi NULLS FIRST""".stripMargin
 
+  /** Q172 — 13-gram cross-document duplication rate per source (the
+    * substring-dedup diagnostic of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at the audit
+    * granularity): the share of a source's 13-gram instances that also
+    * occur in some OTHER document (or twice in-document), plus how many
+    * of its docs carry any duplicated gram. Q80 catches exact shared
+    * chunks and Q49/Q160 catch whole-document near-dups; this measures
+    * the PARTIAL-overlap mass those miss — boilerplate headers, quoted
+    * passages, template fragments.
+    *
+    * Hash discipline: grams are md5'd (file rule) so the df relation
+    * joins on a fixed-width key in both engines. Scale notes: gram
+    * explode is row-local and linear; df is one (gram)-keyed map-side-
+    * combined aggregate; the flag join is gram-keyed. Nothing pairwise.
+    */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grams = c.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 13)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 13),
+          |  i -> md5(concat_ws(' ', slice(toks, i + 1, 13))))""".stripMargin))
+        .as("g"))
+    val df = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(df, Seq("g"))
+      .select(col("source"), col("doc_id"),
+        when(col("df") > 1, 1L).otherwise(0L).as("dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("dup")).as("n_dup_grams"),
+        round(sum(col("dup")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"),
+        countDistinct(when(col("dup") === 1, col("doc_id")))
+          .as("n_docs_with_dup"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q172Oracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, source,
+      |    md5(list_aggregate(list_slice(toks, i + 1, i + 13),
+      |        'string_agg', ' ')) AS g
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |          UNNEST(range(len(string_split(text, ' ')) - 12)) AS i
+      |        FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 13)),
+      |df AS (
+      |  SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1),
+      |flagged AS (
+      |  SELECT gr.source, gr.doc_id,
+      |    CASE WHEN df.df > 1 THEN 1 ELSE 0 END AS dup
+      |  FROM grams gr JOIN df ON df.g = gr.g)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(dup) AS BIGINT) AS n_dup_grams,
+      |  ROUND(CAST(SUM(dup) AS DOUBLE) / COUNT(*), 4) AS dup_frac,
+      |  CAST(COUNT(DISTINCT CASE WHEN dup = 1 THEN doc_id END) AS BIGINT)
+      |    AS n_docs_with_dup
+      |FROM flagged
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
-    "Q166" -> (q166 _))
+    "Q166" -> (q166 _), "Q172" -> (q172 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
-    "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle)
+    "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
+    "Q172" -> q172Oracle)
 }

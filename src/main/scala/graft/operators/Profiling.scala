@@ -644,14 +644,74 @@ object Profiling {
       |FROM w
       |ORDER BY priority NULLS FIRST, digit""".stripMargin
 
+  /** Q174 — decile gains table of customer revenue (the lift/gains
+    * analysis behind "top decile drives X% of revenue"): customers
+    * ranked by exact-cent revenue into NTILE(10) deciles, per-decile
+    * revenue share and cumulative share. The actionable companion to
+    * Q127's single-number Gini: the same concentration, read as a
+    * curve. Revenue is exact integer cents (Q127 row-level fix);
+    * shares are two final float divides rounded to 4.
+    *
+    * Scale notes: one order-keyed aggregate to per-customer cents, one
+    * rank window over the customer relation, a 10-row rollup + a
+    * 10-row cumulative window. At 100 TB the NTILE boundary comes from
+    * the C15 quantile-sketch path exactly as Q104's scaladoc lays out;
+    * the decile rollup itself is map-side combinable.
+    */
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val rev = c.orders
+      .select(col("o_custkey").as("cust"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("cust")).agg(sum(col("cents")).as("cents"))
+    val wDec = Window.orderBy(desc("cents"), asc("cust"))
+    val wCum = Window.orderBy(asc("decile")).rowsBetween(Long.MinValue, 0)
+    val tot = rev.agg(sum(col("cents")).as("t"))
+    rev.withColumn("decile", ntile(10).over(wDec))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("revenue_cents"))
+      .crossJoin(tot)
+      .withColumn("revenue_share",
+        round(col("revenue_cents").cast("double") / col("t"), 4))
+      .withColumn("cum_share",
+        round(sum(col("revenue_cents")).over(wCum).cast("double") /
+          col("t"), 4))
+      .select(col("decile"), col("n_customers"), col("revenue_cents"),
+        col("revenue_share"), col("cum_share"))
+      .orderBy(asc("decile"))
+  }
+
+  val q174Oracle: String =
+    """WITH rev AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |dec AS (
+      |  SELECT cust, cents,
+      |    NTILE(10) OVER (ORDER BY cents DESC, cust) AS decile FROM rev),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev)
+      |SELECT decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |  ROUND(CAST(SUM(cents) AS DOUBLE) / (SELECT t FROM tot), 4)
+      |    AS revenue_share,
+      |  ROUND(CAST(SUM(SUM(cents)) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (SELECT t FROM tot), 4) AS cum_share
+      |FROM dec
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
-    "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _))
+    "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
+    "Q174" -> (q174 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
-    "Q159" -> q159Oracle)
+    "Q159" -> q159Oracle, "Q174" -> q174Oracle)
 }

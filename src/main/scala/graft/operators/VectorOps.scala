@@ -311,10 +311,76 @@ object VectorOps {
       |FROM avgsq a JOIN cent c ON c.label = a.label
       |ORDER BY a.label NULLS FIRST""".stripMargin
 
+  /** Q173 — leave-one-out 1-NN label accuracy for the probe set
+    * (vec_id < 100): each probe's nearest other vector by dot product
+    * (unit corpus → cosine), scored against its own label — the
+    * standard intrinsic embedding-quality eval (does the space cluster
+    * by label?) that Q171's geometry summarizes and this gate tests
+    * behaviorally. The ranking key is the dot ROUNDED to 6 (then
+    * candidate id): both engines fold the product in identical element
+    * order, and the rounding grid absorbs any sub-ULP accumulation
+    * difference so the argmax can never flip on noise.
+    *
+    * Scale notes: probe×corpus is a bounded-probe linear scan (the
+    * Q38 brute-force shape); at corpus×corpus scale the same question
+    * routes through the IVF/PQ ANN capabilities instead. The per-pair
+    * fold is codegen'd zip_with/aggregate; top-1 is a per-probe
+    * window over the probe-keyed relation.
+    */
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val probe = c.embeddings.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding").as("pe"),
+        col("label").as("true_label"))
+    val cand = c.embeddings
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label").as("cand_label"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("rdot"), asc("cand_id"))
+    probe.join(cand, col("cand_id") =!= col("vec_id"))
+      .withColumn("rdot", round(expr(
+        """aggregate(zip_with(pe, ce,
+          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+          |  0D, (acc, x) -> acc + x)""".stripMargin), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("cand_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(when(col("cand_label") === col("true_label"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 4).as("accuracy"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q173Oracle: String =
+    """WITH probe AS (
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 100),
+      |scored AS (
+      |  SELECT p.vec_id, p.label AS true_label, c.label AS cand_label,
+      |    c.vec_id AS cand_id,
+      |    ROUND(list_aggregate(list_transform(range(len(p.embedding)),
+      |      i -> CAST(p.embedding[i+1] AS DOUBLE)
+      |         * CAST(c.embedding[i+1] AS DOUBLE)), 'sum'), 6) AS rdot
+      |  FROM probe p JOIN embeddings c ON c.vec_id <> p.vec_id),
+      |best AS (
+      |  SELECT vec_id, true_label, cand_label FROM (
+      |    SELECT vec_id, true_label, cand_label,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY rdot DESC, cand_id) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT true_label AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+      |  CAST(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  ROUND(CAST(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 4) AS accuracy
+      |FROM best GROUP BY 1 ORDER BY label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _))
+    "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
+    "Q173" -> (q173 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
-    "Q171" -> q171Oracle)
+    "Q171" -> q171Oracle, "Q173" -> q173Oracle)
 }

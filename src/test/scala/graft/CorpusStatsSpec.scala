@@ -9,9 +9,11 @@ import graft.operators.{EventTime, Graphs, NearDup, Stats, TextAnalysis, TextOps
   * dedup pipeline (Q160), Spearman rank correlation (Q161), degree
   * assortativity (Q162), Kruskal–Wallis (Q163), syllable complexity
   * (Q164), inter-arrival gaps (Q165), the cross-source duplication matrix
-  * (Q166), and bigram conditional entropy (Q167). Cross-engine hashes are
-  * the DuckDB gates; these pin the MODELS on handcrafted data with local
-  * references, plus pipeline-consistency properties at sf0.001.
+  * (Q166), and bigram conditional entropy (Q167), plus the session-3 audit
+  * gates: 13-gram duplication rate (Q172), leave-one-out 1-NN label
+  * accuracy (Q173), and the decile gains table (Q174). Cross-engine hashes
+  * are the DuckDB gates; these pin the MODELS on handcrafted data with
+  * local references, plus pipeline-consistency properties at sf0.001.
   */
 class CorpusStatsSpec extends SparkSpec {
 
@@ -315,5 +317,62 @@ class CorpusStatsSpec extends SparkSpec {
     val (nb, db, hb) = got("mix")
     assert(nb === 3L && db === 3L)
     assert(math.abs(hb - 2.0 / 3.0) < 1e-3)
+  }
+
+  test("Q172 duplication audit: a shared 13-gram is flagged in both docs, clean docs are clean") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = tmpDir("dup13-spec")
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val clean = (1 to 14).map(i => s"z$i").mkString(" ")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "a", s"$shared x"),   // grams: shared, (w2..x)
+        Row(1L, "a", s"$shared y"),   // grams: shared, (w2..y)
+        Row(2L, "b", clean)), 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = NearDup.q172(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Double]("dup_frac"), r.getAs[Long]("n_docs_with_dup"))).toMap
+    assert(got("a") === ((4L, 2L, 0.5, 2L)))
+    assert(got("b") === ((2L, 0L, 0.0, 0L)))
+  }
+
+  test("Q173 1-NN accuracy is 1.0 on a cleanly clustered space") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = tmpDir("knn-spec")
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f), 0), Row(1L, Seq(0.9f, 0.1f), 0),
+      Row(2L, Seq(0.0f, 1.0f), 1), Row(3L, Seq(0.1f, 0.9f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.q173(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_probe"), r.getAs[Double]("accuracy"))).toMap
+    assert(got(0) === ((2L, 1.0)))
+    assert(got(1) === ((2L, 1.0)))
+  }
+
+  test("Q174 gains table: ten one-customer deciles reproduce exact revenue shares") {
+    val schema = StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val dir = tmpDir("gains-spec")
+    // customer k (1..10) has revenue 11-k; total = 55
+    val rows = (1 to 10).map(k => Row(k.toLong, (11 - k) * 1.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Profiling.q174(spark, dir).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Double]("revenue_share"), r.getAs[Double]("cum_share"))).toMap
+    assert(got(1) === ((1L, 1000L, 0.1818, 0.1818)))
+    assert(got(10) === ((1L, 100L, 0.0182, 1.0)))
+    assert((1 to 10).map(got(_)._2).sum === 5500L)
   }
 }
