@@ -1748,6 +1748,260 @@ object EventTime {
       |FROM per_sess""".stripMargin
 
 
+  /** Q175 — rolling 7-day active users (the DAU/WAU pair every product
+    * dashboard leads with): for each calendar day of the global event
+    * span, the count of DISTINCT users active that day (dau) and in the
+    * trailing 7-day window (wau7). Sliding DISTINCT is the canonical
+    * "not window-frameable" aggregate — distinct counts cannot be
+    * combined across frame slides — so the plan EXPANDS instead: each
+    * (user, active-day) contributes itself to the ≤7 window-days it can
+    * influence, and wau7 is a plain per-day distinct over the expansion.
+    *
+    * Scale notes: the expansion is row-local (explode of a 7-element
+    * sequence off the DEDUPED (user, day) relation, never raw events),
+    * so the shuffled volume is 7 × |distinct user-days| — at 100 TB the
+    * two count-distincts are Spark's standard two-phase partial
+    * aggregates keyed (day, user), no all-days state anywhere. The day
+    * spine is bounded by the calendar, and the trailing window never
+    * re-scans history: day d's wau7 is assembled from the expansion, not
+    * from a 7-day re-read.
+    */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val du = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val spine = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dau = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+      .withColumnRenamed("wday", "day")
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .orderBy(asc("day"))
+  }
+
+  val q175Oracle: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+      |spine AS (SELECT UNNEST(generate_series(d0, d1)) AS day FROM bounds),
+      |dau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      |expanded AS (
+      |  SELECT user_id, UNNEST(generate_series(day, day + 6)) AS wday
+      |  FROM du),
+      |wau AS (
+      |  SELECT wday AS day, COUNT(DISTINCT user_id) AS wau7
+      |  FROM expanded GROUP BY 1)
+      |SELECT s.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+      |  CAST(COALESCE(w.wau7, 0) AS BIGINT) AS wau7
+      |FROM spine s
+      |LEFT JOIN dau d ON d.day = s.day
+      |LEFT JOIN wau w ON w.day = s.day
+      |ORDER BY s.day""".stripMargin
+
+  /** Q179 — lead–lag cross-correlation between every pair of event
+    * types' zero-filled daily count series, lags −3..+3: the exact-
+    * integer Pearson correlation (Q128 discipline — num = m·Σab − Σa·Σb,
+    * both variance terms exact int64, one final SQRT+divide) between
+    * type_a's series and type_b's series shifted by `lag` days. Positive
+    * r at positive lag reads "type_a today co-moves with type_b `lag`
+    * days later" — the which-metric-leads-which diagnostic behind
+    * funnel/alerting dashboards; Q128 is this matrix's diagonal.
+    *
+    * Both series live on the GLOBAL day spine (union of all types'
+    * activity, zero-filled) so every pair compares the same calendar
+    * axis and m = spine_days − |lag| uniformly; pairs are type_a <
+    * type_b (house Q137 convention; NULL types drop out of the strict
+    * inequality). NULL r where either side of the overlap has zero
+    * variance.
+    *
+    * Scale notes: the grid is types × bounded-calendar days, never raw
+    * events; the lag shift is one self-join on (day + lag) producing all
+    * 7 lags from a single broadcast of the 7-row lag spine; the 5-sum
+    * aggregate is map-side combined to (pairs × 7) output rows. Same
+    * int64 headroom analysis as Q128 (m·Σa² ≲ days²·peak²; a 100 TB
+    * deployment widens to DECIMAL(38,0), same plan shape).
+    */
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(spine)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    val a = grid.crossJoin(broadcast(lags))
+      .select(col("event_type").as("type_a"), col("lag"), col("day"),
+        col("y").as("ya"))
+    val b = grid.select(col("event_type").as("type_b"), col("day").as("bday"),
+      col("y").as("yb"))
+    a.join(b, col("type_a") < col("type_b") &&
+        col("bday") === col("day") + col("lag"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("ya")).as("sa"),
+        sum(col("yb")).as("sb"), sum(col("ya") * col("yb")).as("sab"),
+        sum(col("ya") * col("ya")).as("saa"),
+        sum(col("yb") * col("yb")).as("sbb"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("m"),
+        (col("m") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("m") * col("saa") - col("sa") * col("sa")).as("den_a"),
+        (col("m") * col("sbb") - col("sb") * col("sb")).as("den_b"))
+      .withColumn("r",
+        when(col("den_a") > 0L && col("den_b") > 0L,
+          round(col("num").cast("double") /
+            sqrt(col("den_a").cast("double") * col("den_b").cast("double")), 6)))
+      .select(col("type_a"), col("type_b"), col("lag"), col("m"),
+        col("num"), col("r"))
+      .orderBy(asc("type_a"), asc("type_b"), asc("lag"))
+  }
+
+  val q179Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |spine AS (SELECT UNNEST(generate_series(d0, d1)) AS day FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |grid AS (
+      |  SELECT t.event_type, s.day, COALESCE(d.n, 0) AS y
+      |  FROM types t CROSS JOIN spine s
+      |  LEFT JOIN daily d
+      |  ON d.event_type = t.event_type AND d.day = s.day),
+      |joined AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+      |    a.y AS ya, b.y AS yb
+      |  FROM grid a
+      |  CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l
+      |  JOIN grid b ON a.event_type < b.event_type
+      |    AND b.day = a.day + l.lag),
+      |sums AS (
+      |  SELECT type_a, type_b, lag, COUNT(*) AS m, SUM(ya) AS sa,
+      |    SUM(yb) AS sb, SUM(ya*yb) AS sab, SUM(ya*ya) AS saa,
+      |    SUM(yb*yb) AS sbb
+      |  FROM joined GROUP BY 1, 2, 3)
+      |SELECT type_a, type_b, lag, m,
+      |  CAST(m*sab - sa*sb AS BIGINT) AS num,
+      |  CASE WHEN (m*saa - sa*sa) > 0 AND (m*sbb - sb*sb) > 0 THEN
+      |    ROUND(CAST(m*sab - sa*sb AS DOUBLE)
+      |      / SQRT(CAST(m*saa - sa*sa AS DOUBLE)
+      |             * CAST(m*sbb - sb*sb AS DOUBLE)), 6)
+      |  END AS r
+      |FROM sums
+      |ORDER BY type_a, type_b, lag""".stripMargin
+
+  /** Q180 — burstiness and memory of each event type's inter-arrival
+    * process (Goh & Barabási 2008, "Burstiness and memory in complex
+    * systems"): B = (σ − μ)/(σ + μ) over the gap distribution (−1
+    * regular, 0 Poisson, →1 bursty) and M = Pearson correlation between
+    * consecutive gaps (do long gaps follow long gaps?). The pair
+    * classifies the arrival process — Q165 reports the gap QUANTILES,
+    * this reports its SHAPE, the difference between "slow feed" and
+    * "bursty feed with the same mean".
+    *
+    * Exactness: gaps are integer SECONDS (µs DIV 10⁶ — keeps Σg² and
+    * the M-statistic's m·Σab products inside int64 with wide margin at
+    * fixture scale; the 100 TB widen-to-DECIMAL note mirrors Q128); μ,
+    * σ, B, M derive from exact (n, Σg, Σg²) / 5-sum sufficient
+    * statistics in pinned float shapes, rounded once. σ is the sample
+    * form √((n·Σg² − (Σg)²)/(n·(n−1))). NULL B when σ + μ = 0 (all
+    * gaps zero) or n < 2; NULL M when either pair-variance term is ≤ 0.
+    *
+    * Scale notes: one (type)-keyed window pass for gaps, a second for
+    * the consecutive-pair shift, then two map-side-combinable rollups —
+    * output rows = types. No driver math, any series length.
+    */
+  def q180(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val gaps = c.events
+      .select(col("event_type"), expr("ts DIV 1000").as("us"), col("event_id"))
+      .withColumn("gus", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("g", expr("gus DIV 1000000"))
+      .filter(col("g").isNotNull)
+      .withColumn("gn", lead(col("g"), 1).over(w))
+      .localCheckpoint()
+    val base = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+    val pairsAgg = gaps.filter(col("gn").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("g")).as("pa"),
+        sum(col("gn")).as("pb"), sum(col("g") * col("gn")).as("pab"),
+        sum(col("g") * col("g")).as("paa"),
+        sum(col("gn") * col("gn")).as("pbb"))
+    base.join(pairsAgg, Seq("event_type"), "left")
+      .withColumn("mu", col("sg").cast("double") / col("n"))
+      .withColumn("sigma",
+        when(col("n") >= 2L, sqrt(
+          (col("n") * col("sgg") - col("sg") * col("sg")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1L)))))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(col("mu"), 4).as("mean_gap_s"),
+        when(col("sigma").isNotNull && (col("sigma") + col("mu")) > 0.0,
+          round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6))
+          .as("burstiness"),
+        when((col("m") * col("paa") - col("pa") * col("pa")) > 0L &&
+            (col("m") * col("pbb") - col("pb") * col("pb")) > 0L,
+          round((col("m") * col("pab") - col("pa") * col("pb")).cast("double") /
+            sqrt((col("m") * col("paa") - col("pa") * col("pa")).cast("double") *
+              (col("m") * col("pbb") - col("pb") * col("pb")).cast("double")), 6))
+          .as("memory"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q180Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+      |gaps0 AS (
+      |  SELECT event_type, us, event_id,
+      |    (us - LAG(us) OVER (PARTITION BY event_type
+      |       ORDER BY us, event_id)) // 1000000 AS g
+      |  FROM e),
+      |gaps AS (
+      |  SELECT event_type, g,
+      |    LEAD(g) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gn
+      |  FROM gaps0 WHERE g IS NOT NULL),
+      |base AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(g) AS sg, SUM(g*g) AS sgg
+      |  FROM gaps GROUP BY 1),
+      |pairs AS (
+      |  SELECT event_type, COUNT(*) AS m, SUM(g) AS pa, SUM(gn) AS pb,
+      |    SUM(g*gn) AS pab, SUM(g*g) AS paa, SUM(gn*gn) AS pbb
+      |  FROM gaps WHERE gn IS NOT NULL GROUP BY 1),
+      |fin AS (
+      |  SELECT b.event_type, b.n, CAST(b.sg AS DOUBLE) / b.n AS mu,
+      |    CASE WHEN b.n >= 2 THEN
+      |      SQRT(CAST(b.n * b.sgg - b.sg * b.sg AS DOUBLE)
+      |        / (CAST(b.n AS DOUBLE) * (b.n - 1))) END AS sigma,
+      |    p.m, p.pa, p.pb, p.pab, p.paa, p.pbb
+      |  FROM base b LEFT JOIN pairs p ON p.event_type = b.event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+      |  ROUND(mu, 4) AS mean_gap_s,
+      |  CASE WHEN sigma IS NOT NULL AND (sigma + mu) > 0
+      |    THEN ROUND((sigma - mu) / (sigma + mu), 6) END AS burstiness,
+      |  CASE WHEN (m*paa - pa*pa) > 0 AND (m*pbb - pb*pb) > 0 THEN
+      |    ROUND(CAST(m*pab - pa*pb AS DOUBLE)
+      |      / SQRT(CAST(m*paa - pa*pa AS DOUBLE)
+      |             * CAST(m*pbb - pb*pb AS DOUBLE)), 6) END AS memory
+      |FROM fin ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -1757,7 +2011,8 @@ object EventTime {
     "Q128" -> (q128 _), "Q130" -> (q130 _), "Q132" -> (q132 _),
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
     "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
-    "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _))
+    "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _),
+    "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -1769,5 +2024,6 @@ object EventTime {
     "Q130" -> q130Oracle, "Q132" -> q132Oracle,
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
     "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
-    "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle)
+    "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle,
+    "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle)
 }

@@ -441,14 +441,98 @@ object Joins {
     }
   }
 
+  /** Q177 — intra-region market share by customer region and order year
+    * (the TPC-H Q8 "national market share" shape generalized to every
+    * region at once): of the lineitem revenue bought by each region's
+    * customers each year, the share supplied from WITHIN that region.
+    * Exercises the planner's dual-role dimension handling — nation and
+    * region each join twice under different roles (customer side,
+    * supplier side) — plus conditional aggregation over a 6-table star.
+    *
+    * Money discipline: revenue is exact integer cents, rounded per ROW
+    * with a pinned float shape ((price · (1 − discount)) · 100) that
+    * both engines evaluate identically; sums are int64 (Q127 rule), and
+    * the share is one final float divide rounded to 6.
+    *
+    * Scale notes: nation/region are tiny and explicitly broadcast in
+    * both roles; supplier-region is broadcast against the fact; the
+    * big lineitem⋈orders equi-join is the only real shuffle (AQE
+    * broadcasts customer at test SF; at 100 TB the customer join
+    * shuffles on the key, same plan shape). The rollup output is
+    * bounded: regions × years.
+    */
+  def q177(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    def regionOf(role: String): DataFrame =
+      c.nation.select(col("n_nationkey").as(s"${role}_nk"),
+          col("n_regionkey").as(s"${role}_rk"))
+        .join(broadcast(c.region.select(col("r_regionkey").as(s"${role}_rgk"),
+          col("r_name").as(s"${role}_region"))),
+          col(s"${role}_rk") === col(s"${role}_rgk"))
+        .select(col(s"${role}_nk"), col(s"${role}_region"))
+    val cust = c.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(regionOf("cu")), col("c_nationkey") === col("cu_nk"))
+      .select(col("c_custkey"), col("cu_region"))
+    val supp = c.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(regionOf("su")), col("s_nationkey") === col("su_nk"))
+      .select(col("s_suppkey"), col("su_region"))
+    c.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(c.orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cu_region").as("region"), col("yr"))
+      .agg(sum(col("cents")).as("total_cents"),
+        sum(when(col("su_region") === col("cu_region"), col("cents"))
+          .otherwise(0L)).as("intra_cents"))
+      .withColumn("share",
+        round(col("intra_cents").cast("double") /
+          col("total_cents").cast("double"), 6))
+      .orderBy(asc_nulls_first("region"), asc("yr"))
+  }
+
+  val q177Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, r_name AS cu_region
+      |  FROM customer
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey),
+      |supp AS (
+      |  SELECT s_suppkey, r_name AS su_region
+      |  FROM supplier
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey)
+      |SELECT cu.cu_region AS region,
+      |  CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100)
+      |    AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN su.su_region = cu.cu_region
+      |    THEN CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100)
+      |      AS BIGINT) ELSE 0 END) AS BIGINT) AS intra_cents,
+      |  ROUND(CAST(SUM(CASE WHEN su.su_region = cu.cu_region
+      |      THEN CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100)
+      |        AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100)
+      |        AS BIGINT)) AS DOUBLE), 6) AS share
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN cust cu ON cu.c_custkey = o_custkey
+      |JOIN supp su ON su.s_suppkey = l_suppkey
+      |GROUP BY 1, 2
+      |ORDER BY region NULLS FIRST, yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q04" -> (q04 _), "Q05" -> (q05 _), "Q06" -> (q06 _), "Q07" -> (q07 _),
     "Q08" -> (q08 _), "Q09" -> (q09 _), "Q10" -> (q10 _), "Q11" -> (q11 _),
-    "Q12" -> (q12 _), "Q92" -> (q92 _))
+    "Q12" -> (q12 _), "Q92" -> (q92 _), "Q177" -> (q177 _))
 
   def oracles: Map[String, String] = Map(
     "Q04" -> q04Oracle, "Q05" -> q05Oracle, "Q06" -> q06Oracle,
     "Q07" -> q07Oracle, "Q08" -> q08Oracle, "Q09" -> q09Oracle,
     "Q10" -> q10Oracle, "Q11" -> q11Oracle, "Q12" -> q12Oracle,
-    "Q92" -> q92Oracle)
+    "Q92" -> q92Oracle, "Q177" -> q177Oracle)
 }

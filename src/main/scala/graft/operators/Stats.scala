@@ -631,13 +631,129 @@ object Stats {
       |    AS h_tie_corrected
       |FROM tot CROSS JOIN ties""".stripMargin
 
+  /** Q176 — population stability index (PSI, the standard model- and
+    * data-drift monitor in deployed scoring systems) of each event
+    * type's `value` distribution, first half of the global time range
+    * (reference) vs second half (current): 10 equi-width bins over the
+    * type's [min, max], Jeffreys-smoothed shares (+0.5 per bin, +5 per
+    * half — keeps empty bins finite and is the textbook small-sample
+    * correction), PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref). The usual
+    * reading: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted.
+    * Q158's JSD compares SOURCES at one time; this compares TIME HALVES
+    * per type — the "did the feed change under me" gate.
+    *
+    * Cross-engine determinism: the split point and bin edges derive
+    * from exact MIN/MAX aggregates; bin assignment is one row-local
+    * IEEE expression with a pinned evaluation shape
+    * (FLOOR(((v − vmin) · 10) / (vmax − vmin)), LEAST 9), so no
+    * accumulation-order float can move a row across engines; shares and
+    * LN round once at the end. Zero-range types (vmax = vmin) drop out
+    * of the binnable set (house degenerate rule), never a NaN from 0/0.
+    *
+    * Scale notes: two scalar/grouped bound aggregates, one row-local
+    * bin tag, one (type, half, bin)-keyed count — map-side combinable,
+    * output rows = types × 2 × 10 before the per-type rollup. Nothing
+    * driver-side, no windows over raw events.
+    */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events
+      .select(col("event_type"), expr("ts DIV 1000").as("us"), col("value"))
+      .filter(col("value").isNotNull)
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L)).as("mid"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val tagged = ev.crossJoin(broadcast(mid))
+      .join(broadcast(rng), Seq("event_type"))
+      .filter(col("vmax") > col("vmin"))
+      .select(col("event_type"),
+        when(col("us") < col("mid"), lit(0)).otherwise(lit(1)).as("half"),
+        least(lit(9), floor(((col("value") - col("vmin")) * lit(10.0)) /
+          (col("vmax") - col("vmin"))).cast("int")).as("bin"))
+    val counts = tagged.groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val bins = rng.filter(col("vmax") > col("vmin"))
+      .select(col("event_type"), explode(sequence(lit(0), lit(9))).as("bin"))
+      .crossJoin(spark.range(0, 2).select(col("id").cast("int").as("half")))
+    val dense = bins.join(counts, Seq("event_type", "half", "bin"), "left")
+      .select(col("event_type"), col("half"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val totals = dense.groupBy(col("event_type"), col("half"))
+      .agg(sum(col("n")).as("tot"))
+    dense.join(totals, Seq("event_type", "half"))
+      .select(col("event_type"), col("bin"),
+        when(col("half") === 0, (col("n") + lit(0.5)) / (col("tot") + lit(5.0)))
+          .otherwise(lit(0.0)).as("pr"),
+        when(col("half") === 1, (col("n") + lit(0.5)) / (col("tot") + lit(5.0)))
+          .otherwise(lit(0.0)).as("pc"),
+        when(col("half") === 0, col("n")).otherwise(lit(0L)).as("nr"),
+        when(col("half") === 1, col("n")).otherwise(lit(0L)).as("nc"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("pr")).as("pr"), sum(col("pc")).as("pc"),
+        sum(col("nr")).as("nr"), sum(col("nc")).as("nc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6)
+          .as("psi"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q176Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS us, value
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (MIN(us) + MAX(us)) / 2 AS mid FROM ev),
+      |rng AS (
+      |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      |  FROM ev GROUP BY 1),
+      |tagged AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN e.us < m.mid THEN 0 ELSE 1 END AS half,
+      |    LEAST(9, CAST(FLOOR(((e.value - r.vmin) * 10.0)
+      |      / (r.vmax - r.vmin)) AS INT)) AS bin
+      |  FROM ev e CROSS JOIN mid m
+      |  JOIN rng r ON r.event_type = e.event_type
+      |  WHERE r.vmax > r.vmin),
+      |counts AS (
+      |  SELECT event_type, half, bin, COUNT(*) AS n
+      |  FROM tagged GROUP BY 1, 2, 3),
+      |bins AS (
+      |  SELECT r.event_type, b.bin, h.half
+      |  FROM rng r
+      |  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b
+      |  CROSS JOIN (SELECT UNNEST(range(0, 2)) AS half) h
+      |  WHERE r.vmax > r.vmin),
+      |dense AS (
+      |  SELECT b.event_type, b.half, b.bin, COALESCE(c.n, 0) AS n
+      |  FROM bins b LEFT JOIN counts c
+      |  ON c.event_type = b.event_type AND c.half = b.half
+      |    AND c.bin = b.bin),
+      |totals AS (
+      |  SELECT event_type, half, SUM(n) AS tot FROM dense GROUP BY 1, 2),
+      |shares AS (
+      |  SELECT d.event_type, d.bin,
+      |    SUM(CASE WHEN d.half = 0
+      |      THEN (d.n + 0.5) / (t.tot + 5.0) ELSE 0 END) AS pr,
+      |    SUM(CASE WHEN d.half = 1
+      |      THEN (d.n + 0.5) / (t.tot + 5.0) ELSE 0 END) AS pc,
+      |    SUM(CASE WHEN d.half = 0 THEN d.n ELSE 0 END) AS nr,
+      |    SUM(CASE WHEN d.half = 1 THEN d.n ELSE 0 END) AS nc
+      |  FROM dense d JOIN totals t
+      |  ON t.event_type = d.event_type AND t.half = d.half
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(SUM(nr) AS BIGINT) AS n_ref,
+      |  CAST(SUM(nc) AS BIGINT) AS n_cur,
+      |  ROUND(SUM((pc - pr) * LN(pc / pr)), 6) AS psi
+      |FROM shares
+      |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
-    "Q163" -> (q163 _))
+    "Q163" -> (q163 _), "Q176" -> (q176 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
-    "Q163" -> q163Oracle)
+    "Q163" -> q163Oracle, "Q176" -> q176Oracle)
 }

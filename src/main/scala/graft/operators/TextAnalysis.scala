@@ -722,16 +722,91 @@ object TextAnalysis {
       |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
 
+  /** Q178 — Flesch reading ease + Flesch–Kincaid grade per source
+    * (Flesch 1948; Kincaid et al. 1975): RE = 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W), FK = 0.39·(W/S) + 11.8·(Y/W) − 15.59, from exact int64
+    * word (W), sentence (S), and syllable (Y) tallies. Sentences are
+    * terminator runs ([.!?]+, floor 1 per doc); syllables are Q164's
+    * vowel-group model (floor 1 per word). The classic corpus-quality
+    * composite over Q164's raw profile — the "is this readable prose or
+    * keyword soup" gate a curation pipeline thresholds on.
+    *
+    * Cross-engine determinism: all three tallies are exact integers;
+    * the two ratios and the affine combination are the only floats,
+    * computed in one pinned expression shape and rounded once to 4.
+    * Empty-text docs (W = 0) are excluded before aggregation so no
+    * 0/0 can arise; a source must keep ≥1 non-empty doc to appear.
+    *
+    * Scale notes: one documents scan; the per-doc tallies are row-local
+    * higher-order folds (codegen'd, no explode shuffle), and the rollup
+    * is a map-side-combinable (source)-keyed sum. Output rows = sources.
+    */
+  def q178(spark: SparkSession, dir: String): DataFrame =
+    fleschProfile(Catalog(spark, dir).documents)
+
+  /** The Q178 computation as an API over any (source, text) relation. */
+  def fleschProfile(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("w"),
+        expr(
+          """aggregate(transform(filter(split(text, ' '), w -> w <> ''),
+            |  w -> CAST(greatest(regexp_count(lower(w), '[aeiouy]+'), 1) AS BIGINT)),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("y"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("s"))
+      .filter(col("w") > 0L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)
+          .as("flesch"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59), 4).as("fk_grade"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q178Oracle: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS w,
+      |    list_aggregate(list_transform(
+      |      list_filter(string_split(text, ' '), w -> w <> ''),
+      |      w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)),
+      |      'sum') AS y,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(w) AS BIGINT) AS n_words,
+      |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+      |    CAST(SUM(y) AS BIGINT) AS n_syllables
+      |  FROM perdoc WHERE w > 0 GROUP BY 1)
+      |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+      |  ROUND(206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+      |  ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+      |    - 15.59, 4) AS fk_grade
+      |FROM agg ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
-    "Q167" -> (q167 _), "Q170" -> (q170 _))
+    "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
-    "Q170" -> q170Oracle)
+    "Q170" -> q170Oracle, "Q178" -> q178Oracle)
 }
