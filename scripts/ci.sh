@@ -29,8 +29,11 @@ python3 scripts/golden.py check "$OUT" golden/sf0.01.json
 # rewrite (the Q99-HOF class of bug) before it reaches a judge. Budgets are
 # regenerated on a quiet machine with `scaling.py budget`.
 BENCH_OUT=$(mktemp /tmp/graft-ci-bench.XXXXXX.json)
+# head -1: Bench prints the full per-query map first and a short summary
+# line last (for the driver's bounded stdout tail); the budget check wants
+# the full map.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench" \
-  | grep -o '{"metric".*}' > "$BENCH_OUT"
+  | grep -o '{"metric".*}' | head -1 > "$BENCH_OUT"
 python3 scripts/scaling.py check "$BENCH_OUT" golden/bench_budget_sf0.001.json
 
 echo "CI GREEN ($SF_DIR)"

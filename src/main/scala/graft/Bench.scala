@@ -191,6 +191,24 @@ object Bench {
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
       }
     println(line(compact, sfDir.split('/').last, tensorObjects = false))
+    // The registry outgrew the collector's 2000-char tail again (179+ legs
+    // ≈ 2,150 chars at 2-decimal compaction vs ~1,915 usable after sbt's
+    // trailer), so a truncated head would leave the line unparseable every
+    // round. Print a complete SUMMARY line LAST: the tail then carries the
+    // end of the full map (most legs) plus this whole line — and since
+    // truncation removes the full map's leading '{"metric"' marker, any
+    // parser scanning the tail finds exactly one complete JSON object.
+    // The authoritative full-precision map stays in docs/BENCH_LAST.json.
+    locally {
+      val total = results.map(_._2).filter(_ >= 0).sum
+      def headline(obj: String, field: String): String = {
+        val m = (s""""$field":(-?[0-9.]+)""").r.findFirstMatchIn(obj)
+        m.map(_.group(1)).getOrElse("-1")
+      }
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + compact(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
+    }
     // Only a full-registry (driver-shaped) run AT THE DRIVER'S SF may
     // refresh the repo copy — a dev subset would clobber it with a partial
     // map, and a CI sf0.001 sweep would clobber it with the wrong tier's
