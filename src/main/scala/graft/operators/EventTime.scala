@@ -2002,6 +2002,261 @@ object EventTime {
       |             * CAST(m*pbb - pb*pb AS DOUBLE)), 6) END AS memory
       |FROM fin ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q182 — linear multi-touch attribution curve for first conversions:
+    * every `view` in the 72 h before a user's FIRST `purchase` shares
+    * that conversion's credit equally (1/n_touch), and the credit mass
+    * is rolled up by days-before-purchase — the "how far out do
+    * touches still convert" curve that allocates marketing spend.
+    * Q153 measures conversion LATENCY (first view → purchase); this
+    * allocates the conversion BACK onto the touches.
+    *
+    * Exactness: the window test and day bucket are integer-µs
+    * arithmetic; per-touch credit is 1/n_touch — sums of ≤10⁵ such
+    * doubles differ across engines only in accumulation order,
+    * absorbed by round(4) (Q137 precedent). Credit conservation
+    * (Σ credit = attributed conversions) is pinned in the spec.
+    *
+    * Scale notes: the purchase side is pre-aggregated to one row per
+    * converting user (bounded); the touch join is user-keyed with the
+    * 72 h predicate applied on the join — per-user pair volume is
+    * linear in that user's views (first-purchase anchor, not
+    * all-pairs). Day-bucket rollup is map-side combinable, 4 output
+    * rows. Whale users shuffle-salt on the user key like any skewed
+    * equi-join (C-capability), same plan shape.
+    */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("us")).as("pus"))
+    val touches = ev.filter(col("event_type") === "view")
+      .join(fp, Seq("user_id"))
+      .filter(col("us") < col("pus") &&
+        col("us") >= col("pus") - lit(259200000000L))
+      .select(col("user_id"), expr("(pus - us) DIV 86400000000").as("days_before"))
+    // window over user_id reuses the join's hash partitioning — no new shuffle
+    val wU = Window.partitionBy(col("user_id"))
+    val credited = touches
+      .withColumn("cr", lit(1.0) / count(lit(1)).over(wU))
+    val tot = credited.agg(countDistinct(col("user_id")).as("n_conv"))
+    credited.groupBy(col("days_before"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cr")).as("credit_raw"))
+      .crossJoin(tot) // single-row aggregate: share denominator
+      .select(col("days_before"), col("n_touches"), col("n_users"),
+        round(col("credit_raw"), 4).as("credit"),
+        round(col("credit_raw") / col("n_conv"), 4).as("credit_share"))
+      .orderBy(asc("days_before"))
+  }
+
+  val q182Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fp AS (
+      |  SELECT user_id, MIN(us) AS pus FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |touch AS (
+      |  SELECT v.user_id, (fp.pus - v.us) // 86400000000 AS days_before
+      |  FROM ev v JOIN fp ON fp.user_id = v.user_id
+      |  WHERE v.event_type = 'view'
+      |    AND v.us < fp.pus AND v.us >= fp.pus - 259200000000),
+      |cr AS (
+      |  SELECT user_id, days_before,
+      |    CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY user_id) AS cr
+      |  FROM touch),
+      |tot AS (SELECT COUNT(DISTINCT user_id) AS n_conv FROM cr)
+      |SELECT days_before,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users,
+      |  ROUND(SUM(cr), 4) AS credit,
+      |  ROUND(SUM(cr) / MAX(t.n_conv), 4) AS credit_share
+      |FROM cr c CROSS JOIN tot t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q183 — walk-forward forecast backtest on the zero-filled daily
+    * count series: one-step-ahead NAIVE (ŷ_t = y_{t−1}) and
+    * SEASONAL-NAIVE-7 (ŷ_t = y_{t−7}) baselines scored per event type
+    * with MAE and sMAPE. These two baselines are the floor every real
+    * forecaster (Q123's Holt included) must beat — a model that loses
+    * to snaive7 on sMAPE is worse than "same as last week".
+    *
+    * Exactness: forecasts and absolute errors are exact int64 (lag of
+    * an integer series); `sae` ships as the exact integer, MAE is ONE
+    * divide of it, and each sMAPE term 2|y−ŷ|/(y+ŷ) is one divide of
+    * exact integers (0 when y+ŷ=0, the both-zero convention) — only
+    * the sMAPE SUM is order-sensitive (~1e-16 relative), absorbed by
+    * round(6). Both lags share one (type, day) window sort.
+    *
+    * Scale notes: input is the bounded daily grid (types × days), never
+    * raw events; the model unpivot doubles grid rows before one
+    * map-side-combinable aggregate to 2 rows per type. At 100 TB only
+    * the pre-aggregation to the grid touches the corpus.
+    */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+    grid
+      .withColumn("yh1", lag(col("y"), 1).over(wT))
+      .withColumn("yh7", lag(col("y"), 7).over(wT))
+      .select(col("event_type"), col("y"),
+        explode(array(
+          struct(lit("naive").as("model"), col("yh1").as("yh")),
+          struct(lit("snaive7").as("model"), col("yh7").as("yh")))).as("m"))
+      .select(col("event_type"), col("m.model").as("model"),
+        col("y"), col("m.yh").as("yh"))
+      .filter(col("yh").isNotNull)
+      .groupBy(col("event_type"), col("model"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("yh"))).as("sae"),
+        sum(when(col("y") + col("yh") > 0L,
+          (abs(col("y") - col("yh")) * 2L).cast("double") /
+            (col("y") + col("yh")).cast("double")).otherwise(0.0)).as("ssm"))
+      .select(col("event_type"), col("model"), col("n_eval"), col("sae"),
+        round(col("sae").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae"),
+        round(col("ssm") / col("n_eval").cast("double"), 6).as("smape"))
+      .orderBy(asc_nulls_first("event_type"), asc("model"))
+  }
+
+  val q183Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |lagged AS (
+      |  SELECT event_type, y,
+      |    LAG(y, 1) OVER w AS yh1, LAG(y, 7) OVER w AS yh7
+      |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |long AS (
+      |  SELECT event_type, 'naive' AS model, y, yh1 AS yh FROM lagged
+      |  UNION ALL
+      |  SELECT event_type, 'snaive7' AS model, y, yh7 AS yh FROM lagged),
+      |agg AS (
+      |  SELECT event_type, model, COUNT(*) AS n_eval,
+      |    SUM(ABS(y - yh)) AS sae,
+      |    SUM(CASE WHEN y + yh > 0 THEN
+      |      CAST(ABS(y - yh) * 2 AS DOUBLE) / CAST(y + yh AS DOUBLE)
+      |      ELSE 0.0 END) AS ssm
+      |  FROM long WHERE yh IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, model, n_eval, CAST(sae AS BIGINT) AS sae,
+      |  ROUND(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae,
+      |  ROUND(ssm / CAST(n_eval AS DOUBLE), 6) AS smape
+      |FROM agg
+      |ORDER BY event_type NULLS FIRST, model""".stripMargin
+
+  /** Q186 — temporal load profile per event type over the hour-of-week
+    * grid (dow × hour, 168 cells): peak cell and its share, business-
+    * hours (Mon–Fri 9–17h), night (0–6h) and weekend shares, and the
+    * Shannon entropy of the 168-cell distribution in bits (log2-uniform
+    * = 7.392 ceiling) — the capacity-planning / anomaly-baseline view
+    * of WHEN a workload happens (Q118 models the trend, Q128 the
+    * autocorrelation; this is the clock-face marginal).
+    *
+    * Exactness: dow/hour are pure integer arithmetic on epoch-µs
+    * ((day+3) mod 7 maps Monday→0 … Sunday→6 — 1970-01-01 was a
+    * Thursday, epoch day 0 → 3); all shares are ONE
+    * divide of exact int64 counts; entropy terms ln(n/N)·n/N use
+    * exact-count ratios (Q167 ln-parity discipline), summed over ≤168
+    * cells then round(4). Peak cell picked by (count DESC, dow, hour)
+    * total order — tie-proof.
+    *
+    * Scale notes: one partial-aggregated shuffle to the (type × 168)
+    * grid; every summary is a map-side fold over that bounded relation.
+    */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.events
+      .select(col("event_type"),
+        expr("((ts DIV 1000 DIV 86400000000) + 3) % 7").as("dow"),
+        expr("(ts DIV 1000 DIV 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wP = Window.partitionBy(col("event_type"))
+      .orderBy(desc("n"), asc("dow"), asc("hour"))
+    val wT = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("rk", row_number().over(wP))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wT).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"),
+        max(when(col("rk") === 1,
+          struct(col("dow"), col("hour"), col("n")))).as("peak"),
+        sum(when(col("dow") < 5 && col("hour") >= 9 && col("hour") < 17,
+          col("n")).otherwise(0L)).as("biz"),
+        sum(when(col("hour") < 6, col("n")).otherwise(0L)).as("night"),
+        sum(when(col("dow") >= 5, col("n")).otherwise(0L)).as("wknd"),
+        sum(-col("p") * log(col("p"))).as("hnat"))
+      .select(col("event_type"), col("total"),
+        col("peak.dow").as("peak_dow"), col("peak.hour").as("peak_hour"),
+        round(col("peak.n").cast("double") / col("total").cast("double"), 6)
+          .as("peak_share"),
+        round(col("biz").cast("double") / col("total").cast("double"), 6)
+          .as("biz_share"),
+        round(col("night").cast("double") / col("total").cast("double"), 6)
+          .as("night_share"),
+        round(col("wknd").cast("double") / col("total").cast("double"), 6)
+          .as("weekend_share"),
+        round(col("hnat") / log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q186Oracle: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT event_type, dow, hour, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY n DESC, dow, hour) AS rk,
+      |    CAST(n AS DOUBLE)
+      |      / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+      |  FROM cells),
+      |agg AS (
+      |  SELECT event_type, SUM(n) AS total,
+      |    MAX(CASE WHEN rk = 1 THEN dow END) AS peak_dow,
+      |    MAX(CASE WHEN rk = 1 THEN hour END) AS peak_hour,
+      |    MAX(CASE WHEN rk = 1 THEN n END) AS peak_n,
+      |    SUM(CASE WHEN dow < 5 AND hour >= 9 AND hour < 17
+      |        THEN n ELSE 0 END) AS biz,
+      |    SUM(CASE WHEN hour < 6 THEN n ELSE 0 END) AS night,
+      |    SUM(CASE WHEN dow >= 5 THEN n ELSE 0 END) AS wknd,
+      |    SUM(-p * LN(p)) AS hnat
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type, CAST(total AS BIGINT) AS total,
+      |  peak_dow, peak_hour,
+      |  ROUND(CAST(peak_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS peak_share,
+      |  ROUND(CAST(biz AS DOUBLE) / CAST(total AS DOUBLE), 6) AS biz_share,
+      |  ROUND(CAST(night AS DOUBLE) / CAST(total AS DOUBLE), 6) AS night_share,
+      |  ROUND(CAST(wknd AS DOUBLE) / CAST(total AS DOUBLE), 6)
+      |    AS weekend_share,
+      |  ROUND(hnat / LN(2), 4) AS entropy_bits
+      |FROM agg ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -2012,7 +2267,8 @@ object EventTime {
     "Q134" -> (q134 _), "Q136" -> (q136 _), "Q149" -> (q149 _),
     "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
     "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _),
-    "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _))
+    "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
+    "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -2025,5 +2281,6 @@ object EventTime {
     "Q134" -> q134Oracle, "Q136" -> q136Oracle, "Q149" -> q149Oracle,
     "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
     "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle,
-    "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle)
+    "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
+    "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle)
 }

@@ -747,13 +747,74 @@ object Stats {
       |FROM shares
       |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q184 — one-way ANOVA across event types on `value` (Fisher): the
+    * parametric k-sample sibling of Q163's Kruskal–Wallis, from the SAME
+    * sufficient statistics as Q137 (per-type n, Σv, Σv²). Between- and
+    * within-group sums of squares via the computational identities
+    * SSB = Σ(T_g²/n_g) − T²/N and SSW = ΣΣv² − Σ(T_g²/n_g);
+    * F = (SSB/(k−1))/(SSW/(N−k)), plus η² = SSB/SST — the effect size
+    * the F-statistic alone hides. One summary row.
+    *
+    * Exactness: counts are int64; the double terms use one divide per
+    * group with the identical textual formula in both engines; only
+    * F/η²/SS are rounded (4). SSB is a difference of near-equal sums —
+    * the ~1e-12 relative double-order noise is far inside round(4)
+    * (the Q137 variance-term precedent). NULL F on degenerate inputs
+    * (k<2 or N≤k).
+    *
+    * Scale notes: one map-side-combined corpus scan to k summary rows;
+    * the final fold is a k-row aggregate on the driver-side-free plan.
+    */
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    typeMoments(c)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("s1")).as("t_all"), sum(col("s2")).as("ss_all"),
+        sum(col("s1") * col("s1") / col("n").cast("double")).as("sgr"))
+      .select(col("k"), col("n_total"),
+        (col("sgr") - col("t_all") * col("t_all") /
+          col("n_total").cast("double")).as("ssb"),
+        (col("ss_all") - col("sgr")).as("ssw"))
+      .select(col("k"), col("n_total"),
+        round(col("ssb"), 4).as("ssb"), round(col("ssw"), 4).as("ssw"),
+        when(col("k") > 1L && col("n_total") > col("k") && col("ssw") > 0.0,
+          round((col("ssb") / (col("k") - 1L).cast("double")) /
+            (col("ssw") / (col("n_total") - col("k")).cast("double")), 4))
+          .as("f"),
+        when(col("ssb") + col("ssw") > 0.0,
+          round(col("ssb") / (col("ssb") + col("ssw")), 6)).as("eta2"))
+  }
+
+  val q184Oracle: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(value) AS n, SUM(value) AS s1,
+      |         SUM(value*value) AS s2
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+      |    SUM(s1) AS t_all, SUM(s2) AS ss_all,
+      |    SUM(s1 * s1 / CAST(n AS DOUBLE)) AS sgr
+      |  FROM m),
+      |ss AS (
+      |  SELECT k, n_total,
+      |    sgr - t_all * t_all / CAST(n_total AS DOUBLE) AS ssb,
+      |    ss_all - sgr AS ssw
+      |  FROM tot)
+      |SELECT k, n_total, ROUND(ssb, 4) AS ssb, ROUND(ssw, 4) AS ssw,
+      |  CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+      |    ROUND((ssb / CAST(k - 1 AS DOUBLE))
+      |      / (ssw / CAST(n_total - k AS DOUBLE)), 4) END AS f,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |    ROUND(ssb / (ssb + ssw), 6) END AS eta2
+      |FROM ss""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
-    "Q163" -> (q163 _), "Q176" -> (q176 _))
+    "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
-    "Q163" -> q163Oracle, "Q176" -> q176Oracle)
+    "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle)
 }

@@ -797,16 +797,99 @@ object TextAnalysis {
       |    - 15.59, 4) AS fk_grade
       |FROM agg ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q181 — fitted Zipf slope per source: OLS of ln(frequency) on
+    * ln(rank) over the top-100 vocabulary types (rank by count desc,
+    * term asc tiebreak). Zipf's law predicts slope ≈ −1 for natural
+    * language; boilerplate-heavy or templated corpora flatten the head
+    * (slope > −1), keyword-stuffed ones steepen it. Q170 reports the
+    * head MASS; this fits the head's SHAPE, with r² as the
+    * goodness-of-fit that says whether "Zipf slope" is even a
+    * meaningful summary of the source.
+    *
+    * Determinism: ranks are exact (count desc, term asc is total);
+    * ln/×/Σ over ≤100 doubles per source differ across engines only in
+    * summation order (~1e-14 relative), absorbed by round(4) (Q137
+    * precedent). NULL slope/r² when the source has <2 distinct ranks.
+    *
+    * Scale notes: vocab build is the Q170 shuffle; the top-100 cut is
+    * one (source)-partitioned window pass over the vocab relation —
+    * at 100 TB the same cut routes through the TopK sketch capability;
+    * the 5-sum OLS fold is map-side combinable, output rows = sources.
+    */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vocab = c.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("cnt"), asc("term"))
+    val top = vocab.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_types"),
+        when(col("n_types") * col("sxx") - col("sx") * col("sx") > 0.0,
+          round((col("n_types") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_types") * col("sxx") - col("sx") * col("sx")), 4))
+          .as("zipf_slope"),
+        when((col("n_types") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_types") * col("syy") - col("sy") * col("sy")) > 0.0,
+          round(pow(col("n_types") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n_types") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_types") * col("syy") - col("sy") * col("sy"))), 4))
+          .as("r2"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q181Oracle: String =
+    """WITH vocab AS (
+      |  SELECT source, term, COUNT(*) AS cnt
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source,
+      |    LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y
+      |  FROM (SELECT source, cnt,
+      |          ROW_NUMBER() OVER (PARTITION BY source
+      |            ORDER BY cnt DESC, term) AS rank
+      |        FROM vocab)
+      |  WHERE rank <= 100),
+      |sums AS (
+      |  SELECT source, COUNT(*) AS n_types, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM top GROUP BY 1)
+      |SELECT source, n_types,
+      |  CASE WHEN n_types * sxx - sx * sx > 0 THEN
+      |    ROUND((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4)
+      |  END AS zipf_slope,
+      |  CASE WHEN (n_types * sxx - sx * sx)
+      |      * (n_types * syy - sy * sy) > 0 THEN
+      |    ROUND(POW(n_types * sxy - sx * sy, 2)
+      |      / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)), 4)
+      |  END AS r2
+      |FROM sums ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
-    "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _))
+    "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _), "Q181" -> (q181 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
-    "Q170" -> q170Oracle, "Q178" -> q178Oracle)
+    "Q170" -> q170Oracle, "Q178" -> q178Oracle,
+    "Q181" -> q181Oracle)
 }

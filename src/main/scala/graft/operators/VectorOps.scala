@@ -376,11 +376,95 @@ object VectorOps {
       |    AS DOUBLE) / COUNT(*), 4) AS accuracy
       |FROM best GROUP BY 1 ORDER BY label NULLS FIRST""".stripMargin
 
+  /** Q185 — simplified (centroid) silhouette per label: for each vector,
+    * a = Euclidean distance to its OWN label centroid, b = distance to
+    * the NEAREST other centroid, s = (b−a)/max(a,b); per-label means of
+    * a, b, s. The standard clustering-quality score (Rousseeuw 1987) in
+    * its centroid form (Hruschka et al.) — O(n·k) instead of O(n²), the
+    * only form that exists at corpus scale. Q171 gives per-cluster
+    * geometry in isolation; this scores SEPARATION between clusters,
+    * the number that says whether label-routed processing will work.
+    *
+    * Exactness: per-pair squared distance is a fixed-order fold
+    * (zip_with/aggregate vs list_zip/list_aggregate — both sequential
+    * over the same element order), ROUNDED to 6 before the min so the
+    * nearest-other choice sits on a shared grid (Q173's rounded-argmax
+    * discipline); centroid means carry ~1e-15 engine noise absorbed by
+    * that rounding except on measure-zero boundaries. All downstream
+    * arithmetic (sqrt, s, means) is identical textual IEEE, final
+    * round(4).
+    *
+    * Scale notes: centroids are a (labels × dims)-bounded relation
+    * broadcast to a labels-wide cross join — n·k rows, map-side folds,
+    * never vector×vector. The same shape serves IVF cell audits.
+    */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val dimmean = c.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .groupBy(col("label"), col("d"))
+      .agg((sum(col("xf").cast("double")) / count(lit(1))).as("mu"))
+    val cents = dimmean.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+        x => x.getField("mu")).as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    // bounded-side cross join: |labels| centroid rows, broadcast
+    val dists = c.embeddings.crossJoin(broadcast(cents))
+      .withColumn("dsq", round(expr(
+        """aggregate(zip_with(embedding, cvec,
+          |  (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),
+          |0D, (acc, v) -> acc + v)""".stripMargin), 6))
+    dists.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("dsq"))).as("asq"),
+        min(when(col("clabel") =!= col("label"), col("dsq"))).as("bsq"))
+      .select(col("label"), sqrt(col("asq")).as("a"), sqrt(col("bsq")).as("b"))
+      .withColumn("s", when(greatest(col("a"), col("b")) > 0.0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(0.0))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("a")), 4).as("mean_a"),
+        round(avg(col("b")), 4).as("mean_b"),
+        round(avg(col("s")), 4).as("silhouette"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q185Oracle: String =
+    """WITH coords AS (
+      |  SELECT label, vec_id, CAST(x AS DOUBLE) AS x, d
+      |  FROM (SELECT label, vec_id, UNNEST(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |dimmean AS (
+      |  SELECT label, d, SUM(x) / COUNT(*) AS mu FROM coords GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT label AS clabel, LIST(mu ORDER BY d) AS cvec
+      |  FROM dimmean GROUP BY 1),
+      |dists AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |    ROUND(list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2])
+      |         * (CAST(p[1] AS DOUBLE) - p[2])), 'sum'), 6) AS dsq
+      |  FROM embeddings e CROSS JOIN cents c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    SQRT(MIN(CASE WHEN clabel = label THEN dsq END)) AS a,
+      |    SQRT(MIN(CASE WHEN clabel <> label THEN dsq END)) AS b
+      |  FROM dists GROUP BY 1, 2),
+      |s AS (
+      |  SELECT label, a, b,
+      |    CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+      |         ELSE 0.0 END AS s
+      |  FROM ab)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(AVG(a), 4) AS mean_a, ROUND(AVG(b), 4) AS mean_b,
+      |  ROUND(AVG(s), 4) AS silhouette
+      |FROM s GROUP BY 1 ORDER BY label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
-    "Q173" -> (q173 _))
+    "Q173" -> (q173 _), "Q185" -> (q185 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
-    "Q171" -> q171Oracle, "Q173" -> q173Oracle)
+    "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle)
 }

@@ -375,4 +375,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(10) === ((1L, 100L, 0.0182, 1.0)))
     assert((1 to 10).map(got(_)._2).sum === 5500L)
   }
+
+  test("Q185 silhouette: two well-separated 1-D pairs score by hand") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = tmpDir("silhouette-spec")
+    // label 0 at {0, 2} (centroid 1), label 1 at {10, 12} (centroid 11):
+    // every a = 1; b = 11, 9 / 9, 11; s-mean = (10/11 + 8/9)/2 = 0.899
+    val rows = Seq(
+      Row(0L, Seq(0.0f, 0.0f), 0), Row(1L, Seq(2.0f, 0.0f), 0),
+      Row(2L, Seq(10.0f, 0.0f), 1), Row(3L, Seq(12.0f, 0.0f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.VectorOps.q185(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_a"),
+          r.getAs[Double]("mean_b"), r.getAs[Double]("silhouette"))).toMap
+    assert(got(0) === ((2L, 1.0, 10.0, 0.899)))
+    assert(got(1) === ((2L, 1.0, 10.0, 0.899)))
+  }
 }

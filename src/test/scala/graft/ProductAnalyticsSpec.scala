@@ -189,4 +189,98 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(math.abs(bAlt - (math.sqrt(300.0) - 10) / (math.sqrt(300.0) + 10)) < 1e-3)
     assert(got("alt")._3.map(_.asInstanceOf[Double]) === Some(-1.0))
   }
+
+  test("Q181 Zipf slope: an exact 1/rank law fits slope -1 with r2 = 1") {
+    val dir = tmpDir("zipf-spec")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        // counts 6,3,2 = 6/rank exactly -> ln-ln line with slope -1
+        Row(0L, "z", "a a a a a a b b b c c"),
+        Row(1L, "one", "solo")), 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q181(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_types"), Option(r.getAs[Any]("zipf_slope")),
+          Option(r.getAs[Any]("r2")))).toMap
+    assert(got("z")._1 === 3L)
+    assert(got("z")._2.map(_.asInstanceOf[Double]) === Some(-1.0))
+    assert(got("z")._3.map(_.asInstanceOf[Double]) === Some(1.0))
+    assert(got("one") === ((1L, None, None))) // single rank: no fit
+  }
+
+  test("Q182 attribution: equal split across the 72h window, out-of-window views dropped") {
+    val dir = tmpDir("attrib-spec")
+    writeEvents(dir, Seq(
+      // u1: purchase day4 noon; views 2h / 26h / 71h / 73h before
+      (1L, "2024-01-04 12:00:00", "purchase", 1.0),
+      (1L, "2024-01-04 10:00:00", "view", 1.0),
+      (1L, "2024-01-03 10:00:00", "view", 1.0),
+      (1L, "2024-01-01 13:00:00", "view", 1.0),
+      (1L, "2024-01-01 11:00:00", "view", 1.0),  // 73h: outside
+      // u2: two same-day touches share 1/2 each
+      (2L, "2024-01-04 12:00:00", "purchase", 1.0),
+      (2L, "2024-01-04 09:00:00", "view", 1.0),
+      (2L, "2024-01-04 10:00:00", "view", 1.0),
+      // u3: view only after purchase -> no attribution
+      (3L, "2024-01-04 12:00:00", "purchase", 1.0),
+      (3L, "2024-01-04 13:00:00", "view", 1.0)))
+    val got = graft.operators.EventTime.q182(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("credit"), r.getAs[Double]("credit_share"))).toMap
+    assert(got(0L) === ((3L, 2L, 1.3333, 0.6667)))
+    assert(got(1L) === ((1L, 1L, 0.3333, 0.1667)))
+    assert(got(2L) === ((1L, 1L, 0.3333, 0.1667)))
+    assert(got.size === 3)
+  }
+
+  test("Q183 backtest: hand-computed naive/snaive7 MAE and sMAPE, short series skips snaive") {
+    val dir = tmpDir("backtest-spec")
+    // type a: spine [1,0,0,1] (4 days -> naive only);
+    // type b: spine [2,1,1,1,1,1,1,2] (8 days -> one snaive7 eval)
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0),
+      (1L, "2024-01-04 10:00:00", "a", 1.0)) ++
+      Seq("2024-01-01 09:00:00", "2024-01-01 10:00:00",
+        "2024-01-02 10:00:00", "2024-01-03 10:00:00", "2024-01-04 10:00:00",
+        "2024-01-05 10:00:00", "2024-01-06 10:00:00", "2024-01-07 10:00:00",
+        "2024-01-08 09:00:00", "2024-01-08 10:00:00")
+        .map(ts => (2L, ts, "b", 1.0)))
+    val got = graft.operators.EventTime.q183(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_eval"), r.getAs[Long]("sae"),
+          r.getAs[Double]("mae"), r.getAs[Double]("smape"))).toMap
+    // a/naive: errs 1,0,1; smape terms 2, 0 (both-zero convention), 2
+    assert(got(("a", "naive")) === ((3L, 2L, 0.666667, 1.333333)))
+    assert(!got.contains(("a", "snaive7"))) // series shorter than lag 7
+    // b/naive: errs 1,0,0,0,0,0,1; terms 2/3, 0x5, 2/3
+    assert(got(("b", "naive"))._1 === 7L)
+    assert(got(("b", "naive"))._2 === 2L)
+    assert(got(("b", "naive"))._3 === 0.285714)
+    assert(got(("b", "naive"))._4 === 0.190476) // (4/3)/7
+    // b/snaive7: one eval, y=yh=2 -> perfect
+    assert(got(("b", "snaive7")) === ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("Q186 load profile: dow mapping (Mon=0), biz/night/weekend shares, exact entropy") {
+    val dir = tmpDir("loadprof-spec")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0),  // Mon, 10h: biz
+      (1L, "2024-01-01 10:30:00", "a", 1.0),  // same hour-of-week cell
+      (2L, "2024-01-06 03:00:00", "a", 1.0),  // Sat, 3h: night + weekend
+      (3L, "2024-01-07 23:00:00", "a", 1.0))) // Sun, 23h: weekend
+    val r = graft.operators.EventTime.q186(spark, dir).collect().head
+    assert(r.getAs[Long]("total") === 4L)
+    assert(r.getAs[Long]("peak_dow") === 0L)   // Monday
+    assert(r.getAs[Long]("peak_hour") === 10L)
+    assert(r.getAs[Double]("peak_share") === 0.5)
+    assert(r.getAs[Double]("biz_share") === 0.5)
+    assert(r.getAs[Double]("night_share") === 0.25)
+    assert(r.getAs[Double]("weekend_share") === 0.5)
+    // cells {1/2, 1/4, 1/4} -> H = 1.5 bits exactly
+    assert(r.getAs[Double]("entropy_bits") === 1.5)
+  }
 }

@@ -142,4 +142,26 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out(("l_quantity", "l_discount")) + 1.0) < 1e-9)
     assert(math.abs(out(("l_extendedprice", "l_discount")) + 1.0) < 1e-9)
   }
+
+  test("Q184 one-way ANOVA matches the textbook decomposition") {
+    // a=[1,2,3] b=[2,3,4] c=[3,4,5]: means 2,3,4, grand 3
+    // SSB = 3*((2-3)^2+(3-3)^2+(4-3)^2) = 6; SSW = 3*2 = 6
+    // F = (6/2)/(6/6) = 3; eta2 = 6/12 = 0.5
+    val r = withMiniCatalog(Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 3.0), ("c", 4.0), ("c", 5.0)))(Stats.q184(spark, _)).collect().head
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("n_total") === 9L)
+    assert(r.getAs[Double]("ssb") === 6.0)
+    assert(r.getAs[Double]("ssw") === 6.0)
+    assert(r.getAs[Double]("f") === 3.0)
+    assert(r.getAs[Double]("eta2") === 0.5)
+
+    // single group -> F undefined (NULL), eta2 = 0 (SSB = 0, SSW > 0)
+    val d = withMiniCatalog(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)))(
+      Stats.q184(spark, _)).collect().head
+    assert(d.isNullAt(d.fieldIndex("f")))
+    assert(d.getAs[Double]("eta2") === 0.0)
+  }
 }
