@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, HeavyHitters, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
+import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, HeavyHitters, HllDistinct, HllEstimate, HllMergeAgg, HllSketchAgg, HllUnionEstimate, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topkFunction)
     ext.injectFunction(GraftExtensions.bloomFunction)
     GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
+    GraftExtensions.hllAlgebra.foreach(ext.injectFunction)
     GraftExtensions.kllAlgebra.foreach(ext.injectFunction)
     GraftExtensions.cmsAlgebra.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -187,6 +188,35 @@ object GraftExtensions {
         "graft_kmv_jaccard(a, b) - estimated Jaccard similarity from two KMV sketches.", ""),
       (c: Seq[Expression]) => KmvJaccardEstimate(c(0), c(1))))
 
+  /** The HyperLogLog sketch-column algebra (Hll.scala): constant-size
+    * (2^p bytes) distinct counting — distinct / build / merge aggregates
+    * plus estimate / union scalars.
+    */
+  val hllAlgebra: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, null, "graft_hll_distinct",
+        "graft_hll_distinct(col, p) - HyperLogLog distinct-count estimate with 2^p registers.", ""),
+      (c: Seq[Expression]) =>
+        HllDistinct(c.head, intLit(c, "graft_hll_distinct")).toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, null, "graft_hll_sketch",
+        "graft_hll_sketch(col, p) - HyperLogLog register file of the column's distinct values as binary.", ""),
+      (c: Seq[Expression]) =>
+        HllSketchAgg(c.head, intLit(c, "graft_hll_sketch")).toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, null, "graft_hll_merge",
+        "graft_hll_merge(sketch, p) - register-wise-max rollup of already-built HLL sketches as binary.", ""),
+      (c: Seq[Expression]) =>
+        HllMergeAgg(c.head, intLit(c, "graft_hll_merge")).toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, null, "graft_hll_estimate",
+        "graft_hll_estimate(sketch) - distinct-count estimate of an HLL sketch.", ""),
+      (c: Seq[Expression]) => HllEstimate(c.head)),
+    (FunctionIdentifier("graft_hll_union"),
+      new ExpressionInfo(classOf[HllUnionEstimate].getName, null, "graft_hll_union",
+        "graft_hll_union(a, b) - estimated |A ∪ B| from two equal-precision HLL sketches.", ""),
+      (c: Seq[Expression]) => HllUnionEstimate(c(0), c(1))))
+
   private def intLitAt(children: Seq[Expression], pos: Int, fn: String): Int =
     children(pos) match {
       case Literal(v: Int, _) => v
@@ -260,7 +290,7 @@ object GraftExtensions {
       "graft_topk", topkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "built-in")
-    (kmvAlgebra ++ kllAlgebra ++ cmsAlgebra).foreach { case (id, _, builder) =>
+    (kmvAlgebra ++ hllAlgebra ++ kllAlgebra ++ cmsAlgebra).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
