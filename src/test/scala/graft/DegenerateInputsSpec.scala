@@ -124,4 +124,29 @@ class DegenerateInputsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ksub"))
   }
+
+  test("round-8 gates (Q181-Q186) drain cleanly on empty source tables") {
+    val dir = java.nio.file.Files.createTempDirectory("degen-r8").toString
+    emptyLL("event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    emptyLL("doc_id" -> LongType, "source" -> StringType,
+      "text" -> StringType)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emptyLL("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    assert(graft.operators.TextAnalysis.q181(spark, dir).count() == 0)
+    assert(graft.operators.EventTime.q182(spark, dir).count() == 0)
+    assert(graft.operators.EventTime.q183(spark, dir).count() == 0)
+    assert(graft.operators.EventTime.q186(spark, dir).count() == 0)
+    assert(graft.operators.VectorOps.q185(spark, dir).count() == 0)
+    // global aggregate: one row, k=0, every statistic NULL
+    val a = graft.operators.Stats.q184(spark, dir).collect()
+    assert(a.length == 1 && a(0).getAs[Long]("k") == 0L)
+    assert(a(0).isNullAt(a(0).fieldIndex("f")))
+    assert(a(0).isNullAt(a(0).fieldIndex("eta2")))
+  }
 }
