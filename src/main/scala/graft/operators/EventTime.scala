@@ -2222,6 +2222,122 @@ object EventTime {
       .orderBy(asc_nulls_first("event_type"))
   }
 
+  /** Q188 — day-of-week effect test per event type: one-way ANOVA of the
+    * zero-filled daily counts grouped by weekday (k ≤ 7 groups), with η²
+    * effect size and the peak weekday by mean. Q186 shows the clock-face
+    * marginal and Q118 assumes a weekly season; this gate TESTS whether
+    * the weekly cycle is statistically real — the decision between "fit
+    * a weekly seasonal" and "the flat model is fine" (and whether
+    * dow-partitioned capacity planning means anything).
+    *
+    * Exactness: group sufficient statistics (n_g, Σy, Σy²) are exact
+    * int64 off the integer daily grid; every double term is formed by
+    * the identical textual cast-then-divide in both engines (cast BEFORE
+    * multiply — Σy² products overflow int64 at warehouse scale); the
+    * peak argmax compares IEEE-identical s1/n quotients with a dow
+    * tiebreak. F/η²/SS rounded at the end (Q184 discipline). NULL F on
+    * degenerate series (k<2, N≤k, or zero within-variance).
+    *
+    * Scale notes: corpus → bounded daily grid (one shuffle) → ≤7×types
+    * cells → types rows. The window for the peak runs on the ≤7-row
+    * per-type cell relation.
+    */
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), expr("(day + 3) % 7").as("dow"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val cell = grid.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .withColumn("mean_g",
+        col("s1").cast("double") / col("n_g").cast("double"))
+    val wP = Window.partitionBy(col("event_type"))
+      .orderBy(desc("mean_g"), asc("dow"))
+    cell.withColumn("rk", row_number().over(wP))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_g")).as("n_days"), count(lit(1)).as("k_dows"),
+        sum(col("s1")).as("t_all"), sum(col("s2")).as("ss_all"),
+        sum(col("s1").cast("double") * col("s1").cast("double") /
+          col("n_g").cast("double")).as("sgr"),
+        max(when(col("rk") === 1,
+          struct(col("dow"), col("mean_g")))).as("peak"))
+      .select(col("event_type"), col("n_days"), col("k_dows"),
+        (col("sgr") - col("t_all").cast("double") * col("t_all").cast("double") /
+          col("n_days").cast("double")).as("ssb"),
+        (col("ss_all").cast("double") - col("sgr")).as("ssw"),
+        col("peak"))
+      .select(col("event_type"), col("n_days"), col("k_dows"),
+        round(col("ssb"), 4).as("ssb"), round(col("ssw"), 4).as("ssw"),
+        when(col("k_dows") > 1L && col("n_days") > col("k_dows") &&
+            col("ssw") > 0.0,
+          round((col("ssb") / (col("k_dows") - 1L).cast("double")) /
+            (col("ssw") / (col("n_days") - col("k_dows")).cast("double")), 4))
+          .as("f"),
+        when(col("ssb") + col("ssw") > 0.0,
+          round(col("ssb") / (col("ssb") + col("ssw")), 6)).as("eta2"),
+        col("peak.dow").as("peak_dow"),
+        round(col("peak.mean_g"), 4).as("peak_mean"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q188Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type, UNNEST(generate_series(d0, d1)) AS day
+      |          FROM bounds),
+      |grid AS (
+      |  SELECT s.event_type, (s.day + 3) % 7 AS dow, COALESCE(d.n, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day),
+      |cell AS (
+      |  SELECT event_type, dow, COUNT(*) AS n_g, SUM(y) AS s1,
+      |    SUM(y * y) AS s2,
+      |    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_g
+      |  FROM grid GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY mean_g DESC, dow) AS rk
+      |  FROM cell),
+      |agg AS (
+      |  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n_days,
+      |    COUNT(*) AS k_dows,
+      |    CAST(SUM(s1) AS BIGINT) AS t_all,
+      |    SUM(CAST(s2 AS DOUBLE)) AS ss_all,
+      |    SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / CAST(n_g AS DOUBLE)) AS sgr,
+      |    MAX(CASE WHEN rk = 1 THEN dow END) AS peak_dow,
+      |    MAX(CASE WHEN rk = 1 THEN mean_g END) AS peak_mean
+      |  FROM ranked GROUP BY 1),
+      |ss AS (
+      |  SELECT event_type, n_days, k_dows,
+      |    sgr - CAST(t_all AS DOUBLE) * CAST(t_all AS DOUBLE)
+      |        / CAST(n_days AS DOUBLE) AS ssb,
+      |    ss_all - sgr AS ssw, peak_dow, peak_mean
+      |  FROM agg)
+      |SELECT event_type, n_days, k_dows,
+      |  ROUND(ssb, 4) AS ssb, ROUND(ssw, 4) AS ssw,
+      |  CASE WHEN k_dows > 1 AND n_days > k_dows AND ssw > 0 THEN
+      |    ROUND((ssb / CAST(k_dows - 1 AS DOUBLE))
+      |      / (ssw / CAST(n_days - k_dows AS DOUBLE)), 4) END AS f,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |    ROUND(ssb / (ssb + ssw), 6) END AS eta2,
+      |  peak_dow, ROUND(peak_mean, 4) AS peak_mean
+      |FROM ss
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   val q186Oracle: String =
     """WITH cells AS (
       |  SELECT event_type,
@@ -2268,7 +2384,8 @@ object EventTime {
     "Q150" -> (q150 _), "Q152" -> (q152 _), "Q153" -> (q153 _),
     "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _),
     "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
-    "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _))
+    "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _),
+    "Q188" -> (q188 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -2282,5 +2399,6 @@ object EventTime {
     "Q150" -> q150Oracle, "Q152" -> q152Oracle, "Q153" -> q153Oracle,
     "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle,
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
-    "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle)
+    "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
+    "Q188" -> q188Oracle)
 }

@@ -951,16 +951,99 @@ object NearDup {
       |FROM flagged
       |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q187 — near-dup cluster SIZE distribution: how many clusters exist
+    * at each size (singletons included), with the document mass each
+    * size class holds. Q67 emits memberships and Q68 the post-collapse
+    * retention; this is the summary curve a dedup report leads with —
+    * "mostly pairs" and "one 10k-document blob" demand different
+    * responses (the blob is usually boilerplate, not true duplication).
+    *
+    * Exactness: all counts are exact int64 (CC reps from the gated star
+    * contraction, singletons = total − members); doc_share is ONE
+    * divide, round(6).
+    *
+    * Scale notes: inherits Q67's candidate-bounded pair discovery and
+    * O(log n) star-contraction; everything after is two tiny groupBys
+    * (clusters, then ≤max-size histogram rows) plus single-row
+    * broadcast joins for the totals.
+    */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    val cc = connectedComponentsStars(pairs)._1
+    val clus = cc.groupBy(col("rep")).agg(count(lit(1)).as("cl_size"))
+      .groupBy(col("cl_size")).agg(count(lit(1)).as("n_clusters"))
+    val tot = c.documents.agg(count(lit(1)).as("n_total"))
+    val members = cc.agg(count(lit(1)).as("n_members"))
+    val singletons = tot.crossJoin(members) // two single-row aggregates
+      .select(lit(1L).as("cl_size"),
+        (col("n_total") - col("n_members")).as("n_clusters"))
+    clus.unionByName(singletons)
+      .groupBy(col("cl_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .crossJoin(tot) // single-row total for the share
+      .select(col("cl_size"), col("n_clusters"),
+        (col("cl_size") * col("n_clusters")).as("n_docs"),
+        when(col("n_total") > 0L,
+          round((col("cl_size") * col("n_clusters")).cast("double") /
+            col("n_total").cast("double"), 6)).as("doc_share"))
+      .orderBy(asc("cl_size"))
+  }
+
+  val q187Oracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+      |comp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+      |csize AS (SELECT rep, COUNT(*) AS cl_size FROM comp GROUP BY rep),
+      |hist AS (
+      |  SELECT cl_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |  FROM csize GROUP BY 1
+      |  UNION ALL
+      |  SELECT 1, (SELECT COUNT(*) FROM documents)
+      |          - (SELECT COUNT(*) FROM comp)),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+      |SELECT cl_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+      |  CAST(cl_size * SUM(n_clusters) AS BIGINT) AS n_docs,
+      |  CASE WHEN MAX(t.n_total) > 0 THEN
+      |    ROUND(CAST(cl_size * SUM(n_clusters) AS DOUBLE)
+      |      / CAST(MAX(t.n_total) AS DOUBLE), 6) END AS doc_share
+      |FROM hist CROSS JOIN tot t
+      |GROUP BY cl_size ORDER BY cl_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
-    "Q166" -> (q166 _), "Q172" -> (q172 _))
+    "Q166" -> (q166 _), "Q172" -> (q172 _), "Q187" -> (q187 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
-    "Q172" -> q172Oracle)
+    "Q172" -> q172Oracle, "Q187" -> q187Oracle)
 }

@@ -214,4 +214,28 @@ class NearDupSpec extends SparkSpec {
     assert(got == expected,
       s"engine fuzzy-match disagrees with DP reference: $got vs $expected")
   }
+
+  test("Q187 cluster-size profile: singleton, pair and triple counted with exact shares") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("clprof-spec").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "s", "a b c d"), Row(1L, "s", "a b c d"),   // pair
+        Row(2L, "s", "x y z w"),                            // singleton
+        Row(3L, "s", "p q r s"), Row(4L, "s", "p q r s"),
+        Row(5L, "s", "p q r s")), 2), schema)               // triple
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.NearDup.q187(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("doc_share"))).toMap
+    assert(got(1L) === ((1L, 1L, 0.166667)))
+    assert(got(2L) === ((1L, 2L, 0.333333)))
+    assert(got(3L) === ((1L, 3L, 0.5)))
+    assert(got.size === 3)
+  }
 }

@@ -283,4 +283,34 @@ class ProductAnalyticsSpec extends SparkSpec {
     // cells {1/2, 1/4, 1/4} -> H = 1.5 bits exactly
     assert(r.getAs[Double]("entropy_bits") === 1.5)
   }
+
+  test("Q188 dow ANOVA: hand-computed F/eta2 on a two-week weekly cycle") {
+    val dir = tmpDir("dowanova-spec")
+    // Two full weeks Jan 1-14 2024 (Jan 1 = Monday). Mondays get 3
+    // events, Jan 9 (Tue) gets 2, every other day 1:
+    // dow0 {3,3}, dow1 {1,2}, dows2-6 {1,1} ->
+    // ssb = 47/7, ssw = 1/2, F = 47/3 = 15.6667, eta2 = 94/101 = 0.930693
+    val rows = (1 to 14).flatMap { d =>
+      val date = f"2024-01-$d%02d 10:00:00"
+      val n = if (d == 1 || d == 8) 3 else if (d == 9) 2 else 1
+      Seq.fill(n)((d.toLong, date, "a", 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = graft.operators.EventTime.q188(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") === 14L)
+    assert(r.getAs[Long]("k_dows") === 7L)
+    assert(r.getAs[Double]("ssb") === 6.7143)
+    assert(r.getAs[Double]("ssw") === 0.5)
+    assert(r.getAs[Double]("f") === 15.6667)
+    assert(r.getAs[Double]("eta2") === 0.930693)
+    assert(r.getAs[Long]("peak_dow") === 0L)
+    assert(r.getAs[Double]("peak_mean") === 3.0)
+
+    // constant series: ssw = 0 -> F undefined (NULL), eta2 defined
+    val dir2 = tmpDir("dowanova-flat")
+    writeEvents(dir2, (1 to 14).map(d =>
+      (d.toLong, f"2024-01-$d%02d 10:00:00", "b", 1.0)))
+    val fl = graft.operators.EventTime.q188(spark, dir2).collect().head
+    assert(fl.isNullAt(fl.fieldIndex("f")))
+  }
 }
