@@ -1034,16 +1034,85 @@ object NearDup {
       |FROM hist CROSS JOIN tot t
       |GROUP BY cl_size ORDER BY cl_size""".stripMargin
 
+  /** Q189 — CONTAINMENT near-dup pairs: word-trigram shingle overlap
+    * coefficient |A∩B| / min(|A|,|B|) ≥ 0.8. The asymmetric sibling of
+    * Q49's Jaccard: a short document quoted inside a long one scores
+    * containment ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0, so the
+    * quote-inclusion/subset-duplication class is INVISIBLE to every
+    * symmetric gate (Q35/Q49/Q160) by construction — this is the gate
+    * curation pipelines use to catch excerpt spam and templated
+    * wrappers.
+    *
+    * Exactness: the threshold is decided in exact integers
+    * (5·inter ≥ 4·min ⇔ containment ≥ 0.8 — no float ever compared);
+    * the emitted coefficient is one divide, round(4).
+    *
+    * Scale notes: same candidate-bounded discovery as Q49 (df ≥ 2
+    * pruning drops every unshared shingle) MINUS the Jaccard length
+    * filter, which is exactly what must go: it prunes asymmetric pairs.
+    * The residual risk is high-df boilerplate shingles fanning out the
+    * join; at 100 TB cap df at the boilerplate bound (the Q80
+    * shared-chunk detector owns that mass) — a threshold-exact prune is
+    * impossible for containment (any shared shingle can certify a
+    * short doc), so the cap is the published containment-join
+    * compromise.
+    */
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    val tok = shingles(Catalog(spark, dir))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val shareable = tok.join(
+      dfreq.filter(col("df") >= 2).select(col("token")), Seq("token"), "leftsemi")
+    val t1 = shareable.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
+    val t2 = shareable.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
+    t1.join(t2, col("tk1") === col("tk2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 5L >= least(col("sz1"), col("sz2")) * 4L)
+      .select(col("d1").as("doc_lo"), col("d2").as("doc_hi"),
+        col("inter"), least(col("sz1"), col("sz2")).as("min_sz"),
+        round(col("inter").cast("double") /
+          least(col("sz1"), col("sz2")).cast("double"), 4).as("containment"))
+      .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
+  }
+
+  val q189Oracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS doc_lo, d2 AS doc_hi, CAST(inter AS BIGINT) AS inter,
+      |  CAST(LEAST(s1.sz, s2.sz) AS BIGINT) AS min_sz,
+      |  ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(s1.sz, s2.sz) AS DOUBLE), 4)
+      |    AS containment
+      |FROM pairs
+      |JOIN sz s1 ON s1.doc_id = d1
+      |JOIN sz s2 ON s2.doc_id = d2
+      |WHERE inter * 5 >= LEAST(s1.sz, s2.sz) * 4
+      |ORDER BY doc_lo NULLS FIRST, doc_hi NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
-    "Q166" -> (q166 _), "Q172" -> (q172 _), "Q187" -> (q187 _))
+    "Q166" -> (q166 _), "Q172" -> (q172 _), "Q187" -> (q187 _),
+    "Q189" -> (q189 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
-    "Q172" -> q172Oracle, "Q187" -> q187Oracle)
+    "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle)
 }

@@ -238,4 +238,29 @@ class NearDupSpec extends SparkSpec {
     assert(got(3L) === ((1L, 3L, 0.5)))
     assert(got.size === 3)
   }
+
+  test("Q189 containment: quote-inclusion pair invisible to Jaccard is caught; partial overlap is not") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("contain-spec").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "s", "a b c d e"),                 // 3 shingles
+        Row(1L, "s", "a b c d e f g h i j"),       // 8 shingles, contains doc0
+        Row(2L, "s", "z1 z2 z3 z4"),               // clean
+        Row(3L, "s", "a b c x1 x2")), 2), schema)  // shares only "a b c"
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.NearDup.q189(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("min_sz"),
+          r.getAs[Double]("containment"))).toMap
+    // (0,1): inter 3, min 3 -> containment 1.0; its Jaccard is
+    // 3/(3+8-3) = 0.375 — below every symmetric gate's 0.6 bar.
+    assert(got((0L, 1L)) === ((3L, 3L, 1.0)))
+    // (0,3)/(1,3): inter 1, min 3 -> 0.333 < 0.8, excluded
+    assert(got.size === 1)
+  }
 }
