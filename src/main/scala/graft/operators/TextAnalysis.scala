@@ -879,11 +879,70 @@ object TextAnalysis {
       |  END AS r2
       |FROM sums ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q190 — token frequency-of-frequencies spectrum per source: how many
+    * vocabulary types occur exactly r times (r = 1..10, 11+ pooled as
+    * the tail), with each class's type share and token mass. This is
+    * the Good–Turing front-end (the N_r counts smoothing estimators are
+    * built from) and the practical vocabulary-growth read: a corpus
+    * whose mass sits in r=1..2 keeps minting new types (open vocabulary,
+    * tokenizer pressure); one dominated by the 11+ tail has converged.
+    * Q170 reports two points of this curve (hapax share, top-10 mass);
+    * Q181 fits the head's shape; this emits the whole spectrum.
+    *
+    * Exactness: every count is exact int64; shares are ONE divide each,
+    * round(6). The r-class key is integer LEAST(c, 11).
+    *
+    * Scale notes: the vocab build is the Q170 shuffle; the spectrum is
+    * a second map-side-combinable aggregate over the vocab relation to
+    * ≤ 11 rows per source.
+    */
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vocab = c.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    vocab
+      .select(col("source"), least(col("c"), lit(11L)).as("r"), col("c"))
+      .groupBy(col("source"), col("r"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+      .withColumn("type_share",
+        round(col("n_types").cast("double") /
+          sum(col("n_types")).over(wS).cast("double"), 6))
+      .withColumn("token_mass",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(wS).cast("double"), 6))
+      .orderBy(asc_nulls_first("source"), asc("r"))
+  }
+
+  val q190Oracle: String =
+    """WITH cnt AS (
+      |  SELECT source, token, COUNT(*) AS c
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |spec AS (
+      |  SELECT source, LEAST(c, 11) AS r, COUNT(*) AS n_types,
+      |    SUM(c) AS n_tokens
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT source, r, CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(n_types AS DOUBLE)
+      |    / CAST(SUM(n_types) OVER (PARTITION BY source) AS DOUBLE), 6)
+      |    AS type_share,
+      |  ROUND(CAST(n_tokens AS DOUBLE)
+      |    / CAST(SUM(n_tokens) OVER (PARTITION BY source) AS DOUBLE), 6)
+      |    AS token_mass
+      |FROM spec
+      |ORDER BY source NULLS FIRST, r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
-    "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _), "Q181" -> (q181 _))
+    "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
+    "Q181" -> (q181 _), "Q190" -> (q190 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -891,5 +950,5 @@ object TextAnalysis {
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
-    "Q181" -> q181Oracle)
+    "Q181" -> q181Oracle, "Q190" -> q190Oracle)
 }

@@ -396,4 +396,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(0) === ((2L, 1.0, 10.0, 0.899)))
     assert(got(1) === ((2L, 1.0, 10.0, 0.899)))
   }
+
+  test("Q190 frequency spectrum: exact N_r classes and the 11+ pooled tail") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = tmpDir("freqspec-spec")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "s", "a a a b b c"),                   // a:3 b:2 c:1
+        Row(1L, "big", ("t " * 12) + "u")), 2), schema) // t:12 -> tail, u:1
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q190(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("type_share"), r.getAs[Double]("token_mass"))).toMap
+    assert(got(("s", 1L)) === ((1L, 1L, 0.333333, 0.166667)))
+    assert(got(("s", 2L)) === ((1L, 2L, 0.333333, 0.333333)))
+    assert(got(("s", 3L)) === ((1L, 3L, 0.333333, 0.5)))
+    assert(got(("big", 1L)) === ((1L, 1L, 0.5, 0.076923)))
+    assert(got(("big", 11L)) === ((1L, 12L, 0.5, 0.923077))) // r=12 pools to 11+
+    assert(got.size === 5)
+  }
 }
