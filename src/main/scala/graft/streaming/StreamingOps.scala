@@ -300,6 +300,37 @@ object StreamingOps {
       .toDF("user_id", "new_type", "as_of_us", "as_of_event_id")
   }
 
+  /** Streaming sketch aggregation: per tumbling 1h event-time window,
+    * the Misra-Gries top event types and the HyperLogLog distinct-user
+    * estimate — through the SAME TypedImperativeAggregate sketches the
+    * batch engine registers (`graft_heavy_hitters`, `graft_hll_distinct`).
+    * The streaming state IS the serialized sketch buffer: partial
+    * aggregation merges sketch states within a batch, the state store
+    * carries them across batches, and update mode re-emits a window as
+    * its sketches absorb late rows. Nothing streaming-specific is
+    * implemented — the sketch algebra composes with Structured
+    * Streaming because merge-associativity is exactly the contract both
+    * layers require.
+    *
+    * Equality contract (pinned in StreamingSpec): HLL registers are a
+    * pure function of the input SET, so the streamed per-window
+    * estimate equals the batch estimate EXACTLY, regardless of batch
+    * boundaries; Misra-Gries summaries are merge-order-sensitive, so
+    * the streamed result carries MG's guarantee (every item with true
+    * count > n/k survives, estimates within n/k of truth), not
+    * bit-equality.
+    */
+  def sketchWindowStream(spark: SparkSession, events: DataFrame,
+      k: Int = 8, p: Int = 12): DataFrame = {
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    eventTime(events)
+      .groupBy(window(col("ts_micro"), "1 hour"))
+      .agg(expr(s"graft_heavy_hitters(event_type, $k)").as("top_types"),
+        expr(s"graft_hll_distinct(user_id, $p)").as("approx_users"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("top_types"), col("approx_users"))
+  }
+
   /** C11b — arbitrary stateful processing: running per-user event counter
     * via flatMapGroupsWithState (update mode; state = one Long per user).
     */

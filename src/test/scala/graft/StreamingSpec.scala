@@ -348,6 +348,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sketch aggregation: HLL windows batch-exact, MG carries its guarantee across batches") {
+    // Three time-ordered files -> three micro-batches: the sketch agg
+    // buffers must survive the state store across batch boundaries.
+    val srcDir = tmpDir("graft-sketch-src")
+    val ev = Catalog(spark, sf("sf0.001")).events
+    val cuts = Seq(
+      ("0", col("ts") < 1704931200000000000L),
+      ("1", col("ts") >= 1704931200000000000L && col("ts") < 1705795200000000000L),
+      ("2", col("ts") >= 1705795200000000000L))
+    cuts.foreach { case (name, pred) =>
+      val stage = tmpDir(s"graft-sketch-stage$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val q = StreamingOps.sketchWindowStream(spark,
+        StreamingOps.eventsStream(spark, srcDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sketch_stream").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[org.apache.spark.sql.Row](1)
+            .map(t => t.getString(0) -> t.getLong(1)).toMap,
+          r.getLong(2))).toMap
+
+    // HLL: registers are a pure function of the window's user SET ->
+    // streamed estimate must equal the batch estimate exactly.
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val batch = ev
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
+      .count()
+    val batchHll = ev
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts_micro"), "1 hour"))
+      .agg(expr("graft_hll_distinct(user_id, 12)").as("hll"))
+      .select(unix_micros(col("window.start")), col("hll")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == batchHll.keySet)
+    streamed.foreach { case (w, (_, users)) =>
+      assert(users == batchHll(w), s"window $w: HLL $users != ${batchHll(w)}")
+    }
+
+    // MG guarantee per window: every type with true count > n/k is
+    // present; every estimate is in [true - n/k, true].
+    val trueCounts = batch
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"),
+        col("count")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (w, rows) =>
+        w -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    trueCounts.foreach { case (w, counts) =>
+      val n = counts.values.sum
+      val bound = n / 8
+      val (mg, _) = streamed(w)
+      counts.filter(_._2 > bound).foreach { case (t, c) =>
+        assert(mg.contains(t), s"window $w: heavy type $t (count $c) missing")
+      }
+      mg.foreach { case (t, est) =>
+        val c = counts.getOrElse(t, 0L)
+        assert(est <= c && est >= c - bound,
+          s"window $w type $t: est $est outside [${c - bound}, $c]")
+      }
+    }
+  }
+
   test("streaming parquet file sink lands batch-equal rows (exactly-once commit log)") {
     val src = stageEvents()
     val outDir = tmpDir("graft-stream-sink")
