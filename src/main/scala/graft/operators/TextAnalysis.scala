@@ -937,12 +937,85 @@ object TextAnalysis {
       |FROM spec
       |ORDER BY source NULLS FIRST, r""".stripMargin
 
+  /** Q191 — term burstiness per source (Church & Gale 1995): for every
+    * term with collection frequency cf ≥ 5, the dispersion ratio cf/df
+    * (occurrences per document CONTAINING the term). A content word is
+    * "bursty" — rare across documents but repeated within the ones it
+    * hits (cf ≫ df); function words and templated boilerplate spread
+    * evenly (cf ≈ df). Emits per source: qualifying-term count, mean
+    * burstiness, the share of terms with cf ≥ 2·df (exact-integer
+    * test), and the top-5 burstiest terms — the spam/keyword-stuffing
+    * lens Q170/Q190 (which ignore document spread entirely) cannot see.
+    *
+    * Exactness: cf/df quotients of bounded-denominator int64 rationals
+    * are IEEE-identical across engines and distinct rationals cannot
+    * collide within a double ULP, so the (cf/df DESC, term) rank is
+    * deterministic; bursty_share is an exact-integer predicate over ONE
+    * divide, round(6); mean rounds at 4. Top-5 list is rank-ordered via
+    * sorted-struct array join (Spark) ≡ string_agg ORDER BY rk (DuckDB).
+    *
+    * Scale notes: (source, term, doc) distinct relation → two stacked
+    * aggregates sharing the (source, term) shuffle; the rank window
+    * runs on the cf ≥ 5 vocab slice; output rows = sources.
+    */
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val occ = c.documents
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = occ.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("cf") >= 5L)
+      .withColumn("burst", col("cf").cast("double") / col("df").cast("double"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("burst"), asc("term"))
+    vocab.withColumn("rk", row_number().over(wR))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(avg(col("burst")), 4).as("mean_burst"),
+        round(sum(when(col("cf") >= col("df") * 2L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("bursty_share"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") <= 5,
+            struct(col("rk"), col("term"))))),
+          x => x.getField("term")), ",").as("top_bursty"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q191Oracle: String =
+    """WITH occ AS (
+      |  SELECT source, doc_id, term FROM (
+      |    SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> ''),
+      |vocab AS (
+      |  SELECT source, term, COUNT(*) AS cf,
+      |    COUNT(DISTINCT doc_id) AS df
+      |  FROM occ GROUP BY 1, 2),
+      |q AS (
+      |  SELECT source, term, cf, df,
+      |    CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burst
+      |  FROM vocab WHERE cf >= 5),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY burst DESC, term) AS rk
+      |  FROM q)
+      |SELECT source, COUNT(*) AS n_terms,
+      |  ROUND(AVG(burst), 4) AS mean_burst,
+      |  ROUND(CAST(SUM(CASE WHEN cf >= df * 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS bursty_share,
+      |  STRING_AGG(CASE WHEN rk <= 5 THEN term END, ',' ORDER BY rk)
+      |    AS top_bursty
+      |FROM ranked GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
-    "Q181" -> (q181 _), "Q190" -> (q190 _))
+    "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -950,5 +1023,5 @@ object TextAnalysis {
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
-    "Q181" -> q181Oracle, "Q190" -> q190Oracle)
+    "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle)
 }

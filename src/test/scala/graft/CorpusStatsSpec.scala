@@ -418,4 +418,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(("big", 11L)) === ((1L, 12L, 0.5, 0.923077))) // r=12 pools to 11+
     assert(got.size === 5)
   }
+
+  test("Q191 burstiness: concentrated term scores cf/df, spread term scores 1, sub-support dropped") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = tmpDir("burst-spec")
+    // "a": 6x in one doc (burst 6); "b": once in each of 5 docs
+    // (burst 1); "c": cf 4 < 5 support, dropped.
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "s", "a a a a a a b"),
+        Row(1L, "s", "b c"), Row(2L, "s", "b c"),
+        Row(3L, "s", "b c"), Row(4L, "s", "b c")), 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextAnalysis.q191(spark, dir).collect().head
+    assert(r.getString(0) === "s")
+    assert(r.getAs[Long]("n_terms") === 2L)
+    assert(r.getAs[Double]("mean_burst") === 3.5) // (6 + 1) / 2
+    assert(r.getAs[Double]("bursty_share") === 0.5)
+    assert(r.getAs[String]("top_bursty") === "a,b")
+  }
 }
