@@ -102,4 +102,53 @@ object GeneratedPropertiesSpec extends Properties("graft") {
             est <= c && est >= c - bound
           }
     }
+
+  private def hllOf(p: Int, xs: Seq[Long]): graft.functions.HllSketch = {
+    val s = new graft.functions.HllSketch(p)
+    xs.foreach(s.add)
+    s
+  }
+
+  property("HLL registers are a pure function of the input SET (order/dup/split invariant)") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.chooseNum(4, 12), Gen.chooseNum(0.0, 1.0)) {
+      (xs, p, frac) =>
+        val dup = xs ++ xs.take(xs.size / 2) // duplicates cannot move registers
+        val cut = (xs.size * frac).toInt
+        val (l, r) = xs.splitAt(cut)
+        val whole = hllOf(p, scala.util.Random.shuffle(dup))
+        val merged = hllOf(p, l).merge(hllOf(p, r))
+        java.util.Arrays.equals(whole.regs, merged.regs)
+    }
+
+  property("HLL merge: commutative and idempotent at the register level") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long), Gen.chooseNum(4, 12)) {
+      (xs, ys, p) =>
+        val ab = hllOf(p, xs).merge(hllOf(p, ys))
+        val ba = hllOf(p, ys).merge(hllOf(p, xs))
+        val again = {
+          val c = graft.functions.HllSketch.fromBytes(
+            graft.functions.HllSketch.toBytes(ab))
+          c.merge(ab) // self-merge must not move any register
+        }
+        java.util.Arrays.equals(ab.regs, ba.regs) &&
+          java.util.Arrays.equals(again.regs, ab.regs)
+    }
+
+  property("HLL small-range (linear counting): near-exact when n << m") =
+    Prop.forAll(Gen.chooseNum(0, 100), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val xs = Seq.fill(n)(rnd.nextLong()).distinct
+      val est = hllOf(12, xs).estimate
+      // LC bias is register collisions: ~n^2/2m expected occupied loss
+      math.abs(est - xs.size) <= 3 + xs.size.toLong * xs.size / (1 << 12)
+    }
+
+  property("HLL estimate within 6 standard errors at p=10") =
+    Prop.forAll(Gen.chooseNum(500, 20000), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val xs = (0 until n).map(_ => rnd.nextLong()).distinct
+      val est = hllOf(10, xs).estimate
+      val se = 1.04 / math.sqrt(1 << 10) // ~3.25%
+      math.abs(est - xs.size).toDouble / xs.size <= 6 * se
+    }
 }
