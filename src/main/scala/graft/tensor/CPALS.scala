@@ -78,7 +78,8 @@ object CPALS {
       seed: Long = 42L,
       tol: Double = 1e-4,
       maxIter: Int = 50,
-      numSlabs: Int = 0): CPModel = {
+      numSlabs: Int = 0,
+      ridge: Double = 0.0): CPModel = {
     val spark = coo.sparkSession
     import org.apache.spark.sql.functions.col
     val rows: RDD[(Long, Long, Long, Double)] = coo
@@ -90,7 +91,7 @@ object CPALS {
       case n if n > 0 => n
       case _          => math.max(2, spark.sparkContext.defaultParallelism)
     }
-    fitRdd(rows, rank, seed, tol, maxIter, slabs)
+    fitRdd(rows, rank, seed, tol, maxIter, slabs, ridge = ridge)
   }
 
   /** The packed, persisted slab tensor — everything a seeded fit needs,
@@ -208,9 +209,10 @@ object CPALS {
       tol: Double,
       maxIter: Int,
       numSlabs: Int,
-      maxDriverSlices: Int = 1 << 20): CPModel = {
+      maxDriverSlices: Int = 1 << 20,
+      ridge: Double = 0.0): CPModel = {
     val packed = pack(rows, rank, numSlabs, maxDriverSlices)
-    try fitPacked(packed, rank, seed, tol, maxIter)
+    try fitPacked(packed, rank, seed, tol, maxIter, ridge)
     finally packed.unpersist()
   }
 
@@ -421,12 +423,21 @@ object CPALS {
   }
 
   /** One seeded ALS run over an already-packed slab tensor. */
+  /** `ridge` > 0 solves every mode update against (Hadamard-Gram + λI)
+    * — Tikhonov-regularized ALS (the standard "swamp" damper: Navasca,
+    * De Lathauwer & Kindermann, EUSIPCO 2008). λ bounds the factor
+    * Grams' condition number so near-collinear intermediate factors
+    * cannot stall progress; λ = 0 is EXACTLY the plain update (pinned
+    * bit-identical in TensorSpec). The reported fit remains the DATA
+    * fit, not the penalized objective.
+    */
   private[graft] def fitPacked(
       packed: PackedTensor,
       rank: Int,
       seed: Long,
       tol: Double,
-      maxIter: Int): CPModel = {
+      maxIter: Int,
+      ridge: Double = 0.0): CPModel = {
     val PackedTensor(slabRdd, ni, nj, nk, normX2) = packed
     val sc = slabRdd.sparkContext
     val r = rank
@@ -444,6 +455,10 @@ object CPALS {
       CPALS.hadamard(x, y, r)
     def matmulInto(m: Array[Double], n: Int, g: DenseMatrix[Double]): Array[Double] =
       CPALS.matmulInto(m, n, g, r)
+    // λ = 0 must stay bit-identical to the unregularized path, so the
+    // eye-add is gated rather than always adding a zero matrix.
+    def solveGram(h: DenseMatrix[Double]): DenseMatrix[Double] =
+      if (ridge > 0.0) pinv(h + DenseMatrix.eye[Double](r) * ridge) else pinv(h)
 
     // A lives beside its slab: one primitive array per partition, aligned
     // with slabRdd by zipPartitions (both sides have exactly one element
@@ -463,7 +478,7 @@ object CPALS {
     while (iter < maxIter && !converged) {
       // --- update A: slab-local (mode-1 ownership), no reduce, NO collect.
       val gB = gram(bMat, nj); val gC = gram(cMat, nk)
-      val gA = pinv(hadamard(gB, gC))
+      val gA = solveGram(hadamard(gB, gC))
       val bcB = sc.broadcast(bMat); val bcC = sc.broadcast(cMat)
       val gaFlat = sc.broadcast(Array.tabulate(r * r)(n => gA(n / r, n % r)))
       val newARdd = slabRdd.map { slab =>
@@ -498,11 +513,11 @@ object CPALS {
       // executor copies now; the ContextCleaner reaps the rest once the
       // iteration's aRdd is replaced.
       bcB.unpersist(); bcC.unpersist(); gaFlat.unpersist()
-      bMat = matmulInto(mB, nj, pinv(hadamard(gAramA, gC)))
+      bMat = matmulInto(mB, nj, solveGram(hadamard(gAramA, gC)))
 
       // --- update C from MTTKRP over (A, B).
       val (mC, _) = mttkrpJK(2, bMat, nk, withGramA = false)
-      cMat = matmulInto(mC, nk, pinv(hadamard(gAramA, gram(bMat, nj))))
+      cMat = matmulInto(mC, nk, solveGram(hadamard(gAramA, gram(bMat, nj))))
 
       // --- fit via CP identities (no reconstruction).
       val cross = { var s = 0.0; var n = 0; while (n < mC.length) { s += mC(n) * cMat(n); n += 1 }; s }

@@ -54,6 +54,33 @@ class TensorSpec extends SparkSpec {
     }
   }
 
+  test("ridge ALS: lambda=0 is bit-identical to plain; small lambda still recovers; large lambda shrinks fit") {
+    val coo = syntheticCoo(8, 7, 6, 2, seed = 11)
+    val plain = CPALS.fitRdd(coo, 2, seed = 42, tol = 1e-9, maxIter = 40, numSlabs = 4)
+    val zero = CPALS.fitRdd(coo, 2, seed = 42, tol = 1e-9, maxIter = 40, numSlabs = 4,
+      ridge = 0.0)
+    // ridge=0 takes the identical code path; the residual run-to-run
+    // jitter (~1e-15) is MTTKRP reduce-order, present in plain-vs-plain
+    // reruns too, so the contract is trajectory equality, not bit equality.
+    assert(plain.fits.length == zero.fits.length,
+      s"${plain.fits.length} vs ${zero.fits.length} iterations")
+    plain.fits.zip(zero.fits).foreach { case (f1, f2) =>
+      assert(math.abs(f1 - f2) < 1e-6, s"ridge=0 moved the trajectory: $f1 vs $f2")
+    }
+
+    // Tikhonov at 1e-6 on an exactly-rank-2 tensor: recovery survives.
+    val small = CPALS.fitRdd(coo, 2, seed = 42, tol = 1e-9, maxIter = 120,
+      numSlabs = 4, ridge = 1e-6)
+    assert(small.finalFit >= 0.999, s"small-ridge fit ${small.finalFit}")
+
+    // Heavy damping costs data fit — the shrinkage direction is the
+    // contract (fit reported is the DATA fit, not the penalized one).
+    val heavy = CPALS.fitRdd(coo, 2, seed = 42, tol = 1e-9, maxIter = 40,
+      numSlabs = 4, ridge = 10.0)
+    assert(heavy.finalFit < small.finalFit,
+      s"heavy ridge ${heavy.finalFit} should underfit ${small.finalFit}")
+  }
+
   test("C12: fit is monotonically non-decreasing (1e-10 slack)") {
     val coo = syntheticCoo(10, 6, 5, 3, seed = 7)
     val model = CPALS.fitRdd(coo, 2, seed = 42, tol = 0.0, maxIter = 25, numSlabs = 4)
