@@ -61,12 +61,15 @@ class TensorSpec extends SparkSpec {
       ridge = 0.0)
     // ridge=0 takes the identical code path; the residual run-to-run
     // jitter (~1e-15) is MTTKRP reduce-order, present in plain-vs-plain
-    // reruns too, so the contract is trajectory equality, not bit equality.
-    assert(plain.fits.length == zero.fits.length,
-      s"${plain.fits.length} vs ${zero.fits.length} iterations")
+    // reruns too, and at tol=1e-9 it can even move the convergence
+    // ITERATION (the fit-delta test fires a step earlier or later on a
+    // converged trajectory). Contract: common-prefix trajectory equality
+    // and equal final fit — not bit equality, not equal length.
     plain.fits.zip(zero.fits).foreach { case (f1, f2) =>
       assert(math.abs(f1 - f2) < 1e-6, s"ridge=0 moved the trajectory: $f1 vs $f2")
     }
+    assert(math.abs(plain.finalFit - zero.finalFit) < 1e-6,
+      s"ridge=0 moved the final fit: ${plain.finalFit} vs ${zero.finalFit}")
 
     // Tikhonov at 1e-6 on an exactly-rank-2 tensor: recovery survives.
     val small = CPALS.fitRdd(coo, 2, seed = 42, tol = 1e-9, maxIter = 120,
