@@ -2338,6 +2338,148 @@ object EventTime {
       |FROM ss
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q192 — cohort LTV curve: cumulative purchase revenue per weekly
+    * first-activity cohort, normalized per cohort user. Q132 counts who
+    * COMES BACK; this tracks what each cohort is WORTH as it ages — the
+    * payback-period curve (does week-0 acquisition spend recover by
+    * week k?). One row per (cohort, offset) with revenue that week,
+    * cumulative revenue, and cumulative cents per cohort user; offsets
+    * appear where the cohort had purchase revenue (sparse curve, the
+    * cumulative window runs over observed offsets).
+    *
+    * Exactness: revenue is the engine-wide exact-cents convention
+    * (ROUND(value·100) → int64); weekly and cumulative sums are exact
+    * int64; the per-user normalization is ONE divide, round(4). Cohort
+    * assignment is Q132's (min week over ALL activity, not just
+    * purchases).
+    *
+    * Scale notes: first-week and purchase relations co-key on user_id
+    * (one shuffle each), cells are cohort×offset-bounded, the
+    * cumulative window sorts the tiny cell relation, cohort sizes
+    * broadcast.
+    */
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000 DIV 604800000000").as("wk"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      .localCheckpoint()
+    val sizes = first.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(sum(col("cents")).as("wk_rev_cents"))
+    val wC = Window.partitionBy(col("cohort_wk")).orderBy(asc("wk_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_rev_cents", sum(col("wk_rev_cents")).over(wC))
+      .join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_offset"), col("wk_rev_cents"),
+        col("cum_rev_cents"), col("cohort_users"),
+        round(col("cum_rev_cents").cast("double") /
+          col("cohort_users").cast("double"), 4).as("ltv_cents_per_user"))
+      .orderBy(asc("cohort_wk"), asc("wk_offset"))
+  }
+
+  val q192Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS wk,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |first_wk AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      |  FROM first_wk GROUP BY 1),
+      |weekly AS (
+      |  SELECT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset,
+      |    CAST(SUM(e.cents) AS BIGINT) AS wk_rev_cents
+      |  FROM ev e JOIN first_wk f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_wk, wk_offset, wk_rev_cents,
+      |    CAST(SUM(wk_rev_cents) OVER (PARTITION BY cohort_wk
+      |      ORDER BY wk_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_rev_cents
+      |  FROM weekly)
+      |SELECT c.cohort_wk, c.wk_offset, c.wk_rev_cents, c.cum_rev_cents,
+      |  s.cohort_users,
+      |  ROUND(CAST(c.cum_rev_cents AS DOUBLE)
+      |    / CAST(s.cohort_users AS DOUBLE), 4) AS ltv_cents_per_user
+      |FROM cum c JOIN sizes s ON s.cohort_wk = c.cohort_wk
+      |ORDER BY c.cohort_wk, c.wk_offset""".stripMargin
+
+  /** Q193 — event-type lift matrix across users: for every unordered
+    * type pair, how many users do both, and the lift
+    * (n_ab·N)/(n_a·n_b) vs independence — the behavioral-correlation
+    * read ("do users who ever error also purchase?") that Q107 answers
+    * for order baskets and this answers for user journeys; with the
+    * user-set Jaccard as the symmetric-overlap companion.
+    *
+    * Exactness: all counts are exact int64 over the DISTINCT
+    * (user, type) relation; lift and jaccard are ONE divide each
+    * (cast-before-multiply), round(4)/(6).
+    *
+    * Scale notes: the distinct relation is one shuffle; the pair join
+    * is user-keyed and fans out ≤ |types|²/2 rows per user (types
+    * bounded); margins and the user total are broadcast-sized.
+    */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ut = c.events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
+    val margins = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val tot = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(margins.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(margins.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(tot) // single-row user total
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_users").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+          .as("lift"),
+        round(col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"), 6)
+          .as("user_jaccard"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q193Oracle: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |margins AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ut GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |        FROM ut),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM ut a JOIN ut b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_ab,
+      |  ROUND(CAST(p.n_ab AS DOUBLE) * CAST(t.n_users AS DOUBLE)
+      |    / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 4) AS lift,
+      |  ROUND(CAST(p.n_ab AS DOUBLE)
+      |    / CAST(ma.n + mb.n - p.n_ab AS DOUBLE), 6) AS user_jaccard
+      |FROM pairs p
+      |JOIN margins ma ON ma.event_type = p.type_a
+      |JOIN margins mb ON mb.event_type = p.type_b
+      |CROSS JOIN tot t
+      |ORDER BY p.type_a NULLS FIRST, p.type_b NULLS FIRST""".stripMargin
+
   val q186Oracle: String =
     """WITH cells AS (
       |  SELECT event_type,
@@ -2385,7 +2527,7 @@ object EventTime {
     "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _),
     "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
     "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _),
-    "Q188" -> (q188 _))
+    "Q188" -> (q188 _), "Q192" -> (q192 _), "Q193" -> (q193 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -2400,5 +2542,5 @@ object EventTime {
     "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle,
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
     "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
-    "Q188" -> q188Oracle)
+    "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle)
 }

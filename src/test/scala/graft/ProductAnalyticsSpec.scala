@@ -313,4 +313,47 @@ class ProductAnalyticsSpec extends SparkSpec {
     val fl = graft.operators.EventTime.q188(spark, dir2).collect().head
     assert(fl.isNullAt(fl.fieldIndex("f")))
   }
+
+  test("Q192 LTV curve: cohort assignment, exact cents accumulation, per-user normalization") {
+    val dir = tmpDir("ltv-spec")
+    // epoch weeks: Jan 1-3 2024 sit in week W, Jan 8-9 in W+1
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),      // u1 cohort W
+      (1L, "2024-01-02 10:00:00", "purchase", 10.0), // W offset 0: 1000c
+      (1L, "2024-01-08 10:00:00", "purchase", 5.0),  // W offset 1: 500c
+      (2L, "2024-01-01 11:00:00", "view", 1.0),      // u2 cohort W, no rev
+      (3L, "2024-01-08 11:00:00", "view", 1.0),      // u3 cohort W+1
+      (3L, "2024-01-09 10:00:00", "purchase", 2.5))) // W+1 offset 0: 250c
+    val got = graft.operators.EventTime.q192(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("wk_rev_cents"), r.getAs[Long]("cum_rev_cents"),
+          r.getAs[Long]("cohort_users"),
+          r.getAs[Double]("ltv_cents_per_user")))
+    val byKey = got.toMap
+    val w = got.map(_._1._1).min
+    assert(byKey((w, 0L)) === ((1000L, 1000L, 2L, 500.0)))
+    assert(byKey((w, 1L)) === ((500L, 1500L, 2L, 750.0)))
+    assert(byKey((w + 1L, 0L)) === ((250L, 250L, 1L, 250.0)))
+    assert(got.length === 3)
+  }
+
+  test("Q193 lift matrix: hand-computed lift and user-jaccard over three users") {
+    val dir = tmpDir("lift-spec")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-01 11:00:00", "purchase", 1.0),
+      (2L, "2024-01-01 12:00:00", "view", 1.0),
+      (3L, "2024-01-01 13:00:00", "view", 1.0),
+      (3L, "2024-01-01 14:00:00", "purchase", 1.0),
+      (3L, "2024-01-01 15:00:00", "error", 1.0)))
+    val got = graft.operators.EventTime.q193(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"),
+          r.getAs[Double]("lift"), r.getAs[Double]("user_jaccard"))).toMap
+    // N=3; view:3 purchase:2 error:1
+    assert(got(("error", "purchase")) === ((1L, 2L, 1L, 1.5, 0.5)))
+    assert(got(("error", "view")) === ((1L, 3L, 1L, 1.0, 0.333333)))
+    assert(got(("purchase", "view")) === ((2L, 3L, 2L, 1.0, 0.666667)))
+    assert(got.size === 3)
+  }
 }
