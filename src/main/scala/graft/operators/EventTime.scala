@@ -2480,6 +2480,107 @@ object EventTime {
       |CROSS JOIN tot t
       |ORDER BY p.type_a NULLS FIRST, p.type_b NULLS FIRST""".stripMargin
 
+  /** Q194 — weekly growth accounting: the MAU accounting identity. Every
+    * active user-week is classified NEW (first-ever week), RETAINED
+    * (also active the immediately preceding week) or RESURRECTED
+    * (returning after a gap); CHURNED(w) counts users active in w−1 and
+    * absent in w. Emitted on the full global week spine (zero-filled),
+    * with the quick ratio (new+resurrected)/churned. Q65/Q132 give the
+    * cohort-shaped retention matrix; this is the week-over-week
+    * gains/losses ledger a growth team actually reads, and the identity
+    * active = new + retained + resurrected is pinned in the spec.
+    *
+    * Exactness: pure integer counts off the DISTINCT (user, week)
+    * relation; the quick ratio is ONE divide, NULL when churn is 0.
+    *
+    * Scale notes: one user-keyed shuffle builds the distinct relation;
+    * the classification windows (lag/lead + running min) share that
+    * user sort; weekly rollups are map-side-combinable to the bounded
+    * week spine.
+    */
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val uw = c.events
+      .select(col("user_id"), expr("ts DIV 1000 DIV 604800000000").as("wk"))
+      .distinct()
+      .localCheckpoint()
+    val wU = Window.partitionBy(col("user_id")).orderBy(asc("wk"))
+    val classified = uw
+      .withColumn("first_wk", min(col("wk")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lag_wk", lag(col("wk"), 1).over(wU))
+      .withColumn("lead_wk", lead(col("wk"), 1).over(wU))
+    val weekly = classified.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("lag_wk") === col("wk") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("lag_wk").isNotNull && col("lag_wk") < col("wk") - 1L,
+          1L).otherwise(0L)).as("n_resurrected"))
+    // churned(w) = users active in w-1 with no activity in w
+    val churn = classified
+      .filter(col("lead_wk").isNull || col("lead_wk") > col("wk") + 1L)
+      .groupBy((col("wk") + 1L).as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    val spine = uw.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      .select(explode(sequence(col("w0"), col("w1"))).as("wk"))
+    spine
+      .join(weekly, Seq("wk"), "left")
+      .join(churn, Seq("wk"), "left")
+      .select(col("wk"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0L,
+          round((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double"), 4)))
+      .orderBy(asc("wk"))
+  }
+
+  val q194Oracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |cls AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id ORDER BY wk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_wk,
+      |    LAG(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS lag_wk,
+      |    LEAD(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS lead_wk
+      |  FROM uw),
+      |weekly AS (
+      |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN lag_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN lag_wk IS NOT NULL AND lag_wk < wk - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM cls GROUP BY 1),
+      |churn AS (
+      |  SELECT wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM cls
+      |  WHERE lead_wk IS NULL OR lead_wk > wk + 1
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT UNNEST(generate_series(MIN(wk), MAX(wk))) AS wk FROM uw)
+      |SELECT s.wk,
+      |  COALESCE(w.n_active, 0) AS n_active,
+      |  COALESCE(w.n_new, 0) AS n_new,
+      |  COALESCE(w.n_retained, 0) AS n_retained,
+      |  COALESCE(w.n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(c.n_churned, 0) AS n_churned,
+      |  CASE WHEN COALESCE(c.n_churned, 0) > 0 THEN
+      |    ROUND(CAST(COALESCE(w.n_new, 0) + COALESCE(w.n_resurrected, 0)
+      |      AS DOUBLE) / CAST(c.n_churned AS DOUBLE), 4) END AS quick_ratio
+      |FROM spine s
+      |LEFT JOIN weekly w ON w.wk = s.wk
+      |LEFT JOIN churn c ON c.wk = s.wk
+      |ORDER BY s.wk""".stripMargin
+
   val q186Oracle: String =
     """WITH cells AS (
       |  SELECT event_type,
@@ -2527,7 +2628,8 @@ object EventTime {
     "Q157" -> (q157 _), "Q165" -> (q165 _), "Q169" -> (q169 _),
     "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
     "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _),
-    "Q188" -> (q188 _), "Q192" -> (q192 _), "Q193" -> (q193 _))
+    "Q188" -> (q188 _), "Q192" -> (q192 _), "Q193" -> (q193 _),
+    "Q194" -> (q194 _))
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -2542,5 +2644,6 @@ object EventTime {
     "Q157" -> q157Oracle, "Q165" -> q165Oracle, "Q169" -> q169Oracle,
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
     "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
-    "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle)
+    "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle,
+    "Q194" -> q194Oracle)
 }

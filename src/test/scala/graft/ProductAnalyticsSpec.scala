@@ -356,4 +356,27 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(got(("purchase", "view")) === ((2L, 3L, 2L, 1.0, 0.666667)))
     assert(got.size === 3)
   }
+
+  test("Q194 growth accounting: new/retained/resurrected/churned ledger with the MAU identity") {
+    val dir = tmpDir("growth-spec")
+    // weeks (epoch): u1 active W, W+1, W+3; u2 active W only; u3 W+1 only
+    writeEvents(dir, Seq(
+      (1L, "2024-01-04 10:00:00", "view", 1.0),  // W   (Jan 4-10)
+      (1L, "2024-01-11 10:00:00", "view", 1.0),  // W+1
+      (1L, "2024-01-25 10:00:00", "view", 1.0),  // W+3
+      (2L, "2024-01-05 10:00:00", "view", 1.0),  // W
+      (3L, "2024-01-12 10:00:00", "view", 1.0))) // W+1
+    val rows = graft.operators.EventTime.q194(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+        r.getAs[Long]("n_churned"),
+        Option(r.getAs[Any]("quick_ratio")).map(_.asInstanceOf[Double])))
+    assert(rows.length === 4) // full spine W..W+3, W+2 zero-filled
+    assert(rows(0) === ((2L, 2L, 0L, 0L, 0L, None)))        // W: both new
+    assert(rows(1) === ((2L, 1L, 1L, 0L, 1L, Some(1.0))))   // u3 new, u1 ret, u2 churn
+    assert(rows(2) === ((0L, 0L, 0L, 0L, 2L, Some(0.0))))   // u1+u3 churn into W+2
+    assert(rows(3) === ((1L, 0L, 0L, 1L, 0L, None)))        // u1 resurrects
+    // the accounting identity: active = new + retained + resurrected
+    rows.foreach { case (a, n, rt, rs, _, _) => assert(a === n + rt + rs) }
+  }
 }
