@@ -1102,15 +1102,73 @@ object Graphs {
       |    AS modularity
       |FROM terms""".stripMargin
 
+  /** Q197 — HITS hubs & authorities (Kleinberg 1999) on the
+    * customer–part purchase bipartite graph (distinct (custkey, partkey)
+    * edges through orders⋈lineitem): authority(part) answers "which parts
+    * do the broadest buyers concentrate on", the bipartite ranking Q106's
+    * PageRank (a unipartite co-order walk) cannot express. Three
+    * half-steps with hubs initialized to 1: a1 = Bᵀ1 (part degree),
+    * h1 = B a1, a2 = Bᵀ h1 — every score an EXACT int64 sum (the Q107
+    * all-integer discipline; no normalization divide until the single
+    * final share). Top-20 authorities by (a2 DESC, partkey), each with
+    * its degree, a1, a2, and a2's share of Σa2 (one divide, round 6).
+    *
+    * Scale notes: each half-step is one co-keyed join+groupBy on the edge
+    * relation — shuffle on custkey then partkey, never quadratic; the
+    * Σa2 normalizer is a 1-row broadcast. Score magnitudes grow like
+    * edges·deg² per full iteration — int64-safe at any TPC-H SF here
+    * (≤3 half-steps); a deeper tower would move to DECIMAL(38,0) sums,
+    * the documented 100 TB path.
+    */
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val edges = c.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(c.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    val a1 = edges.groupBy(col("pk")).agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, Seq("pk"))
+      .groupBy(col("ck")).agg(sum(col("a1")).as("h1"))
+    val a2 = edges.join(h1, Seq("ck"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("degree"), sum(col("h1")).as("a2"))
+    val tot = a2.agg(sum(col("a2")).cast("double").as("tot_a2"))
+    a2.join(a1, Seq("pk"))
+      .crossJoin(broadcast(tot))
+      .select(col("pk").as("p_partkey"), col("degree"), col("a1"), col("a2"),
+        round(col("a2").cast("double") / col("tot_a2"), 6).as("a2_share"))
+      .orderBy(desc("a2"), asc_nulls_first("p_partkey"))
+      .limit(20)
+  }
+
+  val q197Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |a1 AS (SELECT pk, COUNT(*) AS a1 FROM e GROUP BY 1),
+      |h1 AS (SELECT e.ck, SUM(a1.a1) AS h1
+      |       FROM e JOIN a1 ON a1.pk = e.pk GROUP BY 1),
+      |a2 AS (SELECT e.pk, COUNT(*) AS degree, SUM(h1.h1) AS a2
+      |       FROM e JOIN h1 ON h1.ck = e.ck GROUP BY 1)
+      |SELECT a2.pk AS p_partkey, CAST(degree AS BIGINT) AS degree,
+      |  CAST(a1.a1 AS BIGINT) AS a1, CAST(a2.a2 AS BIGINT) AS a2,
+      |  ROUND(CAST(a2.a2 AS DOUBLE)
+      |    / CAST((SELECT SUM(a2) FROM a2) AS DOUBLE), 6) AS a2_share
+      |FROM a2 JOIN a1 ON a1.pk = a2.pk
+      |ORDER BY a2 DESC, p_partkey
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
-    "Q156" -> (q156 _), "Q162" -> (q162 _), "Q168" -> (q168 _))
+    "Q156" -> (q156 _), "Q162" -> (q162 _), "Q168" -> (q168 _),
+    "Q197" -> (q197 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
-    "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle)
+    "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle,
+    "Q197" -> q197Oracle)
 }

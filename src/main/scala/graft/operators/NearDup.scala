@@ -1102,17 +1102,127 @@ object NearDup {
       |WHERE inter * 5 >= LEAST(s1.sz, s2.sz) * 4
       |ORDER BY doc_lo NULLS FIRST, doc_hi NULLS FIRST""".stripMargin
 
+  /** Q196 — quality-aware canonical selection per near-dup cluster: the
+    * curation step AFTER discovery (Q49/Q160) and clustering (Q67). Q68
+    * keeps each cluster's min-id representative — the arbitrary rule; real
+    * pipelines keep the BEST member (here: longest by n_chars, doc_id
+    * tiebreak) so dedup doesn't silently discard the fullest copy of a
+    * page. Emits per source: docs, kept docs, kept share, exact char mass
+    * before/after, char retention, and how many kept docs differ from the
+    * min-id rule's pick (the quality-upgrade count — what Q68 would have
+    * thrown away).
+    *
+    * Determinism: cluster membership reuses Q67's star-contraction CC
+    * (min-rep labels are engine-independent); the canonical pick is a
+    * row_number over the exact (n_chars DESC, doc_id) order; every other
+    * measure is an int64 count/sum with single-divide shares (round 6).
+    *
+    * Scale notes: the argmax-per-cluster is one window over the member
+    * relation (clusters are near-dup-bounded, tiny next to the corpus);
+    * the dropped set joins back by doc_id with no broadcast hint — on a
+    * heavily duplicated corpus it is corpus-sized, so AQE decides.
+    */
+  def q196(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    val cc = connectedComponentsStars(pairs)._1 // (rep, member)
+    val docs = c.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val members = cc.join(docs, cc("member") === docs("doc_id"))
+      .select(col("rep"), col("member"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(desc("n_chars"), asc("member"))
+    val ranked = members.withColumn("rk", row_number().over(w))
+    val dropped = ranked.filter(col("rk") > 1)
+      .select(col("member").as("doc_id"), lit(1).as("is_dropped"))
+    val upgraded = ranked.filter(col("rk") === 1)
+      .filter(col("member") =!= col("rep"))
+      .select(col("member").as("doc_id"), lit(1).as("is_upgrade"))
+    docs
+      .join(dropped, Seq("doc_id"), "left")
+      .join(upgraded, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"),
+        round(count(when(col("is_dropped").isNull, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("kept_share"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_dropped").isNull, col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        round(sum(when(col("is_dropped").isNull, col("n_chars")).otherwise(0L))
+          .cast("double") / sum(col("n_chars")).cast("double"), 6)
+          .as("char_retention"),
+        sum(when(col("is_upgrade").isNotNull, 1L).otherwise(0L))
+          .as("n_quality_upgrades"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q196Oracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+      |cc AS (SELECT MIN(r) AS rep, node AS member FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT cc.rep, cc.member, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cc.rep
+      |      ORDER BY d.n_chars DESC, cc.member) AS rk
+      |  FROM cc JOIN documents d ON d.doc_id = cc.member),
+      |dropped AS (SELECT member AS doc_id FROM ranked WHERE rk > 1),
+      |upgraded AS (
+      |  SELECT member AS doc_id FROM ranked WHERE rk = 1 AND member <> rep)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  ROUND(CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_share,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_kept,
+      |  ROUND(CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+      |      AS DOUBLE) / CAST(SUM(d.n_chars) AS DOUBLE), 6) AS char_retention,
+      |  CAST(SUM(CASE WHEN up.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quality_upgrades
+      |FROM documents d
+      |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+      |LEFT JOIN upgraded up ON up.doc_id = d.doc_id
+      |GROUP BY d.source
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
     "Q166" -> (q166 _), "Q172" -> (q172 _), "Q187" -> (q187 _),
-    "Q189" -> (q189 _))
+    "Q189" -> (q189 _), "Q196" -> (q196 _))
 
   def oracles: Map[String, String] = Map(
     "Q48" -> q48Oracle, "Q49" -> q49Oracle, "Q51" -> q51Oracle,
     "Q61" -> q61Oracle, "Q67" -> q67Oracle, "Q68" -> q68Oracle,
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
-    "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle)
+    "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle,
+    "Q196" -> q196Oracle)
 }

@@ -808,13 +808,113 @@ object Stats {
       |    ROUND(ssb / (ssb + ssw), 6) END AS eta2
       |FROM ss""".stripMargin
 
+  /** Q199 — nonparametric bootstrap 95% CI for mean daily revenue per
+    * event type (Efron 1979, percentile method), with the resampling
+    * DERANDOMIZED: replicate b's s-th draw is md5('bs:type:b:s') % n —
+    * reproducible across engines, runs, and partitionings, the same trick
+    * as Q101/Q108's seeded sampling. B = 200 replicates of the n observed
+    * daily sums; the CI is the nearest-rank 2.5%/97.5% of the replicate
+    * means (ranks 5 and 195 — rank-and-pick, Q54 discipline).
+    *
+    * Determinism: every replicate mean is an exact int64 cents sum with
+    * ONE final divide; the rank order is on exact (sum, b) integers, so
+    * the picked quantiles cannot flip cross-engine.
+    *
+    * Scale notes: the bootstrap runs on the AGGREGATED (type, day) grid
+    * — types×days rows, microscopic next to the event corpus — so the
+    * B×n expansion (co-keyed join against the indexed grid, one shuffle
+    * on (type, i)) is bounded by 200·|grid|, independent of event count.
+    * At 100 TB the only corpus-sized work remains the first daily
+    * aggregate.
+    */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events.groupBy(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.withColumn("i", row_number().over(wD))
+      .select(col("event_type"), col("i"), col("cents")).localCheckpoint()
+    val st = idx.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val picks = st.select(col("event_type").as("et"), col("n"))
+      .withColumn("b", explode(sequence(lit(0), lit(199))))
+      .withColumn("s", explode(sequence(lit(0), col("n") - 1)))
+      .withColumn("pick", expr(NearDup.hexValueExpr(
+        "md5(concat('bs:', et, ':', CAST(b AS STRING), ':', CAST(s AS STRING)))"))
+        % col("n") + 1)
+    val means = picks.join(idx,
+        picks("et") === idx("event_type") && picks("pick") === idx("i"))
+      .groupBy(col("et"), col("b")).agg(sum(col("cents")).as("sc"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("et")).orderBy(col("sc"), col("b"))
+    val ci = means.withColumn("rk", row_number().over(wR))
+      .groupBy(col("et"))
+      .agg(max(when(col("rk") === 5, col("sc"))).as("sc_lo"),
+        max(when(col("rk") === 195, col("sc"))).as("sc_hi"))
+    st.join(ci, st("event_type") === ci("et"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("tot").cast("double") / (col("n").cast("double") * 100.0), 4)
+          .as("mean_rev"),
+        round(col("sc_lo").cast("double") / (col("n").cast("double") * 100.0), 4)
+          .as("ci_lo"),
+        round(col("sc_hi").cast("double") / (col("n").cast("double") * 100.0), 4)
+          .as("ci_hi"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q199Oracle: String = {
+    val pick = NearDup.hexValueExpr(
+      "md5('bs:' || event_type || ':' || CAST(b AS VARCHAR) || ':' || CAST(s AS VARCHAR))")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+       |  FROM daily),
+       |st AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS tot
+       |       FROM idx GROUP BY 1),
+       |e1 AS (SELECT event_type, n, UNNEST(range(200)) AS b FROM st),
+       |e2 AS (SELECT event_type, n, b, UNNEST(range(n)) AS s FROM e1),
+       |picks AS (
+       |  SELECT event_type, b, ($pick) % n + 1 AS pick FROM e2),
+       |means AS (
+       |  SELECT p.event_type, p.b, SUM(i.cents) AS sc
+       |  FROM picks p JOIN idx i
+       |    ON i.event_type = p.event_type AND i.i = p.pick
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, sc, ROW_NUMBER() OVER (
+       |    PARTITION BY event_type ORDER BY sc, b) AS rk
+       |  FROM means),
+       |ci AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rk = 5 THEN sc END) AS sc_lo,
+       |    MAX(CASE WHEN rk = 195 THEN sc END) AS sc_hi
+       |  FROM ranked GROUP BY 1)
+       |SELECT st.event_type, CAST(st.n AS BIGINT) AS n_days,
+       |  ROUND(CAST(st.tot AS DOUBLE) / (CAST(st.n AS DOUBLE) * 100.0), 4)
+       |    AS mean_rev,
+       |  ROUND(CAST(ci.sc_lo AS DOUBLE) / (CAST(st.n AS DOUBLE) * 100.0), 4)
+       |    AS ci_lo,
+       |  ROUND(CAST(ci.sc_hi AS DOUBLE) / (CAST(st.n AS DOUBLE) * 100.0), 4)
+       |    AS ci_hi
+       |FROM st JOIN ci ON ci.event_type = st.event_type
+       |ORDER BY st.event_type NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
-    "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _))
+    "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
+    "Q199" -> (q199 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
-    "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle)
+    "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
+    "Q199" -> q199Oracle)
 }

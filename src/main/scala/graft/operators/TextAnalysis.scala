@@ -1010,12 +1010,114 @@ object TextAnalysis {
       |FROM ranked GROUP BY source
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q195 — held-out bigram language-model quality scoring (the CCNet /
+    * Wenzek et al. 2020 shape: train an LM on a reference split, score
+    * the candidate split, threshold on perplexity). The corpus splits
+    * 50/50 by md5 of the doc id (reproducible, order-independent); an
+    * add-one-smoothed bigram model trains on bucket 0 and every bucket-1
+    * document is scored by its mean negative log-likelihood
+    * ce = −avg ln((c12+1)/(c1+V)) with V = train vocab + 1 OOV class.
+    * Emits per source: scored docs, bigram mass, mean cross-entropy
+    * (nats), the perplexity of that mean, and the share of docs beyond
+    * the ce > 3.55 low-quality fence — Q69's unigram scorer upgraded to
+    * the held-out bigram form real curation pipelines threshold on.
+    *
+    * Determinism: every probability is one IEEE divide of exact int64
+    * counts; ln follows the Q158 parity discipline; per-doc ce rounds at
+    * 6 BEFORE the fence compare and the per-source mean (Q173's
+    * round-then-compare rule), ppl applies exp to the already-rounded-4
+    * mean so both engines exponentiate the identical double.
+    *
+    * Scale notes: the bigram/context/vocab relations are train-side
+    * aggregates (vocabulary-bounded, far smaller than the corpus); the
+    * scoring side joins co-keyed on the bigram/context keys with no
+    * broadcast hint — at web scale the LM tables exceed driver memory,
+    * so AQE picks the strategy. One corpus pass builds, one scores.
+    */
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = c.documents
+      .withColumn("bucket",
+        expr(NearDup.hexValueExpr("md5(concat('lm:', CAST(doc_id AS STRING)))")) % 2)
+      .withColumn("w", expr("filter(split(text, ' '), t -> t <> '')"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("bucket"),
+        explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(w[i] AS w1, concat(w[i], ' ', w[i + 1]) AS bg))"""
+            .stripMargin)).as("p"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val lm12 = big.filter(col("bucket") === 0)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val lm1 = big.filter(col("bucket") === 0)
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.filter(col("bucket") === 0)
+      .select(explode(col("w")).as("t"))
+      .agg((countDistinct(col("t")) + 1L).as("v"))
+    val scored = big.filter(col("bucket") === 1)
+      .join(lm12, Seq("bg"), "left")
+      .join(lm1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nb"),
+        round(-avg(log(
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))), 6)
+          .as("ce"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        round(avg(col("ce")), 4).as("mean_ce"),
+        round(exp(round(avg(col("ce")), 4)), 2).as("ppl"),
+        round(sum(when(col("ce") > 3.55, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("low_q_share"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q195Oracle: String = {
+    val bucket = NearDup.hexValueExpr("md5('lm:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ($bucket) % 2 AS bucket,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, source, bucket,
+       |    UNNEST(list_transform(range(len(w) - 1), i -> w[i + 1])) AS w1,
+       |    UNNEST(list_transform(range(len(w) - 1),
+       |      i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+       |  FROM toks WHERE len(w) >= 2),
+       |lm12 AS (SELECT bg, COUNT(*) AS c12 FROM big WHERE bucket = 0 GROUP BY 1),
+       |lm1 AS (SELECT w1, COUNT(*) AS c1 FROM big WHERE bucket = 0 GROUP BY 1),
+       |vocab AS (
+       |  SELECT COUNT(DISTINCT t.t) + 1 AS v FROM (
+       |    SELECT UNNEST(w) AS t FROM toks WHERE bucket = 0) t),
+       |scored AS (
+       |  SELECT b.doc_id, b.source, COUNT(*) AS nb,
+       |    ROUND(-AVG(LN(CAST(COALESCE(l2.c12, 0) + 1 AS DOUBLE)
+       |      / CAST(COALESCE(l1.c1, 0) + vocab.v AS DOUBLE))), 6) AS ce
+       |  FROM big b
+       |  LEFT JOIN lm12 l2 ON l2.bg = b.bg
+       |  LEFT JOIN lm1 l1 ON l1.w1 = b.w1
+       |  CROSS JOIN vocab
+       |  WHERE b.bucket = 1
+       |  GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+       |  ROUND(AVG(ce), 4) AS mean_ce,
+       |  ROUND(EXP(ROUND(AVG(ce), 4)), 2) AS ppl,
+       |  ROUND(CAST(SUM(CASE WHEN ce > 3.55 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS low_q_share
+       |FROM scored GROUP BY 1
+       |ORDER BY source NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
-    "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _))
+    "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
+    "Q195" -> (q195 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1023,5 +1125,6 @@ object TextAnalysis {
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
-    "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle)
+    "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
+    "Q195" -> q195Oracle)
 }

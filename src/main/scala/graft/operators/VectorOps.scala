@@ -460,11 +460,263 @@ object VectorOps {
       |  ROUND(AVG(s), 4) AS silhouette
       |FROM s GROUP BY 1 ORDER BY label NULLS FIRST""".stripMargin
 
+  /** md5-derived Rademacher sign for SRP hyperplane k, dimension d —
+    * the same first-8-hex-digits parity both engines compute from
+    * md5('srp:k:d') (NearDup.hexValueExpr's formula, evaluated once on
+    * the driver so the Spark side embeds the signs as literals).
+    */
+  private[operators] def srpSign(k: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp:$k:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Q198 — SRP-LSH near-dup discovery over the embedding corpus
+    * (Charikar 2002 signed random projections): the SCALE PATH for Q50,
+    * whose all-pairs broadcast join is quadratic in the corpus. Each
+    * vector quantizes to an exact integer grid (⌊x·2²⁰+0.5⌋ — float32
+    * inputs are exact in double, so the grid is engine-independent),
+    * projects onto 24 md5-derived ±1 hyperplanes (exact int64 sums),
+    * and the 24 sign bits split into eight 3-bit bands; pairs sharing
+    * any band bucket are candidates, verified by the exact-integer
+    * cosine ≥ 0.4. Emits the verified pairs in Q50's shape. Band shape
+    * is tuned to the threshold: at τ = 0.4 (θ ≈ 66°, sign-agreement
+    * p ≈ 0.63) 3-bit bands give ~0.94 measured recall (AnnSpec pins
+    * it); a production near-dup sweep at τ ≥ 0.85 would use the longer
+    * 8-bit bands, where candidates collapse toward true pairs — band
+    * width slides the operator along the SRP recall/cost curve.
+    *
+    * Determinism: every projection, band value, dot, and norm is exact
+    * int64 arithmetic; cos is one divide of identical doubles, so even
+    * the ≥ 0.4 fence cannot flip cross-engine. AnnSpec pins recall
+    * against Q50's exhaustive pairs on the shared id range.
+    *
+    * Scale notes: signatures are ROW-LOCAL codegen'd folds (zip_with +
+    * aggregate over the 64-dim arrays — no per-dimension shuffle, the
+    * plane signs ride along as literals); the only shuffles are the
+    * (band, value) bucket self-join — candidate volume Σ bucket² stays
+    * near-linear when bands are tuned to corpus size — and the verify
+    * join back to the integer vectors. A pathological hot bucket (all
+    * vectors identical) degrades toward Q50's quadratic; the salting
+    * defense is the same as Q103's and a per-bucket cap is one window.
+    */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val xi = c.embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+      .as("xi"))
+    val projCols = (0 until 24).map { k =>
+      val signs = (0 until 64).map(d => srpSign(k, d)).mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)")
+        .as(s"p$k")
+    }
+    val withBands = xi.select(col("vec_id") +: col("xi") +: projCols: _*)
+      .withColumns((0 until 8).map(b => s"band$b" -> (0 until 3).map(j =>
+        when(col(s"p${3 * b + j}") >= 0L, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)).toMap)
+      .withColumn("nrm", expr("aggregate(transform(xi, x -> x * x), 0L, (a, v) -> a + v)"))
+      .localCheckpoint()
+    val buckets = (0 until 8).map(b =>
+        withBands.select(col("vec_id"), lit(b).as("band"), col(s"band$b").as("bv")))
+      .reduce(_ union _)
+    val cand = buckets.as("b1").join(buckets.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.bv") === col("b2.bv") &&
+          col("b1.vec_id") < col("b2.vec_id"))
+      .select(col("b1.vec_id").as("v1"), col("b2.vec_id").as("v2")).distinct()
+    val side1 = withBands.select(col("vec_id").as("v1"), col("xi").as("x1"), col("nrm").as("n1"))
+    val side2 = withBands.select(col("vec_id").as("v2"), col("xi").as("x2"), col("nrm").as("n2"))
+    cand.join(side1, Seq("v1")).join(side2, Seq("v2"))
+      .withColumn("dp", expr("aggregate(zip_with(x1, x2, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
+      .withColumn("cos", col("dp").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("cos") >= 0.4)
+      .select(col("v1").as("vec_lo"), col("v2").as("vec_hi"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(asc_nulls_first("vec_lo"), asc_nulls_first("vec_hi"))
+  }
+
+  val q198Oracle: String = {
+    val hexv = NearDup.hexValueExpr(
+      "md5('srp:' || CAST(k.k AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+       |    AS xi
+       |  FROM embeddings),
+       |flat AS (
+       |  SELECT vec_id, generate_subscripts(xi, 1) - 1 AS d, UNNEST(xi) AS x
+       |  FROM v),
+       |planes AS (
+       |  SELECT k.k, d.d,
+       |    CASE WHEN ($hexv) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM range(24) k(k) CROSS JOIN range(64) d(d)),
+       |proj AS (
+       |  SELECT f.vec_id, p.k, SUM(f.x * p.s) AS pr
+       |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT vec_id, k // 3 AS band,
+       |    SUM(CASE WHEN pr >= 0 THEN 1 << (k % 3) ELSE 0 END) AS bv
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.bv = b2.bv AND b1.vec_id < b2.vec_id),
+       |norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nn FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.v1, c.v2, SUM(f1.x * f2.x) AS dp
+       |  FROM cand c
+       |  JOIN flat f1 ON f1.vec_id = c.v1
+       |  JOIN flat f2 ON f2.vec_id = c.v2 AND f2.d = f1.d
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT v1, v2, CAST(dp AS DOUBLE)
+       |    / (SQRT(CAST(n1.nn AS DOUBLE)) * SQRT(CAST(n2.nn AS DOUBLE))) AS cos
+       |  FROM dots
+       |  JOIN norms n1 ON n1.vec_id = v1
+       |  JOIN norms n2 ON n2.vec_id = v2)
+       |SELECT v1 AS vec_lo, v2 AS vec_hi, ROUND(cos, 4) AS cos
+       |FROM cosv WHERE cos >= 0.4
+       |ORDER BY vec_lo NULLS FIRST, vec_hi NULLS FIRST""".stripMargin
+  }
+
+  /** Q200 — maximal marginal relevance (Carbonell & Goldstein 1998):
+    * the diversified top-k a retrieval pipeline runs AFTER similarity
+    * search, trading relevance against redundancy. Probe = vector 0,
+    * candidates = vectors 1..200; five greedy rounds pick
+    * argmax λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s) with λ = 0.7 — round 1
+    * reduces to argmax λ·rel (empty penalty). Emits the pick sequence
+    * (rank, vec_id, rel, mmr score at selection).
+    *
+    * Determinism: rel and every pairwise sim are Q198's exact-integer
+    * cosines rounded at 6 BEFORE any comparison, and the composite score
+    * rounds at 6 with id tiebreak (Q173's argmax-can't-flip rule) — the
+    * greedy trajectory is therefore bit-stable across engines; the
+    * oracle replays the identical five rounds as a chained CTE (Q120
+    * discipline for iterated algorithms).
+    *
+    * Scale notes: the selected set is ≤k rows and BROADCASTS; each round
+    * is one broadcast-join + argmax over the candidate relation (k
+    * passes total, k bounded), never a candidate×candidate shuffle. The
+    * per-round 1-row collect is the Q102/Q120-adjudicated bounded driver
+    * step. At web scale the candidate relation is itself the output of
+    * ANN shortlisting (Q38/Ann), keeping rounds shortlist-sized.
+    */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog(spark, dir)
+    val xi = c.embeddings.filter(col("vec_id") <= 200)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+        .as("xi"))
+      .withColumn("nrm", expr("aggregate(transform(xi, x -> x * x), 0L, (a, v) -> a + v)"))
+      .localCheckpoint()
+    val probe = xi.filter(col("vec_id") === 0)
+      .select(col("xi").as("x0"), col("nrm").as("n0"))
+    val rel = xi.filter(col("vec_id") >= 1).crossJoin(broadcast(probe))
+      .withColumn("dp", expr("aggregate(zip_with(xi, x0, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
+      .select(col("vec_id"), col("xi"), col("nrm"),
+        round(col("dp").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("n0").cast("double"))), 6)
+          .as("rel"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Long, Double, Double)]
+    for (r <- 1 to 5) {
+      val selIds = selected.map(_._2)
+      val rem = if (selIds.isEmpty) rel else rel.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty)
+          rem.withColumn("score", round(lit(0.7) * col("rel"), 6))
+        else {
+          val selDf = rel.filter(col("vec_id").isin(selIds: _*))
+            .select(col("vec_id").as("sid"), col("xi").as("sxi"), col("nrm").as("snrm"))
+          rem.crossJoin(broadcast(selDf))
+            .withColumn("dps", expr(
+              "aggregate(zip_with(xi, sxi, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
+            .withColumn("cs", round(col("dps").cast("double") /
+              (sqrt(col("nrm").cast("double")) * sqrt(col("snrm").cast("double"))), 6))
+            .groupBy(col("vec_id"), col("rel")).agg(max(col("cs")).as("ms"))
+            .withColumn("score",
+              round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6))
+        }
+      val row = scored.orderBy(desc("score"), asc("vec_id"))
+        .select(col("vec_id"), col("rel"), col("score")).head()
+      selected = selected :+ ((r.toLong, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+    }
+    selected.toDF("rank", "vec_id", "rel", "mmr").orderBy(asc("rank"))
+  }
+
+  val q200Oracle: String = {
+    def round(n: Int): String = {
+      val prev = if (n == 1) "sel0" else s"sel${n - 1}"
+      val pick =
+        if (n == 1)
+          s"""p1 AS (
+             |  SELECT vec_id, rel, ROUND(0.7 * rel, 6) AS score
+             |  FROM rel ORDER BY score DESC, vec_id LIMIT 1)"""
+        else
+          s"""sc$n AS (
+             |  SELECT r.vec_id, r.rel,
+             |    ROUND(0.7 * r.rel - 0.3 * MAX(s.cs), 6) AS score
+             |  FROM rel r JOIN sim s ON s.a = r.vec_id
+             |    AND s.b IN (SELECT vec_id FROM $prev)
+             |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $prev)
+             |  GROUP BY r.vec_id, r.rel),
+             |p$n AS (
+             |  SELECT vec_id, rel, score FROM sc$n
+             |  ORDER BY score DESC, vec_id LIMIT 1)"""
+      val sel =
+        if (n == 1) s"sel1 AS (SELECT vec_id FROM p1)"
+        else s"sel$n AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM p$n)"
+      s"$pick,\n$sel"
+    }
+    val rounds = (1 to 5).map(round).mkString(",\n")
+    val finals = (1 to 5)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS rank, vec_id, rel, score AS mmr FROM p$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+       |    AS xi
+       |  FROM embeddings WHERE vec_id <= 200),
+       |flat AS (
+       |  SELECT vec_id, generate_subscripts(xi, 1) AS pos, UNNEST(xi) AS x
+       |  FROM v),
+       |norms AS (SELECT vec_id, SUM(x * x) AS nn FROM flat GROUP BY 1),
+       |rel AS (
+       |  SELECT f.vec_id, ROUND(CAST(SUM(f.x * p.x) AS DOUBLE)
+       |    / (SQRT(CAST(n1.nn AS DOUBLE)) * SQRT(CAST(n0.nn AS DOUBLE))), 6)
+       |    AS rel
+       |  FROM flat f
+       |  JOIN flat p ON p.vec_id = 0 AND p.pos = f.pos
+       |  JOIN norms n1 ON n1.vec_id = f.vec_id
+       |  CROSS JOIN (SELECT nn FROM norms WHERE vec_id = 0) n0
+       |  WHERE f.vec_id >= 1
+       |  GROUP BY f.vec_id, n1.nn, n0.nn),
+       |sim AS (
+       |  SELECT f1.vec_id AS a, f2.vec_id AS b,
+       |    ROUND(CAST(SUM(f1.x * f2.x) AS DOUBLE)
+       |      / (SQRT(CAST(na.nn AS DOUBLE)) * SQRT(CAST(nb.nn AS DOUBLE))), 6)
+       |      AS cs
+       |  FROM flat f1
+       |  JOIN flat f2 ON f2.pos = f1.pos
+       |    AND f1.vec_id >= 1 AND f2.vec_id >= 1 AND f1.vec_id <> f2.vec_id
+       |  JOIN norms na ON na.vec_id = f1.vec_id
+       |  JOIN norms nb ON nb.vec_id = f2.vec_id
+       |  GROUP BY 1, 2, na.nn, nb.nn),
+       |$rounds
+       |$finals
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
-    "Q173" -> (q173 _), "Q185" -> (q185 _))
+    "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
+    "Q200" -> (q200 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
-    "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle)
+    "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
+    "Q198" -> q198Oracle, "Q200" -> q200Oracle)
 }
