@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graphs, NearDup, Stats, TextAnalysis, VectorOps}
+
+/** Model pins for the round-9 gate family: each test recomputes the
+  * operator's defining invariant (or the whole algorithm) locally from
+  * first principles on sf0.001 and compares — the cross-engine hash gate
+  * is the DuckDB oracle; these pin the MODEL (greedy trajectories, exact
+  * integer disciplines, recall floors, reconciliation identities).
+  */
+class Round9GatesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** Spark's ROUND-on-double semantics (toString-based decimal HALF_UP). */
+  private def r6(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r2(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("Q195 bigram LM: ppl is exp of the rounded mean ce; doc accounting closes") {
+    val out = TextAnalysis.q195(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ce = r.getAs[Double]("mean_ce")
+      assert(ce > 0, "cross-entropy must be positive")
+      assert(r.getAs[Double]("ppl") == r2(math.exp(ce)),
+        "ppl must be ROUND(EXP(mean_ce), 2) of the already-rounded mean")
+      val lq = r.getAs[Double]("low_q_share")
+      assert(lq >= 0.0 && lq <= 1.0)
+    }
+    // every held-out doc with >= 2 tokens is scored, none from the train split
+    val c = Catalog(spark, dir)
+    val expected = c.documents
+      .withColumn("bucket",
+        expr(
+          "(" + (1 to 8).map { d =>
+            val scale = math.pow(16, 8 - d).toLong
+            s"(instr('0123456789abcdef', substring(md5(concat('lm:', CAST(doc_id AS STRING))), $d, 1)) - 1) * CAST($scale AS BIGINT)"
+          }.mkString(" + ") + ") % 2"))
+      .withColumn("ntok", expr("size(filter(split(text, ' '), t -> t <> ''))"))
+      .filter(col("bucket") === 1 && col("ntok") >= 2).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == expected)
+  }
+
+  test("Q196 canonical selection: kept totals reconcile with Q68's min-id rule") {
+    val q196 = NearDup.q196(spark, dir).collect()
+    val q68 = NearDup.q68(spark, dir).collect()
+    // same clusters, one survivor per cluster + all singletons — the RULE
+    // differs (longest vs min-id) but the survivor COUNT cannot
+    assert(q196.map(_.getAs[Long]("n_kept")).sum ==
+      q68.map(_.getAs[Long]("n_kept")).sum)
+    q196.foreach { r =>
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the quality rule must keep at least the char mass of ANY other rule
+    // on the same clusters: per cluster it keeps the longest member, so
+    // global kept-chars >= what min-id keeping would retain
+    val pairs = operators.TextOps
+      .jaccardFromTokens(spark, NearDup.shingles(Catalog(spark, dir)), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    val cc = NearDup.connectedComponentsStars(pairs)._1
+    val chars = Catalog(spark, dir).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = cc.collect().groupBy(_.getAs[Long]("rep"))
+      .values.map(_.map(_.getAs[Long]("member")).toSeq)
+    val qualityKeep = clusters.map(m => m.map(chars).max).sum
+    val minIdKeep = clusters.map(m => chars(m.min)).sum
+    val keptCharsInClusters = {
+      val allMembers = clusters.flatten.toSet
+      q196.map(_.getAs[Long]("chars_kept")).sum -
+        chars.filterNot { case (id, _) => allMembers(id) }.values.sum
+    }
+    assert(keptCharsInClusters == qualityKeep)
+    assert(qualityKeep >= minIdKeep)
+  }
+
+  test("Q197 HITS: the gate's exact-integer scores equal a local replay") {
+    val c = Catalog(spark, dir)
+    val edges = c.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(c.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = edges.groupBy(_._2).map { case (p, es) => p -> es.size.toLong }
+    val h1 = edges.groupBy(_._1).map { case (cu, es) =>
+      cu -> es.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(e => h1(e._1)).sum }
+    val top = a2.toSeq.sortBy { case (p, s) => (-s, p) }.take(20)
+    val got = Graphs.q197(spark, dir).collect()
+    assert(got.length == top.length)
+    got.zip(top).foreach { case (r, (p, s)) =>
+      assert(r.getAs[Long]("p_partkey") == p)
+      assert(r.getAs[Long]("a2") == s)
+      assert(r.getAs[Long]("a1") == a1(p))
+    }
+  }
+
+  test("Q198 SRP-LSH: verified pairs are a subset of the exhaustive sweep; recall >= 0.9") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray
+    }
+    val nrm = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    val exhaustive = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      dp = va.zip(vb).map { case (a, b) => a * b }.sum
+      cos = dp.toDouble / (math.sqrt(nrm(ia).toDouble) * math.sqrt(nrm(ib).toDouble))
+      if cos >= 0.4
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    val got = VectorOps.q198(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_lo"), r.getAs[Long]("vec_hi"))).toSet
+    assert(got.subsetOf(exhaustive), "LSH must never emit a sub-threshold pair")
+    val recall = got.size.toDouble / exhaustive.size
+    assert(recall >= 0.9, f"SRP recall $recall%.3f under the 3-bit-band floor")
+  }
+
+  test("Q199 bootstrap CI: percentile interval brackets the point estimate") {
+    val out = Stats.q199(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("mean_rev"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo < hi, "nondegenerate interval")
+      assert(lo <= m && m <= hi, "95% percentile CI brackets the sample mean")
+    }
+  }
+
+  test("Q200 MMR: the greedy trajectory equals a local first-principles replay") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.filter(col("vec_id") <= 200).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong).toArray
+    }.toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum.toDouble) }
+    def cos(a: Long, b: Long): Double = r6(
+      vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum.toDouble / (nrm(a) * nrm(b)))
+    val cand = vecs.keys.filter(_ >= 1).toSeq.sorted
+    val rel = cand.map(i => i -> cos(i, 0L)).toMap
+    var sel = Vector.empty[Long]
+    (1 to 5).foreach { _ =>
+      val pick = cand.filterNot(sel.contains).map { i =>
+        val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(i, s)).max
+        val score = if (sel.isEmpty) r6(0.7 * rel(i))
+          else r6(0.7 * rel(i) - 0.3 * ms)
+        (i, score)
+      }.minBy { case (i, s) => (-s, i) }._1
+      sel = sel :+ pick
+    }
+    val got = VectorOps.q200(spark, dir).collect().map(_.getAs[Long]("vec_id")).toVector
+    assert(got == sel, s"gate picked $got, local greedy replay picked $sel")
+  }
+}
