@@ -815,17 +815,148 @@ object PipelineOps {
       |WHERE s.pos < 10
       |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
 
+  /** Q202 — stratified eval-set allocation by largest remainder
+    * (Hamilton's apportionment): split a fixed 1000-document evaluation
+    * budget across sources proportional to their doc counts, EXACTLY —
+    * base quota ⌊1000·n_s/N⌋ per source, then the 1000 − Σbase leftover
+    * seats go to the largest remainders (1000·n_s mod N, source-name
+    * tiebreak). The construction step before any balanced eval/val split;
+    * Q101's per-group sampler consumes the resulting counts.
+    *
+    * Determinism: every quota, remainder, rank, and seat is exact int64
+    * arithmetic (1000·n_s fits trivially); the only doubles are the two
+    * reporting shares, single divides rounded at 6. The apportionment
+    * identity Σalloc = 1000 is spec-pinned in Round9GatesSpec.
+    *
+    * Scale notes: one corpus aggregate to a sources-bounded relation;
+    * the quota window runs on that bounded relation. At 100 TB the only
+    * corpus-sized work is the groupBy count.
+    */
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val k = 1000L
+    val counts = c.documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(desc("rem"), asc("source"))
+    counts
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("alloc_base", expr(s"($k * n_docs) DIV n_total"))
+      .withColumn("rem", (lit(k) * col("n_docs")) % col("n_total"))
+      .withColumn("leftover", lit(k) - sum(col("alloc_base")).over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("alloc",
+        col("alloc_base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("alloc_base"), col("alloc"),
+        round(col("alloc").cast("double") / lit(1000.0), 6).as("budget_share"),
+        round(col("alloc").cast("double") / col("n_docs").cast("double"), 6)
+          .as("sample_rate"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q202Oracle: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |quota AS (
+      |  SELECT source, n_docs,
+      |    SUM(n_docs) OVER () AS n_total,
+      |    (1000 * n_docs) // SUM(n_docs) OVER () AS alloc_base,
+      |    (1000 * n_docs) % SUM(n_docs) OVER () AS rem
+      |  FROM counts),
+      |seats AS (
+      |  SELECT *,
+      |    1000 - SUM(alloc_base) OVER () AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM quota)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(alloc_base AS BIGINT) AS alloc_base,
+      |  CAST(alloc_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc,
+      |  ROUND(CAST(alloc_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS DOUBLE) / 1000.0, 6) AS budget_share,
+      |  ROUND(CAST(alloc_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS sample_rate
+      |FROM seats
+      |ORDER BY source NULLS FIRST""".stripMargin
+
+  /** Q205 — cross-validation fold balance audit: documents split into 5
+    * folds by md5 of the doc id (the reproducible fold assignment every
+    * training pipeline needs), then the fold × language contingency is
+    * checked against independence — observed count, expected count
+    * row·col/N, and the χ² contribution per cell. A skewed cell flags a
+    * fold that would bias per-language validation metrics.
+    *
+    * Determinism: counts and margins are exact int64; expected and the
+    * χ² term are the same two-three IEEE ops on identical inputs (margins
+    * cast to double BEFORE the product — at warehouse scale row·col
+    * overflows int64, the Q127 cast-before-multiply rule), rounded 4/6.
+    *
+    * Scale notes: one corpus pass to the folds×langs-bounded cell
+    * relation; margins are windows over that bounded relation.
+    */
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.documents
+      .withColumn("fold",
+        expr(NearDup.hexValueExpr("md5(concat('cv:', CAST(doc_id AS STRING)))")) % 5)
+      .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fold"))
+    val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    cells
+      .withColumn("row_n", sum(col("n")).over(wF))
+      .withColumn("col_n", sum(col("n")).over(wL))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("expected",
+        col("row_n").cast("double") * col("col_n").cast("double") /
+          col("n_total").cast("double"))
+      .select(col("fold"), col("lang"), col("n"),
+        round(col("expected"), 4).as("expected"),
+        round((col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected")) / col("expected"), 6)
+          .as("chi2_term"))
+      .orderBy(asc_nulls_first("fold"), asc_nulls_first("lang"))
+  }
+
+  val q205Oracle: String = {
+    val fold = NearDup.hexValueExpr("md5('cv:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH cells AS (
+       |  SELECT ($fold) % 5 AS fold, lang, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |m AS (
+       |  SELECT fold, lang, n,
+       |    SUM(n) OVER (PARTITION BY fold) AS row_n,
+       |    SUM(n) OVER (PARTITION BY lang) AS col_n,
+       |    SUM(n) OVER () AS n_total
+       |  FROM cells),
+       |e AS (
+       |  SELECT fold, lang, n,
+       |    CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+       |      / CAST(n_total AS DOUBLE) AS expected
+       |  FROM m)
+       |SELECT fold, lang, CAST(n AS BIGINT) AS n,
+       |  ROUND(expected, 4) AS expected,
+       |  ROUND((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+       |    / expected, 6) AS chi2_term
+       |FROM e
+       |ORDER BY fold NULLS FIRST, lang NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
     "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
     "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _),
-    "Q101" -> (q101 _), "Q113" -> (q113 _))
+    "Q101" -> (q101 _), "Q113" -> (q113 _), "Q202" -> (q202 _),
+    "Q205" -> (q205 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
     "Q72" -> q72Oracle, "Q73" -> q73Oracle, "Q74" -> q74Oracle,
     "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
     "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle,
-    "Q101" -> q101Oracle, "Q113" -> q113Oracle)
+    "Q101" -> q101Oracle, "Q113" -> q113Oracle,
+    "Q202" -> q202Oracle, "Q205" -> q205Oracle)
 }

@@ -906,15 +906,101 @@ object Stats {
        |ORDER BY st.event_type NULLS FIRST""".stripMargin
   }
 
+  /** Q204 — winsorized and trimmed means per event type (10% per tail):
+    * the robust location estimates between Q93's MAD and the raw mean —
+    * trimming DROPS the k = ⌊n/10⌋ extreme values per side, winsorizing
+    * CLAMPS them to the cut values. Emits per type: n, k, the exact cut
+    * values, raw/trimmed/winsorized means — the three-way comparison
+    * that quantifies tail influence on the metric a dashboard reports.
+    *
+    * Determinism: values are exact cents; the cut positions are
+    * rank-and-pick on the (value, event_id) total order (Q54
+    * discipline); all three numerators are exact int64 sums —
+    * winsorized = Σmiddle + k·lo + k·hi — with ONE final divide each
+    * (round 4). No interpolation, no float accumulation.
+    *
+    * Scale notes: one window sort per type (the same sort Q138's ranks
+    * ride), then a bounded aggregate; at petabyte row counts the
+    * production path swaps the exact ranks for C15 KLL sketch cut
+    * values and a map-side clamp — same algebra, sketch-approximate
+    * cuts.
+    */
+  def q204(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ranked = vals
+      .withColumn("rk", row_number().over(wT))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", expr("n DIV 10"))
+    ranked.groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("k")).as("k"),
+        max(when(col("rk") === col("k") + 1, col("cents"))).as("lo_cents"),
+        max(when(col("rk") === col("n") - col("k"), col("cents"))).as("hi_cents"),
+        sum(col("cents")).as("s_all"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          col("cents")).otherwise(0L)).as("s_mid"))
+      .select(col("event_type"), col("n"), col("k"),
+        round(col("lo_cents").cast("double") / 100.0, 2).as("cut_lo"),
+        round(col("hi_cents").cast("double") / 100.0, 2).as("cut_hi"),
+        round(col("s_all").cast("double") /
+          (col("n").cast("double") * 100.0), 4).as("mean_raw"),
+        round(col("s_mid").cast("double") /
+          ((col("n") - lit(2L) * col("k")).cast("double") * 100.0), 4)
+          .as("mean_trimmed"),
+        round((col("s_mid") + col("k") * col("lo_cents") +
+          col("k") * col("hi_cents")).cast("double") /
+          (col("n").cast("double") * 100.0), 4).as("mean_winsorized"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q204Oracle: String =
+    """WITH vals AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    event_id
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM vals),
+      |agg AS (
+      |  SELECT event_type, MAX(n) AS n, MAX(n // 10) AS k,
+      |    MAX(CASE WHEN rk = n // 10 + 1 THEN cents END) AS lo_cents,
+      |    MAX(CASE WHEN rk = n - n // 10 THEN cents END) AS hi_cents,
+      |    SUM(cents) AS s_all,
+      |    SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+      |        THEN cents ELSE 0 END) AS s_mid
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(CAST(lo_cents AS DOUBLE) / 100.0, 2) AS cut_lo,
+      |  ROUND(CAST(hi_cents AS DOUBLE) / 100.0, 2) AS cut_hi,
+      |  ROUND(CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+      |    AS mean_raw,
+      |  ROUND(CAST(s_mid AS DOUBLE)
+      |    / (CAST(n - 2 * k AS DOUBLE) * 100.0), 4) AS mean_trimmed,
+      |  ROUND(CAST(s_mid + k * lo_cents + k * hi_cents AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * 100.0), 4) AS mean_winsorized
+      |FROM agg
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
-    "Q199" -> (q199 _))
+    "Q199" -> (q199 _), "Q204" -> (q204 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
-    "Q199" -> q199Oracle)
+    "Q199" -> q199Oracle, "Q204" -> q204Oracle)
 }

@@ -1111,13 +1111,79 @@ object TextAnalysis {
        |ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  /** Q203 — degenerate-repetition (token-loop) detector: the longest run
+    * of identical consecutive tokens per document, profiled per source —
+    * the "aaaa…"/"buy buy buy buy" failure mode that slips past Q96's
+    * bigram-coverage filters (a long run of ONE token spreads over many
+    * distinct positions but few distinct bigrams only when short). Emits
+    * per source: docs, max run observed, mean per-doc max run, and the
+    * share of docs whose longest run ≥ 3 (the loop-suspect rate).
+    *
+    * Determinism: runs come from the exact gaps-and-islands identity
+    * pos − rank-within-token (Q136's island key on the token axis); all
+    * counts int64, shares single divides (round 4/6).
+    *
+    * Scale notes: one explode + two windows sharing the per-doc sort
+    * (partition by doc) + one bounded aggregate — embarrassingly
+    * parallel over documents; the row-local HOF-fold twin (aggregate
+    * carrying (prev, run, best)) trades the windows for zero shuffle
+    * when the corpus is wide-row.
+    */
+  def q203(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = c.documents
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as(Seq("pos", "token")))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("token")).orderBy(col("pos"))
+    val runs = tok
+      .withColumn("isl", col("pos") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("source"), col("token"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("run")).as("max_run"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("max_run")).as("worst_run"),
+        round(avg(col("max_run")), 4).as("mean_max_run"),
+        round(sum(when(col("max_run") >= 3L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("loop_share"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q203Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    generate_subscripts(w, 1) AS pos, UNNEST(w) AS token
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |        FROM documents)),
+      |runs AS (
+      |  SELECT doc_id, source, token,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos)
+      |      AS isl
+      |  FROM tok),
+      |rl AS (
+      |  SELECT doc_id, source, COUNT(*) AS run
+      |  FROM runs GROUP BY doc_id, source, token, isl),
+      |per_doc AS (
+      |  SELECT doc_id, source, MAX(run) AS max_run FROM rl GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(MAX(max_run) AS BIGINT) AS worst_run,
+      |  ROUND(AVG(max_run), 4) AS mean_max_run,
+      |  ROUND(CAST(SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS loop_share
+      |FROM per_doc GROUP BY 1
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
     "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
-    "Q195" -> (q195 _))
+    "Q195" -> (q195 _), "Q203" -> (q203 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1126,5 +1192,5 @@ object TextAnalysis {
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
     "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
-    "Q195" -> q195Oracle)
+    "Q195" -> q195Oracle, "Q203" -> q203Oracle)
 }

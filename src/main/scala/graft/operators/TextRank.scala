@@ -210,9 +210,108 @@ object TextRank {
       |FROM dfreq d JOIN postings p ON p.token = d.token
       |ORDER BY df DESC, token NULLS FIRST""".stripMargin
 
+  /** Q201 — TextRank keyword extraction (Mihalcea & Tarau 2004), the
+    * module's namesake: a weighted PageRank over the token co-occurrence
+    * graph (adjacent-token pairs, direction dropped, multiplicity as
+    * edge weight, support-pruned at ≥ 3 co-occurrences), 3 synchronous
+    * damped iterations from 1.0 — keywords are the tokens the graph's
+    * random surfer concentrates on, the graph-structural complement of
+    * Q52's frequency-ratio TF-IDF. Emits the top-20 tokens with weighted
+    * degree and score.
+    *
+    * Determinism: edge weights and weighted degrees are exact int64;
+    * each iteration is Q106's discipline — SUM(pr·w/wdeg) per node, one
+    * damped update, doubles whose accumulation-order jitter (~1e-12
+    * relative) sits far inside the round-4 output grid; the top-20 cut
+    * orders by the ROUNDED score with token tiebreak so the cut cannot
+    * flip. Oracle = the identical 3 rounds unrolled (Q106 form).
+    *
+    * Scale notes: pair counting is one map-side-combined shuffle of the
+    * adjacent-token relation (vocab²-bounded, Zipf-concentrated); each
+    * iteration is one co-keyed join+groupBy on the pruned edge relation,
+    * localCheckpoint'd once — 3 bounded rounds, never corpus-quadratic.
+    * Stopword hubs are degree-bounded by the support prune; a per-node
+    * degree cap (Q103's defense) is the guard if a real corpus needs it.
+    */
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tok = c.documents
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as(Seq("pos", "w")))
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val adj = tok
+      .withColumn("w2", lead(col("w"), 1).over(wNext))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+      .select(least(col("w"), col("w2")).as("a"),
+        greatest(col("w"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+      .filter(col("wt") >= 3L)
+    val de = adj.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .union(adj.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+      .localCheckpoint()
+    val wdeg = de.groupBy(col("src")).agg(sum(col("wt")).as("wdeg"))
+    val edges = de.join(wdeg, Seq("src")).localCheckpoint()
+    var pr = wdeg.select(col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = edges.join(pr, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum(col("pr") * col("wt").cast("double") / col("wdeg").cast("double")))
+          .as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+    }
+    pr.join(wdeg, col("node") === col("src"))
+      .select(col("node").as("token"), col("wdeg"),
+        round(col("pr"), 4).as("textrank"))
+      .orderBy(desc("textrank"), asc_nulls_first("token"))
+      .limit(20)
+  }
+
+  val q201Oracle: String = {
+    def iter(n: Int): String = {
+      val prev = s"r${n - 1}"
+      s"""r$n AS (
+         |  SELECT de.dst AS node,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |      SUM($prev.pr * CAST(de.wt AS DOUBLE) / CAST(deg.wdeg AS DOUBLE))
+         |      AS pr
+         |  FROM de JOIN $prev ON $prev.node = de.src
+         |  JOIN deg ON deg.src = de.src GROUP BY 1)"""
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) AS pos, UNNEST(w) AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |        FROM documents)),
+       |seq AS (
+       |  SELECT doc_id, pos, w,
+       |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok),
+       |e AS (
+       |  SELECT LEAST(w, w2) AS a, GREATEST(w, w2) AS b, COUNT(*) AS wt
+       |  FROM seq WHERE w2 IS NOT NULL AND w <> w2
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |de AS (SELECT a AS src, b AS dst, wt FROM e
+       |       UNION ALL SELECT b, a, wt FROM e),
+       |deg AS (SELECT src, SUM(wt) AS wdeg FROM de GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT r3.node AS token, CAST(deg.wdeg AS BIGINT) AS wdeg,
+       |  ROUND(r3.pr, 4) AS textrank
+       |FROM r3 JOIN deg ON deg.src = r3.node
+       |ORDER BY textrank DESC, token
+       |LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _))
+    "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _),
+    "Q201" -> (q201 _))
 
   def oracles: Map[String, String] = Map(
-    "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle)
+    "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle,
+    "Q201" -> q201Oracle)
 }
