@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graphs, NearDup, Stats, TextAnalysis, VectorOps}
+import graft.operators.{Graphs, NearDup, PipelineOps, Stats, TextAnalysis, TextRank, VectorOps}
 
 /** Model pins for the round-9 gate family: each test recomputes the
   * operator's defining invariant (or the whole algorithm) locally from
@@ -132,6 +132,111 @@ class Round9GatesSpec extends SparkSpec {
       assert(lo < hi, "nondegenerate interval")
       assert(lo <= m && m <= hi, "95% percentile CI brackets the sample mean")
     }
+  }
+
+  test("Q202 Hamilton allocation: seats sum exactly to the budget, quota bounds hold") {
+    val out = PipelineOps.q202(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == 1000L,
+      "largest-remainder apportionment must hand out exactly the budget")
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    out.foreach { r =>
+      val exact = 1000.0 * r.getAs[Long]("n_docs") / n
+      val alloc = r.getAs[Long]("alloc")
+      // Hamilton satisfies quota: floor(exact) <= alloc <= ceil(exact)
+      assert(alloc >= math.floor(exact).toLong && alloc <= math.ceil(exact).toLong,
+        s"${r.getAs[String]("source")}: alloc $alloc violates quota of $exact")
+    }
+  }
+
+  test("Q203 repetition runs: per-doc max run equals a local scan") {
+    val c = Catalog(spark, dir)
+    val local = c.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(2).split(" ").filter(_.nonEmpty)
+        var best = if (toks.isEmpty) 0 else 1
+        var run = 1
+        toks.sliding(2).foreach { p =>
+          if (p.length == 2 && p(0) == p(1)) { run += 1; best = math.max(best, run) }
+          else run = 1
+        }
+        (r.getString(1), best)
+      }.filter(_._2 > 0)
+    val expect = local.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._2).max.toLong,
+        xs.count(_._2 >= 3).toDouble / xs.length)
+    }
+    TextAnalysis.q203(spark, dir).collect().foreach { r =>
+      val (nd, worst, _) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("worst_run") == worst)
+    }
+  }
+
+  test("Q204 winsorized/trimmed means: ordering sanity and local replay on one type") {
+    val out = Stats.q204(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("cut_lo") <= r.getAs[Double]("cut_hi"))
+      val (tr, wi) = (r.getAs[Double]("mean_trimmed"), r.getAs[Double]("mean_winsorized"))
+      // winsorized re-adds clamped tails: it sits between trimmed and raw
+      assert(math.abs(wi - tr) <= math.abs(r.getAs[Double]("mean_raw") - tr) + 1e-9)
+    }
+    val c = Catalog(spark, dir)
+    val t0 = out.head.getAs[String]("event_type")
+    val cents = c.events.filter(col("event_type") === t0)
+      .select(round(col("value") * 100).cast("long")).collect().map(_.getLong(0)).sorted
+    val n = cents.length; val k = n / 10
+    val mid = cents.slice(k, n - k)
+    val trimmed = mid.sum.toDouble / ((n - 2 * k) * 100.0)
+    val winsor = (mid.sum + k.toLong * mid.head + k.toLong * mid.last).toDouble / (n * 100.0)
+    val r0 = out.head
+    assert(math.abs(r0.getAs[Double]("mean_trimmed") - trimmed) < 5e-5)
+    assert(math.abs(r0.getAs[Double]("mean_winsorized") - winsor) < 5e-5)
+  }
+
+  test("Q205 fold audit: cells reconcile to the corpus and expectations to margins") {
+    val out = PipelineOps.q205(spark, dir).collect()
+    val total = Catalog(spark, dir).documents.count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    val byFold = out.groupBy(_.getAs[Long]("fold"))
+    // expected sums to the fold size within rounding
+    byFold.foreach { case (_, rows) =>
+      val nF = rows.map(_.getAs[Long]("n")).sum
+      val eF = rows.map(_.getAs[Double]("expected")).sum
+      assert(math.abs(eF - nF) < 0.01 * rows.length + 1e-6)
+    }
+  }
+
+  test("Q201 TextRank: scores equal a local weighted-PageRank replay") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"), col("text")).collect()
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      toks.sliding(2).foreach { p =>
+        if (p.length == 2 && p(0) != p(1)) {
+          val key = if (p(0) < p(1)) (p(0), p(1)) else (p(1), p(0))
+          edges(key) = edges.getOrElse(key, 0L) + 1
+        }
+      }
+    }
+    val pruned = edges.filter(_._2 >= 3)
+    val de = pruned.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = de.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr = wdeg.map { case (nd, _) => nd -> 1.0 }
+    (1 to 3).foreach { _ =>
+      pr = de.groupBy(_._2).map { case (dst, es) =>
+        dst -> (0.15 + 0.85 * es.map(e => pr(e._1) * e._3.toDouble / wdeg(e._1)).sum)
+      }
+    }
+    def r4(x: Double): Double =
+      BigDecimal(java.lang.Double.toString(x))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expTop = pr.toSeq
+      .map { case (tk, p) => (tk, r4(p)) } // the gate's round-4 sort key
+      .sortBy { case (tk, p) => (-p, tk) }.take(20).map(_._1)
+    val got = TextRank.q201(spark, dir).collect().map(_.getAs[String]("token")).toSeq
+    assert(got == expTop, s"gate=$got local=$expTop")
   }
 
   test("Q200 MMR: the greedy trajectory equals a local first-principles replay") {
