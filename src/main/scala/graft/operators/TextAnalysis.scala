@@ -1177,13 +1177,121 @@ object TextAnalysis {
       |FROM per_doc GROUP BY 1
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q206 — Heaps'-law fit per source: V(n) = K·n^β estimated by OLS of
+    * ln V on ln n over the source's own vocabulary-growth curve (token
+    * mass n and distinct-type count V after each document in doc_id
+    * order). Q170's hapax share samples this curve at its endpoint and
+    * Q190 gives its spectrum; the FIT says how fast the vocabulary will
+    * keep growing — the capacity/OOV-rate forecast a tokenizer sizing
+    * decision (Q113/Q119) reads. Emits per source: docs, final token
+    * mass and vocabulary, β, K, and r².
+    *
+    * Determinism: the growth curve is exact integer accounting — token
+    * mass is a running int64 sum, V(d) a running sum of first-occurrence
+    * counts (min-doc per type, Q172-style) — so both engines regress
+    * over IDENTICAL (ln n, ln V) point sets; the OLS sums follow Q181's
+    * ln-parity + round-4 discipline.
+    *
+    * Scale notes: one (source, token) aggregate for first occurrences,
+    * two running windows over the per-source doc spine (docs-bounded),
+    * one bounded regression aggregate. The corpus is scanned once.
+    */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val perDoc = c.documents
+      .select(col("source"), col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long").as("ntok"))
+    val firsts = c.documents
+      .select(col("source"), col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy(col("source"), col("token")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("source"), col("fd")).agg(count(lit(1)).as("nt"))
+    val curve = perDoc
+      .join(firsts, perDoc("source") === firsts("source") &&
+        perDoc("doc_id") === firsts("fd"), "left")
+      .select(perDoc("source"), col("doc_id"), col("ntok"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .withColumn("n_cum", sum(col("ntok")).over(wS))
+      .withColumn("v_cum", sum(col("nt")).over(wS))
+      .filter(col("n_cum") >= 1L && col("v_cum") >= 1L)
+      .select(col("source"), col("n_cum"), col("v_cum"),
+        log(col("n_cum").cast("double")).as("x"),
+        log(col("v_cum").cast("double")).as("y"))
+    curve.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_cum")).as("n_tokens"),
+        max(col("v_cum")).as("vocab"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("beta"),
+        round(exp((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n")), 2).as("k_coef"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q206Oracle: String =
+    """WITH per_doc AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS ntok
+      |  FROM documents),
+      |tok AS (
+      |  SELECT source, doc_id, UNNEST(
+      |    list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |firsts AS (
+      |  SELECT source, fd, COUNT(*) AS nt FROM (
+      |    SELECT source, token, MIN(doc_id) AS fd
+      |    FROM tok GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |curve AS (
+      |  SELECT p.source,
+      |    SUM(p.ntok) OVER w AS n_cum,
+      |    SUM(COALESCE(f.nt, 0)) OVER w AS v_cum
+      |  FROM per_doc p LEFT JOIN firsts f
+      |    ON f.source = p.source AND f.fd = p.doc_id
+      |  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |pts AS (
+      |  SELECT source, n_cum, v_cum,
+      |    LN(CAST(n_cum AS DOUBLE)) AS x, LN(CAST(v_cum AS DOUBLE)) AS y
+      |  FROM curve WHERE n_cum >= 1 AND v_cum >= 1),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    MAX(n_cum) AS n_tokens, MAX(v_cum) AS vocab,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM pts GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+      |  ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+      |    2) AS k_coef,
+      |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+      |FROM s
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
     "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
-    "Q195" -> (q195 _), "Q203" -> (q203 _))
+    "Q195" -> (q195 _), "Q203" -> (q203 _), "Q206" -> (q206 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1192,5 +1300,5 @@ object TextAnalysis {
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
     "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
-    "Q195" -> q195Oracle, "Q203" -> q203Oracle)
+    "Q195" -> q195Oracle, "Q203" -> q203Oracle, "Q206" -> q206Oracle)
 }

@@ -263,4 +263,43 @@ class Round9GatesSpec extends SparkSpec {
     val got = VectorOps.q200(spark, dir).collect().map(_.getAs[Long]("vec_id")).toVector
     assert(got == sel, s"gate picked $got, local greedy replay picked $sel")
   }
+
+  test("Q206 Heaps fit: growth-curve endpoints and OLS beta match a local replay") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    val out = TextAnalysis.q206(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val ordered = ds.sortBy(_._2)
+      // exact integer growth curve: cumulative token mass + first-seen types
+      val seen = scala.collection.mutable.Set.empty[String]
+      var nCum = 0L
+      val pts = ordered.map { case (_, _, toks) =>
+        nCum += toks.length
+        toks.foreach(seen += _)
+        (nCum, seen.size.toLong)
+      }.filter { case (n, v) => n >= 1 && v >= 1 }
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") == pts.length.toLong)
+      assert(r.getAs[Long]("n_tokens") == pts.last._1)
+      assert(r.getAs[Long]("vocab") == pts.last._2)
+      // OLS of ln V on ln n over the same point set
+      val xs = pts.map(p => math.log(p._1.toDouble))
+      val ys = pts.map(p => math.log(p._2.toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("beta") - beta) < 5e-4,
+        s"$src: gate beta ${r.getAs[Double]("beta")} vs local $beta")
+      // Heaps beta sits in (0,1) for real corpora; at sf0.001 a tiny
+      // source whose later docs add no new types can round to 0.0
+      assert(r.getAs[Double]("beta") >= 0 && r.getAs[Double]("beta") < 1,
+        s"$src: Heaps beta must sit in [0,1)")
+      assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
+    }
+  }
 }
