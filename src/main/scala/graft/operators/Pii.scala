@@ -185,9 +185,84 @@ object Pii {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** Q207 — k-anonymity risk profile over a generalization ladder: the
+    * release-review report for sharing `customer` as microdata. Three
+    * quasi-identifier (QI) coarsenings — L0 (nation, segment, balance
+    * bucketed to 100), L1 (region, segment, balance bucketed to 1000),
+    * L2 (region, segment) — each scored by its equivalence-class
+    * profile: class count, smallest/largest class (k_min/k_max),
+    * singleton records (uniques, the k=1 re-identifiable rows),
+    * records in classes below the k<5 publishing floor (at_risk), and
+    * the prosecutor-model expected re-identification rate
+    * avg_risk = E[1/k] per record = n_classes / n_records.
+    *
+    * Determinism: classes are exact integer counts over exact QI keys;
+    * balance buckets use FLOOR(acctbal / width) — one IEEE double
+    * divide + floor, bit-identical across engines. avg_risk is one
+    * final ROUND-6.
+    *
+    * Scale notes: nation (25) and region (5) broadcast onto customer;
+    * each ladder level is one hash aggregate keyed by the QI tuple
+    * (map-side partials, no text/row replication) and a scalar rollup.
+    * The monotone ladder (generalizing can only merge classes) is
+    * pinned in `Round9GatesSpec`.
+    */
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val base = c.customer
+      .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 100.0).cast("long").as("bal100"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal1000"))
+    def level(name: String, qi: Seq[Column]): DataFrame =
+      base.groupBy(qi: _*).agg(count(lit(1)).as("k"))
+        .agg(
+          sum(col("k")).cast("long").as("n_records"),
+          count(lit(1)).as("n_classes"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).cast("long").as("uniques"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("at_risk"))
+        .select(lit(name).as("level"), col("n_records"), col("n_classes"),
+          col("k_min"), col("k_max"), col("uniques"), col("at_risk"),
+          round(col("n_classes").cast("double") / col("n_records"), 6).as("avg_risk"))
+    level("L0_nation_seg_bal100", Seq(col("n_name"), col("seg"), col("bal100")))
+      .unionAll(level("L1_region_seg_bal1000",
+        Seq(col("r_name"), col("seg"), col("bal1000"))))
+      .unionAll(level("L2_region_seg", Seq(col("r_name"), col("seg"))))
+      .orderBy(asc_nulls_first("level"))
+  }
+
+  val q207Oracle: String = {
+    def level(name: String, qi: String): String =
+      s"""  SELECT '$name' AS level,
+         |    CAST(SUM(k) AS BIGINT) AS n_records, COUNT(*) AS n_classes,
+         |    MIN(k) AS k_min, MAX(k) AS k_max,
+         |    CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniques,
+         |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS at_risk,
+         |    ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(k), 6) AS avg_risk
+         |  FROM (SELECT $qi, COUNT(*) AS k FROM base GROUP BY ALL)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT c_custkey, n_name, r_name, c_mktsegment AS seg,
+       |    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal100,
+       |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal1000
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |SELECT * FROM (
+       |${level("L0_nation_seg_bal100", "n_name, seg, bal100")}
+       |  UNION ALL
+       |${level("L1_region_seg_bal1000", "r_name, seg, bal1000")}
+       |  UNION ALL
+       |${level("L2_region_seg", "r_name, seg")})
+       |ORDER BY level NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q154" -> (q154 _), "Q155" -> (q155 _))
+    "Q154" -> (q154 _), "Q155" -> (q155 _), "Q207" -> (q207 _))
 
   def oracles: Map[String, String] = Map(
-    "Q154" -> q154Oracle, "Q155" -> q155Oracle)
+    "Q154" -> q154Oracle, "Q155" -> q155Oracle, "Q207" -> q207Oracle)
 }

@@ -944,13 +944,125 @@ object PipelineOps {
        |ORDER BY fold NULLS FIRST, lang NULLS FIRST""".stripMargin
   }
 
+  /** Q208 — temporal train/test leakage audit: split `events` at the
+    * 80% point of its day span (train = days before the cutoff, test =
+    * the rest) and report, per event type, the three leakage channels a
+    * time-split modeling pipeline must check before training:
+    * entity leakage (test users whose history also appears in train —
+    * `overlap_users` / `user_leak_share`), record leakage (exact
+    * (user, value-cents) payloads present on BOTH sides —
+    * `leaked_keys`), and boundary crowding (test mass inside the first
+    * day after the cutoff, where label windows straddle the split —
+    * `boundary_share`).
+    *
+    * Determinism: the cutoff is integer day arithmetic on the data's
+    * own span (dmin + ((span+1)*4) DIV 5 with span = dmax-dmin, all
+    * int64); every measure is an exact count over exact keys; the two
+    * shares are final ROUND-6s.
+    *
+    * Scale notes: one pass computes the global day extent (scalar
+    * broadcast); per-type counts are one hash aggregate; user overlap
+    * and duplicate keys aggregate DISTINCT (type, user) / (type, user,
+    * cents) tuples — bounded by distinct entities, never event rows,
+    * and shuffled once on the composite key. No window functions, no
+    * self-join of the raw stream.
+    */
+  def q208(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(
+      col("event_type"), col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val tagged = ev.crossJoin(broadcast(ext))
+      .withColumn("split", when(col("day") < col("cutoff"), "train")
+        .otherwise("test"))
+    val counts = tagged.groupBy(col("event_type")).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long")
+        .as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long")
+        .as("n_test"),
+      sum(when(col("split") === "test" && col("day") < col("cutoff") + 1L,
+        1L).otherwise(0L)).cast("long").as("n_boundary"))
+    val users = tagged.groupBy(col("event_type"), col("user_id")).agg(
+      max(when(col("split") === "train", 1L).otherwise(0L)).as("in_tr"),
+      max(when(col("split") === "test", 1L).otherwise(0L)).as("in_te"))
+      .groupBy(col("event_type")).agg(
+        sum(col("in_te")).cast("long").as("test_users"),
+        sum(col("in_tr") * col("in_te")).cast("long").as("overlap_users"))
+    val dups = tagged.groupBy(col("event_type"), col("user_id"), col("cents"))
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("in_tr"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("in_te"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("in_tr") * col("in_te")).cast("long").as("leaked_keys"))
+    counts.join(users, Seq("event_type")).join(dups, Seq("event_type"))
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        col("test_users"), col("overlap_users"),
+        round(col("overlap_users").cast("double") / col("test_users"), 6)
+          .as("user_leak_share"),
+        col("leaked_keys"),
+        round(col("n_boundary").cast("double") / col("n_test"), 6)
+          .as("boundary_share"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q208Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |ext AS (
+      |  SELECT MIN(day) + CAST(((MAX(day) - MIN(day) + 1) * 4) // 5
+      |    AS BIGINT) AS cutoff FROM ev),
+      |tagged AS (
+      |  SELECT ev.*, CASE WHEN day < cutoff THEN 'train' ELSE 'test' END
+      |    AS split, cutoff
+      |  FROM ev CROSS JOIN ext),
+      |counts AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_test,
+      |    CAST(SUM(CASE WHEN split = 'test' AND day < cutoff + 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+      |  FROM tagged GROUP BY 1),
+      |users AS (
+      |  SELECT event_type,
+      |    CAST(SUM(in_te) AS BIGINT) AS test_users,
+      |    CAST(SUM(in_tr * in_te) AS BIGINT) AS overlap_users
+      |  FROM (
+      |    SELECT event_type, user_id,
+      |      MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+      |      MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+      |    FROM tagged GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |dups AS (
+      |  SELECT event_type, CAST(SUM(in_tr * in_te) AS BIGINT) AS leaked_keys
+      |  FROM (
+      |    SELECT event_type, user_id, cents,
+      |      MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+      |      MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+      |    FROM tagged GROUP BY 1, 2, 3)
+      |  GROUP BY 1)
+      |SELECT c.event_type, n_train, n_test, test_users, overlap_users,
+      |  ROUND(CAST(overlap_users AS DOUBLE) / test_users, 6)
+      |    AS user_leak_share,
+      |  leaked_keys,
+      |  ROUND(CAST(n_boundary AS DOUBLE) / n_test, 6) AS boundary_share
+      |FROM counts c
+      |JOIN users u ON c.event_type = u.event_type
+      |JOIN dups d ON c.event_type = d.event_type
+      |ORDER BY c.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q69" -> (q69 _), "Q70" -> (q70 _), "Q71" -> (q71 _),
     "Q72" -> (q72 _), "Q73" -> (q73 _), "Q74" -> (q74 _),
     "Q76" -> (q76 _), "Q77" -> (q77 _), "Q80" -> (q80 _),
     "Q81" -> (q81 _), "Q97" -> (q97 _), "Q98" -> (q98 _),
     "Q101" -> (q101 _), "Q113" -> (q113 _), "Q202" -> (q202 _),
-    "Q205" -> (q205 _))
+    "Q205" -> (q205 _), "Q208" -> (q208 _))
 
   def oracles: Map[String, String] = Map(
     "Q69" -> q69Oracle, "Q70" -> q70Oracle, "Q71" -> q71Oracle,
@@ -958,5 +1070,5 @@ object PipelineOps {
     "Q76" -> q76Oracle, "Q77" -> q77Oracle, "Q80" -> q80Oracle,
     "Q81" -> q81Oracle, "Q97" -> q97Oracle, "Q98" -> q98Oracle,
     "Q101" -> q101Oracle, "Q113" -> q113Oracle,
-    "Q202" -> q202Oracle, "Q205" -> q205Oracle)
+    "Q202" -> q202Oracle, "Q205" -> q205Oracle, "Q208" -> q208Oracle)
 }

@@ -302,4 +302,68 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
     }
   }
+
+  test("Q207 k-anonymity: ladder monotone, accounting closes, L2 equals a local replay") {
+    val out = operators.Pii.q207(spark, dir).collect()
+      .map(r => r.getAs[String]("level") -> r).toMap
+    assert(out.size == 3)
+    val total = Catalog(spark, dir).customer.count()
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_records") == total,
+        "every ladder level partitions the full table")
+      assert(r.getAs[Long]("uniques") <= r.getAs[Long]("at_risk"),
+        "k=1 records are a subset of k<5 records")
+      assert(r.getAs[Long]("k_min") >= 1 &&
+        r.getAs[Long]("k_min") <= r.getAs[Long]("k_max"))
+    }
+    // generalizing can only merge classes: classes shrink, k_min grows
+    val l = Seq("L0_nation_seg_bal100", "L1_region_seg_bal1000",
+      "L2_region_seg").map(out)
+    assert(l(0).getAs[Long]("n_classes") >= l(1).getAs[Long]("n_classes"))
+    assert(l(1).getAs[Long]("n_classes") >= l(2).getAs[Long]("n_classes"))
+    assert(l(0).getAs[Long]("k_min") <= l(2).getAs[Long]("k_min"))
+    // local replay of the coarsest level
+    val c = Catalog(spark, dir)
+    val nat = c.nation.collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[Long]("n_regionkey")).toMap
+    val reg = c.region.collect()
+      .map(r => r.getAs[Long]("r_regionkey") -> r.getAs[String]("r_name")).toMap
+    val ks = c.customer.collect()
+      .groupBy(r => (reg(nat(r.getAs[Int]("c_nationkey").toLong)),
+        r.getAs[String]("c_mktsegment")))
+      .map(_._2.length.toLong)
+    val r2 = l(2)
+    assert(r2.getAs[Long]("n_classes") == ks.size.toLong)
+    assert(r2.getAs[Long]("k_min") == ks.min && r2.getAs[Long]("k_max") == ks.max)
+    assert(r2.getAs[Long]("uniques") == ks.count(_ == 1).toLong)
+    assert(r2.getAs[Long]("at_risk") == ks.filter(_ < 5).sum)
+  }
+
+  test("Q208 leakage audit: split accounting closes and matches a local replay") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"), col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (dmin, dmax) = (ev.map(_._3).min, ev.map(_._3).max)
+    val cutoff = dmin + ((dmax - dmin + 1) * 4) / 5
+    val out = PipelineOps.q208(spark, dir).collect()
+    assert(out.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_test")).sum
+      == ev.length.toLong, "train+test must partition the stream")
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = ev.filter(_._1 == t)
+      val (tr, te) = rows.partition(_._3 < cutoff)
+      assert(r.getAs[Long]("n_train") == tr.length.toLong)
+      assert(r.getAs[Long]("n_test") == te.length.toLong)
+      val trU = tr.map(_._2).toSet; val teU = te.map(_._2).toSet
+      assert(r.getAs[Long]("test_users") == teU.size.toLong)
+      assert(r.getAs[Long]("overlap_users") == (trU & teU).size.toLong)
+      val trK = tr.map(x => (x._2, x._4)).toSet
+      val teK = te.map(x => (x._2, x._4)).toSet
+      assert(r.getAs[Long]("leaked_keys") == (trK & teK).size.toLong)
+      val share = r.getAs[Double]("user_leak_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
 }
