@@ -41,7 +41,8 @@ object SparkEntry {
       (Stats.queries, Stats.oracles),
       (TextRank.queries, TextRank.oracles),
       (Reshape.queries, Reshape.oracles),
-      (Pii.queries, Pii.oracles)
+      (Pii.queries, Pii.oracles),
+      (Behavior.queries, Behavior.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Behavioral analytics over the `events` stream — the user-journey
+  * models a product/ML-analytics stack keeps next to the funnel (Q63)
+  * and retention (Q65/Q132) reports: first-order Markov transitions,
+  * RFM (recency/frequency/monetary) segmentation, and train/test
+  * population-stability (PSI) drift.
+  *
+  * All three follow the repo's cross-engine determinism discipline:
+  * event order is the total order (ts, event_id); money is exact int64
+  * cents (`ROUND(value*100)`); day arithmetic is integer epoch-µs
+  * division; doubles appear only in final ROUND-ed ratios/logs.
+  *
+  * Scale notes (100 TB): each query is one shuffle keyed by user (or
+  * (type, bin)) followed by bounded-cardinality aggregates — transition
+  * matrices are |types|² rows, RFM cells ≤125, PSI bins 10·|types|.
+  * Nothing materializes per-user state on the driver.
+  */
+object Behavior {
+
+  /** Q209 — first-order Markov transition matrix between event types:
+    * per-user journeys ordered by (ts, event_id) yield (prev → next)
+    * steps; each directed pair reports its step count, the row-share
+    * probability P(next | prev) (round-6), and its rank among the
+    * source type's successors (by count desc, then destination — the
+    * "most likely next action" table).
+    *
+    * Scale: one window (LAG) over the per-user order — a single
+    * shuffle on user_id — then a hash aggregate onto |types|² keys.
+    */
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = c.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("src"))
+    steps
+      .withColumn("row_total", sum(col("n")).over(tot))
+      .withColumn("prob", round(col("n").cast("double") / col("row_total"), 6))
+      .withColumn("succ_rank",
+        row_number().over(tot.orderBy(desc("n"), asc("dst"))))
+      .select(col("src"), col("dst"), col("n"), col("prob"), col("succ_rank"))
+      .orderBy(asc_nulls_first("src"), asc_nulls_first("dst"))
+  }
+
+  val q209Oracle: String =
+    """WITH steps AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, event_type AS dst, COUNT(*) AS n
+      |  FROM steps WHERE src IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst)
+      |    AS BIGINT) AS succ_rank
+      |FROM pairs
+      |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin
+
+  /** Q210 — RFM segmentation: each user scored 1–5 on recency (days
+    * since their last event, fresher = higher), frequency (event
+    * count), and monetary (exact cents sum) via NTILE(5) over fully
+    * deterministic orders (metric, then user_id); the report rolls the
+    * user base up to the occupied (r, f, m) cells with population and
+    * value mass — the table a lifecycle-marketing / LTV-modeling job
+    * consumes.
+    *
+    * Scale: one hash aggregate per user, three global NTILE windows
+    * over the (small) per-user table, one rollup onto ≤125 cells. For
+    * a 10^9-user base the NTILE order-by would become a range-
+    * partitioned sort — still a single pass.
+    */
+  def q210(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perUser = c.events
+      .select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+    val scored = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("last_day")).as("maxd"))))
+      .withColumn("recency", col("maxd") - col("last_day"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(desc("recency"), asc("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(asc("freq"), asc("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(asc("monetary"), asc("user_id"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("long").as("cents_total"),
+        round(avg(col("freq").cast("double")), 2).as("avg_freq"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q210Oracle: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    MAX(epoch_us(ts) // 86400000000) AS last_day,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS monetary
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT user_id, freq, monetary,
+      |    (SELECT MAX(last_day) FROM per_user) - last_day AS recency
+      |  FROM per_user),
+      |ranked AS (
+      |  SELECT freq, monetary,
+      |    NTILE(5) OVER (ORDER BY recency DESC, user_id) AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+      |  FROM scored)
+      |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |  CAST(m_score AS INT) AS m_score,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(monetary) AS BIGINT) AS cents_total,
+      |  ROUND(AVG(CAST(freq AS DOUBLE)), 2) AS avg_freq
+      |FROM ranked
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q211 — population-stability-index (PSI) drift audit between the
+    * Q208 time split: per event type, the train vs test distribution
+    * of value-cents over 10 equal-width bins spanned by the type's own
+    * global [min, max] cents (integer bin arithmetic), scored with
+    * Laplace-smoothed shares p_b=(n_b+1)/(N+10) so empty bins stay
+    * finite. PSI = Σ (p−q)·ln(p/q); < 0.1 is conventionally stable,
+    * > 0.25 drifted — the go/no-go a time-split feature pipeline
+    * checks after Q208 flags leakage.
+    *
+    * Scale: two passes over events (extent + binned counts), both
+    * hash aggregates on (type, bin) ≤ 10·|types| keys; the ln/share
+    * math runs on the tiny binned table.
+    */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cut = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val ext = ev.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val binned = ev
+      .join(broadcast(ext), Seq("event_type"))
+      .crossJoin(broadcast(cut))
+      .withColumn("bin",
+        expr("least(CAST(9 AS BIGINT), ((cents - lo) * 10) DIV (hi - lo + 1))"))
+      .withColumn("split",
+        when(col("day") < col("cutoff"), "train").otherwise("test"))
+      .groupBy(col("event_type"), col("bin")).agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long")
+          .as("n_tr"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long")
+          .as("n_te"))
+    val totals = Window.partitionBy(col("event_type"))
+    binned
+      .withColumn("p", (col("n_tr") + 1L).cast("double") /
+        (sum(col("n_tr")).over(totals) + 10L))
+      .withColumn("q", (col("n_te") + 1L).cast("double") /
+        (sum(col("n_te")).over(totals) + 10L))
+      .groupBy(col("event_type")).agg(
+        sum(col("n_tr")).cast("long").as("n_train"),
+        sum(col("n_te")).cast("long").as("n_test"),
+        count(lit(1)).as("bins_hit"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "watch").otherwise("drifted"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q211Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |cut AS (
+      |  SELECT MIN(day) + ((MAX(day) - MIN(day) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |ext AS (
+      |  SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+      |  FROM ev GROUP BY 1),
+      |binned AS (
+      |  SELECT ev.event_type,
+      |    LEAST(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bin,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_tr,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_te
+      |  FROM ev JOIN ext ON ev.event_type = ext.event_type CROSS JOIN cut
+      |  GROUP BY 1, 2),
+      |shares AS (
+      |  SELECT event_type, n_tr, n_te,
+      |    CAST(n_tr + 1 AS DOUBLE)
+      |      / (SUM(n_tr) OVER (PARTITION BY event_type) + 10) AS p,
+      |    CAST(n_te + 1 AS DOUBLE)
+      |      / (SUM(n_te) OVER (PARTITION BY event_type) + 10) AS q
+      |  FROM binned)
+      |SELECT event_type,
+      |  CAST(SUM(n_tr) AS BIGINT) AS n_train,
+      |  CAST(SUM(n_te) AS BIGINT) AS n_test,
+      |  COUNT(*) AS bins_hit,
+      |  ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+      |  CASE WHEN ROUND(SUM((p - q) * LN(p / q)), 6) < 0.1 THEN 'stable'
+      |    WHEN ROUND(SUM((p - q) * LN(p / q)), 6) < 0.25 THEN 'watch'
+      |    ELSE 'drifted' END AS verdict
+      |FROM shares
+      |GROUP BY 1
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle)
+}

@@ -366,4 +366,83 @@ class Round9GatesSpec extends SparkSpec {
       assert(share >= 0.0 && share <= 1.0)
     }
   }
+
+  test("Q209 Markov: transition counts equal a local journey replay; rows normalize") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val local = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(2).foreach { p =>
+        if (p.length == 2)
+          local((p(0), p(1))) = local.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val out = operators.Behavior.q209(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == local.values.sum)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") ==
+        local((r.getAs[String]("src"), r.getAs[String]("dst"))))
+    }
+    out.groupBy(_.getAs[String]("src")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-4,
+        "row probabilities must sum to ~1")
+      assert(rows.map(_.getAs[Int]("succ_rank")).sorted.toSeq
+        == (1 to rows.length), "ranks must be a permutation")
+    }
+  }
+
+  test("Q210 RFM: population and value mass reconcile; quintiles balance") {
+    val c = Catalog(spark, dir)
+    val users = c.events.select(col("user_id")).distinct().count()
+    val cents = c.events
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    val out = operators.Behavior.q210(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users)
+    assert(out.map(_.getAs[Long]("cents_total")).sum == cents)
+    Seq("r_score", "f_score", "m_score").foreach { dim =>
+      val sizes = out.groupBy(_.getAs[Int](dim))
+        .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n_users")).sum }
+      assert(sizes.keySet == (1 to 5).toSet, s"$dim must span 1..5")
+      // NTILE hands out sizes differing by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$dim unbalanced: $sizes")
+    }
+  }
+
+  test("Q211 PSI: accounting closes, PSI nonnegative, one type replays locally") {
+    val c = Catalog(spark, dir)
+    val typeCounts = c.events.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = operators.Behavior.q211(spark, dir).collect()
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == typeCounts(t))
+      assert(r.getAs[Double]("psi") >= 0.0,
+        "PSI is a sum of (p-q)ln(p/q) terms, each nonnegative")
+      assert(r.getAs[Long]("bins_hit") >= 1 && r.getAs[Long]("bins_hit") <= 10)
+    }
+    // local replay for the first type
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (dmin, dmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val cutoff = dmin + ((dmax - dmin + 1) * 4) / 5
+    val t0 = out.head.getAs[String]("event_type")
+    val rows = ev.filter(_._1 == t0)
+    val (lo, hi) = (rows.map(_._3).min, rows.map(_._3).max)
+    def bin(cents: Long): Long = math.min(9L, (cents - lo) * 10 / (hi - lo + 1))
+    val tr = rows.filter(_._2 < cutoff).groupBy(r => bin(r._3)).map { case (b, xs) => b -> xs.length.toLong }
+    val te = rows.filter(_._2 >= cutoff).groupBy(r => bin(r._3)).map { case (b, xs) => b -> xs.length.toLong }
+    val bins = (tr.keySet ++ te.keySet).toSeq.sorted
+    val (nTr, nTe) = (tr.values.sum, te.values.sum)
+    val psi = bins.map { b =>
+      val p = (tr.getOrElse(b, 0L) + 1).toDouble / (nTr + 10)
+      val q = (te.getOrElse(b, 0L) + 1).toDouble / (nTe + 10)
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(out.head.getAs[Double]("psi") - psi) < 5e-5,
+      s"$t0: gate psi ${out.head.getAs[Double]("psi")} vs local $psi")
+  }
 }
