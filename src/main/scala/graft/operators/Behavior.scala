@@ -225,9 +225,182 @@ object Behavior {
       |GROUP BY 1
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q212 — Welch's two-sample t-test per event type across the Q208
+    * time split: does the mean value differ significantly between the
+    * train and test eras? Means and sample variances come from exact
+    * int64 cents moments (Σx, Σx²), so both engines build identical
+    * doubles before the one t / Welch–Satterthwaite-df computation;
+    * the verdict applies the two-sided 5% normal threshold |t| > 1.96
+    * (df is large here). Q211 scores distribution-shape drift; this
+    * scores location drift with a significance, the pair a feature-
+    * stability review reads together.
+    *
+    * Scale: one hash aggregate per (type, split) — six rows of moments
+    * at any corpus size. Σx² of cents fits int64 through ~10^10 rows
+    * of |value| ≤ 10^4; beyond that the moment pass switches to double
+    * partials (same plan shape).
+    */
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cut = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val m = ev.crossJoin(broadcast(cut))
+      .withColumn("is_tr", (col("day") < col("cutoff")).cast("long"))
+      .groupBy(col("event_type")).agg(
+        sum(col("is_tr")).cast("long").as("n1"),
+        sum(col("is_tr") * col("cents")).cast("long").as("s1"),
+        sum(col("is_tr") * col("cents") * col("cents")).cast("long").as("ss1"),
+        sum(lit(1L) - col("is_tr")).cast("long").as("n2"),
+        sum((lit(1L) - col("is_tr")) * col("cents")).cast("long").as("s2"),
+        sum((lit(1L) - col("is_tr")) * col("cents") * col("cents"))
+          .cast("long").as("ss2"))
+    m.select(col("event_type"), col("n1").as("n_train"), col("n2").as("n_test"),
+        round(col("s1").cast("double") / col("n1") / 100.0, 4).as("mean_train"),
+        round(col("s2").cast("double") / col("n2") / 100.0, 4).as("mean_test"),
+        ((col("ss1").cast("double") - col("s1").cast("double")
+          * col("s1") / col("n1")) / (col("n1") - 1L)).as("v1"),
+        ((col("ss2").cast("double") - col("s2").cast("double")
+          * col("s2") / col("n2")) / (col("n2") - 1L)).as("v2"),
+        col("n1"), col("n2"), col("s1"), col("s2"))
+      .withColumn("se2",
+        col("v1") / col("n1") + col("v2") / col("n2"))
+      .withColumn("t_stat", round(
+        (col("s1").cast("double") / col("n1")
+          - col("s2").cast("double") / col("n2")) / sqrt(col("se2")), 4))
+      .withColumn("df", round(
+        (col("se2") * col("se2")) /
+          ((col("v1") / col("n1")) * (col("v1") / col("n1"))
+            / (col("n1") - 1L)
+            + (col("v2") / col("n2")) * (col("v2") / col("n2"))
+              / (col("n2") - 1L)), 1))
+      .withColumn("verdict",
+        when(abs(col("t_stat")) > 1.96, "shifted").otherwise("stable"))
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        col("mean_train"), col("mean_test"), col("t_stat"), col("df"),
+        col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q212Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |cut AS (
+      |  SELECT MIN(day) + ((MAX(day) - MIN(day) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN cents ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN cents * cents ELSE 0 END)
+      |      AS BIGINT) AS ss1,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN cents ELSE 0 END) AS BIGINT)
+      |      AS s2,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN cents * cents ELSE 0 END)
+      |      AS BIGINT) AS ss2
+      |  FROM ev CROSS JOIN cut GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, n1, n2, s1, s2,
+      |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+      |      AS v1,
+      |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)
+      |      AS v2
+      |  FROM m),
+      |w AS (
+      |  SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+      |SELECT event_type, n1 AS n_train, n2 AS n_test,
+      |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 4) AS mean_train,
+      |  ROUND(CAST(s2 AS DOUBLE) / n2 / 100.0, 4) AS mean_test,
+      |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |    / SQRT(se2), 4) AS t_stat,
+      |  ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      |    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 1) AS df,
+      |  CASE WHEN ABS(ROUND((CAST(s1 AS DOUBLE) / n1
+      |      - CAST(s2 AS DOUBLE) / n2) / SQRT(se2), 4)) > 1.96
+      |    THEN 'shifted' ELSE 'stable' END AS verdict
+      |FROM w
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q213 — Gini concentration of user value per event type: how
+    * unequally the type's spend concentrates across its users, from
+    * the exact rank formula G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n over
+    * users ordered by (spend, user_id). Reports each type's user
+    * count, total cents, top-decile value share, and Gini — the
+    * whale-concentration report a monetization/sampling review reads
+    * next to Q210's RFM cells.
+    *
+    * Determinism: ranks come from a fully tie-broken total order;
+    * every sum is exact int64 (Σ i·xᵢ bounded by n²·max-spend —
+    * int64-safe through ~10^5 users of 10^8 cents); Gini and share
+    * are final ROUND-6 doubles.
+    *
+    * Scale: one aggregate per (type, user), one range-partitioned
+    * sort per type for ranks, one rollup. No driver state.
+    */
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perUser = c.events
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).cast("long").as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decile_mass",
+        when(col("i") > (col("n") * 9L).cast("long").divide(10L).cast("long"),
+          col("x")).otherwise(0L))
+    ranked.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).cast("long").as("cents_total"),
+        sum(col("i") * col("x")).cast("long").as("ix"),
+        sum(col("decile_mass")).cast("long").as("top_decile_cents"))
+      .select(col("event_type"), col("n_users"), col("cents_total"),
+        round(col("top_decile_cents").cast("double") / col("cents_total"), 6)
+          .as("top_decile_share"),
+        round(lit(2.0) * col("ix") / (col("n_users") * col("cents_total"))
+          - (col("n_users") + 1L).cast("double") / col("n_users"), 6)
+          .as("gini"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q213Oracle: String =
+    """WITH per_user AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id)
+      |      AS i,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM per_user)
+      |SELECT event_type,
+      |  CAST(MAX(n) AS BIGINT) AS n_users,
+      |  CAST(SUM(x) AS BIGINT) AS cents_total,
+      |  ROUND(CAST(SUM(CASE WHEN i > (n * 9) // 10 THEN x ELSE 0 END)
+      |    AS DOUBLE) / SUM(x), 6) AS top_decile_share,
+      |  ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+      |    / (MAX(n) * CAST(SUM(x) AS DOUBLE))
+      |    - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+      |FROM ranked
+      |GROUP BY 1
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _))
+    "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _),
+    "Q212" -> (q212 _), "Q213" -> (q213 _))
 
   def oracles: Map[String, String] = Map(
-    "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle)
+    "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle,
+    "Q212" -> q212Oracle, "Q213" -> q213Oracle)
 }

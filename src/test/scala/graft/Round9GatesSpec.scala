@@ -445,4 +445,64 @@ class Round9GatesSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("psi") - psi) < 5e-5,
       s"$t0: gate psi ${out.head.getAs[Double]("psi")} vs local $psi")
   }
+
+  test("Q212 Welch: moments replay locally, t/df match the textbook formula") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (dmin, dmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val cutoff = dmin + ((dmax - dmin + 1) * 4) / 5
+    operators.Behavior.q212(spark, dir).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = ev.filter(_._1 == t)
+      val (tr, te) = rows.partition(_._2 < cutoff)
+      assert(r.getAs[Long]("n_train") == tr.length.toLong)
+      assert(r.getAs[Long]("n_test") == te.length.toLong)
+      def stats(xs: Array[Long]): (Double, Double) = {
+        val n = xs.length
+        val m = xs.sum.toDouble / n
+        val v = (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / n) / (n - 1)
+        (m, v)
+      }
+      val ((m1, v1), (m2, v2)) = (stats(tr.map(_._3)), stats(te.map(_._3)))
+      val se2 = v1 / tr.length + v2 / te.length
+      val tStat = (m1 - m2) / math.sqrt(se2)
+      val df = se2 * se2 / ((v1 / tr.length) * (v1 / tr.length) / (tr.length - 1)
+        + (v2 / te.length) * (v2 / te.length) / (te.length - 1))
+      assert(math.abs(r.getAs[Double]("t_stat") - tStat) < 5e-4)
+      assert(math.abs(r.getAs[Double]("df") - df) < 0.2)
+      assert(r.getAs[String]("verdict") ==
+        (if (math.abs(r.getAs[Double]("t_stat")) > 1.96) "shifted" else "stable"))
+    }
+  }
+
+  test("Q213 Gini: rank formula equals the mean-absolute-difference definition") {
+    val c = Catalog(spark, dir)
+    val perUser = c.events.select(col("event_type"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((t, _), xs) => (t, xs.map(_._3).sum) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    operators.Behavior.q213(spark, dir).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = perUser(t)
+      assert(r.getAs[Long]("n_users") == xs.length.toLong)
+      assert(r.getAs[Long]("cents_total") == xs.sum)
+      // Gini via the O(n^2) mean-absolute-difference definition
+      val n = xs.length
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b).toDouble).sum
+      val gini = mad / (2.0 * n * n * (xs.sum.toDouble / n))
+      // the rank formula equals MAD/2n²μ exactly (ties included)
+      assert(math.abs(r.getAs[Double]("gini") - gini) < 5e-5,
+        s"$t: gate ${r.getAs[Double]("gini")} vs MAD $gini")
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      val share = r.getAs[Double]("top_decile_share")
+      assert(share >= 0.1 - 1e-6 && share <= 1.0,
+        "top decile holds at least its population share of value")
+    }
+  }
 }
