@@ -703,15 +703,70 @@ object Profiling {
       |FROM dec
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** Q214 — Benford first-digit audit of `l_extendedprice`: the
+    * classic fabricated-data / unit-mixing tripwire a data-quality
+    * review runs on any money column spanning several orders of
+    * magnitude. Per leading digit d∈1..9 of the exact cents value:
+    * observed count and share, the Benford expectation
+    * log₁₀(1 + 1/d), and the digit's χ² contribution
+    * (n_d − N·p_d)²/(N·p_d); the final row order is the digit, so the
+    * 9-row table IS the audit report (Σ chi2_term vs χ²₈ = 15.51 is
+    * the eyeball test).
+    *
+    * Determinism: the digit comes from the decimal string of an exact
+    * int64 (cents ≥ 100 for every TPC-H price, so the first character
+    * is the first significant digit); shares and χ² terms are final
+    * ROUND-6 doubles of integer-derived quantities.
+    *
+    * Scale: one map pass + a 9-key hash aggregate; the expectation
+    * join is a broadcast of a 9-row literal table. Any corpus size.
+    */
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val digits = c.lineitem
+      .select(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).cast("long").as("total"))))
+      .withColumn("exp_share",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("obs_share",
+        round(col("n").cast("double") / col("total"), 6))
+      .withColumn("chi2_term", round(
+        pow(col("n").cast("double")
+          - col("total") * log(10.0, lit(1.0) + lit(1.0) / col("digit")),
+          2.0)
+          / (col("total") * log(10.0, lit(1.0) + lit(1.0) / col("digit"))),
+        6))
+      .select(col("digit"), col("n"), col("obs_share"), col("exp_share"),
+        col("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val q214Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(ROUND(l_extendedprice * 100, 0)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+      |SELECT digit, n,
+      |  ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+      |  ROUND(LOG10(1 + 1.0 / digit), 6) AS exp_share,
+      |  ROUND(POW(CAST(n AS DOUBLE) - total * LOG10(1 + 1.0 / digit), 2)
+      |    / (total * LOG10(1 + 1.0 / digit)), 6) AS chi2_term
+      |FROM d CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
-    "Q174" -> (q174 _))
+    "Q174" -> (q174 _), "Q214" -> (q214 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
-    "Q159" -> q159Oracle, "Q174" -> q174Oracle)
+    "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle)
 }

@@ -992,15 +992,89 @@ object Stats {
       |FROM agg
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q215 — higher-moment normality profile per event type: population
+    * skewness g₁ = m₃/m₂^1.5, excess-free kurtosis g₂ = m₄/m₂², and the
+    * Jarque–Bera statistic JB = n/6·(g₁² + (g₂−3)²/4) with its χ²₂ 5%
+    * verdict (JB > 5.99 ⇒ non-normal) — the distribution-shape gate a
+    * modeling pipeline checks before assuming Gaussian residuals
+    * (complements Q137's mean tests and Q211's drift bins).
+    *
+    * Determinism: raw power sums Σv..Σv⁴ are double aggregates with
+    * IDENTICAL expression text in both engines (Q137's discipline —
+    * cross-engine double-sum order differs at ~1e-12 relative, far
+    * inside the final ROUND-4); central moments come from the raw-
+    * moment identities, evaluated in the same association order.
+    *
+    * Scale: one scan to (n, Σv, Σv², Σv³, Σv⁴) per type — map-side
+    * combinable, k output rows at any corpus size.
+    */
+  def q215(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val m = c.events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value")).as("s1"),
+      sum(col("value") * col("value")).as("s2"),
+      sum(col("value") * col("value") * col("value")).as("s3"),
+      sum(col("value") * col("value") * col("value") * col("value")).as("s4"))
+    m.withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mu") * (col("s2") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mu") * (col("s3") / col("n"))
+        + lit(6.0) * col("mu") * col("mu") * (col("s2") / col("n"))
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skewness", round(col("m3") / pow(col("m2"), 1.5), 4))
+      .withColumn("kurtosis", round(col("m4") / (col("m2") * col("m2")), 4))
+      .withColumn("jb", round(col("n") / lit(6.0)
+        * (pow(col("m3") / pow(col("m2"), 1.5), 2.0)
+          + pow(col("m4") / (col("m2") * col("m2")) - lit(3.0), 2.0)
+            / lit(4.0)), 4))
+      .withColumn("verdict",
+        when(col("jb") > 5.99, "non_normal").otherwise("normal"))
+      .select(col("event_type"), col("n"), round(col("mu"), 4).as("mean"),
+        col("skewness"), col("kurtosis"), col("jb"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q215Oracle: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(value) AS s1,
+      |    SUM(value * value) AS s2,
+      |    SUM(value * value * value) AS s3,
+      |    SUM(value * value * value * value) AS s4
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT event_type, n, s1 / n AS mu, s2, s3, s4 FROM m),
+      |cm AS (
+      |  SELECT event_type, n, mu,
+      |    s2 / n - mu * mu AS m2,
+      |    s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+      |    s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM c)
+      |SELECT event_type, n, ROUND(mu, 4) AS mean,
+      |  ROUND(m3 / POW(m2, 1.5), 4) AS skewness,
+      |  ROUND(m4 / (m2 * m2), 4) AS kurtosis,
+      |  ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+      |    + POW(m4 / (m2 * m2) - 3.0, 2) / 4.0), 4) AS jb,
+      |  CASE WHEN ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+      |      + POW(m4 / (m2 * m2) - 3.0, 2) / 4.0), 4) > 5.99
+      |    THEN 'non_normal' ELSE 'normal' END AS verdict
+      |FROM cm
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
-    "Q199" -> (q199 _), "Q204" -> (q204 _))
+    "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
-    "Q199" -> q199Oracle, "Q204" -> q204Oracle)
+    "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle)
 }

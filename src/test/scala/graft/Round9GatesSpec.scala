@@ -505,4 +505,53 @@ class Round9GatesSpec extends SparkSpec {
         "top decile holds at least its population share of value")
     }
   }
+
+  test("Q214 Benford: digit counts replay locally; shares and chi2 close") {
+    val c = Catalog(spark, dir)
+    val local = c.lineitem.select(col("l_extendedprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.charAt(0) - '0')
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val out = operators.Profiling.q214(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == c.lineitem.count())
+    out.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(r.getAs[Long]("n") == local(d))
+      val expShare = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getAs[Double]("exp_share") - expShare) < 1e-5)
+      val chi2 = math.pow(r.getAs[Long]("n").toDouble - total * expShare, 2) /
+        (total * expShare)
+      assert(math.abs(r.getAs[Double]("chi2_term") - chi2) < 5e-4)
+    }
+    // shares sum to 1 on both sides
+    assert(math.abs(out.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-3)
+  }
+
+  test("Q215 moments: skewness/kurtosis/JB match a local two-pass computation") {
+    val c = Catalog(spark, dir)
+    val byType = c.events.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    operators.Stats.q215(spark, dir).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = byType(t)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      // two-pass central moments — numerically independent of the gate's
+      // raw-moment identities, so agreement pins the algebra
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      val skew = m3 / math.pow(m2, 1.5)
+      val kurt = m4 / (m2 * m2)
+      val jb = n / 6.0 * (skew * skew + math.pow(kurt - 3.0, 2) / 4.0)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-3,
+        s"$t: skew ${r.getAs[Double]("skewness")} vs $skew")
+      assert(math.abs(r.getAs[Double]("kurtosis") - kurt) < 1e-3)
+      assert(math.abs(r.getAs[Double]("jb") - jb) < math.max(0.01 * jb, 0.05))
+      assert(r.getAs[Double]("kurtosis") > 0, "kurtosis of a nondegenerate sample")
+    }
+  }
 }
