@@ -202,10 +202,13 @@ object Pii {
     * final ROUND-6.
     *
     * Scale notes: nation (25) and region (5) broadcast onto customer;
-    * each ladder level is one hash aggregate keyed by the QI tuple
-    * (map-side partials, no text/row replication) and a scalar rollup.
-    * The monotone ladder (generalizing can only merge classes) is
-    * pinned in `Round9GatesSpec`.
+    * the three ladder levels compute in ONE scan via GROUPING SETS
+    * (an Expand ×3 feeds a single QI-keyed hash aggregate — at 100 TB
+    * that is one I/O pass instead of three), then a 3-key rollup over
+    * the class table. `grouping_id()` over the five QI columns
+    * identifies the level (bit set ⇔ column aggregated away). The
+    * monotone ladder (generalizing can only merge classes) is pinned
+    * in `Round9GatesSpec`.
     */
   def q207(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -216,22 +219,30 @@ object Pii {
         col("c_mktsegment").as("seg"),
         floor(col("c_acctbal") / 100.0).cast("long").as("bal100"),
         floor(col("c_acctbal") / 1000.0).cast("long").as("bal1000"))
-    def level(name: String, qi: Seq[Column]): DataFrame =
-      base.groupBy(qi: _*).agg(count(lit(1)).as("k"))
-        .agg(
-          sum(col("k")).cast("long").as("n_records"),
-          count(lit(1)).as("n_classes"),
-          min(col("k")).as("k_min"),
-          max(col("k")).as("k_max"),
-          sum(when(col("k") === 1, 1L).otherwise(0L)).cast("long").as("uniques"),
-          sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("at_risk"))
-        .select(lit(name).as("level"), col("n_records"), col("n_classes"),
-          col("k_min"), col("k_max"), col("uniques"), col("at_risk"),
-          round(col("n_classes").cast("double") / col("n_records"), 6).as("avg_risk"))
-    level("L0_nation_seg_bal100", Seq(col("n_name"), col("seg"), col("bal100")))
-      .unionAll(level("L1_region_seg_bal1000",
-        Seq(col("r_name"), col("seg"), col("bal1000"))))
-      .unionAll(level("L2_region_seg", Seq(col("r_name"), col("seg"))))
+    // grouping_id bit order follows the listed columns
+    // (n_name, r_name, seg, bal100, bal1000); a bit is 1 when the
+    // column is aggregated away in that set.
+    val classes = base.groupingSets(
+      Seq(Seq(col("n_name"), col("seg"), col("bal100")),
+        Seq(col("r_name"), col("seg"), col("bal1000")),
+        Seq(col("r_name"), col("seg"))),
+      col("n_name"), col("r_name"), col("seg"), col("bal100"), col("bal1000"))
+      .agg(count(lit(1)).as("k"), grouping_id().as("gid"))
+    classes
+      .withColumn("level",
+        when(col("gid") === 9L, "L0_nation_seg_bal100")   // r_name+bal1000 out
+          .when(col("gid") === 18L, "L1_region_seg_bal1000") // n_name+bal100 out
+          .otherwise("L2_region_seg"))                       // gid 19
+      .groupBy(col("level")).agg(
+        sum(col("k")).cast("long").as("n_records"),
+        count(lit(1)).as("n_classes"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).cast("long").as("uniques"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("at_risk"))
+      .select(col("level"), col("n_records"), col("n_classes"),
+        col("k_min"), col("k_max"), col("uniques"), col("at_risk"),
+        round(col("n_classes").cast("double") / col("n_records"), 6).as("avg_risk"))
       .orderBy(asc_nulls_first("level"))
   }
 
