@@ -396,11 +396,210 @@ object Behavior {
       |GROUP BY 1
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q216 — lead-lag cross-correlation between event types: for every
+    * ordered type pair (a, b), the Pearson correlation of a's daily
+    * revenue-cents series against b's shifted by lag ∈ [−7, +7] days
+    * (zero-filled common spine), reporting the lag-0 correlation and
+    * the best-|r| lag — "does search volume lead purchase volume by
+    * N days" asked of the whole type universe. Q128 is each series'
+    * self-correlation; this is the cross matrix.
+    *
+    * Determinism: the spine is exact integer cents on the global
+    * [dmin, dmax] day grid; every correlation computes from exact
+    * int64 sums (n, Σx, Σy, Σxy, Σx², Σy²) via the textbook identity,
+    * with the division/sqrt the only doubles (ROUND-4). The best-lag
+    * argmax orders by (|r| desc, lag asc) over identically-computed
+    * doubles.
+    *
+    * Scale notes: everything after the one daily aggregate runs on
+    * the bounded spine (days × types rows — thousands at any corpus
+    * size); the lag join is spine×15 lags, still bounded. One corpus
+    * scan total.
+    */
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("v"))
+    val ext = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(ext))
+      .select(col("event_type"),
+        explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .localCheckpoint()
+    val lags = spark.range(-7L, 8L).select(col("id").as("lag"))
+    val a = spine.select(col("event_type").as("ta"), col("day"),
+      col("v").as("x"))
+    val b = spine.select(col("event_type").as("tb"),
+      col("day").as("day_b"), col("v").as("y"))
+    val sums = a.crossJoin(broadcast(lags))
+      .join(b, col("day_b") === col("day") + col("lag"))
+      .groupBy(col("ta"), col("tb"), col("lag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      // products of the raw sums exceed int64 (n·Σxy ~ 1e20 at sf0.1),
+      // so the identity evaluates in DOUBLE — same shape both engines
+      .withColumn("r",
+        (col("n").cast("double") * col("sxy") - col("sx").cast("double")
+          * col("sy")) /
+          sqrt((col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx"))
+            * (col("n").cast("double") * col("syy")
+              - col("sy").cast("double") * col("sy"))))
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ta"), col("tb"))
+      .orderBy(desc("abs_r"), asc("lag"))
+    sums
+      .withColumn("abs_r", abs(col("r")))
+      .withColumn("rk", row_number().over(wPair))
+      .withColumn("r0",
+        max(when(col("lag") === 0L, col("r"))).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ta"), col("tb"))))
+      .filter(col("rk") === 1)
+      .select(col("ta"), col("tb"), round(col("r0"), 4).as("r_lag0"),
+        col("lag").as("best_lag"), round(col("r"), 4).as("best_r"))
+      .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
+  }
+
+  val q216Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ext AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, g.day, COALESCE(d.v, 0) AS v
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT UNNEST(range(dmin, dmax + 1)) AS day FROM ext) g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+      |sums AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT) AS sy,
+      |    CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+      |    CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+      |    CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+      |  FROM spine a
+      |  CROSS JOIN (SELECT UNNEST(range(-7, 8)) AS lag) l
+      |  JOIN spine b ON b.day = a.day + l.lag
+      |  GROUP BY 1, 2, 3),
+      |corr AS (
+      |  SELECT ta, tb, lag,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
+      |  FROM sums),
+      |ranked AS (
+      |  SELECT ta, tb, lag, r,
+      |    ROW_NUMBER() OVER (PARTITION BY ta, tb
+      |      ORDER BY ABS(r) DESC, lag) AS rk,
+      |    MAX(CASE WHEN lag = 0 THEN r END) OVER (PARTITION BY ta, tb)
+      |      AS r0
+      |  FROM corr)
+      |SELECT ta, tb, ROUND(r0, 4) AS r_lag0, lag AS best_lag,
+      |  ROUND(r, 4) AS best_r
+      |FROM ranked WHERE rk = 1
+      |ORDER BY ta NULLS FIRST, tb NULLS FIRST""".stripMargin
+
+  /** Q217 — point-in-time-correct churn feature/label audit: features
+    * per user computed ONLY from pre-cutoff events (frequency, exact-
+    * cents spend, recency to the cutoff, tenure, active days), the
+    * label ONLY from post-cutoff presence — the temporal hygiene that
+    * Q208 audits, demonstrated as an actual leakage-safe training
+    * snapshot. Users are ranked into spend deciles (NTILE(10) over the
+    * tie-broken (spend, user_id) order); the report gives each
+    * decile's population, retention rate, and mean pre-cutoff
+    * activity — the sanity curve (monotone-ish retention vs value) a
+    * churn-model review reads before training.
+    *
+    * Scale: two disjoint-era aggregates per user + one bounded NTILE
+    * over the per-user table + a 10-cell rollup. Join of features to
+    * labels is user-keyed, co-partitioned with the feature aggregate.
+    */
+  def q217(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cut = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    val feats = tagged.filter(col("day") < col("cutoff"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("freq"),
+        sum(col("cents")).cast("long").as("spend"),
+        (first(col("cutoff")) - lit(1L) - max(col("day"))).as("recency"),
+        (max(col("day")) - min(col("day"))).as("tenure"),
+        countDistinct(col("day")).as("active_days"))
+    val labels = tagged.filter(col("day") >= col("cutoff"))
+      .select(col("user_id")).distinct().withColumn("retained", lit(1L))
+    val joined = feats.join(labels, Seq("user_id"), "left")
+      .withColumn("retained", coalesce(col("retained"), lit(0L)))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("spend"), col("user_id"))))
+    joined.groupBy(col("decile")).agg(
+        count(lit(1)).as("n_users"),
+        sum(col("retained")).cast("long").as("n_retained"),
+        round(sum(col("retained")).cast("double") / count(lit(1)), 6)
+          .as("retention_rate"),
+        round(avg(col("freq").cast("double")), 2).as("avg_freq"),
+        round(avg(col("active_days").cast("double")), 2).as("avg_active_days"),
+        sum(col("spend")).cast("long").as("cents_total"))
+      .orderBy(col("decile"))
+  }
+
+  val q217Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |cut AS (
+      |  SELECT MIN(day) + ((MAX(day) - MIN(day) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |feats AS (
+      |  SELECT user_id, COUNT(*) AS freq,
+      |    CAST(SUM(cents) AS BIGINT) AS spend,
+      |    ANY_VALUE(cutoff) - 1 - MAX(day) AS recency,
+      |    MAX(day) - MIN(day) AS tenure,
+      |    COUNT(DISTINCT day) AS active_days
+      |  FROM ev CROSS JOIN cut WHERE day < cutoff GROUP BY 1),
+      |labels AS (
+      |  SELECT DISTINCT user_id, 1 AS retained
+      |  FROM ev CROSS JOIN cut WHERE day >= cutoff),
+      |joined AS (
+      |  SELECT f.*, COALESCE(l.retained, 0) AS retained,
+      |    NTILE(10) OVER (ORDER BY f.spend, f.user_id) AS decile
+      |  FROM feats f LEFT JOIN labels l ON f.user_id = l.user_id)
+      |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_users,
+      |  CAST(SUM(retained) AS BIGINT) AS n_retained,
+      |  ROUND(CAST(SUM(retained) AS DOUBLE) / COUNT(*), 6)
+      |    AS retention_rate,
+      |  ROUND(AVG(CAST(freq AS DOUBLE)), 2) AS avg_freq,
+      |  ROUND(AVG(CAST(active_days AS DOUBLE)), 2) AS avg_active_days,
+      |  CAST(SUM(spend) AS BIGINT) AS cents_total
+      |FROM joined
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _),
-    "Q212" -> (q212 _), "Q213" -> (q213 _))
+    "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
+    "Q217" -> (q217 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle,
-    "Q212" -> q212Oracle, "Q213" -> q213Oracle)
+    "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
+    "Q217" -> q217Oracle)
 }

@@ -554,4 +554,65 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Double]("kurtosis") > 0, "kurtosis of a nondegenerate sample")
     }
   }
+
+  test("Q216 lead-lag: self-pairs peak at lag 0 with r=1; matrix replays locally") {
+    val c = Catalog(spark, dir)
+    val daily = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).map { case ((t, d), xs) => (t, d, xs.map(_._3).sum) }
+    val (dmin, dmax) = (daily.map(_._2).min, daily.map(_._2).max)
+    val types = daily.map(_._1).toSeq.distinct.sorted
+    val series = types.map { t =>
+      val m = daily.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      t -> (dmin to dmax).map(d => m.getOrElse(d, 0L)).toArray
+    }.toMap
+    def corr(xs: Array[Long], ys: Array[Long]): Double = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+      val sxx = xs.map(a => a.toDouble * a).sum
+      val syy = ys.map(a => a.toDouble * a).sum
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val out = operators.Behavior.q216(spark, dir).collect()
+    assert(out.length == types.length * types.length)
+    out.filter(r => r.getAs[String]("ta") == r.getAs[String]("tb")).foreach { r =>
+      assert(r.getAs[Long]("best_lag") == 0L, "a series' best alignment is itself")
+      assert(math.abs(r.getAs[Double]("best_r") - 1.0) < 1e-6)
+    }
+    // replay a couple of cross pairs at lag 0
+    out.filter(r => r.getAs[String]("ta") != r.getAs[String]("tb")).take(5)
+      .foreach { r =>
+        val local = corr(series(r.getAs[String]("ta")), series(r.getAs[String]("tb")))
+        assert(math.abs(r.getAs[Double]("r_lag0") - local) < 5e-4,
+          s"${r.getAs[String]("ta")}->${r.getAs[String]("tb")}: " +
+            s"${r.getAs[Double]("r_lag0")} vs $local")
+      }
+  }
+
+  test("Q217 point-in-time: deciles partition users, features are pre-cutoff only") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (dmin, dmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val cutoff = dmin + ((dmax - dmin + 1) * 4) / 5
+    val preUsers = ev.filter(_._2 < cutoff).map(_._1).toSet
+    val postUsers = ev.filter(_._2 >= cutoff).map(_._1).toSet
+    val out = operators.Behavior.q217(spark, dir).collect()
+    // only users with pre-cutoff history are rows (labels join onto features)
+    assert(out.map(_.getAs[Long]("n_users")).sum == preUsers.size.toLong)
+    assert(out.map(_.getAs[Long]("n_retained")).sum ==
+      (preUsers & postUsers).size.toLong)
+    assert(out.map(_.getAs[Int]("decile")).sorted.toSeq == (1 to 10))
+    val sizes = out.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1, "NTILE(10) balance")
+    out.foreach { r =>
+      val rr = r.getAs[Double]("retention_rate")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_users"))
+    }
+  }
 }
