@@ -2616,7 +2616,121 @@ object EventTime {
       |  ROUND(hnat / LN(2), 4) AS entropy_bits
       |FROM agg ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q219 — STL-lite decomposition strength per event type: the daily
+    * revenue-cents series (zero-filled spine) split into trend
+    * (centered 7-day moving average, full-window days only), weekly
+    * seasonal (per-day-of-week mean of the detrended series), and
+    * residual; reported as variances plus Hyndman & Athanasopoulos'
+    * strength measures F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) — the one-row-per-series
+    * answer to "is this series trending / weekly-seasonal enough to
+    * model those components".
+    *
+    * Determinism: the spine is exact int64 cents converted once to
+    * dollar units (one IEEE divide — keeps the round-4 variance
+    * magnitudes inside cross-engine double-sum reproducibility; raw
+    * cents² variances at ~1e8 demand ~1e-13 relative agreement, which
+    * engine-order double sums do not guarantee); trend and seasonal
+    * means are double divisions of those values; variances use the
+    * AVG(x²) − AVG(x)² identity with identical expression text; only
+    * ROUND-4 outputs. DOW is the epoch-day mod 7 (day 0 = Thursday) —
+    * an arbitrary but engine-identical labeling, irrelevant to the
+    * strengths.
+    *
+    * Scale notes: everything after the one daily aggregate runs on the
+    * bounded spine (days × types); two window passes (centered MA,
+    * per-dow mean) + one rollup. The decomposition never touches raw
+    * events twice.
+    */
+  def q219(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("v"))
+    val ext = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(ext))
+      .select(col("event_type"), explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("v"), lit(0L)).cast("double") / lit(100.0)).as("v"))
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = spine
+      .withColumn("win_n", count(lit(1)).over(wMa))
+      .withColumn("trend", sum(col("v")).over(wMa) / lit(7.0))
+      .filter(col("win_n") === 7)
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .withColumn("detr", col("v") - col("trend"))
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    val comps = trended
+      .withColumn("seas", avg(col("detr")).over(wDow))
+      .withColumn("resid", col("detr") - col("seas"))
+    def varOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      avg(x * x) - avg(x) * avg(x)
+    comps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        round(varOf(col("v")), 4).as("var_total"),
+        round(varOf(col("trend")), 4).as("var_trend"),
+        round(varOf(col("seas")), 4).as("var_seasonal"),
+        round(varOf(col("resid")), 4).as("var_residual"),
+        round(greatest(lit(0.0),
+          lit(1.0) - varOf(col("resid")) / varOf(col("v") - col("seas"))), 4)
+          .as("f_trend"),
+        round(greatest(lit(0.0),
+          lit(1.0) - varOf(col("resid")) / varOf(col("detr"))), 4)
+          .as("f_seasonal"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q219Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ext AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, g.day, CAST(COALESCE(d.v, 0) AS DOUBLE) / 100.0
+      |    AS v
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT UNNEST(range(dmin, dmax + 1)) AS day FROM ext) g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+      |trended AS (
+      |  SELECT event_type, day, v,
+      |    SUM(v) OVER w / 7.0 AS trend,
+      |    COUNT(*) OVER w AS win_n,
+      |    day % 7 AS dow
+      |  FROM spine
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |comps AS (
+      |  SELECT event_type, v, trend, v - trend AS detr,
+      |    AVG(v - trend) OVER (PARTITION BY event_type, dow) AS seas
+      |  FROM trended WHERE win_n = 7),
+      |comps2 AS (
+      |  SELECT event_type, v, trend, detr, seas, detr - seas AS resid
+      |  FROM comps)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  ROUND(AVG(v * v) - AVG(v) * AVG(v), 4) AS var_total,
+      |  ROUND(AVG(trend * trend) - AVG(trend) * AVG(trend), 4) AS var_trend,
+      |  ROUND(AVG(seas * seas) - AVG(seas) * AVG(seas), 4) AS var_seasonal,
+      |  ROUND(AVG(resid * resid) - AVG(resid) * AVG(resid), 4)
+      |    AS var_residual,
+      |  ROUND(GREATEST(0.0, 1.0 - (AVG(resid * resid) - AVG(resid)
+      |    * AVG(resid)) / (AVG((v - seas) * (v - seas)) - AVG(v - seas)
+      |    * AVG(v - seas))), 4) AS f_trend,
+      |  ROUND(GREATEST(0.0, 1.0 - (AVG(resid * resid) - AVG(resid)
+      |    * AVG(resid)) / (AVG(detr * detr) - AVG(detr) * AVG(detr))), 4)
+      |    AS f_seasonal
+      |FROM comps2
+      |GROUP BY 1
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q219" -> (q219 _),
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
     "Q87" -> (q87 _), "Q100" -> (q100 _), "Q104" -> (q104 _),
@@ -2645,5 +2759,5 @@ object EventTime {
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
     "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
     "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle,
-    "Q194" -> q194Oracle)
+    "Q194" -> q194Oracle, "Q219" -> q219Oracle)
 }

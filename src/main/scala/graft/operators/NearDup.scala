@@ -1211,7 +1211,61 @@ object NearDup {
       |GROUP BY d.source
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q218 — Jaro–Winkler fuzzy name matching over `part` names: the
+    * record-linkage scorer (Winkler 1990) the edit-distance family
+    * (Q94/Q126) lacks — prefix-weighted, transposition-tolerant. Pairs
+    * are blocked on the 4-char name prefix (candidate generation never
+    * goes all-pairs), scored by the native codegen'd
+    * `graft_jaro_winkler` expression (`plans/JaroWinkler.scala` —
+    * semantics verified char-for-char against DuckDB's
+    * `jaro_winkler_similarity`, including the floor-halved
+    * transposition count and the jaro > 0.7 boost gate), kept at
+    * ≥ 0.92 with unequal names, and reported as the top-50 most
+    * similar DISTINCT name pairs (with their instance-pair counts) on
+    * the fully tie-broken (sim round-4 desc, name_a, name_b) order.
+    *
+    * Scale notes: the self-join shuffles on the blocking prefix (same
+    * topology as Q94's FastSS blocking); scoring is a per-pair scalar
+    * inside WholeStageCodegen; TakeOrdered bounds the output. For
+    * longer strings, block harder before scoring — JW is O(len²)
+    * worst-case per pair.
+    */
+  def q218(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val p = c.part.select(col("p_partkey"), col("p_name"),
+      substring(col("p_name"), 1, 4).as("blk"))
+    val a = p.select(col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"), col("blk"))
+    val b = p.select(col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .withColumn("sim", expr("graft_jaro_winkler(name_a, name_b)"))
+      .filter(col("sim") >= 0.90)
+      .groupBy(col("name_a"), col("name_b"), round(col("sim"), 4).as("sim"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("sim"), asc("name_a"), asc("name_b"))
+      .limit(50)
+  }
+
+  val q218Oracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, substring(p_name, 1, 4) AS blk
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+      |  FROM p a JOIN p b ON a.blk = b.blk
+      |    AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name)
+      |SELECT name_a, name_b, ROUND(sim, 4) AS sim, COUNT(*) AS n_pairs
+      |FROM pairs
+      |WHERE sim >= 0.90
+      |GROUP BY 1, 2, 3
+      |ORDER BY sim DESC, name_a, name_b
+      |LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q218" -> (q218 _),
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
@@ -1224,5 +1278,5 @@ object NearDup {
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
     "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle,
-    "Q196" -> q196Oracle)
+    "Q196" -> q196Oracle, "Q218" -> q218Oracle)
 }

@@ -16,6 +16,7 @@ import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, He
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
@@ -41,6 +42,16 @@ object GraftExtensions {
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"), dotInfo,
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  private val jwInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, null, "graft_jaro_winkler",
+    "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]; " +
+      "prefix boost (cap 4, p=0.1) applied only when jaro > 0.7.",
+    "")
+
+  val jwFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_jaro_winkler"), jwInfo,
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
 
   private def kmvBuilder(children: Seq[Expression]): Expression = {
     val k = children(1) match {
@@ -278,6 +289,9 @@ object GraftExtensions {
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      children => JaroWinkler(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -615,4 +615,76 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_users"))
     }
   }
+
+  test("Q218/graft_jaro_winkler: textbook pins, metric properties, gate replay") {
+    import graft.plans.JaroWinkler.{similarity => jw}
+    // classic Winkler test pairs (values match DuckDB's
+    // jaro_winkler_similarity, probed this round)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-12)
+    // floor-halved transpositions (odd out-of-order count)
+    assert(math.abs(jw("abcdef", "bcafed") - 0.8888888888888888) < 1e-12)
+    // boost gate: jaro <= 0.7 gets NO prefix boost
+    assert(math.abs(jw("prefix", "prefiyyyyyyyyyyyyyyXX") - 0.6904761904761904) < 1e-12)
+    assert(jw("abc", "abc") == 1.0 && jw("abc", "xyz") == 0.0)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    // symmetry + range on a vocabulary sample
+    val words = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "small gizmo", "large plate", "small bolt")
+    for (a <- words; b <- words) {
+      assert(math.abs(jw(a, b) - jw(b, a)) < 1e-15, s"symmetry $a/$b")
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // gate replay: the SQL expression (codegen path) agrees with the
+    // static scorer on every emitted row
+    val out = NearDup.q218(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val local = jw(r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(math.abs(r.getAs[Double]("sim") - local) < 5e-5)
+      assert(local >= 0.90 && r.getAs[Long]("n_pairs") >= 1)
+    }
+  }
+
+  test("Q219 STL-lite: decomposition replays locally; strengths bounded") {
+    val c = Catalog(spark, dir)
+    val daily = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).map { case ((t, d), xs) => (t, d, xs.map(_._3).sum) }
+    val (dmin, dmax) = (daily.map(_._2).min, daily.map(_._2).max)
+    val out = operators.EventTime.q219(spark, dir).collect()
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val m = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val v = (dmin to dmax).map(d => m.getOrElse(d, 0L).toDouble / 100.0).toArray
+      val n = v.length
+      // centered 7-day MA on full windows only
+      val used = (3 until n - 3)
+      val trend = used.map(i => (i - 3 to i + 3).map(v).sum / 7.0)
+      val days = used.map(i => dmin + i)
+      val detr = used.zip(trend).map { case (i, tr) => v(i) - tr }
+      val byDow = days.zip(detr).groupBy(_._1 % 7)
+        .map { case (d, xs) => d -> xs.map(_._2).sum / xs.length }
+      val seas = days.zip(detr).map { case (d, x) => byDow(d % 7) }
+      val resid = detr.zip(seas).map { case (a, b) => a - b }
+      def variance(xs: Seq[Double]): Double = {
+        val mu = xs.sum / xs.length
+        xs.map(x => x * x).sum / xs.length - mu * mu
+      }
+      assert(r.getAs[Long]("n_days") == used.length.toLong)
+      val vtot = variance(used.map(v(_)).toSeq)
+      assert(math.abs(r.getAs[Double]("var_total") - vtot)
+        < math.max(1e-3, 1e-6 * vtot))
+      val fT = r.getAs[Double]("f_trend"); val fS = r.getAs[Double]("f_seasonal")
+      assert(fT >= 0.0 && fT <= 1.0 && fS >= 0.0 && fS <= 1.0)
+      val fsLocal = math.max(0.0, 1.0 - variance(resid.toSeq) / variance(detr.toSeq))
+      assert(math.abs(fS - fsLocal) < 1e-3,
+        s"$t: f_seasonal $fS vs local $fsLocal")
+    }
+  }
 }
