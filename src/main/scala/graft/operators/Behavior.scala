@@ -593,13 +593,151 @@ object Behavior {
       |GROUP BY 1
       |ORDER BY decile""".stripMargin
 
+  /** Q220 — top user-journey paths: every consecutive 3-step
+    * event-type sequence (trigram) in each user's (ts, event_id)-
+    * ordered journey, counted corpus-wide, with each path's share of
+    * all trigrams and its rank — the "what do users actually do"
+    * clickstream report next to Q209's one-step matrix (a first-order
+    * chain predicts the next step; the trigram table shows which
+    * multi-step flows dominate).
+    *
+    * Scale: two LAG columns over the one user-keyed window pass (same
+    * shuffle Q209 already pays), then a hash aggregate onto ≤ |types|³
+    * keys. Top-20 by (count desc, path) is a TakeOrdered.
+    */
+  def q220(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = c.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    tri.crossJoin(broadcast(tri.agg(sum(col("n")).cast("long").as("total"))))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n"), asc("path"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("path"), col("n"), col("share"))
+      .orderBy(col("rank"))
+  }
+
+  val q220Oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER w AS p1,
+      |    LAG(event_type, 2) OVER w AS p2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (
+      |  SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+      |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tri),
+      |ranked AS (
+      |  SELECT path, n,
+      |    ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank
+      |  FROM tri CROSS JOIN tot)
+      |SELECT rank, path, n, share
+      |FROM ranked WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** Q221 — price-volume-mix attribution between the Q208 eras: the
+    * BI decomposition of revenue change per event type into VOLUME
+    * (event-count change at the base era's overall rate), RATE
+    * (value-per-event change at the base count), and MIX/interaction
+    * (the cross term), with Δrevenue = volume + rate + mix holding
+    * EXACTLY per type as an accounting identity. Answers "did revenue
+    * move because we did more events, richer events, or a changed
+    * blend" — the era-comparison twin of Q212's significance test.
+    *
+    * Determinism: counts and revenue are exact int64 (cents); the
+    * three effects are single-expression doubles of those integers,
+    * each a final ROUND-2; the identity is pinned in spec by
+    * reconstructing Δ from the emitted effects.
+    *
+    * Scale: one hash aggregate per (type, era) — 2·|types| rows of
+    * moments; everything after is scalar arithmetic.
+    */
+  def q221(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cut = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val m = ev.crossJoin(broadcast(cut))
+      .withColumn("is_tr", (col("day") < col("cutoff")).cast("long"))
+      .groupBy(col("event_type")).agg(
+        sum(col("is_tr")).cast("long").as("n1"),
+        sum(col("is_tr") * col("cents")).cast("long").as("r1"),
+        sum(lit(1L) - col("is_tr")).cast("long").as("n2"),
+        sum((lit(1L) - col("is_tr")) * col("cents")).cast("long").as("r2"))
+    // effects in dollars: volume = Δn·rate1, rate = n1·Δrate,
+    // mix = Δn·Δrate; rate_i = r_i/n_i (cents/event)
+    m.select(col("event_type"),
+        col("n1").as("n_base"), col("n2").as("n_curr"),
+        round(col("r1").cast("double") / 100.0, 2).as("rev_base"),
+        round(col("r2").cast("double") / 100.0, 2).as("rev_curr"),
+        round((col("r2") - col("r1")).cast("double") / 100.0, 2).as("delta"),
+        round((col("n2") - col("n1")).cast("double")
+          * (col("r1").cast("double") / col("n1")) / 100.0, 2)
+          .as("volume_effect"),
+        round(col("n1").cast("double")
+          * (col("r2").cast("double") / col("n2")
+            - col("r1").cast("double") / col("n1")) / 100.0, 2)
+          .as("rate_effect"),
+        round((col("n2") - col("n1")).cast("double")
+          * (col("r2").cast("double") / col("n2")
+            - col("r1").cast("double") / col("n1")) / 100.0, 2)
+          .as("mix_effect"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q221Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |cut AS (
+      |  SELECT MIN(day) + ((MAX(day) - MIN(day) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN cents ELSE 0 END) AS BIGINT)
+      |      AS r1,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN cents ELSE 0 END) AS BIGINT)
+      |      AS r2
+      |  FROM ev CROSS JOIN cut GROUP BY 1)
+      |SELECT event_type, n1 AS n_base, n2 AS n_curr,
+      |  ROUND(CAST(r1 AS DOUBLE) / 100.0, 2) AS rev_base,
+      |  ROUND(CAST(r2 AS DOUBLE) / 100.0, 2) AS rev_curr,
+      |  ROUND(CAST(r2 - r1 AS DOUBLE) / 100.0, 2) AS delta,
+      |  ROUND(CAST(n2 - n1 AS DOUBLE)
+      |    * (CAST(r1 AS DOUBLE) / n1) / 100.0, 2) AS volume_effect,
+      |  ROUND(CAST(n1 AS DOUBLE)
+      |    * (CAST(r2 AS DOUBLE) / n2 - CAST(r1 AS DOUBLE) / n1) / 100.0, 2)
+      |    AS rate_effect,
+      |  ROUND(CAST(n2 - n1 AS DOUBLE)
+      |    * (CAST(r2 AS DOUBLE) / n2 - CAST(r1 AS DOUBLE) / n1) / 100.0, 2)
+      |    AS mix_effect
+      |FROM m
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
-    "Q217" -> (q217 _))
+    "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
-    "Q217" -> q217Oracle)
+    "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle)
 }

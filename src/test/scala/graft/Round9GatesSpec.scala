@@ -687,4 +687,47 @@ class Round9GatesSpec extends SparkSpec {
         s"$t: f_seasonal $fS vs local $fsLocal")
     }
   }
+
+  test("Q220 paths: trigram counts replay locally; ranks and shares consistent") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val local = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(3).foreach { w =>
+        if (w.length == 3) {
+          val p = w.mkString(">")
+          local(p) = local.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val expTop = local.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val out = operators.Behavior.q220(spark, dir).collect()
+    assert(out.length == math.min(20, local.size))
+    out.zip(expTop).foreach { case (r, (p, n)) =>
+      assert(r.getAs[String]("path") == p && r.getAs[Long]("n") == n,
+        s"rank ${r.getAs[Int]("rank")}: gate (${r.getAs[String]("path")}," +
+          s"${r.getAs[Long]("n")}) vs local ($p,$n)")
+    }
+    val total = local.values.sum.toDouble
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share") - r.getAs[Long]("n") / total) < 1e-4)
+    }
+  }
+
+  test("Q221 PVM: volume+rate+mix reconstructs delta (accounting identity)") {
+    val out = operators.Behavior.q221(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val delta = r.getAs[Double]("delta")
+      val sum = r.getAs[Double]("volume_effect") + r.getAs[Double]("rate_effect") +
+        r.getAs[Double]("mix_effect")
+      // each effect is independently rounded to cents → ≤ 2 cents slack
+      assert(math.abs(delta - sum) <= 0.02 + 1e-9,
+        s"${r.getAs[String]("event_type")}: delta $delta vs effects sum $sum")
+      assert(math.abs(r.getAs[Double]("rev_curr") - r.getAs[Double]("rev_base")
+        - delta) <= 0.01 + 1e-9)
+    }
+  }
 }
