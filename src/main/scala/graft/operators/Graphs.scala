@@ -1158,7 +1158,94 @@ object Graphs {
       |ORDER BY a2 DESC, p_partkey
       |LIMIT 20""".stripMargin
 
+  /** Q222 — whole-graph topology profile of the co-order graph: node
+    * and edge counts, density, the degree spread, and Newman's degree
+    * assortativity coefficient (Newman 2002) — the one-row summary
+    * that says whether the graph is hub-dominated (r < 0: high-degree
+    * nodes attach to low-degree ones) or stratified (r > 0), which
+    * decides join-strategy questions (skew salting, hub isolation)
+    * before any iterative algorithm runs on it.
+    *
+    * Assortativity is the Pearson correlation of endpoint degrees over
+    * the DIRECTED edge list (both orientations, the standard
+    * symmetrization): r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) with all
+    * sums exact int64 (M = 2|E| ≤ 4·10⁵ here; products ≤ ~7·10¹⁵,
+    * inside int64 — at graphs where M·Σjk would overflow, flip the
+    * identity to double partials) and ONE double division at the end.
+    *
+    * Scale notes: degree table is one aggregate over the bucketed edge
+    * artifact; the two degree joins are node-keyed; every reported
+    * number is a scalar aggregate. No iteration, no driver state.
+    */
+  def q222(spark: SparkSession, dir: String): DataFrame = {
+    val e = Derived.coOrderPairCounts(spark, dir).select(col("a"), col("b"))
+    val de = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      min(col("deg")).as("deg_min"),
+      max(col("deg")).as("deg_max"),
+      sum(col("deg")).cast("long").as("deg_sum"))
+    val joined = de
+      .join(deg.select(col("src"), col("deg").as("dsrc")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), Seq("dst"))
+    val sums = joined.agg(
+      count(lit(1)).as("m"),
+      sum(col("dsrc")).cast("long").as("sj"),
+      sum(col("dsrc") * col("ddst")).cast("long").as("sjk"),
+      sum(col("dsrc") * col("dsrc")).cast("long").as("sjj"))
+    sums.crossJoin(degStats)
+      .select(
+        col("n_nodes"),
+        (col("m") / lit(2L)).cast("long").as("n_edges"),
+        round(col("m").cast("double") /
+          (col("n_nodes") * (col("n_nodes") - lit(1L))), 6).as("density"),
+        col("deg_min"),
+        round(col("deg_sum").cast("double") / col("n_nodes"), 2).as("deg_avg"),
+        col("deg_max"),
+        round((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
+          (col("m") * col("sjj") - col("sj") * col("sj")), 6)
+          .as("assortativity"))
+  }
+
+  val q222Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
+      |de AS (
+      |  SELECT a AS src, b AS dst FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1),
+      |ds AS (
+      |  SELECT COUNT(*) AS n_nodes, MIN(deg) AS deg_min, MAX(deg) AS deg_max,
+      |    CAST(SUM(deg) AS BIGINT) AS deg_sum
+      |  FROM deg),
+      |sums AS (
+      |  SELECT COUNT(*) AS m,
+      |    CAST(SUM(d1.deg) AS BIGINT) AS sj,
+      |    CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS sjk,
+      |    CAST(SUM(d1.deg * d1.deg) AS BIGINT) AS sjj
+      |  FROM de
+      |  JOIN deg d1 ON d1.src = de.src
+      |  JOIN deg d2 ON d2.src = de.dst)
+      |SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+      |  ROUND(CAST(m AS DOUBLE) / (n_nodes * (n_nodes - 1)), 6) AS density,
+      |  deg_min,
+      |  ROUND(CAST(deg_sum AS DOUBLE) / n_nodes, 2) AS deg_avg,
+      |  deg_max,
+      |  ROUND(CAST(m * sjk - sj * sj AS DOUBLE)
+      |    / (m * sjj - sj * sj), 6) AS assortativity
+      |FROM sums CROSS JOIN ds""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q222" -> (q222 _),
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
@@ -1170,5 +1257,5 @@ object Graphs {
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
     "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle,
-    "Q197" -> q197Oracle)
+    "Q197" -> q197Oracle, "Q222" -> q222Oracle)
 }

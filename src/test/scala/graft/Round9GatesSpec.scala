@@ -730,4 +730,31 @@ class Round9GatesSpec extends SparkSpec {
         - delta) <= 0.01 + 1e-9)
     }
   }
+
+  test("Q222 graph profile: degree accounting and assortativity replay locally") {
+    val c = Catalog(spark, dir)
+    val edges = operators.Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Long] // degree
+    edges.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, 0L) + 1; adj(b) = adj.getOrElse(b, 0L) + 1
+    }
+    val r = operators.Graphs.q222(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == adj.size.toLong)
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(r.getAs[Long]("deg_min") == adj.values.min)
+    assert(r.getAs[Long]("deg_max") == adj.values.max)
+    // assortativity via directed-edge Pearson, from first principles
+    val directed = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val m = directed.length.toDouble
+    val js = directed.map { case (s, _) => adj(s).toDouble }
+    val ks = directed.map { case (_, d) => adj(d).toDouble }
+    val (sj, sjk, sjj) = (js.sum, js.zip(ks).map { case (x, y) => x * y }.sum,
+      js.map(x => x * x).sum)
+    val local = (m * sjk - sj * sj) / (m * sjj - sj * sj)
+    assert(math.abs(r.getAs[Double]("assortativity") - local) < 1e-4,
+      s"gate ${r.getAs[Double]("assortativity")} vs local $local")
+    assert(r.getAs[Double]("density") > 0 && r.getAs[Double]("density") <= 1)
+  }
 }
