@@ -758,15 +758,113 @@ object Profiling {
       |FROM d CROSS JOIN t
       |ORDER BY digit""".stripMargin
 
+  /** Q223 — ABC/XYZ inventory classification of parts: ABC by
+    * cumulative revenue concentration (A = parts inside the first 80%
+    * of revenue on the (revenue desc, partkey) order, B to 95%, C the
+    * tail) crossed with XYZ by demand variability (coefficient of
+    * variation of weekly shipped quantity over the part's observed
+    * weeks: X ≤ 0.5 steady, Y ≤ 1.0, Z erratic) — the 9-cell planning
+    * matrix (Dickie 1951's ABC analysis × the standard XYZ extension)
+    * every supply/ops review runs.
+    *
+    * Determinism: ABC thresholds compare EXACT integers (cum·5 ≤
+    * tot·4 and cum·20 ≤ tot·19 — no double shares anywhere near the
+    * boundary); weekly quantities are exact int64, CV's one
+    * sqrt/divide is the only double, and the X/Y/Z cuts sit far from
+    * any attainable CV at 4-decimal resolution.
+    *
+    * Scale notes: one lineitem scan to (part, week) demand + one to
+    * part revenue; the ABC window is a single range-partitioned sort
+    * of the PART table (not lineitem); output is 9 cells.
+    */
+  def q223(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem.select(col("l_partkey"),
+      expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7")
+        .as("week"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val weekly = li.groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("qty")).cast("long").as("q"))
+    val perPart = weekly.groupBy(col("l_partkey")).agg(
+        count(lit(1)).as("n_weeks"),
+        sum(col("q")).cast("long").as("sq"),
+        sum(col("q") * col("q")).cast("long").as("sqq"))
+      .join(li.groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).cast("long").as("rev")), Seq("l_partkey"))
+    val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+    val classed = perPart
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .crossJoin(broadcast(perPart.agg(sum(col("rev")).cast("long").as("tot"))))
+      .withColumn("abc_class",
+        when(col("cum") * 5L <= col("tot") * 4L, "A")
+          .when(col("cum") * 20L <= col("tot") * 19L, "B").otherwise("C"))
+      .withColumn("cv",
+        sqrt((col("sqq").cast("double")
+          - col("sq").cast("double") * col("sq") / col("n_weeks"))
+          / col("n_weeks"))
+          / (col("sq").cast("double") / col("n_weeks")))
+      .withColumn("xyz_class",
+        when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y").otherwise("Z"))
+    classed.groupBy(col("abc_class"), col("xyz_class")).agg(
+        count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double") / max(col("tot")), 6)
+          .as("rev_share"),
+        round(avg(col("cv")), 4).as("avg_cv"))
+      .orderBy(col("abc_class"), col("xyz_class"))
+  }
+
+  val q223Oracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |weekly AS (
+      |  SELECT l_partkey, week, CAST(SUM(qty) AS BIGINT) AS q
+      |  FROM li GROUP BY 1, 2),
+      |per_part AS (
+      |  SELECT w.l_partkey, w.n_weeks, w.sq, w.sqq, r.rev FROM
+      |    (SELECT l_partkey, COUNT(*) AS n_weeks,
+      |       CAST(SUM(q) AS BIGINT) AS sq,
+      |       CAST(SUM(q * q) AS BIGINT) AS sqq
+      |     FROM weekly GROUP BY 1) w
+      |  JOIN (SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS rev
+      |        FROM li GROUP BY 1) r ON w.l_partkey = r.l_partkey),
+      |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM per_part),
+      |classed AS (
+      |  SELECT l_partkey, rev, n_weeks, sq, sqq, tot,
+      |    CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey) * 5
+      |        <= tot * 4 THEN 'A'
+      |      WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey) * 20
+      |        <= tot * 19 THEN 'B'
+      |      ELSE 'C' END AS abc_class,
+      |    SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n_weeks)
+      |        / n_weeks)
+      |      / (CAST(sq AS DOUBLE) / n_weeks) AS cv
+      |  FROM per_part CROSS JOIN tot),
+      |labeled AS (
+      |  SELECT *, CASE WHEN cv <= 0.5 THEN 'X'
+      |    WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+      |  FROM classed)
+      |SELECT abc_class, xyz_class, COUNT(*) AS n_parts,
+      |  ROUND(CAST(SUM(rev) AS DOUBLE) / MAX(tot), 6) AS rev_share,
+      |  ROUND(AVG(cv), 4) AS avg_cv
+      |FROM labeled
+      |GROUP BY 1, 2
+      |ORDER BY abc_class, xyz_class""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
-    "Q174" -> (q174 _), "Q214" -> (q214 _))
+    "Q174" -> (q174 _), "Q214" -> (q214 _), "Q223" -> (q223 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
-    "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle)
+    "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle,
+    "Q223" -> q223Oracle)
 }

@@ -757,4 +757,25 @@ class Round9GatesSpec extends SparkSpec {
       s"gate ${r.getAs[Double]("assortativity")} vs local $local")
     assert(r.getAs[Double]("density") > 0 && r.getAs[Double]("density") <= 1)
   }
+
+  test("Q223 ABC/XYZ: cells partition parts, revenue shares close, ABC quota holds") {
+    val c = Catalog(spark, dir)
+    val nParts = c.lineitem.select(col("l_partkey")).distinct().count()
+    val out = operators.Profiling.q223(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_parts")).sum == nParts,
+      "every shipped part lands in exactly one cell")
+    val shares = out.map(_.getAs[Double]("rev_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"revenue shares sum to 1, got $shares")
+    val byAbc = out.groupBy(_.getAs[String]("abc_class"))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Double]("rev_share")).sum }
+    // A holds at most 80% (cut is <= 80% by construction), A+B at most 95%
+    assert(byAbc.getOrElse("A", 0.0) <= 0.80 + 1e-6)
+    assert(byAbc.getOrElse("A", 0.0) + byAbc.getOrElse("B", 0.0) <= 0.95 + 1e-6)
+    assert(byAbc.getOrElse("C", 0.0) >= 0.05 - 1e-6)
+    out.foreach { r =>
+      assert(Set("A", "B", "C")(r.getAs[String]("abc_class")))
+      assert(Set("X", "Y", "Z")(r.getAs[String]("xyz_class")))
+      assert(r.getAs[Double]("avg_cv") >= 0.0)
+    }
+  }
 }
