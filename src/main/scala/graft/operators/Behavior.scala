@@ -731,13 +731,79 @@ object Behavior {
       |FROM m
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q224 — journey predictability: the conditional next-step entropy
+    * H(next | prev = s) of Q209's Markov chain, per source type, in
+    * bits, with its perplexity 2^H (the effective branching factor)
+    * and the chain-level entropy rate Σ π(s)·H(s) under the empirical
+    * source distribution — "how predictable is the next user action",
+    * the single number that says whether a next-event model can beat
+    * the majority-class baseline (whose own accuracy is emitted as
+    * top_prob).
+    *
+    * Determinism: transition counts are exact int64; entropy terms
+    * (n/N)·log₂(N/n) evaluate with identical expression text; ROUND-4
+    * outputs. The per-source row carries its π weight so the spec can
+    * reconstruct the rate exactly.
+    *
+    * Scale: reuses Q209's one window pass + |types|² aggregate;
+    * everything downstream is arithmetic on the tiny matrix.
+    */
+  def q224(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = c.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("src"))
+    steps
+      .withColumn("row_total", sum(col("n")).over(wSrc))
+      .withColumn("p", col("n").cast("double") / col("row_total"))
+      .groupBy(col("src")).agg(
+        max(col("row_total")).cast("long").as("n_steps"),
+        round(sum(col("p") * log(2.0, lit(1.0) / col("p"))), 4)
+          .as("h_bits"),
+        round(pow(lit(2.0),
+          sum(col("p") * log(2.0, lit(1.0) / col("p")))), 4)
+          .as("perplexity"),
+        round(max(col("p")), 4).as("top_prob"))
+      .orderBy(asc_nulls_first("src"))
+  }
+
+  val q224Oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, event_type AS dst, COUNT(*) AS n
+      |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+      |probs AS (
+      |  SELECT src, n,
+      |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p,
+      |    SUM(n) OVER (PARTITION BY src) AS row_total
+      |  FROM pairs)
+      |SELECT src, CAST(MAX(row_total) AS BIGINT) AS n_steps,
+      |  ROUND(SUM(p * (LN(1.0 / p) / LN(2.0))), 4) AS h_bits,
+      |  ROUND(POW(2.0, SUM(p * (LN(1.0 / p) / LN(2.0)))), 4) AS perplexity,
+      |  ROUND(MAX(p), 4) AS top_prob
+      |FROM probs
+      |GROUP BY 1
+      |ORDER BY src NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
-    "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _))
+    "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
+    "Q224" -> (q224 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
-    "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle)
+    "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
+    "Q224" -> q224Oracle)
 }

@@ -778,4 +778,30 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_cv") >= 0.0)
     }
   }
+
+  test("Q224 entropy: H from Q209's matrix, bounds, perplexity consistency") {
+    val q209 = operators.Behavior.q209(spark, dir).collect()
+    val byScr = q209.groupBy(_.getAs[String]("src"))
+    val out = operators.Behavior.q224(spark, dir).collect()
+    val k = q209.map(_.getAs[String]("dst")).distinct.length
+    out.foreach { r =>
+      val s = r.getAs[String]("src")
+      val rows = byScr(s)
+      val tot = rows.map(_.getAs[Long]("n")).sum.toDouble
+      val h = rows.map { x =>
+        val p = x.getAs[Long]("n") / tot
+        p * math.log(1.0 / p) / math.log(2.0)
+      }.sum
+      assert(r.getAs[Long]("n_steps") == tot.toLong)
+      assert(math.abs(r.getAs[Double]("h_bits") - h) < 1e-3,
+        s"$s: H ${r.getAs[Double]("h_bits")} vs local $h")
+      assert(r.getAs[Double]("h_bits") >= 0 &&
+        r.getAs[Double]("h_bits") <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        "entropy bounded by log2(#destinations)")
+      assert(math.abs(r.getAs[Double]("perplexity")
+        - math.pow(2.0, r.getAs[Double]("h_bits"))) < 0.01)
+      val topP = rows.map(_.getAs[Long]("n")).max / tot
+      assert(math.abs(r.getAs[Double]("top_prob") - topP) < 1e-3)
+    }
+  }
 }
