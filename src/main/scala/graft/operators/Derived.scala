@@ -74,8 +74,12 @@ object Derived {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_pairs"))
 
-  private def datasetKey(spark: SparkSession, dir: String): String = {
-    val src = new Path(s"$dir/lineitem.parquet")
+  private def datasetKey(spark: SparkSession, dir: String): String =
+    datasetKeyFor(spark, dir, "lineitem")
+
+  private def datasetKeyFor(spark: SparkSession, dir: String,
+      tableName: String): String = {
+    val src = new Path(s"$dir/$tableName.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing =
       if (fs.exists(src))
@@ -134,5 +138,54 @@ object Derived {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     coOrderPairCounts(spark, dir)
+  }
+
+  /** Get-or-build the near-dup cluster-assignment artifact: the
+    * (rep, member) connected-components relation over the verified
+    * shingle-Jaccard ≥ 0.6 pair graph (Q67's exact pipeline — PPJoin-
+    * filtered candidate discovery + O(log n) star contraction). Four
+    * gates consume this relation (Q67 cluster listing, Q68 min-id
+    * retention, Q187 size histogram, Q196 quality-aware selection);
+    * before this artifact each re-ran the whole discovery+CC pipeline,
+    * which at 100 TB is the difference between clustering the corpus
+    * once per data drop and four times per report batch. The bench
+    * times the build as its own `neardup_build` leg, so consumer
+    * timings stay honest.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKeyFor(spark, dir, "documents")
+    val table = s"graft_neardup_cc_$key"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val loc = s"${baseDir(spark)}/neardup_cc_$key"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      spark.sql(
+        s"""CREATE TABLE $table (rep BIGINT, member BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (rep) SORTED BY (rep, member) INTO 8 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      return spark.table(table)
+    }
+    val c = graft.Catalog(spark, dir)
+    val pairs = TextOps
+      .jaccardFromTokens(spark, NearDup.shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"))
+    NearDup.connectedComponentsStars(pairs)._1
+      .write.mode("overwrite")
+      .bucketBy(8, "rep").sortBy("rep", "member")
+      .option("path", loc)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Forced fresh rebuild of [[nearDupClusters]] for the bench. */
+  def rebuildNearDupClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKeyFor(spark, dir, "documents")
+    val table = s"graft_neardup_cc_$key"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(s"${baseDir(spark)}/neardup_cc_$key")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    nearDupClusters(spark, dir)
   }
 }

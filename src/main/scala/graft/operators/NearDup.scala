@@ -490,13 +490,12 @@ object NearDup {
     * twin whose O(diameter) rounds are fine for shallow clusters but
     * not adversarial chains). Same fixpoint, identical hashes.
     */
-  def q67(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
-      .select(col("doc_lo"), col("doc_hi"))
-    connectedComponentsStars(pairs)._1
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    // Consumes the shared cluster artifact (Derived.nearDupClusters —
+    // built once per dataset by the Q67 pipeline, timed as the bench's
+    // neardup_build leg); identical relation, identical hashes.
+    Derived.nearDupClusters(spark, dir)
       .orderBy(asc_nulls_first("rep"), asc_nulls_first("member"))
-  }
 
   val q67Oracle: String =
     """WITH RECURSIVE tok AS (
@@ -536,9 +535,7 @@ object NearDup {
     */
   def q68(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
-      .select(col("doc_lo"), col("doc_hi"))
-    val dropped = connectedComponentsStars(pairs)._1
+    val dropped = Derived.nearDupClusters(spark, dir)
       .filter(col("member") =!= col("rep"))
       .select(col("member").as("doc_id"))
     // No broadcast hint: the dropped set is DATA-dependent (a heavily
@@ -969,9 +966,7 @@ object NearDup {
     */
   def q187(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
-      .select(col("doc_lo"), col("doc_hi"))
-    val cc = connectedComponentsStars(pairs)._1
+    val cc = Derived.nearDupClusters(spark, dir)
     val clus = cc.groupBy(col("rep")).agg(count(lit(1)).as("cl_size"))
       .groupBy(col("cl_size")).agg(count(lit(1)).as("n_clusters"))
     val tot = c.documents.agg(count(lit(1)).as("n_total"))
@@ -1124,9 +1119,7 @@ object NearDup {
     */
   def q196(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val pairs = TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
-      .select(col("doc_lo"), col("doc_hi"))
-    val cc = connectedComponentsStars(pairs)._1 // (rep, member)
+    val cc = Derived.nearDupClusters(spark, dir) // (rep, member)
     val docs = c.documents.select(col("doc_id"), col("source"), col("n_chars"))
     val members = cc.join(docs, cc("member") === docs("doc_id"))
       .select(col("rep"), col("member"), col("n_chars"))
