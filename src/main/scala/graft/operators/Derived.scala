@@ -152,6 +152,43 @@ object Derived {
     * times the build as its own `neardup_build` leg, so consumer
     * timings stay honest.
     */
+  /** Get-or-build the verified shingle-Jaccard ≥ 0.6 pair relation
+    * (doc_lo, doc_hi, jaccard) — the discovery output of the near-dup
+    * pipeline (PPJoin-filtered candidate join + exact verification).
+    * Q49 (pair listing) and Q166 (cross-source rollup) consume it
+    * directly; [[nearDupClusters]] builds its CC over it. One
+    * discovery pass per data drop instead of one per report.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKeyFor(spark, dir, "documents")
+    val table = s"graft_neardup_pairs_$key"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val loc = s"${baseDir(spark)}/neardup_pairs_$key"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      spark.sql(
+        s"""CREATE TABLE $table (doc_lo BIGINT, doc_hi BIGINT, jaccard DOUBLE)
+           |USING PARQUET
+           |CLUSTERED BY (doc_lo) SORTED BY (doc_lo, doc_hi) INTO 8 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      return spark.table(table)
+    }
+    val c = graft.Catalog(spark, dir)
+    TextOps.jaccardFromTokens(spark, NearDup.shingles(c), 0.6)
+      .select(col("doc_lo"), col("doc_hi"), col("jaccard"))
+      .write.mode("overwrite")
+      .bucketBy(8, "doc_lo").sortBy("doc_lo", "doc_hi")
+      .option("path", loc)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Get-or-build the near-dup cluster-assignment artifact: the
+    * (rep, member) connected-components relation over
+    * [[nearDupPairs]] (O(log n) star contraction). Q67/Q68/Q187/Q196
+    * consume this relation; before these artifacts each re-ran the
+    * whole discovery+CC pipeline per report.
+    */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "documents")
     val table = s"graft_neardup_cc_$key"
@@ -166,10 +203,7 @@ object Derived {
            |LOCATION '$loc'""".stripMargin)
       return spark.table(table)
     }
-    val c = graft.Catalog(spark, dir)
-    val pairs = TextOps
-      .jaccardFromTokens(spark, NearDup.shingles(c), 0.6)
-      .select(col("doc_lo"), col("doc_hi"))
+    val pairs = nearDupPairs(spark, dir).select(col("doc_lo"), col("doc_hi"))
     NearDup.connectedComponentsStars(pairs)._1
       .write.mode("overwrite")
       .bucketBy(8, "rep").sortBy("rep", "member")
@@ -178,14 +212,16 @@ object Derived {
     spark.table(table)
   }
 
-  /** Forced fresh rebuild of [[nearDupClusters]] for the bench. */
+  /** Forced fresh rebuild of the near-dup artifacts for the bench. */
   def rebuildNearDupClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "documents")
-    val table = s"graft_neardup_cc_$key"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new Path(s"${baseDir(spark)}/neardup_cc_$key")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    for (name <- Seq("pairs", "cc")) {
+      val table = s"graft_neardup_${if (name == "cc") "cc" else "pairs"}_$key"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new Path(s"${baseDir(spark)}/neardup_${name}_$key")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
     nearDupClusters(spark, dir)
   }
 }

@@ -78,11 +78,12 @@ object NearDup {
     * near-dedup (token-set Jaccard is blind to reordering; shingles are
     * not).
     */
-  def q49(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    // Consumes the shared pair artifact (Derived.nearDupPairs — the
+    // PPJoin discovery pass runs once per dataset, timed as the bench's
+    // neardup_build leg); identical relation, identical hashes.
+    Derived.nearDupPairs(spark, dir)
       .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
-  }
 
   val q49Oracle: String =
     """WITH tok AS (
@@ -839,7 +840,7 @@ object NearDup {
   def q166(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val src = c.documents.select(col("doc_id"), col("source"))
-    TextOps.jaccardFromTokens(spark, shingles(c), 0.6)
+    Derived.nearDupPairs(spark, dir)
       .join(src.select(col("doc_id").as("doc_lo"), col("source").as("src_a")),
         Seq("doc_lo"))
       .join(src.select(col("doc_id").as("doc_hi"), col("source").as("src_b")),
