@@ -323,10 +323,69 @@ object TextOps {
       |GROUP BY doc_id, token
       |ORDER BY doc_id NULLS FIRST, token NULLS FIRST""".stripMargin
 
+  /** Q225 — cross-source template-contamination matrix: fingerprint
+    * each document's OPENING (md5 of its first 6 tokens — the
+    * boilerplate/template signature; whole-text hashes find nothing
+    * here because full copies never cross sources in this corpus) and
+    * report, per ordered source pair (a, b), how many of a's distinct
+    * opening fingerprints also appear in b and the share of a's
+    * fingerprint set that is — the "do these sources share templated
+    * openings" report that decides boilerplate-stripping before
+    * mixing (Q34 counts full-text duplicates; this localizes shared
+    * TEMPLATES across sources). Only contaminated pairs emit.
+    *
+    * Determinism: fingerprints are md5 hex over the identical
+    * 6-token-prefix string in both engines; all counts are exact
+    * int64 over the DISTINCT (source, hash) relation; share is one
+    * ROUND-6 divide.
+    *
+    * Scale: one distinct on (source, hash) — the dedup shuffle the
+    * pipeline already pays — then a hash-keyed self-join whose
+    * matches are only actual duplicate fingerprints (tiny), and a
+    * |sources|² rollup.
+    */
+  def q225(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val hs = c.documents
+      .select(col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 6))).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = hs.groupBy(col("source")).agg(count(lit(1)).as("n_hashes"))
+    hs.select(col("source").as("src_a"), col("h"))
+      .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"),
+        col("n_hashes").as("hashes_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("hashes_a"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("hashes_a"), 6)
+          .as("contamination"))
+      .orderBy(asc_nulls_first("src_a"), asc_nulls_first("src_b"))
+  }
+
+  val q225Oracle: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(string_split(text, ' ')[1:6], ' ')) AS h
+      |  FROM documents),
+      |sizes AS (
+      |  SELECT source, COUNT(*) AS n_hashes FROM hs GROUP BY 1),
+      |overlap AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, s.n_hashes AS hashes_a, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / s.n_hashes, 6) AS contamination
+      |FROM overlap o JOIN sizes s ON s.source = o.src_a
+      |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q34" -> (q34 _), "Q35" -> (q35 _), "Q36" -> (q36 _), "Q37" -> (q37 _))
+    "Q34" -> (q34 _), "Q35" -> (q35 _), "Q36" -> (q36 _), "Q37" -> (q37 _),
+    "Q225" -> (q225 _))
 
   def oracles: Map[String, String] = Map(
     "Q34" -> q34Oracle, "Q35" -> q35Oracle, "Q36" -> q36Oracle,
-    "Q37" -> q37Oracle)
+    "Q37" -> q37Oracle, "Q225" -> q225Oracle)
 }

@@ -804,4 +804,28 @@ class Round9GatesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("top_prob") - topP) < 1e-3)
     }
   }
+
+  test("Q225 template contamination: matrix is symmetric in overlap and replays locally") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").take(6).mkString(" ")))
+    val bySource = docs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val out = operators.TextOps.q225(spark, dir).collect()
+    val gate = out.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      -> r.getAs[Long]("n_shared")).toMap
+    // local replay of every contaminated pair
+    for (a <- bySource.keys; b <- bySource.keys if a != b) {
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      assert(gate.getOrElse((a, b), 0L) == shared,
+        s"$a->$b: gate ${gate.getOrElse((a, b), 0L)} vs local $shared")
+    }
+    // overlap counts are symmetric (shares need not be)
+    gate.foreach { case ((a, b), n) => assert(gate((b, a)) == n) }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shared") >= 1)
+      val sh = r.getAs[Double]("contamination")
+      assert(sh > 0.0 && sh <= 1.0)
+      assert(r.getAs[Long]("hashes_a") == bySource(r.getAs[String]("src_a")).size.toLong)
+    }
+  }
 }
