@@ -855,16 +855,95 @@ object Profiling {
       |GROUP BY 1, 2
       |ORDER BY abc_class, xyz_class""".stripMargin
 
+  /** Q226 — shuffle-key skew profile: for each of the engine's three
+    * hottest join/aggregation keys (orders.o_custkey,
+    * lineitem.l_partkey, events.user_id), the per-key frequency
+    * distribution summarized as the salting diagnostic — row/key
+    * counts, the hottest key's absolute frequency and share of all
+    * rows, discrete p50/p99 frequencies (rank-and-pick on the fully
+    * tie-broken (freq, key) order, Q114's shuffle-native discipline),
+    * and the p99/p50 skew ratio. This is the report that DECIDES the
+    * 100 TB plan questions this codebase answers ad hoc (salt Q103's
+    * hubs? AQE skew join on user_id?): a top_share near 1/n_keys and
+    * skew_ratio near 1 says hash partitioning is safe; a fat top_share
+    * says salt or isolate.
+    *
+    * Determinism: everything is exact int64 counts and ranks; the two
+    * shares are final ROUND-6/ROUND-2 divides.
+    *
+    * Scale: one hash aggregate per relation (the same shuffle the
+    * audited joins themselves pay), then rank-and-pick over the KEY
+    * table. Output: 3 rows.
+    */
+  def q226(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    def profileKey(df: DataFrame, key: String, name: String): DataFrame = {
+      val cnt = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(asc("freq"), asc("k"))
+      val wAll = Window.partitionBy()
+      cnt
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nk", count(lit(1)).over(wAll))
+        .agg(
+          sum(col("freq")).cast("long").as("n_rows"),
+          max(col("nk")).as("n_keys"),
+          max(col("freq")).as("max_freq"),
+          max(when(col("rn") === expr("(nk - 1) DIV 2 + 1"), col("freq")))
+            .as("p50_freq"),
+          max(when(col("rn") === expr("(99 * (nk - 1)) DIV 100 + 1"),
+            col("freq"))).as("p99_freq"))
+        .select(lit(name).as("rel_key"), col("n_rows"), col("n_keys"),
+          col("max_freq"),
+          round(col("max_freq").cast("double") / col("n_rows"), 6)
+            .as("top_share"),
+          col("p50_freq"), col("p99_freq"),
+          round(col("p99_freq").cast("double") / col("p50_freq"), 2)
+            .as("skew_ratio"))
+    }
+    profileKey(c.orders, "o_custkey", "orders.o_custkey")
+      .unionAll(profileKey(c.lineitem, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(profileKey(c.events, "user_id", "events.user_id"))
+      .orderBy(asc_nulls_first("rel_key"))
+  }
+
+  val q226Oracle: String = {
+    def one(tbl: String, key: String, name: String): String =
+      s"""  SELECT '$name' AS rel_key,
+         |    CAST(SUM(freq) AS BIGINT) AS n_rows, MAX(nk) AS n_keys,
+         |    MAX(freq) AS max_freq,
+         |    ROUND(CAST(MAX(freq) AS DOUBLE) / SUM(freq), 6) AS top_share,
+         |    MAX(CASE WHEN rn = (nk - 1) // 2 + 1 THEN freq END) AS p50_freq,
+         |    MAX(CASE WHEN rn = (99 * (nk - 1)) // 100 + 1 THEN freq END)
+         |      AS p99_freq,
+         |    ROUND(CAST(MAX(CASE WHEN rn = (99 * (nk - 1)) // 100 + 1
+         |        THEN freq END) AS DOUBLE)
+         |      / MAX(CASE WHEN rn = (nk - 1) // 2 + 1 THEN freq END), 2)
+         |      AS skew_ratio
+         |  FROM (
+         |    SELECT freq, k,
+         |      ROW_NUMBER() OVER (ORDER BY freq, k) AS rn,
+         |      COUNT(*) OVER () AS nk
+         |    FROM (SELECT $key AS k, COUNT(*) AS freq FROM $tbl GROUP BY 1))""".stripMargin
+    s"""SELECT * FROM (
+       |${one("orders", "o_custkey", "orders.o_custkey")}
+       |  UNION ALL
+       |${one("lineitem", "l_partkey", "lineitem.l_partkey")}
+       |  UNION ALL
+       |${one("events", "user_id", "events.user_id")})
+       |ORDER BY rel_key NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
-    "Q174" -> (q174 _), "Q214" -> (q214 _), "Q223" -> (q223 _))
+    "Q174" -> (q174 _), "Q214" -> (q214 _), "Q223" -> (q223 _),
+    "Q226" -> (q226 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
     "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle,
-    "Q223" -> q223Oracle)
+    "Q223" -> q223Oracle, "Q226" -> q226Oracle)
 }

@@ -828,4 +828,26 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Long]("hashes_a") == bySource(r.getAs[String]("src_a")).size.toLong)
     }
   }
+
+  test("Q226 skew profile: events.user_id row replays from a local frequency table") {
+    val c = Catalog(spark, dir)
+    val freqs = c.events.select(col("user_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k, xs) => k -> xs.length.toLong }
+    val sorted = freqs.toSeq.sortBy { case (k, f) => (f, k) }.map(_._2)
+    val nk = sorted.length
+    val out = operators.Profiling.q226(spark, dir).collect()
+      .map(r => r.getAs[String]("rel_key") -> r).toMap
+    assert(out.size == 3)
+    val r = out("events.user_id")
+    assert(r.getAs[Long]("n_rows") == freqs.values.sum)
+    assert(r.getAs[Long]("n_keys") == nk.toLong)
+    assert(r.getAs[Long]("max_freq") == sorted.last)
+    assert(r.getAs[Long]("p50_freq") == sorted((nk - 1) / 2))
+    assert(r.getAs[Long]("p99_freq") == sorted(99 * (nk - 1) / 100))
+    out.values.foreach { x =>
+      assert(x.getAs[Double]("top_share") > 0 && x.getAs[Double]("top_share") <= 1)
+      assert(x.getAs[Double]("skew_ratio") >= 1.0 - 1e-9,
+        "p99 frequency cannot sit below the median")
+    }
+  }
 }
