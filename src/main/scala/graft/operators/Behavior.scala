@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Catalog
 
 /** Behavioral analytics over the `events` stream — the user-journey
-  * models a product/ML-analytics stack keeps next to the funnel (Q63)
-  * and retention (Q65/Q132) reports: first-order Markov transitions,
-  * RFM (recency/frequency/monetary) segmentation, and train/test
-  * population-stability (PSI) drift.
+  * models a product/ML-analytics stack keeps next to the funnel (Q63),
+  * retention (Q65/Q132) and RFM (Q104) reports: first-order Markov
+  * transitions, train/test drift, era attribution, and journey
+  * information measures.
   *
   * All three follow the repo's cross-engine determinism discipline:
   * event order is the total order (ts, event_id); money is exact int64
@@ -18,7 +18,7 @@ import graft.Catalog
   *
   * Scale notes (100 TB): each query is one shuffle keyed by user (or
   * (type, bin)) followed by bounded-cardinality aggregates — transition
-  * matrices are |types|² rows, RFM cells ≤125, PSI bins 10·|types|.
+  * matrices are |types|² rows, PSI bins 10·|types|.
   * Nothing materializes per-user state on the driver.
   */
 object Behavior {
@@ -69,71 +69,6 @@ object Behavior {
       |FROM pairs
       |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin
 
-  /** Q210 — RFM segmentation: each user scored 1–5 on recency (days
-    * since their last event, fresher = higher), frequency (event
-    * count), and monetary (exact cents sum) via NTILE(5) over fully
-    * deterministic orders (metric, then user_id); the report rolls the
-    * user base up to the occupied (r, f, m) cells with population and
-    * value mass — the table a lifecycle-marketing / LTV-modeling job
-    * consumes.
-    *
-    * Scale: one hash aggregate per user, three global NTILE windows
-    * over the (small) per-user table, one rollup onto ≤125 cells. For
-    * a 10^9-user base the NTILE order-by would become a range-
-    * partitioned sort — still a single pass.
-    */
-  def q210(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    val perUser = c.events
-      .select(col("user_id"),
-        expr("(ts DIV 1000) DIV 86400000000").as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(max(col("day")).as("last_day"),
-        count(lit(1)).as("freq"),
-        sum(col("cents")).as("monetary"))
-    val scored = perUser
-      .crossJoin(broadcast(perUser.agg(max(col("last_day")).as("maxd"))))
-      .withColumn("recency", col("maxd") - col("last_day"))
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(desc("recency"), asc("user_id"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(asc("freq"), asc("user_id"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(asc("monetary"), asc("user_id"))))
-    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("monetary")).cast("long").as("cents_total"),
-        round(avg(col("freq").cast("double")), 2).as("avg_freq"))
-      .orderBy(col("r_score"), col("f_score"), col("m_score"))
-  }
-
-  val q210Oracle: String =
-    """WITH per_user AS (
-      |  SELECT user_id,
-      |    MAX(epoch_us(ts) // 86400000000) AS last_day,
-      |    COUNT(*) AS freq,
-      |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS monetary
-      |  FROM events GROUP BY 1),
-      |scored AS (
-      |  SELECT user_id, freq, monetary,
-      |    (SELECT MAX(last_day) FROM per_user) - last_day AS recency
-      |  FROM per_user),
-      |ranked AS (
-      |  SELECT freq, monetary,
-      |    NTILE(5) OVER (ORDER BY recency DESC, user_id) AS r_score,
-      |    NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
-      |    NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
-      |  FROM scored)
-      |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
-      |  CAST(m_score AS INT) AS m_score,
-      |  COUNT(*) AS n_users,
-      |  CAST(SUM(monetary) AS BIGINT) AS cents_total,
-      |  ROUND(AVG(CAST(freq AS DOUBLE)), 2) AS avg_freq
-      |FROM ranked
-      |GROUP BY 1, 2, 3
-      |ORDER BY 1, 2, 3""".stripMargin
-
   /** Q211 — population-stability-index (PSI) drift audit between the
     * Q208 time split: per event type, the train vs test distribution
     * of value-cents over 10 equal-width bins spanned by the type's own
@@ -141,7 +76,10 @@ object Behavior {
     * Laplace-smoothed shares p_b=(n_b+1)/(N+10) so empty bins stay
     * finite. PSI = Σ (p−q)·ln(p/q); < 0.1 is conventionally stable,
     * > 0.25 drifted — the go/no-go a time-split feature pipeline
-    * checks after Q208 flags leakage.
+    * checks after Q208 flags leakage. Q176 is the time-HALVES PSI of
+    * the value distribution (Jeffreys smoothing); this one is aligned
+    * to Q208's 80/20 modeling split with Laplace smoothing, so the
+    * drift verdict applies to the SAME eras the trainer would use.
     *
     * Scale: two passes over events (extent + binned counts), both
     * hash aggregates on (type, bin) ≤ 10·|types| keys; the ln/share
@@ -333,7 +271,7 @@ object Behavior {
     * users ordered by (spend, user_id). Reports each type's user
     * count, total cents, top-decile value share, and Gini — the
     * whale-concentration report a monetization/sampling review reads
-    * next to Q210's RFM cells.
+    * next to Q104's RFM segments.
     *
     * Determinism: ranks come from a fully tie-broken total order;
     * every sum is exact int64 (Σ i·xᵢ bounded by n²·max-spend —
@@ -402,7 +340,10 @@ object Behavior {
     * (zero-filled common spine), reporting the lag-0 correlation and
     * the best-|r| lag — "does search volume lead purchase volume by
     * N days" asked of the whole type universe. Q128 is each series'
-    * self-correlation; this is the cross matrix.
+    * self-correlation; Q179 is the count-series cross matrix at lags
+    * ±3 — this one correlates REVENUE-cents mass, widens to ±7, and
+    * reduces each pair to its best-|r| alignment (the actionable
+    * "who leads whom by how much" row) instead of emitting all lags.
     *
     * Determinism: the spine is exact integer cents on the global
     * [dmin, dmax] day grid; every correlation computes from exact
@@ -796,13 +737,13 @@ object Behavior {
       |ORDER BY src NULLS FIRST""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q209" -> (q209 _), "Q210" -> (q210 _), "Q211" -> (q211 _),
+    "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
     "Q224" -> (q224 _))
 
   def oracles: Map[String, String] = Map(
-    "Q209" -> q209Oracle, "Q210" -> q210Oracle, "Q211" -> q211Oracle,
+    "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
     "Q224" -> q224Oracle)

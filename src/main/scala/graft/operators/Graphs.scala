@@ -1164,7 +1164,10 @@ object Graphs {
     * that says whether the graph is hub-dominated (r < 0: high-degree
     * nodes attach to low-degree ones) or stratified (r > 0), which
     * decides join-strategy questions (skew salting, hub isolation)
-    * before any iterative algorithm runs on it.
+    * before any iterative algorithm runs on it. Q162 reports
+    * assortativity alone on the SUPPORT-PRUNED graph (n_pairs ≥ 2);
+    * this row profiles the full unpruned topology — comparing the two
+    * assortativities shows what support pruning does to hub structure.
     *
     * Assortativity is the Pearson correlation of endpoint degrees over
     * the DIRECTED edge list (both orientations, the standard

@@ -711,7 +711,10 @@ object Profiling {
     * log₁₀(1 + 1/d), and the digit's χ² contribution
     * (n_d − N·p_d)²/(N·p_d); the final row order is the digit, so the
     * 9-row table IS the audit report (Σ chi2_term vs χ²₈ = 15.51 is
-    * the eyeball test).
+    * the eyeball test). Q159 runs the same law per ORDER-PRIORITY
+    * class on o_totalprice (the which-class-is-tampered screen); this
+    * is the corpus-level lineitem audit with per-digit χ² terms
+    * exposed for the whole-table verdict.
     *
     * Determinism: the digit comes from the decimal string of an exact
     * int64 (cents ≥ 100 for every TPC-H price, so the first character

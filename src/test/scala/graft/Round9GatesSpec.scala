@@ -393,23 +393,6 @@ class Round9GatesSpec extends SparkSpec {
     }
   }
 
-  test("Q210 RFM: population and value mass reconcile; quintiles balance") {
-    val c = Catalog(spark, dir)
-    val users = c.events.select(col("user_id")).distinct().count()
-    val cents = c.events
-      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
-    val out = operators.Behavior.q210(spark, dir).collect()
-    assert(out.map(_.getAs[Long]("n_users")).sum == users)
-    assert(out.map(_.getAs[Long]("cents_total")).sum == cents)
-    Seq("r_score", "f_score", "m_score").foreach { dim =>
-      val sizes = out.groupBy(_.getAs[Int](dim))
-        .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n_users")).sum }
-      assert(sizes.keySet == (1 to 5).toSet, s"$dim must span 1..5")
-      // NTILE hands out sizes differing by at most 1
-      assert(sizes.values.max - sizes.values.min <= 1, s"$dim unbalanced: $sizes")
-    }
-  }
-
   test("Q211 PSI: accounting closes, PSI nonnegative, one type replays locally") {
     val c = Catalog(spark, dir)
     val typeCounts = c.events.groupBy(col("event_type")).count().collect()
