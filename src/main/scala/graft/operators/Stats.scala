@@ -1066,15 +1066,404 @@ object Stats {
       |FROM cm
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** The zero-filled per-type daily revenue-cents grid on the GLOBAL
+    * [dmin, dmax] day spine — the shared series base of Q227/Q229 (the
+    * same construction Q216/Q179 inline). One corpus scan; everything
+    * downstream runs on types × bounded-calendar-days rows.
+    */
+  private def dailyCentsGrid(spark: SparkSession, c: Catalog): DataFrame = {
+    val daily = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("v"))
+    val ext = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(ext))
+      .select(col("event_type"), explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .localCheckpoint()
+  }
+
+  /** The shared DuckDB text of [[dailyCentsGrid]]. */
+  private val gridSql: String =
+    """daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+      |spine AS (SELECT UNNEST(generate_series(dmin, dmax)) AS day FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |grid AS (
+      |  SELECT t.event_type, s.day, COALESCE(d.v, 0) AS v
+      |  FROM types t CROSS JOIN spine s
+      |  LEFT JOIN daily d
+      |    ON d.event_type = t.event_type AND d.day = s.day)""".stripMargin
+
+  /** Q227 — Mann–Kendall trend test + Kendall τ-b per event type on the
+    * zero-filled daily revenue series (Mann 1945; Kendall 1975): the
+    * NONPARAMETRIC sibling of Q125's OLS slope — S = Σ_{i<j}
+    * sign(v_j − v_i) over all day pairs, the tie-corrected variance
+    * var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (t = value-tie group
+    * sizes, which the zero-filled gaps exercise), the
+    * continuity-corrected z = (S∓1)/√var(S), and
+    * τ-b = S/√(n₀(n₀−n₁)) with n₀ = n(n−1)/2, n₁ = Σ_t t(t−1)/2 (the
+    * time axis has no ties). Monotone-trend detection that no outlier
+    * day can flip — the robustness Q130's Theil–Sen slope gives the
+    * estimate, this gives the significance.
+    *
+    * Determinism: S, n₀, n₁, and both variance polynomials are exact
+    * int64 (n ≤ calendar days, so n³ terms are microscopic); z and τ-b
+    * are one √+divide each over identical doubles, rounded 4. Verdict
+    * compares the ROUNDED z against ±1.96 so the fence itself is
+    * engine-stable.
+    *
+    * Scale notes: the pairwise Σ runs on the bounded per-type spine
+    * (days²/2 pairs per type — thousands of rows at ANY corpus size,
+    * after the one corpus-scan daily aggregate). The tie table is
+    * |distinct cents values| per type, also spine-bounded.
+    */
+  def q227(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val a = grid.select(col("event_type"), col("day").as("di"), col("v").as("vi"))
+    val b = grid.select(col("event_type").as("tb"), col("day").as("dj"),
+      col("v").as("vj"))
+    val s = a.join(b, col("event_type") === col("tb") && col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("vj") > col("vi"), 1L)
+        .when(col("vj") < col("vi"), -1L).otherwise(0L)).cast("long").as("s"))
+    val base = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ties = grid.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1L) / 2L).cast("long").as("n1"),
+        sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).cast("long")
+          .as("tie_poly"))
+    base.join(s, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("n0", col("n") * (col("n") - 1L) / 2L)
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) - col("tie_poly"))
+      .withColumn("tau_b",
+        when(col("n0") - col("n1") > 0L,
+          round(col("s").cast("double") /
+            sqrt(col("n0").cast("double") * (col("n0") - col("n1"))
+              .cast("double")), 4)))
+      .withColumn("z",
+        when(col("var18") > 0L,
+          round(when(col("s") > 0L, (col("s") - 1L).cast("double"))
+            .when(col("s") < 0L, (col("s") + 1L).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18").cast("double") / 18.0), 4)))
+      .withColumn("trend",
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing").otherwise("none"))
+      .select(col("event_type"), col("n").as("n_days"), col("s"),
+        col("n1").as("n_ties"), col("tau_b"), col("z"), col("trend"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q227Oracle: String =
+    s"""WITH $gridSql,
+       |s AS (
+       |  SELECT a.event_type,
+       |    CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+       |      ELSE 0 END) AS BIGINT) AS s
+       |  FROM grid a JOIN grid b
+       |    ON b.event_type = a.event_type AND a.day < b.day
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM grid GROUP BY 1),
+       |tg AS (
+       |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM grid GROUP BY 1, 2),
+       |ties AS (
+       |  SELECT event_type,
+       |    CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1,
+       |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
+       |  FROM tg GROUP BY 1),
+       |j AS (
+       |  SELECT base.event_type, base.n, s.s, ties.n1, ties.tie_poly,
+       |    base.n * (base.n - 1) // 2 AS n0,
+       |    base.n * (base.n - 1) * (2 * base.n + 5) - ties.tie_poly AS var18
+       |  FROM base
+       |  JOIN s ON s.event_type = base.event_type
+       |  JOIN ties ON ties.event_type = base.event_type),
+       |fin AS (
+       |  SELECT event_type, n, s, n1,
+       |    CASE WHEN n0 - n1 > 0 THEN
+       |      ROUND(CAST(s AS DOUBLE)
+       |        / SQRT(CAST(n0 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)), 4)
+       |    END AS tau_b,
+       |    CASE WHEN var18 > 0 THEN
+       |      ROUND((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+       |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+       |        / SQRT(CAST(var18 AS DOUBLE) / 18.0), 4)
+       |    END AS z
+       |  FROM j)
+       |SELECT event_type, n AS n_days, s, n1 AS n_ties, tau_b, z,
+       |  CASE WHEN z >= 1.96 THEN 'increasing'
+       |       WHEN z <= -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM fin
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q228 — CUPED variance reduction for the Q108 A/B split (Deng,
+    * Xu, Kohavi & Walker, WSDM 2013): per user, pre-period cents
+    * (first half of the global day span) is the covariate x, post-
+    * period cents the metric y; θ = cov(x,y)/var(x) is fit POOLED
+    * across both md5 buckets (the standard all-traffic fit, so θ is
+    * identical for both arms), and each bucket reports its raw vs
+    * CUPED-adjusted mean ŷ_b = ȳ_b − θ(x̄_b − x̄) and the realized
+    * per-bucket variance reduction 1 − var(y−θx)/var(y). The
+    * experiment readout that narrows Q108's Wilson intervals without
+    * touching the treatment assignment.
+    *
+    * Determinism: all moment sums (Σx, Σy, Σx², Σy², Σxy) are exact
+    * int64 per bucket and pooled (per-user cents ≤ ~1e7 at sf0.1, so
+    * Σxy ≲ 1e17 — int64 headroom; a 100 TB deployment widens the
+    * moment columns to DECIMAL(38,0), same plan); θ and every output
+    * assemble from them with the identical textual formula, rounded
+    * at the end. Bucket = md5('exp1:'||user_id) % 2 — Q108's exact
+    * assignment, so the two gates describe the same experiment.
+    *
+    * Scale notes: one corpus scan → per-(user, era) cents (shuffle on
+    * user), pivot to (x, y) per user, then a 2-row bucket aggregate +
+    * a broadcast 1-row pooled join. Nothing beyond the user aggregate
+    * scales with the corpus.
+    */
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .withColumn("cut", col("dmin") + (col("dmax") - col("dmin") + 1L) / 2L)
+    val perUser = ev.crossJoin(broadcast(ext))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
+        .cast("long").as("x"),
+        sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("y"))
+      .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+    val pooled = perUser.agg(count(lit(1)).cast("long").as("np"),
+        sum(col("x")).cast("long").as("sxp"),
+        sum(col("y")).cast("long").as("syp"),
+        sum(col("x") * col("x")).cast("long").as("sxxp"),
+        sum(col("x") * col("y")).cast("long").as("sxyp"))
+      // products of the int64 sums exceed int64 → assemble in DOUBLE
+      // (Q216 pattern; identical formula text in the oracle)
+      .withColumn("theta",
+        (col("np").cast("double") * col("sxyp")
+          - col("sxp").cast("double") * col("syp")) /
+        (col("np").cast("double") * col("sxxp")
+          - col("sxp").cast("double") * col("sxp")))
+      .withColumn("xbar", col("sxp").cast("double") / col("np"))
+    perUser.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .crossJoin(broadcast(pooled.select(col("theta"), col("xbar"))))
+      .withColumn("mean_y", col("sy").cast("double") / col("n"))
+      .withColumn("mean_x", col("sx").cast("double") / col("n"))
+      .withColumn("var_y",
+        (col("n").cast("double") * col("syy")
+          - col("sy").cast("double") * col("sy")) /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      .withColumn("var_adj",
+        ((col("n").cast("double") * col("syy")
+            - col("sy").cast("double") * col("sy"))
+          - lit(2.0) * col("theta") * (col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          + col("theta") * col("theta")
+            * (col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx"))) /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n").as("n_users"),
+        round(col("theta"), 6).as("theta"),
+        round(col("mean_y") / 100.0, 4).as("mean_post"),
+        round((col("mean_y") - col("theta") * (col("mean_x") - col("xbar")))
+          / 100.0, 4).as("mean_cuped"),
+        round(col("var_y") / 10000.0, 4).as("var_post"),
+        round(col("var_adj") / 10000.0, 4).as("var_cuped"),
+        round(lit(1.0) - col("var_adj") / col("var_y"), 4).as("var_reduction"))
+      .orderBy(asc_nulls_first("bucket"))
+  }
+
+  val q228Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('exp1:' || CAST(user_id AS VARCHAR))")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events),
+       |ext AS (
+       |  SELECT MIN(day) AS dmin, MAX(day) AS dmax,
+       |    MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut
+       |  FROM ev),
+       |per_user AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS y,
+       |    ($hv) % 2 AS bucket
+       |  FROM ev GROUP BY user_id),
+       |pooled AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(x) AS BIGINT) AS sxp, CAST(SUM(y) AS BIGINT) AS syp,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxxp,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxyp
+       |  FROM per_user),
+       |pth AS (
+       |  SELECT (CAST(np AS DOUBLE) * sxyp - CAST(sxp AS DOUBLE) * syp)
+       |      / (CAST(np AS DOUBLE) * sxxp - CAST(sxp AS DOUBLE) * sxp)
+       |      AS theta,
+       |    CAST(sxp AS DOUBLE) / np AS xbar
+       |  FROM pooled),
+       |bk AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM per_user GROUP BY 1),
+       |d AS (
+       |  SELECT bucket, n, theta, xbar,
+       |    CAST(sy AS DOUBLE) / n AS mean_y,
+       |    CAST(sx AS DOUBLE) / n AS mean_x,
+       |    (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_y,
+       |    ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       |      - 2.0 * theta * (CAST(n AS DOUBLE) * sxy
+       |        - CAST(sx AS DOUBLE) * sy)
+       |      + theta * theta * (CAST(n AS DOUBLE) * sxx
+       |        - CAST(sx AS DOUBLE) * sx))
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_adj
+       |  FROM bk CROSS JOIN pth)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n AS n_users,
+       |  ROUND(theta, 6) AS theta,
+       |  ROUND(mean_y / 100.0, 4) AS mean_post,
+       |  ROUND((mean_y - theta * (mean_x - xbar)) / 100.0, 4) AS mean_cuped,
+       |  ROUND(var_y / 10000.0, 4) AS var_post,
+       |  ROUND(var_adj / 10000.0, 4) AS var_cuped,
+       |  ROUND(1.0 - var_adj / var_y, 4) AS var_reduction
+       |FROM d
+       |ORDER BY bucket NULLS FIRST""".stripMargin
+  }
+
+  /** Q229 — derandomized paired sign-flip permutation test between every
+    * event-type pair (Fisher 1935, randomization form): the day-paired
+    * difference d(day) = v_a − v_b on the zero-filled common spine has
+    * observed statistic T_obs = Σd; under the exchangeability null each
+    * of P = 199 replicates flips every day's sign by the md5 parity
+    * ε(p, day) = ±1 (Q199's derandomization discipline), and the
+    * p-value is the standard add-one rank (1 + #{|T_p| ≥ |T_obs|})/200.
+    * The EXACT-arithmetic significance companion to Q137's Welch t
+    * (whose normality assumption Q215 audits): every T is an int64
+    * cents sum, so the |T_p| ≥ |T_obs| comparisons are integer-exact
+    * and the p-value cannot flip cross-engine.
+    *
+    * Scale notes: the replicate expansion runs on the bounded spine —
+    * pairs × days × 199 rows (≈10⁶ at any corpus size), one shuffle
+    * keyed (pair, p), after the single corpus-scan daily aggregate.
+    * The md5 parities make it reproducible across engines, runs, and
+    * partitionings.
+    */
+  def q229(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val a = grid.select(col("event_type").as("type_a"), col("day"),
+      col("v").as("va"))
+    val b = grid.select(col("event_type").as("type_b"), col("day").as("db"),
+      col("v").as("vb"))
+    val diffs = a.join(b,
+        col("type_a") < col("type_b") && col("db") === col("day"))
+      .select(col("type_a"), col("type_b"), col("day"),
+        (col("va") - col("vb")).as("d"))
+      .localCheckpoint()
+    val obs = diffs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("d")).cast("long").as("t_obs"))
+    val perms = diffs
+      .withColumn("p", explode(sequence(lit(0), lit(198))))
+      .withColumn("h", md5(concat(lit("pm:"), col("type_a"), lit(":"),
+        col("type_b"), lit(":"), col("p").cast("string"), lit(":"),
+        col("day").cast("string"))))
+      .withColumn("eps",
+        when(expr(NearDup.hexValueExpr("h")) % 2 === 0L, 1L).otherwise(-1L))
+      .groupBy(col("type_a"), col("type_b"), col("p"))
+      .agg(sum(col("eps") * col("d")).cast("long").as("t_p"))
+    perms.join(obs, Seq("type_a", "type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("n_days"), col("t_obs"))
+      .agg(sum(when(abs(col("t_p")) >= abs(col("t_obs")), 1L).otherwise(0L))
+        .cast("long").as("n_extreme"))
+      .withColumn("p_value",
+        round((lit(1.0) + col("n_extreme")) / 200.0, 4))
+      .withColumn("verdict",
+        when(col("p_value") < 0.05, "reject_null").otherwise("retain_null"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("t_obs"),
+        col("n_extreme"), col("p_value"), col("verdict"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q229Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('pm:' || type_a || ':' || type_b || ':' || " +
+        "CAST(p AS VARCHAR) || ':' || CAST(day AS VARCHAR))")
+    s"""WITH $gridSql,
+       |diffs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+       |    a.v - b.v AS d
+       |  FROM grid a JOIN grid b
+       |    ON a.event_type < b.event_type AND b.day = a.day),
+       |obs AS (
+       |  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(d) AS BIGINT) AS t_obs
+       |  FROM diffs GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT type_a, type_b, day, d, UNNEST(range(199)) AS p
+       |  FROM diffs),
+       |flips AS (
+       |  SELECT type_a, type_b, p,
+       |    CAST(SUM((CASE WHEN ($hv) % 2 = 0 THEN 1 ELSE -1 END) * d)
+       |      AS BIGINT) AS t_p
+       |  FROM ex GROUP BY 1, 2, 3),
+       |cnt AS (
+       |  SELECT f.type_a, f.type_b, o.n_days, o.t_obs,
+       |    CAST(SUM(CASE WHEN ABS(f.t_p) >= ABS(o.t_obs) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_extreme
+       |  FROM flips f
+       |  JOIN obs o ON o.type_a = f.type_a AND o.type_b = f.type_b
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT type_a, type_b, n_days, t_obs, n_extreme,
+       |  ROUND((1.0 + n_extreme) / 200.0, 4) AS p_value,
+       |  CASE WHEN ROUND((1.0 + n_extreme) / 200.0, 4) < 0.05
+       |    THEN 'reject_null' ELSE 'retain_null' END AS verdict
+       |FROM cnt
+       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
-    "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _))
+    "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
+    "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
-    "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle)
+    "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
+    "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle)
 }

@@ -833,4 +833,157 @@ class Round9GatesSpec extends SparkSpec {
         "p99 frequency cannot sit below the median")
     }
   }
+
+  private def r4(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5hv(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** The zero-filled per-type daily cents grid, replayed locally (the
+    * shared series base of Q227/Q229). Cents extracted via Spark so the
+    * ROUND-on-double convention is the engine's own.
+    */
+  private def localGrid(c: Catalog): Map[String, IndexedSeq[Long]] = {
+    val ev = c.events.select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val daily = ev.groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> xs.map(_._3).sum }
+    val dmin = daily.keys.map(_._2).min
+    val dmax = daily.keys.map(_._2).max
+    ev.map(_._1).distinct.map { ty =>
+      ty -> (dmin to dmax).map(d => daily.getOrElse((ty, d), 0L))
+    }.toMap
+  }
+
+  test("Q227 Mann–Kendall: S, tie polynomials, z and tau-b replay from a local pairwise scan") {
+    val grid = localGrid(Catalog(spark, dir))
+    val out = Stats.q227(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == grid.keySet)
+    for ((ty, vs) <- grid) {
+      val n = vs.length.toLong
+      var s = 0L
+      for (i <- vs.indices; j <- (i + 1) until vs.length)
+        s += java.lang.Long.signum(vs(j) - vs(i))
+      val tieG = vs.groupBy(identity).values.map(_.length.toLong)
+      val n1 = tieG.map(t => t * (t - 1) / 2).sum
+      val tiePoly = tieG.map(t => t * (t - 1) * (2 * t + 5)).sum
+      val n0 = n * (n - 1) / 2
+      val var18 = n * (n - 1) * (2 * n + 5) - tiePoly
+      val r = out(ty)
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("s") == s, s"$ty: S")
+      assert(r.getAs[Long]("n_ties") == n1, s"$ty: n1")
+      if (n0 - n1 > 0)
+        assert(r.getAs[Double]("tau_b") ==
+          r4(s.toDouble / math.sqrt(n0.toDouble * (n0 - n1).toDouble)), s"$ty: tau_b")
+      if (var18 > 0) {
+        val zNum = if (s > 0) (s - 1).toDouble else if (s < 0) (s + 1).toDouble else 0.0
+        val z = r4(zNum / math.sqrt(var18.toDouble / 18.0))
+        assert(r.getAs[Double]("z") == z, s"$ty: z")
+        val trend =
+          if (z >= 1.96) "increasing" else if (z <= -1.96) "decreasing" else "none"
+        assert(r.getAs[String]("trend") == trend, s"$ty: trend")
+      }
+      // tau-b magnitude is a correlation
+      assert(math.abs(r.getAs[Double]("tau_b")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("Q228 CUPED: pooled theta is arm-invariant and the adjusted means/variances replay") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dmin = ev.map(_._2).min; val dmax = ev.map(_._2).max
+    val cut = dmin + (dmax - dmin + 1) / 2
+    val per = ev.groupBy(_._1).map { case (u, xs) =>
+      (md5hv(s"exp1:$u") % 2,
+        xs.filter(_._2 < cut).map(_._3).sum,
+        xs.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    val np = per.size.toLong
+    val sxp = per.map(_._2).sum; val syp = per.map(_._3).sum
+    val sxxp = per.map(t => t._2 * t._2).sum
+    val sxyp = per.map(t => t._2 * t._3).sum
+    val theta = (np.toDouble * sxyp - sxp.toDouble * syp) /
+      (np.toDouble * sxxp - sxp.toDouble * sxp)
+    val xbar = sxp.toDouble / np
+    val out = Stats.q228(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    for ((b, r) <- out) {
+      val bs = per.filter(_._1 == b)
+      val n = bs.size.toLong
+      val sx = bs.map(_._2).sum; val sy = bs.map(_._3).sum
+      val sxx = bs.map(t => t._2 * t._2).sum
+      val syy = bs.map(t => t._3 * t._3).sum
+      val sxy = bs.map(t => t._2 * t._3).sum
+      val meanY = sy.toDouble / n; val meanX = sx.toDouble / n
+      val varY = (n.toDouble * syy - sy.toDouble * sy) /
+        (n.toDouble * (n.toDouble - 1.0))
+      val varAdj = ((n.toDouble * syy - sy.toDouble * sy)
+        - 2.0 * theta * (n.toDouble * sxy - sx.toDouble * sy)
+        + theta * theta * (n.toDouble * sxx - sx.toDouble * sx)) /
+        (n.toDouble * (n.toDouble - 1.0))
+      assert(r.getAs[Long]("n_users") == n)
+      // theta identical on both rows: the pooled fit is arm-invariant
+      assert(r.getAs[Double]("theta") ==
+        BigDecimal(java.lang.Double.toString(theta))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("mean_post") == r4(meanY / 100.0), s"bucket $b mean_post")
+      assert(r.getAs[Double]("mean_cuped") ==
+        r4((meanY - theta * (meanX - xbar)) / 100.0), s"bucket $b mean_cuped")
+      assert(r.getAs[Double]("var_post") == r4(varY / 10000.0))
+      assert(r.getAs[Double]("var_cuped") == r4(varAdj / 10000.0))
+      // CUPED cannot increase variance when theta is the pooled OLS fit
+      // by more than sampling noise; sanity: reduction is bounded by 1
+      assert(r.getAs[Double]("var_reduction") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("Q229 sign-flip permutation: T_obs exact, p-values replay from the md5 parities") {
+    val grid = localGrid(Catalog(spark, dir))
+    val types = grid.keys.toSeq.sorted
+    val out = Stats.q229(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    val pairs = for (a <- types; b <- types if a < b) yield (a, b)
+    assert(out.keySet == pairs.toSet)
+    val nDays = grid(types.head).length
+    val dmin0 = {
+      // recover dmin from the catalog to label days exactly as the gate does
+      val c = Catalog(spark, dir)
+      c.events.select(expr("min((ts DIV 1000) DIV 86400000000)")).collect()(0).getLong(0)
+    }
+    for ((a, b) <- pairs) {
+      val d = (0 until nDays).map(i => grid(a)(i) - grid(b)(i))
+      val tObs = d.sum
+      val r = out((a, b))
+      assert(r.getAs[Long]("n_days") == nDays.toLong)
+      assert(r.getAs[Long]("t_obs") == tObs, s"$a/$b: t_obs")
+      var nExtreme = 0L
+      for (p <- 0 until 199) {
+        var tp = 0L
+        for (i <- 0 until nDays) {
+          val day = dmin0 + i
+          val eps = if (md5hv(s"pm:$a:$b:$p:$day") % 2 == 0) 1L else -1L
+          tp += eps * d(i)
+        }
+        if (math.abs(tp) >= math.abs(tObs)) nExtreme += 1
+      }
+      assert(r.getAs[Long]("n_extreme") == nExtreme, s"$a/$b: n_extreme")
+      assert(r.getAs[Double]("p_value") == r4((1.0 + nExtreme) / 200.0))
+      val verdict =
+        if (r.getAs[Double]("p_value") < 0.05) "reject_null" else "retain_null"
+      assert(r.getAs[String]("verdict") == verdict)
+    }
+  }
 }
