@@ -1453,17 +1453,114 @@ object Stats {
        |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
   }
 
+  /** Q230 — per-source quantile normalization of the doc token-length
+    * distribution (Bolstad et al., Bioinformatics 2003 — the microarray
+    * batch-effect correction, applied to corpus-mixture length bias):
+    * each doc's per-source rank r (of n_s, tie-broken by doc_id) maps to
+    * the POOLED length distribution's value at index ⌊r·N/n_s⌋ via the
+    * discrete CDF. A source whose docs run short gets its distribution
+    * replaced by the corpus-wide one — the normalization a mixture
+    * builder applies before length-balanced sampling (Q71's mixtures
+    * assume comparable length profiles; this is the correction when they
+    * are not). Reports per-source raw vs normalized mean/median and the
+    * mean shift.
+    *
+    * Determinism: ranks, CDF bounds, and the index arithmetic are exact
+    * int64 (ties in len collapse to the same pooled value, so only the
+    * per-source rank needs the doc_id tiebreak); means are one divide
+    * over int64 sums, rounded 4.
+    *
+    * Scale notes: no global row-ranking — the pooled distribution is the
+    * grouped length CDF (|distinct token-lengths| rows, bounded by max
+    * doc length at any corpus size), broadcast into a range join against
+    * the per-source window ranks. One corpus scan, one source-keyed
+    * window, one broadcast join.
+    */
+  def q230(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val cdf = docs.groupBy(col("len")).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(asc("len"))).cast("long"))
+      .select(col("len").as("qlen"), col("cnt"), col("cum"))
+    val tot = docs.agg(count(lit(1)).cast("long").as("n_tot"))
+    val ranked = docs
+      .withColumn("r", row_number()
+        .over(Window.partitionBy(col("source"))
+          .orderBy(asc("len"), asc("doc_id"))).cast("long"))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idx", expr("(r * n_tot) div n_s"))
+    ranked.join(broadcast(cdf),
+        col("idx") > col("cum") - col("cnt") && col("idx") <= col("cum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).cast("long").as("sum_raw"),
+        sum(col("qlen")).cast("long").as("sum_norm"),
+        max(when(col("r") === expr("(n_s + 1) div 2"), col("len")))
+          .cast("long").as("p50_raw"),
+        max(when(col("r") === expr("(n_s + 1) div 2"), col("qlen")))
+          .cast("long").as("p50_norm"))
+      .select(col("source"), col("n_docs"),
+        round(col("sum_raw").cast("double") / col("n_docs"), 4).as("mean_raw"),
+        col("p50_raw"),
+        round(col("sum_norm").cast("double") / col("n_docs"), 4).as("mean_norm"),
+        col("p50_norm"),
+        round((col("sum_norm") - col("sum_raw")).cast("double")
+          / col("n_docs"), 4).as("mean_shift"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q230Oracle: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |cdf AS (
+      |  SELECT len AS qlen, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(COUNT(*)) OVER (ORDER BY len) AS BIGINT) AS cum
+      |  FROM docs GROUP BY len),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM docs),
+      |ranked AS (
+      |  SELECT source, len,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id)
+      |      AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      |  FROM docs),
+      |norm AS (
+      |  SELECT i.source, i.len, i.r, i.n_s, c.qlen
+      |  FROM (SELECT source, len, r, n_s,
+      |          (r * (SELECT n_tot FROM tot)) // n_s AS idx
+      |        FROM ranked) i
+      |  JOIN cdf c ON i.idx > c.cum - c.cnt AND i.idx <= c.cum)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+      |  CAST(MAX(CASE WHEN r = (n_s + 1) // 2 THEN len END) AS BIGINT)
+      |    AS p50_raw,
+      |  ROUND(CAST(SUM(qlen) AS DOUBLE) / COUNT(*), 4) AS mean_norm,
+      |  CAST(MAX(CASE WHEN r = (n_s + 1) // 2 THEN qlen END) AS BIGINT)
+      |    AS p50_norm,
+      |  ROUND(CAST(SUM(qlen) - SUM(len) AS DOUBLE) / COUNT(*), 4)
+      |    AS mean_shift
+      |FROM norm
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
     "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
-    "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _))
+    "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
+    "Q230" -> (q230 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
     "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
-    "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle)
+    "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
+    "Q230" -> q230Oracle)
 }

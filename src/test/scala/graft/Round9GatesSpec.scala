@@ -986,4 +986,43 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[String]("verdict") == verdict)
     }
   }
+
+  test("Q230 quantile normalization: rank->pooled-CDF mapping replays against a sorted-array model") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pooled = docs.map(_._3).sorted // the pooled distribution, 1-based below
+    val nTot = pooled.length.toLong
+    val out = Stats.q230(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(out.keySet == bySrc.keySet)
+    for ((src, xs) <- bySrc) {
+      val lens = xs.sortBy(t => (t._3, t._2)).map(_._3) // rank order: (len, doc_id)
+      val nS = lens.length.toLong
+      val norm = (1L to nS).map(r => pooled(((r * nTot) / nS).toInt - 1))
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") == nS)
+      assert(r.getAs[Double]("mean_raw") == r4(lens.sum.toDouble / nS))
+      assert(r.getAs[Double]("mean_norm") == r4(norm.sum.toDouble / nS))
+      val m = ((nS + 1) / 2).toInt
+      assert(r.getAs[Long]("p50_raw") == lens(m - 1))
+      assert(r.getAs[Long]("p50_norm") == norm(m - 1))
+      assert(r.getAs[Double]("mean_shift") ==
+        r4((norm.sum - lens.sum).toDouble / nS))
+      // the normalized values are genuine pooled-distribution quantiles
+      assert(norm.forall(v => pooled.contains(v)))
+      // monotone: normalization preserves the within-source order
+      assert(norm == norm.sorted)
+    }
+    // batch-effect correction: the across-source spread of the normalized
+    // medians cannot exceed the spread of the raw medians
+    val rawSpread = out.values.map(_.getAs[Long]("p50_raw")).max -
+      out.values.map(_.getAs[Long]("p50_raw")).min
+    val normSpread = out.values.map(_.getAs[Long]("p50_norm")).max -
+      out.values.map(_.getAs[Long]("p50_norm")).min
+    assert(normSpread <= rawSpread,
+      s"QN must shrink the median spread: $normSpread vs $rawSpread")
+  }
 }
