@@ -1548,13 +1548,143 @@ object Stats {
       |GROUP BY source
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Shared-text formulas for Q231 (the Q108 `wilson` discipline: one
+    * string, two engines, bit-identical IEEE evaluation order). The
+    * z-sum 2.801585 = z_{α/2}(1.959964) + z_{β}(0.841621) for the
+    * standard 5%-significance / 80%-power design point; 3.8415 is the
+    * χ²₁ 5% critical value — both pinned as literals so neither engine
+    * touches an inverse-CDF.
+    */
+  private val q231Z = "2.801585"
+  private val q231SrmChi2 =
+    "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)"
+  private val q231PHat = "CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)"
+  private val q231NH = "2.0 * n_a * n_b / (n_a + n_b)"
+  private val q231VarC =
+    "(CAST(n_t AS DOUBLE) * ss_t - CAST(s_t AS DOUBLE) * s_t)" +
+      " / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0))"
+  private val q231MdeAbs = s"$q231Z * SQRT(2.0 * p_hat * (1.0 - p_hat) / n_h)"
+  private val q231MdeCents = s"$q231Z * SQRT(2.0 * var_c / n_h)"
+
+  /** Q231 — experiment HEALTH + DESIGN readout for the Q108 md5 split:
+    * the pre-analysis gate every A/B pipeline runs before reading
+    * Q108/Q212/Q228/Q229. Health: sample-ratio-mismatch χ² =
+    * (n_a−n_b)²/(n_a+n_b) against the χ²₁ 5% fence — a failed SRM
+    * invalidates the experiment regardless of the metric movement
+    * (Fabijan et al., ICSE-SEIP 2019). Design: minimum detectable
+    * effect at 5%/80% for BOTH metric families — the binary conversion
+    * MDE (z-sum)·√(2p̂(1−p̂)/n_h) on the pooled rate, and the continuous
+    * per-user revenue MDE from the pooled cents variance — with n_h the
+    * harmonic per-arm size, so unequal splits are priced correctly.
+    * "Converted" is Q11/Q153's session definition — a purchase within
+    * 30 min after a view — not has-any-purchase, which saturates to
+    * p̂ = 1 on every fixture and would price an MDE of zero.
+    *
+    * Determinism: counts, converted sums, and the cents moments are
+    * exact int64 (Σcents² headroom documented at Q228); every double
+    * assembles through the shared-text formulas above with the z/χ²
+    * constants as literals, rounded once at the end. The SRM verdict
+    * compares the ROUNDED χ² against 3.8415, so the fence itself is
+    * engine-stable.
+    *
+    * Scale notes: one corpus scan for the user aggregate plus Q11's
+    * documented user-keyed view×purchase range join for the conversion
+    * flag (equi-on-user with range residual — SMJ, never a cross
+    * product), then a 2-row conditional pivot to a single output row.
+    * Nothing downstream of the user aggregate scales with the corpus.
+    */
+  def q231(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val us = c.events.select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000").as("us"))
+    val conv = us.filter(col("event_type") === "view").alias("v")
+      .join(us.filter(col("event_type") === "purchase").alias("p"),
+        col("p.user_id") === col("v.user_id") &&
+          col("p.us") > col("v.us") &&
+          col("p.us") <= col("v.us") + lit(1800L * 1000000L))
+      .select(col("v.user_id").as("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    val flags = c.events
+      .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
+      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      .join(conv, Seq("user_id"), "left")
+      .withColumn("converted", coalesce(col("converted"), lit(0L)))
+    flags.groupBy()
+      .agg(
+        sum(when(col("bucket") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("bucket") === 1L, 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("bucket") === 0L, col("converted")).otherwise(0L))
+          .cast("long").as("x_a"),
+        sum(when(col("bucket") === 1L, col("converted")).otherwise(0L))
+          .cast("long").as("x_b"),
+        count(lit(1)).cast("long").as("n_t"),
+        sum(col("cents")).cast("long").as("s_t"),
+        sum(col("cents") * col("cents")).cast("long").as("ss_t"))
+      .withColumn("p_hat", expr(q231PHat))
+      .withColumn("n_h", expr(q231NH))
+      .withColumn("var_c", expr(q231VarC))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        expr(s"ROUND($q231SrmChi2, 4)").as("srm_chi2"),
+        expr(s"CASE WHEN ROUND($q231SrmChi2, 4) > 3.8415 THEN 'fail'" +
+          " ELSE 'pass' END").as("srm_verdict"),
+        expr("ROUND(p_hat, 6)").as("conv_rate"),
+        expr(s"ROUND($q231MdeAbs, 6)").as("mde_abs"),
+        expr(s"ROUND(($q231MdeAbs) / p_hat, 4)").as("mde_rel"),
+        expr(s"ROUND(($q231MdeCents) / 100.0, 4)").as("mde_value"))
+  }
+
+  val q231Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('exp1:' || CAST(e.user_id AS VARCHAR))")
+    s"""WITH conv AS (
+       |  SELECT DISTINCT v.user_id
+       |  FROM events v JOIN events p
+       |    ON p.user_id = v.user_id
+       |    AND v.event_type = 'view' AND p.event_type = 'purchase'
+       |    AND epoch_us(p.ts) > epoch_us(v.ts)
+       |    AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800 * 1000000),
+       |flags AS (
+       |  SELECT e.user_id, ($hv) % 2 AS bucket,
+       |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+       |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM events e LEFT JOIN conv c ON c.user_id = e.user_id
+       |  GROUP BY 1, 2, 3),
+       |base AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN converted ELSE 0 END) AS BIGINT)
+       |      AS x_a,
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN converted ELSE 0 END) AS BIGINT)
+       |      AS x_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_t,
+       |    CAST(SUM(cents) AS BIGINT) AS s_t,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS ss_t
+       |  FROM flags),
+       |d AS (
+       |  SELECT *, $q231PHat AS p_hat, $q231NH AS n_h, $q231VarC AS var_c
+       |  FROM base)
+       |SELECT n_a, n_b, x_a, x_b,
+       |  ROUND($q231SrmChi2, 4) AS srm_chi2,
+       |  CASE WHEN ROUND($q231SrmChi2, 4) > 3.8415 THEN 'fail' ELSE 'pass' END
+       |    AS srm_verdict,
+       |  ROUND(p_hat, 6) AS conv_rate,
+       |  ROUND($q231MdeAbs, 6) AS mde_abs,
+       |  ROUND(($q231MdeAbs) / p_hat, 4) AS mde_rel,
+       |  ROUND(($q231MdeCents) / 100.0, 4) AS mde_value
+       |FROM d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
     "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
     "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
-    "Q230" -> (q230 _))
+    "Q230" -> (q230 _), "Q231" -> (q231 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -1562,5 +1692,5 @@ object Stats {
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
     "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
     "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
-    "Q230" -> q230Oracle)
+    "Q230" -> q230Oracle, "Q231" -> q231Oracle)
 }
