@@ -1242,7 +1242,10 @@ object Stats {
       expr("(ts DIV 1000) DIV 86400000000").as("day"),
       round(col("value") * 100).cast("long").as("cents"))
     val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
-      .withColumn("cut", col("dmin") + (col("dmax") - col("dmin") + 1L) / 2L)
+      .withColumn("cut",
+        // integer div: Column./ is double division, which would shift
+        // the era fence by half a day vs the oracle's // on odd spans
+        expr("dmin + (dmax - dmin + 1) div 2"))
     val perUser = ev.crossJoin(broadcast(ext))
       .groupBy(col("user_id"))
       .agg(sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
@@ -1678,13 +1681,149 @@ object Stats {
        |FROM d""".stripMargin
   }
 
+  /** Q232 — panel difference-in-differences across the Q108 md5 arms ×
+    * the Q228 pre/post midpoint cut (Card & Krueger 1994 form): each
+    * user's revenue change d = post − pre cents (zero-filled eras, the
+    * Q228 panel), DiD = mean(d | arm b) − mean(d | arm a) — identical
+    * to the four-cell-mean double difference by construction — with the
+    * Welch SE/df on the per-user deltas (the Q212 moment discipline)
+    * and the |t| > 1.96 read. Q221 DECOMPOSES an era delta into
+    * volume/rate/mix; Q228 narrows a post-period comparison; this is
+    * the causal ESTIMATE of the arm effect net of the common time
+    * trend, the read an experiment with a pre-period ships.
+    *
+    * Determinism: all moments (n, Σd, Σd², Σx, Σy per arm) are exact
+    * int64; means/variance/t assemble through the one textually-shared
+    * formula chain, rounded at the end. The verdict compares the
+    * ROUNDED t against ±1.96.
+    *
+    * Scale notes: one corpus scan → one user-keyed aggregate → a 1-row
+    * conditional pivot of six int64 moments per arm. Nothing after the
+    * user aggregate scales with the corpus.
+    */
+  def q232(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .withColumn("cut",
+        // integer div: Column./ is double division, which would shift
+        // the era fence by half a day vs the oracle's // on odd spans
+        expr("dmin + (dmax - dmin + 1) div 2"))
+    val per = ev.crossJoin(broadcast(ext))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
+        .cast("long").as("x"),
+        sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("y"))
+      .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
+      .withColumn("b", expr(NearDup.hexValueExpr("h")) % 2)
+      .withColumn("d", col("y") - col("x"))
+    per.groupBy()
+      .agg(
+        sum(when(col("b") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("b") === 0L, col("x")).otherwise(0L)).cast("long").as("sxa"),
+        sum(when(col("b") === 0L, col("y")).otherwise(0L)).cast("long").as("sya"),
+        sum(when(col("b") === 0L, col("d") * col("d")).otherwise(0L))
+          .cast("long").as("ssa"),
+        sum(when(col("b") === 1L, 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("b") === 1L, col("x")).otherwise(0L)).cast("long").as("sxb"),
+        sum(when(col("b") === 1L, col("y")).otherwise(0L)).cast("long").as("syb"),
+        sum(when(col("b") === 1L, col("d") * col("d")).otherwise(0L))
+          .cast("long").as("ssb"))
+      .withColumn("sda", col("sya") - col("sxa"))
+      .withColumn("sdb", col("syb") - col("sxb"))
+      .withColumn("va",
+        (col("ssa").cast("double") - col("sda").cast("double") * col("sda")
+          / col("n_a")) / (col("n_a") - 1L))
+      .withColumn("vb",
+        (col("ssb").cast("double") - col("sdb").cast("double") * col("sdb")
+          / col("n_b")) / (col("n_b") - 1L))
+      .withColumn("se2", col("va") / col("n_a") + col("vb") / col("n_b"))
+      .withColumn("did_c",
+        col("sdb").cast("double") / col("n_b")
+          - col("sda").cast("double") / col("n_a"))
+      .withColumn("t_stat", round(col("did_c") / sqrt(col("se2")), 4))
+      .withColumn("df", round((col("se2") * col("se2")) /
+        ((col("va") / col("n_a")) * (col("va") / col("n_a"))
+          / (col("n_a") - 1L)
+          + (col("vb") / col("n_b")) * (col("vb") / col("n_b"))
+            / (col("n_b") - 1L)), 1))
+      .select(col("n_a"), col("n_b"),
+        round(col("sxa").cast("double") / col("n_a") / 100.0, 4).as("pre_a"),
+        round(col("sya").cast("double") / col("n_a") / 100.0, 4).as("post_a"),
+        round(col("sxb").cast("double") / col("n_b") / 100.0, 4).as("pre_b"),
+        round(col("syb").cast("double") / col("n_b") / 100.0, 4).as("post_b"),
+        round(col("did_c") / 100.0, 4).as("did"),
+        col("t_stat"), col("df"),
+        when(abs(col("t_stat")) > 1.96, "effect").otherwise("no_effect")
+          .as("verdict"))
+  }
+
+  val q232Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('exp1:' || CAST(user_id AS VARCHAR))")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events),
+       |ext AS (
+       |  SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut FROM ev),
+       |per AS (
+       |  SELECT user_id, ($hv) % 2 AS b,
+       |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev GROUP BY 1, 2),
+       |m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN b = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+       |    CAST(SUM(CASE WHEN b = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+       |    CAST(SUM(CASE WHEN b = 0 THEN (y - x) * (y - x) ELSE 0 END)
+       |      AS BIGINT) AS ssa,
+       |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN b = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+       |    CAST(SUM(CASE WHEN b = 1 THEN y ELSE 0 END) AS BIGINT) AS syb,
+       |    CAST(SUM(CASE WHEN b = 1 THEN (y - x) * (y - x) ELSE 0 END)
+       |      AS BIGINT) AS ssb
+       |  FROM per),
+       |d AS (
+       |  SELECT *, sya - sxa AS sda, syb - sxb AS sdb FROM m),
+       |v AS (
+       |  SELECT *,
+       |    (CAST(ssa AS DOUBLE) - CAST(sda AS DOUBLE) * sda / n_a)
+       |      / (n_a - 1) AS va,
+       |    (CAST(ssb AS DOUBLE) - CAST(sdb AS DOUBLE) * sdb / n_b)
+       |      / (n_b - 1) AS vb,
+       |    CAST(sdb AS DOUBLE) / n_b - CAST(sda AS DOUBLE) / n_a AS did_c
+       |  FROM d),
+       |s AS (
+       |  SELECT *, va / n_a + vb / n_b AS se2 FROM v)
+       |SELECT n_a, n_b,
+       |  ROUND(CAST(sxa AS DOUBLE) / n_a / 100.0, 4) AS pre_a,
+       |  ROUND(CAST(sya AS DOUBLE) / n_a / 100.0, 4) AS post_a,
+       |  ROUND(CAST(sxb AS DOUBLE) / n_b / 100.0, 4) AS pre_b,
+       |  ROUND(CAST(syb AS DOUBLE) / n_b / 100.0, 4) AS post_b,
+       |  ROUND(did_c / 100.0, 4) AS did,
+       |  ROUND(did_c / SQRT(se2), 4) AS t_stat,
+       |  ROUND((se2 * se2) /
+       |    ((va / n_a) * (va / n_a) / (n_a - 1)
+       |      + (vb / n_b) * (vb / n_b) / (n_b - 1)), 1) AS df,
+       |  CASE WHEN ABS(ROUND(did_c / SQRT(se2), 4)) > 1.96 THEN 'effect'
+       |    ELSE 'no_effect' END AS verdict
+       |FROM s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
     "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
     "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
-    "Q230" -> (q230 _), "Q231" -> (q231 _))
+    "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -1692,5 +1831,5 @@ object Stats {
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
     "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
     "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
-    "Q230" -> q230Oracle, "Q231" -> q231Oracle)
+    "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle)
 }

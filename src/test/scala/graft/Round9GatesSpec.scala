@@ -1076,4 +1076,57 @@ class Round9GatesSpec extends SparkSpec {
     assert(r.getAs[Double]("mde_abs") > 0.0)
     assert(r.getAs[Double]("mde_rel") > 0.0)
   }
+
+  test("Q232 DiD: estimate equals the four-cell double difference and the delta-Welch t replays") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dmin = ev.map(_._2).min; val dmax = ev.map(_._2).max
+    val cut = dmin + (dmax - dmin + 1) / 2
+    val per = ev.groupBy(_._1).map { case (u, xs) =>
+      (md5hv(s"exp1:$u") % 2,
+        xs.filter(_._2 < cut).map(_._3).sum,
+        xs.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    def arm(b: Long) = per.filter(_._1 == b)
+    val r = Stats.q232(spark, dir).collect() match {
+      case Array(row) => row
+      case rows => fail(s"expected 1 row, got ${rows.length}")
+    }
+    assert(r.getAs[Long]("n_a") == arm(0).size.toLong)
+    assert(r.getAs[Long]("n_b") == arm(1).size.toLong)
+    // four cell means replay
+    for ((b, pre, post) <- Seq((0L, "pre_a", "post_a"), (1L, "pre_b", "post_b"))) {
+      val xs = arm(b)
+      assert(r.getAs[Double](pre) == r4(xs.map(_._2).sum.toDouble / xs.size / 100.0))
+      assert(r.getAs[Double](post) == r4(xs.map(_._3).sum.toDouble / xs.size / 100.0))
+    }
+    // DiD == mean(d|b) − mean(d|a) == the four-cell double difference
+    def meanD(b: Long) = {
+      val xs = arm(b); xs.map(t => t._3 - t._2).sum.toDouble / xs.size
+    }
+    val did = (meanD(1) - meanD(0)) / 100.0
+    assert(r.getAs[Double]("did") == r4(did))
+    // Welch on the per-user deltas
+    def varD(b: Long) = {
+      val ds = arm(b).map(t => t._3 - t._2)
+      val n = ds.size; val s = ds.sum; val ss = ds.map(d => d * d).sum
+      (ss.toDouble - s.toDouble * s / n) / (n - 1)
+    }
+    val (na, nb) = (arm(0).size, arm(1).size)
+    val se2 = varD(0) / na + varD(1) / nb
+    val t = r4((meanD(1) - meanD(0)) / math.sqrt(se2))
+    assert(r.getAs[Double]("t_stat") == t)
+    val df = (se2 * se2) / ((varD(0) / na) * (varD(0) / na) / (na - 1)
+      + (varD(1) / nb) * (varD(1) / nb) / (nb - 1))
+    assert(math.abs(r.getAs[Double]("df") - df) < 0.05 + 1e-9)
+    assert(r.getAs[String]("verdict") ==
+      (if (math.abs(t) > 1.96) "effect" else "no_effect"))
+    // the md5 arms see the same time trend by construction (no real
+    // treatment), so df sits near the two-arm total and t is finite
+    assert(r.getAs[Double]("df") > 1.0)
+    assert(!r.getAs[Double]("t_stat").isNaN)
+  }
 }
