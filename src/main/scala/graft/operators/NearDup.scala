@@ -1258,7 +1258,156 @@ object NearDup {
       |ORDER BY sim DESC, name_a, name_b
       |LIMIT 50""".stripMargin
 
+  /** Shared-text κ formulas for Q233 (the Q231 discipline): observed
+    * agreement, chance agreement from the marginals, and Cohen's κ —
+    * all assembled from the four exact int64 confusion cells.
+    */
+  private val q233Po = "CAST(n11 + n00 AS DOUBLE) / n"
+  private val q233Pe =
+    "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)" +
+      " + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))" +
+      " / (CAST(n AS DOUBLE) * n)"
+
+  /** Q233 — Cohen's κ agreement audit between the near-dup pipeline's
+    * OWN two stages (Cohen 1960): per document, label A = the MinHash-
+    * LSH screen flags it (k=8 signatures over the 3-gram shingles, 4
+    * bands × 2 rows — [[minHashSignatures]]/[[lshCandidates]], the
+    * 100 TB candidate generator), label B = it participates in an
+    * exact-VERIFIED shingle-Jaccard ≥ 0.6 pair
+    * ([[graft.operators.Derived.nearDupPairs]], Q49's relation). The
+    * 2×2 confusion is exact int64; κ = (p_o − p_e)/(1 − p_e) corrects
+    * raw agreement for chance given both marginals, with the
+    * Landis–Koch band on the ROUNDED κ. This is the screening-quality
+    * audit as a single statistic: n10 is the false-candidate mass the
+    * verifier pays for, n01 the verified pairs the banding missed
+    * (the 1−(1−J^r)^b recall loss at r=2, b=4 — measurably nonzero at
+    * J ≈ 0.6, which is exactly what the LSH recall spec predicts).
+    *
+    * Determinism: minhashes are md5-derived int64 minima, band
+    * signatures exact strings, so both labels are set-membership tests
+    * with no floats; the cells are exact counts and p_o/p_e/κ assemble
+    * through the shared-text formulas above, rounded once.
+    *
+    * Scale notes: signature build is linear (one explode + groupBy per
+    * doc), candidates are (band, band_sig)-keyed equi-joins — never
+    * all-pairs; the pair artifact is read, not rebuilt; the confusion
+    * pivot is one row. The κ audit costs no more than the screen it
+    * audits.
+    */
+  def q233(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"))
+    val cand = lshCandidates(minHashSignatures(shingles(c), 8), 4)
+    val la = cand.select(col("doc_lo").as("doc_id"))
+      .unionAll(cand.select(col("doc_hi").as("doc_id")))
+      .distinct().withColumn("a", lit(1L))
+    val pairs = Derived.nearDupPairs(spark, dir)
+    val nd = pairs.select(col("doc_lo").as("doc_id"))
+      .unionAll(pairs.select(col("doc_hi").as("doc_id")))
+      .distinct().withColumn("b", lit(1L))
+    docs
+      .join(la, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .groupBy()
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("a") * col("b")).cast("long").as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).cast("long").as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).cast("long").as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).cast("long")
+          .as("n00"))
+      .withColumn("po", expr(q233Po))
+      .withColumn("pe", expr(q233Pe))
+      .withColumn("kappa",
+        expr("CASE WHEN 1.0 - pe > 0 THEN ROUND((po - pe) / (1.0 - pe), 4)" +
+          " END"))
+      .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        expr("ROUND(po, 4)").as("p_agree"), col("kappa"),
+        expr("CASE WHEN kappa IS NULL THEN 'degenerate'" +
+          " WHEN kappa < 0.0 THEN 'poor'" +
+          " WHEN kappa < 0.2 THEN 'slight'" +
+          " WHEN kappa < 0.4 THEN 'fair'" +
+          " WHEN kappa < 0.6 THEN 'moderate'" +
+          " WHEN kappa < 0.8 THEN 'substantial'" +
+          " ELSE 'near_perfect' END").as("agreement"))
+  }
+
+  val q233Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, sh AS token FROM (
+       |    SELECT doc_id, UNNEST(list_transform(
+       |      range(len(string_split(text, ' ')) - 2),
+       |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+       |           string_split(text, ' ')[i + 2] || ' ' ||
+       |           string_split(text, ' ')[i + 3])) AS sh
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+       |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+       |nd AS (SELECT DISTINCT d1 AS doc_id FROM prs
+       |       UNION SELECT DISTINCT d2 FROM prs),
+       |sig AS (
+       |  SELECT doc_id, p, MIN(hv) AS minhash FROM (
+       |    SELECT doc_id, p, (${hexValueExpr("h")}) AS hv FROM (
+       |      SELECT doc_id, token, UNNEST(range(8)) AS p,
+       |        md5(CAST(UNNEST(range(8)) AS VARCHAR) || ':' || token) AS h
+       |      FROM tok))
+       |  GROUP BY 1, 2),
+       |banded AS (
+       |  SELECT doc_id, p % 4 AS band,
+       |    string_agg(CAST(p AS VARCHAR) || '=' || CAST(minhash AS VARCHAR),
+       |      ',' ORDER BY CAST(p AS VARCHAR) || '=' || CAST(minhash AS VARCHAR))
+       |      AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+       |  FROM banded b1 JOIN banded b2
+       |    ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+       |    AND b1.doc_id < b2.doc_id),
+       |la AS (SELECT DISTINCT d1 AS doc_id FROM cand
+       |       UNION SELECT DISTINCT d2 FROM cand),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN la.doc_id IS NULL THEN 0 ELSE 1 END AS a,
+       |    CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS b
+       |  FROM documents d
+       |  LEFT JOIN la ON la.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a * b) AS BIGINT) AS n11,
+       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM flags),
+       |k AS (
+       |  SELECT *, $q233Po AS po, $q233Pe AS pe FROM m),
+       |f AS (
+       |  SELECT *, CASE WHEN 1.0 - pe > 0
+       |    THEN ROUND((po - pe) / (1.0 - pe), 4) END AS kappa
+       |  FROM k)
+       |SELECT n AS n_docs, n11, n10, n01, n00,
+       |  ROUND(po, 4) AS p_agree, kappa,
+       |  CASE WHEN kappa IS NULL THEN 'degenerate'
+       |    WHEN kappa < 0.0 THEN 'poor'
+       |    WHEN kappa < 0.2 THEN 'slight'
+       |    WHEN kappa < 0.4 THEN 'fair'
+       |    WHEN kappa < 0.6 THEN 'moderate'
+       |    WHEN kappa < 0.8 THEN 'substantial'
+       |    ELSE 'near_perfect' END AS agreement
+       |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q233" -> (q233 _),
     "Q218" -> (q218 _),
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
@@ -1272,5 +1421,5 @@ object NearDup {
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
     "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle,
-    "Q196" -> q196Oracle, "Q218" -> q218Oracle)
+    "Q196" -> q196Oracle, "Q218" -> q218Oracle, "Q233" -> q233Oracle)
 }

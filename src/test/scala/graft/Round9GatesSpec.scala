@@ -1129,4 +1129,73 @@ class Round9GatesSpec extends SparkSpec {
     assert(r.getAs[Double]("df") > 1.0)
     assert(!r.getAs[Double]("t_stat").isNaN)
   }
+
+  test("Q233 kappa: LSH-screen and verified flags replay from a local minhash/Jaccard model") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    // verified >= 0.6 flags
+    val ids = docs.map(_._1)
+    val verified = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sh(ids(i)); b = sh(ids(j))
+      if a.nonEmpty && b.nonEmpty
+      inter = (a & b).size
+      if inter.toDouble / (a.size + b.size - inter) >= 0.6
+    } yield Seq(ids(i), ids(j))).flatten.toSet
+    // LSH candidate flags: k=8 minhash over shingles, 4 bands x 2 rows
+    val sigs = sh.collect { case (id, s) if s.nonEmpty =>
+      id -> (0 until 8).map(p => s.map(t => md5hv(s"$p:$t")).min)
+    }
+    val bandKey = (id: Long) => (0 until 4).map { b =>
+      val parts = (0 until 8).filter(_ % 4 == b)
+        .map(p => s"$p=${sigs(id)(p)}").sorted.mkString(",")
+      (b, parts)
+    }
+    val flagged = scala.collection.mutable.Set[Long]()
+    val sids = sigs.keys.toSeq
+    for (i <- sids.indices; j <- (i + 1) until sids.length)
+      if (bandKey(sids(i)).exists(bandKey(sids(j)).contains)) {
+        flagged += sids(i); flagged += sids(j)
+      }
+    val n = docs.length.toLong
+    val n11 = ids.count(id => flagged(id) && verified(id)).toLong
+    val n10 = ids.count(id => flagged(id) && !verified(id)).toLong
+    val n01 = ids.count(id => !flagged(id) && verified(id)).toLong
+    val n00 = n - n11 - n10 - n01
+    val r = NearDup.q233(spark, dir).collect() match {
+      case Array(row) => row
+      case rows => fail(s"expected 1 row, got ${rows.length}")
+    }
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n11") == n11, "n11")
+    assert(r.getAs[Long]("n10") == n10, "n10")
+    assert(r.getAs[Long]("n01") == n01, "n01")
+    assert(r.getAs[Long]("n00") == n00, "n00")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01)
+      + (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    assert(r.getAs[Double]("p_agree") == r4(po))
+    if (1.0 - pe > 0) {
+      val k = r4((po - pe) / (1.0 - pe))
+      assert(r.getAs[Double]("kappa") == k)
+      assert(k <= 1.0 + 1e-9)
+      val band =
+        if (k < 0.0) "poor" else if (k < 0.2) "slight" else if (k < 0.4) "fair"
+        else if (k < 0.6) "moderate" else if (k < 0.8) "substantial"
+        else "near_perfect"
+      assert(r.getAs[String]("agreement") == band)
+    }
+    // the screen must not MISS a flagged-verified doc it has banded
+    // identically; doc-level misses are possible but bounded by the
+    // 1-(1-J^2)^4 recall model — on the template-copy fixtures every
+    // verified doc shares at least one full band with its twin
+    assert(n01 <= n11, "banding should catch most verified docs")
+  }
 }
