@@ -936,17 +936,78 @@ object Profiling {
        |ORDER BY rel_key NULLS FIRST""".stripMargin
   }
 
+  /** Q234 — content-addressed dataset manifest per source (+ corpus
+    * TOTAL): an ORDER-INDEPENDENT additive fingerprint fp = Σ h(doc)
+    * mod p over leaf hashes h(doc) = md5-derived 32-bit value of
+    * (doc_id, md5(text)), with exact doc/char accounting. This is the
+    * public face of the engine's internal dataset-keying discipline
+    * (the Derived artifacts cache on a physical-listing key; this is
+    * the CONTENT key): two data drops agree on (n_docs, n_chars, fp)
+    * per source iff their (doc_id, text) multisets agree mod hash
+    * collisions — the drop-to-drop drift check and pipeline cache key
+    * a 100 TB ingest runs before recomputing anything downstream.
+    *
+    * Determinism: leaf hashes are md5-derived int64 (< 2^32), the sum
+    * is exact int64 (wrap-free through ~2^31 docs per source; a larger
+    * deployment accumulates mod p per partition first — same plan),
+    * and the final mod-p fold is integer. No floats anywhere.
+    *
+    * Scale notes: one scan, one map-side-combinable aggregate per
+    * source — the additive form is what makes the fingerprint
+    * mergeable across partitions/files with no ordering constraint
+    * (a Merkle chain would force a total order; Σ mod p is the
+    * standard multiset hash, cf. incremental set hashing,
+    * Bellare–Micciancio 1997).
+    */
+  def q234(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val leaves = c.documents.select(col("source"),
+      col("text"),
+      expr(NearDup.hexValueExpr(
+        "md5(CAST(doc_id AS STRING) || ':' || md5(text))")).as("hv"))
+    val per = leaves.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        (sum(col("hv")) % 2147483647L).cast("long").as("fp"))
+    per.unionAll(leaves.agg(
+        lit("TOTAL").as("source"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        (sum(col("hv")) % 2147483647L).cast("long").as("fp")))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q234Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5(CAST(doc_id AS VARCHAR) || ':' || md5(text))")
+    s"""WITH leaves AS (
+       |  SELECT source, text, ($hv) AS hv FROM documents),
+       |per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(hv) % 2147483647 AS BIGINT) AS fp
+       |  FROM leaves GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'TOTAL', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(LENGTH(text)) AS BIGINT),
+       |    CAST(SUM(hv) % 2147483647 AS BIGINT)
+       |  FROM leaves)
+       |SELECT source, n_docs, n_chars, fp
+       |FROM per
+       |ORDER BY source NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
     "Q174" -> (q174 _), "Q214" -> (q214 _), "Q223" -> (q223 _),
-    "Q226" -> (q226 _))
+    "Q226" -> (q226 _), "Q234" -> (q234 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
     "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle,
-    "Q223" -> q223Oracle, "Q226" -> q226Oracle)
+    "Q223" -> q223Oracle, "Q226" -> q226Oracle, "Q234" -> q234Oracle)
 }

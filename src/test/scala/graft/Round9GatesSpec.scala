@@ -1198,4 +1198,39 @@ class Round9GatesSpec extends SparkSpec {
     // verified doc shares at least one full band with its twin
     assert(n01 <= n11, "banding should catch most verified docs")
   }
+
+  test("Q234 manifest: additive fingerprints replay and are order/partition independent") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def leaf(id: Long, text: String): Long =
+      md5hv(s"$id:${md5hex(text)}")
+    val out = operators.Profiling.q234(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(out.keySet == bySrc.keySet + "TOTAL")
+    for ((src, xs) <- bySrc) {
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(r.getAs[Long]("n_chars") == xs.map(_._3.length.toLong).sum)
+      // order independence is structural: the model sums over an
+      // UNORDERED collection and must still match the engine
+      assert(r.getAs[Long]("fp") ==
+        xs.map(t => leaf(t._2, t._3)).sum % 2147483647L, s"$src fp")
+    }
+    val t = out("TOTAL")
+    assert(t.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(t.getAs[Long]("fp") ==
+      docs.map(x => leaf(x._2, x._3)).sum % 2147483647L)
+    // sensitivity: flipping one doc's text changes its source fp
+    val (s0, id0, t0) = docs.head
+    val fp0 = out(s0).getAs[Long]("fp")
+    val altered = (bySrc(s0).map(x =>
+      if (x._2 == id0) leaf(x._2, x._3 + "X") else leaf(x._2, x._3)).sum
+      % 2147483647L)
+    assert(altered != fp0, "a single-doc edit must move the fingerprint")
+  }
 }
