@@ -961,10 +961,14 @@ object Profiling {
     */
   def q234(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val leaves = c.documents.select(col("source"),
-      col("text"),
-      expr(NearDup.hexValueExpr(
-        "md5(CAST(doc_id AS STRING) || ':' || md5(text))")).as("hv"))
+    // materialize the md5 leaf once: hexValueExpr textually expands its
+    // argument 8x, which would re-emit the doc-text hash per hex digit
+    val leaves = c.documents
+      .select(col("source"), col("text"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))).as("h"))
+      .select(col("source"), col("text"),
+        expr(NearDup.hexValueExpr("h")).as("hv"))
     val per = leaves.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(length(col("text"))).cast("long").as("n_chars"),
@@ -978,10 +982,13 @@ object Profiling {
   }
 
   val q234Oracle: String = {
-    val hv = NearDup.hexValueExpr(
-      "md5(CAST(doc_id AS VARCHAR) || ':' || md5(text))")
-    s"""WITH leaves AS (
-       |  SELECT source, text, ($hv) AS hv FROM documents),
+    val hv = NearDup.hexValueExpr("h")
+    s"""WITH hashed AS (
+       |  SELECT source, text,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+       |  FROM documents),
+       |leaves AS (
+       |  SELECT source, text, ($hv) AS hv FROM hashed),
        |per AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,

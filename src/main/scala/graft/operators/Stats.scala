@@ -1141,11 +1141,11 @@ object Stats {
     val ties = grid.groupBy(col("event_type"), col("v"))
       .agg(count(lit(1)).cast("long").as("t"))
       .groupBy(col("event_type"))
-      .agg(sum(col("t") * (col("t") - 1L) / 2L).cast("long").as("n1"),
+      .agg(sum(expr("(t * (t - 1)) div 2")).cast("long").as("n1"),
         sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).cast("long")
           .as("tie_poly"))
     base.join(s, Seq("event_type")).join(ties, Seq("event_type"))
-      .withColumn("n0", col("n") * (col("n") - 1L) / 2L)
+      .withColumn("n0", expr("(n * (n - 1)) div 2"))
       .withColumn("var18",
         col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) - col("tie_poly"))
       .withColumn("tau_b",
@@ -1236,8 +1236,14 @@ object Stats {
     * a broadcast 1-row pooled join. Nothing beyond the user aggregate
     * scales with the corpus.
     */
-  def q228(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
+  /** The per-user experiment panel: md5 'exp1:' arm assignment (Q108's
+    * exact bucket), pre-period x and post-period y cents on the global
+    * midpoint day cut (zero-filled eras). The shared base of Q228
+    * (CUPED) and Q232 (DiD) — built once so gates that describe the
+    * same experiment can never drift apart on the cut or the
+    * assignment.
+    */
+  private def expPanel(c: Catalog): DataFrame = {
     val ev = c.events.select(col("user_id"),
       expr("(ts DIV 1000) DIV 86400000000").as("day"),
       round(col("value") * 100).cast("long").as("cents"))
@@ -1246,7 +1252,7 @@ object Stats {
         // integer div: Column./ is double division, which would shift
         // the era fence by half a day vs the oracle's // on odd spans
         expr("dmin + (dmax - dmin + 1) div 2"))
-    val perUser = ev.crossJoin(broadcast(ext))
+    ev.crossJoin(broadcast(ext))
       .groupBy(col("user_id"))
       .agg(sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
         .cast("long").as("x"),
@@ -1254,18 +1260,51 @@ object Stats {
           .cast("long").as("y"))
       .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
       .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+  }
+
+  /** The shared DuckDB text of [[expPanel]] (ev/ext/per_user CTEs). */
+  private val panelSql: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('exp1:' || CAST(user_id AS VARCHAR))")
+    s"""ev AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events),
+       |ext AS (
+       |  SELECT MIN(day) AS dmin, MAX(day) AS dmax,
+       |    MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut
+       |  FROM ev),
+       |per_user AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
+       |      ELSE 0 END) AS BIGINT) AS y,
+       |    ($hv) % 2 AS bucket
+       |  FROM ev GROUP BY user_id)""".stripMargin
+  }
+
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perUser = expPanel(c)
     val pooled = perUser.agg(count(lit(1)).cast("long").as("np"),
         sum(col("x")).cast("long").as("sxp"),
         sum(col("y")).cast("long").as("syp"),
         sum(col("x") * col("x")).cast("long").as("sxxp"),
         sum(col("x") * col("y")).cast("long").as("sxyp"))
       // products of the int64 sums exceed int64 → assemble in DOUBLE
-      // (Q216 pattern; identical formula text in the oracle)
+      // (Q216 pattern; identical formula text in the oracle). The
+      // covariate-variance denominator is ≥ 0 by Cauchy–Schwarz and 0
+      // exactly when every user's x is identical (e.g. a single-day
+      // drop) — guard it so both engines agree on NULL instead of
+      // diverging NULL-vs-NaN on degenerate data.
+      .withColumn("thden",
+        col("np").cast("double") * col("sxxp")
+          - col("sxp").cast("double") * col("sxp"))
       .withColumn("theta",
-        (col("np").cast("double") * col("sxyp")
-          - col("sxp").cast("double") * col("syp")) /
-        (col("np").cast("double") * col("sxxp")
-          - col("sxp").cast("double") * col("sxp")))
+        when(col("thden") > 0.0,
+          (col("np").cast("double") * col("sxyp")
+            - col("sxp").cast("double") * col("syp")) / col("thden")))
       .withColumn("xbar", col("sxp").cast("double") / col("np"))
     perUser.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("long").as("n"),
@@ -1298,29 +1337,17 @@ object Stats {
           / 100.0, 4).as("mean_cuped"),
         round(col("var_y") / 10000.0, 4).as("var_post"),
         round(col("var_adj") / 10000.0, 4).as("var_cuped"),
-        round(lit(1.0) - col("var_adj") / col("var_y"), 4).as("var_reduction"))
+        // 1-user arm (var 0/0 = NaN) or all-equal y (var 0) → NULL, not
+        // a NULL-vs-NaN cross-engine divergence; the n guard is integer
+        // so the NaN never reaches the float comparison
+        when(col("n") > 1L && col("var_y") > 0.0,
+          round(lit(1.0) - col("var_adj") / col("var_y"), 4))
+          .as("var_reduction"))
       .orderBy(asc_nulls_first("bucket"))
   }
 
-  val q228Oracle: String = {
-    val hv = NearDup.hexValueExpr(
-      "md5('exp1:' || CAST(user_id AS VARCHAR))")
-    s"""WITH ev AS (
-       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-       |  FROM events),
-       |ext AS (
-       |  SELECT MIN(day) AS dmin, MAX(day) AS dmax,
-       |    MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut
-       |  FROM ev),
-       |per_user AS (
-       |  SELECT user_id,
-       |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
-       |      ELSE 0 END) AS BIGINT) AS x,
-       |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
-       |      ELSE 0 END) AS BIGINT) AS y,
-       |    ($hv) % 2 AS bucket
-       |  FROM ev GROUP BY user_id),
+  val q228Oracle: String =
+    s"""WITH $panelSql,
        |pooled AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
        |    CAST(SUM(x) AS BIGINT) AS sxp, CAST(SUM(y) AS BIGINT) AS syp,
@@ -1328,9 +1355,11 @@ object Stats {
        |    CAST(SUM(x * y) AS BIGINT) AS sxyp
        |  FROM per_user),
        |pth AS (
-       |  SELECT (CAST(np AS DOUBLE) * sxyp - CAST(sxp AS DOUBLE) * syp)
-       |      / (CAST(np AS DOUBLE) * sxxp - CAST(sxp AS DOUBLE) * sxp)
-       |      AS theta,
+       |  SELECT CASE WHEN CAST(np AS DOUBLE) * sxxp
+       |        - CAST(sxp AS DOUBLE) * sxp > 0.0 THEN
+       |      (CAST(np AS DOUBLE) * sxyp - CAST(sxp AS DOUBLE) * syp)
+       |        / (CAST(np AS DOUBLE) * sxxp - CAST(sxp AS DOUBLE) * sxp)
+       |      END AS theta,
        |    CAST(sxp AS DOUBLE) / np AS xbar
        |  FROM pooled),
        |bk AS (
@@ -1359,10 +1388,10 @@ object Stats {
        |  ROUND((mean_y - theta * (mean_x - xbar)) / 100.0, 4) AS mean_cuped,
        |  ROUND(var_y / 10000.0, 4) AS var_post,
        |  ROUND(var_adj / 10000.0, 4) AS var_cuped,
-       |  ROUND(1.0 - var_adj / var_y, 4) AS var_reduction
+       |  CASE WHEN n > 1 AND var_y > 0.0
+       |    THEN ROUND(1.0 - var_adj / var_y, 4) END AS var_reduction
        |FROM d
        |ORDER BY bucket NULLS FIRST""".stripMargin
-  }
 
   /** Q229 — derandomized paired sign-flip permutation test between every
     * event-type pair (Fisher 1935, randomization form): the day-paired
@@ -1469,9 +1498,10 @@ object Stats {
     * mean shift.
     *
     * Determinism: ranks, CDF bounds, and the index arithmetic are exact
-    * int64 (ties in len collapse to the same pooled value, so only the
-    * per-source rank needs the doc_id tiebreak); means are one divide
-    * over int64 sums, rounded 4.
+    * int64, and determinism rests on the per-source (len, doc_id) rank
+    * tiebreak — the pooled side is a pure function of the grouped CDF,
+    * so it needs no tiebreak of its own; means are one divide over
+    * int64 sums, rounded 4.
     *
     * Scale notes: no global row-ranking — the pooled distribution is the
     * grouped length CDF (|distinct token-lengths| rows, bounded by max
@@ -1633,9 +1663,16 @@ object Stats {
         expr(s"CASE WHEN ROUND($q231SrmChi2, 4) > 3.8415 THEN 'fail'" +
           " ELSE 'pass' END").as("srm_verdict"),
         expr("ROUND(p_hat, 6)").as("conv_rate"),
-        expr(s"ROUND($q231MdeAbs, 6)").as("mde_abs"),
-        expr(s"ROUND(($q231MdeAbs) / p_hat, 4)").as("mde_rel"),
-        expr(s"ROUND(($q231MdeCents) / 100.0, 4)").as("mde_value"))
+        // degenerate-drop guards (integer/exact predicates, so neither
+        // engine ever compares a NaN): an empty arm has no MDE, a
+        // zero-conversion corpus has no RELATIVE effect to price, and a
+        // <=1-user panel has no variance estimate
+        expr(s"CASE WHEN n_a > 0 AND n_b > 0" +
+          s" THEN ROUND($q231MdeAbs, 6) END").as("mde_abs"),
+        expr(s"CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0" +
+          s" THEN ROUND(($q231MdeAbs) / p_hat, 4) END").as("mde_rel"),
+        expr(s"CASE WHEN n_a > 0 AND n_b > 0 AND n_t > 1" +
+          s" THEN ROUND(($q231MdeCents) / 100.0, 4) END").as("mde_value"))
   }
 
   val q231Oracle: String = {
@@ -1675,9 +1712,12 @@ object Stats {
        |  CASE WHEN ROUND($q231SrmChi2, 4) > 3.8415 THEN 'fail' ELSE 'pass' END
        |    AS srm_verdict,
        |  ROUND(p_hat, 6) AS conv_rate,
-       |  ROUND($q231MdeAbs, 6) AS mde_abs,
-       |  ROUND(($q231MdeAbs) / p_hat, 4) AS mde_rel,
-       |  ROUND(($q231MdeCents) / 100.0, 4) AS mde_value
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN ROUND($q231MdeAbs, 6) END AS mde_abs,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+       |    THEN ROUND(($q231MdeAbs) / p_hat, 4) END AS mde_rel,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND n_t > 1
+       |    THEN ROUND(($q231MdeCents) / 100.0, 4) END AS mde_value
        |FROM d""".stripMargin
   }
 
@@ -1703,53 +1743,49 @@ object Stats {
     */
   def q232(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val ev = c.events.select(col("user_id"),
-      expr("(ts DIV 1000) DIV 86400000000").as("day"),
-      round(col("value") * 100).cast("long").as("cents"))
-    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
-      .withColumn("cut",
-        // integer div: Column./ is double division, which would shift
-        // the era fence by half a day vs the oracle's // on odd spans
-        expr("dmin + (dmax - dmin + 1) div 2"))
-    val per = ev.crossJoin(broadcast(ext))
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
-        .cast("long").as("x"),
-        sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
-          .cast("long").as("y"))
-      .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
-      .withColumn("b", expr(NearDup.hexValueExpr("h")) % 2)
-      .withColumn("d", col("y") - col("x"))
+    val per = expPanel(c).withColumn("d", col("y") - col("x"))
     per.groupBy()
       .agg(
-        sum(when(col("b") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
-        sum(when(col("b") === 0L, col("x")).otherwise(0L)).cast("long").as("sxa"),
-        sum(when(col("b") === 0L, col("y")).otherwise(0L)).cast("long").as("sya"),
-        sum(when(col("b") === 0L, col("d") * col("d")).otherwise(0L))
+        sum(when(col("bucket") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("bucket") === 0L, col("x")).otherwise(0L)).cast("long")
+          .as("sxa"),
+        sum(when(col("bucket") === 0L, col("y")).otherwise(0L)).cast("long")
+          .as("sya"),
+        sum(when(col("bucket") === 0L, col("d") * col("d")).otherwise(0L))
           .cast("long").as("ssa"),
-        sum(when(col("b") === 1L, 1L).otherwise(0L)).cast("long").as("n_b"),
-        sum(when(col("b") === 1L, col("x")).otherwise(0L)).cast("long").as("sxb"),
-        sum(when(col("b") === 1L, col("y")).otherwise(0L)).cast("long").as("syb"),
-        sum(when(col("b") === 1L, col("d") * col("d")).otherwise(0L))
+        sum(when(col("bucket") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_b"),
+        sum(when(col("bucket") === 1L, col("x")).otherwise(0L)).cast("long")
+          .as("sxb"),
+        sum(when(col("bucket") === 1L, col("y")).otherwise(0L)).cast("long")
+          .as("syb"),
+        sum(when(col("bucket") === 1L, col("d") * col("d")).otherwise(0L))
           .cast("long").as("ssb"))
       .withColumn("sda", col("sya") - col("sxa"))
       .withColumn("sdb", col("syb") - col("sxb"))
+      // 1-user arms make the sample variance 0/0; the integer n guards
+      // keep both engines on NULL instead of NULL-vs-NaN divergence
       .withColumn("va",
-        (col("ssa").cast("double") - col("sda").cast("double") * col("sda")
-          / col("n_a")) / (col("n_a") - 1L))
+        when(col("n_a") > 1L,
+          (col("ssa").cast("double") - col("sda").cast("double") * col("sda")
+            / col("n_a")) / (col("n_a") - 1L)))
       .withColumn("vb",
-        (col("ssb").cast("double") - col("sdb").cast("double") * col("sdb")
-          / col("n_b")) / (col("n_b") - 1L))
+        when(col("n_b") > 1L,
+          (col("ssb").cast("double") - col("sdb").cast("double") * col("sdb")
+            / col("n_b")) / (col("n_b") - 1L)))
       .withColumn("se2", col("va") / col("n_a") + col("vb") / col("n_b"))
       .withColumn("did_c",
         col("sdb").cast("double") / col("n_b")
           - col("sda").cast("double") / col("n_a"))
-      .withColumn("t_stat", round(col("did_c") / sqrt(col("se2")), 4))
-      .withColumn("df", round((col("se2") * col("se2")) /
-        ((col("va") / col("n_a")) * (col("va") / col("n_a"))
-          / (col("n_a") - 1L)
-          + (col("vb") / col("n_b")) * (col("vb") / col("n_b"))
-            / (col("n_b") - 1L)), 1))
+      .withColumn("t_stat",
+        when(col("se2") > 0.0, round(col("did_c") / sqrt(col("se2")), 4)))
+      .withColumn("df",
+        when(col("se2") > 0.0, round((col("se2") * col("se2")) /
+          ((col("va") / col("n_a")) * (col("va") / col("n_a"))
+            / (col("n_a") - 1L)
+            + (col("vb") / col("n_b")) * (col("vb") / col("n_b"))
+              / (col("n_b") - 1L)), 1)))
       .select(col("n_a"), col("n_b"),
         round(col("sxa").cast("double") / col("n_a") / 100.0, 4).as("pre_a"),
         round(col("sya").cast("double") / col("n_a") / 100.0, 4).as("post_a"),
@@ -1761,43 +1797,31 @@ object Stats {
           .as("verdict"))
   }
 
-  val q232Oracle: String = {
-    val hv = NearDup.hexValueExpr(
-      "md5('exp1:' || CAST(user_id AS VARCHAR))")
-    s"""WITH ev AS (
-       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-       |  FROM events),
-       |ext AS (
-       |  SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut FROM ev),
-       |per AS (
-       |  SELECT user_id, ($hv) % 2 AS b,
-       |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
-       |      ELSE 0 END) AS BIGINT) AS x,
-       |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
-       |      ELSE 0 END) AS BIGINT) AS y
-       |  FROM ev GROUP BY 1, 2),
+  val q232Oracle: String =
+    s"""WITH $panelSql,
        |m AS (
        |  SELECT
-       |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-       |    CAST(SUM(CASE WHEN b = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
-       |    CAST(SUM(CASE WHEN b = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
-       |    CAST(SUM(CASE WHEN b = 0 THEN (y - x) * (y - x) ELSE 0 END)
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+       |    CAST(SUM(CASE WHEN bucket = 0 THEN (y - x) * (y - x) ELSE 0 END)
        |      AS BIGINT) AS ssa,
-       |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-       |    CAST(SUM(CASE WHEN b = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
-       |    CAST(SUM(CASE WHEN b = 1 THEN y ELSE 0 END) AS BIGINT) AS syb,
-       |    CAST(SUM(CASE WHEN b = 1 THEN (y - x) * (y - x) ELSE 0 END)
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN y ELSE 0 END) AS BIGINT) AS syb,
+       |    CAST(SUM(CASE WHEN bucket = 1 THEN (y - x) * (y - x) ELSE 0 END)
        |      AS BIGINT) AS ssb
-       |  FROM per),
+       |  FROM per_user),
        |d AS (
        |  SELECT *, sya - sxa AS sda, syb - sxb AS sdb FROM m),
        |v AS (
        |  SELECT *,
-       |    (CAST(ssa AS DOUBLE) - CAST(sda AS DOUBLE) * sda / n_a)
-       |      / (n_a - 1) AS va,
-       |    (CAST(ssb AS DOUBLE) - CAST(sdb AS DOUBLE) * sdb / n_b)
-       |      / (n_b - 1) AS vb,
+       |    CASE WHEN n_a > 1 THEN
+       |      (CAST(ssa AS DOUBLE) - CAST(sda AS DOUBLE) * sda / n_a)
+       |        / (n_a - 1) END AS va,
+       |    CASE WHEN n_b > 1 THEN
+       |      (CAST(ssb AS DOUBLE) - CAST(sdb AS DOUBLE) * sdb / n_b)
+       |        / (n_b - 1) END AS vb,
        |    CAST(sdb AS DOUBLE) / n_b - CAST(sda AS DOUBLE) / n_a AS did_c
        |  FROM d),
        |s AS (
@@ -1808,14 +1832,14 @@ object Stats {
        |  ROUND(CAST(sxb AS DOUBLE) / n_b / 100.0, 4) AS pre_b,
        |  ROUND(CAST(syb AS DOUBLE) / n_b / 100.0, 4) AS post_b,
        |  ROUND(did_c / 100.0, 4) AS did,
-       |  ROUND(did_c / SQRT(se2), 4) AS t_stat,
-       |  ROUND((se2 * se2) /
+       |  CASE WHEN se2 > 0.0 THEN ROUND(did_c / SQRT(se2), 4) END AS t_stat,
+       |  CASE WHEN se2 > 0.0 THEN ROUND((se2 * se2) /
        |    ((va / n_a) * (va / n_a) / (n_a - 1)
-       |      + (vb / n_b) * (vb / n_b) / (n_b - 1)), 1) AS df,
-       |  CASE WHEN ABS(ROUND(did_c / SQRT(se2), 4)) > 1.96 THEN 'effect'
+       |      + (vb / n_b) * (vb / n_b) / (n_b - 1)), 1) END AS df,
+       |  CASE WHEN se2 > 0.0
+       |      AND ABS(ROUND(did_c / SQRT(se2), 4)) > 1.96 THEN 'effect'
        |    ELSE 'no_effect' END AS verdict
        |FROM s""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
