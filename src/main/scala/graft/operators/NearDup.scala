@@ -111,7 +111,7 @@ object NearDup {
     * the shared Spark/DuckDB SQL expression (dialect-common subset).
     * Shared with PipelineOps (deterministic hash sampling).
     */
-  private[operators] def hexValueExpr(hCol: String): String =
+  private[graft] def hexValueExpr(hCol: String): String =
     (1 to 8).map { d =>
       val scale = math.pow(16, 8 - d).toLong
       s"(instr('$HexDigits', substring($hCol, $d, 1)) - 1) * CAST($scale AS BIGINT)"

@@ -58,6 +58,50 @@ object StreamingOps {
     graft.Catalog.normalizeTs(r.parquet(dir))
   }
 
+  /** documents schema for streams started before any files land. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of documents parquet files —
+    * the continuous-ingest twin of the batch documents table.
+    */
+  def documentsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => documentsSchema }
+    val r = spark.readStream.schema(fileSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Q234 streaming twin — the content-addressed manifest maintained
+    * INCREMENTALLY over a document stream: per-source doc/char counts
+    * and the additive multiset fingerprint Σ md5-leaf mod p. The
+    * additive form is exactly what makes the manifest streamable — the
+    * state per source is three int64 partials, every micro-batch folds
+    * in map-side-combined increments, and no ordering constraint exists
+    * across batches (a Merkle chain could not stream). Complete-mode
+    * output over the bounded source cardinality; the final sink state
+    * must equal the batch Q234 rows (asserted in StreamingSpec over a
+    * multi-batch file replay).
+    */
+  def manifestStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("text"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))).as("h"))
+      .select(col("source"), col("text"),
+        expr(graft.operators.NearDup.hexValueExpr("h")).as("hv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        (sum(col("hv")) % 2147483647L).cast("long").as("fp"))
+
   /** Event-time TimestampType column (µs, truncated from ns — the declared
     * cross-engine convention).
     */

@@ -514,4 +514,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, s"$streamed vs $batch")
   }
+
+  test("streamed Q234 manifest equals the batch manifest across a multi-batch replay") {
+    // Stage the documents as THREE doc_id-ranged files so the additive
+    // fingerprint state must fold across micro-batch boundaries — the
+    // property that makes the manifest maintainable over continuous
+    // ingest (sum mod p is associative/commutative, so batch boundaries
+    // cannot matter).
+    val srcDir = tmpDir("graft-manifest-src")
+    val docs = Catalog(spark, sf("sf0.001")).documents
+    val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val c1 = lo + (hi - lo) / 3; val c2 = lo + 2 * (hi - lo) / 3
+    val cuts = Seq(
+      ("0", col("doc_id") <= c1),
+      ("1", col("doc_id") > c1 && col("doc_id") <= c2),
+      ("2", col("doc_id") > c2))
+    cuts.foreach { case (name, pred) =>
+      val stage = tmpDir(s"graft-manifest-stage$name")
+      docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val q = StreamingOps.manifestStream(
+        StreamingOps.documentsStream(spark, srcDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("manifest_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("manifest_stream").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch contract rows (drop the TOTAL rollup — the stream maintains
+    // per-source state; TOTAL is a read-time fold)
+    val batchMap = graft.operators.Profiling.q234(spark, sf("sf0.001"))
+      .filter(col("source") =!= "TOTAL").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("fp")))
+      .toMap
+    assert(streamed == batchMap, s"streamed $streamed vs batch $batchMap")
+  }
 }
