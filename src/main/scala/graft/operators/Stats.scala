@@ -1144,7 +1144,12 @@ object Stats {
       .agg(sum(expr("(t * (t - 1)) div 2")).cast("long").as("n1"),
         sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).cast("long")
           .as("tie_poly"))
-    base.join(s, Seq("event_type")).join(ties, Seq("event_type"))
+    // left join + 0: a 1-day spine has no (i < j) pair, so the S
+    // aggregate emits nothing for that type — the row should still
+    // exist (S = 0, guards NULL the statistics), not vanish
+    base.join(s, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .join(ties, Seq("event_type"))
       .withColumn("n0", expr("(n * (n - 1)) div 2"))
       .withColumn("var18",
         col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) - col("tie_poly"))
@@ -1188,11 +1193,12 @@ object Stats {
        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
        |  FROM tg GROUP BY 1),
        |j AS (
-       |  SELECT base.event_type, base.n, s.s, ties.n1, ties.tie_poly,
+       |  SELECT base.event_type, base.n,
+       |    COALESCE(s.s, 0) AS s, ties.n1, ties.tie_poly,
        |    base.n * (base.n - 1) // 2 AS n0,
        |    base.n * (base.n - 1) * (2 * base.n + 5) - ties.tie_poly AS var18
        |  FROM base
-       |  JOIN s ON s.event_type = base.event_type
+       |  LEFT JOIN s ON s.event_type = base.event_type
        |  JOIN ties ON ties.event_type = base.event_type),
        |fin AS (
        |  SELECT event_type, n, s, n1,

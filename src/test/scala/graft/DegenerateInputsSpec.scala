@@ -149,4 +149,60 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(a(0).isNullAt(a(0).fieldIndex("f")))
     assert(a(0).isNullAt(a(0).fieldIndex("eta2")))
   }
+
+  test("round-9 experiment gates degrade to NULL, never NaN, on a single-day zero-conversion corpus") {
+    // The degenerate drop the Q228/Q231/Q232 guards exist for: every
+    // event on ONE calendar day (cut == dmin -> all pre-period sums are
+    // zero -> the CUPED covariate has zero variance) and no view ->
+    // purchase conversion anywhere. Both engines' guard predicates are
+    // the same text, so proving the Spark side yields NULL (not NaN)
+    // proves the hash gate cannot diverge NULL-vs-NaN here.
+    val dir = java.nio.file.Files.createTempDirectory("degen-r9exp").toString
+    val day0ns = 19723L * 86400L * 1000000000L
+    // users 1..6 split 3/3 across the md5 arms (parities checked offline)
+    val rows = (1L to 6L).map(u =>
+      (u * 10, day0ns + u * 1000000000L, u, "view", u * 1.5, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // Q228: zero-variance covariate -> theta guarded NULL in every arm,
+    // and everything theta feeds (mean_cuped, var_cuped, var_reduction)
+    // propagates NULL instead of NaN
+    val cuped = graft.operators.Stats.q228(spark, dir).collect()
+    assert(cuped.length == 2, "both arms populated by construction")
+    cuped.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta")), "theta must be guarded NULL")
+      assert(r.isNullAt(r.fieldIndex("mean_cuped")))
+      assert(r.isNullAt(r.fieldIndex("var_cuped")))
+      assert(r.isNullAt(r.fieldIndex("var_reduction")))
+      assert(!r.getAs[Double]("mean_post").isNaN)
+    }
+
+    // Q231: zero conversions -> p_hat = 0 exactly; the absolute MDE is a
+    // true 0, the RELATIVE one is guarded NULL (0/0 otherwise)
+    val h = graft.operators.Stats.q231(spark, dir).collect()(0)
+    assert(h.getAs[Double]("conv_rate") == 0.0)
+    assert(h.getAs[Double]("mde_abs") == 0.0)
+    assert(h.isNullAt(h.fieldIndex("mde_rel")), "mde_rel must be guarded NULL")
+    assert(!h.getAs[Double]("mde_value").isNaN)
+    assert(h.getAs[String]("srm_verdict") == "pass")
+
+    // Q232 still estimates: deltas equal the post sums, variances are
+    // real, and t/df are finite or NULL -- never NaN
+    val did = graft.operators.Stats.q232(spark, dir).collect()(0)
+    Seq("t_stat", "df", "did").foreach { c =>
+      val i = did.fieldIndex(c)
+      assert(did.isNullAt(i) || !did.getDouble(i).isNaN, s"$c is NaN")
+    }
+
+    // Q227 on a 1-day spine: n0 = 0 and var18 = 0 -> tau_b and z guarded
+    // NULL, trend 'none'; Q229 has no type pair on a single-type corpus
+    val mk = graft.operators.Stats.q227(spark, dir).collect()
+    assert(mk.length == 1 && mk(0).getAs[Long]("n_days") == 1L)
+    assert(mk(0).isNullAt(mk(0).fieldIndex("tau_b")))
+    assert(mk(0).isNullAt(mk(0).fieldIndex("z")))
+    assert(mk(0).getAs[String]("trend") == "none")
+    assert(graft.operators.Stats.q229(spark, dir).count() == 0)
+  }
 }
