@@ -1847,13 +1847,100 @@ object Stats {
        |    ELSE 'no_effect' END AS verdict
        |FROM s""".stripMargin
 
+  /** Q236 — rolling-origin one-step forecast backtest per event type
+    * (Tashman 2000's out-of-sample evaluation discipline; Hyndman &
+    * Koehler 2006 for MASE): on the zero-filled daily revenue-cents grid,
+    * score the two canonical benchmark forecasters — naive ŷ_t = y_{t−1}
+    * and seasonal-naive ŷ_t = y_{t−7} — at every origin where BOTH are
+    * defined (day index > 7, so the two models face the identical eval
+    * window). Emits MAE (dollars), WAPE = Σ|err|/Σ|y| (the scale-free
+    * accuracy read robust to intermittent zeros, unlike MAPE), and
+    * MASE = MAE_snaive/MAE_naive (< 1 ⟺ weekly seasonality carries real
+    * signal — the "is Q123's Holt level+trend even beating a lag" gate,
+    * and the scaling denominator any real forecaster must beat).
+    *
+    * Determinism: the grid is exact cents; every error sum Σ|y−ŷ| and
+    * the mass Σ|y| are exact int64 (≤ days·max-daily-cents ≪ 2⁶³), so
+    * all five emitted ratios are single divides of exact integers,
+    * rounded once; the verdict compares the ROUNDED mase. Degenerate
+    * series (Σ|err_naive| = 0) degrade to NULL mase + 'degenerate',
+    * never NaN/Inf; spines ≤ 7 days drop the type in both engines.
+    *
+    * Scale notes: runs entirely on the types × bounded-calendar-days
+    * grid ([[dailyCentsGrid]] — one corpus scan); two lags + one
+    * row_number ride ONE window spec, and the rollup is a map-side-
+    * combinable (type)-keyed sum. Output rows = event types.
+    */
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    dailyCentsGrid(spark, c)
+      .withColumn("p1", lag(col("v"), 1).over(w))
+      .withColumn("p7", lag(col("v"), 7).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("v") - col("p1"))).cast("long").as("sae1"),
+        sum(abs(col("v") - col("p7"))).cast("long").as("sae7"),
+        sum(abs(col("v"))).cast("long").as("sv"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("sae1").cast("double") / col("n_eval") / 100.0, 4)
+          .as("mae_naive"),
+        round(col("sae7").cast("double") / col("n_eval") / 100.0, 4)
+          .as("mae_snaive"),
+        expr("CASE WHEN sv > 0 THEN ROUND(CAST(sae1 AS DOUBLE) / sv, 6) END")
+          .as("wape_naive"),
+        expr("CASE WHEN sv > 0 THEN ROUND(CAST(sae7 AS DOUBLE) / sv, 6) END")
+          .as("wape_snaive"),
+        expr("CASE WHEN sae1 > 0 THEN ROUND(CAST(sae7 AS DOUBLE) / sae1, 4) END")
+          .as("mase"),
+        expr("CASE WHEN sae1 = 0 THEN 'degenerate'" +
+          " WHEN ROUND(CAST(sae7 AS DOUBLE) / sae1, 4) < 1.0" +
+          " THEN 'seasonal_wins' ELSE 'naive_wins' END").as("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q236Oracle: String =
+    s"""WITH $gridSql,
+       |ext AS (
+       |  SELECT event_type, v,
+       |    LAG(v, 1) OVER w AS p1, LAG(v, 7) OVER w AS p7,
+       |    ROW_NUMBER() OVER w AS rn
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |s AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |    CAST(SUM(ABS(v - p1)) AS BIGINT) AS sae1,
+       |    CAST(SUM(ABS(v - p7)) AS BIGINT) AS sae7,
+       |    CAST(SUM(ABS(v)) AS BIGINT) AS sv
+       |  FROM ext WHERE rn > 7 GROUP BY 1)
+       |SELECT event_type, n_eval,
+       |  ROUND(CAST(sae1 AS DOUBLE) / n_eval / 100.0, 4) AS mae_naive,
+       |  ROUND(CAST(sae7 AS DOUBLE) / n_eval / 100.0, 4) AS mae_snaive,
+       |  CASE WHEN sv > 0 THEN ROUND(CAST(sae1 AS DOUBLE) / sv, 6) END
+       |    AS wape_naive,
+       |  CASE WHEN sv > 0 THEN ROUND(CAST(sae7 AS DOUBLE) / sv, 6) END
+       |    AS wape_snaive,
+       |  CASE WHEN sae1 > 0 THEN ROUND(CAST(sae7 AS DOUBLE) / sae1, 4) END
+       |    AS mase,
+       |  CASE WHEN sae1 = 0 THEN 'degenerate'
+       |    WHEN ROUND(CAST(sae7 AS DOUBLE) / sae1, 4) < 1.0
+       |      THEN 'seasonal_wins'
+       |    ELSE 'naive_wins' END AS verdict
+       |FROM s
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
     "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
     "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
-    "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _))
+    "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _),
+    "Q236" -> (q236 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -1861,5 +1948,6 @@ object Stats {
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,
     "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
     "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
-    "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle)
+    "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle,
+    "Q236" -> q236Oracle)
 }

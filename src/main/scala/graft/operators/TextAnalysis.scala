@@ -1285,13 +1285,79 @@ object TextAnalysis {
       |FROM s
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q235 — Good–Turing novelty estimator per source (Good 1953): the
+    * ESTIMATOR built on Q190's frequency-of-frequencies front-end. From
+    * the exact N_r spectrum: p_unseen = N₁/N (the Turing estimate of the
+    * probability the NEXT token is an unseen type — the corpus-growth
+    * payoff read a data-acquisition decision wants), the smoothed
+    * adjusted counts r* = (r+1)·N_{r+1}/N_r for r = 1, 2 (how much mass
+    * the estimator discounts from the rare classes), and the GT mass
+    * reassigned to the hapax class (2·N₂/N). Q190 emits the spectrum;
+    * this emits what the spectrum is FOR.
+    *
+    * Determinism: N, V, N₁, N₂, N₃ are exact int64 from one vocab
+    * aggregate; each emitted float is a single divide of exact integers,
+    * rounded once. N₁ = 0 or N₂ = 0 degrade the affected r* to NULL
+    * (CASE guard), never NaN/Inf.
+    *
+    * Scale notes: the vocab build is the Q170 (source, token) map-side-
+    * combined shuffle; the spectrum tallies collapse in the same
+    * aggregate — no second pass, output rows = sources.
+    */
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"), col("n3"),
+        round(col("n1").cast("double") / col("n_tokens"), 6).as("p_unseen"),
+        expr("CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 4) END")
+          .as("r_star1"),
+        expr("CASE WHEN n2 > 0 THEN ROUND(3.0 * n3 / n2, 4) END")
+          .as("r_star2"),
+        round(lit(2.0) * col("n2") / col("n_tokens"), 6).as("gt_hapax_mass"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q235Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, token, COUNT(*) AS c FROM tok
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      |  FROM cnt GROUP BY source)
+      |SELECT source, n_tokens, vocab, n1, n2, n3,
+      |  ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+      |  CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 4) END AS r_star1,
+      |  CASE WHEN n2 > 0 THEN ROUND(3.0 * n3 / n2, 4) END AS r_star2,
+      |  ROUND(2.0 * n2 / n_tokens, 6) AS gt_hapax_mass
+      |FROM s
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
     "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
-    "Q195" -> (q195 _), "Q203" -> (q203 _), "Q206" -> (q206 _))
+    "Q195" -> (q195 _), "Q203" -> (q203 _), "Q206" -> (q206 _),
+    "Q235" -> (q235 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1300,5 +1366,6 @@ object TextAnalysis {
     "Q158" -> q158Oracle, "Q164" -> q164Oracle, "Q167" -> q167Oracle,
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
     "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
-    "Q195" -> q195Oracle, "Q203" -> q203Oracle, "Q206" -> q206Oracle)
+    "Q195" -> q195Oracle, "Q203" -> q203Oracle, "Q206" -> q206Oracle,
+    "Q235" -> q235Oracle)
 }
