@@ -1004,17 +1004,114 @@ object Profiling {
        |ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  /** Q238 — supply-concentration profile per nation (Herfindahl 1950 /
+    * Hirschman 1945; Shannon 1948 / Pielou 1966 for the diversity pair):
+    * per nation over its suppliers' shipped-quantity shares s_i: HHI =
+    * Σ s_i² (the merger-review concentration index, graded on the
+    * DOJ/FTC 0.15/0.25 bands), effective supplier count 1/HHI (inverse
+    * Simpson — "how many equal suppliers would look like this"), top
+    * supplier share, Shannon entropy H = ln Q − (Σ q·ln q)/Q nats, and
+    * Pielou evenness H/ln(k). The sourcing-risk read of the engine's
+    * star schema: Q226 profiles key skew for the SHUFFLE, this profiles
+    * the same skewness as a BUSINESS exposure.
+    *
+    * Determinism: per-supplier quantities are exact int64 (integral
+    * l_quantity via the round-then-cast pin), so Q, Σq², and qmax are
+    * exact and every share-derived ratio is divides of exact ints in ONE
+    * pinned shape, rounded once; only the entropy term Σ q·ln q is a
+    * float sum (order-free after round-4, the Q206 ln-parity
+    * discipline). Single-supplier nations degrade evenness to NULL
+    * (CASE guard, ln k = 0); the verdict compares the ROUNDED hhi.
+    *
+    * Scale notes: one lineitem scan, map-side-combined (nation,
+    * supplier) partial agg before the suppliers-bounded rollup; both dim
+    * joins broadcast. Σq² holds to int64 through ~10⁹-unit suppliers;
+    * beyond that (full 100 TB ledgers) the q² accumulator widens to
+    * DECIMAL(38,0) — the Q128 overflow-analysis convention.
+    */
+  def q238(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem.select(col("l_suppkey"),
+      round(col("l_quantity")).cast("long").as("q"))
+    val sup = c.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val nat = c.nation.select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(col("q")).as("q"))
+      .filter(col("q") > 0L)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("q")).as("total_qty"),
+        sum(col("q") * col("q")).as("sq2"),
+        max(col("q")).as("qmax"),
+        sum(col("q").cast("double") * log(col("q").cast("double")))
+          .as("sqlq"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("total_qty"),
+        expr("ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6)")
+          .as("hhi"),
+        expr("ROUND((CAST(total_qty AS DOUBLE) * total_qty) / sq2, 2)")
+          .as("eff_suppliers"),
+        expr("ROUND(CAST(qmax AS DOUBLE) / total_qty, 6)").as("top_share"),
+        expr("ROUND(LN(CAST(total_qty AS DOUBLE)) - sqlq / total_qty, 4)")
+          .as("entropy"),
+        expr("CASE WHEN n_suppliers > 1 THEN" +
+          " ROUND((LN(CAST(total_qty AS DOUBLE)) - sqlq / total_qty)" +
+          " / LN(CAST(n_suppliers AS DOUBLE)), 4) END").as("evenness"),
+        expr("CASE WHEN ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6) > 0.25" +
+          " THEN 'concentrated'" +
+          " WHEN ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6) > 0.15" +
+          " THEN 'moderate' ELSE 'competitive' END").as("verdict"))
+      .orderBy(asc("nation"))
+  }
+
+  val q238Oracle: String =
+    """WITH per AS (
+      |  SELECT n.n_name, s.s_suppkey,
+      |    CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  GROUP BY 1, 2
+      |  HAVING SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) > 0),
+      |s AS (
+      |  SELECT n_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(q) AS BIGINT) AS total_qty,
+      |    CAST(SUM(q * q) AS BIGINT) AS sq2,
+      |    CAST(MAX(q) AS BIGINT) AS qmax,
+      |    SUM(CAST(q AS DOUBLE) * LN(CAST(q AS DOUBLE))) AS sqlq
+      |  FROM per GROUP BY 1)
+      |SELECT n_name AS nation, n_suppliers, total_qty,
+      |  ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6)
+      |    AS hhi,
+      |  ROUND((CAST(total_qty AS DOUBLE) * total_qty) / sq2, 2)
+      |    AS eff_suppliers,
+      |  ROUND(CAST(qmax AS DOUBLE) / total_qty, 6) AS top_share,
+      |  ROUND(LN(CAST(total_qty AS DOUBLE)) - sqlq / total_qty, 4) AS entropy,
+      |  CASE WHEN n_suppliers > 1 THEN
+      |    ROUND((LN(CAST(total_qty AS DOUBLE)) - sqlq / total_qty)
+      |      / LN(CAST(n_suppliers AS DOUBLE)), 4) END AS evenness,
+      |  CASE WHEN ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6) > 0.25
+      |    THEN 'concentrated'
+      |    WHEN ROUND(CAST(sq2 AS DOUBLE) / (CAST(total_qty AS DOUBLE) * total_qty), 6) > 0.15
+      |    THEN 'moderate' ELSE 'competitive' END AS verdict
+      |FROM s
+      |ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
     "Q174" -> (q174 _), "Q214" -> (q214 _), "Q223" -> (q223 _),
-    "Q226" -> (q226 _), "Q234" -> (q234 _))
+    "Q226" -> (q226 _), "Q234" -> (q234 _), "Q238" -> (q238 _))
 
   def oracles: Map[String, String] = Map(
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,
     "Q159" -> q159Oracle, "Q174" -> q174Oracle, "Q214" -> q214Oracle,
-    "Q223" -> q223Oracle, "Q226" -> q226Oracle, "Q234" -> q234Oracle)
+    "Q223" -> q223Oracle, "Q226" -> q226Oracle, "Q234" -> q234Oracle,
+    "Q238" -> q238Oracle)
 }

@@ -307,11 +307,146 @@ object TextRank {
        |LIMIT 20""".stripMargin
   }
 
+  /** Q237 — retrieval-quality evaluation of the BM25 ranker itself
+    * (Järvelin & Kekäläinen 2002 for nDCG; MRR per the TREC QA track):
+    * the "is the ranking any good" gate next to Q141's "produce the
+    * ranking". Query set = the 20 rarest terms with df ≥ 5 (the
+    * highest-idf, most discriminative end of the vocabulary — frequent
+    * enough to rank a top-10, rare enough that length normalization
+    * decides), selected deterministically (df asc, term asc). Per
+    * query term: rank its posting docs by the single-term BM25 score
+    * (Q141's exact expression, rounded to 6 BEFORE ranking, doc_id
+    * tie-break), grade relevance as min(tf, 4) (graded gain 2^rel − 1),
+    * and score the ranker with nDCG@10 against the ideal rel-desc
+    * ordering plus MRR@10 on the first rel ≥ 2 hit. BM25's length
+    * normalization makes this non-trivial: a high-tf long doc can rank
+    * below a low-tf short one, and nDCG@10 measures exactly that
+    * divergence.
+    *
+    * Determinism: tf/df/dl/N are exact int64; both rankings sort on a
+    * ROUNDED score (or int rel) with doc_id tie-break, so both engines
+    * cut identical top-10 sets; gains are exact small powers of two and
+    * each DCG term is one pinned float shape, summed over ≤ 10 terms and
+    * rounded once. idcg > 0 always (df ≥ 5 docs with rel ≥ 1), so no
+    * divide guard is needed; queries with no rel ≥ 2 doc in the top 10
+    * emit mrr10 = 0 via COALESCE, never NULL.
+    *
+    * Scale notes: the posting relation is built once, filtered to the
+    * ≤ 20 broadcast query terms at the explode (never vocab-wide
+    * downstream); rankings are (term)-partitioned windows over
+    * df-bounded postings; output rows = query terms. At 100 TB the
+    * query set is a constant and every shuffle is bounded by
+    * docs-containing-a-query-term — the Q141 topology with an
+    * evaluation head.
+    */
+  def q237(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents
+      .select(col("doc_id"), split(col("text"), " ").as("p"))
+      .select(col("doc_id"), col("p"), size(col("p")).cast("long").as("dl"))
+    val toks = docs
+      .select(col("doc_id"), col("dl"), explode(col("p")).as("token"))
+      .filter(col("token") =!= "")
+    val totals = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq
+      .filter(col("df") >= 5L)
+      .orderBy(asc("df"), asc("token")).limit(20)
+      .select(col("token"), col("df"))
+    val tf = toks.join(broadcast(qterms), Seq("token"))
+      .groupBy(col("token"), col("df"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(broadcast(totals))
+      .withColumn("bm25", round(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") /
+            (col("sdl").cast("double") / col("n")))), 6))
+      .withColumn("rel", least(col("tf"), lit(4L)))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(desc("bm25"), asc("doc_id"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(desc("rel"), asc("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("irk", row_number().over(wI))
+      .groupBy(col("token"), col("df"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tf") >= 2L, 1L).otherwise(0L)).as("n_rel2"),
+        sum(when(col("rnk") <= 10,
+          expr("(POW(2.0, rel) - 1.0) / (LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0))"))
+          .otherwise(lit(0.0))).as("dcg"),
+        sum(when(col("irk") <= 10,
+          expr("(POW(2.0, rel) - 1.0) / (LN(CAST(irk + 1 AS DOUBLE)) / LN(2.0))"))
+          .otherwise(lit(0.0))).as("idcg"),
+        min(when(col("rnk") <= 10 && col("rel") >= 2L, col("rnk"))).as("fr"))
+      .select(col("token").as("term"), col("df"), col("n_docs"),
+        col("n_rel2"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+        round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr10"))
+      .orderBy(asc("term"))
+  }
+
+  val q237Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS p,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tokf AS (
+      |  SELECT doc_id, dl, token
+      |  FROM (SELECT doc_id, dl, UNNEST(p) AS token FROM docs)
+      |  WHERE token <> ''),
+      |totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM docs),
+      |dfreq AS (
+      |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tokf GROUP BY 1),
+      |qterms AS (
+      |  SELECT token, df FROM dfreq
+      |  WHERE df >= 5
+      |  ORDER BY df, token LIMIT 20),
+      |tf AS (
+      |  SELECT q.token, q.df, t.doc_id, t.dl, COUNT(*) AS tf
+      |  FROM tokf t JOIN qterms q ON q.token = t.token
+      |  GROUP BY 1, 2, 3, 4),
+      |scored AS (
+      |  SELECT f.token, f.df, f.doc_id, f.tf,
+      |    ROUND(LN(1.0 + (t.n - f.df + 0.5) / (f.df + 0.5))
+      |      * (f.tf * (1.2 + 1))
+      |      / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl
+      |           / (CAST(t.sdl AS DOUBLE) / t.n))), 6) AS bm25,
+      |    LEAST(f.tf, 4) AS rel
+      |  FROM tf f, totals t),
+      |ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id)
+      |      AS rnk,
+      |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY rel DESC, doc_id)
+      |      AS irk
+      |  FROM scored),
+      |s AS (
+      |  SELECT token, df,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+      |    SUM(CASE WHEN rnk <= 10 THEN (POW(2.0, rel) - 1.0)
+      |      / (LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0)) ELSE 0.0 END) AS dcg,
+      |    SUM(CASE WHEN irk <= 10 THEN (POW(2.0, rel) - 1.0)
+      |      / (LN(CAST(irk + 1 AS DOUBLE)) / LN(2.0)) ELSE 0.0 END) AS idcg,
+      |    MIN(CASE WHEN rnk <= 10 AND rel >= 2 THEN rnk END) AS fr
+      |  FROM ranked GROUP BY 1, 2)
+      |SELECT token AS term, df, n_docs, n_rel2,
+      |  ROUND(dcg / idcg, 6) AS ndcg10,
+      |  ROUND(COALESCE(1.0 / fr, 0.0), 6) AS mrr10
+      |FROM s
+      |ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _),
-    "Q201" -> (q201 _))
+    "Q201" -> (q201 _), "Q237" -> (q237 _))
 
   def oracles: Map[String, String] = Map(
     "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle,
-    "Q201" -> q201Oracle)
+    "Q201" -> q201Oracle, "Q237" -> q237Oracle)
 }

@@ -1232,4 +1232,172 @@ class Round9GatesSpec extends SparkSpec {
       % 2147483647L)
     assert(altered != fp0, "a single-doc edit must move the fingerprint")
   }
+
+  test("Q235 Good-Turing: spectrum and estimator replay from local token counts") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("text")).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+    val out = TextAnalysis.q235(spark, dir).collect()
+      .map(r => Option(r.getAs[String]("source")) -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(out.keySet == bySrc.keySet)
+    for ((src, xs) <- bySrc) {
+      val cnt = xs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+      val (n, v) = (cnt.sum, cnt.length.toLong)
+      val Seq(n1, n2, n3) = Seq(1L, 2L, 3L).map(k => cnt.count(_ == k).toLong)
+      val r = out(src)
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("vocab") == v)
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2 &&
+        r.getAs[Long]("n3") == n3)
+      // SQL `2.0` literals make the r* columns DecimalType — read numerically
+      def num(f: String): Double =
+        r.get(r.fieldIndex(f)).asInstanceOf[Number].doubleValue
+      assert(r.getAs[Double]("p_unseen") == r6(n1.toDouble / n))
+      // the r* guards: NULL iff the denominator class is empty
+      if (n1 > 0) assert(math.abs(num("r_star1") - 2.0 * n2 / n1) <= 5e-5)
+      else assert(r.isNullAt(r.fieldIndex("r_star1")))
+      if (n2 > 0) assert(math.abs(num("r_star2") - 3.0 * n3 / n2) <= 5e-5)
+      else assert(r.isNullAt(r.fieldIndex("r_star2")))
+      assert(math.abs(num("gt_hapax_mass") - 2.0 * n2 / n) <= 5e-7)
+    }
+  }
+
+  test("Q236 backtest: naive/seasonal MAE, WAPE, and MASE replay from a local grid") {
+    val c = Catalog(spark, dir)
+    val daily = c.events.select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val days = daily.keys.map(_._2)
+    val (dmin, dmax) = (days.min, days.max)
+    val out = Stats.q236(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == daily.keys.map(_._1).toSet)
+    for (et <- out.keySet) {
+      val series = (dmin to dmax).map(d => daily.getOrElse((et, d), 0L))
+      val evalIdx = series.indices.filter(_ >= 7) // rn = idx+1 > 7
+      val sae1 = evalIdx.map(i => math.abs(series(i) - series(i - 1))).sum
+      val sae7 = evalIdx.map(i => math.abs(series(i) - series(i - 7))).sum
+      val sv = evalIdx.map(i => math.abs(series(i))).sum
+      val nEval = evalIdx.length.toLong
+      val r = out(et)
+      assert(r.getAs[Long]("n_eval") == nEval)
+      assert(r.getAs[Double]("mae_naive") == r4(sae1.toDouble / nEval / 100.0))
+      assert(r.getAs[Double]("mae_snaive") == r4(sae7.toDouble / nEval / 100.0))
+      if (sv > 0) {
+        assert(r.getAs[Double]("wape_naive") == r6(sae1.toDouble / sv))
+        assert(r.getAs[Double]("wape_snaive") == r6(sae7.toDouble / sv))
+      }
+      if (sae1 > 0) {
+        val mase = r4(sae7.toDouble / sae1)
+        assert(r.getAs[Double]("mase") == mase)
+        assert(r.getAs[String]("verdict") ==
+          (if (mase < 1.0) "seasonal_wins" else "naive_wins"))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("mase")))
+        assert(r.getAs[String]("verdict") == "degenerate")
+      }
+    }
+  }
+
+  test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toLong
+    val sdl = docs.map(_._2.length.toLong).sum
+    val avgdl = sdl.toDouble / n
+    val posting = docs.flatMap { case (id, p) =>
+      p.filter(_.nonEmpty).groupBy(identity).map { case (t, v) =>
+        (t, id, v.length.toLong, p.length.toLong)
+      }
+    }
+    val dfm = posting.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).distinct.length.toLong
+    }
+    val qterms = dfm.toSeq.filter(_._2 >= 5L)
+      .sortBy { case (t, df) => (df, t) }.take(20)
+    val out = TextRank.q237(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out.keySet == qterms.map(_._1).toSet)
+    assert(qterms.nonEmpty)
+    for ((term, df) <- qterms) {
+      val ps = posting.filter(_._1 == term).map { case (_, id, tf, dl) =>
+        val bm25 = r6(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        (id, tf, bm25, math.min(tf, 4L))
+      }
+      val ranked = ps.sortBy { case (id, _, s, _) => (-s, id) }.zipWithIndex
+        .map { case ((id, tf, s, rel), i) => (id, tf, s, rel, i + 1) }
+      val ideal = ps.sortBy { case (id, _, _, rel) => (-rel, id) }.zipWithIndex
+      def gain(rel: Long, rank: Int): Double =
+        (math.pow(2.0, rel.toDouble) - 1.0) /
+          (math.log((rank + 1).toDouble) / math.log(2.0))
+      val dcg = ranked.filter(_._5 <= 10).map(x => gain(x._4, x._5)).sum
+      val idcg = ideal.filter(_._2 < 10).map { case ((_, _, _, rel), i) =>
+        gain(rel, i + 1)
+      }.sum
+      val fr = ranked.filter(x => x._5 <= 10 && x._4 >= 2L).map(_._5)
+        .sorted.headOption
+      val r = out(term)
+      assert(r.getAs[Long]("df") == df)
+      assert(r.getAs[Long]("n_docs") == ps.length.toLong)
+      assert(r.getAs[Long]("n_rel2") == ps.count(_._2 >= 2L).toLong)
+      // float-sum-derived: engine must be a correct 6-dp rounding of the model
+      assert(math.abs(r.getAs[Double]("ndcg10") - dcg / idcg) <= 5e-7 + 1e-9,
+        s"$term ndcg")
+      assert(r.getAs[Double]("mrr10") ==
+        r6(fr.map(1.0 / _).getOrElse(0.0)), s"$term mrr")
+      assert(r.getAs[Double]("ndcg10") <= 1.0 + 1e-12, "nDCG is normalized")
+    }
+  }
+
+  test("Q238 supply concentration: HHI, effective count, entropy replay per nation") {
+    val c = Catalog(spark, dir)
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val supNat = c.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val natName = c.nation.select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => lv(r, 0) -> r.getString(1)).toMap
+    val perSup = c.lineitem
+      .select(col("l_suppkey"), round(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => (lv(r, 0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      .filter(_._2 > 0L)
+    val byNation = perSup.groupBy { case (sk, _) => natName(supNat(sk)) }
+    val out = operators.Profiling.q238(spark, dir).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(out.keySet == byNation.keySet)
+    for ((nat, sups) <- byNation) {
+      val qs = sups.values.toSeq
+      val total = qs.sum
+      val sq2 = qs.map(q => q * q).sum
+      val qmax = qs.max
+      val sqlq = qs.map(q => q.toDouble * math.log(q.toDouble)).sum
+      val k = qs.length.toLong
+      val r = out(nat)
+      assert(r.getAs[Long]("n_suppliers") == k)
+      assert(r.getAs[Long]("total_qty") == total)
+      val hhi = r6(sq2.toDouble / (total.toDouble * total))
+      assert(r.getAs[Double]("hhi") == hhi)
+      assert(r.getAs[Double]("eff_suppliers") ==
+        r2((total.toDouble * total) / sq2))
+      assert(r.getAs[Double]("top_share") == r6(qmax.toDouble / total))
+      val entropy = math.log(total.toDouble) - sqlq / total
+      assert(math.abs(r.getAs[Double]("entropy") - entropy) <= 5e-5 + 1e-9)
+      if (k > 1)
+        assert(math.abs(r.getAs[Double]("evenness") -
+          entropy / math.log(k.toDouble)) <= 5e-5 + 1e-9)
+      else assert(r.isNullAt(r.fieldIndex("evenness")))
+      // HHI identities: 1/k <= hhi <= 1, effective count inverts it
+      assert(hhi >= 1.0 / k - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(r.getAs[String]("verdict") ==
+        (if (hhi > 0.25) "concentrated"
+         else if (hhi > 0.15) "moderate" else "competitive"))
+    }
+  }
 }
