@@ -1933,6 +1933,474 @@ object Stats {
        |FROM s
        |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q239 — Haar multi-resolution energy decomposition per event type
+    * (Haar 1910; Mallat 1989's pyramid): on the zero-filled daily cents
+    * grid truncated to the largest multiple of 8 days, cascade three
+    * levels of unnormalized Haar pair-differences d_l = a_{l-1}(2j) −
+    * a_{l-1}(2j+1) / pair-sums a_l, and report where the series' energy
+    * lives: day-to-day noise (level 1), 2-day swings (level 2), or
+    * 4–8-day structure (level 3). The multi-resolution read that Q128's
+    * fixed-lag ACF and Q188's day-of-week ANOVA can't give: ONE pass
+    * localizes the dominant time scale.
+    *
+    * Determinism: v is exact cents, so every detail/approximation
+    * coefficient is an exact int64 sum and e_l = Σd_l², A = Σa_3², T =
+    * Σv² are exact int64 — the engine and oracle compare INTEGERS, and
+    * the Parseval identity 8T = 4e1 + 2e2 + e3 + A holds exactly (the
+    * spec asserts it). Shares are single divides of exact ints rounded
+    * once; the dominant level compares exact ints (ties break to the
+    * finer scale). Constant series degrade shares to NULL / 'flat'.
+    *
+    * Scale notes: one corpus scan into the (type, day) daily aggregate;
+    * the cascade is three map-side-combinable GROUP BYs over the
+    * spine-bounded grid (≤ calendar days per type regardless of corpus
+    * size). Σv² holds to int64 through ~10⁹-cent days on a 10⁵-day
+    * spine; beyond that the squares widen to DECIMAL(38,0) — the Q128
+    * overflow-analysis convention.
+    */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val bounds = grid.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val idx = grid.crossJoin(broadcast(bounds))
+      .withColumn("i", col("day") - col("dmin"))
+      .withColumn("n8", expr("((dmax - dmin + 1) div 8) * 8"))
+      .filter(col("i") < col("n8"))
+      .select(col("event_type"), col("i"), col("v"), col("n8"))
+    val l1 = idx.groupBy(col("event_type"), expr("i div 2").as("j"))
+      .agg(sum(when(expr("i % 2 = 0"), col("v")).otherwise(-col("v")))
+        .cast("long").as("d"),
+        sum(col("v")).cast("long").as("a"))
+    val l2 = l1.groupBy(col("event_type"), expr("j div 2").as("j2"))
+      .agg(sum(when(expr("j % 2 = 0"), col("a")).otherwise(-col("a")))
+        .cast("long").as("d"),
+        sum(col("a")).cast("long").as("a"))
+    val l3 = l2.groupBy(col("event_type"), expr("j2 div 2").as("j3"))
+      .agg(sum(when(expr("j2 % 2 = 0"), col("a")).otherwise(-col("a")))
+        .cast("long").as("d"),
+        sum(col("a")).cast("long").as("a"))
+    val base = idx.groupBy(col("event_type"))
+      .agg(max(col("n8")).as("n8"),
+        sum(col("v") * col("v")).cast("long").as("t_sq"))
+    val e1 = l1.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).cast("long").as("e1"))
+    val e2 = l2.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).cast("long").as("e2"))
+    val e3 = l3.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).cast("long").as("e3"),
+        sum(col("a") * col("a")).cast("long").as("a_energy"))
+    base.join(e1, Seq("event_type")).join(e2, Seq("event_type"))
+      .join(e3, Seq("event_type"))
+      .withColumn("den", expr("4 * e1 + 2 * e2 + e3"))
+      .select(col("event_type"), col("n8"), col("t_sq"),
+        col("e1"), col("e2"), col("e3"), col("a_energy"),
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(4 * e1 AS DOUBLE) / den, 6) END")
+          .as("share1"),
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(2 * e2 AS DOUBLE) / den, 6) END")
+          .as("share2"),
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(e3 AS DOUBLE) / den, 6) END")
+          .as("share3"),
+        expr("CASE WHEN den = 0 THEN 'flat'" +
+          " WHEN 4 * e1 >= 2 * e2 AND 4 * e1 >= e3 THEN 'day_noise'" +
+          " WHEN 2 * e2 >= e3 THEN 'two_day'" +
+          " ELSE 'multi_day' END").as("dominant"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q239Oracle: String =
+    s"""WITH $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM grid),
+       |idx AS (
+       |  SELECT g.event_type, g.day - b.dmin AS i, g.v,
+       |    ((b.dmax - b.dmin + 1) // 8) * 8 AS n8
+       |  FROM grid g, bnd b
+       |  WHERE g.day - b.dmin < ((b.dmax - b.dmin + 1) // 8) * 8),
+       |l1 AS (
+       |  SELECT event_type, i // 2 AS j,
+       |    CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d,
+       |    CAST(SUM(v) AS BIGINT) AS a
+       |  FROM idx GROUP BY 1, 2),
+       |l2 AS (
+       |  SELECT event_type, j // 2 AS j2,
+       |    CAST(SUM(CASE WHEN j % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d,
+       |    CAST(SUM(a) AS BIGINT) AS a
+       |  FROM l1 GROUP BY 1, 2),
+       |l3 AS (
+       |  SELECT event_type, j2 // 2 AS j3,
+       |    CAST(SUM(CASE WHEN j2 % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d,
+       |    CAST(SUM(a) AS BIGINT) AS a
+       |  FROM l2 GROUP BY 1, 2),
+       |base AS (
+       |  SELECT event_type, CAST(MAX(n8) AS BIGINT) AS n8,
+       |    CAST(SUM(v * v) AS BIGINT) AS t_sq
+       |  FROM idx GROUP BY 1),
+       |s1 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e1
+       |  FROM l1 GROUP BY 1),
+       |s2 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e2
+       |  FROM l2 GROUP BY 1),
+       |s3 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e3,
+       |    CAST(SUM(a * a) AS BIGINT) AS a_energy
+       |  FROM l3 GROUP BY 1),
+       |f AS (
+       |  SELECT b.event_type, b.n8, b.t_sq, s1.e1, s2.e2, s3.e3,
+       |    s3.a_energy, 4 * s1.e1 + 2 * s2.e2 + s3.e3 AS den
+       |  FROM base b
+       |  JOIN s1 USING (event_type) JOIN s2 USING (event_type)
+       |  JOIN s3 USING (event_type))
+       |SELECT event_type, n8, t_sq, e1, e2, e3, a_energy,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(4 * e1 AS DOUBLE) / den, 6) END AS share1,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(2 * e2 AS DOUBLE) / den, 6) END AS share2,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(e3 AS DOUBLE) / den, 6) END AS share3,
+       |  CASE WHEN den = 0 THEN 'flat'
+       |    WHEN 4 * e1 >= 2 * e2 AND 4 * e1 >= e3 THEN 'day_noise'
+       |    WHEN 2 * e2 >= e3 THEN 'two_day'
+       |    ELSE 'multi_day' END AS dominant
+       |FROM f
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q240 — Wald–Wolfowitz runs test per event type (Wald & Wolfowitz
+    * 1940): is the daily revenue series RANDOM around its median, or
+    * does it cluster (momentum / regime persistence → too few runs) or
+    * oscillate (over-dispersion → too many)? Dichotomize each grid day
+    * against the series' lower median (the ⌊(n+1)/2⌋-th order statistic
+    * — an exact int, no midpoint float), drop equal-to-median days per
+    * the classical prescription, count sign runs R, and test R against
+    * its exact null moments μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂ − n) /
+    * (n²(n−1)). The randomness read ORTHOGONAL to Q227's Mann–Kendall:
+    * MK detects monotone drift; runs detect ANY serial dependence,
+    * trend or alternation, without assuming a direction.
+    *
+    * Determinism: the median is an exact order statistic (value, day)
+    * tie-break; n₁, n₂, R, 2n₁n₂ and both moment polynomials are exact
+    * int64, so z is ONE pinned float shape rounded once, and the
+    * verdict compares the ROUNDED z against ±1.96. n₁ = 0 or n₂ = 0 or
+    * n < 2 degrade to NULL z + 'degenerate', never NaN.
+    *
+    * Scale notes: spine-bounded — the grid is ≤ calendar days per type
+    * at any corpus size; the median is one (type)-partitioned sort of
+    * that bounded relation, the run count one lag over the same sort.
+    */
+  def q240(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val wv = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("day"))
+    val wn = Window.partitionBy(col("event_type"))
+    val med = grid.withColumn("rn", row_number().over(wv))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"),
+        col("cnt").as("n_days"))
+    val lab = grid.join(med, Seq("event_type"))
+      .withColumn("lab",
+        when(col("v") > col("med"), 1L).when(col("v") < col("med"), -1L))
+      .filter(col("lab").isNotNull)
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    lab.withColumn("prev", lag(col("lab"), 1).over(wd))
+      .groupBy(col("event_type"), col("med"), col("n_days"))
+      .agg(sum(when(col("lab") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("lab") === -1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("prev").isNull || col("prev") =!= col("lab"), 1L)
+          .otherwise(0L)).as("runs"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("p2", col("n1") * col("n2") * 2L)
+      .select(col("event_type"), col("n_days"), col("med").as("median_cents"),
+        col("n1").as("n_above"), col("n2").as("n_below"), col("runs"),
+        expr("CASE WHEN n1 > 0 AND n2 > 0 AND n > 1" +
+          " AND p2 * (p2 - n) > 0 THEN" +
+          " ROUND((runs - (1.0 + CAST(p2 AS DOUBLE) / n))" +
+          " / SQRT(CAST(p2 AS DOUBLE) * (p2 - n)" +
+          " / (CAST(n AS DOUBLE) * n * (n - 1))), 4) END").as("z"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 OR n <= 1" +
+          " OR p2 * (p2 - n) <= 0 THEN 'degenerate'" +
+          " WHEN ABS(ROUND((runs - (1.0 + CAST(p2 AS DOUBLE) / n))" +
+          " / SQRT(CAST(p2 AS DOUBLE) * (p2 - n)" +
+          " / (CAST(n AS DOUBLE) * n * (n - 1))), 4)) > 1.96" +
+          " THEN 'non_random' ELSE 'random' END").as("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q240Oracle: String =
+    s"""WITH $gridSql,
+       |med AS (
+       |  SELECT event_type, v AS med, cnt AS n_days
+       |  FROM (
+       |    SELECT event_type, v,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, day)
+       |        AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM grid)
+       |  WHERE rn = (cnt + 1) // 2),
+       |lab AS (
+       |  SELECT g.event_type, g.day, m.med, m.n_days,
+       |    CASE WHEN g.v > m.med THEN 1 WHEN g.v < m.med THEN -1 END AS lab
+       |  FROM grid g JOIN med m ON m.event_type = g.event_type
+       |  WHERE g.v <> m.med),
+       |r AS (
+       |  SELECT event_type, med, n_days,
+       |    CAST(SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN lab = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> lab THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS runs
+       |  FROM (
+       |    SELECT *, LAG(lab, 1) OVER
+       |      (PARTITION BY event_type ORDER BY day) AS prev
+       |    FROM lab)
+       |  GROUP BY 1, 2, 3),
+       |e AS (
+       |  SELECT *, n1 + n2 AS n, n1 * n2 * 2 AS p2 FROM r)
+       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(med AS BIGINT) AS median_cents,
+       |  n1 AS n_above, n2 AS n_below, runs,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND p2 * (p2 - n) > 0 THEN
+       |    ROUND((runs - (1.0 + CAST(p2 AS DOUBLE) / n))
+       |      / SQRT(CAST(p2 AS DOUBLE) * (p2 - n)
+       |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) END AS z,
+       |  CASE WHEN n1 = 0 OR n2 = 0 OR n <= 1
+       |      OR p2 * (p2 - n) <= 0 THEN 'degenerate'
+       |    WHEN ABS(ROUND((runs - (1.0 + CAST(p2 AS DOUBLE) / n))
+       |      / SQRT(CAST(p2 AS DOUBLE) * (p2 - n)
+       |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4)) > 1.96
+       |      THEN 'non_random' ELSE 'random' END AS verdict
+       |FROM e
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Shared 95th-percentile χ² fence, dof 1..8, as SQL text used
+    * verbatim by BOTH engines (the Q231 pinned-constant discipline) —
+    * `e` must evaluate to an integer dof expression. dof > 8 yields
+    * NULL (no fence pinned → verdict degrades to NULL, never a guess).
+    */
+  private def chi2Fence95(e: String): String =
+    s"CASE ($e) WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915 WHEN 3 THEN 7.8147" +
+      " WHEN 4 THEN 9.4877 WHEN 5 THEN 11.0705 WHEN 6 THEN 12.5916" +
+      " WHEN 7 THEN 14.0671 WHEN 8 THEN 15.5073 END"
+
+  /** Q241 — Brown–Forsythe scale-equality test across event types
+    * (Brown & Forsythe 1974; Levene 1960 with the median center): do
+    * the k daily-revenue series differ in DISPERSION, not just level?
+    * Welch/ANOVA (Q137/Q184) compare means; this runs one-way ANOVA on
+    * the absolute deviations z_ij = |v_ij − median_j| from each type's
+    * lower median — the robust variance-homogeneity gate that decides
+    * whether pooled-variance methods are even admissible. Emits the F
+    * statistic, its large-N χ² form (k−1)·F against the pinned
+    * χ²₀.₉₅ fence, and the widest/tightest types by mean |deviation|.
+    *
+    * Determinism: medians are exact order statistics, so every z_ij is
+    * an exact int64 and the group moments S_j = Σz, Q_j = Σz² are exact
+    * int64; SSB/SSW are assembled in ONE textually-pinned double shape
+    * each and F is rounded once; the verdict compares the ROUNDED χ²
+    * against the pinned table. k < 2 or SSW ≤ 0 degrade to NULL +
+    * 'degenerate'. Widest/tightest compare exact (S_j, type) pairs —
+    * group sizes are all equal to the spine length, so mean ordering ≡
+    * sum ordering.
+    *
+    * Scale notes: spine-bounded like Q240 — one (type)-partitioned sort
+    * for the medians, one map-side-combinable rollup for the moments;
+    * the final assembly is k rows. Σz² holds to int64 through
+    * ~10⁹-cent days on a 10⁵-day spine (Q128 convention).
+    */
+  def q241(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val wv = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("day"))
+    val wn = Window.partitionBy(col("event_type"))
+    val med = grid.withColumn("rn", row_number().over(wv))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"))
+    val z = grid.join(med, Seq("event_type"))
+      .withColumn("z", abs(col("v") - col("med")))
+    val grp = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("z")).cast("long").as("sj"),
+        sum(col("z") * col("z")).cast("long").as("qj"))
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = grp
+      .withColumn("widest", first(col("event_type")).over(
+        wAll.orderBy(desc("sj"), desc("event_type"))))
+      .withColumn("tightest", first(col("event_type")).over(
+        wAll.orderBy(asc("sj"), asc("event_type"))))
+    ranked.groupBy(col("widest"), col("tightest"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("nj")).as("n_total"),
+        max(col("nj")).as("n_per_group"),
+        sum(col("sj")).cast("long").as("s_all"),
+        sum(expr("CAST(sj AS DOUBLE) * sj / nj")).as("sb_part"),
+        sum(col("qj")).cast("long").as("q_all"))
+      .withColumn("ssb",
+        expr("sb_part - CAST(s_all AS DOUBLE) * s_all / n_total"))
+      .withColumn("ssw", expr("q_all - sb_part"))
+      .withColumn("f_raw",
+        expr("CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN" +
+          " (ssb / (k - 1)) / (ssw / (n_total - k)) END"))
+      .select(col("k"), col("n_per_group"),
+        round(col("f_raw"), 4).as("f_stat"),
+        round(col("f_raw") * (col("k") - 1L), 4).as("chi2_approx"),
+        expr("CASE WHEN f_raw IS NULL THEN 'degenerate'" +
+          s" WHEN ROUND(f_raw * (k - 1), 4) > ${chi2Fence95("k - 1")}" +
+          " THEN 'unequal_scale'" +
+          s" WHEN ${chi2Fence95("k - 1")} IS NULL THEN NULL" +
+          " ELSE 'equal_scale' END").as("verdict"),
+        col("widest"), col("tightest"))
+  }
+
+  val q241Oracle: String =
+    s"""WITH $gridSql,
+       |med AS (
+       |  SELECT event_type, v AS med
+       |  FROM (
+       |    SELECT event_type, v,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, day)
+       |        AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM grid)
+       |  WHERE rn = (cnt + 1) // 2),
+       |zt AS (
+       |  SELECT g.event_type, ABS(g.v - m.med) AS z
+       |  FROM grid g JOIN med m ON m.event_type = g.event_type),
+       |grp AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+       |    CAST(SUM(z) AS BIGINT) AS sj,
+       |    CAST(SUM(z * z) AS BIGINT) AS qj
+       |  FROM zt GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(nj) AS BIGINT) AS n_total,
+       |    CAST(MAX(nj) AS BIGINT) AS n_per_group,
+       |    CAST(SUM(sj) AS BIGINT) AS s_all,
+       |    SUM(CAST(sj AS DOUBLE) * sj / nj) AS sb_part,
+       |    CAST(SUM(qj) AS BIGINT) AS q_all,
+       |    MIN((sj, event_type)) AS tmin, MAX((sj, event_type)) AS tmax
+       |  FROM grp),
+       |f AS (
+       |  SELECT *,
+       |    sb_part - CAST(s_all AS DOUBLE) * s_all / n_total AS ssb,
+       |    q_all - sb_part AS ssw
+       |  FROM agg),
+       |g2 AS (
+       |  SELECT *,
+       |    CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+       |      (ssb / (k - 1)) / (ssw / (n_total - k)) END AS f_raw
+       |  FROM f)
+       |SELECT k, n_per_group,
+       |  ROUND(f_raw, 4) AS f_stat,
+       |  ROUND(f_raw * (k - 1), 4) AS chi2_approx,
+       |  CASE WHEN f_raw IS NULL THEN 'degenerate'
+       |    WHEN ROUND(f_raw * (k - 1), 4) > ${chi2Fence95("k - 1")}
+       |    THEN 'unequal_scale'
+       |    WHEN ${chi2Fence95("k - 1")} IS NULL THEN NULL
+       |    ELSE 'equal_scale' END AS verdict,
+       |  tmax[2] AS widest, tmin[2] AS tightest
+       |FROM g2""".stripMargin
+
+  /** Q242 — Friedman blocked rank test + Kendall's W across event types
+    * (Friedman 1937; Kendall & Babington Smith 1939; tie-corrected per
+    * Conover 1999): with days as blocks and the k event types as
+    * treatments on the zero-filled grid, do the types hold a CONSISTENT
+    * daily revenue ordering? Within each day the k cents values get
+    * DOUBLED midranks (exact int64 — the Q161/Q163 discipline), and the
+    * tie-corrected statistic is assembled entirely from integers:
+    * χ²_F = (k−1)·Σ_j (DR_j − n(k+1))² / (ΣDR² − nk(k+1)²), with
+    * Kendall's concordance W = χ²_F / (n(k−1)) as the effect size. The
+    * repeated-measures sibling of Q163's Kruskal–Wallis: KW pools all
+    * observations, Friedman blocks out the day effect first — immune to
+    * weekend/weekday level shifts that inflate KW.
+    *
+    * Determinism: doubled midranks, rank sums DR_j, and both χ²_F
+    * polynomials are exact int64; χ²_F and W are one divide each,
+    * rounded once; the verdict compares the ROUNDED χ² against the
+    * pinned dof ≤ 8 table (NULL beyond — no unpinned fence). An
+    * all-tied-every-day corpus zeroes the denominator and degrades to
+    * NULL + 'degenerate'. Best/worst compare exact (DR_j, type) pairs.
+    *
+    * Scale notes: ranks are (day)-partitioned windows over the
+    * spine-bounded grid (k rows per day); the rollup is two map-side-
+    * combinable aggregates. ΣDR² ≤ n·k·(2k)² — microscopic at any scale.
+    */
+  def q242(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val wDay = Window.partitionBy(col("day")).orderBy(col("v"))
+    val wTie = Window.partitionBy(col("day"), col("v"))
+    val dr = grid.withColumn("dr",
+      (rank().over(wDay) - 1L) * 2L + count(lit(1)).over(wTie) + 1L)
+    val perType = dr.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dr")).cast("long").as("drj"),
+        sum(col("dr") * col("dr")).cast("long").as("dr2j"))
+    val dims = perType.agg(count(lit(1)).as("k"), max(col("n")).as("n_days"))
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = perType.crossJoin(broadcast(dims))
+      .withColumn("dev", col("drj") - col("n_days") * (col("k") + 1L))
+      .withColumn("best", first(col("event_type")).over(
+        wAll.orderBy(desc("drj"), desc("event_type"))))
+      .withColumn("worst", first(col("event_type")).over(
+        wAll.orderBy(asc("drj"), asc("event_type"))))
+    ranked.groupBy(col("k"), col("n_days"), col("best"), col("worst"))
+      .agg(sum(col("dr2j")).cast("long").as("a2"),
+        sum(col("dev") * col("dev")).cast("long").as("sdev2"))
+      .withColumn("den",
+        col("a2") - col("n_days") * col("k") * (col("k") + 1L) * (col("k") + 1L))
+      .withColumn("chi2_raw",
+        expr("CASE WHEN den > 0 AND k > 1 THEN" +
+          " CAST((k - 1) * sdev2 AS DOUBLE) / den END"))
+      .select(col("k"), col("n_days"),
+        round(col("chi2_raw"), 4).as("chi2_f"),
+        expr("CASE WHEN chi2_raw IS NOT NULL AND n_days > 0 AND k > 1 THEN" +
+          " ROUND(chi2_raw / (n_days * (k - 1)), 6) END").as("kendall_w"),
+        expr("CASE WHEN chi2_raw IS NULL THEN 'degenerate'" +
+          s" WHEN ROUND(chi2_raw, 4) > ${chi2Fence95("k - 1")}" +
+          " THEN 'types_differ'" +
+          s" WHEN ${chi2Fence95("k - 1")} IS NULL THEN NULL" +
+          " ELSE 'no_difference' END").as("verdict"),
+        col("best"), col("worst"))
+  }
+
+  val q242Oracle: String =
+    s"""WITH $gridSql,
+       |dr AS (
+       |  SELECT event_type,
+       |    (RANK() OVER (PARTITION BY day ORDER BY v) - 1) * 2
+       |      + COUNT(*) OVER (PARTITION BY day, v) + 1 AS dr
+       |  FROM grid),
+       |per AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dr) AS BIGINT) AS drj,
+       |    CAST(SUM(dr * dr) AS BIGINT) AS dr2j
+       |  FROM dr GROUP BY 1),
+       |dims AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(MAX(n) AS BIGINT) AS n_days,
+       |    MAX((drj, event_type)) AS tbest, MIN((drj, event_type)) AS tworst
+       |  FROM per),
+       |s AS (
+       |  SELECT d.k, d.n_days, d.tbest[2] AS best, d.tworst[2] AS worst,
+       |    CAST(SUM(p.dr2j) AS BIGINT) AS a2,
+       |    CAST(SUM((p.drj - d.n_days * (d.k + 1))
+       |      * (p.drj - d.n_days * (d.k + 1))) AS BIGINT) AS sdev2
+       |  FROM per p, dims d GROUP BY 1, 2, 3, 4),
+       |f AS (
+       |  SELECT *,
+       |    a2 - n_days * k * (k + 1) * (k + 1) AS den
+       |  FROM s),
+       |g2 AS (
+       |  SELECT *,
+       |    CASE WHEN den > 0 AND k > 1 THEN
+       |      CAST((k - 1) * sdev2 AS DOUBLE) / den END AS chi2_raw
+       |  FROM f)
+       |SELECT k, n_days,
+       |  ROUND(chi2_raw, 4) AS chi2_f,
+       |  CASE WHEN chi2_raw IS NOT NULL AND n_days > 0 AND k > 1 THEN
+       |    ROUND(chi2_raw / (n_days * (k - 1)), 6) END AS kendall_w,
+       |  CASE WHEN chi2_raw IS NULL THEN 'degenerate'
+       |    WHEN ROUND(chi2_raw, 4) > ${chi2Fence95("k - 1")}
+       |    THEN 'types_differ'
+       |    WHEN ${chi2Fence95("k - 1")} IS NULL THEN NULL
+       |    ELSE 'no_difference' END AS verdict,
+       |  best, worst
+       |FROM g2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -1940,7 +2408,8 @@ object Stats {
     "Q199" -> (q199 _), "Q204" -> (q204 _), "Q215" -> (q215 _),
     "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
     "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _),
-    "Q236" -> (q236 _))
+    "Q236" -> (q236 _), "Q239" -> (q239 _), "Q240" -> (q240 _),
+    "Q241" -> (q241 _), "Q242" -> (q242 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -1949,5 +2418,6 @@ object Stats {
     "Q199" -> q199Oracle, "Q204" -> q204Oracle, "Q215" -> q215Oracle,
     "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
     "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle,
-    "Q236" -> q236Oracle)
+    "Q236" -> q236Oracle, "Q239" -> q239Oracle, "Q240" -> q240Oracle,
+    "Q241" -> q241Oracle, "Q242" -> q242Oracle)
 }

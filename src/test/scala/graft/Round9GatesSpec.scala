@@ -1303,6 +1303,162 @@ class Round9GatesSpec extends SparkSpec {
     }
   }
 
+  /** Local replay of Stats.dailyCentsGrid: zero-filled (type, day) cents
+    * series over the global spine, as a per-type sorted Vector. */
+  private def localGrid(): Map[String, Vector[Long]] = {
+    val c = Catalog(spark, dir)
+    val daily = c.events.select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val days = daily.keys.map(_._2)
+    val (dmin, dmax) = (days.min, days.max)
+    daily.keys.map(_._1).toSet.map { (et: String) =>
+      et -> (dmin to dmax).map(d => daily.getOrElse((et, d), 0L)).toVector
+    }.toMap
+  }
+
+  test("Q239 Haar energies: cascade replays exactly and Parseval closes in integers") {
+    val grids = localGrid()
+    val out = operators.Stats.q239(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == grids.keySet)
+    for ((et, series) <- grids) {
+      val n8 = (series.length / 8) * 8
+      val v = series.take(n8)
+      def cascade(a: Vector[Long]): (Vector[Long], Vector[Long]) = {
+        val pairs = a.grouped(2).toVector
+        (pairs.map(p => p(0) - p(1)), pairs.map(p => p(0) + p(1)))
+      }
+      val (d1, a1) = cascade(v)
+      val (d2, a2) = cascade(a1)
+      val (d3, a3) = cascade(a2)
+      val (e1, e2, e3) = (d1.map(x => x * x).sum, d2.map(x => x * x).sum,
+        d3.map(x => x * x).sum)
+      val aE = a3.map(x => x * x).sum
+      val t = v.map(x => x * x).sum
+      val r = out(et)
+      assert(r.getAs[Long]("n8") == n8.toLong)
+      assert(r.getAs[Long]("t_sq") == t)
+      assert(r.getAs[Long]("e1") == e1 && r.getAs[Long]("e2") == e2 &&
+        r.getAs[Long]("e3") == e3)
+      assert(r.getAs[Long]("a_energy") == aE)
+      // Parseval for the unnormalized cascade, exact in int64
+      assert(8L * t == 4L * e1 + 2L * e2 + e3 + aE, s"$et parseval")
+      val den = 4L * e1 + 2L * e2 + e3
+      if (den > 0) {
+        assert(r.getAs[Double]("share1") == r6(4.0 * e1 / den))
+        assert(r.getAs[Double]("share2") == r6(2.0 * e2 / den))
+        assert(r.getAs[Double]("share3") == r6(e3.toDouble / den))
+        assert(r.getAs[String]("dominant") ==
+          (if (4 * e1 >= 2 * e2 && 4 * e1 >= e3) "day_noise"
+           else if (2 * e2 >= e3) "two_day" else "multi_day"))
+      } else assert(r.getAs[String]("dominant") == "flat")
+    }
+  }
+
+  test("Q240 runs test: run count, exact moments, and verdict replay locally") {
+    val grids = localGrid()
+    val out = operators.Stats.q240(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    for ((et, series) <- grids) {
+      val med = series.sorted.apply((series.length + 1) / 2 - 1)
+      val labs = series.map(v => if (v > med) 1 else if (v < med) -1 else 0)
+        .filter(_ != 0)
+      if (labs.isEmpty) assert(!out.contains(et))
+      else {
+        val r = out(et)
+        val n1 = labs.count(_ == 1).toLong
+        val n2 = labs.count(_ == -1).toLong
+        val runs = 1L + labs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        assert(r.getAs[Long]("median_cents") == med)
+        assert(r.getAs[Long]("n_above") == n1 && r.getAs[Long]("n_below") == n2)
+        assert(r.getAs[Long]("runs") == runs)
+        val n = n1 + n2
+        val p2 = 2L * n1 * n2
+        if (n1 > 0 && n2 > 0 && n > 1 && p2 * (p2 - n) > 0) {
+          val mu = 1.0 + p2.toDouble / n
+          val sd = math.sqrt(p2.toDouble * (p2 - n) / (n.toDouble * n * (n - 1)))
+          val z = r4((runs - mu) / sd)
+          assert(r.getAs[Double]("z") == z, s"$et z")
+          assert(r.getAs[String]("verdict") ==
+            (if (math.abs(z) > 1.96) "non_random" else "random"))
+        } else assert(r.getAs[String]("verdict") == "degenerate")
+      }
+    }
+  }
+
+  test("Q241 Brown-Forsythe: F from exact |dev|-moments, widest/tightest struct order") {
+    val grids = localGrid()
+    val stats = grids.map { case (et, series) =>
+      val med = series.sorted.apply((series.length + 1) / 2 - 1)
+      val z = series.map(v => math.abs(v - med))
+      (et, series.length.toLong, z.sum, z.map(x => x * x).sum)
+    }.toSeq
+    val k = stats.length.toLong
+    val nTot = stats.map(_._2).sum
+    val sAll = stats.map(_._3).sum
+    val sbPart = stats.map(s => s._3.toDouble * s._3 / s._2).sum
+    val qAll = stats.map(_._4).sum
+    val ssb = sbPart - sAll.toDouble * sAll / nTot
+    val ssw = qAll - sbPart
+    val r = operators.Stats.q241(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("n_per_group") == stats.map(_._2).max)
+    assert(r.getAs[String]("widest") ==
+      stats.map(s => (s._3, s._1)).max._2)
+    assert(r.getAs[String]("tightest") ==
+      stats.map(s => (s._3, s._1)).min._2)
+    if (k > 1 && nTot > k && ssw > 0) {
+      val f = (ssb / (k - 1)) / (ssw / (nTot - k))
+      assert(math.abs(r.getAs[Double]("f_stat") - f) <= 5e-5 + 1e-9)
+      assert(math.abs(r.getAs[Double]("chi2_approx") - f * (k - 1)) <=
+        5e-5 + 1e-9)
+    } else assert(r.getAs[String]("verdict") == "degenerate")
+  }
+
+  test("Q242 Friedman: tie-corrected chi2 and Kendall W replay from doubled midranks") {
+    val grids = localGrid()
+    val types = grids.keys.toSeq.sorted
+    val n = grids.values.head.length
+    // doubled midrank of type j's value within each day-block
+    val drByType = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var a2 = 0L
+    for (i <- 0 until n) {
+      val vals = types.map(t => t -> grids(t)(i))
+      for ((t, v) <- vals) {
+        val lt = vals.count(_._2 < v).toLong
+        val eq = vals.count(_._2 == v).toLong
+        val dr = 2L * lt + eq + 1L
+        drByType(t) += dr
+        a2 += dr * dr
+      }
+    }
+    val k = types.length.toLong
+    val sdev2 = types.map { t =>
+      val d = drByType(t) - n.toLong * (k + 1); d * d
+    }.sum
+    val den = a2 - n.toLong * k * (k + 1) * (k + 1)
+    val r = operators.Stats.q242(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[String]("best") ==
+      types.map(t => (drByType(t), t)).max._2)
+    assert(r.getAs[String]("worst") ==
+      types.map(t => (drByType(t), t)).min._2)
+    if (den > 0 && k > 1) {
+      val chi2 = ((k - 1) * sdev2).toDouble / den
+      assert(math.abs(r.getAs[Double]("chi2_f") - chi2) <= 5e-5 + 1e-9)
+      assert(math.abs(r.getAs[Double]("kendall_w") - chi2 / (n * (k - 1))) <=
+        5e-7 + 1e-9)
+      // Kendall's W is a [0,1] concordance
+      assert(r.getAs[Double]("kendall_w") >= 0.0 &&
+        r.getAs[Double]("kendall_w") <= 1.0 + 1e-12)
+    } else assert(r.getAs[String]("verdict") == "degenerate")
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
