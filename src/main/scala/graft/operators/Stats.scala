@@ -2401,6 +2401,241 @@ object Stats {
        |  best, worst
        |FROM g2""".stripMargin
 
+  /** Q243 — log-rank (Mantel–Cox) test between the md5 experiment arms
+    * on time-to-first-purchase (Mantel 1966; Peto & Peto 1972): Q146
+    * draws the survival curve, this decides whether the two arms'
+    * curves DIFFER. Q146's exact framing (t = hours from first event to
+    * first 'purchase', right-censored at 72 h, deaths precede censoring
+    * at equal t) with Q108's md5('exp1:'||user_id) % 2 arm assignment;
+    * at each distinct death hour the hypergeometric expectation
+    * E₁ += d·n₁/n and variance V += d(n−d)n₁n₂/(n²(n−1)) accumulate
+    * over the at-risk sets, and χ² = (O₁−E₁)²/V is read against the
+    * pinned χ²₁ fence. Also emits the O/E hazard-ratio estimate. The
+    * time-to-event arm comparison Q212/Q232's mean-based reads can't
+    * give: it uses EVERY user, censored or not, without assuming a
+    * revenue distribution.
+    *
+    * Determinism: risk-set counts n₁/n₂/d₁/d and O₁/O₂ are exact int64
+    * window sums over the ≤ 73 distinct death hours; each E/V term is
+    * one pinned float shape summed over that bounded series (the Q206
+    * order-free-after-round discipline) and rounded once; the verdict
+    * compares the ROUNDED χ² against 3.8415. V ≤ 0, an empty arm, or no
+    * deaths degrade to NULL χ² + 'degenerate'; hazard_ratio is NULL
+    * when either arm's E or O is 0.
+    *
+    * Scale notes: the corpus collapses to one row per user (shuffle on
+    * user_id), then to ≤ 73 death-hour rows — everything after is
+    * window passes over a bounded series, at any corpus size.
+    */
+  def q243(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perUser = c.events
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("us0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("pus"))
+      .withColumn("t_h", expr("(pus - us0) DIV 3600000000"))
+      .withColumn("t_death",
+        when(col("t_h").isNotNull && col("t_h") <= 72L, col("t_h")))
+      .withColumn("arm",
+        expr(NearDup.hexValueExpr(
+          "md5(concat('exp1:', CAST(user_id AS STRING)))")) % 2L)
+      .select(col("arm"),
+        coalesce(col("t_death"), lit(72L)).as("t_obs"),
+        when(col("t_death").isNotNull, 1L).otherwise(0L).as("death"))
+    val byTime = perUser.groupBy(col("t_obs"))
+      .agg(count(lit(1)).as("leaving"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("leaving1"),
+        sum(col("death")).as("d"),
+        sum(when(col("arm") === 0L, col("death")).otherwise(0L)).as("d1"))
+    val wDesc = Window.orderBy(desc("t_obs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTime
+      .withColumn("n", sum(col("leaving")).over(wDesc))
+      .withColumn("n1", sum(col("leaving1")).over(wDesc))
+      .filter(col("d") > 0L)
+      .withColumn("e1_t",
+        expr("CAST(d AS DOUBLE) * n1 / n"))
+      .withColumn("v_t",
+        expr("CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * (n - d) * n1" +
+          " * (n - n1) / (CAST(n AS DOUBLE) * n * (n - 1)) ELSE 0.0 END"))
+      .groupBy()
+      .agg(sum(col("d")).cast("long").as("deaths"),
+        sum(col("d1")).cast("long").as("o1"),
+        sum(col("d") - col("d1")).cast("long").as("o2"),
+        sum(col("e1_t")).as("e1_raw"),
+        sum(col("d") - col("e1_t")).as("e2_raw"),
+        sum(col("v_t")).as("v"),
+        max(col("n")).as("n_users"),
+        max(col("n1")).as("n_arm_a"))
+      .withColumn("chi2_raw",
+        expr("CASE WHEN v > 0 THEN" +
+          " (o1 - e1_raw) * (o1 - e1_raw) / v END"))
+      .select(col("n_users"), col("n_arm_a"),
+        (col("n_users") - col("n_arm_a")).as("n_arm_b"),
+        col("deaths"), col("o1"), col("o2"),
+        round(col("e1_raw"), 4).as("e1"),
+        round(col("e2_raw"), 4).as("e2"),
+        round(col("chi2_raw"), 4).as("chi2"),
+        expr("CASE WHEN o1 > 0 AND o2 > 0 AND e1_raw > 0 AND e2_raw > 0" +
+          " THEN ROUND((o1 / e1_raw) / (o2 / e2_raw), 4) END")
+          .as("hazard_ratio"),
+        expr("CASE WHEN chi2_raw IS NULL THEN 'degenerate'" +
+          " WHEN ROUND(chi2_raw, 4) > 3.8415 THEN 'arms_differ'" +
+          " ELSE 'no_difference' END").as("verdict"))
+  }
+
+  val q243Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('exp1:' || CAST(user_id AS VARCHAR))")
+    s"""WITH per_user AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS us0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS pus
+       |  FROM events GROUP BY 1),
+       |obs AS (
+       |  SELECT ($hv) % 2 AS arm,
+       |    COALESCE(CASE WHEN (pus - us0) // 3600000000 <= 72
+       |      THEN (pus - us0) // 3600000000 END, 72) AS t_obs,
+       |    CASE WHEN pus IS NOT NULL
+       |      AND (pus - us0) // 3600000000 <= 72 THEN 1 ELSE 0 END AS death
+       |  FROM per_user),
+       |by_time AS (
+       |  SELECT t_obs, CAST(COUNT(*) AS BIGINT) AS leaving,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS leaving1,
+       |    CAST(SUM(death) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN death ELSE 0 END) AS BIGINT)
+       |      AS d1
+       |  FROM obs GROUP BY 1),
+       |risk AS (
+       |  SELECT *,
+       |    SUM(leaving) OVER w AS n, SUM(leaving1) OVER w AS n1
+       |  FROM by_time
+       |  WINDOW w AS (ORDER BY t_obs DESC ROWS UNBOUNDED PRECEDING)),
+       |terms AS (
+       |  SELECT *,
+       |    CAST(d AS DOUBLE) * n1 / n AS e1_t,
+       |    CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * (n - d) * n1
+       |      * (n - n1) / (CAST(n AS DOUBLE) * n * (n - 1))
+       |      ELSE 0.0 END AS v_t
+       |  FROM risk WHERE d > 0),
+       |s AS (
+       |  SELECT CAST(SUM(d) AS BIGINT) AS deaths,
+       |    CAST(SUM(d1) AS BIGINT) AS o1,
+       |    CAST(SUM(d - d1) AS BIGINT) AS o2,
+       |    SUM(e1_t) AS e1_raw, SUM(d - e1_t) AS e2_raw, SUM(v_t) AS v,
+       |    CAST(MAX(n) AS BIGINT) AS n_users,
+       |    CAST(MAX(n1) AS BIGINT) AS n_arm_a
+       |  FROM terms),
+       |f AS (
+       |  SELECT *, CASE WHEN v > 0 THEN
+       |    (o1 - e1_raw) * (o1 - e1_raw) / v END AS chi2_raw
+       |  FROM s)
+       |SELECT n_users, n_arm_a, n_users - n_arm_a AS n_arm_b,
+       |  deaths, o1, o2,
+       |  ROUND(e1_raw, 4) AS e1, ROUND(e2_raw, 4) AS e2,
+       |  ROUND(chi2_raw, 4) AS chi2,
+       |  CASE WHEN o1 > 0 AND o2 > 0 AND e1_raw > 0 AND e2_raw > 0
+       |    THEN ROUND((o1 / e1_raw) / (o2 / e2_raw), 4) END
+       |    AS hazard_ratio,
+       |  CASE WHEN chi2_raw IS NULL THEN 'degenerate'
+       |    WHEN ROUND(chi2_raw, 4) > 3.8415 THEN 'arms_differ'
+       |    ELSE 'no_difference' END AS verdict
+       |FROM f""".stripMargin
+  }
+
+  /** Q244 — empirical-Bayes beta-binomial shrinkage of per-part return
+    * rates (Robbins 1956; the Efron–Morris 1975 rate-table recipe): a
+    * part seen 3 times with 2 returns is NOT a 67%-return part. Fit a
+    * Beta(α, β) prior to the observed per-part rates by method of
+    * moments over the n ≥ 3 fit population (x̄, s² → ν = x̄(1−x̄)/s² − 1,
+    * α = x̄ν), then shrink EVERY part toward the prior mean:
+    * p̃ᵢ = (rᵢ + α)/(nᵢ + ν). Emits the top 15 parts by shrunken rate —
+    * the ranking a naive raw-rate top-k gets wrong on exactly the
+    * small-sample parts shrinkage exists to fix.
+    *
+    * Determinism: rᵢ/nᵢ are exact int64; x̄/s² are float sums over the
+    * fit population (Q206 order-free-after-round discipline), and α and
+    * ν are ROUNDED to 4 BEFORE the shrinkage divide — downstream of
+    * that round, every p̃ᵢ is ONE divide of engine-identical values, so
+    * a last-ULP disagreement in the prior fit cannot fan out into the
+    * per-part ranking. The top-15 cut sorts on (rounded p̃, partkey).
+    * s² ≤ 0 or ν ≤ 0 degrade to an empty result (both engines drop
+    * identically — no prior, no ranking to publish).
+    *
+    * Scale notes: one lineitem scan → map-side-combined (partkey)
+    * rollup; the prior fit is a second aggregate over the part rollup
+    * (rows = parts, not lineitems); the final sort is a top-k
+    * (TakeOrdered), never a global sort.
+    */
+  def q244(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val per = c.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val fit = per.filter(col("n") >= 3L)
+      .agg(count(lit(1)).as("k_fit"),
+        sum(expr("CAST(r AS DOUBLE) / n")).as("sp"),
+        sum(expr("(CAST(r AS DOUBLE) / n) * (CAST(r AS DOUBLE) / n)"))
+          .as("spp"))
+      .withColumn("xbar", expr("sp / k_fit"))
+      .withColumn("s2",
+        expr("CASE WHEN k_fit > 1 THEN (spp - sp * sp / k_fit)" +
+          " / (k_fit - 1) END"))
+      .withColumn("nu_raw",
+        expr("CASE WHEN s2 > 0 THEN xbar * (1 - xbar) / s2 - 1 END"))
+      .withColumn("nu", expr("CASE WHEN nu_raw > 0 THEN ROUND(nu_raw, 4) END"))
+      .withColumn("alpha", expr("ROUND(xbar * nu_raw, 4)"))
+      .filter(col("nu").isNotNull)
+      .select(col("k_fit"), col("nu"), col("alpha"))
+    per.crossJoin(broadcast(fit))
+      .withColumn("shrunk_raw", expr("(r + alpha) / (n + nu)"))
+      .select(col("l_partkey"), col("n").as("n_trials"),
+        col("r").as("n_returns"),
+        expr("ROUND(CAST(r AS DOUBLE) / n, 6)").as("raw_rate"),
+        expr("ROUND(shrunk_raw, 6)").as("shrunk_rate"),
+        col("alpha"), round(col("nu") - col("alpha"), 4).as("beta"),
+        col("k_fit"))
+      .orderBy(desc("shrunk_rate"), asc("l_partkey"))
+      .limit(15)
+  }
+
+  val q244Oracle: String =
+    """WITH per AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |fit0 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k_fit,
+      |    SUM(CAST(r AS DOUBLE) / n) AS sp,
+      |    SUM((CAST(r AS DOUBLE) / n) * (CAST(r AS DOUBLE) / n)) AS spp
+      |  FROM per WHERE n >= 3),
+      |fit1 AS (
+      |  SELECT k_fit, sp / k_fit AS xbar,
+      |    CASE WHEN k_fit > 1 THEN (spp - sp * sp / k_fit) / (k_fit - 1)
+      |      END AS s2
+      |  FROM fit0),
+      |fit2 AS (
+      |  SELECT k_fit, xbar,
+      |    CASE WHEN s2 > 0 THEN xbar * (1 - xbar) / s2 - 1 END AS nu_raw
+      |  FROM fit1),
+      |fit AS (
+      |  SELECT k_fit,
+      |    CASE WHEN nu_raw > 0 THEN ROUND(nu_raw, 4) END AS nu,
+      |    ROUND(xbar * nu_raw, 4) AS alpha
+      |  FROM fit2
+      |  WHERE CASE WHEN nu_raw > 0 THEN ROUND(nu_raw, 4) END IS NOT NULL)
+      |SELECT p.l_partkey, p.n AS n_trials, p.r AS n_returns,
+      |  ROUND(CAST(p.r AS DOUBLE) / p.n, 6) AS raw_rate,
+      |  ROUND((p.r + f.alpha) / (p.n + f.nu), 6) AS shrunk_rate,
+      |  f.alpha, ROUND(f.nu - f.alpha, 4) AS beta, f.k_fit
+      |FROM per p, fit f
+      |ORDER BY shrunk_rate DESC, p.l_partkey
+      |LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -2409,7 +2644,8 @@ object Stats {
     "Q227" -> (q227 _), "Q228" -> (q228 _), "Q229" -> (q229 _),
     "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _),
     "Q236" -> (q236 _), "Q239" -> (q239 _), "Q240" -> (q240 _),
-    "Q241" -> (q241 _), "Q242" -> (q242 _))
+    "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
+    "Q244" -> (q244 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -2419,5 +2655,6 @@ object Stats {
     "Q227" -> q227Oracle, "Q228" -> q228Oracle, "Q229" -> q229Oracle,
     "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle,
     "Q236" -> q236Oracle, "Q239" -> q239Oracle, "Q240" -> q240Oracle,
-    "Q241" -> q241Oracle, "Q242" -> q242Oracle)
+    "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
+    "Q244" -> q244Oracle)
 }

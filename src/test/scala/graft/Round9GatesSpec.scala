@@ -1303,25 +1303,8 @@ class Round9GatesSpec extends SparkSpec {
     }
   }
 
-  /** Local replay of Stats.dailyCentsGrid: zero-filled (type, day) cents
-    * series over the global spine, as a per-type sorted Vector. */
-  private def localGrid(): Map[String, Vector[Long]] = {
-    val c = Catalog(spark, dir)
-    val daily = c.events.select(col("event_type"),
-        expr("(ts DIV 1000) DIV 86400000000").as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).as("v")).collect()
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    val days = daily.keys.map(_._2)
-    val (dmin, dmax) = (days.min, days.max)
-    daily.keys.map(_._1).toSet.map { (et: String) =>
-      et -> (dmin to dmax).map(d => daily.getOrElse((et, d), 0L)).toVector
-    }.toMap
-  }
-
   test("Q239 Haar energies: cascade replays exactly and Parseval closes in integers") {
-    val grids = localGrid()
+    val grids = localGrid(Catalog(spark, dir)).view.mapValues(_.toVector).toMap
     val out = operators.Stats.q239(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
     assert(out.keySet == grids.keySet)
@@ -1360,7 +1343,7 @@ class Round9GatesSpec extends SparkSpec {
   }
 
   test("Q240 runs test: run count, exact moments, and verdict replay locally") {
-    val grids = localGrid()
+    val grids = localGrid(Catalog(spark, dir)).view.mapValues(_.toVector).toMap
     val out = operators.Stats.q240(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
     for ((et, series) <- grids) {
@@ -1391,7 +1374,7 @@ class Round9GatesSpec extends SparkSpec {
   }
 
   test("Q241 Brown-Forsythe: F from exact |dev|-moments, widest/tightest struct order") {
-    val grids = localGrid()
+    val grids = localGrid(Catalog(spark, dir)).view.mapValues(_.toVector).toMap
     val stats = grids.map { case (et, series) =>
       val med = series.sorted.apply((series.length + 1) / 2 - 1)
       val z = series.map(v => math.abs(v - med))
@@ -1420,7 +1403,7 @@ class Round9GatesSpec extends SparkSpec {
   }
 
   test("Q242 Friedman: tie-corrected chi2 and Kendall W replay from doubled midranks") {
-    val grids = localGrid()
+    val grids = localGrid(Catalog(spark, dir)).view.mapValues(_.toVector).toMap
     val types = grids.keys.toSeq.sorted
     val n = grids.values.head.length
     // doubled midrank of type j's value within each day-block
@@ -1457,6 +1440,93 @@ class Round9GatesSpec extends SparkSpec {
       assert(r.getAs[Double]("kendall_w") >= 0.0 &&
         r.getAs[Double]("kendall_w") <= 1.0 + 1e-12)
     } else assert(r.getAs[String]("verdict") == "degenerate")
+  }
+
+  test("Q243 log-rank: O/E/V accumulate over a locally-replayed risk table") {
+    val c = Catalog(spark, dir)
+    val users = c.events.select(col("user_id"),
+        expr("ts DIV 1000").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (uid, xs) =>
+        val us0 = xs.map(_._2).min
+        val pus = xs.filter(_._3 == "purchase").map(_._2).minOption
+        val tDeath = pus.map(p => (p - us0) / 3600000000L).filter(_ <= 72L)
+        val arm = md5hv(s"exp1:$uid") % 2L
+        (arm, tDeath.getOrElse(72L), if (tDeath.isDefined) 1L else 0L)
+      }.toSeq
+    val byTime = users.groupBy(_._2).toSeq.sortBy(-_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.count(_._1 == 0L).toLong,
+        xs.map(_._3).sum, xs.filter(_._1 == 0L).map(_._3).sum)
+    }
+    var (n, n1) = (0L, 0L)
+    var (o1, e1, v) = (0L, 0.0, 0.0)
+    var deaths = 0L
+    for ((_, leaving, leaving1, d, d1) <- byTime) {
+      n += leaving; n1 += leaving1
+      if (d > 0) {
+        o1 += d1; deaths += d
+        e1 += d.toDouble * n1 / n
+        if (n > 1)
+          v += d.toDouble * (n - d) * n1 * (n - n1) / (n.toDouble * n * (n - 1))
+      }
+    }
+    val r = operators.Stats.q243(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == users.length.toLong)
+    assert(r.getAs[Long]("n_arm_a") == users.count(_._1 == 0L).toLong)
+    assert(r.getAs[Long]("deaths") == deaths)
+    assert(r.getAs[Long]("o1") == o1)
+    assert(r.getAs[Long]("o2") == deaths - o1)
+    assert(math.abs(r.getAs[Double]("e1") - e1) <= 5e-5 + 1e-9)
+    assert(math.abs(r.getAs[Double]("e2") - (deaths - e1)) <= 5e-5 + 1e-9)
+    // O1 + O2 = deaths and E1 + E2 = deaths: the accounting identity
+    assert(r.getAs[Double]("e1") + r.getAs[Double]("e2") ==
+      r2(r.getAs[Double]("e1") + r.getAs[Double]("e2")) ||
+      math.abs(r.getAs[Double]("e1") + r.getAs[Double]("e2") - deaths) <= 1e-3)
+    if (v > 0) {
+      val chi2 = (o1 - e1) * (o1 - e1) / v
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) <= 5e-4,
+        s"chi2 ${r.getAs[Double]("chi2")} vs $chi2")
+      assert(r.getAs[String]("verdict") ==
+        (if (r.getAs[Double]("chi2") > 3.8415) "arms_differ"
+         else "no_difference"))
+    } else assert(r.getAs[String]("verdict") == "degenerate")
+  }
+
+  test("Q244 EB shrinkage: prior fit replays; shrinkage contracts toward the prior mean") {
+    val c = Catalog(spark, dir)
+    val per = c.lineitem.select(col("l_partkey"), col("l_returnflag"))
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getString(1)))
+      .groupBy(_._1).map { case (pk, xs) =>
+        (pk, xs.length.toLong, xs.count(_._2 == "R").toLong)
+      }.toSeq
+    val fitPop = per.filter(_._2 >= 3L)
+    val k = fitPop.length.toLong
+    val sp = fitPop.map(x => x._3.toDouble / x._2).sum
+    val spp = fitPop.map { x => val p = x._3.toDouble / x._2; p * p }.sum
+    val xbar = sp / k
+    val s2 = (spp - sp * sp / k) / (k - 1)
+    val nuRaw = xbar * (1 - xbar) / s2 - 1
+    assert(nuRaw > 0, "sf0.001 lineitem must support a proper prior fit")
+    val nu = r4(nuRaw)
+    val alpha = r4(xbar * nuRaw)
+    val out = operators.Stats.q244(spark, dir).collect()
+    assert(out.length == math.min(15, per.length))
+    val shrunkAll = per.map { case (pk, n, rr) =>
+      (pk, r6((rr + alpha) / (n + nu)))
+    }
+    val expTop = shrunkAll.sortBy { case (pk, s) => (-s, pk) }.take(15)
+    assert(out.map(_.getAs[Long]("l_partkey")).toSeq == expTop.map(_._1))
+    out.zip(expTop).foreach { case (r, (_, s)) =>
+      assert(r.getAs[Double]("shrunk_rate") == s)
+      assert(r.getAs[Double]("alpha") == alpha)
+      assert(r.getAs[Double]("beta") == r4(nu - alpha))
+      // shrinkage contracts: the shrunk rate sits between raw and prior mean
+      val raw = r.getAs[Double]("raw_rate")
+      val prior = alpha / nu
+      assert(s >= math.min(raw, prior) - 1e-6 &&
+        s <= math.max(raw, prior) + 1e-6, s"no contraction: $raw $s $prior")
+    }
   }
 
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
