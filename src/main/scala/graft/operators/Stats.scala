@@ -2636,6 +2636,115 @@ object Stats {
       |ORDER BY shrunk_rate DESC, p.l_partkey
       |LIMIT 15""".stripMargin
 
+  /** Q245 — banded dynamic-time-warping distance matrix between the
+    * event types' daily revenue series (Berndt & Clifford 1994; Sakoe &
+    * Chiba 1978 band w = 7): the alignment-tolerant series comparison
+    * the lockstep family (Q216's lead-lag cross-correlation) can't give
+    * — a pattern that runs days late still matches, and warp_gain =
+    * 1 − dtw/L1 reads exactly how much of the lockstep distance was
+    * mere misalignment. Engine side runs the whole DP inside the native
+    * codegen'd `graft_dtw` expression over per-type collected series;
+    * the oracle replays the SAME DP as a recursive CTE via the
+    * prefix-min identity D(i,j) = P(i,j) + min_k [min(D(i−1,k),
+    * D(i−1,k−1)) − PP(i,k)] (entry column k, within-row run k→j), so
+    * the hash match proves the dynamic program itself, cell for cell.
+    *
+    * Determinism: costs |aᵢ−bⱼ| and every path sum are exact int64 —
+    * there is NO float anywhere in the distance; dtw ≤ L1 (the diagonal
+    * is a valid path) is asserted in the spec. dtw_per_day/warp_gain
+    * are single divides rounded once; L1 = 0 (identical series) guards
+    * warp_gain NULL.
+    *
+    * Scale notes: series are spine-bounded (≤ calendar days) and
+    * collected per type AFTER the one-scan daily aggregate — k·n longs,
+    * not events; the pair join is k²/2 rows with the O(n·w) DP inside
+    * whole-stage codegen. At 10⁴ entities × 10³ days this is the
+    * standard grouped-series topology: shuffle = the daily aggregate,
+    * compute = embarrassingly parallel per pair.
+    */
+  def q245(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val series = grid.groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, v)))," +
+        " s -> s.v)").as("s"),
+        count(lit(1)).as("n"))
+    val a = series.select(col("event_type").as("ta"), col("s").as("sa"),
+      col("n"))
+    val b = series.select(col("event_type").as("tb"), col("s").as("sb"))
+    a.join(b, col("ta") < col("tb"))
+      .withColumn("dtw", expr("graft_dtw(sa, sb, 7)"))
+      .withColumn("l1", expr("aggregate(zip_with(sa, sb," +
+        " (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select(col("ta"), col("tb"), col("n").as("n_days"),
+        col("dtw"), col("l1").as("l1_lockstep"),
+        expr("ROUND(CAST(dtw AS DOUBLE) / n, 2)").as("dtw_per_day"),
+        expr("CASE WHEN l1 > 0 THEN" +
+          " ROUND(1 - CAST(dtw AS DOUBLE) / l1, 6) END").as("warp_gain"))
+      .orderBy(asc("ta"), asc("tb"))
+  }
+
+  val q245Oracle: String =
+    s"""WITH RECURSIVE $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |idx AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS i, v
+       |  FROM grid),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM (SELECT DISTINCT event_type FROM grid) a,
+       |       (SELECT DISTINCT event_type FROM grid) b
+       |  WHERE a.event_type < b.event_type),
+       |cost AS (
+       |  SELECT p.ta, p.tb, a.i AS i, b.i AS j, ABS(a.v - b.v) AS c
+       |  FROM pairs p
+       |  JOIN idx a ON a.event_type = p.ta
+       |  JOIN idx b ON b.event_type = p.tb AND ABS(a.i - b.i) <= 7),
+       |pre AS (
+       |  SELECT ta, tb, i, j, c,
+       |    SUM(c) OVER (PARTITION BY ta, tb, i ORDER BY j) AS p,
+       |    SUM(c) OVER (PARTITION BY ta, tb, i ORDER BY j) - c AS pp
+       |  FROM cost),
+       |dp AS (
+       |  SELECT ta, tb, 0 AS i, j, p AS d FROM pre WHERE i = 0
+       |  UNION ALL
+       |  SELECT t.ta, t.tb, t.i, t.j,
+       |    t.p + MIN(LEAST(
+       |      CASE WHEN r.j <= t.j AND r.j >= t.i - 7
+       |        THEN r.d - p1.pp END,
+       |      CASE WHEN r.j + 1 <= t.j AND r.j + 1 >= t.i - 7
+       |        THEN r.d - p2.pp END)) AS d
+       |  FROM dp r
+       |  JOIN pre t ON t.ta = r.ta AND t.tb = r.tb AND t.i = r.i + 1
+       |  LEFT JOIN pre p1 ON p1.ta = t.ta AND p1.tb = t.tb
+       |    AND p1.i = t.i AND p1.j = r.j
+       |  LEFT JOIN pre p2 ON p2.ta = t.ta AND p2.tb = t.tb
+       |    AND p2.i = t.i AND p2.j = r.j + 1
+       |  GROUP BY t.ta, t.tb, t.i, t.j, t.p
+       |  HAVING MIN(LEAST(
+       |      CASE WHEN r.j <= t.j AND r.j >= t.i - 7
+       |        THEN r.d - p1.pp END,
+       |      CASE WHEN r.j + 1 <= t.j AND r.j + 1 >= t.i - 7
+       |        THEN r.d - p2.pp END)) IS NOT NULL),
+       |nn AS (SELECT MAX(i) AS last FROM idx),
+       |lock AS (
+       |  SELECT p.ta, p.tb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS l1
+       |  FROM pairs p
+       |  JOIN idx a ON a.event_type = p.ta
+       |  JOIN idx b ON b.event_type = p.tb AND b.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT l.ta, l.tb, l.n_days,
+       |  CAST(d.d AS BIGINT) AS dtw, l.l1 AS l1_lockstep,
+       |  ROUND(CAST(d.d AS DOUBLE) / l.n_days, 2) AS dtw_per_day,
+       |  CASE WHEN l.l1 > 0 THEN
+       |    ROUND(1 - CAST(d.d AS DOUBLE) / l.l1, 6) END AS warp_gain
+       |FROM lock l
+       |JOIN dp d ON d.ta = l.ta AND d.tb = l.tb
+       |  AND d.i = (SELECT last FROM nn) AND d.j = (SELECT last FROM nn)
+       |ORDER BY l.ta, l.tb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -2645,7 +2754,7 @@ object Stats {
     "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _),
     "Q236" -> (q236 _), "Q239" -> (q239 _), "Q240" -> (q240 _),
     "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
-    "Q244" -> (q244 _))
+    "Q244" -> (q244 _), "Q245" -> (q245 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -2656,5 +2765,5 @@ object Stats {
     "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle,
     "Q236" -> q236Oracle, "Q239" -> q239Oracle, "Q240" -> q240Oracle,
     "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
-    "Q244" -> q244Oracle)
+    "Q244" -> q244Oracle, "Q245" -> q245Oracle)
 }

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
+    ext.injectFunction(GraftExtensions.dtwFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
@@ -52,6 +53,17 @@ object GraftExtensions {
   val jwFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_jaro_winkler"), jwInfo,
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
+
+  private val dtwInfo = new ExpressionInfo(
+    classOf[Dtw].getName, null, "graft_dtw",
+    "graft_dtw(a, b, w) - banded (Sakoe-Chiba |i-j| <= w) dynamic-time-" +
+      "warping distance of two bigint arrays; exact int64; -1 when empty " +
+      "or the band cannot connect the endpoints.",
+    "")
+
+  val dtwFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dtw"), dtwInfo,
+      (children: Seq[Expression]) => Dtw(children(0), children(1), children(2)))
 
   private def kmvBuilder(children: Seq[Expression]): Expression = {
     val k = children(1) match {
@@ -292,6 +304,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       children => JaroWinkler(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dtw",
+      children => Dtw(children(0), children(1), children(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

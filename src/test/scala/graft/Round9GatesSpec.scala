@@ -1529,6 +1529,59 @@ class Round9GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q245 banded DTW: native DP replays against a local full-matrix model") {
+    def ref(a: IndexedSeq[Long], b: IndexedSeq[Long], w: Int): Long = {
+      val (n, m) = (a.length, b.length)
+      if (n == 0 || m == 0 || math.abs(n - m) > w) return -1L
+      val inf = Long.MaxValue / 4
+      val d = Array.fill(n, m)(inf)
+      for (i <- 0 until n; j <- math.max(0, i - w) to math.min(m - 1, i + w)) {
+        val c = math.abs(a(i) - b(j))
+        val best =
+          if (i == 0 && j == 0) 0L
+          else Seq(
+            if (i > 0) d(i - 1)(j) else inf,
+            if (i > 0 && j > 0) d(i - 1)(j - 1) else inf,
+            if (j > 0) d(i)(j - 1) else inf).min
+        if (best < inf) d(i)(j) = best + c
+      }
+      if (d(n - 1)(m - 1) >= inf) -1L else d(n - 1)(m - 1)
+    }
+    // the expression itself, on randomized series + edge cases
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(40)
+      val a = IndexedSeq.fill(n)(rnd.nextInt(2000).toLong)
+      val b = IndexedSeq.fill(n)(rnd.nextInt(2000).toLong)
+      val w = rnd.nextInt(10)
+      assert(plans.Dtw.distance(a.toArray, b.toArray, w) == ref(a, b, w))
+      // w = 0 forces the diagonal: DTW degenerates to lockstep L1
+      assert(plans.Dtw.distance(a.toArray, b.toArray, 0) ==
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.sum)
+      // identical series warp for free
+      assert(plans.Dtw.distance(a.toArray, a.toArray, w) == 0L)
+    }
+    assert(plans.Dtw.distance(Array.empty[Long], Array(1L), 5) == -1L)
+    assert(plans.Dtw.distance(Array(1L, 2L, 3L), Array(1L), 1) == -1L,
+      "band narrower than the length gap cannot connect the endpoints")
+    // the gate: every pair replays, and warping never loses to lockstep
+    val grids = localGrid(Catalog(spark, dir)).view.mapValues(_.toVector).toMap
+    val out = operators.Stats.q245(spark, dir).collect()
+    val types = grids.keys.toSeq.sorted
+    assert(out.length == types.combinations(2).length)
+    for (r <- out) {
+      val (ta, tb) = (r.getAs[String]("ta"), r.getAs[String]("tb"))
+      val dtw = ref(grids(ta), grids(tb), 7)
+      val l1 = grids(ta).zip(grids(tb)).map { case (x, y) =>
+        math.abs(x - y) }.sum
+      assert(r.getAs[Long]("dtw") == dtw, s"$ta/$tb dtw")
+      assert(r.getAs[Long]("l1_lockstep") == l1)
+      assert(dtw <= l1, "the diagonal is always a valid banded path")
+      if (l1 > 0)
+        assert(r.getAs[Double]("warp_gain") == r6(1.0 - dtw.toDouble / l1))
+    }
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
