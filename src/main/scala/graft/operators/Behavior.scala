@@ -736,15 +736,174 @@ object Behavior {
       |GROUP BY 1
       |ORDER BY src NULLS FIRST""".stripMargin
 
+  /** Q247 — calibration audit + Murphy (1973) decomposition of a
+    * backtested median-split spend predictor: deciles of PRE-era
+    * revenue cents (NTILE over the (cents, user_id) total order —
+    * tie-free, engine-identical), each decile's forecast p̂_d = its
+    * share of users above the PRE-era median, scored against the
+    * POST-era outcome o = (post cents > post median) — fit on pre,
+    * score on post, the Q211/Q217 temporal-split discipline. The TOTAL
+    * row carries the Brier score and its exact Murphy decomposition
+    * BRIER = REL − RES + UNC (reliability = calibration error,
+    * resolution = decile separation, uncertainty = ō(1−ō)); the
+    * identity is algebraic for binned constant forecasts and the spec
+    * asserts it to 1e-9. On a memoryless corpus the read is exactly
+    * what a calibration audit exists to catch: a {0,1}-confident
+    * median-split heuristic against ≈½ outcomes → reliability ≈ ¼
+    * dominates the Brier score.
+    *
+    * Determinism: both medians are exact lower order statistics
+    * ((value, user_id) order), so every per-user flag and decile
+    * count/positive-sum is exact int64; p̂_d/ō_d are single divides;
+    * the three decomposition sums run over exactly 10 decile rows in
+    * one pinned shape each, rounded once. Users with no pre-era events
+    * are dropped by BOTH engines (no feature, nothing to score).
+    *
+    * Scale notes: the corpus collapses to one row per user (shuffle on
+    * user_id); the median and decile ranks are one sort each of that
+    * collapsed relation (at 10⁹ users: range partition + local rank,
+    * the standard ntile topology); everything after is 10 rows.
+    */
+  def q247(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .withColumn("cut", expr("dmin + (dmax - dmin + 1) div 2"))
+    val per = ev.crossJoin(broadcast(ext))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("cut"), 1L).otherwise(0L))
+        .as("pre_n"),
+        sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("y"))
+      .filter(col("pre_n") > 0L)
+    val wx = Window.orderBy(col("x"), col("user_id"))
+    val wy = Window.orderBy(col("y"), col("user_id"))
+    val wn = Window.partitionBy(lit(1))
+    val scored = per
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("mx", max(expr("CASE WHEN rx = (cnt + 1) div 2" +
+        " THEN x END")).over(wn))
+      .withColumn("my", max(expr("CASE WHEN ry = (cnt + 1) div 2" +
+        " THEN y END")).over(wn))
+      .withColumn("pre_hi", when(col("x") > col("mx"), 1L).otherwise(0L))
+      .withColumn("post_hi", when(col("y") > col("my"), 1L).otherwise(0L))
+      .withColumn("bucket", ntile(10).over(wx).cast("long"))
+    val dec = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre_hi")).as("a"),
+        sum(col("post_hi")).as("s"))
+      .withColumn("p_hat", expr("CAST(a AS DOUBLE) / n_users"))
+      .withColumn("o_bar", expr("CAST(s AS DOUBLE) / n_users"))
+    val tot = dec.groupBy()
+      .agg(sum(col("n_users")).as("n_users"),
+        sum(col("a")).cast("long").as("a"),
+        sum(col("s")).cast("long").as("s"),
+        sum(expr("n_users * p_hat * p_hat - 2 * p_hat * s + s"))
+          .as("brier_num"),
+        sum(expr("n_users * (p_hat - o_bar) * (p_hat - o_bar)"))
+          .as("rel_num"),
+        sum(expr("n_users * o_bar * o_bar")).as("so2"))
+      .withColumn("obar_g", expr("CAST(s AS DOUBLE) / n_users"))
+      .select(lit(null).cast("long").as("bucket"), col("n_users"),
+        expr("ROUND(CAST(a AS DOUBLE) / n_users, 6)").as("pre_rate"),
+        expr("ROUND(CAST(s AS DOUBLE) / n_users, 6)").as("post_rate"),
+        expr("ROUND(brier_num / n_users, 6)").as("brier"),
+        expr("ROUND(rel_num / n_users, 6)").as("reliability"),
+        expr("ROUND(so2 / n_users - obar_g * obar_g, 6)").as("resolution"),
+        expr("ROUND(obar_g * (1 - obar_g), 6)").as("uncertainty"))
+    val decOut = dec.select(col("bucket"), col("n_users"),
+      expr("ROUND(p_hat, 6)").as("pre_rate"),
+      expr("ROUND(o_bar, 6)").as("post_rate"),
+      lit(null).cast("double").as("brier"),
+      lit(null).cast("double").as("reliability"),
+      lit(null).cast("double").as("resolution"),
+      lit(null).cast("double").as("uncertainty"))
+    decOut.unionAll(tot).orderBy(asc_nulls_last("bucket"))
+  }
+
+  val q247Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |ext AS (
+      |  SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut FROM ev),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pre_n,
+      |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev GROUP BY 1),
+      |kept AS (SELECT * FROM per WHERE pre_n > 0),
+      |ranked AS (
+      |  SELECT *,
+      |    COUNT(*) OVER () AS cnt,
+      |    ROW_NUMBER() OVER (ORDER BY x, user_id) AS rx,
+      |    ROW_NUMBER() OVER (ORDER BY y, user_id) AS ry,
+      |    CAST(NTILE(10) OVER (ORDER BY x, user_id) AS BIGINT) AS bucket
+      |  FROM kept),
+      |meds AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN rx = (cnt + 1) // 2 THEN x END) OVER () AS mx,
+      |    MAX(CASE WHEN ry = (cnt + 1) // 2 THEN y END) OVER () AS my
+      |  FROM ranked),
+      |scored AS (
+      |  SELECT bucket,
+      |    CASE WHEN x > mx THEN 1 ELSE 0 END AS pre_hi,
+      |    CASE WHEN y > my THEN 1 ELSE 0 END AS post_hi
+      |  FROM meds),
+      |dec AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(pre_hi) AS BIGINT) AS a,
+      |    CAST(SUM(post_hi) AS BIGINT) AS s
+      |  FROM scored GROUP BY 1),
+      |d2 AS (
+      |  SELECT *, CAST(a AS DOUBLE) / n_users AS p_hat,
+      |    CAST(s AS DOUBLE) / n_users AS o_bar
+      |  FROM dec),
+      |tot AS (
+      |  SELECT CAST(SUM(n_users) AS BIGINT) AS n_users,
+      |    CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(s) AS BIGINT) AS s,
+      |    SUM(n_users * p_hat * p_hat - 2 * p_hat * s + s) AS brier_num,
+      |    SUM(n_users * (p_hat - o_bar) * (p_hat - o_bar)) AS rel_num,
+      |    SUM(n_users * o_bar * o_bar) AS so2
+      |  FROM d2),
+      |t2 AS (SELECT *, CAST(s AS DOUBLE) / n_users AS obar_g FROM tot)
+      |SELECT bucket, n_users,
+      |  ROUND(p_hat, 6) AS pre_rate, ROUND(o_bar, 6) AS post_rate,
+      |  CAST(NULL AS DOUBLE) AS brier, CAST(NULL AS DOUBLE) AS reliability,
+      |  CAST(NULL AS DOUBLE) AS resolution,
+      |  CAST(NULL AS DOUBLE) AS uncertainty
+      |FROM d2
+      |UNION ALL
+      |SELECT NULL, n_users,
+      |  ROUND(CAST(a AS DOUBLE) / n_users, 6),
+      |  ROUND(CAST(s AS DOUBLE) / n_users, 6),
+      |  ROUND(brier_num / n_users, 6),
+      |  ROUND(rel_num / n_users, 6),
+      |  ROUND(so2 / n_users - obar_g * obar_g, 6),
+      |  ROUND(obar_g * (1 - obar_g), 6)
+      |FROM t2
+      |ORDER BY bucket NULLS LAST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
-    "Q224" -> (q224 _))
+    "Q224" -> (q224 _), "Q247" -> (q247 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
-    "Q224" -> q224Oracle)
+    "Q224" -> q224Oracle, "Q247" -> q247Oracle)
 }

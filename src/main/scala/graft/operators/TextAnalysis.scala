@@ -1350,6 +1350,93 @@ object TextAnalysis {
       |FROM s
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q246 — "Fightin' Words" keyness per source (Monroe, Colaresi &
+    * Quinn 2008): which tokens DISTINGUISH each source from the rest of
+    * the corpus, scored by the informative-Dirichlet log-odds z. Raw
+    * frequency ratios over-reward rare tokens and PMI (Q142) ignores
+    * variance; the Monroe estimator shrinks both tails: with prior
+    * α_w = α₀·y_w/N (corpus-proportional, α₀ = 100), δ = ln[(y_sw+α_w)
+    * / (n_s+α₀−y_sw−α_w)] − ln[(y_rw+α_w) / (n_r+α₀−y_rw−α_w)] and
+    * z = δ/√(1/(y_sw+α_w) + 1/(y_rw+α_w)). Top 10 per source by z —
+    * the "what is this slice actually about" readout a mixture-
+    * composition decision (Q158's JS divergence says sources differ;
+    * this says WHERE).
+    *
+    * Determinism: y_sw/n_s/y_w/N are exact int64 from one (source,
+    * token) rollup; α_w and every log-odds term is a single
+    * textually-pinned float shape (Q206 ln-parity), z is rounded to 4
+    * BEFORE the per-source rank with token tie-break, so both engines
+    * cut identical top-10 sets.
+    *
+    * Scale notes: one corpus scan → map-side-combined (source, token)
+    * rollup; the global token margin joins back on token (vocab-bounded
+    * shuffle); ranking is (source)-partitioned over the source's own
+    * vocab. No driver state, no all-pairs anything.
+    */
+  def q246(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val st = c.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("ysw"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("ysw")).as("ns"))
+    val tokTot = st.groupBy(col("token")).agg(sum(col("ysw")).as("yw"))
+    val glob = srcTot.agg(sum(col("ns")).as("nn"))
+    val z = st.join(srcTot, Seq("source")).join(tokTot, Seq("token"))
+      .crossJoin(broadcast(glob))
+      .withColumn("aw", expr("CAST(100 * yw AS DOUBLE) / nn"))
+      .withColumn("yrw", col("yw") - col("ysw"))
+      .withColumn("nr", col("nn") - col("ns"))
+      .withColumn("delta",
+        expr("LN((ysw + aw) / (CAST(ns + 100 - ysw AS DOUBLE) - aw))" +
+          " - LN((yrw + aw) / (CAST(nr + 100 - yrw AS DOUBLE) - aw))"))
+      .withColumn("z",
+        expr("ROUND(delta / SQRT(CAST(1 AS DOUBLE) / (ysw + aw)" +
+          " + CAST(1 AS DOUBLE) / (yrw + aw)), 4)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("z"), asc("token"))
+    z.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10L)
+      .select(col("source"), col("rk"), col("token"), col("ysw"),
+        col("yw"), col("z"))
+      .orderBy(asc_nulls_first("source"), asc("rk"))
+  }
+
+  val q246Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS ysw
+      |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+      |src_tot AS (
+      |  SELECT source, CAST(SUM(ysw) AS BIGINT) AS ns FROM st GROUP BY 1),
+      |tok_tot AS (
+      |  SELECT token, CAST(SUM(ysw) AS BIGINT) AS yw FROM st GROUP BY 1),
+      |gtot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM src_tot),
+      |base AS (
+      |  SELECT s.source, s.token, s.ysw, t.yw,
+      |    CAST(100 * t.yw AS DOUBLE) / g.nn AS aw,
+      |    t.yw - s.ysw AS yrw, r.ns AS ns, g.nn - r.ns AS nr
+      |  FROM st s
+      |  JOIN src_tot r ON r.source = s.source
+      |  JOIN tok_tot t ON t.token = s.token
+      |  CROSS JOIN gtot g),
+      |z AS (
+      |  SELECT source, token, ysw, yw,
+      |    ROUND((LN((ysw + aw) / (CAST(ns + 100 - ysw AS DOUBLE) - aw))
+      |      - LN((yrw + aw) / (CAST(nr + 100 - yrw AS DOUBLE) - aw)))
+      |      / SQRT(CAST(1 AS DOUBLE) / (ysw + aw)
+      |        + CAST(1 AS DOUBLE) / (yrw + aw)), 4) AS z
+      |  FROM base),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY source ORDER BY z DESC, token) AS rk
+      |  FROM z)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, token, ysw, yw, z
+      |FROM rk WHERE rk <= 10
+      |ORDER BY source NULLS FIRST, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
@@ -1357,7 +1444,7 @@ object TextAnalysis {
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
     "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
     "Q195" -> (q195 _), "Q203" -> (q203 _), "Q206" -> (q206 _),
-    "Q235" -> (q235 _))
+    "Q235" -> (q235 _), "Q246" -> (q246 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1367,5 +1454,5 @@ object TextAnalysis {
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
     "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
     "Q195" -> q195Oracle, "Q203" -> q203Oracle, "Q206" -> q206Oracle,
-    "Q235" -> q235Oracle)
+    "Q235" -> q235Oracle, "Q246" -> q246Oracle)
 }

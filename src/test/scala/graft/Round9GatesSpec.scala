@@ -1582,6 +1582,70 @@ class Round9GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q246 Fightin' Words: log-odds z replays and the top-10 cut is the model's") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val st = docs.flatMap { case (s, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (s, tok))
+    }.groupBy(identity).map { case ((s, tok), xs) => (s, tok, xs.length.toLong) }
+    val ns = st.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val yw = st.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val nn = ns.values.sum
+    val out = TextAnalysis.q246(spark, dir).collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(out.keySet == ns.keySet)
+    for ((src, rows) <- out) {
+      assert(rows.length == math.min(10,
+        st.count(_._1 == src)), s"$src row count")
+      // replay the z for every emitted row and check the cut is the
+      // model's own top-10 (z desc, token asc, rounded BEFORE ranking)
+      val zAll = st.filter(_._1 == src).map { case (_, tok, ysw) =>
+        val aw = (100L * yw(tok)).toDouble / nn
+        val yrw = yw(tok) - ysw
+        val nr = nn - ns(src)
+        val delta =
+          math.log((ysw + aw) / ((ns(src) + 100 - ysw).toDouble - aw)) -
+            math.log((yrw + aw) / ((nr + 100 - yrw).toDouble - aw))
+        val z = r4(delta / math.sqrt(1.0 / (ysw + aw) + 1.0 / (yrw + aw)))
+        (tok, ysw, z)
+      }.toSeq
+      val expTop = zAll.sortBy { case (tok, _, z) => (-z, tok) }.take(10)
+      assert(rows.sortBy(_.getAs[Long]("rk")).map(r =>
+        (r.getAs[String]("token"), r.getAs[Long]("ysw"),
+          r.getAs[Double]("z"))).toSeq == expTop, s"$src top-10")
+    }
+  }
+
+  test("Q247 calibration: Murphy decomposition closes (BRIER = REL - RES + UNC)") {
+    val out = operators.Behavior.q247(spark, dir).collect()
+    val decs = out.filter(!_.isNullAt(0))
+    val tot = out.filter(_.isNullAt(0)).head
+    assert(decs.length == 10)
+    val n = decs.map(_.getAs[Long]("n_users")).sum
+    assert(tot.getAs[Long]("n_users") == n)
+    // the decomposition identity, on the engine's own rounded terms
+    val brier = tot.getAs[Double]("brier")
+    val rel = tot.getAs[Double]("reliability")
+    val res = tot.getAs[Double]("resolution")
+    val unc = tot.getAs[Double]("uncertainty")
+    assert(math.abs(brier - (rel - res + unc)) <= 3e-6,
+      s"murphy: $brier vs $rel - $res + $unc")
+    // p_hat is a {0,1} step in the median-split design: bottom deciles 0,
+    // top deciles 1, exactly one boundary decile may sit in between
+    val ph = decs.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("pre_rate"))
+    assert(ph.zip(ph.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "pre_rate must be monotone in the pre-cents decile")
+    decs.foreach { r =>
+      val o = r.getAs[Double]("post_rate")
+      assert(o >= 0.0 && o <= 1.0)
+      assert(r.isNullAt(r.fieldIndex("brier")))
+    }
+    // uncertainty is obar(1-obar) of the total row's own post_rate
+    val obar = tot.getAs[Double]("post_rate")
+    assert(math.abs(unc - obar * (1 - obar)) <= 2e-6)
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
