@@ -710,13 +710,170 @@ object VectorOps {
        |ORDER BY rank""".stripMargin
   }
 
+  /** md5-derived Rademacher sign for the Q248 JL projection, namespace
+    * 'jl:' so the 16 JL planes never collide with Q198's 24 SRP planes.
+    */
+  private[operators] def jlSign(k: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$k:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Q248 — Johnson–Lindenstrauss distance-preservation audit of a
+    * 64 → 16 Rademacher projection (Johnson & Lindenstrauss 1984;
+    * Achlioptas 2003 for the ±1 matrix): before routing ANN through a
+    * reduced space, MEASURE what the reduction does to pairwise
+    * distances. Vectors quantize to Q198's exact integer grid, project
+    * onto 16 md5-derived ±1 hyperplanes (exact int64), and an
+    * md5-sampled pair set compares ||Pa−Pb||²/(k·||a−b||²) — the JL
+    * ratio whose expectation is 1. Emits the ratio histogram
+    * (0.1-wide bins, ALL-INTEGER binning (10·p2) div (16·d2)) plus a
+    * TOTAL row with mean/min/max ratio and the share of pairs within
+    * ±25% distortion — decided by the EXACT integer fence
+    * 12·d2 ≤ p2 ≤ 20·d2, so the headline number cannot flip
+    * cross-engine.
+    *
+    * Determinism: grid coords, projections, p2, d2, bins, and the ±25%
+    * fence are all exact int64; the per-pair ratio is one divide of
+    * exact ints (identical doubles both engines → identical min/max);
+    * only the mean is a float sum over the sampled pairs (Q206
+    * round-once discipline). Identical-vector pairs (d2 = 0) drop in
+    * both engines.
+    *
+    * Scale notes: projections are ROW-LOCAL codegen'd folds as in
+    * Q198; the pair set is md5-sampled (% 37) BEFORE the vector join,
+    * so the audit is a tunable-rate sample join, never all-pairs; at
+    * 10⁹ vectors the rate drops and the histogram shape is the same
+    * statistic. Output rows = bins + 1.
+    */
+  def q248(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val xi = c.embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+      .as("xi"))
+    val projArr = (0 until 16).map { k =>
+      val signs = (0 until 64).map(d => jlSign(k, d)).mkString("array(", ", ", ")")
+      s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)"
+    }.mkString("array(", ", ", ")")
+    val v = xi.withColumn("p", expr(projArr)).localCheckpoint()
+    val a = v.select(col("vec_id").as("v1"), col("xi").as("x1"),
+      col("p").as("p1"))
+    val b = v.select(col("vec_id").as("v2"), col("xi").as("x2"),
+      col("p").as("p2v"))
+    val sampled = a.join(b, col("v1") < col("v2"))
+      .withColumn("h", md5(concat(lit("jl:p:"), col("v1").cast("string"),
+        lit(":"), col("v2").cast("string"))))
+      .filter(expr(graft.operators.NearDup.hexValueExpr("h")) % 37L === 0L)
+    val pairs = sampled
+      .withColumn("d2", expr("aggregate(zip_with(x1, x2," +
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+      .withColumn("p2", expr("aggregate(zip_with(p1, p2v," +
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+      .filter(col("d2") > 0L)
+      .withColumn("ratio", expr("CAST(p2 AS DOUBLE) / (16 * d2)"))
+      .withColumn("bin", expr("least(CAST(20 AS BIGINT), (10 * p2) div (16 * d2))"))
+      .withColumn("w25",
+        expr("CASE WHEN p2 >= 12 * d2 AND p2 <= 20 * d2 THEN 1 ELSE 0 END"))
+      .localCheckpoint()
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("w25")).cast("long").as("nw"),
+        sum(col("ratio")).as("sr"),
+        min(col("ratio")).as("mn"), max(col("ratio")).as("mx"))
+      .select(lit(null).cast("long").as("bin"), col("n_pairs"),
+        lit(null).cast("double").as("share"),
+        expr("ROUND(sr / n_pairs, 6)").as("mean_ratio"),
+        expr("ROUND(mn, 6)").as("min_ratio"),
+        expr("ROUND(mx, 6)").as("max_ratio"),
+        expr("ROUND(CAST(nw AS DOUBLE) / n_pairs, 6)").as("within_25pct"))
+    val nAll = pairs.agg(count(lit(1)).as("na"))
+    val bins = pairs.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(nAll))
+      .select(col("bin"), col("n_pairs"),
+        expr("ROUND(CAST(n_pairs AS DOUBLE) / na, 6)").as("share"),
+        lit(null).cast("double").as("mean_ratio"),
+        lit(null).cast("double").as("min_ratio"),
+        lit(null).cast("double").as("max_ratio"),
+        lit(null).cast("double").as("within_25pct"))
+    bins.unionAll(tot).orderBy(asc_nulls_last("bin"))
+  }
+
+  val q248Oracle: String = {
+    val hexPlane = NearDup.hexValueExpr(
+      "md5('jl:' || CAST(k.k AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
+    val hexPair = NearDup.hexValueExpr(
+      "md5('jl:p:' || CAST(a.vec_id AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR))")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+       |    AS xi
+       |  FROM embeddings),
+       |flat AS (
+       |  SELECT vec_id, generate_subscripts(xi, 1) - 1 AS d, UNNEST(xi) AS x
+       |  FROM v),
+       |planes AS (
+       |  SELECT k.k, d.d,
+       |    CASE WHEN ($hexPlane) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM range(16) k(k) CROSS JOIN range(64) d(d)),
+       |proj AS (
+       |  SELECT f.vec_id, p.k, CAST(SUM(f.x * p.s) AS BIGINT) AS pr
+       |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
+       |sampled AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE ($hexPair) % 37 = 0),
+       |dd AS (
+       |  SELECT s.v1, s.v2,
+       |    CAST(SUM((fa.x - fb.x) * (fa.x - fb.x)) AS BIGINT) AS d2
+       |  FROM sampled s
+       |  JOIN flat fa ON fa.vec_id = s.v1
+       |  JOIN flat fb ON fb.vec_id = s.v2 AND fb.d = fa.d
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT s.v1, s.v2,
+       |    CAST(SUM((pa.pr - pb.pr) * (pa.pr - pb.pr)) AS BIGINT) AS p2
+       |  FROM sampled s
+       |  JOIN proj pa ON pa.vec_id = s.v1
+       |  JOIN proj pb ON pb.vec_id = s.v2 AND pb.k = pa.k
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT dd.v1, dd.v2, dd.d2, pp.p2,
+       |    CAST(pp.p2 AS DOUBLE) / (16 * dd.d2) AS ratio,
+       |    LEAST(20, (10 * pp.p2) // (16 * dd.d2)) AS bin,
+       |    CASE WHEN pp.p2 >= 12 * dd.d2 AND pp.p2 <= 20 * dd.d2
+       |      THEN 1 ELSE 0 END AS w25
+       |  FROM dd JOIN pp ON pp.v1 = dd.v1 AND pp.v2 = dd.v2
+       |  WHERE dd.d2 > 0),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(w25) AS BIGINT) AS nw, SUM(ratio) AS sr,
+       |    MIN(ratio) AS mn, MAX(ratio) AS mx
+       |  FROM pairs)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_pairs FROM tot), 6)
+       |    AS share,
+       |  CAST(NULL AS DOUBLE) AS mean_ratio,
+       |  CAST(NULL AS DOUBLE) AS min_ratio,
+       |  CAST(NULL AS DOUBLE) AS max_ratio,
+       |  CAST(NULL AS DOUBLE) AS within_25pct
+       |FROM pairs GROUP BY bin
+       |UNION ALL
+       |SELECT NULL, n_pairs, CAST(NULL AS DOUBLE),
+       |  ROUND(sr / n_pairs, 6), ROUND(mn, 6), ROUND(mx, 6),
+       |  ROUND(CAST(nw AS DOUBLE) / n_pairs, 6)
+       |FROM tot
+       |ORDER BY bin NULLS LAST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
-    "Q200" -> (q200 _))
+    "Q200" -> (q200 _), "Q248" -> (q248 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
-    "Q198" -> q198Oracle, "Q200" -> q200Oracle)
+    "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle)
 }

@@ -1646,6 +1646,57 @@ class Round9GatesSpec extends SparkSpec {
     assert(math.abs(unc - obar * (1 - obar)) <= 2e-6)
   }
 
+  test("Q248 JL audit: exact-int projections, bins, and fences replay locally") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def grid(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
+    // independent replay of the plane seeds: md5('jl:k:d') parity
+    val signs = Array.tabulate(16, 64)((k, d) =>
+      if (md5hv(s"jl:$k:$d") % 2L == 0L) 1L else -1L)
+    def proj(xi: Array[Long]): Array[Long] =
+      Array.tabulate(16) { k =>
+        var acc = 0L
+        var d = 0
+        while (d < xi.length) { acc += xi(d) * signs(k)(d); d += 1 }
+        acc
+      }
+    val ids = vecs.keys.toSeq.sorted
+    val model = for {
+      i <- ids; j <- ids if i < j
+      if md5hv(s"jl:p:$i:$j") % 37L == 0L
+      xa = grid(vecs(i)); xb = grid(vecs(j))
+      d2 = xa.zip(xb).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2 > 0
+      pa = proj(xa); pb = proj(xb)
+      p2 = pa.zip(pb).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield (i, j, d2, p2)
+    assert(model.nonEmpty)
+    val out = operators.VectorOps.q248(spark, dir).collect()
+    val tot = out.filter(_.isNullAt(0)).head
+    assert(tot.getAs[Long]("n_pairs") == model.length.toLong)
+    val ratios = model.map { case (_, _, d2, p2) => p2.toDouble / (16L * d2) }
+    assert(math.abs(tot.getAs[Double]("mean_ratio") -
+      ratios.sum / ratios.length) <= 5e-6)
+    assert(tot.getAs[Double]("min_ratio") == r6(ratios.min))
+    assert(tot.getAs[Double]("max_ratio") == r6(ratios.max))
+    // the +-25% fence is the exact integer comparison, not a float one
+    val nw = model.count { case (_, _, d2, p2) =>
+      p2 >= 12L * d2 && p2 <= 20L * d2 }
+    assert(tot.getAs[Double]("within_25pct") ==
+      r6(nw.toDouble / model.length))
+    val bins = out.filter(!_.isNullAt(0))
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_pairs")).toMap
+    val expBins = model.groupBy { case (_, _, d2, p2) =>
+      math.min(20L, (10L * p2) / (16L * d2)) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(bins == expBins)
+    // JL sanity: the Rademacher projection is unbiased, the mean sits near 1
+    assert(tot.getAs[Double]("mean_ratio") > 0.8 &&
+      tot.getAs[Double]("mean_ratio") < 1.2)
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
