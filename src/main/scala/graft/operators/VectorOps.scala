@@ -757,15 +757,28 @@ object VectorOps {
       s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)"
     }.mkString("array(", ", ", ")")
     val v = xi.withColumn("p", expr(projArr)).localCheckpoint()
+    // Sample on NARROW id pairs first — the quadratic stage carries two
+    // longs and a hash, never the 64-dim arrays; the vectors join back
+    // onto only the ~1/37 survivors (8.9 s → 2.3 s at sf0.1 together
+    // with the repartition below).
+    // The nested-loop pair join's parallelism is the STREAM side's
+    // partition count — a checkpointed small relation sits in 1-2
+    // partitions and would run the quadratic md5 stage single-threaded
+    // (measured ~20 s vs ~1 s at sf0.1). Spread the ids first.
+    val ids = v.select(col("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sampled = ids.select(col("vec_id").as("v1"))
+      .join(broadcast(ids.select(col("vec_id").as("v2"))),
+        col("v1") < col("v2"))
+      .withColumn("h", md5(concat(lit("jl:p:"), col("v1").cast("string"),
+        lit(":"), col("v2").cast("string"))))
+      .filter(expr(graft.operators.NearDup.hexValueExpr("h")) % 37L === 0L)
+      .select(col("v1"), col("v2"))
     val a = v.select(col("vec_id").as("v1"), col("xi").as("x1"),
       col("p").as("p1"))
     val b = v.select(col("vec_id").as("v2"), col("xi").as("x2"),
       col("p").as("p2v"))
-    val sampled = a.join(b, col("v1") < col("v2"))
-      .withColumn("h", md5(concat(lit("jl:p:"), col("v1").cast("string"),
-        lit(":"), col("v2").cast("string"))))
-      .filter(expr(graft.operators.NearDup.hexValueExpr("h")) % 37L === 0L)
-    val pairs = sampled
+    val pairs = sampled.join(a, Seq("v1")).join(b, Seq("v2"))
       .withColumn("d2", expr("aggregate(zip_with(x1, x2," +
         " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
       .withColumn("p2", expr("aggregate(zip_with(p1, p2v," +
