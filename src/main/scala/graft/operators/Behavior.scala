@@ -895,15 +895,290 @@ object Behavior {
       |FROM t2
       |ORDER BY bucket NULLS LAST""".stripMargin
 
+  /** Q249 — discrimination readout (ROC AUC + KS) of the pre-era spend
+    * score against the post-era outcome: Q247 asks "are the forecasts
+    * CALIBRATED"; this asks the other half of forecast quality — do
+    * higher scores RANK positives above negatives at all (Hanley &
+    * McNeil 1982; the Mann–Whitney U identity makes AUC a pure rank
+    * statistic). Score = pre-era cents, outcome = post-era cents above
+    * the post median (Q247's exact framing, shared on purpose so the
+    * calibration and discrimination reads describe the SAME predictor).
+    * AUC = (ΣR⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) from DOUBLED int64 midranks
+    * (the Q161/Q163 discipline — no float enters until the final
+    * divide), Gini = 2·AUC − 1, and the KS separation statistic
+    * maximized as the EXACT integer |cum⁺·n⁻ − cum⁻·n⁺| over the
+    * score-sorted ECDF gap (threshold reported at the struct-max, ties
+    * to the highest score).
+    *
+    * Determinism: midranks, rank sums, cumulative counts, and the KS
+    * argmax are all exact int64 (KS numerator ≤ n⁺n⁻ ≪ 2⁶³); AUC, Gini
+    * and KS are one divide each, rounded once. n⁺ = 0 or n⁻ = 0
+    * degrades every statistic to NULL + 'degenerate'.
+    *
+    * Scale notes: one corpus scan collapses to per-user rows; the
+    * midranks and the ECDF are windows over the (score)-sorted
+    * collapsed relation (range partition + local rank at 10⁹ users);
+    * output is ONE row.
+    */
+  def q249(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ext = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .withColumn("cut", expr("dmin + (dmax - dmin + 1) div 2"))
+    val per = ev.crossJoin(broadcast(ext))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("day") < col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
+          .cast("long").as("y"))
+      .filter(col("pre_n") > 0L)
+    val wy = Window.orderBy(col("y"), col("user_id"))
+    val wn = Window.partitionBy(lit(1))
+    val lab = per
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("my", max(expr("CASE WHEN ry = (cnt + 1) div 2" +
+        " THEN y END")).over(wn))
+      .withColumn("pos", when(col("y") > col("my"), 1L).otherwise(0L))
+    // collapse to the distinct-score relation: everything below runs on
+    // |distinct pre-cents| rows, with exact int64 midranks and ECDFs
+    val byX = lab.groupBy(col("x"))
+      .agg(count(lit(1)).as("m"), sum(col("pos")).cast("long").as("p"))
+    val wxo = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byX
+      .withColumn("cp", sum(col("p")).over(wxo))
+      .withColumn("cm", sum(col("m")).over(wxo))
+      .withColumn("cn", col("cm") - col("cp"))
+      // doubled midrank of every row tied at this x: 2*(count below) + m + 1
+      .withColumn("dr", (col("cm") - col("m")) * 2L + col("m") + 1L)
+    val tot = cum.groupBy()
+      .agg(sum(col("m")).cast("long").as("n_users"),
+        sum(col("p")).cast("long").as("np"),
+        sum(col("p") * col("dr")).cast("long").as("drp"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("ksn",
+        abs(col("cp") * (col("n_users") - col("np")) -
+          col("cn") * col("np")))
+      .groupBy(col("n_users"), col("np"), col("drp"))
+      .agg(max(struct(col("ksn"), col("x"))).as("ksm"))
+      .withColumn("nn", col("n_users") - col("np"))
+      .withColumn("auc_raw",
+        expr("CASE WHEN np > 0 AND nn > 0 THEN" +
+          " (CAST(drp AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)" +
+          " / (CAST(np AS DOUBLE) * nn) END"))
+      .select(col("n_users"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        round(col("auc_raw"), 6).as("auc"),
+        expr("ROUND(2 * auc_raw - 1, 6)").as("gini"),
+        expr("CASE WHEN np > 0 AND nn > 0 THEN" +
+          " ROUND(CAST(ksm.ksn AS DOUBLE) / (CAST(np AS DOUBLE) * nn), 6)" +
+          " END").as("ks"),
+        expr("CASE WHEN np > 0 AND nn > 0 THEN ksm.x END").as("ks_at_cents"),
+        expr("CASE WHEN auc_raw IS NULL THEN 'degenerate'" +
+          " WHEN ROUND(auc_raw, 6) >= 0.7 THEN 'discriminates'" +
+          " WHEN ROUND(auc_raw, 6) <= 0.3 THEN 'inverted'" +
+          " ELSE 'weak' END").as("verdict"))
+  }
+
+  val q249Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |ext AS (
+      |  SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut FROM ev),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pre_n,
+      |    CAST(SUM(CASE WHEN day < (SELECT cut FROM ext) THEN cents
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day >= (SELECT cut FROM ext) THEN cents
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev GROUP BY 1),
+      |kept AS (SELECT * FROM per WHERE pre_n > 0),
+      |ranked AS (
+      |  SELECT *, COUNT(*) OVER () AS cnt,
+      |    ROW_NUMBER() OVER (ORDER BY y, user_id) AS ry
+      |  FROM kept),
+      |labd AS (
+      |  SELECT *,
+      |    CASE WHEN y > MAX(CASE WHEN ry = (cnt + 1) // 2 THEN y END)
+      |      OVER () THEN 1 ELSE 0 END AS pos
+      |  FROM ranked),
+      |by_x AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(pos) AS BIGINT) AS p
+      |  FROM labd GROUP BY 1),
+      |cum AS (
+      |  SELECT *,
+      |    SUM(p) OVER w AS cp, SUM(m) OVER w AS cm,
+      |    SUM(m) OVER w - SUM(p) OVER w AS cn,
+      |    (SUM(m) OVER w - m) * 2 + m + 1 AS dr
+      |  FROM by_x
+      |  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+      |tot AS (
+      |  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+      |    CAST(SUM(p) AS BIGINT) AS np,
+      |    CAST(SUM(p * dr) AS BIGINT) AS drp
+      |  FROM cum),
+      |ks AS (
+      |  SELECT t.n_users, t.np, t.drp,
+      |    MAX((ABS(c.cp * (t.n_users - t.np) - c.cn * t.np), c.x)) AS ksm
+      |  FROM cum c, tot t GROUP BY 1, 2, 3),
+      |f AS (
+      |  SELECT *, n_users - np AS nn,
+      |    CASE WHEN np > 0 AND n_users - np > 0 THEN
+      |      (CAST(drp AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+      |      / (CAST(np AS DOUBLE) * (n_users - np)) END AS auc_raw
+      |  FROM ks)
+      |SELECT n_users, np AS n_pos, nn AS n_neg,
+      |  ROUND(auc_raw, 6) AS auc,
+      |  ROUND(2 * auc_raw - 1, 6) AS gini,
+      |  CASE WHEN np > 0 AND nn > 0 THEN
+      |    ROUND(CAST(ksm[1] AS DOUBLE) / (CAST(np AS DOUBLE) * nn), 6)
+      |    END AS ks,
+      |  CASE WHEN np > 0 AND nn > 0 THEN ksm[2] END AS ks_at_cents,
+      |  CASE WHEN auc_raw IS NULL THEN 'degenerate'
+      |    WHEN ROUND(auc_raw, 6) >= 0.7 THEN 'discriminates'
+      |    WHEN ROUND(auc_raw, 6) <= 0.3 THEN 'inverted'
+      |    ELSE 'weak' END AS verdict
+      |FROM f""".stripMargin
+
+  /** Q250 — Markov absorption probabilities of the purchase state
+    * (Kemeny & Snell 1960's absorbing-chain read of Q209's transition
+    * matrix): starting from each event type, what is the probability
+    * the journey REACHES 'purchase' within 12 steps? The one number
+    * that turns Q209's local transition table into a global journey
+    * prognosis — and the gap between p_absorb12 and the one-step
+    * P(s → purchase) is exactly the multi-hop value the chain model
+    * adds. 'purchase' is made absorbing; the horizon-12 value iteration
+    * a_{k+1}(s) = Σ_t P(s,t)·a_k(t) runs in PURE INTEGER fixed-point:
+    * a is scaled by 10⁹ and each step is (Σ_t c(s,t)·A_k(t)) div n(s)
+    * — exact int64 sums and one floor per state per step, so both
+    * engines iterate IDENTICAL integers and the hash gate proves the
+    * whole 12-round value iteration (the Q122/Q124 unrolled-iteration
+    * discipline; the oracle replays it as a recursive CTE). Floor
+    * error is ≤ 12·10⁻⁹ — invisible at the 6-decimal output round.
+    *
+    * Determinism: transition counts and row totals are exact int64
+    * over the (ts, event_id) journey order; every iterate is exact
+    * int64 by construction; the two emitted probabilities are single
+    * divides rounded once. Dead-end states (padded zero self-loops
+    * keep them in the state set) stay at exactly 0.
+    *
+    * Scale notes: one shuffle on user_id for the LAG, then the entire
+    * iteration runs on the |types|² matrix — 12 joins over ≤ k² rows
+    * regardless of corpus size (checkpointed every 4 rounds to bound
+    * lineage). c·A products hold to int64 through ~10⁹-step corpora;
+    * beyond that the accumulator widens to DECIMAL(38,0) (Q128
+    * convention).
+    */
+  def q250(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val G = 1000000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val raw = c.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("cnum"))
+    val types = c.events.select(col("event_type")).distinct()
+    // padded zero self-loops keep dead-end states in every iteration
+    val steps2 = raw.unionByName(types
+        .select(col("event_type").as("src"), col("event_type").as("dst"),
+          lit(0L).as("cnum")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("cnum")).as("cnum"))
+      .localCheckpoint()
+    val rowTot = steps2.groupBy(col("src"))
+      .agg(sum(col("cnum")).cast("long").as("n")).localCheckpoint()
+    var a = types.select(col("event_type").as("s"),
+      when(col("event_type") === "purchase", lit(G)).otherwise(lit(0L))
+        .as("a"))
+    for (i <- 1 to 12) {
+      a = steps2.join(a, steps2("dst") === a("s"))
+        .join(rowTot, Seq("src"))
+        .groupBy(col("src"), col("n"))
+        .agg(sum(col("cnum") * col("a")).cast("long").as("sa"),
+          sum(col("cnum")).cast("long").as("sc"))
+        .select(col("src").as("s"),
+          when(col("src") === "purchase", lit(G))
+            .when(col("sc") === 0L, lit(0L))
+            .otherwise(expr("sa div n")).as("a"))
+      if (i % 4 == 0) a = a.localCheckpoint()
+    }
+    val p1 = raw.filter(col("dst") === "purchase")
+      .join(rowTot, Seq("src"))
+      .select(col("src").as("s"),
+        expr("ROUND(CAST(cnum AS DOUBLE) / n, 6)").as("p_one_step"))
+    a.join(p1, Seq("s"), "left")
+      .select(col("s").as("event_type"),
+        expr("ROUND(CAST(a AS DOUBLE) / 1000000000, 6)").as("p_absorb12"),
+        coalesce(col("p_one_step"), lit(0.0)).as("p_one_step"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q250Oracle: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT event_type AS src, nxt AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS cnum
+      |  FROM (
+      |    SELECT event_type,
+      |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS nxt
+      |    FROM events)
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |steps2 AS (
+      |  SELECT src, dst, CAST(SUM(cnum) AS BIGINT) AS cnum FROM (
+      |    SELECT src, dst, cnum FROM raw
+      |    UNION ALL
+      |    SELECT event_type, event_type, 0 FROM types)
+      |  GROUP BY 1, 2),
+      |row_tot AS (
+      |  SELECT src, CAST(SUM(cnum) AS BIGINT) AS n FROM steps2 GROUP BY 1),
+      |dp AS (
+      |  SELECT 0 AS k, event_type AS s,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(1000000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS a
+      |  FROM types
+      |  UNION ALL
+      |  SELECT d.k + 1, st.src,
+      |    CASE WHEN st.src = 'purchase' THEN CAST(1000000000 AS BIGINT)
+      |      WHEN SUM(st.cnum) = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(SUM(st.cnum * d.a) // rt.n AS BIGINT) END
+      |  FROM dp d
+      |  JOIN steps2 st ON st.dst = d.s
+      |  JOIN row_tot rt ON rt.src = st.src
+      |  WHERE d.k < 12
+      |  GROUP BY d.k, st.src, rt.n),
+      |p1 AS (
+      |  SELECT r.src AS s, ROUND(CAST(r.cnum AS DOUBLE) / t.n, 6) AS p1
+      |  FROM raw r JOIN row_tot t ON t.src = r.src
+      |  WHERE r.dst = 'purchase')
+      |SELECT d.s AS event_type,
+      |  ROUND(CAST(d.a AS DOUBLE) / 1000000000, 6) AS p_absorb12,
+      |  COALESCE(p1.p1, 0.0) AS p_one_step
+      |FROM dp d LEFT JOIN p1 ON p1.s = d.s
+      |WHERE d.k = 12
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
-    "Q224" -> (q224 _), "Q247" -> (q247 _))
+    "Q224" -> (q224 _), "Q247" -> (q247 _),
+    "Q249" -> (q249 _), "Q250" -> (q250 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
-    "Q224" -> q224Oracle, "Q247" -> q247Oracle)
+    "Q224" -> q224Oracle, "Q247" -> q247Oracle,
+    "Q249" -> q249Oracle, "Q250" -> q250Oracle)
 }

@@ -1697,6 +1697,90 @@ class Round9GatesSpec extends SparkSpec {
       tot.getAs[Double]("mean_ratio") < 1.2)
   }
 
+  test("Q249 AUC/KS: exact rank statistics replay from a local per-user model") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = ev.map(_._2)
+    val cut = days.min + (days.max - days.min + 1) / 2
+    val per = ev.groupBy(_._1).map { case (uid, xs) =>
+      (uid, xs.count(_._2 < cut).toLong,
+        xs.filter(_._2 < cut).map(_._3).sum,
+        xs.filter(_._2 >= cut).map(_._3).sum)
+    }.filter(_._2 > 0L).toSeq
+    val my = per.map(u => (u._4, u._1)).sorted.apply((per.length + 1) / 2 - 1)._1
+    val scored = per.map(u => (u._3, if (u._4 > my) 1L else 0L))
+    val np = scored.map(_._2).sum
+    val nn = scored.length - np
+    // doubled midranks on the distinct-score relation
+    val byX = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (x, xs) =>
+      (x, xs.length.toLong, xs.map(_._2).sum)
+    }
+    var (cm, cp, drp) = (0L, 0L, 0L)
+    var ksBest = (-1L, Long.MinValue)
+    for ((x, m, p) <- byX) {
+      val dr = cm * 2L + m + 1L
+      cm += m; cp += p
+      drp += p * dr
+      val ksn = math.abs(cp * nn - (cm - cp) * np)
+      if (ksn > ksBest._1 || (ksn == ksBest._1 && x > ksBest._2))
+        ksBest = (ksn, x)
+    }
+    val r = operators.Behavior.q249(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == scored.length.toLong)
+    assert(r.getAs[Long]("n_pos") == np && r.getAs[Long]("n_neg") == nn)
+    if (np > 0 && nn > 0) {
+      val auc = (drp.toDouble / 2 - np.toDouble * (np + 1) / 2) /
+        (np.toDouble * nn)
+      assert(r.getAs[Double]("auc") == r6(auc))
+      assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) <= 2e-6)
+      assert(r.getAs[Double]("ks") ==
+        r6(ksBest._1.toDouble / (np.toDouble * nn)))
+      assert(r.getAs[Long]("ks_at_cents") == ksBest._2)
+      // AUC is a probability; KS ≥ |Gini| holds for any ROC curve
+      assert(auc >= 0 && auc <= 1)
+      assert(r.getAs[Double]("ks") >= math.abs(2 * auc - 1) - 2e-6)
+    } else assert(r.getAs[String]("verdict") == "degenerate")
+  }
+
+  test("Q250 absorption: the 12-round integer value iteration replays exactly") {
+    val c = Catalog(spark, dir)
+    val G = 1000000000L
+    val ev = c.events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ord = xs.sortBy(t => (t._2, t._3)).map(_._4)
+      ord.zip(ord.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val types = ev.map(_._4).distinct.sorted
+    val n = types.map(s => s -> (trans.filter(_._1._1 == s).values.sum)).toMap
+    var a = types.map(s => s -> (if (s == "purchase") G else 0L)).toMap
+    for (_ <- 1 to 12) {
+      a = types.map { s =>
+        s -> (if (s == "purchase") G
+        else if (n(s) == 0L) 0L
+        else types.map(t => trans.getOrElse((s, t), 0L) * a(t)).sum / n(s))
+      }.toMap
+    }
+    val out = operators.Behavior.q250(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == types.toSet)
+    for (s <- types) {
+      val r = out(s)
+      assert(r.getAs[Double]("p_absorb12") == r6(a(s).toDouble / G), s)
+      val p1 = if (n(s) > 0)
+        r6(trans.getOrElse((s, "purchase"), 0L).toDouble / n(s)) else 0.0
+      assert(r.getAs[Double]("p_one_step") == p1, s"$s p1")
+      // more steps can only help: horizon-12 dominates one step
+      assert(r.getAs[Double]("p_absorb12") >=
+        r.getAs[Double]("p_one_step") - 1e-6)
+    }
+    assert(out("purchase").getAs[Double]("p_absorb12") == 1.0)
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
