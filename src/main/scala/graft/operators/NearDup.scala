@@ -1406,8 +1406,106 @@ object NearDup {
        |    ELSE 'near_perfect' END AS agreement
        |FROM f""".stripMargin
 
+  /** Q251 — near-dup cluster edge-density audit (the transitive-
+    * chaining pathology detector): Q187 reports cluster SIZES; this
+    * reports whether each cluster is a clique (every member directly
+    * ≥ 0.6-similar to every other) or a CHAIN (members glued only
+    * through intermediaries — the classic single-link failure mode
+    * where A~B~C merges A and C that share almost nothing; Jardine &
+    * Sibson 1971's chaining critique of single-linkage). Per size
+    * bucket over the CC clusters: verified pairs e vs possible pairs
+    * k(k−1)/2, pooled density Σe/ΣC(k,2), the WORST cluster's density,
+    * and the clique share (e = C(k,2) exactly). The dedup-quality read
+    * a 100 TB collapse decision needs: low min-density at large sizes
+    * means the canonical-selection gates (Q68/Q196) are merging
+    * documents that never matched each other.
+    *
+    * Determinism: e, k, C(k,2) and the clique test are exact int64
+    * (every verified pair lies inside exactly one CC cluster by
+    * construction); pooled density is one divide; min density takes
+    * the MIN of identical per-cluster divides rounded at 6.
+    *
+    * Scale notes: pure consumer of the bucketed artifacts
+    * ([[graft.operators.Derived.nearDupPairs]] joined to
+    * [[graft.operators.Derived.nearDupClusters]] on the bucketed key —
+    * co-partitioned, no wide shuffle); output rows = distinct cluster
+    * sizes.
+    */
+  def q251(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Derived.nearDupPairs(spark, dir)
+      .select(col("doc_lo"), col("doc_hi"))
+    val cc = Derived.nearDupClusters(spark, dir)
+    val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("k"))
+    val edges = pairs
+      .join(cc.select(col("member").as("doc_lo"), col("rep")), Seq("doc_lo"))
+      .groupBy(col("rep")).agg(count(lit(1)).as("e"))
+    sizes.join(edges, Seq("rep"))
+      .withColumn("poss", expr("k * (k - 1) div 2"))
+      .withColumn("dens", expr("ROUND(CAST(e AS DOUBLE) / poss, 6)"))
+      .groupBy(col("k").as("cl_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("poss")).cast("long").as("possible_pairs"),
+        sum(col("e")).cast("long").as("verified_pairs"),
+        min(col("dens")).as("min_density"),
+        sum(when(col("e") === col("poss"), 1L).otherwise(0L)).cast("long")
+          .as("n_cliques"))
+      .select(col("cl_size"), col("n_clusters"), col("possible_pairs"),
+        col("verified_pairs"),
+        expr("ROUND(CAST(verified_pairs AS DOUBLE) / possible_pairs, 6)")
+          .as("pooled_density"),
+        col("min_density"),
+        expr("ROUND(CAST(n_cliques AS DOUBLE) / n_clusters, 6)")
+          .as("clique_share"))
+      .orderBy(asc("cl_size"))
+  }
+
+  val q251Oracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, sh AS token FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |           string_split(text, ' ')[i + 2] || ' ' ||
+      |           string_split(text, ' ')[i + 3])) AS sh
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+      |comp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+      |ksz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS k FROM comp GROUP BY 1),
+      |ec AS (
+      |  SELECT c.rep, CAST(COUNT(*) AS BIGINT) AS e
+      |  FROM pairs p JOIN comp c ON c.node = p.d1 GROUP BY 1),
+      |per AS (
+      |  SELECT ksz.k, ec.e, ksz.k * (ksz.k - 1) // 2 AS poss,
+      |    ROUND(CAST(ec.e AS DOUBLE) / (ksz.k * (ksz.k - 1) // 2), 6) AS dens
+      |  FROM ksz JOIN ec ON ec.rep = ksz.rep)
+      |SELECT k AS cl_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(poss) AS BIGINT) AS possible_pairs,
+      |  CAST(SUM(e) AS BIGINT) AS verified_pairs,
+      |  ROUND(CAST(SUM(e) AS DOUBLE) / SUM(poss), 6) AS pooled_density,
+      |  MIN(dens) AS min_density,
+      |  ROUND(CAST(SUM(CASE WHEN e = poss THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS clique_share
+      |FROM per GROUP BY 1
+      |ORDER BY cl_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q233" -> (q233 _),
+    "Q233" -> (q233 _), "Q251" -> (q251 _),
     "Q218" -> (q218 _),
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
@@ -1421,5 +1519,6 @@ object NearDup {
     "Q84" -> q84Oracle, "Q85" -> q85Oracle, "Q94" -> q94Oracle,
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
     "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle,
-    "Q196" -> q196Oracle, "Q218" -> q218Oracle, "Q233" -> q233Oracle)
+    "Q196" -> q196Oracle, "Q218" -> q218Oracle, "Q233" -> q233Oracle,
+    "Q251" -> q251Oracle)
 }

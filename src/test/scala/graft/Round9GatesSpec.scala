@@ -1781,6 +1781,43 @@ class Round9GatesSpec extends SparkSpec {
     assert(out("purchase").getAs[Double]("p_absorb12") == 1.0)
   }
 
+  test("Q251 cluster density: e/k replay from the artifacts; clique accounting closes") {
+    val pairs = operators.Derived.nearDupPairs(spark, dir)
+      .select(col("doc_lo"), col("doc_hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cc = operators.Derived.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rep"), r.getAs[Long]("member")))
+    val repOf = cc.map { case (rep, m) => m -> rep }.toMap
+    val k = cc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val e = pairs.groupBy(p => repOf(p._1)).view.mapValues(_.length.toLong)
+      .toMap
+    // every verified pair lies inside one cluster: both endpoints agree
+    pairs.foreach { case (lo, hi) => assert(repOf(lo) == repOf(hi)) }
+    val out = operators.NearDup.q251(spark, dir).collect()
+    val bySize = k.toSeq.map { case (rep, kk) => (kk, e.getOrElse(rep, 0L)) }
+      .groupBy(_._1)
+    assert(out.map(_.getAs[Long]("cl_size")).toSet == bySize.keySet)
+    for (r <- out) {
+      val kk = r.getAs[Long]("cl_size")
+      val xs = bySize(kk)
+      val poss = kk * (kk - 1) / 2
+      assert(r.getAs[Long]("n_clusters") == xs.length.toLong)
+      assert(r.getAs[Long]("possible_pairs") == poss * xs.length)
+      assert(r.getAs[Long]("verified_pairs") == xs.map(_._2).sum)
+      assert(r.getAs[Double]("pooled_density") ==
+        r6(xs.map(_._2).sum.toDouble / (poss * xs.length)))
+      assert(r.getAs[Double]("min_density") ==
+        xs.map(x => r6(x._2.toDouble / poss)).min)
+      assert(r.getAs[Double]("clique_share") ==
+        r6(xs.count(_._2 == poss).toDouble / xs.length))
+      // density is a (0, 1] share: at least the k-1 spanning edges exist
+      assert(r.getAs[Double]("min_density") > 0.0 &&
+        r.getAs[Double]("min_density") <= 1.0)
+      assert(xs.forall { case (kk2, ee) => ee >= kk2 - 1 },
+        "a connected component of size k has at least k-1 verified pairs")
+    }
+  }
+
   test("Q237 retrieval eval: nDCG@10 and MRR@10 replay from a local BM25 ranker") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
