@@ -2745,6 +2745,561 @@ object Stats {
        |  AND d.i = (SELECT last FROM nn) AND d.j = (SELECT last FROM nn)
        |ORDER BY l.ta, l.tb""".stripMargin
 
+  /** Q252 — Pettitt change-point test per event type on the zero-filled
+    * daily revenue series (Pettitt 1979): the DISTRIBUTION-FREE sibling
+    * of Q124's CUSUM — no reference mean μ or slack κ to pick. The
+    * statistic is U_t = Σ_{i≤t} Σ_{j>t} sign(v_j − v_i); the change
+    * point is t* = argmax|U_t| over 1..n−1 with
+    * K = max|U_t| and the classical tail bound
+    * p ≈ 2·exp(−6K²/(n³+n²)). The O(n²) double sum never materializes
+    * per t: each ordered day pair (i<j, s = sign) contributes s once to
+    * a suffix margin C_i = Σ_{j>i} s and once to a prefix margin
+    * D_j = Σ_{i<j} s, and the telescoping identity
+    * U_t = U_{t−1} + C_t − D_t recovers every U_t with one running-sum
+    * window — two groupBys and a window over the pair relation.
+    *
+    * Determinism: signs, margins, U_t, and K are exact int64 (|U| ≤
+    * n²/2 — microscopic); the argmax tie-breaks on min day; p is one
+    * exp over identical doubles, rounded 6; means on either side of t*
+    * are exact-cent sums divided once, rounded 2. A single-day spine
+    * has no interior split point — the type degrades to NULL stats and
+    * an 'insufficient' verdict, never NaN (the Q243 guard discipline).
+    *
+    * Scale notes: pairs live on the bounded per-type spine (days²/2
+    * rows per type after the one corpus-scan daily aggregate), the
+    * margins collapse them right back to spine size, and the window
+    * partitions per type — the corpus is never self-joined at event
+    * granularity. At 10³ days this is ~5·10⁵ pair rows per type, flat
+    * in corpus size.
+    */
+  def q252(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val a = grid.select(col("event_type"), col("day").as("di"),
+      col("v").as("vi"))
+    val b = grid.select(col("event_type").as("tb"), col("day").as("dj"),
+      col("v").as("vj"))
+    val pr = a.join(b, col("event_type") === col("tb") && col("dj") > col("di"))
+      .select(col("event_type"), col("di"), col("dj"),
+        signum(col("vj") - col("vi")).cast("long").as("s"))
+    val cSuf = pr.groupBy(col("event_type"), col("di").as("day"))
+      .agg(sum(col("s")).cast("long").as("cs"))
+    val dPre = pr.groupBy(col("event_type"), col("dj").as("day"))
+      .agg(sum(col("s")).cast("long").as("ds"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val u = grid
+      .join(cSuf, Seq("event_type", "day"), "left")
+      .join(dPre, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("cs"), lit(0L)) - coalesce(col("ds"), lit(0L))).as("delta"))
+      .withColumn("u", sum(col("delta")).over(w).cast("long"))
+    val nd = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("day")).cast("long").as("dmax"))
+    val best = u.join(nd, Seq("event_type"))
+      .filter(col("day") < col("dmax"))
+      .withColumn("absu", abs(col("u")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(desc("absu"), asc("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("absu").as("k_stat"),
+        col("day").as("t_star"))
+    val split = grid.join(best, Seq("event_type"))
+      .groupBy(col("event_type"), col("k_stat"), col("t_star"))
+      .agg(
+        round(sum(when(col("day") <= col("t_star"), col("v")).otherwise(0L))
+          .cast("double") /
+          sum(when(col("day") <= col("t_star"), 1L).otherwise(0L)), 2)
+          .as("mean_before_cents"),
+        round(sum(when(col("day") > col("t_star"), col("v")).otherwise(0L))
+          .cast("double") /
+          sum(when(col("day") > col("t_star"), 1L).otherwise(0L)), 2)
+          .as("mean_after_cents"))
+    nd.join(split, Seq("event_type"), "left")
+      .withColumn("p_approx",
+        when(col("k_stat").isNotNull && col("n_days") > 1,
+          round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+            col("k_stat") * col("k_stat") /
+            (col("n_days") * col("n_days") * col("n_days") +
+              col("n_days") * col("n_days")))), 6)))
+      .withColumn("verdict",
+        when(col("k_stat").isNull, "insufficient")
+          .when(col("p_approx") < 0.05, "change_point")
+          .otherwise("stable"))
+      .select(col("event_type"), col("n_days"), col("k_stat"),
+        col("t_star"), col("mean_before_cents"), col("mean_after_cents"),
+        col("p_approx"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q252Oracle: String =
+    s"""WITH $gridSql,
+       |pr AS (
+       |  SELECT a.event_type, a.day AS di, b.day AS dj,
+       |    CAST(SIGN(b.v - a.v) AS BIGINT) AS s
+       |  FROM grid a JOIN grid b
+       |    ON b.event_type = a.event_type AND b.day > a.day),
+       |csuf AS (
+       |  SELECT event_type, di AS day, CAST(SUM(s) AS BIGINT) AS cs
+       |  FROM pr GROUP BY 1, 2),
+       |dpre AS (
+       |  SELECT event_type, dj AS day, CAST(SUM(s) AS BIGINT) AS ds
+       |  FROM pr GROUP BY 1, 2),
+       |u AS (
+       |  SELECT g.event_type, g.day,
+       |    CAST(SUM(COALESCE(c.cs, 0) - COALESCE(d.ds, 0)) OVER (
+       |      PARTITION BY g.event_type ORDER BY g.day) AS BIGINT) AS u
+       |  FROM grid g
+       |  LEFT JOIN csuf c ON c.event_type = g.event_type AND c.day = g.day
+       |  LEFT JOIN dpre d ON d.event_type = g.event_type AND d.day = g.day),
+       |nd AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(MAX(day) AS BIGINT) AS dmax
+       |  FROM grid GROUP BY 1),
+       |best AS (
+       |  SELECT event_type, k_stat, t_star FROM (
+       |    SELECT u.event_type, ABS(u.u) AS k_stat, u.day AS t_star,
+       |      ROW_NUMBER() OVER (PARTITION BY u.event_type
+       |        ORDER BY ABS(u.u) DESC, u.day) AS rk
+       |    FROM u JOIN nd ON nd.event_type = u.event_type
+       |    WHERE u.day < nd.dmax) r
+       |  WHERE rk = 1),
+       |split AS (
+       |  SELECT g.event_type, b.k_stat, b.t_star,
+       |    ROUND(CAST(SUM(CASE WHEN g.day <= b.t_star THEN g.v ELSE 0 END)
+       |        AS DOUBLE)
+       |      / SUM(CASE WHEN g.day <= b.t_star THEN 1 ELSE 0 END), 2)
+       |      AS mean_before_cents,
+       |    ROUND(CAST(SUM(CASE WHEN g.day > b.t_star THEN g.v ELSE 0 END)
+       |        AS DOUBLE)
+       |      / SUM(CASE WHEN g.day > b.t_star THEN 1 ELSE 0 END), 2)
+       |      AS mean_after_cents
+       |  FROM grid g JOIN best b ON b.event_type = g.event_type
+       |  GROUP BY 1, 2, 3)
+       |SELECT nd.event_type, nd.n_days, s.k_stat, s.t_star,
+       |  s.mean_before_cents, s.mean_after_cents,
+       |  CASE WHEN s.k_stat IS NOT NULL AND nd.n_days > 1 THEN
+       |    ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * s.k_stat * s.k_stat
+       |      / (CAST(nd.n_days AS DOUBLE) * nd.n_days * nd.n_days
+       |         + CAST(nd.n_days AS DOUBLE) * nd.n_days))), 6)
+       |  END AS p_approx,
+       |  CASE WHEN s.k_stat IS NULL THEN 'insufficient'
+       |    WHEN ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * s.k_stat * s.k_stat
+       |      / (CAST(nd.n_days AS DOUBLE) * nd.n_days * nd.n_days
+       |         + CAST(nd.n_days AS DOUBLE) * nd.n_days))), 6) < 0.05
+       |    THEN 'change_point' ELSE 'stable' END AS verdict
+       |FROM nd LEFT JOIN split s ON s.event_type = nd.event_type
+       |ORDER BY nd.event_type NULLS FIRST""".stripMargin
+
+  /** Q253 — Hurst exponent by rescaled-range (R/S) analysis per event
+    * type on the zero-filled daily revenue series (Hurst 1951; the
+    * Mandelbrot–Wallis form): long-memory detection the lag-window
+    * family (Q128's ACF) reads only locally. The spine splits into
+    * full blocks of n ∈ {4, 8, 16} days; per block the range of the
+    * mean-centered cumulative sum R = max_t Y_t − min_t Y_t over the
+    * population σ gives R/S, averaged per size, and the OLS slope of
+    * ln(mean R/S) on ln(n) is the Hurst estimate (H ≈ 0.5 random walk,
+    * > 0.5 persistent, < 0.5 mean-reverting).
+    *
+    * Determinism: deviations never materialize as floats — the block
+    * identity Y_t·n = n·Σ_{i≤t}v_i − t·S1 keeps the cumulative range
+    * R·n = max−min exact int64, and n²σ² = n·S2 − S1² is exact int64,
+    * so R/S = (R·n)/√(n·S2 − S1²) is ONE divide of exact integers per
+    * block. Zero-variance blocks are skipped (flat series degrade to
+    * NULL hurst + 'degenerate', never NaN); per-size means and the
+    * 3-point ln–ln OLS are double arithmetic rounded 4 (the Q137
+    * sum-order tolerance, orders of magnitude inside the rounding).
+    *
+    * Scale notes: everything after the one corpus-scan daily aggregate
+    * lives on the 3× replicated per-type spine (≤ 3·days rows per
+    * type); block windows partition by (type, size, block). Cents are
+    * int64 through n·S2 — at 10¹¹-cent daily revenues switch S2 to
+    * double before the product (documented, not needed at any test sf).
+    */
+  def q253(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val idx = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("i"), col("v"))
+    val sized = idx
+      .withColumn("bn", explode(array(lit(4L), lit(8L), lit(16L))))
+      .withColumn("blk", expr("i DIV bn"))
+    val wAll = Window.partitionBy(col("event_type"), col("bn"), col("blk"))
+    val wOrd = wAll.orderBy(col("i"))
+    val perBlock = sized
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("cnt") === col("bn"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("v")).over(wOrd).cast("long"))
+      .withColumn("s1", sum(col("v")).over(wAll).cast("long"))
+      .withColumn("s2", sum(col("v") * col("v")).over(wAll).cast("long"))
+      .withColumn("y", col("bn") * col("cum") - col("rn") * col("s1"))
+      .groupBy(col("event_type"), col("bn"), col("blk"), col("s1"), col("s2"))
+      .agg((max(col("y")) - min(col("y"))).cast("long").as("r2"))
+      .withColumn("vs", col("bn") * col("s2") - col("s1") * col("s1"))
+      .withColumn("rs", when(col("vs") > 0,
+        col("r2").cast("double") / sqrt(col("vs"))))
+    val perSize = perBlock.groupBy(col("event_type"), col("bn"))
+      .agg(count(col("rs")).cast("long").as("nb"), avg(col("rs")).as("mrs"))
+    val fit = perSize.filter(col("mrs").isNotNull)
+      .select(col("event_type"), log(col("bn")).as("x"), log(col("mrs")).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("k") >= 2)
+      .select(col("event_type"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("hurst"))
+    val wide = perSize.groupBy(col("event_type"))
+      .agg(
+        coalesce(max(when(col("bn") === 4, col("nb"))), lit(0L)).as("nb4"),
+        coalesce(max(when(col("bn") === 8, col("nb"))), lit(0L)).as("nb8"),
+        coalesce(max(when(col("bn") === 16, col("nb"))), lit(0L)).as("nb16"),
+        round(max(when(col("bn") === 4, col("mrs"))), 4).as("rs4"),
+        round(max(when(col("bn") === 8, col("mrs"))), 4).as("rs8"),
+        round(max(when(col("bn") === 16, col("mrs"))), 4).as("rs16"))
+    val nd = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    nd.join(wide, Seq("event_type"), "left")
+      .join(fit, Seq("event_type"), "left")
+      .withColumn("regime",
+        when(col("hurst").isNull, "degenerate")
+          .when(col("hurst") > 0.55, "persistent")
+          .when(col("hurst") < 0.45, "anti_persistent")
+          .otherwise("random_walkish"))
+      .select(col("event_type"), col("n_days"), col("nb4"), col("nb8"),
+        col("nb16"), col("rs4"), col("rs8"), col("rs16"), col("hurst"),
+        col("regime"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q253Oracle: String =
+    s"""WITH $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |idx AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS i, v FROM grid),
+       |sized AS (
+       |  SELECT event_type, i, v, bn, i // bn AS blk
+       |  FROM idx, (SELECT UNNEST([4, 8, 16]) AS bn)),
+       |yy AS (
+       |  SELECT event_type, bn, blk,
+       |    COUNT(*) OVER w_all AS cnt,
+       |    ROW_NUMBER() OVER w_ord AS rn,
+       |    SUM(v) OVER w_ord AS cum,
+       |    SUM(v) OVER w_all AS s1,
+       |    SUM(v * v) OVER w_all AS s2
+       |  FROM sized
+       |  WINDOW
+       |    w_all AS (PARTITION BY event_type, bn, blk),
+       |    w_ord AS (PARTITION BY event_type, bn, blk ORDER BY i)),
+       |blocks AS (
+       |  SELECT event_type, bn, blk,
+       |    CAST(MAX(bn * cum - rn * s1) - MIN(bn * cum - rn * s1) AS BIGINT)
+       |      AS r2,
+       |    CAST(MAX(bn * s2 - s1 * s1) AS BIGINT) AS vs
+       |  FROM yy WHERE cnt = bn
+       |  GROUP BY 1, 2, 3),
+       |perblock AS (
+       |  SELECT event_type, bn, blk,
+       |    CASE WHEN vs > 0 THEN CAST(r2 AS DOUBLE) / SQRT(vs) END AS rs
+       |  FROM blocks),
+       |persize AS (
+       |  SELECT event_type, bn, CAST(COUNT(rs) AS BIGINT) AS nb,
+       |    AVG(rs) AS mrs
+       |  FROM perblock GROUP BY 1, 2),
+       |fit AS (
+       |  SELECT event_type,
+       |    ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS hurst
+       |  FROM (
+       |    SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS k,
+       |      SUM(LN(bn)) AS sx, SUM(LN(mrs)) AS sy,
+       |      SUM(LN(bn) * LN(mrs)) AS sxy, SUM(LN(bn) * LN(bn)) AS sxx
+       |    FROM persize WHERE mrs IS NOT NULL
+       |    GROUP BY 1) f
+       |  WHERE k >= 2),
+       |wide AS (
+       |  SELECT event_type,
+       |    COALESCE(MAX(CASE WHEN bn = 4 THEN nb END), 0) AS nb4,
+       |    COALESCE(MAX(CASE WHEN bn = 8 THEN nb END), 0) AS nb8,
+       |    COALESCE(MAX(CASE WHEN bn = 16 THEN nb END), 0) AS nb16,
+       |    ROUND(MAX(CASE WHEN bn = 4 THEN mrs END), 4) AS rs4,
+       |    ROUND(MAX(CASE WHEN bn = 8 THEN mrs END), 4) AS rs8,
+       |    ROUND(MAX(CASE WHEN bn = 16 THEN mrs END), 4) AS rs16
+       |  FROM persize GROUP BY 1),
+       |nd AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |  FROM grid GROUP BY 1)
+       |SELECT nd.event_type, nd.n_days, w.nb4, w.nb8, w.nb16,
+       |  w.rs4, w.rs8, w.rs16, f.hurst,
+       |  CASE WHEN f.hurst IS NULL THEN 'degenerate'
+       |    WHEN f.hurst > 0.55 THEN 'persistent'
+       |    WHEN f.hurst < 0.45 THEN 'anti_persistent'
+       |    ELSE 'random_walkish' END AS regime
+       |FROM nd
+       |LEFT JOIN wide w ON w.event_type = nd.event_type
+       |LEFT JOIN fit f ON f.event_type = nd.event_type
+       |ORDER BY nd.event_type NULLS FIRST""".stripMargin
+
+  /** Q254 — permutation entropy of order 3 per event type on the
+    * zero-filled daily revenue series (Bandt & Pompe 2002): complexity
+    * of the series' ORDINAL dynamics — every sliding day triple
+    * (v_t, v_{t+1}, v_{t+2}) maps to one of 3! = 6 ordinal patterns and
+    * H = −Σ p ln p over the pattern distribution, normalized by ln 6
+    * (0 = fully predictable ordering, 1 = ordinally white). Reads
+    * regularity that variance-based diagnostics (Q241) and spectral
+    * reads (Q239) are blind to, and is invariant to any monotone
+    * rescaling of revenue.
+    *
+    * Determinism: the pattern is decided by three exact int64
+    * comparisons with the Bandt–Pompe stable tie rule (equal values
+    * rank by time index, i.e. earlier-first ⇔ `<=` on the later
+    * element), so counts are exact; shares and ln are identical
+    * doubles, H sums ≤ 6 terms, h_norm rounds at 4. Top pattern ranks
+    * count desc then pattern asc — fully tie-broken.
+    *
+    * Scale notes: one LEAD window over the bounded per-type spine after
+    * the one corpus-scan daily aggregate; the pattern distribution is
+    * at most 6 rows per type. Flat in corpus size past the daily
+    * aggregate.
+    */
+  def q254(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pat = grid
+      .withColumn("v1", lead(col("v"), 1).over(w))
+      .withColumn("v2", lead(col("v"), 2).over(w))
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+      .withColumn("pattern",
+        when(col("v") <= col("v1") && col("v") <= col("v2") &&
+          col("v1") <= col("v2"), "012")
+          .when(col("v") <= col("v1") && col("v") <= col("v2"), "021")
+          .when(col("v") <= col("v1") && col("v2") < col("v"), "201")
+          .when(col("v1") < col("v") && col("v") <= col("v2"), "102")
+          .when(col("v1") < col("v") && col("v1") <= col("v2"), "120")
+          .otherwise("210"))
+      .groupBy(col("event_type"), col("pattern"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = pat.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).cast("long").as("n_windows"))
+    val h = pat.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_windows"))
+      .agg(round(-sum((col("cnt").cast("double") / col("n_windows")) *
+        log(col("cnt").cast("double") / col("n_windows"))) / log(lit(6.0)), 4)
+        .as("h_norm"))
+    val top = pat
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(desc("cnt"), asc("pattern"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("pattern").as("top_pattern"),
+        col("cnt").as("top_cnt"))
+    val wide = pat.groupBy(col("event_type"))
+      .agg(
+        coalesce(max(when(col("pattern") === "012", col("cnt"))), lit(0L)).as("c012"),
+        coalesce(max(when(col("pattern") === "021", col("cnt"))), lit(0L)).as("c021"),
+        coalesce(max(when(col("pattern") === "102", col("cnt"))), lit(0L)).as("c102"),
+        coalesce(max(when(col("pattern") === "120", col("cnt"))), lit(0L)).as("c120"),
+        coalesce(max(when(col("pattern") === "201", col("cnt"))), lit(0L)).as("c201"),
+        coalesce(max(when(col("pattern") === "210", col("cnt"))), lit(0L)).as("c210"))
+    h.join(wide, Seq("event_type"))
+      .join(top, Seq("event_type"))
+      .select(col("event_type"), col("n_windows"), col("c012"), col("c021"),
+        col("c102"), col("c120"), col("c201"), col("c210"),
+        col("h_norm"), col("top_pattern"), col("top_cnt"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q254Oracle: String =
+    s"""WITH $gridSql,
+       |led AS (
+       |  SELECT event_type, v,
+       |    LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+       |    LEAD(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2
+       |  FROM grid),
+       |pat AS (
+       |  SELECT event_type,
+       |    CASE
+       |      WHEN v <= v1 AND v <= v2 AND v1 <= v2 THEN '012'
+       |      WHEN v <= v1 AND v <= v2 THEN '021'
+       |      WHEN v <= v1 AND v2 < v THEN '201'
+       |      WHEN v1 < v AND v <= v2 THEN '102'
+       |      WHEN v1 < v AND v1 <= v2 THEN '120'
+       |      ELSE '210' END AS pattern,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM led WHERE v1 IS NOT NULL AND v2 IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_windows
+       |  FROM pat GROUP BY 1),
+       |h AS (
+       |  SELECT p.event_type, t.n_windows,
+       |    ROUND(-SUM((CAST(p.cnt AS DOUBLE) / t.n_windows)
+       |      * LN(CAST(p.cnt AS DOUBLE) / t.n_windows)) / LN(6.0), 4)
+       |      AS h_norm
+       |  FROM pat p JOIN tot t ON t.event_type = p.event_type
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT event_type, pattern AS top_pattern, cnt AS top_cnt FROM (
+       |    SELECT event_type, pattern, cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY cnt DESC, pattern) AS rk
+       |    FROM pat) r
+       |  WHERE rk = 1),
+       |wide AS (
+       |  SELECT event_type,
+       |    COALESCE(MAX(CASE WHEN pattern = '012' THEN cnt END), 0) AS c012,
+       |    COALESCE(MAX(CASE WHEN pattern = '021' THEN cnt END), 0) AS c021,
+       |    COALESCE(MAX(CASE WHEN pattern = '102' THEN cnt END), 0) AS c102,
+       |    COALESCE(MAX(CASE WHEN pattern = '120' THEN cnt END), 0) AS c120,
+       |    COALESCE(MAX(CASE WHEN pattern = '201' THEN cnt END), 0) AS c201,
+       |    COALESCE(MAX(CASE WHEN pattern = '210' THEN cnt END), 0) AS c210
+       |  FROM pat GROUP BY 1)
+       |SELECT h.event_type, h.n_windows, w.c012, w.c021, w.c102, w.c120,
+       |  w.c201, w.c210, h.h_norm, t.top_pattern, t.top_cnt
+       |FROM h
+       |JOIN wide w ON w.event_type = h.event_type
+       |JOIN top t ON t.event_type = h.event_type
+       |ORDER BY h.event_type NULLS FIRST""".stripMargin
+
+  /** Q255 — discrete-Fourier periodogram over candidate periods P ∈
+    * 2..14 days per event type on the zero-filled daily revenue series
+    * (Schuster 1898; the Goertzel single-bin form): power(P) =
+    * C_P² + S_P² with C_P = Σ e_t cos(2πt/P), S_P = Σ e_t sin(2πt/P)
+    * over mean-centered values, normalized to shares. Emits the
+    * dominant period (is the cycle actually weekly?), the runner-up,
+    * the P = 7 share directly, and the spectral entropy over the 13
+    * candidate bins (1 = white, 0 = single pure tone) — the frequency-
+    * domain read next to Q239's Haar scale decomposition and Q219's
+    * fixed-7 seasonal strength.
+    *
+    * Determinism: centering is exact — e_t = n·v_t − S1 in int64 —
+    * and every trig argument is the identical double expression
+    * 2.0·π·t/P in both engines; C/S are bounded ~30-term double sums
+    * (sum-order noise ~1e-15 relative), shares round at 6 BEFORE the
+    * dominant-period rank (P asc tie-break), entropy rounds at 4. A
+    * flat series has zero total power and degrades to NULL shares +
+    * 'flat', never NaN.
+    *
+    * Scale notes: the spine replicates 13× (once per candidate P) —
+    * still bounded per type — and each (type, P) bin is one map-side-
+    * combined aggregate. Nothing rescans the corpus after the daily
+    * aggregate.
+    */
+  def q255(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val base = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("t"), col("v"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cent = base
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s1", sum(col("v")).over(wAll).cast("long"))
+      .withColumn("e", (col("n") * col("v") - col("s1")).cast("double"))
+    val bins = cent
+      .withColumn("p", explode(expr("sequence(2, 14)")))
+      .withColumn("arg",
+        lit(2.0) * lit(math.Pi) * col("t").cast("double") / col("p"))
+      .groupBy(col("event_type"), col("n"), col("p"))
+      .agg(sum(col("e") * cos(col("arg"))).as("cp"),
+        sum(col("e") * sin(col("arg"))).as("sp"))
+      .withColumn("power", col("cp") * col("cp") + col("sp") * col("sp"))
+    val tot = bins.groupBy(col("event_type"))
+      .agg(sum(col("power")).as("tp"))
+    val shares = bins.join(tot, Seq("event_type"))
+      .withColumn("share",
+        when(col("tp") > 0, round(col("power") / col("tp"), 6)))
+    val ranked = shares
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(desc_nulls_last("share"), asc("p"))))
+    val top = ranked.filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("share").isNotNull, col("p")).as("p_star"),
+        col("share").as("share_star"))
+    val second = ranked.filter(col("rk") === 2)
+      .select(col("event_type"),
+        when(col("share").isNotNull, col("p")).as("p_2nd"),
+        col("share").as("share_2nd"))
+    val p7 = shares.filter(col("p") === 7)
+      .select(col("event_type"), col("share").as("p7_share"))
+    val ent = shares.filter(col("share").isNotNull && col("power") > 0)
+      .groupBy(col("event_type"))
+      .agg(round(-sum((col("power") / col("tp")) *
+        log(col("power") / col("tp"))) / log(lit(13.0)), 4)
+        .as("spectral_entropy"))
+    top.join(second, Seq("event_type"), "left")
+      .join(p7, Seq("event_type"), "left")
+      .join(ent, Seq("event_type"), "left")
+      .withColumn("verdict",
+        when(col("share_star").isNull, "flat")
+          .when(col("p_star") === 7, "weekly")
+          .otherwise("non_weekly"))
+      .select(col("event_type"), col("n_days"), col("p_star"),
+        col("share_star"), col("p_2nd"), col("share_2nd"), col("p7_share"),
+        col("spectral_entropy"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q255Oracle: String =
+    s"""WITH $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |base AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS t, v FROM grid),
+       |cent AS (
+       |  SELECT event_type, t,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    CAST(CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * v
+       |      - CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS DOUBLE) AS e
+       |  FROM base),
+       |bins AS (
+       |  SELECT event_type, n, p,
+       |    SUM(e * COS(2.0 * PI() * t / p)) AS cp,
+       |    SUM(e * SIN(2.0 * PI() * t / p)) AS sp
+       |  FROM cent, (SELECT UNNEST(generate_series(2, 14)) AS p)
+       |  GROUP BY 1, 2, 3),
+       |pw AS (
+       |  SELECT event_type, n, p, cp * cp + sp * sp AS power FROM bins),
+       |tot AS (SELECT event_type, SUM(power) AS tp FROM pw GROUP BY 1),
+       |shares AS (
+       |  SELECT w.event_type, w.n, w.p, w.power, t.tp,
+       |    CASE WHEN t.tp > 0 THEN ROUND(w.power / t.tp, 6) END AS share
+       |  FROM pw w JOIN tot t ON t.event_type = w.event_type),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY share DESC NULLS LAST, p) AS rk
+       |  FROM shares),
+       |top AS (
+       |  SELECT event_type, n AS n_days,
+       |    CASE WHEN share IS NOT NULL THEN p END AS p_star,
+       |    share AS share_star
+       |  FROM ranked WHERE rk = 1),
+       |sec AS (
+       |  SELECT event_type,
+       |    CASE WHEN share IS NOT NULL THEN p END AS p_2nd,
+       |    share AS share_2nd
+       |  FROM ranked WHERE rk = 2),
+       |p7 AS (
+       |  SELECT event_type, share AS p7_share FROM shares WHERE p = 7),
+       |ent AS (
+       |  SELECT event_type,
+       |    ROUND(-SUM((power / tp) * LN(power / tp)) / LN(13.0), 4)
+       |      AS spectral_entropy
+       |  FROM shares WHERE share IS NOT NULL AND power > 0
+       |  GROUP BY 1)
+       |SELECT t.event_type, t.n_days, t.p_star, t.share_star,
+       |  s.p_2nd, s.share_2nd, p7.p7_share, e.spectral_entropy,
+       |  CASE WHEN t.share_star IS NULL THEN 'flat'
+       |    WHEN t.p_star = 7 THEN 'weekly' ELSE 'non_weekly' END AS verdict
+       |FROM top t
+       |LEFT JOIN sec s ON s.event_type = t.event_type
+       |LEFT JOIN p7 ON p7.event_type = t.event_type
+       |LEFT JOIN ent e ON e.event_type = t.event_type
+       |ORDER BY t.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -2754,7 +3309,8 @@ object Stats {
     "Q230" -> (q230 _), "Q231" -> (q231 _), "Q232" -> (q232 _),
     "Q236" -> (q236 _), "Q239" -> (q239 _), "Q240" -> (q240 _),
     "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
-    "Q244" -> (q244 _), "Q245" -> (q245 _))
+    "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
+    "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -2765,5 +3321,6 @@ object Stats {
     "Q230" -> q230Oracle, "Q231" -> q231Oracle, "Q232" -> q232Oracle,
     "Q236" -> q236Oracle, "Q239" -> q239Oracle, "Q240" -> q240Oracle,
     "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
-    "Q244" -> q244Oracle, "Q245" -> q245Oracle)
+    "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
+    "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle)
 }
