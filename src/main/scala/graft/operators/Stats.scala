@@ -1417,7 +1417,21 @@ object Stats {
     * The md5 parities make it reproducible across engines, runs, and
     * partitionings.
     */
-  def q229(spark: SparkSession, dir: String): DataFrame = {
+  def q229(spark: SparkSession, dir: String): DataFrame =
+    signFlipCounts(spark, dir)
+      .withColumn("p_value",
+        round((lit(1.0) + col("n_extreme")) / 200.0, 4))
+      .withColumn("verdict",
+        when(col("p_value") < 0.05, "reject_null").otherwise("retain_null"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("t_obs"),
+        col("n_extreme"), col("p_value"), col("verdict"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+
+  /** Shared core of Q229/Q256: the derandomized sign-flip permutation
+    * machinery up to the exact per-pair exceedance count — (type_a,
+    * type_b, n_days, t_obs, n_extreme), T statistics in exact int64
+    * cents over 199 md5-parity replicates. */
+  private def signFlipCounts(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val grid = dailyCentsGrid(spark, c)
     val a = grid.select(col("event_type").as("type_a"), col("day"),
@@ -1445,21 +1459,15 @@ object Stats {
       .groupBy(col("type_a"), col("type_b"), col("n_days"), col("t_obs"))
       .agg(sum(when(abs(col("t_p")) >= abs(col("t_obs")), 1L).otherwise(0L))
         .cast("long").as("n_extreme"))
-      .withColumn("p_value",
-        round((lit(1.0) + col("n_extreme")) / 200.0, 4))
-      .withColumn("verdict",
-        when(col("p_value") < 0.05, "reject_null").otherwise("retain_null"))
-      .select(col("type_a"), col("type_b"), col("n_days"), col("t_obs"),
-        col("n_extreme"), col("p_value"), col("verdict"))
-      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
   }
 
-  val q229Oracle: String = {
+  /** Shared DuckDB text of [[signFlipCounts]] (the CTE chain ending in
+    * `cnt`), composed under `WITH $gridSql` by the Q229/Q256 oracles. */
+  private val signFlipCntSql: String = {
     val hv = NearDup.hexValueExpr(
       "md5('pm:' || type_a || ':' || type_b || ':' || " +
         "CAST(p AS VARCHAR) || ':' || CAST(day AS VARCHAR))")
-    s"""WITH $gridSql,
-       |diffs AS (
+    s"""diffs AS (
        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
        |    a.v - b.v AS d
        |  FROM grid a JOIN grid b
@@ -1482,14 +1490,18 @@ object Stats {
        |      AS BIGINT) AS n_extreme
        |  FROM flips f
        |  JOIN obs o ON o.type_a = f.type_a AND o.type_b = f.type_b
-       |  GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  val q229Oracle: String =
+    s"""WITH $gridSql,
+       |$signFlipCntSql
        |SELECT type_a, type_b, n_days, t_obs, n_extreme,
        |  ROUND((1.0 + n_extreme) / 200.0, 4) AS p_value,
        |  CASE WHEN ROUND((1.0 + n_extreme) / 200.0, 4) < 0.05
        |    THEN 'reject_null' ELSE 'retain_null' END AS verdict
        |FROM cnt
        |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
-  }
 
   /** Q230 — per-source quantile normalization of the doc token-length
     * distribution (Bolstad et al., Bioinformatics 2003 — the microarray
@@ -3300,6 +3312,267 @@ object Stats {
        |LEFT JOIN ent e ON e.event_type = t.event_type
        |ORDER BY t.event_type NULLS FIRST""".stripMargin
 
+  /** Q256 — multiple-testing control over Q229's permutation family
+    * (Benjamini & Hochberg 1995; Bonferroni for contrast): the
+    * missing piece once a test runs per PAIR — at m = k(k−1)/2
+    * simultaneous tests, per-test α = 0.05 inflates the family-wise
+    * false-positive rate toward 1 − 0.95^m. Because Q229's p-values
+    * are exact add-one permutation ranks p = (1 + n_extreme)/200, the
+    * entire BH step-up runs in INTEGER arithmetic: with q = 1/20,
+    * p_(i) ≤ (i/m)·q ⇔ m·(1 + n_extreme) ≤ 10·i, the step-up
+    * threshold is the largest passing p (tie-safe: rejection compares
+    * p against the threshold VALUE, so equal p-values never split),
+    * and Bonferroni is m·(1 + n_extreme) ≤ 10. No distributional
+    * approximation anywhere — the whole gate is exact.
+    *
+    * Scale notes: reuses [[signFlipCounts]] (bounded spine × 199
+    * replicates); the BH pass itself is k²/2 rows under two global
+    * windows — at any corpus size this is dozens of rows, ranked once.
+    */
+  def q256(spark: SparkSession, dir: String): DataFrame = {
+    val base = signFlipCounts(spark, dir)
+      .withColumn("p_num", (col("n_extreme") + lit(1L)).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(asc("p_num"), asc("type_a"), asc("type_b")))
+        .cast("long"))
+      .withColumn("m_tests",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("thr", max(when(
+        col("m_tests") * col("p_num") <= lit(10L) * col("rank"),
+        col("p_num"))).over(Window.partitionBy()))
+      .withColumn("p_value", round(col("p_num") / lit(200.0), 4))
+      .withColumn("bh_reject",
+        when(col("thr").isNotNull && col("p_num") <= col("thr"), "reject")
+          .otherwise("retain"))
+      .withColumn("bonf_reject",
+        when(col("m_tests") * col("p_num") <= lit(10L), "reject")
+          .otherwise("retain"))
+    base
+      .withColumn("n_bh_rejected",
+        sum(when(col("bh_reject") === "reject", 1L).otherwise(0L))
+          .over(Window.partitionBy()).cast("long"))
+      .select(col("rank"), col("type_a"), col("type_b"), col("n_days"),
+        col("t_obs"), col("n_extreme"), col("p_value"), col("m_tests"),
+        col("bh_reject"), col("bonf_reject"), col("n_bh_rejected"))
+      .orderBy(asc("rank"))
+  }
+
+  val q256Oracle: String =
+    s"""WITH $gridSql,
+       |$signFlipCntSql,
+       |ranked AS (
+       |  SELECT type_a, type_b, n_days, t_obs, n_extreme,
+       |    CAST(n_extreme + 1 AS BIGINT) AS p_num,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY n_extreme + 1, type_a, type_b) AS BIGINT) AS rank,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+       |  FROM cnt),
+       |thr AS (
+       |  SELECT *, MAX(CASE WHEN m_tests * p_num <= 10 * rank
+       |    THEN p_num END) OVER () AS thr
+       |  FROM ranked),
+       |dec AS (
+       |  SELECT *,
+       |    ROUND(p_num / 200.0, 4) AS p_value,
+       |    CASE WHEN thr IS NOT NULL AND p_num <= thr
+       |      THEN 'reject' ELSE 'retain' END AS bh_reject,
+       |    CASE WHEN m_tests * p_num <= 10
+       |      THEN 'reject' ELSE 'retain' END AS bonf_reject
+       |  FROM thr)
+       |SELECT rank, type_a, type_b, n_days, t_obs, n_extreme, p_value,
+       |  m_tests, bh_reject, bonf_reject,
+       |  CAST(SUM(CASE WHEN bh_reject = 'reject' THEN 1 ELSE 0 END)
+       |    OVER () AS BIGINT) AS n_bh_rejected
+       |FROM dec
+       |ORDER BY rank""".stripMargin
+
+  /** Q257 — partial autocorrelation function (lags 1..5) per event type
+    * via the Durbin–Levinson recursion, with a Ljung–Box portmanteau
+    * verdict (Durbin 1960; Levinson 1947; Ljung & Box 1978): where
+    * Q128's ACF answers "is day t related to day t−k at all", the PACF
+    * answers "is it related DIRECTLY, with the intermediate days
+    * partialled out" — the standard AR-order-selection read (an AR(p)
+    * series has PACF ≈ 0 beyond lag p). Lag-k autocorrelations are
+    * Pearson over the overlapping windows with all five sufficient
+    * sums exact int64; the five-step recursion φ_kk = (ρ_k −
+    * Σφ_{k−1,j}ρ_{k−j})/(1 − Σφ_{k−1,j}ρ_j), φ_kj = φ_{k−1,j} −
+    * φ_kk·φ_{k−1,k−j} is UNROLLED with textually identical expressions
+    * in both engines, so every intermediate double matches bit-for-bit.
+    * LB = n(n+2)·Σ ρ_k²/(n−k) gates against the χ²₅ 95% quantile
+    * 11.0705 on the rounded statistic.
+    *
+    * Determinism: each ρ_k is one divide of exact int64 composites
+    * (products cast to double only at the final num/√(a·b)); the DL
+    * chain and LB are pure function composition of those identical
+    * doubles; all outputs round at 4 and the verdict compares the
+    * ROUNDED LB. Degenerate series (any zero-variance window ⇒ NULL ρ)
+    * degrade to NULL PACF + 'degenerate', never NaN.
+    *
+    * Scale notes: the lag join replicates the spine 5× against itself
+    * shifted — bounded per type — and everything downstream is one row
+    * per type. Int64 composites n'·Σxy hold to ~10⁹-cent daily
+    * revenues; beyond that widen to double before the product
+    * (documented, unreachable at test sf).
+    */
+  def q257(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val lagged = grid
+      .withColumn("k", explode(expr("sequence(1, 5)")))
+      .select(col("event_type"), col("k"), (col("day") + col("k")).as("dayk"),
+        col("v").as("x"))
+      .join(grid.select(col("event_type"), col("day").as("dayk"),
+        col("v").as("y")), Seq("event_type", "dayk"))
+    val rho = lagged.groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).cast("long").as("np"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .withColumn("a", col("np") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b", col("np") * col("syy") - col("sy") * col("sy"))
+      .withColumn("rho", when(col("a") > 0 && col("b") > 0,
+        (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(col("a").cast("double") * col("b").cast("double"))))
+    val wide = rho.groupBy(col("event_type"))
+      .agg(
+        max(when(col("k") === 1, col("rho"))).as("r1"),
+        max(when(col("k") === 2, col("rho"))).as("r2"),
+        max(when(col("k") === 3, col("rho"))).as("r3"),
+        max(when(col("k") === 4, col("rho"))).as("r4"),
+        max(when(col("k") === 5, col("rho"))).as("r5"),
+        sum(when(col("rho").isNotNull, 1L).otherwise(0L)).as("n_ok"))
+    val nd = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    val dl = nd.join(wide, Seq("event_type"), "left")
+      .filter(col("n_ok") === 5)
+      .withColumn("p11", col("r1"))
+      .withColumn("p22", (col("r2") - col("p11") * col("r1")) /
+        (lit(1.0) - col("p11") * col("r1")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("p33",
+        (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("p44",
+        (col("r4") - col("p31") * col("r3") - col("p32") * col("r2") -
+          col("p33") * col("r1")) /
+          (lit(1.0) - col("p31") * col("r1") - col("p32") * col("r2") -
+            col("p33") * col("r3")))
+      .withColumn("p41", col("p31") - col("p44") * col("p33"))
+      .withColumn("p42", col("p32") - col("p44") * col("p32"))
+      .withColumn("p43", col("p33") - col("p44") * col("p31"))
+      .withColumn("p55",
+        (col("r5") - col("p41") * col("r4") - col("p42") * col("r3") -
+          col("p43") * col("r2") - col("p44") * col("r1")) /
+          (lit(1.0) - col("p41") * col("r1") - col("p42") * col("r2") -
+            col("p43") * col("r3") - col("p44") * col("r4")))
+      .withColumn("lb", col("n_days").cast("double") * (col("n_days") + 2) *
+        (col("r1") * col("r1") / (col("n_days") - 1) +
+          col("r2") * col("r2") / (col("n_days") - 2) +
+          col("r3") * col("r3") / (col("n_days") - 3) +
+          col("r4") * col("r4") / (col("n_days") - 4) +
+          col("r5") * col("r5") / (col("n_days") - 5)))
+      .select(col("event_type"),
+        round(col("r1"), 4).as("rho1"), round(col("r2"), 4).as("rho2"),
+        round(col("r3"), 4).as("rho3"), round(col("r4"), 4).as("rho4"),
+        round(col("r5"), 4).as("rho5"),
+        round(col("p11"), 4).as("pacf1"), round(col("p22"), 4).as("pacf2"),
+        round(col("p33"), 4).as("pacf3"), round(col("p44"), 4).as("pacf4"),
+        round(col("p55"), 4).as("pacf5"),
+        round(col("lb"), 4).as("lb_q"))
+    nd.join(dl, Seq("event_type"), "left")
+      .withColumn("verdict",
+        when(col("lb_q").isNull, "degenerate")
+          .when(col("lb_q") > 11.0705, "autocorrelated")
+          .otherwise("white_noise"))
+      .select(col("event_type"), col("n_days"), col("rho1"), col("rho2"),
+        col("rho3"), col("rho4"), col("rho5"), col("pacf1"), col("pacf2"),
+        col("pacf3"), col("pacf4"), col("pacf5"), col("lb_q"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q257Oracle: String =
+    s"""WITH $gridSql,
+       |lagged AS (
+       |  SELECT a.event_type, k.k, a.v AS x, b.v AS y
+       |  FROM grid a
+       |  CROSS JOIN (SELECT UNNEST(generate_series(1, 5)) AS k) k
+       |  JOIN grid b ON b.event_type = a.event_type
+       |    AND b.day = a.day + k.k),
+       |sums AS (
+       |  SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM lagged GROUP BY 1, 2),
+       |rho AS (
+       |  SELECT event_type, k,
+       |    CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+       |      THEN CAST(np * sxy - sx * sy AS DOUBLE)
+       |        / SQRT(CAST(np * sxx - sx * sx AS DOUBLE)
+       |             * CAST(np * syy - sy * sy AS DOUBLE)) END AS rho
+       |  FROM sums),
+       |wide AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN k = 1 THEN rho END) AS r1,
+       |    MAX(CASE WHEN k = 2 THEN rho END) AS r2,
+       |    MAX(CASE WHEN k = 3 THEN rho END) AS r3,
+       |    MAX(CASE WHEN k = 4 THEN rho END) AS r4,
+       |    MAX(CASE WHEN k = 5 THEN rho END) AS r5,
+       |    SUM(CASE WHEN rho IS NOT NULL THEN 1 ELSE 0 END) AS n_ok
+       |  FROM rho GROUP BY 1),
+       |nd AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |  FROM grid GROUP BY 1),
+       |s1 AS (
+       |  SELECT nd.event_type, nd.n_days, w.r1, w.r2, w.r3, w.r4, w.r5,
+       |    w.r1 AS p11
+       |  FROM nd JOIN wide w ON w.event_type = nd.event_type
+       |  WHERE w.n_ok = 5),
+       |s2 AS (
+       |  SELECT *, (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22 FROM s1),
+       |s2b AS (
+       |  SELECT *, p11 - p22 * p11 AS p21 FROM s2),
+       |s3 AS (
+       |  SELECT *, (r3 - p21 * r2 - p22 * r1)
+       |    / (1.0 - p21 * r1 - p22 * r2) AS p33 FROM s2b),
+       |s3b AS (
+       |  SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM s3),
+       |s4 AS (
+       |  SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+       |    / (1.0 - p31 * r1 - p32 * r2 - p33 * r3) AS p44 FROM s3b),
+       |s4b AS (
+       |  SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+       |    p33 - p44 * p31 AS p43 FROM s4),
+       |s5 AS (
+       |  SELECT *, (r5 - p41 * r4 - p42 * r3 - p43 * r2 - p44 * r1)
+       |    / (1.0 - p41 * r1 - p42 * r2 - p43 * r3 - p44 * r4) AS p55
+       |  FROM s4b),
+       |fin AS (
+       |  SELECT event_type,
+       |    ROUND(r1, 4) AS rho1, ROUND(r2, 4) AS rho2,
+       |    ROUND(r3, 4) AS rho3, ROUND(r4, 4) AS rho4,
+       |    ROUND(r5, 4) AS rho5,
+       |    ROUND(p11, 4) AS pacf1, ROUND(p22, 4) AS pacf2,
+       |    ROUND(p33, 4) AS pacf3, ROUND(p44, 4) AS pacf4,
+       |    ROUND(p55, 4) AS pacf5,
+       |    ROUND(CAST(n_days AS DOUBLE) * (n_days + 2)
+       |      * (r1 * r1 / (n_days - 1) + r2 * r2 / (n_days - 2)
+       |        + r3 * r3 / (n_days - 3) + r4 * r4 / (n_days - 4)
+       |        + r5 * r5 / (n_days - 5)), 4) AS lb_q
+       |  FROM s5)
+       |SELECT nd.event_type, nd.n_days, f.rho1, f.rho2, f.rho3, f.rho4,
+       |  f.rho5, f.pacf1, f.pacf2, f.pacf3, f.pacf4, f.pacf5, f.lb_q,
+       |  CASE WHEN f.lb_q IS NULL THEN 'degenerate'
+       |    WHEN f.lb_q > 11.0705 THEN 'autocorrelated'
+       |    ELSE 'white_noise' END AS verdict
+       |FROM nd LEFT JOIN fin f ON f.event_type = nd.event_type
+       |ORDER BY nd.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -3310,7 +3583,8 @@ object Stats {
     "Q236" -> (q236 _), "Q239" -> (q239 _), "Q240" -> (q240 _),
     "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
     "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
-    "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _))
+    "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _),
+    "Q256" -> (q256 _), "Q257" -> (q257 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -3322,5 +3596,6 @@ object Stats {
     "Q236" -> q236Oracle, "Q239" -> q239Oracle, "Q240" -> q240Oracle,
     "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
     "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
-    "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle)
+    "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle,
+    "Q256" -> q256Oracle, "Q257" -> q257Oracle)
 }
