@@ -1437,6 +1437,214 @@ object TextAnalysis {
       |FROM rk WHERE rk <= 10
       |ORDER BY source NULLS FIRST, rk""".stripMargin
 
+  /** Q258 — held-out INTERPOLATED KNESER–NEY bigram perplexity per
+    * source (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form, fixed discount D = 0.5): the modern-smoothing upgrade of
+    * Q195's add-one scorer. Trained on the md5 bucket-0 half, scored
+    * on bucket 1:
+    * p(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + (D·N₁₊(w₁·)/c₁)·p_cont(w₂) for
+    * seen contexts, backing off to the CONTINUATION distribution
+    * p_cont(w₂) = (N₁₊(·w₂) + 1)/(N₁₊(··) + V + 1) (add-one over
+    * train vocab + one OOV class so unseen words stay finite) — the
+    * "how many contexts does w₂ complete" estimate that makes KN
+    * robust where raw frequency overweights burst words. Emits per
+    * source the mean cross-entropy, its perplexity, the backoff share
+    * (how often scoring left the trained context space — a
+    * train/held-out drift read), and the ce > 3.5 low-quality share.
+    *
+    * Determinism: all counts (c₁₂, c₁, N₁₊ margins, V) are exact
+    * int64; p is a fixed composition of two integer divides; per-doc
+    * ce rounds at 6 BEFORE the fence and the source mean (the Q195
+    * discipline); ppl exponentiates the already-rounded-4 mean.
+    *
+    * Scale notes: the LM relations are TRAIN-side aggregates over the
+    * bigram-type domain (vocabulary-bounded); scoring joins co-keyed
+    * on (w₁, w₂)/(w₁)/(w₂) with no broadcast hint — at web scale the
+    * LM tables exceed driver memory and AQE picks the strategy. One
+    * corpus pass builds, one scores (Q195's exact topology).
+    */
+  def q258(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = c.documents
+      .withColumn("bucket",
+        expr(NearDup.hexValueExpr("md5(concat('kn:', CAST(doc_id AS STRING)))")) % 2)
+      .withColumn("w", expr("filter(split(text, ' '), t -> t <> '')"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("bucket"),
+        explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(w[i] AS w1, w[i + 1] AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lm12 = big.filter(col("bucket") === 0)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val lm1 = lm12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n1w1"))
+    val cont = lm12.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("n1c"))
+    val scal = lm12.agg(count(lit(1)).cast("long").as("n1pp"))
+      .crossJoin(toks.filter(col("bucket") === 0)
+        .select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).cast("long").as("v")))
+    val scored = big.filter(col("bucket") === 1)
+      .join(lm12, Seq("w1", "w2"), "left")
+      .join(lm1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("pcont",
+        (coalesce(col("n1c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n1pp") + col("v") + lit(1L)).cast("double"))
+      .withColumn("pkn", when(col("c1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.5),
+          lit(0.0)) / col("c1") +
+          (lit(0.5) * col("n1w1") / col("c1")) * col("pcont"))
+        .otherwise(col("pcont")))
+      .withColumn("backoff", when(col("c1").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("nb"),
+        round(-avg(log(col("pkn"))), 6).as("ce"),
+        sum(col("backoff")).cast("long").as("nbk"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nb")).cast("long").as("n_bigrams"),
+        round(avg(col("ce")), 4).as("mean_ce"),
+        round(exp(round(avg(col("ce")), 4)), 2).as("ppl"),
+        round(sum(col("nbk")).cast("double") / sum(col("nb")), 6)
+          .as("backoff_share"),
+        round(sum(when(col("ce") > 3.5, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("low_q_share"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q258Oracle: String = {
+    val bucket = NearDup.hexValueExpr("md5('kn:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ($bucket) % 2 AS bucket,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, source, bucket,
+       |    UNNEST(list_transform(range(len(w) - 1), i -> w[i + 1])) AS w1,
+       |    UNNEST(list_transform(range(len(w) - 1), i -> w[i + 2])) AS w2
+       |  FROM toks WHERE len(w) >= 2),
+       |lm12 AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM big WHERE bucket = 0 GROUP BY 1, 2),
+       |lm1 AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) AS BIGINT) AS n1w1
+       |  FROM lm12 GROUP BY 1),
+       |cont AS (
+       |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1c FROM lm12 GROUP BY 1),
+       |scal AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lm12) AS n1pp,
+       |    (SELECT CAST(COUNT(DISTINCT t.t) AS BIGINT) FROM (
+       |      SELECT UNNEST(w) AS t FROM toks WHERE bucket = 0) t) AS v),
+       |sc AS (
+       |  SELECT b.doc_id, b.source,
+       |    CAST(COALESCE(l1.n1c, 0) + 1 AS DOUBLE)
+       |      / CAST(s.n1pp + s.v + 1 AS DOUBLE) AS pcont,
+       |    l2.c12, lc.c1, lc.n1w1
+       |  FROM big b
+       |  LEFT JOIN lm12 l2 ON l2.w1 = b.w1 AND l2.w2 = b.w2
+       |  LEFT JOIN lm1 lc ON lc.w1 = b.w1
+       |  LEFT JOIN cont l1 ON l1.w2 = b.w2
+       |  CROSS JOIN scal s
+       |  WHERE b.bucket = 1),
+       |pk AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN c1 IS NOT NULL THEN
+       |      GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.5, 0.0) / c1
+       |        + (0.5 * n1w1 / c1) * pcont
+       |    ELSE pcont END AS pkn,
+       |    CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS backoff
+       |  FROM sc),
+       |scored AS (
+       |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS nb,
+       |    ROUND(-AVG(LN(pkn)), 6) AS ce,
+       |    CAST(SUM(backoff) AS BIGINT) AS nbk
+       |  FROM pk GROUP BY 1, 2)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+       |  ROUND(AVG(ce), 4) AS mean_ce,
+       |  ROUND(EXP(ROUND(AVG(ce), 4)), 2) AS ppl,
+       |  ROUND(CAST(SUM(nbk) AS DOUBLE) / SUM(nb), 6) AS backoff_share,
+       |  ROUND(CAST(SUM(CASE WHEN ce > 3.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS low_q_share
+       |FROM scored
+       |GROUP BY source
+       |ORDER BY source NULLS FIRST""".stripMargin
+  }
+
+  /** Q259 — lexical concentration per source: Yule's characteristic K,
+    * Simpson's repeat rate, and Herdan's C (Yule 1944; Simpson 1949;
+    * Herdan 1960) — the classical vocabulary-richness constants, all
+    * exact off the per-source term-frequency relation. K =
+    * 10⁴·(Σc_w² − N)/N² and D = Σc_w(c_w−1)/(N(N−1)) measure repeat
+    * probability (length-robust where Q89's raw type-token ratio is
+    * not); Herdan's C = ln V/ln N is the log-log vocabulary slope.
+    * Complements Q190's spectrum (which keeps the whole N_r histogram)
+    * with the scalar summaries reviewers actually threshold on.
+    *
+    * Determinism: N, V, Σc_w² are exact int64 (Σc_w² ≤ N² — safe);
+    * each constant is one divide rounded once (K at 4, D at 6, C at 4).
+    *
+    * Scale notes: one corpus scan to the (source, token) count relation
+    * (vocabulary-bounded), then a per-source aggregate. Nothing else.
+    */
+  def q259(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tf = c.documents
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("cw"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("cw")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(col("cw") * col("cw")).cast("long").as("sum_c2"))
+      .withColumn("yule_k", round(lit(10000.0) *
+        (col("sum_c2") - col("n_tokens")).cast("double") /
+        (col("n_tokens").cast("double") * col("n_tokens")), 4))
+      .withColumn("simpson_d", when(col("n_tokens") > 1,
+        round((col("sum_c2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)))
+      .withColumn("herdan_c", when(col("n_tokens") > 1,
+        round(log(col("vocab").cast("double")) /
+          log(col("n_tokens").cast("double")), 4)))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("sum_c2"),
+        col("yule_k"), col("simpson_d"), col("herdan_c"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q259Oracle: String =
+    """WITH tf AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cw
+      |  FROM (
+      |    SELECT source,
+      |      UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(cw) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(cw * cw) AS BIGINT) AS sum_c2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab, sum_c2,
+      |  ROUND(10000.0 * CAST(sum_c2 - n_tokens AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k,
+      |  CASE WHEN n_tokens > 1 THEN
+      |    ROUND(CAST(sum_c2 - n_tokens AS DOUBLE)
+      |      / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) END
+      |    AS simpson_d,
+      |  CASE WHEN n_tokens > 1 THEN
+      |    ROUND(LN(CAST(vocab AS DOUBLE))
+      |      / LN(CAST(n_tokens AS DOUBLE)), 4) END AS herdan_c
+      |FROM agg
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
@@ -1444,7 +1652,8 @@ object TextAnalysis {
     "Q167" -> (q167 _), "Q170" -> (q170 _), "Q178" -> (q178 _),
     "Q181" -> (q181 _), "Q190" -> (q190 _), "Q191" -> (q191 _),
     "Q195" -> (q195 _), "Q203" -> (q203 _), "Q206" -> (q206 _),
-    "Q235" -> (q235 _), "Q246" -> (q246 _))
+    "Q235" -> (q235 _), "Q246" -> (q246 _), "Q258" -> (q258 _),
+    "Q259" -> (q259 _))
 
   def oracles: Map[String, String] = Map(
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
@@ -1454,5 +1663,6 @@ object TextAnalysis {
     "Q170" -> q170Oracle, "Q178" -> q178Oracle,
     "Q181" -> q181Oracle, "Q190" -> q190Oracle, "Q191" -> q191Oracle,
     "Q195" -> q195Oracle, "Q203" -> q203Oracle, "Q206" -> q206Oracle,
-    "Q235" -> q235Oracle, "Q246" -> q246Oracle)
+    "Q235" -> q235Oracle, "Q246" -> q246Oracle, "Q258" -> q258Oracle,
+    "Q259" -> q259Oracle)
 }

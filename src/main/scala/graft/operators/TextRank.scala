@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 
@@ -442,11 +443,139 @@ object TextRank {
       |FROM s
       |ORDER BY term""".stripMargin
 
+  /** Q260 — reciprocal-rank fusion of two INDEPENDENT rankers over the
+    * shared query-term set (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * Q141's Okapi BM25 and a Dirichlet-smoothed query-likelihood model
+    * score_QL = Σ_t ln((tf + μ·cf_t/|C|)/(dl + μ)) with μ = 2000
+    * (Zhai & Lafferty 2001) — the two classic lexical rankers that
+    * disagree exactly where fusion helps (BM25 saturates tf, QL
+    * rewards length-normalized likelihood). Fusion is rank-only:
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)) over the same candidate set
+    * (docs containing ≥ 1 query term), so no score calibration is
+    * needed — the property that made RRF the default fusion in modern
+    * hybrid (lexical + vector) retrieval stacks.
+    *
+    * Determinism: both component scores are fixed double expressions
+    * over exact int64 (tf, df, cf, dl, |C|) stats, ROUNDED 6 BEFORE
+    * their rank (doc_id tie-break); RRF is a 2-term sum of exact
+    * reciprocals of small ints, rounded 6 before the fused rank.
+    *
+    * Scale notes: candidate generation is the inverted-index filter
+    * (tokens ∈ query), never a corpus scan per query; stats relations
+    * are term-bounded; the three rankings are global windows over the
+    * CANDIDATE set only. TakeOrdered bounds the output at 20.
+    */
+  def q260(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents
+      .select(col("doc_id"), split(col("text"), " ").as("p"))
+      .select(col("doc_id"), col("p"), size(col("p")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("p")).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val totals = docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("sdl"))
+    val stats = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("cf"))
+    val bm25 = tf.join(broadcast(stats), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") /
+            (col("sdl").cast("double") / col("n"))))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+    val cand = tf.select(col("doc_id"), col("dl")).distinct()
+    val ql = cand.crossJoin(broadcast(stats))
+      .join(tf.select(col("doc_id"), col("token"), col("tf")),
+        Seq("doc_id", "token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("tf"), lit(0L)) +
+          lit(2000.0) * col("cf") / col("sdl")) /
+          (col("dl") + lit(2000L))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("ql"))
+    val fused = bm25.join(ql, Seq("doc_id"))
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+      .withColumn("r_ql", row_number().over(
+        Window.orderBy(desc("ql"), asc("doc_id"))).cast("long"))
+      .withColumn("rrf_score",
+        round(lit(1.0) / (lit(60L) + col("r_bm25")) +
+          lit(1.0) / (lit(60L) + col("r_ql")), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(desc("rrf_score"), asc("doc_id"))).cast("long"))
+    fused
+      .select(col("fused_rank"), col("doc_id"), col("r_bm25"), col("r_ql"),
+        col("bm25"), col("ql"), col("rrf_score"))
+      .orderBy(asc("fused_rank"))
+      .limit(20)
+  }
+
+  val q260Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS p,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, UNNEST(p) AS token FROM docs)
+      |  WHERE token IN ('spark', 'join', 'window')
+      |  GROUP BY 1, 2, 3),
+      |totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM docs),
+      |stats AS (
+      |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM tf GROUP BY 1),
+      |bm AS (
+      |  SELECT doc_id,
+      |    ROUND(SUM(
+      |      LN(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (f.tf * (1.2 + 1))
+      |        / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl
+      |             / (CAST(t.sdl AS DOUBLE) / t.n)))), 6) AS bm25
+      |  FROM tf f JOIN stats d ON d.token = f.token, totals t
+      |  GROUP BY doc_id),
+      |cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+      |ql AS (
+      |  SELECT c.doc_id,
+      |    ROUND(SUM(LN((COALESCE(f.tf, 0) + 2000.0 * s.cf / t.sdl)
+      |      / (c.dl + 2000))), 6) AS ql
+      |  FROM cand c
+      |  CROSS JOIN stats s
+      |  LEFT JOIN tf f ON f.doc_id = c.doc_id AND f.token = s.token
+      |  CROSS JOIN totals t
+      |  GROUP BY c.doc_id),
+      |fused AS (
+      |  SELECT b.doc_id, b.bm25, q.ql,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id)
+      |      AS BIGINT) AS r_bm25,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY q.ql DESC, b.doc_id)
+      |      AS BIGINT) AS r_ql
+      |  FROM bm b JOIN ql q ON q.doc_id = b.doc_id),
+      |rrf AS (
+      |  SELECT *, ROUND(1.0 / (60 + r_bm25) + 1.0 / (60 + r_ql), 6)
+      |    AS rrf_score
+      |  FROM fused)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+      |    AS BIGINT) AS fused_rank,
+      |  doc_id, r_bm25, r_ql, bm25, ql, rrf_score
+      |FROM rrf
+      |ORDER BY fused_rank
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _),
-    "Q201" -> (q201 _), "Q237" -> (q237 _))
+    "Q201" -> (q201 _), "Q237" -> (q237 _), "Q260" -> (q260 _))
 
   def oracles: Map[String, String] = Map(
     "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle,
-    "Q201" -> q201Oracle, "Q237" -> q237Oracle)
+    "Q201" -> q201Oracle, "Q237" -> q237Oracle, "Q260" -> q260Oracle)
 }
