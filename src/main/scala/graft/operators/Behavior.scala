@@ -1173,12 +1173,177 @@ object Behavior {
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
     "Q224" -> (q224 _), "Q247" -> (q247 _),
-    "Q249" -> (q249 _), "Q250" -> (q250 _))
+    "Q249" -> (q249 _), "Q250" -> (q250 _), "Q261" -> (q261 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
     "Q224" -> q224Oracle, "Q247" -> q247Oracle,
-    "Q249" -> q249Oracle, "Q250" -> q250Oracle)
+    "Q249" -> q249Oracle, "Q250" -> q250Oracle, "Q261" -> q261Oracle)
+
+  /** Q261 — exact Shapley-value channel attribution of conversion
+    * (Shapley 1953; the coalition-game marketing-attribution form of
+    * Zhao, Mahboobi & Bagheri 2018): where Q182's linear multi-touch
+    * splits credit by COUNT of touches, this asks the counterfactual —
+    * per user, the exposure COALITION is the set of non-purchase
+    * channels seen strictly before the first purchase (whole history
+    * for non-converters), the coalition value v(S) is the observed
+    * conversion rate of users exposed to exactly S (unobserved
+    * coalitions contribute v = 0, the standard data-driven
+    * convention), and channel j earns φ_j = Σ_{S∌j}
+    * [|S|!(k−1−|S|)!/k!]·(v(S∪{j}) − v(S)). Channels and k derive
+    * from the data; coalitions enumerate RELATIONALLY as bitmask
+    * 0..2^k−1 (k = |channel vocabulary|, tiny by construction —
+    * nothing collects to the driver).
+    *
+    * Determinism: exposure masks are exact bit sums over distinct
+    * (user, channel) rows with the alphabetic channel→bit order;
+    * coalition counts are exact int64; factorial weights are exact
+    * longs divided once; v and φ are fixed-order double arithmetic
+    * rounded 6. The efficiency identity Σφ_j = v(full) − v(∅) holds
+    * by construction and is exposed via the baseline columns.
+    *
+    * Scale notes: one events scan → per-user first-purchase window,
+    * one DISTINCT (user, channel) shuffle, then everything lives on
+    * |coalitions| = 2^k rows (≤ 32 for any plausible event vocabulary)
+    * crossed with k channels. The user dimension never re-shuffles.
+    */
+  def q261(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("user_id"), col("event_type"), col("ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp_ts"))
+    val users = ev.select(col("user_id")).distinct()
+      .join(fp, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("fp_ts").isNotNull, 1L).otherwise(0L).as("converted"),
+        col("fp_ts"))
+    val ch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("j",
+        (row_number().over(Window.orderBy(asc("channel"))) - 1).cast("long"))
+    val expo = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter(col("fp_ts").isNull || col("ts") < col("fp_ts"))
+      .select(col("user_id"), col("event_type")).distinct()
+      .join(ch, col("event_type") === col("channel"))
+      .select(col("user_id"), col("j"))
+    val um = users.join(expo, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("converted"))
+      .agg(coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")),
+        lit(0L)).cast("long").as("mask"))
+    val vrel = um.groupBy(col("mask"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("converted")).cast("long").as("n_conv"))
+    val kk = ch.agg(count(lit(1)).cast("long").as("k"))
+    val masks = kk.select(col("k"),
+      explode(expr(
+        "sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) - 1)"))
+        .as("s"))
+    val pairs = masks.crossJoin(ch)
+      .filter(expr("(shiftright(s, CAST(j AS INT)) & 1) = 0"))
+      .withColumn("sj",
+        expr("s + shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+      .withColumn("b", expr("CAST(bit_count(s) AS BIGINT)"))
+      .join(vrel.select(col("mask").as("s"),
+        (col("n_conv") / col("n_users")).as("v0")), Seq("s"), "left")
+      .join(vrel.select(col("mask").as("sj"),
+        (col("n_conv") / col("n_users")).as("v1")), Seq("sj"), "left")
+      .withColumn("w",
+        (factorial(col("b")) * factorial(col("k") - 1 - col("b")))
+          .cast("double") / factorial(col("k")))
+      .withColumn("gain",
+        col("w") * (coalesce(col("v1"), lit(0.0)) -
+          coalesce(col("v0"), lit(0.0))))
+    val phi = pairs.groupBy(col("channel"))
+      .agg(round(sum(col("gain")), 6).as("shapley"))
+    val exposed = um.crossJoin(ch)
+      .filter(expr("(shiftright(mask, CAST(j AS INT)) & 1) = 1"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_exposed"),
+        round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate_exposed"))
+    val base = um.agg(
+      count(lit(1)).cast("long").as("n_users_total"),
+      round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+        .as("conv_rate_overall"))
+    phi.join(exposed, Seq("channel"), "left")
+      .crossJoin(broadcast(base))
+      .select(col("channel"), col("n_exposed"), col("conv_rate_exposed"),
+        col("shapley"), col("n_users_total"), col("conv_rate_overall"))
+      .orderBy(asc_nulls_first("channel"))
+  }
+
+  val q261Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts FROM events),
+      |fp AS (
+      |  SELECT user_id, MIN(ts) AS fp_ts FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |users AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN f.fp_ts IS NOT NULL THEN 1 ELSE 0 END AS converted
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN fp f ON f.user_id = u.user_id),
+      |ch AS (
+      |  SELECT channel,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY channel) - 1 AS BIGINT) AS j
+      |  FROM (SELECT DISTINCT event_type AS channel FROM ev
+      |        WHERE event_type <> 'purchase')),
+      |expo AS (
+      |  SELECT DISTINCT e.user_id, c.j
+      |  FROM ev e
+      |  LEFT JOIN fp f ON f.user_id = e.user_id
+      |  JOIN ch c ON c.channel = e.event_type
+      |  WHERE e.event_type <> 'purchase'
+      |    AND (f.fp_ts IS NULL OR e.ts < f.fp_ts)),
+      |um AS (
+      |  SELECT u.user_id, u.converted,
+      |    CAST(COALESCE(SUM(1::BIGINT << e.j::INT), 0) AS BIGINT) AS mask
+      |  FROM users u LEFT JOIN expo e ON e.user_id = u.user_id
+      |  GROUP BY 1, 2),
+      |vrel AS (
+      |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_conv
+      |  FROM um GROUP BY 1),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ch),
+      |masks AS (
+      |  SELECT k, UNNEST(generate_series(0, (1::BIGINT << k::INT) - 1)) AS s
+      |  FROM kk),
+      |pairs AS (
+      |  SELECT m.s + (1::BIGINT << c.j::INT) AS sj, m.s, m.k, c.channel,
+      |    CAST(bit_count(m.s) AS BIGINT) AS b
+      |  FROM masks m CROSS JOIN ch c
+      |  WHERE ((m.s >> c.j::INT) & 1) = 0),
+      |gains AS (
+      |  SELECT p.channel,
+      |    CAST(factorial(p.b::INT) * factorial((p.k - 1 - p.b)::INT)
+      |      AS DOUBLE) / factorial(p.k::INT)
+      |      * (COALESCE(v1.n_conv / v1.n_users, 0.0)
+      |         - COALESCE(v0.n_conv / v0.n_users, 0.0)) AS gain
+      |  FROM pairs p
+      |  LEFT JOIN vrel v0 ON v0.mask = p.s
+      |  LEFT JOIN vrel v1 ON v1.mask = p.sj),
+      |phi AS (
+      |  SELECT channel, ROUND(SUM(gain), 6) AS shapley FROM gains
+      |  GROUP BY 1),
+      |exposed AS (
+      |  SELECT c.channel, CAST(COUNT(*) AS BIGINT) AS n_exposed,
+      |    ROUND(CAST(SUM(u.converted) AS DOUBLE) / COUNT(*), 6)
+      |      AS conv_rate_exposed
+      |  FROM um u CROSS JOIN ch c
+      |  WHERE ((u.mask >> c.j::INT) & 1) = 1
+      |  GROUP BY 1),
+      |base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users_total,
+      |    ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+      |      AS conv_rate_overall
+      |  FROM um)
+      |SELECT p.channel, e.n_exposed, e.conv_rate_exposed, p.shapley,
+      |  b.n_users_total, b.conv_rate_overall
+      |FROM phi p
+      |LEFT JOIN exposed e ON e.channel = p.channel
+      |CROSS JOIN base b
+      |ORDER BY p.channel NULLS FIRST""".stripMargin
 }
