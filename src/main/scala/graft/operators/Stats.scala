@@ -3573,6 +3573,105 @@ object Stats {
        |FROM nd LEFT JOIN fin f ON f.event_type = nd.event_type
        |ORDER BY nd.event_type NULLS FIRST""".stripMargin
 
+  /** Q263 — sample entropy (m = 2) per event type on the zero-filled
+    * daily revenue series (Richman & Moorman 2000): the template-match
+    * irregularity read — B counts day pairs whose length-2 windows
+    * agree within Chebyshev tolerance r, A the same for length-3, and
+    * SampEn = −ln(A/B) is the conditional surprise of staying matched
+    * one step longer (0 = perfectly self-similar; larger = less
+    * predictable). The self-exclusion (i < j, no self-matches) is what
+    * removes ApEn's bias. Complements Q254: permutation entropy reads
+    * ORDINAL disorder, SampEn reads METRIC disorder at scale r.
+    *
+    * Determinism: the tolerance is the conventional 0.2σ made
+    * engine-stable — r = ⌈√(n·S2 − S1²)/(5n)⌉ where the radicand is
+    * exact int64 and IEEE mandates correctly-rounded sqrt, so both
+    * engines ceil the identical double; all window distances and
+    * A/B counts are then exact int64 comparisons. −ln(A/B) rounds at
+    * 4; A = 0 or B = 0 degrades to NULL + 'undefined', never ±Inf.
+    *
+    * Scale notes: templates pair on the bounded per-type spine
+    * (days²/2 rows per type after the one corpus-scan daily
+    * aggregate) — the standard grouped-series topology, flat in
+    * corpus size.
+    */
+  def q263(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tmpl = grid
+      .withColumn("v1", lead(col("v"), 1).over(w))
+      .withColumn("v2", lead(col("v"), 2).over(w))
+      .filter(col("v2").isNotNull)
+    val tol = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("v")).cast("long").as("s1"),
+        sum(col("v") * col("v")).cast("long").as("s2"))
+      .withColumn("vs", col("n_days") * col("s2") - col("s1") * col("s1"))
+      .withColumn("r_tol",
+        ceil(sqrt(col("vs").cast("double")) / (lit(5.0) * col("n_days")))
+          .cast("long"))
+      .select(col("event_type"), col("n_days"), col("r_tol"))
+    val a = tmpl.select(col("event_type"), col("day").as("di"),
+      col("v").as("xa0"), col("v1").as("xa1"), col("v2").as("xa2"))
+    val b = tmpl.select(col("event_type").as("tb"), col("day").as("dj"),
+      col("v").as("xb0"), col("v1").as("xb1"), col("v2").as("xb2"))
+    val cnt = a.join(b, col("event_type") === col("tb") && col("dj") > col("di"))
+      .join(tol, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_days"), col("r_tol"))
+      .agg(
+        sum(when(greatest(abs(col("xa0") - col("xb0")),
+          abs(col("xa1") - col("xb1"))) <= col("r_tol"), 1L).otherwise(0L))
+          .cast("long").as("b_cnt"),
+        sum(when(greatest(abs(col("xa0") - col("xb0")),
+          abs(col("xa1") - col("xb1")),
+          abs(col("xa2") - col("xb2"))) <= col("r_tol"), 1L).otherwise(0L))
+          .cast("long").as("a_cnt"))
+    tol.join(cnt.drop("n_days", "r_tol"), Seq("event_type"), "left")
+      .withColumn("sampen",
+        when(col("a_cnt") > 0 && col("b_cnt") > 0,
+          round(-log(col("a_cnt").cast("double") / col("b_cnt")), 4)))
+      .withColumn("verdict",
+        when(col("sampen").isNull, "undefined").otherwise("measured"))
+      .select(col("event_type"), col("n_days"), col("r_tol"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
+        coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        col("sampen"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q263Oracle: String =
+    s"""WITH $gridSql,
+       |tmpl AS (
+       |  SELECT event_type, day, v,
+       |    LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+       |    LEAD(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2
+       |  FROM grid QUALIFY v2 IS NOT NULL),
+       |tol AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(CEIL(SQRT(CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v)
+       |      AS DOUBLE)) / (5.0 * COUNT(*))) AS BIGINT) AS r_tol
+       |  FROM grid GROUP BY 1),
+       |cnt AS (
+       |  SELECT a.event_type,
+       |    CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1))
+       |      <= t.r_tol THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+       |    CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1),
+       |      ABS(a.v2 - b.v2)) <= t.r_tol THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a_cnt
+       |  FROM tmpl a
+       |  JOIN tmpl b ON b.event_type = a.event_type AND b.day > a.day
+       |  JOIN tol t ON t.event_type = a.event_type
+       |  GROUP BY 1)
+       |SELECT t.event_type, t.n_days, t.r_tol,
+       |  COALESCE(c.b_cnt, 0) AS b_cnt, COALESCE(c.a_cnt, 0) AS a_cnt,
+       |  CASE WHEN c.a_cnt > 0 AND c.b_cnt > 0 THEN
+       |    ROUND(-LN(CAST(c.a_cnt AS DOUBLE) / c.b_cnt), 4) END AS sampen,
+       |  CASE WHEN c.a_cnt > 0 AND c.b_cnt > 0
+       |    THEN 'measured' ELSE 'undefined' END AS verdict
+       |FROM tol t LEFT JOIN cnt c ON c.event_type = t.event_type
+       |ORDER BY t.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -3584,7 +3683,7 @@ object Stats {
     "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
     "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
     "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _),
-    "Q256" -> (q256 _), "Q257" -> (q257 _))
+    "Q256" -> (q256 _), "Q257" -> (q257 _), "Q263" -> (q263 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -3597,5 +3696,5 @@ object Stats {
     "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
     "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
     "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle,
-    "Q256" -> q256Oracle, "Q257" -> q257Oracle)
+    "Q256" -> q256Oracle, "Q257" -> q257Oracle, "Q263" -> q263Oracle)
 }

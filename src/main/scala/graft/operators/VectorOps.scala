@@ -398,16 +398,22 @@ object VectorOps {
     * broadcast to a labels-wide cross join — n·k rows, map-side folds,
     * never vector×vector. The same shape serves IVF cell audits.
     */
-  def q185(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
+  /** Per-label centroid relation (clabel, cvec) — the shared base of the
+    * Q185 silhouette and Q262 Davies–Bouldin internal indices. */
+  private def labelCentroids(c: Catalog): DataFrame = {
     val dimmean = c.embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .groupBy(col("label"), col("d"))
       .agg((sum(col("xf").cast("double")) / count(lit(1))).as("mu"))
-    val cents = dimmean.groupBy(col("label"))
+    dimmean.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
         x => x.getField("mu")).as("cvec"))
       .withColumnRenamed("label", "clabel")
+  }
+
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cents = labelCentroids(c)
     // bounded-side cross join: |labels| centroid rows, broadcast
     val dists = c.embeddings.crossJoin(broadcast(cents))
       .withColumn("dsq", round(expr(
@@ -880,13 +886,115 @@ object VectorOps {
        |ORDER BY bin NULLS LAST""".stripMargin
   }
 
+  /** Q262 — Davies–Bouldin index per label over the embedding corpus
+    * (Davies & Bouldin 1979): the scatter-to-separation internal
+    * clustering index next to Q185's silhouette — R_ij = (S_i + S_j)/
+    * M_ij with S_i the mean member→centroid distance and M_ij the
+    * centroid–centroid distance; each cluster reports its WORST partner
+    * (the max R_ij, the specific confusion silhouette averages away)
+    * and DB = mean_i max_j R_ij is the corpus score (lower = better
+    * separated). Reads cluster quality pairwise where Q185 reads it
+    * per vector.
+    *
+    * Exactness: per-pair squared distances fold in fixed element order
+    * and ROUND at 6 before any sqrt/compare (the Q185/Q173 shared-grid
+    * discipline); S_i is one mean of those rounded roots; R rounds at 6
+    * BEFORE the per-cluster argmax (partner-label tie-break), DB
+    * rounds at 4.
+    *
+    * Scale notes: members touch only the |labels|-wide broadcast
+    * centroid relation (n·k fold rows); the R matrix is k² rows. No
+    * vector×vector pair ever materializes — the same reason Q185's
+    * centroid form is the only one that exists at corpus scale.
+    */
+  def q262(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cents = labelCentroids(c)
+    val s = c.embeddings.crossJoin(broadcast(cents))
+      .filter(col("clabel") === col("label"))
+      .withColumn("dsq", round(expr(
+        """aggregate(zip_with(embedding, cvec,
+          |  (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),
+          |0D, (acc, v) -> acc + v)""".stripMargin), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        avg(sqrt(col("dsq"))).as("s_i"))
+    val m = cents.crossJoin(broadcast(cents
+        .select(col("clabel").as("clabel2"), col("cvec").as("cvec2"))))
+      .filter(col("clabel") =!= col("clabel2"))
+      .withColumn("msq", round(expr(
+        """aggregate(zip_with(cvec, cvec2,
+          |  (a, b) -> (a - b) * (a - b)),
+          |0D, (acc, v) -> acc + v)""".stripMargin), 6))
+      .select(col("clabel").as("la"), col("clabel2").as("lb"),
+        sqrt(col("msq")).as("mij"))
+    val r = m
+      .join(s.select(col("label").as("la"), col("s_i").as("sa")), Seq("la"))
+      .join(s.select(col("label").as("lb"), col("s_i").as("sb")), Seq("lb"))
+      .withColumn("r", round((col("sa") + col("sb")) / col("mij"), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("la"))
+        .orderBy(desc("r"), asc("lb"))))
+      .filter(col("rk") === 1)
+      .select(col("la").as("label"), col("lb").as("worst_partner"),
+        col("r").as("r_max"))
+    s.join(r, Seq("label"))
+      .withColumn("db_index",
+        round(avg(col("r_max")).over(Window.partitionBy()), 4))
+      .select(col("label"), col("n_vecs"), round(col("s_i"), 4).as("s_i"),
+        col("worst_partner"), col("r_max"), col("db_index"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q262Oracle: String =
+    """WITH coords AS (
+      |  SELECT label, vec_id, CAST(x AS DOUBLE) AS x, d
+      |  FROM (SELECT label, vec_id, UNNEST(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |dimmean AS (
+      |  SELECT label, d, SUM(x) / COUNT(*) AS mu FROM coords GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT label AS clabel, LIST(mu ORDER BY d) AS cvec
+      |  FROM dimmean GROUP BY 1),
+      |s AS (
+      |  SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    AVG(SQRT(ROUND(list_aggregate(list_transform(
+      |      list_zip(e.embedding, c.cvec),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2])
+      |         * (CAST(p[1] AS DOUBLE) - p[2])), 'sum'), 6))) AS s_i
+      |  FROM embeddings e JOIN cents c ON c.clabel = e.label
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT a.clabel AS la, b.clabel AS lb,
+      |    SQRT(ROUND(list_aggregate(list_transform(
+      |      list_zip(a.cvec, b.cvec),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)) AS mij
+      |  FROM cents a CROSS JOIN cents b WHERE a.clabel <> b.clabel),
+      |r AS (
+      |  SELECT la, lb, ROUND((sa.s_i + sb.s_i) / mij, 6) AS r
+      |  FROM m
+      |  JOIN s sa ON sa.label = m.la
+      |  JOIN s sb ON sb.label = m.lb),
+      |best AS (
+      |  SELECT la AS label, lb AS worst_partner, r AS r_max FROM (
+      |    SELECT la, lb, r,
+      |      ROW_NUMBER() OVER (PARTITION BY la ORDER BY r DESC, lb) AS rk
+      |    FROM r) t
+      |  WHERE rk = 1)
+      |SELECT s.label, s.n_vecs, ROUND(s.s_i, 4) AS s_i,
+      |  b.worst_partner, b.r_max,
+      |  ROUND(AVG(b.r_max) OVER (), 4) AS db_index
+      |FROM s JOIN best b ON b.label = s.label
+      |ORDER BY s.label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
-    "Q200" -> (q200 _), "Q248" -> (q248 _))
+    "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
-    "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle)
+    "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle,
+    "Q262" -> q262Oracle)
 }
