@@ -3672,6 +3672,118 @@ object Stats {
        |FROM tol t LEFT JOIN cnt c ON c.event_type = t.event_type
        |ORDER BY t.event_type NULLS FIRST""".stripMargin
 
+  /** Q264 — Lempel–Ziv (LZ76) algorithmic complexity per event type of
+    * the daily DIRECTION sequence (Lempel & Ziv 1976; Kaspar &
+    * Schuster 1987's c(n)): consecutive day deltas map to the ternary
+    * alphabet u/d/f (up/down/flat — monotone-invariant like Q254's
+    * ordinal patterns but with MEMORY: LZ76 sees long-range repeated
+    * motifs that fixed-order entropies cannot), and the complexity is
+    * the phrase count of the exhaustive-history parsing, computed by
+    * the native codegen'd `graft_lz76` expression
+    * (`plans/Lz76.scala`). The oracle replays the IDENTICAL phrase
+    * parsing as a recursive CTE — longest earlier-occurring (overlap
+    * allowed) prefix + one innovation character per step — so the hash
+    * match proves the parser itself, phrase for phrase. norm_lz =
+    * c·ln(n)/n is the Kaspar–Schuster normalization (→ ~1 for
+    * incompressible sequences, → 0 for periodic ones).
+    *
+    * Determinism: symbols come from exact int64 comparisons, the
+    * parsing is character-equality only (no floats anywhere in c), and
+    * norm_lz is one rounded double expression.
+    *
+    * Scale notes: sequences are spine-bounded per type and built by one
+    * grouped sort-collect after the corpus-scan daily aggregate; the
+    * O(n²·L̄) parse runs inside WholeStageCodegen per GROUP row — the
+    * same grouped-bounded-series contract as Q245's DTW. The oracle's
+    * l/q enumeration caps at 64 (> any spine this data model produces).
+    */
+  def q264(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sym = grid.withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("ch", when(col("v") > col("pv"), "u")
+        .when(col("v") < col("pv"), "d").otherwise("f"))
+    val seqs = sym.groupBy(col("event_type"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(day, ch))), x -> x.ch), '')").as("s"),
+        count(lit(1)).cast("long").as("n_symbols"),
+        sum(when(col("ch") === "u", 1L).otherwise(0L)).cast("long").as("n_up"),
+        sum(when(col("ch") === "d", 1L).otherwise(0L)).cast("long")
+          .as("n_down"),
+        sum(when(col("ch") === "f", 1L).otherwise(0L)).cast("long")
+          .as("n_flat"))
+    val nd = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    nd.join(seqs, Seq("event_type"), "left")
+      .withColumn("lz76", expr("graft_lz76(s)"))
+      .withColumn("norm_lz", when(col("n_symbols") > 1,
+        round(col("lz76") * log(col("n_symbols").cast("double")) /
+          col("n_symbols"), 4)))
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("n_up"), lit(0L)).as("n_up"),
+        coalesce(col("n_down"), lit(0L)).as("n_down"),
+        coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+        col("lz76"), col("norm_lz"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q264Oracle: String =
+    s"""WITH RECURSIVE $gridSql,
+       |sym AS (
+       |  SELECT event_type, day,
+       |    CASE WHEN v > pv THEN 'u' WHEN v < pv THEN 'd' ELSE 'f' END AS ch
+       |  FROM (
+       |    SELECT event_type, day, v,
+       |      LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+       |    FROM grid)
+       |  WHERE pv IS NOT NULL),
+       |seqs AS (
+       |  SELECT event_type, STRING_AGG(ch, '' ORDER BY day) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN ch = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       |    CAST(SUM(CASE WHEN ch = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_down,
+       |    CAST(SUM(CASE WHEN ch = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flat
+       |  FROM sym GROUP BY 1),
+       |parse AS (
+       |  SELECT event_type, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c
+       |  FROM seqs
+       |  UNION ALL
+       |  SELECT event_type, pos + phrase, c + 1 FROM (
+       |    SELECT p.event_type, p.pos, p.c,
+       |      LEAST(COALESCE(MAX(CASE WHEN q.q < p.pos
+       |          AND l.l <= s.n - p.pos + 1
+       |          AND substr(s.s, q.q, l.l) = substr(s.s, p.pos, l.l)
+       |          THEN l.l END), 0) + 1,
+       |        s.n - p.pos + 1) AS phrase
+       |    FROM parse p
+       |    JOIN seqs s ON s.event_type = p.event_type
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS l) l
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS q) q
+       |    WHERE p.pos <= s.n
+       |    GROUP BY 1, 2, 3, s.n) st),
+       |lz AS (
+       |  SELECT event_type, CAST(MAX(c) AS BIGINT) AS lz76
+       |  FROM parse GROUP BY 1),
+       |nd AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |  FROM grid GROUP BY 1)
+       |SELECT nd.event_type, nd.n_days,
+       |  COALESCE(s.n, 0) AS n_symbols,
+       |  COALESCE(s.n_up, 0) AS n_up, COALESCE(s.n_down, 0) AS n_down,
+       |  COALESCE(s.n_flat, 0) AS n_flat,
+       |  z.lz76,
+       |  CASE WHEN s.n > 1 THEN
+       |    ROUND(z.lz76 * LN(CAST(s.n AS DOUBLE)) / s.n, 4) END AS norm_lz
+       |FROM nd
+       |LEFT JOIN seqs s ON s.event_type = nd.event_type
+       |LEFT JOIN lz z ON z.event_type = nd.event_type
+       |ORDER BY nd.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -3683,7 +3795,8 @@ object Stats {
     "Q241" -> (q241 _), "Q242" -> (q242 _), "Q243" -> (q243 _),
     "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
     "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _),
-    "Q256" -> (q256 _), "Q257" -> (q257 _), "Q263" -> (q263 _))
+    "Q256" -> (q256 _), "Q257" -> (q257 _), "Q263" -> (q263 _),
+    "Q264" -> (q264 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -3696,5 +3809,6 @@ object Stats {
     "Q241" -> q241Oracle, "Q242" -> q242Oracle, "Q243" -> q243Oracle,
     "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
     "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle,
-    "Q256" -> q256Oracle, "Q257" -> q257Oracle, "Q263" -> q263Oracle)
+    "Q256" -> q256Oracle, "Q257" -> q257Oracle, "Q263" -> q263Oracle,
+    "Q264" -> q264Oracle)
 }

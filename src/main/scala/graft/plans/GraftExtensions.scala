@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectFunction(GraftExtensions.dtwFunction)
+    ext.injectFunction(GraftExtensions.lz76Function)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
@@ -64,6 +65,16 @@ object GraftExtensions {
   val dtwFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dtw"), dtwInfo,
       (children: Seq[Expression]) => Dtw(children(0), children(1), children(2)))
+
+  private val lz76Info = new ExpressionInfo(
+    classOf[Lz76].getName, null, "graft_lz76",
+    "graft_lz76(s) - Lempel-Ziv 1976 production complexity (phrase count " +
+      "of the exhaustive-history parsing); exact integer, 0 for empty.",
+    "")
+
+  val lz76Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lz76"), lz76Info,
+      (children: Seq[Expression]) => Lz76(children(0)))
 
   private def kmvBuilder(children: Seq[Expression]): Expression = {
     val k = children(1) match {
@@ -307,6 +318,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dtw",
       children => Dtw(children(0), children(1), children(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lz76", children => Lz76(children(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
