@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 
@@ -1247,8 +1248,107 @@ object Graphs {
       |    / (m * sjj - sj * sj), 6) AS assortativity
       |FROM sums CROSS JOIN ds""".stripMargin
 
+  /** Q265 — personalized PageRank / random walk with restart from the
+    * min-id landmark part over the co-order graph (Haveliwala 2002;
+    * Tong, Faloutsos & Pan 2006): Q106's PageRank ranks GLOBAL
+    * centrality, this ranks proximity TO ONE NODE — the
+    * "related items" primitive behind item-to-item recommendation.
+    * Three synchronous iterations of r' = 0.15·δ_seed + 0.85·Pᵀr from
+    * r₀ = δ_seed over the same degree-normalized directed expansion as
+    * Q106, unrolled identically in both engines; mass stays
+    * concentrated on the seed's neighborhood, so the score relation is
+    * FRONTIER-sparse (≤ 3-hop ball), never graph-wide.
+    *
+    * Determinism: the restart indicator rides the full-outer seed join
+    * (s IS NOT NULL ⇔ node = seed — no seed value needed on unmatched
+    * rows); per-node inbound sums are the Q106 tolerance class
+    * (~1e-15, absorbed by round 6 BEFORE the rank, p_partkey
+    * tie-break).
+    *
+    * Scale notes: reuses the bucketed co-order artifact; each
+    * iteration is one src-keyed join + dst-keyed aggregate over edges
+    * INCIDENT TO THE CURRENT FRONTIER — at web scale this is the point
+    * of PPR vs PageRank: compute proportional to the seed's ball, not
+    * the graph.
+    */
+  def q265(spark: SparkSession, dir: String): DataFrame = {
+    val e = Derived.coOrderPairCounts(spark, dir).select(col("a"), col("b"))
+    val de = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
+    val seed = deg.agg(min(col("src")).as("s"))
+    val r0 = seed.select(col("s").as("node"), lit(1.0).as("pr"))
+    def step(r: DataFrame): DataFrame = {
+      val contrib = de
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+        .select(col("dst").as("cnode"), col("m"))
+      contrib.join(seed, col("cnode") === col("s"), "full_outer")
+        .select(coalesce(col("cnode"), col("s")).as("node"),
+          (lit(0.85) * coalesce(col("m"), lit(0.0)) +
+            when(col("s").isNotNull, lit(0.15)).otherwise(lit(0.0))).as("pr"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.crossJoin(broadcast(seed))
+      .select(col("node").as("p_partkey"),
+        round(col("pr"), 6).as("ppr"),
+        when(col("node") === col("s"), 1L).otherwise(0L).as("is_seed"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("ppr"), asc("p_partkey"))).cast("long"))
+      .select(col("rank"), col("p_partkey"), col("ppr"), col("is_seed"))
+      .orderBy(asc("rank"))
+      .limit(25)
+  }
+
+  val q265Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
+      |de AS (SELECT a AS src, b AS dst FROM e
+      |       UNION ALL SELECT b AS src, a AS dst FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1),
+      |seed AS (SELECT MIN(src) AS s FROM deg),
+      |r0 AS (SELECT s AS node, CAST(1.0 AS DOUBLE) AS pr FROM seed),
+      |c1r AS (SELECT de.dst AS cnode, SUM(r0.pr / deg.deg) AS m
+      |        FROM de JOIN r0 ON r0.node = de.src
+      |        JOIN deg ON deg.src = de.src GROUP BY 1),
+      |r1 AS (SELECT COALESCE(c.cnode, s.s) AS node,
+      |         0.85 * COALESCE(c.m, 0.0)
+      |           + CASE WHEN s.s IS NOT NULL THEN 0.15 ELSE 0.0 END AS pr
+      |       FROM c1r c FULL JOIN seed s ON c.cnode = s.s),
+      |c2r AS (SELECT de.dst AS cnode, SUM(r1.pr / deg.deg) AS m
+      |        FROM de JOIN r1 ON r1.node = de.src
+      |        JOIN deg ON deg.src = de.src GROUP BY 1),
+      |r2 AS (SELECT COALESCE(c.cnode, s.s) AS node,
+      |         0.85 * COALESCE(c.m, 0.0)
+      |           + CASE WHEN s.s IS NOT NULL THEN 0.15 ELSE 0.0 END AS pr
+      |       FROM c2r c FULL JOIN seed s ON c.cnode = s.s),
+      |c3r AS (SELECT de.dst AS cnode, SUM(r2.pr / deg.deg) AS m
+      |        FROM de JOIN r2 ON r2.node = de.src
+      |        JOIN deg ON deg.src = de.src GROUP BY 1),
+      |r3 AS (SELECT COALESCE(c.cnode, s.s) AS node,
+      |         0.85 * COALESCE(c.m, 0.0)
+      |           + CASE WHEN s.s IS NOT NULL THEN 0.15 ELSE 0.0 END AS pr
+      |       FROM c3r c FULL JOIN seed s ON c.cnode = s.s)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, node)
+      |    AS BIGINT) AS rank,
+      |  node AS p_partkey, ROUND(pr, 6) AS ppr,
+      |  CAST(CASE WHEN node = (SELECT s FROM seed) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_seed
+      |FROM r3
+      |ORDER BY rank
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q222" -> (q222 _),
+    "Q265" -> (q265 _),
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
@@ -1260,5 +1360,5 @@ object Graphs {
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
     "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle,
-    "Q197" -> q197Oracle, "Q222" -> q222Oracle)
+    "Q197" -> q197Oracle, "Q222" -> q222Oracle, "Q265" -> q265Oracle)
 }
