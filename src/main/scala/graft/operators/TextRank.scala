@@ -466,6 +466,23 @@ object TextRank {
     * CANDIDATE set only. TakeOrdered bounds the output at 20.
     */
   def q260(spark: SparkSession, dir: String): DataFrame = {
+    val fused = dualRankings(spark, dir)
+      .withColumn("rrf_score",
+        round(lit(1.0) / (lit(60L) + col("r_bm25")) +
+          lit(1.0) / (lit(60L) + col("r_ql")), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(desc("rrf_score"), asc("doc_id"))).cast("long"))
+    fused
+      .select(col("fused_rank"), col("doc_id"), col("r_bm25"), col("r_ql"),
+        col("bm25"), col("ql"), col("rrf_score"))
+      .orderBy(asc("fused_rank"))
+      .limit(20)
+  }
+
+  /** Shared core of Q260/Q266: both component rankings over the common
+    * candidate set — (doc_id, bm25, ql, r_bm25, r_ql) with scores
+    * rounded 6 BEFORE their ranks (doc_id tie-break). */
+  private def dualRankings(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val docs = c.documents
       .select(col("doc_id"), split(col("text"), " ").as("p"))
@@ -500,25 +517,17 @@ object TextRank {
           (col("dl") + lit(2000L))).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("ql"))
-    val fused = bm25.join(ql, Seq("doc_id"))
+    bm25.join(ql, Seq("doc_id"))
       .withColumn("r_bm25", row_number().over(
         Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
       .withColumn("r_ql", row_number().over(
         Window.orderBy(desc("ql"), asc("doc_id"))).cast("long"))
-      .withColumn("rrf_score",
-        round(lit(1.0) / (lit(60L) + col("r_bm25")) +
-          lit(1.0) / (lit(60L) + col("r_ql")), 6))
-      .withColumn("fused_rank", row_number().over(
-        Window.orderBy(desc("rrf_score"), asc("doc_id"))).cast("long"))
-    fused
-      .select(col("fused_rank"), col("doc_id"), col("r_bm25"), col("r_ql"),
-        col("bm25"), col("ql"), col("rrf_score"))
-      .orderBy(asc("fused_rank"))
-      .limit(20)
   }
 
-  val q260Oracle: String =
-    """WITH docs AS (
+  /** Shared DuckDB text of [[dualRankings]] (CTE chain ending in
+    * `fused`), composed under WITH by the Q260/Q266 oracles. */
+  private val dualRankSql: String =
+    """docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS p,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |  FROM documents),
@@ -559,23 +568,122 @@ object TextRank {
       |      AS BIGINT) AS r_bm25,
       |    CAST(ROW_NUMBER() OVER (ORDER BY q.ql DESC, b.doc_id)
       |      AS BIGINT) AS r_ql
-      |  FROM bm b JOIN ql q ON q.doc_id = b.doc_id),
-      |rrf AS (
-      |  SELECT *, ROUND(1.0 / (60 + r_bm25) + 1.0 / (60 + r_ql), 6)
-      |    AS rrf_score
-      |  FROM fused)
-      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
-      |    AS BIGINT) AS fused_rank,
-      |  doc_id, r_bm25, r_ql, bm25, ql, rrf_score
-      |FROM rrf
-      |ORDER BY fused_rank
-      |LIMIT 20""".stripMargin
+      |  FROM bm b JOIN ql q ON q.doc_id = b.doc_id)""".stripMargin
+
+  val q260Oracle: String =
+    s"""WITH $dualRankSql,
+       |rrf AS (
+       |  SELECT *, ROUND(1.0 / (60 + r_bm25) + 1.0 / (60 + r_ql), 6)
+       |    AS rrf_score
+       |  FROM fused)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+       |    AS BIGINT) AS fused_rank,
+       |  doc_id, r_bm25, r_ql, bm25, ql, rrf_score
+       |FROM rrf
+       |ORDER BY fused_rank
+       |LIMIT 20""".stripMargin
+
+  /** Q266 — ranker-agreement audit between Q260's two component
+    * rankers: rank-biased overlap at depth 20 (Webber, Moffat & Zobel
+    * 2010 — top-weighted, p = 0.9), top-10 set Jaccard, and exact
+    * Kendall τ-a over the full common candidate set. The
+    * fusion-diagnostics companion to Q260: RRF helps most when the
+    * rankers genuinely disagree (low τ) yet each has signal — this
+    * gate measures that disagreement instead of assuming it.
+    *
+    * Determinism: ranks are Q260's round-before-rank integers, so
+    * every prefix-intersection count, concordant/discordant pair count
+    * and set size is exact int64 (row_number ranks are tie-free, so
+    * τ-a needs no tie correction); RBO's geometric weights are
+    * identical POWER(0.9, d−1) doubles, summed over 20 terms and
+    * rounded 6; τ is one divide of exact ints rounded 6.
+    *
+    * Scale notes: prefix counts are candidates × 20 depth rows; the τ
+    * pair count is candidate-quadratic BY DEFINITION of the statistic
+    * — bounded by the query's candidate set (inverted-index filtered),
+    * never the corpus. Single-row output.
+    */
+  def q266(spark: SparkSession, dir: String): DataFrame = {
+    val r = dualRankings(spark, dir)
+      .select(col("doc_id"), col("r_bm25"), col("r_ql"))
+      .localCheckpoint()
+    val depths = spark.range(1, 21).select(col("id").as("d"))
+    val xs = r.crossJoin(depths)
+      .filter(col("r_bm25") <= col("d") && col("r_ql") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).cast("long").as("xd"))
+    val rbo = depths.join(xs, Seq("d"), "left")
+      .agg(round(sum(lit(0.1) * pow(lit(0.9), col("d") - 1) *
+        coalesce(col("xd"), lit(0L)) / col("d")), 6).as("rbo_20"))
+    val tens = r.agg(
+      sum(when(col("r_bm25") <= 10 && col("r_ql") <= 10, 1L).otherwise(0L))
+        .cast("long").as("inter_10"),
+      sum(when(col("r_bm25") <= 10 || col("r_ql") <= 10, 1L).otherwise(0L))
+        .cast("long").as("union_10"),
+      count(lit(1)).cast("long").as("n_candidates"))
+    val a = r.select(col("doc_id").as("ia"), col("r_bm25").as("ba"),
+      col("r_ql").as("qa"))
+    val b = r.select(col("doc_id").as("ib"), col("r_bm25").as("bb"),
+      col("r_ql").as("qb"))
+    val tau = a.join(b, col("ib") > col("ia"))
+      .agg(
+        sum(when((col("ba") - col("bb")) * (col("qa") - col("qb")) > 0, 1L)
+          .otherwise(0L)).cast("long").as("concordant"),
+        sum(when((col("ba") - col("bb")) * (col("qa") - col("qb")) < 0, 1L)
+          .otherwise(0L)).cast("long").as("discordant"),
+        count(lit(1)).cast("long").as("n_pairs"))
+    tens.crossJoin(rbo).crossJoin(tau)
+      .select(col("n_candidates"), col("rbo_20"),
+        col("inter_10"), col("union_10"),
+        round(col("inter_10").cast("double") / col("union_10"), 6)
+          .as("jaccard_10"),
+        col("n_pairs"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs"), 6).as("kendall_tau"))
+  }
+
+  val q266Oracle: String =
+    s"""WITH $dualRankSql,
+       |r AS (SELECT doc_id, r_bm25, r_ql FROM fused),
+       |depths AS (SELECT UNNEST(generate_series(1, 20)) AS d),
+       |xs AS (
+       |  SELECT d.d, CAST(COUNT(*) AS BIGINT) AS xd
+       |  FROM r CROSS JOIN depths d
+       |  WHERE r.r_bm25 <= d.d AND r.r_ql <= d.d
+       |  GROUP BY 1),
+       |rbo AS (
+       |  SELECT ROUND(SUM(0.1 * POWER(0.9, d.d - 1)
+       |    * COALESCE(x.xd, 0) / d.d), 6) AS rbo_20
+       |  FROM depths d LEFT JOIN xs x ON x.d = d.d),
+       |tens AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN r_bm25 <= 10 AND r_ql <= 10 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS inter_10,
+       |    CAST(SUM(CASE WHEN r_bm25 <= 10 OR r_ql <= 10 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS union_10,
+       |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM r),
+       |tau AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN (a.r_bm25 - b.r_bm25) * (a.r_ql - b.r_ql) > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |    CAST(SUM(CASE WHEN (a.r_bm25 - b.r_bm25) * (a.r_ql - b.r_ql) < 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM r a JOIN r b ON b.doc_id > a.doc_id)
+       |SELECT t.n_candidates, rbo.rbo_20, t.inter_10, t.union_10,
+       |  ROUND(CAST(t.inter_10 AS DOUBLE) / t.union_10, 6) AS jaccard_10,
+       |  u.n_pairs, u.concordant, u.discordant,
+       |  ROUND(CAST(u.concordant - u.discordant AS DOUBLE) / u.n_pairs, 6)
+       |    AS kendall_tau
+       |FROM tens t CROSS JOIN rbo CROSS JOIN tau u""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _),
-    "Q201" -> (q201 _), "Q237" -> (q237 _), "Q260" -> (q260 _))
+    "Q201" -> (q201 _), "Q237" -> (q237 _), "Q260" -> (q260 _),
+    "Q266" -> (q266 _))
 
   def oracles: Map[String, String] = Map(
     "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle,
-    "Q201" -> q201Oracle, "Q237" -> q237Oracle, "Q260" -> q260Oracle)
+    "Q201" -> q201Oracle, "Q237" -> q237Oracle, "Q260" -> q260Oracle,
+    "Q266" -> q266Oracle)
 }
