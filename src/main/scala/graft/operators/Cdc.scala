@@ -87,9 +87,101 @@ object Cdc {
        |ORDER BY change_type NULLS FIRST, old_type NULLS FIRST,
        |  new_type NULLS FIRST""".stripMargin
 
+  /** Q268 — SCD Type-2 history build (Kimball's type-2 dimension): the
+    * WRITE side of the SCD story whose read side Q112 diffs. Per user,
+    * the daily state is the last event type by the unique (ts,
+    * event_id) order; consecutive same-state observation days collapse
+    * into one VERSION row with [valid_from_day, valid_to_day] validity
+    * (gaps-and-islands via change-flag running sum — Q136's identity),
+    * valid_to = the day before the next version opens, NULL on the
+    * current version. This is the dimension-history table every
+    * warehouse maintains so point-in-time joins (Q217's discipline)
+    * stay honest.
+    *
+    * Determinism: state selection rides the unique total order; days
+    * are exact epoch-day ints; version numbering is a running sum of
+    * exact change flags. No doubles anywhere.
+    *
+    * Scale notes: one (user, day) aggregate then two user-keyed windows
+    * — the exchange is reused across both (same partition key). Output
+    * is versions, bounded by observation days per key; nothing is
+    * calendar-densified.
+    */
+  def q268(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val wPick = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(desc("us"), desc("event_id"))
+    val obs = c.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("day", expr("us DIV 86400000000"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_type").as("state"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val versioned = obs
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(wSeq).isNull ||
+          lag(col("state"), 1).over(wSeq) =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wSeq).cast("long"))
+    val vers = versioned.groupBy(col("user_id"), col("version"))
+      .agg(min(col("state")).as("state"),
+        min(col("day")).cast("long").as("valid_from_day"),
+        count(lit(1)).cast("long").as("n_obs_days"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    vers
+      .withColumn("valid_to_day",
+        (lead(col("valid_from_day"), 1).over(wVer) - 1).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to_day").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_day"), col("valid_to_day"), col("n_obs_days"),
+        col("is_current"))
+      .orderBy(asc_nulls_first("user_id"), asc("version"))
+  }
+
+  val q268Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, day, event_type AS state FROM (
+      |    SELECT user_id, day, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |        ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev) r
+      |  WHERE rn = 1),
+      |flagged AS (
+      |  SELECT user_id, day, state,
+      |    CASE WHEN LAG(state) OVER w IS NULL
+      |      OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+      |  FROM obs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |versioned AS (
+      |  SELECT user_id, day, state,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS BIGINT) AS version
+      |  FROM flagged),
+      |vers AS (
+      |  SELECT user_id, version, MIN(state) AS state,
+      |    CAST(MIN(day) AS BIGINT) AS valid_from_day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs_days
+      |  FROM versioned GROUP BY 1, 2)
+      |SELECT user_id, version, state, valid_from_day,
+      |  CAST(LEAD(valid_from_day) OVER (PARTITION BY user_id
+      |    ORDER BY version) - 1 AS BIGINT) AS valid_to_day,
+      |  n_obs_days,
+      |  CAST(CASE WHEN LEAD(valid_from_day) OVER (PARTITION BY user_id
+      |    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM vers
+      |ORDER BY user_id NULLS FIRST, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q112" -> (q112 _))
+    "Q112" -> (q112 _), "Q268" -> (q268 _))
 
   def oracles: Map[String, String] = Map(
-    "Q112" -> q112Oracle)
+    "Q112" -> q112Oracle, "Q268" -> q268Oracle)
 }

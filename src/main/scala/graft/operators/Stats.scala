@@ -3784,6 +3784,119 @@ object Stats {
        |LEFT JOIN lz z ON z.event_type = nd.event_type
        |ORDER BY nd.event_type NULLS FIRST""".stripMargin
 
+  /** Q267 — Durbin–Watson residual-autocorrelation test per event type
+    * (Durbin & Watson 1950) on the zero-filled daily revenue series:
+    * fits the same OLS line as Q125 and asks the question a trend fit
+    * always begs — are the RESIDUALS independent, or does the line
+    * systematically over/under-shoot in runs (DW ≈ 2(1 − ρ₁); < 2
+    * positive residual autocorrelation, > 2 negative)? The serial-
+    * dependence read on the residual side that Q257's PACF gives on
+    * the raw side.
+    *
+    * Determinism: residuals never materialize as floats — with exact
+    * int64 normal-equation composites d = nSxx − Sx², bn = nSxy −
+    * SxSy, an = Sy·d − bn·Sx, the SCALED residual E_t = nd·y_t − an −
+    * n·bn·t is exact int64 (the nd scale cancels in the DW ratio);
+    * Σ(ΔE)² and ΣE² are double sums of exact integers (their squares
+    * exceed int64 — the one documented double step), ~30 terms, and DW
+    * is one divide rounded 4 with the verdict on the ROUNDED value
+    * (1.5/2.5 fences). A flat/degenerate series (ΣE² = 0) degrades to
+    * NULL + 'degenerate', never NaN.
+    *
+    * Scale notes: one corpus-scan daily aggregate, one five-sum
+    * aggregate per type, one spine-join + lag window. Int64 composites
+    * hold to ~10⁹-cent daily revenues (the Q257 margin note).
+    */
+  def q267(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val base = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("t"), col("v"))
+    val sums = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("sx"),
+        sum(col("v")).cast("long").as("sy"),
+        sum(col("t") * col("t")).cast("long").as("sxx"),
+        sum(col("t") * col("v")).cast("long").as("sxy"))
+      .withColumn("d", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("bn", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("an", col("sy") * col("d") - col("bn") * col("sx"))
+    val resid = base.join(sums, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("t"),
+        (col("n") * col("d") * col("v") - col("an") -
+          col("n") * col("bn") * col("t")).as("e"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val dw = resid
+      .withColumn("pe", lag(col("e"), 1).over(w))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sum(when(col("pe").isNotNull,
+          (col("e") - col("pe")).cast("double") *
+            (col("e") - col("pe")).cast("double")).otherwise(lit(0.0)))
+          .as("num"),
+        sum(col("e").cast("double") * col("e").cast("double")).as("den"))
+      .withColumn("dw", when(col("den") > 0,
+        round(col("num") / col("den"), 4)))
+    dw.withColumn("rho_resid",
+        when(col("dw").isNotNull, round(lit(1.0) - col("dw") / 2.0, 4)))
+      .withColumn("verdict",
+        when(col("dw").isNull, "degenerate")
+          .when(col("dw") < 1.5, "positive_autocorr")
+          .when(col("dw") > 2.5, "negative_autocorr")
+          .otherwise("independent"))
+      .select(col("event_type"), col("n").as("n_days"), col("dw"),
+        col("rho_resid"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q267Oracle: String =
+    s"""WITH $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |base AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS t, v FROM grid),
+       |sums AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+       |    CAST(SUM(t * t) AS BIGINT) AS sxx,
+       |    CAST(SUM(t * v) AS BIGINT) AS sxy
+       |  FROM base GROUP BY 1),
+       |comp AS (
+       |  SELECT event_type, n, sx, sy,
+       |    n * sxx - sx * sx AS d,
+       |    n * sxy - sx * sy AS bn
+       |  FROM sums),
+       |comp2 AS (
+       |  SELECT event_type, n, d, bn, sy * d - bn * sx AS an FROM comp),
+       |resid AS (
+       |  SELECT b.event_type, c.n, b.t,
+       |    CAST(c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS BIGINT) AS e
+       |  FROM base b JOIN comp2 c ON c.event_type = b.event_type),
+       |lagged AS (
+       |  SELECT event_type, n, e,
+       |    LAG(e) OVER (PARTITION BY event_type ORDER BY t) AS pe
+       |  FROM resid),
+       |agg AS (
+       |  SELECT event_type, n,
+       |    SUM(CASE WHEN pe IS NOT NULL THEN
+       |      CAST(e - pe AS DOUBLE) * CAST(e - pe AS DOUBLE)
+       |      ELSE 0.0 END) AS num,
+       |    SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS den
+       |  FROM lagged GROUP BY 1, 2),
+       |dw AS (
+       |  SELECT event_type, n,
+       |    CASE WHEN den > 0 THEN ROUND(num / den, 4) END AS dw
+       |  FROM agg)
+       |SELECT event_type, n AS n_days, dw,
+       |  CASE WHEN dw IS NOT NULL THEN ROUND(1.0 - dw / 2.0, 4) END
+       |    AS rho_resid,
+       |  CASE WHEN dw IS NULL THEN 'degenerate'
+       |    WHEN dw < 1.5 THEN 'positive_autocorr'
+       |    WHEN dw > 2.5 THEN 'negative_autocorr'
+       |    ELSE 'independent' END AS verdict
+       |FROM dw
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -3796,7 +3909,7 @@ object Stats {
     "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
     "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _),
     "Q256" -> (q256 _), "Q257" -> (q257 _), "Q263" -> (q263 _),
-    "Q264" -> (q264 _))
+    "Q264" -> (q264 _), "Q267" -> (q267 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -3810,5 +3923,5 @@ object Stats {
     "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
     "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle,
     "Q256" -> q256Oracle, "Q257" -> q257Oracle, "Q263" -> q263Oracle,
-    "Q264" -> q264Oracle)
+    "Q264" -> q264Oracle, "Q267" -> q267Oracle)
 }
