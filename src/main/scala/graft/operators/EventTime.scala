@@ -2743,7 +2743,105 @@ object EventTime {
     "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
     "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _),
     "Q188" -> (q188 _), "Q192" -> (q192 _), "Q193" -> (q193 _),
-    "Q194" -> (q194 _))
+    "Q194" -> (q194 _), "Q269" -> (q269 _))
+
+  /** Q269 — TIME-CONSTRAINED funnel (the Amplitude/Mixpanel "within N
+    * hours" form): Q63's view→click→purchase funnel with each step
+    * required within 24 h of the previous qualifying step — the
+    * constraint that separates "eventually converted" from "converted
+    * through THIS journey". Stage anchors are first-qualifying events
+    * (min µs after the previous anchor, inside the window), so the
+    * funnel is deterministic under the exact integer-µs order; emits
+    * stage counts, step/overall conversion rates, and exact-µs
+    * latency profiles (avg/max seconds) per step.
+    *
+    * Determinism: anchors and latencies are exact int64 µs; rates and
+    * averages are one divide each, rounded once.
+    *
+    * Scale notes: three user-keyed min-aggregates chained by joins on
+    * the SAME key (exchange reuse), then single-row rollup — Q63's
+    * topology plus the window predicate, nothing more.
+    */
+  def q269(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in µs
+    val c = Catalog(spark, dir)
+    val e = c.events.select(
+      col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val cl = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + lit(W))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"),
+        min(col("t1")).as("t1k"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(cl, Seq("user_id"))
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + lit(W))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"),
+        min(col("t2")).as("t2k"))
+    val s1 = v.agg(count(lit(1)).cast("long").as("n_view"))
+    val s2 = cl.agg(count(lit(1)).cast("long").as("n_click_24h"),
+      round(avg((col("t2") - col("t1k")).cast("double") / 1e6), 2)
+        .as("avg_lat12_s"),
+      round(max(col("t2") - col("t1k")).cast("double") / 1e6, 2)
+        .as("max_lat12_s"))
+    val s3 = p.agg(count(lit(1)).cast("long").as("n_purchase_24h"),
+      round(avg((col("t3") - col("t2k")).cast("double") / 1e6), 2)
+        .as("avg_lat23_s"),
+      round(max(col("t3") - col("t2k")).cast("double") / 1e6, 2)
+        .as("max_lat23_s"))
+    s1.crossJoin(s2).crossJoin(s3)
+      .withColumn("conv_12", when(col("n_view") > 0,
+        round(col("n_click_24h").cast("double") / col("n_view"), 6)))
+      .withColumn("conv_23", when(col("n_click_24h") > 0,
+        round(col("n_purchase_24h").cast("double") / col("n_click_24h"), 6)))
+      .withColumn("conv_13", when(col("n_view") > 0,
+        round(col("n_purchase_24h").cast("double") / col("n_view"), 6)))
+      .select(col("n_view"), col("n_click_24h"), col("n_purchase_24h"),
+        col("conv_12"), col("conv_23"), col("conv_13"),
+        col("avg_lat12_s"), col("max_lat12_s"),
+        col("avg_lat23_s"), col("max_lat23_s"))
+  }
+
+  val q269Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |cl AS (
+      |  SELECT e.user_id, MIN(us) AS t2, MIN(t1) AS t1k
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(us) AS t3, MIN(t2) AS t2k
+      |  FROM e JOIN cl USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+      |  GROUP BY e.user_id),
+      |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM v),
+      |s2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_click_24h,
+      |    ROUND(AVG(CAST(t2 - t1k AS DOUBLE) / 1e6), 2) AS avg_lat12_s,
+      |    ROUND(CAST(MAX(t2 - t1k) AS DOUBLE) / 1e6, 2) AS max_lat12_s
+      |  FROM cl),
+      |s3 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase_24h,
+      |    ROUND(AVG(CAST(t3 - t2k AS DOUBLE) / 1e6), 2) AS avg_lat23_s,
+      |    ROUND(CAST(MAX(t3 - t2k) AS DOUBLE) / 1e6, 2) AS max_lat23_s
+      |  FROM p)
+      |SELECT s1.n_view, s2.n_click_24h, s3.n_purchase_24h,
+      |  CASE WHEN s1.n_view > 0 THEN
+      |    ROUND(CAST(s2.n_click_24h AS DOUBLE) / s1.n_view, 6) END
+      |    AS conv_12,
+      |  CASE WHEN s2.n_click_24h > 0 THEN
+      |    ROUND(CAST(s3.n_purchase_24h AS DOUBLE) / s2.n_click_24h, 6) END
+      |    AS conv_23,
+      |  CASE WHEN s1.n_view > 0 THEN
+      |    ROUND(CAST(s3.n_purchase_24h AS DOUBLE) / s1.n_view, 6) END
+      |    AS conv_13,
+      |  s2.avg_lat12_s, s2.max_lat12_s, s3.avg_lat23_s, s3.max_lat23_s
+      |FROM s1, s2, s3""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
@@ -2759,5 +2857,5 @@ object EventTime {
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
     "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
     "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle,
-    "Q194" -> q194Oracle, "Q219" -> q219Oracle)
+    "Q194" -> q194Oracle, "Q219" -> q219Oracle, "Q269" -> q269Oracle)
 }

@@ -987,14 +987,132 @@ object VectorOps {
       |FROM s JOIN best b ON b.label = s.label
       |ORDER BY s.label NULLS FIRST""".stripMargin
 
+  /** Q270 — exact KNN-Shapley data valuation of the training vectors
+    * (Jia et al., VLDB 2019, the K = 1 closed form): every training
+    * point's Shapley contribution to 1-NN label accuracy over the
+    * probe set — THE data-valuation primitive for curating training
+    * corpora (which examples help, which actively hurt). Per probe,
+    * train points sort by similarity and the recursion s_n = δ_n/n,
+    * s_i = s_{i+1} + (δ_i − δ_{i+1})/i telescopes into a SUFFIX SUM of
+    * per-rank contributions c_i — one ordered window per probe, no
+    * iteration; the gate emits the 20 most valuable points and the
+    * count of NEGATIVE-value points (mislabeled-looking neighbors that
+    * lower probe accuracy).
+    *
+    * Determinism: neighbor order is the Q173 rounded-6-dot grid with
+    * id tie-break; δ terms are exact 0/1; c_i values are identical
+    * small rationals in double, suffix-summed in identical rank order;
+    * the per-point mean over probes rounds at 6 BEFORE the rank.
+    *
+    * Scale notes: probe×train pair scoring is the Q173 topology
+    * (probe-bounded, map-side folds); ranking windows partition per
+    * probe. Efficiency IS the point of the closed form — exact Shapley
+    * without a single Monte-Carlo permutation. At 10⁹ train points,
+    * keep the probe set bounded and prune candidates with Q198's
+    * SRP-LSH before the exact rank (documented scale path).
+    */
+  def q270(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val probe = c.embeddings.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val train = c.embeddings.filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("tid"), col("embedding").as("te"),
+        col("label").as("tlabel"))
+    val scored = train.crossJoin(broadcast(probe))
+      .withColumn("rdot", round(expr(
+        """aggregate(zip_with(te, pe,
+          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+          |  0D, (acc, x) -> acc + x)""".stripMargin), 6))
+      .withColumn("delta",
+        when(col("tlabel") === col("plabel"), 1L).otherwise(0L))
+      .withColumn("i", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(desc("rdot"), asc("tid"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid")))
+        .cast("long"))
+    val contrib = scored
+      .withColumn("dnext", lead(col("delta"), 1).over(
+        Window.partitionBy(col("pid")).orderBy(asc("i"))))
+      .withColumn("ci",
+        when(col("i") === col("n"), col("delta").cast("double") / col("n"))
+          .otherwise((col("delta") - col("dnext")).cast("double") / col("i")))
+      .withColumn("s", sum(col("ci")).over(
+        Window.partitionBy(col("pid")).orderBy(asc("i"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val value = contrib.groupBy(col("tid"), col("tlabel"))
+      .agg(count(lit(1)).cast("long").as("n_probes"),
+        round(avg(col("s")), 6).as("mean_shapley"))
+    val neg = value.agg(
+      sum(when(col("mean_shapley") < 0, 1L).otherwise(0L)).cast("long")
+        .as("n_negative"),
+      count(lit(1)).cast("long").as("n_train"))
+    value.crossJoin(broadcast(neg))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("mean_shapley"), asc("tid"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("tid").as("vec_id"),
+        col("tlabel").as("label"), col("mean_shapley"), col("n_probes"),
+        col("n_train"), col("n_negative"))
+      .orderBy(asc("rank"))
+  }
+
+  val q270Oracle: String =
+    """WITH probe AS (
+      |  SELECT vec_id AS pid, embedding AS pe, label AS plabel
+      |  FROM embeddings WHERE vec_id < 100),
+      |train AS (
+      |  SELECT vec_id AS tid, embedding AS te, label AS tlabel
+      |  FROM embeddings WHERE vec_id >= 100),
+      |scored AS (
+      |  SELECT t.tid, t.tlabel, p.pid, p.plabel,
+      |    ROUND(list_aggregate(list_transform(range(len(t.te)),
+      |      i -> CAST(t.te[i+1] AS DOUBLE)
+      |         * CAST(p.pe[i+1] AS DOUBLE)), 'sum'), 6) AS rdot,
+      |    CASE WHEN t.tlabel = p.plabel THEN 1 ELSE 0 END AS delta
+      |  FROM train t CROSS JOIN probe p),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pid
+      |      ORDER BY rdot DESC, tid) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      |  FROM scored),
+      |contrib AS (
+      |  SELECT *,
+      |    CASE WHEN i = n THEN CAST(delta AS DOUBLE) / n
+      |      ELSE CAST(delta - LEAD(delta) OVER (PARTITION BY pid ORDER BY i)
+      |        AS DOUBLE) / i END AS ci
+      |  FROM ranked),
+      |suff AS (
+      |  SELECT tid, tlabel, pid,
+      |    SUM(ci) OVER (PARTITION BY pid ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+      |  FROM contrib),
+      |value AS (
+      |  SELECT tid, tlabel, CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |    ROUND(AVG(s), 6) AS mean_shapley
+      |  FROM suff GROUP BY 1, 2),
+      |neg AS (
+      |  SELECT CAST(SUM(CASE WHEN mean_shapley < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_negative,
+      |    CAST(COUNT(*) AS BIGINT) AS n_train
+      |  FROM value)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mean_shapley DESC, tid)
+      |    AS BIGINT) AS rank,
+      |  tid AS vec_id, tlabel AS label, mean_shapley, n_probes,
+      |  neg.n_train, neg.n_negative
+      |FROM value CROSS JOIN neg
+      |QUALIFY rank <= 20
+      |ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
-    "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _))
+    "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _),
+    "Q270" -> (q270 _))
 
   def oracles: Map[String, String] = Map(
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
     "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle,
-    "Q262" -> q262Oracle)
+    "Q262" -> q262Oracle, "Q270" -> q270Oracle)
 }
