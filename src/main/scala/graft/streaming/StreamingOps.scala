@@ -395,6 +395,100 @@ object StreamingOps {
       }
       .toDF("user_id", "n_events")
   }
+
+  /** Input row for the SCD2 state machine (epoch-µs + derived day). */
+  case class Scd2Event(user_id: Long, day: Long, us: Long,
+    event_id: Long, event_type: String)
+
+  /** Per-user SCD2 machine state: the not-yet-final CURRENT DAY's best
+    * observation (last event wins by (us, event_id)) plus the OPEN
+    * version of the dimension chain. O(1) per key. */
+  case class Scd2State(
+    hasPending: Boolean, pendingDay: Long, pendingUs: Long,
+    pendingEid: Long, pendingType: String,
+    hasCur: Boolean, version: Long, curState: String, curFrom: Long,
+    curObs: Long)
+
+  /** A CLOSED SCD2 version row (the open version stays in state). */
+  case class Scd2Version(user_id: Long, version: Long, state: String,
+    valid_from_day: Long, valid_to_day: Long, n_obs_days: Long)
+
+  /** Q268 streaming twin — SCD Type-2 dimension history maintained
+    * INCREMENTALLY over an event stream with flatMapGroupsWithState:
+    * per user, a day finalizes when a later day arrives (the ingest
+    * contract is day-ordered files — the usual log-replay shape; within
+    * a micro-batch rows sort by (day, us, event_id), so intra-day
+    * arrival order never matters); a finalized day either extends the
+    * open version or CLOSES it, emitting the closed version row with
+    * its validity range in append mode. The emitted set must equal the
+    * batch Q268's PROVABLY closed rows (asserted in StreamingSpec over
+    * a multi-batch day-split replay): closing version k requires
+    * finalizing the first day of version k+1, so a close whose
+    * successor is the current version with exactly one observed day is
+    * not yet provable and stays in state — that trailing close and the
+    * open version are read-time state, like Q234's TOTAL rollup.
+    *
+    * Scale notes: state is ~10 scalars per user key in the state store;
+    * emission is append-only (closed versions are immutable — the
+    * property that makes SCD2 streamable at all). At production scale a
+    * watermark on event time bounds how long a day stays pending.
+    */
+  def scd2Stream(events: DataFrame): org.apache.spark.sql.Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("ts DIV 1000").as("us"), col("event_id"), col("event_type"))
+      .as[Scd2Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Scd2Event], gs: GroupState[Scd2State]) =>
+          var st = gs.getOption.getOrElse(
+            Scd2State(false, 0L, 0L, 0L, "", false, 0L, "", 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+          def finalizePending(): Unit = if (st.hasPending) {
+            if (!st.hasCur)
+              st = st.copy(hasCur = true, version = 1L,
+                curState = st.pendingType, curFrom = st.pendingDay,
+                curObs = 1L)
+            else if (st.pendingType == st.curState)
+              st = st.copy(curObs = st.curObs + 1L)
+            else {
+              out += Scd2Version(user, st.version, st.curState, st.curFrom,
+                st.pendingDay - 1L, st.curObs)
+              st = st.copy(version = st.version + 1L,
+                curState = st.pendingType, curFrom = st.pendingDay,
+                curObs = 1L)
+            }
+            st = st.copy(hasPending = false)
+          }
+          it.toSeq.sortBy(e => (e.day, e.us, e.event_id)).foreach { e =>
+            if (!st.hasPending)
+              st = st.copy(hasPending = true, pendingDay = e.day,
+                pendingUs = e.us, pendingEid = e.event_id,
+                pendingType = e.event_type)
+            else if (e.day == st.pendingDay) {
+              if (e.us > st.pendingUs ||
+                (e.us == st.pendingUs && e.event_id > st.pendingEid))
+                st = st.copy(pendingUs = e.us, pendingEid = e.event_id,
+                  pendingType = e.event_type)
+            } else if (e.day > st.pendingDay) {
+              finalizePending()
+              st = st.copy(hasPending = true, pendingDay = e.day,
+                pendingUs = e.us, pendingEid = e.event_id,
+                pendingType = e.event_type)
+            }
+            // e.day < pendingDay: out-of-order past the day contract —
+            // dropped (a production deployment bounds this with a
+            // watermark + dead-letter, not silent state rewind)
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
 }
 
 /** Per-user funnel state: min view time plus the click/purchase time sets
@@ -472,6 +566,7 @@ class DimensionStateProcessor
       case None => Iterator.empty
     }
   }
+
 }
 
 /** StatefulProcessor for C11c: one Long ValueState per user key. */

@@ -559,4 +559,58 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(streamed == batchMap, s"streamed $streamed vs batch $batchMap")
   }
+
+  test("streamed Q268 SCD2 closed versions equal the batch history across a day-split replay") {
+    // Three time-ordered files cut on DAY boundaries (the scd2Stream
+    // ingest contract: a day never straddles micro-batches), so the
+    // version chain must close correctly across batch boundaries.
+    val srcDir = tmpDir("graft-scd2-src")
+    val ev = Catalog(spark, sf("sf0.001")).events
+    val cuts = Seq(
+      ("0", col("ts") < 1704931200000000000L),
+      ("1", col("ts") >= 1704931200000000000L && col("ts") < 1705795200000000000L),
+      ("2", col("ts") >= 1705795200000000000L))
+    cuts.foreach { case (name, pred) =>
+      val stage = tmpDir(s"graft-scd2-stage$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val q = StreamingOps.scd2Stream(
+        StreamingOps.eventsStream(spark, srcDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-scd2-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scd2_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // Batch contract: every PROVABLY closed version. Closing version k
+    // requires FINALIZING the first day of version k+1 (a later day must
+    // arrive — last-event-wins means a day's state is not final until the
+    // day is over), so when the successor is the CURRENT version with
+    // exactly one observed day, the close is not yet provable and stays
+    // in state. Everything else must match exactly.
+    val all = graft.operators.Cdc.q268(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[String]("state"), r.getAs[Long]("valid_from_day"),
+          r.getAs[Long]("valid_to_day"), r.getAs[Long]("n_obs_days"),
+          r.getAs[Long]("is_current")))
+      .toMap
+    val batch = all.collect {
+      case ((u, v), (st, from, to, obs, cur))
+          if cur == 0 && !all.get((u, v + 1)).exists(nx =>
+            nx._5 == 1 && nx._4 == 1) =>
+        (u, v) -> (st, from, to, obs)
+    }
+    assert(streamed.size == batch.size,
+      s"closed-version count ${streamed.size} != batch ${batch.size}")
+    assert(streamed == batch)
+  }
 }
