@@ -620,11 +620,15 @@ object TextRank {
       sum(when(col("r_bm25") <= 10 || col("r_ql") <= 10, 1L).otherwise(0L))
         .cast("long").as("union_10"),
       count(lit(1)).cast("long").as("n_candidates"))
-    val a = r.select(col("doc_id").as("ia"), col("r_bm25").as("ba"),
-      col("r_ql").as("qa"))
+    // BNLJ parallelism = the STREAM side's partition count (the Q248
+    // lesson): r comes out of global rank windows in ONE partition,
+    // which would run the candidate-quadratic τ stage single-threaded.
+    val a = r.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("ia"), col("r_bm25").as("ba"),
+        col("r_ql").as("qa"))
     val b = r.select(col("doc_id").as("ib"), col("r_bm25").as("bb"),
       col("r_ql").as("qb"))
-    val tau = a.join(b, col("ib") > col("ia"))
+    val tau = a.join(broadcast(b), col("ib") > col("ia"))
       .agg(
         sum(when((col("ba") - col("bb")) * (col("qa") - col("qb")) > 0, 1L)
           .otherwise(0L)).cast("long").as("concordant"),

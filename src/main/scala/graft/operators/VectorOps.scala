@@ -1019,6 +1019,10 @@ object VectorOps {
     val train = c.embeddings.filter(col("vec_id") >= 100)
       .select(col("vec_id").as("tid"), col("embedding").as("te"),
         col("label").as("tlabel"))
+      // BNLJ parallelism = the STREAM side's partition count (the Q248
+      // lesson): the small train parquet reads as 1-2 partitions, which
+      // would run the probe×train scoring near-single-threaded.
+      .repartition(spark.sparkContext.defaultParallelism)
     val scored = train.crossJoin(broadcast(probe))
       .withColumn("rdot", round(expr(
         """aggregate(zip_with(te, pe,
