@@ -1173,14 +1173,131 @@ object Behavior {
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
     "Q224" -> (q224 _), "Q247" -> (q247 _),
-    "Q249" -> (q249 _), "Q250" -> (q250 _), "Q261" -> (q261 _))
+    "Q249" -> (q249 _), "Q250" -> (q250 _), "Q261" -> (q261 _),
+    "Q271" -> (q271 _))
 
   def oracles: Map[String, String] = Map(
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
     "Q224" -> q224Oracle, "Q247" -> q247Oracle,
-    "Q249" -> q249Oracle, "Q250" -> q250Oracle, "Q261" -> q261Oracle)
+    "Q249" -> q249Oracle, "Q250" -> q250Oracle, "Q261" -> q261Oracle,
+    "Q271" -> q271Oracle)
+
+  /** Q271 — Croston's method + SBA for INTERMITTENT demand per user
+    * (Croston 1972; Syntetos & Boylan 2005): per-user daily purchase
+    * cents are mostly-zero series where ordinary smoothing (Q100/Q123)
+    * systematically lags — Croston smooths demand SIZES and
+    * inter-demand INTERVALS separately and forecasts their ratio; SBA
+    * applies the (1 − α/2) bias correction. With the dyadic α = 1/2
+    * (the Q100 discipline), both EWMAs are EXACT integer ratios:
+    * 2^{K−1}·ŝ = z₁ + Σ_{k≥2} z_k·2^{k−2} and the interval EWMA
+    * scales by 2^{K−2}, so the Croston forecast collapses to ONE exact
+    * divide ŝ/p̂ = S/(2P) — no float recursion anywhere. Each user also
+    * gets the Syntetos–Boylan–Croston demand-class quadrant from the
+    * exact mean interval (≥ 1.32) and size CV² (≥ 0.49) fences,
+    * decided on integer cross-products.
+    *
+    * Determinism: demand points index by day order (exact), weights
+    * are powers of two (exact int64 to K = 62), the class fences
+    * compare 25·P·... style integer cross-products, and only the two
+    * reported forecasts divide, rounded 4.
+    *
+    * Scale notes: one corpus scan to per-(user, day) demand, one
+    * user-keyed window for indices/intervals, one aggregate. At 10⁹
+    * users this is the standard grouped-series topology; K caps at the
+    * spine length by construction.
+    */
+  def q271(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val demand = c.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("z"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val idx = demand
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("p", (col("day") - lag(col("day"), 1).over(w)).cast("long"))
+    val agg = idx.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("kd"),
+        sum(when(col("k") === 1, col("z"))
+          .otherwise(col("z") * expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 2 AS INT))")))
+          .cast("long").as("s_num"),
+        sum(when(col("k") === 2, col("p"))
+          .when(col("k") > 2,
+            col("p") * expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 3 AS INT))")))
+          .cast("long").as("p_num"),
+        sum(col("z")).cast("long").as("z_sum"),
+        sum(col("z") * col("z")).cast("long").as("z_sq"),
+        (max(col("day")) - min(col("day"))).cast("long").as("span"))
+    agg.filter(col("kd") >= 2)
+      .withColumn("croston_cents",
+        round(col("s_num").cast("double") / (lit(2.0) * col("p_num")), 4))
+      .withColumn("sba_cents",
+        round(lit(0.75) * col("s_num") / (lit(2.0) * col("p_num")), 4))
+      .withColumn("mean_interval",
+        round(col("span").cast("double") / (col("kd") - 1), 4))
+      // SBC fences on integer cross-products: mean interval ≥ 1.32 ⇔
+      // 100·span ≥ 132·(kd−1); CV² ≥ 0.49 ⇔ 100·kd·(kd·z_sq − z_sum²)
+      // ≥ 49·kd... CV² = (kd·z_sq − z_sum²)/z_sum², fence ⇔
+      // 100·(kd·z_sq − z_sum²) ≥ 49·z_sum².
+      .withColumn("intermittent",
+        lit(100L) * col("span") >= lit(132L) * (col("kd") - 1))
+      .withColumn("erratic",
+        lit(100L) * (col("kd") * col("z_sq") - col("z_sum") * col("z_sum")) >=
+          lit(49L) * col("z_sum") * col("z_sum"))
+      .withColumn("demand_class",
+        when(col("intermittent") && col("erratic"), "lumpy")
+          .when(col("intermittent"), "intermittent")
+          .when(col("erratic"), "erratic")
+          .otherwise("smooth"))
+      .select(col("user_id"), col("kd").as("n_demands"),
+        col("s_num"), col("p_num"), col("croston_cents"), col("sba_cents"),
+        col("mean_interval"), col("demand_class"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val q271Oracle: String =
+    """WITH demand AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS z
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT user_id, day, z,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    CAST(day - LAG(day) OVER w AS BIGINT) AS p
+      |  FROM demand
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |agg AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kd,
+      |    CAST(SUM(CASE WHEN k = 1 THEN z
+      |      ELSE z * (1::BIGINT << (k - 2)::INT) END) AS BIGINT) AS s_num,
+      |    CAST(SUM(CASE WHEN k = 2 THEN p
+      |      WHEN k > 2 THEN p * (1::BIGINT << (k - 3)::INT) END)
+      |      AS BIGINT) AS p_num,
+      |    CAST(SUM(z) AS BIGINT) AS z_sum,
+      |    CAST(SUM(z * z) AS BIGINT) AS z_sq,
+      |    CAST(MAX(day) - MIN(day) AS BIGINT) AS span
+      |  FROM idx GROUP BY 1)
+      |SELECT user_id, kd AS n_demands, s_num, p_num,
+      |  ROUND(CAST(s_num AS DOUBLE) / (2.0 * p_num), 4) AS croston_cents,
+      |  ROUND(0.75 * s_num / (2.0 * p_num), 4) AS sba_cents,
+      |  ROUND(CAST(span AS DOUBLE) / (kd - 1), 4) AS mean_interval,
+      |  CASE
+      |    WHEN 100 * span >= 132 * (kd - 1)
+      |      AND 100 * (kd * z_sq - z_sum * z_sum) >= 49 * z_sum * z_sum
+      |      THEN 'lumpy'
+      |    WHEN 100 * span >= 132 * (kd - 1) THEN 'intermittent'
+      |    WHEN 100 * (kd * z_sq - z_sum * z_sum) >= 49 * z_sum * z_sum
+      |      THEN 'erratic'
+      |    ELSE 'smooth' END AS demand_class
+      |FROM agg
+      |WHERE kd >= 2
+      |ORDER BY user_id NULLS FIRST""".stripMargin
 
   /** Q261 — exact Shapley-value channel attribution of conversion
     * (Shapley 1953; the coalition-game marketing-attribution form of

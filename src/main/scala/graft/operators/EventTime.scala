@@ -2743,7 +2743,104 @@ object EventTime {
     "Q175" -> (q175 _), "Q179" -> (q179 _), "Q180" -> (q180 _),
     "Q182" -> (q182 _), "Q183" -> (q183 _), "Q186" -> (q186 _),
     "Q188" -> (q188 _), "Q192" -> (q192 _), "Q193" -> (q193 _),
-    "Q194" -> (q194 _), "Q269" -> (q269 _))
+    "Q194" -> (q194 _), "Q269" -> (q269 _), "Q272" -> (q272 _))
+
+  /** Q272 — Allen interval-algebra profile between event-type activity
+    * spans (Allen, CACM 1983): per user each type's activity interval
+    * is [first µs, last µs]; every ordered type pair classifies into
+    * one of Allen's 13 exhaustive, mutually exclusive temporal
+    * relations (before/meets/overlaps/starts/during/finishes, their
+    * inverses, equals), and the corpus rolls up to the
+    * (type_a, type_b, relation) distribution — the qualitative
+    * temporal-structure read (does signup activity PRECEDE or OVERLAP
+    * purchase activity?) that lag correlations (Q179/Q216) cannot
+    * express. Degenerate point intervals (one event) classify by the
+    * same predicates — the 13 cases stay exhaustive.
+    *
+    * Determinism: endpoints are exact integer µs under the engine's
+    * single time convention; the 13-way CASE is ordered identically in
+    * both engines over pure int comparisons; shares round at 6.
+    *
+    * Scale notes: one user-keyed aggregate to |users|·|types| interval
+    * rows, a per-user type-pair join in the COLLAPSED domain (k²/2 per
+    * user), one bounded rollup — the corpus is never self-joined at
+    * event granularity.
+    */
+  def q272(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val iv = c.events
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val a = iv.select(col("user_id"), col("event_type").as("type_a"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("user_id").as("ub"), col("event_type").as("type_b"),
+      col("s").as("sb"), col("e").as("eb"))
+    val rel = a.join(b,
+        col("user_id") === col("ub") && col("type_a") < col("type_b"))
+      .withColumn("relation",
+        when(col("ea") < col("sb"), "before")
+          .when(col("ea") === col("sb"), "meets")
+          .when(col("eb") < col("sa"), "after")
+          .when(col("eb") === col("sa"), "met_by")
+          .when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
+          .when(col("sa") === col("sb") && col("ea") < col("eb"), "starts")
+          .when(col("sa") === col("sb"), "started_by")
+          .when(col("ea") === col("eb") && col("sa") > col("sb"), "finishes")
+          .when(col("ea") === col("eb"), "finished_by")
+          .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
+          .when(col("sa") < col("sb") && col("ea") > col("eb"), "contains")
+          .when(col("sa") < col("sb"), "overlaps")
+          .otherwise("overlapped_by"))
+    val cnt = rel.groupBy(col("type_a"), col("type_b"), col("relation"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val tot = cnt.groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("n_users")).cast("long").as("n_pair_users"))
+    cnt.join(tot, Seq("type_a", "type_b"))
+      .withColumn("share",
+        round(col("n_users").cast("double") / col("n_pair_users"), 6))
+      .select(col("type_a"), col("type_b"), col("relation"),
+        col("n_users"), col("n_pair_users"), col("share"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"),
+        asc_nulls_first("relation"))
+  }
+
+  val q272Oracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_type,
+      |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      |  FROM events GROUP BY 1, 2),
+      |rel AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CASE
+      |      WHEN a.e < b.s THEN 'before'
+      |      WHEN a.e = b.s THEN 'meets'
+      |      WHEN b.e < a.s THEN 'after'
+      |      WHEN b.e = a.s THEN 'met_by'
+      |      WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+      |      WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+      |      WHEN a.s = b.s THEN 'started_by'
+      |      WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+      |      WHEN a.e = b.e THEN 'finished_by'
+      |      WHEN a.s > b.s AND a.e < b.e THEN 'during'
+      |      WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+      |      WHEN a.s < b.s THEN 'overlaps'
+      |      ELSE 'overlapped_by' END AS relation
+      |  FROM iv a JOIN iv b
+      |    ON b.user_id = a.user_id AND a.event_type < b.event_type),
+      |cnt AS (
+      |  SELECT type_a, type_b, relation, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM rel GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT type_a, type_b, CAST(SUM(n_users) AS BIGINT) AS n_pair_users
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT c.type_a, c.type_b, c.relation, c.n_users, t.n_pair_users,
+      |  ROUND(CAST(c.n_users AS DOUBLE) / t.n_pair_users, 6) AS share
+      |FROM cnt c JOIN tot t
+      |  ON t.type_a = c.type_a AND t.type_b = c.type_b
+      |ORDER BY c.type_a NULLS FIRST, c.type_b NULLS FIRST,
+      |  c.relation NULLS FIRST""".stripMargin
 
   /** Q269 — TIME-CONSTRAINED funnel (the Amplitude/Mixpanel "within N
     * hours" form): Q63's view→click→purchase funnel with each step
@@ -2857,5 +2954,6 @@ object EventTime {
     "Q175" -> q175Oracle, "Q179" -> q179Oracle, "Q180" -> q180Oracle,
     "Q182" -> q182Oracle, "Q183" -> q183Oracle, "Q186" -> q186Oracle,
     "Q188" -> q188Oracle, "Q192" -> q192Oracle, "Q193" -> q193Oracle,
-    "Q194" -> q194Oracle, "Q219" -> q219Oracle, "Q269" -> q269Oracle)
+    "Q194" -> q194Oracle, "Q219" -> q219Oracle, "Q269" -> q269Oracle,
+    "Q272" -> q272Oracle)
 }

@@ -3897,6 +3897,112 @@ object Stats {
        |FROM dw
        |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q273 — split-conformal prediction-interval audit of the
+    * seasonal-naive-7 forecaster (Vovk et al. 2005; Lei et al., JASA
+    * 2018) on the zero-filled daily revenue series: residual days
+    * (|y_t − y_{t−7}|, exact cents) split chronologically into a
+    * CALIBRATION half and a TEST half; the conformal quantile is the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual (α = 0.2 — an
+    * 80% target), and the audit reports the EXACT test coverage of
+    * ŷ_t ± q̂. The distribution-free "how wrong are my forecast
+    * bands" companion to Q236's point-error backtest — the guarantee
+    * coverage ≥ 1−α needs only exchangeability, which is exactly what
+    * this gate checks empirically per type.
+    *
+    * Determinism: residuals and q̂ are exact int64 cents; the quantile
+    * index is exact integer arithmetic ⌈13·0.8⌉ computed as
+    * (4·(n_cal+1) + 4) DIV 5 (ceil of 4(n+1)/5 in pure ints); test
+    * coverage is an exact count, the ≥ 0.8 verdict compares
+    * 5·n_covered ≥ 4·n_test in int64, and only the reported coverage
+    * share divides, rounded 6.
+    *
+    * Scale notes: residuals live on the bounded per-type spine (one
+    * LAG window); the quantile is one rank pick in the tiny
+    * calibration relation. Flat in corpus size past the daily
+    * aggregate.
+    */
+  def q273(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val resid = grid
+      .withColumn("yhat", lag(col("v"), 7).over(w))
+      .filter(col("yhat").isNotNull)
+      .withColumn("r", abs(col("v") - col("yhat")).cast("long"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("n_cal", expr("n DIV 2"))
+      .withColumn("split",
+        when(col("i") <= col("n_cal"), "cal").otherwise("test"))
+    val qhat = resid.filter(col("split") === "cal")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(asc("r"), asc("day")))
+        .cast("long"))
+      .withColumn("q_idx", expr("(4 * (n_cal + 1) + 4) DIV 5"))
+      .filter(col("rk") === least(col("q_idx"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("q_idx"),
+        col("r").as("q_hat_cents"))
+    val cover = resid.filter(col("split") === "test")
+      .select(col("event_type"), col("r"))
+      .join(qhat, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_cal"), col("q_idx"),
+        col("q_hat_cents"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("r") <= col("q_hat_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"))
+    cover
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 6))
+      .withColumn("verdict",
+        when(lit(5L) * col("n_covered") >= lit(4L) * col("n_test"),
+          "covered").otherwise("under_covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"), col("q_idx"),
+        col("q_hat_cents"), col("n_covered"), col("coverage"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q273Oracle: String =
+    s"""WITH $gridSql,
+       |resid0 AS (
+       |  SELECT event_type, day,
+       |    CAST(ABS(v - LAG(v, 7) OVER w) AS BIGINT) AS r,
+       |    LAG(v, 7) OVER w AS yhat
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |resid AS (
+       |  SELECT event_type, day, r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM resid0 WHERE yhat IS NOT NULL),
+       |sp AS (
+       |  SELECT *, n // 2 AS n_cal,
+       |    CASE WHEN i <= n // 2 THEN 'cal' ELSE 'test' END AS split
+       |  FROM resid),
+       |qhat AS (
+       |  SELECT event_type, n_cal, q_idx, r AS q_hat_cents FROM (
+       |    SELECT event_type, n_cal, r,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY r, day) AS BIGINT) AS rk,
+       |      (4 * (n_cal + 1) + 4) // 5 AS q_idx
+       |    FROM sp WHERE split = 'cal') t
+       |  WHERE rk = LEAST(q_idx, n_cal)),
+       |cover AS (
+       |  SELECT s.event_type, q.n_cal, q.q_idx, q.q_hat_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN s.r <= q.q_hat_cents THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_covered
+       |  FROM sp s JOIN qhat q ON q.event_type = s.event_type
+       |  WHERE s.split = 'test'
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT event_type, n_cal, n_test, q_idx, q_hat_cents, n_covered,
+       |  ROUND(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage,
+       |  CASE WHEN 5 * n_covered >= 4 * n_test THEN 'covered'
+       |    ELSE 'under_covered' END AS verdict
+       |FROM cover
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
@@ -3909,7 +4015,7 @@ object Stats {
     "Q244" -> (q244 _), "Q245" -> (q245 _), "Q252" -> (q252 _),
     "Q253" -> (q253 _), "Q254" -> (q254 _), "Q255" -> (q255 _),
     "Q256" -> (q256 _), "Q257" -> (q257 _), "Q263" -> (q263 _),
-    "Q264" -> (q264 _), "Q267" -> (q267 _))
+    "Q264" -> (q264 _), "Q267" -> (q267 _), "Q273" -> (q273 _))
 
   def oracles: Map[String, String] = Map(
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
@@ -3923,5 +4029,5 @@ object Stats {
     "Q244" -> q244Oracle, "Q245" -> q245Oracle, "Q252" -> q252Oracle,
     "Q253" -> q253Oracle, "Q254" -> q254Oracle, "Q255" -> q255Oracle,
     "Q256" -> q256Oracle, "Q257" -> q257Oracle, "Q263" -> q263Oracle,
-    "Q264" -> q264Oracle, "Q267" -> q267Oracle)
+    "Q264" -> q264Oracle, "Q267" -> q267Oracle, "Q273" -> q273Oracle)
 }
