@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 
@@ -510,7 +511,96 @@ object Aggregates {
       |  (l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Q274 — order-to-ship latency profile per order priority: the
+    * operational SLA read (how long from order to first shipment, and
+    * does priority actually buy speed?). Latency is the exact integer
+    * day difference ship − order per lineitem; per priority the gate
+    * reports n, min/max, rank-picked lower median and p90 (the
+    * Q54/Q114 discrete-percentile discipline — ranks (n+1) DIV 2 and
+    * ⌈9n/10⌉ computed in pure ints, value at a rank boundary is
+    * tie-invariant), mean (one divide), and the > 60-day late share
+    * decided on exact counts.
+    *
+    * Determinism: both date columns are midnight-aligned day
+    * timestamps, so datediff is exact int; every reported number is an
+    * int, a rank-picked int, or one rounded divide.
+    *
+    * Scale notes: one orders⇄lineitem equi-join (orderkey — the
+    * natural co-partition key), then per-priority windows in the
+    * joined domain. At 100 TB the join is the bucketed-layout case;
+    * percentile ranks partition by the 5-value priority key.
+    */
+  def q274(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val lat = c.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(c.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lat"))
+    val w = Window.partitionBy(col("priority"))
+    val ranked = lat
+      .withColumn("rk", row_number().over(w.orderBy(asc("lat"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w).cast("long"))
+    val picks = ranked
+      .withColumn("med_rk", expr("(n + 1) DIV 2"))
+      .withColumn("p90_rk", expr("(9 * n + 9) DIV 10"))
+      .groupBy(col("priority"), col("n"))
+      .agg(
+        max(when(col("rk") === col("med_rk"), col("lat"))).as("p50_days"),
+        max(when(col("rk") === col("p90_rk"), col("lat"))).as("p90_days"))
+    val sums = lat.groupBy(col("priority"))
+      .agg(min(col("lat")).as("min_days"), max(col("lat")).as("max_days"),
+        sum(col("lat")).cast("long").as("lat_sum"),
+        sum(when(col("lat") > 60, 1L).otherwise(0L)).cast("long")
+          .as("n_late"))
+    picks.join(sums, Seq("priority"))
+      .withColumn("mean_days",
+        round(col("lat_sum").cast("double") / col("n"), 4))
+      .withColumn("late_share",
+        round(col("n_late").cast("double") / col("n"), 6))
+      .select(col("priority"), col("n").as("n_lines"), col("min_days"),
+        col("p50_days"), col("p90_days"), col("max_days"),
+        col("mean_days"), col("n_late"), col("late_share"))
+      .orderBy(asc_nulls_first("priority"))
+  }
+
+  val q274Oracle: String =
+    """WITH lat AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+      |      AS lat
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |ranked AS (
+      |  SELECT priority, lat,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY lat)
+      |      AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM lat),
+      |picks AS (
+      |  SELECT priority, n,
+      |    MAX(CASE WHEN rk = (n + 1) // 2 THEN lat END) AS p50_days,
+      |    MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lat END) AS p90_days
+      |  FROM ranked GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT priority, CAST(MIN(lat) AS BIGINT) AS min_days,
+      |    CAST(MAX(lat) AS BIGINT) AS max_days,
+      |    CAST(SUM(lat) AS BIGINT) AS lat_sum,
+      |    CAST(SUM(CASE WHEN lat > 60 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_late
+      |  FROM lat GROUP BY 1)
+      |SELECT p.priority, p.n AS n_lines, s.min_days, p.p50_days,
+      |  p.p90_days, s.max_days,
+      |  ROUND(CAST(s.lat_sum AS DOUBLE) / p.n, 4) AS mean_days,
+      |  s.n_late,
+      |  ROUND(CAST(s.n_late AS DOUBLE) / p.n, 6) AS late_share
+      |FROM picks p JOIN sums s ON s.priority = p.priority
+      |ORDER BY p.priority NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q274" -> (q274 _),
     "Q13" -> (q13 _), "Q14" -> (q14 _), "Q15" -> (q15 _), "Q16" -> (q16 _),
     "Q17" -> (q17 _), "Q17b" -> (q17b _), "Q53" -> (q53 _), "Q54" -> (q54 _),
     "Q55" -> (q55 _), "Q58" -> (q58 _), "Q62" -> (q62 _), "Q64" -> (q64 _),
@@ -523,5 +613,5 @@ object Aggregates {
     "Q53" -> q53Oracle, "Q54" -> q54Oracle, "Q55" -> q55Oracle,
     "Q58" -> q58Oracle, "Q62" -> q62Oracle, "Q64" -> q64Oracle,
     "Q75" -> q75Oracle, "Q90" -> q90Oracle, "Q91" -> q91Oracle,
-    "Q93" -> q93Oracle, "Q110" -> q110Oracle)
+    "Q93" -> q93Oracle, "Q110" -> q110Oracle, "Q274" -> q274Oracle)
 }
