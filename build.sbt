@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON (BENCH_r{N}.json `parsed`). Two sbt behaviors
+// broke that every round: the forked program's stdout was re-logged
+// with an `[info] ` prefix, and sbt appended a `[success] Total time`
+// trailer after it. Pass program output through raw and drop the
+// trailer so the bench summary line is genuinely last and unprefixed.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

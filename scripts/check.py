@@ -23,8 +23,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # already rounded to 4 by contract; normalize -0.0 and fp repr
-        return round(v, 4)
+        # exact comparison (mirrors the driver's hash compare): every
+        # emitted float is already ROUND()ed identically in both engine
+        # texts, so only genuine drift differs. Normalize -0.0 to 0.0.
+        return v + 0.0
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

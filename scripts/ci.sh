@@ -21,6 +21,10 @@ python3 scripts/leakcheck.py "${GRAFT_ROUND:-0}" "$OUT/leakcheck.json"
 
 sbt -batch test
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
+# Spark-output dtype preflight (VERDICT r9 #3, the Q235 class): a bare
+# decimal literal in a Spark SQL ROUND makes the OUTPUT column DECIMAL
+# while the oracle computes DOUBLE — ban decimal output columns outright.
+python3 scripts/output_dtypes.py "$OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"
 python3 scripts/golden.py check "$OUT" golden/sf0.01.json
 

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Golden-hash harness (SURVEY.md §2.0.5 / §5.2): canonical serialization of
 each query's Verify output — columns sorted by name, rows in produced order,
-`|` separator, `%.4f` doubles, `\\N` nulls — hashed with SHA-256.
+`|` separator, full-precision `repr()` doubles (round 10: `%.4f` masked
+the 184 round-6 columns — the Q235 class), `\\N` nulls — SHA-256 hashed.
 
 Usage:
   python3 scripts/golden.py write <verifyOutDir> golden/sf0.01.json
@@ -32,7 +33,9 @@ def canonical_hash(parquet_file):
             if v is None:
                 fields.append("\\N")
             elif isinstance(v, float):
-                fields.append(f"{v:.4f}")
+                # full precision; normalize -0.0 so the hash can't split
+                # on a sign-of-zero representation difference
+                fields.append(repr(v + 0.0))
             elif hasattr(v, "isoformat"):
                 fields.append(v.isoformat())
             else:

@@ -99,6 +99,19 @@ object Bench {
     // the Derived bucketed artifact re-registers from disk in the fresh
     // session (Derived.coOrderPairCounts external-table path).
     val RECYCLE = 30
+    // The first chunk otherwise times its queries in the SAME session
+    // that just ran the two derived builds (~17 s of heavy shuffle/GC
+    // debt) — measured as Q103 at 9.35 s full-registry vs a 2.7–4.2 s
+    // dedicated median (VERDICT r9 #6, the half of the r8 hygiene item
+    // that the chunk recycling didn't cover). Recycle once after the
+    // builds so chunk 1 starts as clean as every later chunk.
+    if (names.nonEmpty) {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+      materialize(names.head)
+    }
     val results = names.grouped(RECYCLE).flatMap { chunk =>
       if (chunk.head != names.head) {
         spark.stop()

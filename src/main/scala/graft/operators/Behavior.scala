@@ -1199,14 +1199,21 @@ object Behavior {
     * decided on integer cross-products.
     *
     * Determinism: demand points index by day order (exact), weights
-    * are powers of two (exact int64 to K = 62), the class fences
-    * compare 25·P·... style integer cross-products, and only the two
-    * reported forecasts divide, rounded 4.
+    * are powers of two, the class fences compare integer
+    * cross-products, and only the two reported forecasts divide,
+    * rounded 4. The EWMA recursion is CAPPED at the last 40 demand
+    * points per user (both engine texts identically): with α = 1/2
+    * the dropped weights are < 2⁻³⁸ ≈ 4·10⁻¹² of the total — below
+    * the round-4 resolution — and the cap bounds the largest shift at
+    * 2³⁸, keeping z·2^k and the 40-term numerator sums exact int64
+    * for demand sizes up to ~10⁷ cents/day (the uncapped form wrapped
+    * silently at k ≈ 45 for 10⁵-cent demands, and shiftleft itself
+    * wraps mod 64 at k ≥ 66).
     *
     * Scale notes: one corpus scan to per-(user, day) demand, one
     * user-keyed window for indices/intervals, one aggregate. At 10⁹
-    * users this is the standard grouped-series topology; K caps at the
-    * spine length by construction.
+    * users this is the standard grouped-series topology; the cap
+    * bounds per-user state regardless of spine length.
     */
   def q271(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -1220,24 +1227,31 @@ object Behavior {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val idx = demand
       .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("n_all",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).cast("long"))
+      // EWMA depth cap: re-index so ke = 1 is the 40th-from-last demand
+      // point; rows with ke < 1 drop out of the EWMA numerators (their
+      // α=1/2 weights are < 2⁻³⁸) but still count in kd/z_sum/z_sq/span.
+      .withColumn("ke", col("k") - greatest(col("n_all") - lit(40L), lit(0L)))
       .withColumn("p", (col("day") - lag(col("day"), 1).over(w)).cast("long"))
     val agg = idx.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("kd"),
-        sum(when(col("k") === 1, col("z"))
-          .otherwise(col("z") * expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 2 AS INT))")))
+        sum(when(col("ke") === 1, col("z"))
+          .when(col("ke") > 1,
+            col("z") * expr("shiftleft(CAST(1 AS BIGINT), CAST(ke - 2 AS INT))")))
           .cast("long").as("s_num"),
-        sum(when(col("k") === 2, col("p"))
-          .when(col("k") > 2,
-            col("p") * expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 3 AS INT))")))
+        sum(when(col("ke") === 2, col("p"))
+          .when(col("ke") > 2,
+            col("p") * expr("shiftleft(CAST(1 AS BIGINT), CAST(ke - 3 AS INT))")))
           .cast("long").as("p_num"),
         sum(col("z")).cast("long").as("z_sum"),
         sum(col("z") * col("z")).cast("long").as("z_sq"),
         (max(col("day")) - min(col("day"))).cast("long").as("span"))
     agg.filter(col("kd") >= 2)
       .withColumn("croston_cents",
-        round(col("s_num").cast("double") / (lit(2.0) * col("p_num")), 4))
+        expr("ROUND(CAST(s_num AS DOUBLE) / (2 * p_num), 4)"))
       .withColumn("sba_cents",
-        round(lit(0.75) * col("s_num") / (lit(2.0) * col("p_num")), 4))
+        expr("ROUND(CAST(3 * s_num AS DOUBLE) / (8 * p_num), 4)"))
       .withColumn("mean_interval",
         round(col("span").cast("double") / (col("kd") - 1), 4))
       // SBC fences on integer cross-products: mean interval ≥ 1.32 ⇔
@@ -1269,23 +1283,27 @@ object Behavior {
       |idx AS (
       |  SELECT user_id, day, z,
       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT)
+      |      - GREATEST(CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+      |          - 40, 0) AS ke,
       |    CAST(day - LAG(day) OVER w AS BIGINT) AS p
       |  FROM demand
       |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
       |agg AS (
       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kd,
-      |    CAST(SUM(CASE WHEN k = 1 THEN z
-      |      ELSE z * (1::BIGINT << (k - 2)::INT) END) AS BIGINT) AS s_num,
-      |    CAST(SUM(CASE WHEN k = 2 THEN p
-      |      WHEN k > 2 THEN p * (1::BIGINT << (k - 3)::INT) END)
+      |    CAST(SUM(CASE WHEN ke = 1 THEN z
+      |      WHEN ke > 1 THEN z * (1::BIGINT << (ke - 2)::INT) END)
+      |      AS BIGINT) AS s_num,
+      |    CAST(SUM(CASE WHEN ke = 2 THEN p
+      |      WHEN ke > 2 THEN p * (1::BIGINT << (ke - 3)::INT) END)
       |      AS BIGINT) AS p_num,
       |    CAST(SUM(z) AS BIGINT) AS z_sum,
       |    CAST(SUM(z * z) AS BIGINT) AS z_sq,
       |    CAST(MAX(day) - MIN(day) AS BIGINT) AS span
       |  FROM idx GROUP BY 1)
       |SELECT user_id, kd AS n_demands, s_num, p_num,
-      |  ROUND(CAST(s_num AS DOUBLE) / (2.0 * p_num), 4) AS croston_cents,
-      |  ROUND(0.75 * s_num / (2.0 * p_num), 4) AS sba_cents,
+      |  ROUND(CAST(s_num AS DOUBLE) / (2 * p_num), 4) AS croston_cents,
+      |  ROUND(CAST(3 * s_num AS DOUBLE) / (8 * p_num), 4) AS sba_cents,
       |  ROUND(CAST(span AS DOUBLE) / (kd - 1), 4) AS mean_interval,
       |  CASE
       |    WHEN 100 * span >= 132 * (kd - 1)

@@ -1214,47 +1214,66 @@ object NearDup {
     * semantics verified char-for-char against DuckDB's
     * `jaro_winkler_similarity`, including the floor-halved
     * transposition count and the jaro > 0.7 boost gate), kept at
-    * ≥ 0.92 with unequal names, and reported as the top-50 most
+    * ≥ 0.90 for distinct names, and reported as the top-50 most
     * similar DISTINCT name pairs (with their instance-pair counts) on
     * the fully tie-broken (sim round-4 desc, name_a, name_b) order.
     *
-    * Scale notes: the self-join shuffles on the blocking prefix (same
-    * topology as Q94's FastSS blocking); scoring is a per-pair scalar
-    * inside WholeStageCodegen; TakeOrdered bounds the output. For
-    * longer strings, block harder before scoring — JW is O(len²)
-    * worst-case per pair.
+    * Re-declared round 10 (the r9 scale-killer fix): the old form
+    * self-joined part INSTANCES on a 4-char-prefix block — but part
+    * names draw from a tiny vocabulary (adjective × noun), so the
+    * instance join was O(n²) in-block (the registry's only
+    * super-linear leg) while scoring the same few distinct name pairs
+    * thousands of times over. The fuzzy-match relation is a property
+    * of the NAME VOCABULARY, not the instance table: collapse to
+    * DISTINCT names with their instance counts first (one linear
+    * hash aggregate), score JW once per distinct name pair on the
+    * canonical name_a < name_b ordering, and report
+    * n_pairs = cnt_a · cnt_b — the exact number of instance pairs the
+    * old quadratic join would have scored, computed without scoring
+    * them. The prefix-4 block still bounds the distinct-pair join.
+    *
+    * Scale notes: the corpus scan is the linear name-count aggregate;
+    * everything after lives on the vocabulary-bounded distinct-name
+    * relation (broadcast-sized at any corpus scale — the quadratic is
+    * over |vocab|, not rows). Scoring is a per-pair scalar inside
+    * WholeStageCodegen; TakeOrdered bounds the output. This is the
+    * same collapse-then-pair discipline as the Derived near-dup
+    * artifacts.
     */
   def q218(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val p = c.part.select(col("p_partkey"), col("p_name"),
-      substring(col("p_name"), 1, 4).as("blk"))
-    val a = p.select(col("p_partkey").as("key_a"),
-      col("p_name").as("name_a"), col("blk"))
-    val b = p.select(col("p_partkey").as("key_b"),
-      col("p_name").as("name_b"), col("blk"))
+    val names = c.part.groupBy(col("p_name"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("blk", substring(col("p_name"), 1, 4))
+    val a = names.select(col("p_name").as("name_a"),
+      col("cnt").as("cnt_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("cnt").as("cnt_b"), col("blk"))
     a.join(b, Seq("blk"))
-      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .filter(col("name_a") < col("name_b"))
       .withColumn("sim", expr("graft_jaro_winkler(name_a, name_b)"))
       .filter(col("sim") >= 0.90)
-      .groupBy(col("name_a"), col("name_b"), round(col("sim"), 4).as("sim"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("name_a"), col("name_b"),
+        round(col("sim"), 4).as("sim"),
+        (col("cnt_a") * col("cnt_b")).as("n_pairs"))
       .orderBy(desc("sim"), asc("name_a"), asc("name_b"))
       .limit(50)
   }
 
   val q218Oracle: String =
-    """WITH p AS (
-      |  SELECT p_partkey, p_name, substring(p_name, 1, 4) AS blk
-      |  FROM part),
+    """WITH names AS (
+      |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    substring(p_name, 1, 4) AS blk
+      |  FROM part GROUP BY 1),
       |pairs AS (
       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
-      |    jaro_winkler_similarity(a.p_name, b.p_name) AS sim
-      |  FROM p a JOIN p b ON a.blk = b.blk
-      |    AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name)
-      |SELECT name_a, name_b, ROUND(sim, 4) AS sim, COUNT(*) AS n_pairs
+      |    jaro_winkler_similarity(a.p_name, b.p_name) AS sim,
+      |    a.cnt * b.cnt AS n_pairs
+      |  FROM names a JOIN names b ON a.blk = b.blk
+      |    AND a.p_name < b.p_name)
+      |SELECT name_a, name_b, ROUND(sim, 4) AS sim, n_pairs
       |FROM pairs
       |WHERE sim >= 0.90
-      |GROUP BY 1, 2, 3
       |ORDER BY sim DESC, name_a, name_b
       |LIMIT 50""".stripMargin
 

@@ -3695,7 +3695,9 @@ object Stats {
     * grouped sort-collect after the corpus-scan daily aggregate; the
     * O(n²·L̄) parse runs inside WholeStageCodegen per GROUP row — the
     * same grouped-bounded-series contract as Q245's DTW. The oracle's
-    * l/q enumeration caps at 64 (> any spine this data model produces).
+    * l/q enumeration bound is DERIVED from MAX(n) over the sequences
+    * (not a hard-coded cap), so a longer spine enumerates further
+    * instead of silently undercounting phrase matches.
     */
   def q264(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -3762,8 +3764,10 @@ object Stats {
        |        s.n - p.pos + 1) AS phrase
        |    FROM parse p
        |    JOIN seqs s ON s.event_type = p.event_type
-       |    CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS l) l
-       |    CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS q) q
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1,
+       |      (SELECT CAST(MAX(n) AS BIGINT) FROM seqs))) AS l) l
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1,
+       |      (SELECT CAST(MAX(n) AS BIGINT) FROM seqs))) AS q) q
        |    WHERE p.pos <= s.n
        |    GROUP BY 1, 2, 3, s.n) st),
        |lz AS (
@@ -3804,8 +3808,13 @@ object Stats {
     * NULL + 'degenerate', never NaN.
     *
     * Scale notes: one corpus-scan daily aggregate, one five-sum
-    * aggregate per type, one spine-join + lag window. Int64 composites
-    * hold to ~10⁹-cent daily revenues (the Q257 margin note).
+    * aggregate per type, one spine-join + lag window. Overflow margin:
+    * the scaled residual E = nd·y − an − n·bn·t carries n·d ≈ n⁵/12,
+    * so int64 holds only to ~1.7·10⁷ cents/day at a 365-day spine
+    * (NOT the Q257 n·Sxy class — the margin shrinks as n⁵). Within
+    * this data model (≤ ~10⁵ cents/day, spine ≤ 365) that is a ~170×
+    * margin; for longer spines or larger magnitudes, divide the nd
+    * scale out of E before the residual join (the ratio is invariant).
     */
   def q267(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -3951,12 +3960,18 @@ object Stats {
       .agg(count(lit(1)).cast("long").as("n_test"),
         sum(when(col("r") <= col("q_hat_cents"), 1L).otherwise(0L))
           .cast("long").as("n_covered"))
-    cover
-      .withColumn("coverage",
-        round(col("n_covered").cast("double") / col("n_test"), 6))
+    // Degrade discipline (ADVICE r9): types with too few residual days
+    // for a calibration quantile (n_cal = 0, i.e. < 9 spine days) must
+    // surface as 'insufficient' rows, not vanish through the inner joins
+    // — the Q252/Q253/Q257 convention.
+    val types = grid.select(col("event_type")).distinct()
+    types.join(cover, Seq("event_type"), "left")
+      .withColumn("coverage", when(col("n_test").isNotNull,
+        round(col("n_covered").cast("double") / col("n_test"), 6)))
       .withColumn("verdict",
-        when(lit(5L) * col("n_covered") >= lit(4L) * col("n_test"),
-          "covered").otherwise("under_covered"))
+        when(col("n_test").isNull, "insufficient")
+          .when(lit(5L) * col("n_covered") >= lit(4L) * col("n_test"),
+            "covered").otherwise("under_covered"))
       .select(col("event_type"), col("n_cal"), col("n_test"), col("q_idx"),
         col("q_hat_cents"), col("n_covered"), col("coverage"), col("verdict"))
       .orderBy(asc_nulls_first("event_type"))
@@ -3995,13 +4010,17 @@ object Stats {
        |      AS BIGINT) AS n_covered
        |  FROM sp s JOIN qhat q ON q.event_type = s.event_type
        |  WHERE s.split = 'test'
-       |  GROUP BY 1, 2, 3, 4)
-       |SELECT event_type, n_cal, n_test, q_idx, q_hat_cents, n_covered,
-       |  ROUND(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage,
-       |  CASE WHEN 5 * n_covered >= 4 * n_test THEN 'covered'
+       |  GROUP BY 1, 2, 3, 4),
+       |tspine AS (SELECT DISTINCT event_type FROM grid)
+       |SELECT t.event_type, c.n_cal, c.n_test, c.q_idx, c.q_hat_cents,
+       |  c.n_covered,
+       |  CASE WHEN c.n_test IS NOT NULL THEN
+       |    ROUND(CAST(c.n_covered AS DOUBLE) / c.n_test, 6) END AS coverage,
+       |  CASE WHEN c.n_test IS NULL THEN 'insufficient'
+       |    WHEN 5 * c.n_covered >= 4 * c.n_test THEN 'covered'
        |    ELSE 'under_covered' END AS verdict
-       |FROM cover
-       |ORDER BY event_type NULLS FIRST""".stripMargin
+       |FROM tspine t LEFT JOIN cover c ON c.event_type = t.event_type
+       |ORDER BY t.event_type NULLS FIRST""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),

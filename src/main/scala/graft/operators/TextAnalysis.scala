@@ -1319,11 +1319,11 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("vocab"),
         col("n1"), col("n2"), col("n3"),
         round(col("n1").cast("double") / col("n_tokens"), 6).as("p_unseen"),
-        expr("CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 4) END")
+        expr("CASE WHEN n1 > 0 THEN ROUND(CAST(2 * n2 AS DOUBLE) / n1, 4) END")
           .as("r_star1"),
-        expr("CASE WHEN n2 > 0 THEN ROUND(3.0 * n3 / n2, 4) END")
+        expr("CASE WHEN n2 > 0 THEN ROUND(CAST(3 * n3 AS DOUBLE) / n2, 4) END")
           .as("r_star2"),
-        round(lit(2.0) * col("n2") / col("n_tokens"), 6).as("gt_hapax_mass"))
+        expr("ROUND(CAST(2 * n2 AS DOUBLE) / n_tokens, 6)").as("gt_hapax_mass"))
       .orderBy(asc_nulls_first("source"))
   }
 
@@ -1344,9 +1344,9 @@ object TextAnalysis {
       |  FROM cnt GROUP BY source)
       |SELECT source, n_tokens, vocab, n1, n2, n3,
       |  ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
-      |  CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 4) END AS r_star1,
-      |  CASE WHEN n2 > 0 THEN ROUND(3.0 * n3 / n2, 4) END AS r_star2,
-      |  ROUND(2.0 * n2 / n_tokens, 6) AS gt_hapax_mass
+      |  CASE WHEN n1 > 0 THEN ROUND(CAST(2 * n2 AS DOUBLE) / n1, 4) END AS r_star1,
+      |  CASE WHEN n2 > 0 THEN ROUND(CAST(3 * n3 AS DOUBLE) / n2, 4) END AS r_star2,
+      |  ROUND(CAST(2 * n2 AS DOUBLE) / n_tokens, 6) AS gt_hapax_mass
       |FROM s
       |ORDER BY source NULLS FIRST""".stripMargin
 
