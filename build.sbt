@@ -19,6 +19,7 @@ run / fork := true
 // trailer so the bench summary line is genuinely last and unprefixed.
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,7 +42,8 @@ object SparkEntry {
       (TextRank.queries, TextRank.oracles),
       (Reshape.queries, Reshape.oracles),
       (Pii.queries, Pii.oracles),
-      (Behavior.queries, Behavior.oracles)
+      (Behavior.queries, Behavior.oracles),
+      (Trend.queries, Trend.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -93,6 +93,117 @@ object Graphs {
       .limit(20)
   }
 
+  /** Q278 — 3-core peeling profile of the co-order graph (Seidman
+    * 1983; the synchronized-rounds form of Matula & Beck 1983): start
+    * from every node, and each round simultaneously delete all nodes
+    * with fewer than 3 alive neighbors; report the alive node/edge
+    * counts for rounds 0..12 with a per-round phase ('init' /
+    * 'peeling' / 'stable'). The k-core is the standard "dense
+    * engagement backbone" read on top of the triangle (Q103) and
+    * component (Q67) views — what survives peeling is the subgraph
+    * where every product co-occurs with ≥ 3 others that THEMSELVES
+    * survive, the recursive density the one-shot degree filter (Q121's
+    * c ≥ 2 edges) cannot express.
+    *
+    * Determinism: synchronized peeling is order-free (the round-r
+    * deletion set depends only on the round-(r−1) alive SET), so both
+    * engines walk identical set sequences; all outputs are exact
+    * counts. The 12-round cap is declared semantics (profile depth),
+    * not a convergence guess — the phase column says whether the walk
+    * stabilized inside the window, and the fixpoint is reached when a
+    * round reports 'stable' (alive set unchanged ⇒ all later rounds
+    * identical).
+    *
+    * Scale notes: each round is one equi-join of the undirected edge
+    * relation against the shrinking alive set plus a degree groupBy —
+    * the O(|E|) per-round cost of the standard distributed k-core;
+    * localCheckpoint truncates the 12-round lineage exactly as Q106's
+    * power iteration does. Rounds are a constant, so the whole gate is
+    * O(12·|E|) with no quadratic term.
+    */
+  def q278(spark: SparkSession, dir: String): DataFrame = {
+    val e = Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b")).localCheckpoint()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var alive = und.select(col("a").as("node")).distinct().localCheckpoint()
+    def snapshot(r: Int, al: DataFrame): DataFrame = {
+      val nA = al.agg(count(lit(1)).cast("long").as("n_alive"))
+      val nE = e.join(al.select(col("node").as("a")), Seq("a"))
+        .join(al.select(col("node").as("b")), Seq("b"))
+        .agg(count(lit(1)).cast("long").as("n_edges_alive"))
+      nA.crossJoin(nE).select(lit(r).cast("long").as("round"),
+        col("n_alive"), col("n_edges_alive"))
+    }
+    var profile = snapshot(0, alive)
+    for (r <- 1 to 12) {
+      val next = und
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3)
+        .select(col("node"))
+        .localCheckpoint()
+      alive = next
+      profile = profile.union(snapshot(r, alive))
+    }
+    val w = Window.orderBy(col("round"))
+    profile
+      .withColumn("prev", lag(col("n_alive"), 1).over(w))
+      .withColumn("phase",
+        when(col("round") === 0, "init")
+          .when(col("n_alive") === col("prev"), "stable")
+          .otherwise("peeling"))
+      .select(lit(3L).as("k"), col("round"), col("n_alive"),
+        col("n_edges_alive"), col("phase"))
+      .orderBy(asc("round"))
+  }
+
+  val q278Oracle: String =
+    """WITH RECURSIVE op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
+      |und AS MATERIALIZED (
+      |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |alive AS (
+      |  SELECT CAST(0 AS BIGINT) AS r, a AS node FROM und GROUP BY 2
+      |  UNION ALL
+      |  SELECT u.r + 1, u.a FROM (
+      |    SELECT al.r, un.a, COUNT(*) AS c
+      |    FROM alive al JOIN und un ON un.a = al.node
+      |    JOIN alive al2 ON al2.node = un.b AND al2.r = al.r
+      |    WHERE al.r < 12
+      |    GROUP BY 1, 2) u
+      |  WHERE u.c >= 3),
+      |counts AS (
+      |  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_alive FROM alive GROUP BY 1),
+      |live_e AS (
+      |  SELECT al.r, CAST(COUNT(*) AS BIGINT) AS n_edges
+      |  FROM alive al JOIN e ON e.a = al.node
+      |  JOIN alive al2 ON al2.node = e.b AND al2.r = al.r
+      |  GROUP BY 1),
+      |spine AS (SELECT UNNEST(generate_series(0, 12)) AS r),
+      |prof AS (
+      |  SELECT CAST(s.r AS BIGINT) AS round,
+      |    COALESCE(c.n_alive, 0) AS n_alive,
+      |    COALESCE(le.n_edges, 0) AS n_edges_alive
+      |  FROM spine s
+      |  LEFT JOIN counts c ON c.r = s.r
+      |  LEFT JOIN live_e le ON le.r = s.r)
+      |SELECT CAST(3 AS BIGINT) AS k, round, n_alive, n_edges_alive,
+      |  CASE WHEN round = 0 THEN 'init'
+      |    WHEN n_alive = LAG(n_alive) OVER (ORDER BY round) THEN 'stable'
+      |    ELSE 'peeling' END AS phase
+      |FROM prof
+      |ORDER BY round""".stripMargin
+
   // The oracles mirror the MaxBasket truncation (1000 smallest part ids
   // per order, via ROW_NUMBER) so engine and oracle share one semantics:
   // on a dataset with a >1000-part order the gate still compares
@@ -1353,12 +1464,13 @@ object Graphs {
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
     "Q156" -> (q156 _), "Q162" -> (q162 _), "Q168" -> (q168 _),
-    "Q197" -> (q197 _))
+    "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
     "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle,
-    "Q197" -> q197Oracle, "Q222" -> q222Oracle, "Q265" -> q265Oracle)
+    "Q197" -> q197Oracle, "Q222" -> q222Oracle, "Q265" -> q265Oracle,
+    "Q278" -> q278Oracle)
 }

@@ -1071,7 +1071,7 @@ object Stats {
     * same construction Q216/Q179 inline). One corpus scan; everything
     * downstream runs on types × bounded-calendar-days rows.
     */
-  private def dailyCentsGrid(spark: SparkSession, c: Catalog): DataFrame = {
+  private[operators] def dailyCentsGrid(spark: SparkSession, c: Catalog): DataFrame = {
     val daily = c.events
       .select(col("event_type"),
         expr("(ts DIV 1000) DIV 86400000000").as("day"),
@@ -1089,7 +1089,7 @@ object Stats {
   }
 
   /** The shared DuckDB text of [[dailyCentsGrid]]. */
-  private val gridSql: String =
+  private[operators] val gridSql: String =
     """daily AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v

@@ -1,0 +1,645 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+
+/** Round-10 trend / robustness / concentration family over the
+  * zero-filled daily revenue grid (the Q125/Q267 spine) and the raw
+  * event stream: the nonparametric twins of the parametric fits the
+  * registry already carries (Theil–Sen vs OLS, Mann–Kendall vs the
+  * Q267 residual test, Mann–Whitney vs Q212's Welch t), plus weekly
+  * seasonality, revenue concentration, and CUSUM drift detection.
+  *
+  * House float discipline throughout: every aggregate is an exact
+  * int64 (cents, counts, cross-products); each emitted float is a
+  * single CAST-AS-DOUBLE divide (or one fixed-shape expression over
+  * exact ints, identical text in both engines), rounded once; verdicts
+  * compare integer cross-products or the ROUNDED float, never raw
+  * doubles.
+  */
+object Trend {
+
+  /** Shared pairwise (i < j) day-pair relation over the daily grid —
+    * the candidate set for both Theil–Sen (Q275) and Mann–Kendall
+    * (Q276). Spine-bounded: n ≤ spine days per type, pairs ≤ n(n−1)/2
+    * (a 365-day year is ≤ 66k pairs per type — grouped-bounded-series
+    * contract, flat in corpus size past the daily aggregate).
+    */
+  private def dayPairs(grid: DataFrame): DataFrame = {
+    val a = grid.select(col("event_type"),
+      col("day").as("i"), col("v").as("vi"))
+    val b = grid.select(col("event_type"),
+      col("day").as("j"), col("v").as("vj"))
+    a.join(b, Seq("event_type")).filter(col("j") > col("i"))
+  }
+
+  private val pairsSql: String =
+    """prs AS (
+      |  SELECT a.event_type, a.day AS i, b.day AS j, a.v AS vi, b.v AS vj
+      |  FROM grid a JOIN grid b
+      |    ON b.event_type = a.event_type AND b.day > a.day)""".stripMargin
+
+  /** Q275 — Theil–Sen robust trend per event type (Theil 1950; Sen
+    * 1968): the median of all pairwise slopes (v_j − v_i)/(j − i) over
+    * the zero-filled daily cents grid, beside the OLS slope the Q125
+    * family fits. A single pathological day moves OLS by O(outlier)
+    * but moves the pairwise-slope median not at all until ~29% of days
+    * are corrupted — the breakdown-point argument for reading both.
+    *
+    * Determinism: each pairwise slope is ONE divide of exact int64
+    * cents by exact day gaps; the median is rank-selected from the
+    * sorted slope multiset (ranks (m+1) DIV 2 and m DIV 2 + 1, equal
+    * when m is odd; their 2-term average is order-independent), so no
+    * engine median()/quantile() semantics are involved. The OLS slope
+    * is the Q125 exact-composite single divide. The agreement verdict
+    * multiplies the two ROUNDED slopes.
+    *
+    * Scale notes: pairs live on the bounded per-type spine; the rank
+    * pick is a window over that bounded relation. One corpus scan.
+    */
+  def q275(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val slopes = dayPairs(grid)
+      .select(col("event_type"),
+        ((col("vj") - col("vi")).cast("double") / (col("j") - col("i")))
+          .as("slope"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("slope"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+    val ts = ranked
+      .filter(col("rk") === (col("m") + 1) / 2 ||
+        col("rk") === col("m") / 2 + 1)
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("slope")), 6).as("ts_slope"),
+        min(col("m")).as("n_pairs"))
+    val ols = grid
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("day")).cast("long").as("sx"),
+        sum(col("v")).cast("long").as("sy"),
+        sum(col("day") * col("day")).cast("long").as("sxx"),
+        sum(col("day") * col("v")).cast("long").as("sxy"))
+      .select(col("event_type"), col("n"),
+        expr("ROUND(CAST(n * sxy - sx * sy AS DOUBLE)" +
+          " / (n * sxx - sx * sx), 6)").as("ols_slope"))
+    ols.join(ts, Seq("event_type"), "left")
+      .withColumn("verdict",
+        when(col("ts_slope").isNull, "insufficient")
+          .when(col("ts_slope") * col("ols_slope") > 0, "agree")
+          .when(col("ts_slope") === 0 && col("ols_slope") === 0, "agree")
+          .otherwise("differ"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_pairs"),
+        col("ts_slope"), col("ols_slope"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |$pairsSql,
+       |slopes AS (
+       |  SELECT event_type,
+       |    CAST(vj - vi AS DOUBLE) / (j - i) AS slope
+       |  FROM prs),
+       |ranked AS (
+       |  SELECT event_type, slope,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |  FROM slopes),
+       |ts AS (
+       |  SELECT event_type, ROUND(AVG(slope), 6) AS ts_slope,
+       |    CAST(MIN(m) AS BIGINT) AS n_pairs
+       |  FROM ranked
+       |  WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1
+       |  GROUP BY 1),
+       |ols AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ROUND(CAST(COUNT(*) * SUM(day * v) - SUM(day) * SUM(v) AS DOUBLE)
+       |      / (COUNT(*) * SUM(day * day) - SUM(day) * SUM(day)), 6)
+       |      AS ols_slope
+       |  FROM grid GROUP BY 1)
+       |SELECT o.event_type, o.n AS n_days, t.n_pairs, t.ts_slope,
+       |  o.ols_slope,
+       |  CASE WHEN t.ts_slope IS NULL THEN 'insufficient'
+       |    WHEN t.ts_slope * o.ols_slope > 0 THEN 'agree'
+       |    WHEN t.ts_slope = 0 AND o.ols_slope = 0 THEN 'agree'
+       |    ELSE 'differ' END AS verdict
+       |FROM ols o LEFT JOIN ts t ON t.event_type = o.event_type
+       |ORDER BY o.event_type NULLS FIRST""".stripMargin
+
+  /** Q276 — Mann–Kendall trend test per event type (Mann 1945;
+    * Kendall 1975): S = Σ_{i<j} sign(v_j − v_i) over the daily grid,
+    * the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18, and the continuity-corrected normal score
+    * z = (S∓1)/√Var(S). The distribution-free "is there ANY monotone
+    * trend" companion to Q275's "how steep is it" — the pair a
+    * forecasting review reads together, with the verdict at the
+    * two-sided 5% fence on the ROUNDED z.
+    *
+    * Determinism: S, n, and the tie spectrum are exact int64 (the
+    * variance NUMERATOR n(n−1)(2n+5)−Σt(t−1)(2t+5) stays int64 to
+    * n ≈ 1.6M days); z and tau are fixed-shape double expressions over
+    * those ints, each rounded once. Var = 0 (all days tied) degrades
+    * to NULL z + 'degenerate'.
+    *
+    * Scale notes: same bounded pair relation as Q275; the tie spectrum
+    * is one groupBy over the bounded grid. One corpus scan.
+    */
+  def q276(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val s = dayPairs(grid)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("vj") > col("vi"), 1L)
+        .when(col("vj") < col("vi"), -1L).otherwise(0L))
+        .cast("long").as("s"))
+    val ties = grid.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .cast("long").as("tt"),
+        sum(col("t")).cast("long").as("n"))
+    ties.join(s, Seq("event_type"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tt"))
+      .withColumn("z", when(col("var18") > 0, expr(
+        "ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)" +
+          " WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END" +
+          " / SQRT(CAST(var18 AS DOUBLE) / 18), 4)")))
+      .withColumn("tau",
+        expr("ROUND(CAST(2 * s AS DOUBLE) / (n * (n - 1)), 6)"))
+      .withColumn("verdict",
+        when(col("z").isNull, "degenerate")
+          .when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_distinct"),
+        col("s"), col("var18"), col("tau"), col("z"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q276Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |$pairsSql,
+       |sgn AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN vj > vi THEN 1 WHEN vj < vi THEN -1
+       |      ELSE 0 END) AS BIGINT) AS s
+       |  FROM prs GROUP BY 1),
+       |tie AS (
+       |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM grid GROUP BY 1, 2),
+       |ties AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
+       |    CAST(SUM(t) AS BIGINT) AS n
+       |  FROM tie GROUP BY 1),
+       |m AS (
+       |  SELECT ti.event_type, ti.n, ti.n_distinct, sg.s, ti.tt,
+       |    ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tt AS var18
+       |  FROM ties ti JOIN sgn sg ON sg.event_type = ti.event_type)
+       |SELECT event_type, n AS n_days, n_distinct, s, var18,
+       |  ROUND(CAST(2 * s AS DOUBLE) / (n * (n - 1)), 6) AS tau,
+       |  CASE WHEN var18 > 0 THEN
+       |    ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+       |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END
+       |      / SQRT(CAST(var18 AS DOUBLE) / 18), 4) END AS z,
+       |  CASE WHEN var18 <= 0 THEN 'degenerate'
+       |    WHEN ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+       |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END
+       |      / SQRT(CAST(var18 AS DOUBLE) / 18), 4) > 1.96 THEN 'increasing'
+       |    WHEN ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+       |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END
+       |      / SQRT(CAST(var18 AS DOUBLE) / 18), 4) < -1.96 THEN 'decreasing'
+       |    ELSE 'no_trend' END AS verdict
+       |FROM m
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q277 — Mann–Whitney U test per event type across the Q208/Q212
+    * chronological 80/20 split: did the VALUE DISTRIBUTION shift
+    * between the train and test eras, judged rank-wise (Mann & Whitney
+    * 1947) instead of mean-wise (Q212's Welch t)? Heavy-tailed cents
+    * break the t-test's mean story; U compares every train value to
+    * every test value and only asks which is larger.
+    *
+    * Determinism: the rank machinery is the Q138/Q161 doubled-midrank
+    * house rule — the window runs over the COLLAPSED per-(type, value)
+    * relation with exact int64 2·cum+c+1 midranks, never a
+    * row-granularity sort; 2·R₁ and 2·U₁ stay exact int64 (safe to
+    * ~10⁹ rows/type before the documented DECIMAL switch); the
+    * tie-corrected z = (2U₁ − n₁n₂) / (2·√(n₁n₂·((n+1) −
+    * ΣT/(n(n−1)))/12)) is one fixed-shape double expression, rounded
+    * 4, with ΣT = Σ(c³−c) exact. Degenerate splits (n₁ = 0, n₂ = 0, or
+    * all values tied) emit 'insufficient'/'degenerate', never NaN.
+    *
+    * Scale notes: one corpus scan to (type, split, value) counts; the
+    * rank window runs on the bounded distinct-value relation — the
+    * shuffle is on (type, value), the same topology as Q138.
+    */
+  def q277(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cut = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("dmin + ((dmax - dmin + 1) * 4) DIV 5").as("cutoff"))
+    val counts = ev.crossJoin(broadcast(cut))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("day") < col("cutoff"), 1L).otherwise(0L))
+        .cast("long").as("c1"),
+        sum(when(col("day") >= col("cutoff"), 1L).otherwise(0L))
+          .cast("long").as("c2"))
+      .withColumn("cc", col("c1") + col("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum", coalesce(sum(col("cc")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("cc") + 1)
+    val agg = ranked.groupBy(col("event_type"))
+      .agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"),
+        count(lit(1)).cast("long").as("n_vals"),
+        sum(col("r2") * col("c1")).cast("long").as("r1x2"),
+        sum(col("cc") * col("cc") * col("cc") - col("cc"))
+          .cast("long").as("tt"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("u1x2",
+        lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1)
+          - col("r1x2"))
+    agg
+      .withColumn("z", when(
+        col("n1") > 0 && col("n2") > 0 && col("n_vals") > 1, expr(
+          "ROUND((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)" +
+            " / (2 * SQRT(CAST(n1 AS DOUBLE) * n2" +
+            " * ((n + 1) - CAST(tt AS DOUBLE) / (n * (n - 1))) / 12)), 4)")))
+      .withColumn("cles", when(col("n1") > 0 && col("n2") > 0,
+        expr("ROUND(CAST(u1x2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n2), 6)")))
+      .withColumn("verdict",
+        when(col("n1") === 0 || col("n2") === 0, "insufficient")
+          .when(col("z").isNull, "degenerate")
+          .when(abs(col("z")) > 1.96, "shifted")
+          .otherwise("stable"))
+      .select(col("event_type"), col("n1").as("n_train"),
+        col("n2").as("n_test"), col("u1x2").as("u1_doubled"),
+        col("tt").as("tie_term"), col("cles"), col("z"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q277Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |cut AS (
+      |  SELECT MIN(day) + ((MAX(day) - MIN(day) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |counts AS (
+      |  SELECT event_type, cents,
+      |    CAST(SUM(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(SUM(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c2
+      |  FROM ev CROSS JOIN cut GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, c1, c2, c1 + c2 AS cc,
+      |    2 * COALESCE(SUM(c1 + c2) OVER (PARTITION BY event_type
+      |      ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) + (c1 + c2) + 1 AS r2
+      |  FROM counts),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vals,
+      |    CAST(SUM(r2 * c1) AS BIGINT) AS r1x2,
+      |    CAST(SUM(cc * cc * cc - cc) AS BIGINT) AS tt
+      |  FROM ranked GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n1, n2, n1 + n2 AS n, n_vals, tt,
+      |    2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS u1x2
+      |  FROM agg),
+      |zc AS (
+      |  SELECT *, CASE WHEN n1 > 0 AND n2 > 0
+      |      AND n_vals > 1 THEN
+      |    ROUND((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+      |      / (2 * SQRT(CAST(n1 AS DOUBLE) * n2
+      |      * ((n + 1) - CAST(tt AS DOUBLE) / (n * (n - 1))) / 12)), 4)
+      |    END AS z
+      |  FROM m)
+      |SELECT event_type, n1 AS n_train, n2 AS n_test,
+      |  u1x2 AS u1_doubled, tt AS tie_term,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    ROUND(CAST(u1x2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n2), 6)
+      |  END AS cles,
+      |  z,
+      |  CASE WHEN n1 = 0 OR n2 = 0 THEN 'insufficient'
+      |    WHEN z IS NULL THEN 'degenerate'
+      |    WHEN ABS(z) > 1.96 THEN 'shifted'
+      |    ELSE 'stable' END AS verdict
+      |FROM zc
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q279 — weekly seasonality profile per event type: the day-of-week
+    * revenue decomposition (dow = epoch-day mod 7; day 0 = Thursday —
+    * the epoch convention, declared not localized). Per (type, dow):
+    * day count, exact total cents, mean cents/day, share of the type's
+    * total, and the dense rank by total; per type, the
+    * concentration verdict 'strong_weekly' when the peak dow carries
+    * ≥ 2/7 of the week-normalized mass (7·S_peak ≥ 2·S_total, exact
+    * cross-product — double the uniform share), 'flat' otherwise,
+    * 'degenerate' when the type's total is ≤ 0. The calendar-shape
+    * companion to Q211's distribution drift: load-shifting by weekday
+    * is invisible to both the trend and drift gates.
+    *
+    * Determinism: sums/counts exact int64; mean and share are single
+    * CAST-AS-DOUBLE divides rounded once; ranks order by (total DESC,
+    * dow) — fully tie-broken.
+    *
+    * Scale notes: one corpus-scan daily aggregate, then everything
+    * lives on ≤ 7 rows per type. Flat in corpus size.
+    */
+  def q279(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val byDow = grid
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("v")).cast("long").as("s"))
+    val wt = Window.partitionBy(col("event_type"))
+    byDow
+      .withColumn("s_tot", sum(col("s")).over(wt).cast("long"))
+      .withColumn("s_peak", max(col("s")).over(wt).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(desc("s"), asc("dow"))).cast("long"))
+      .withColumn("mean_cents",
+        expr("ROUND(CAST(s AS DOUBLE) / n_days, 2)"))
+      .withColumn("share", when(col("s_tot") > 0,
+        expr("ROUND(CAST(s AS DOUBLE) / s_tot, 6)")))
+      .withColumn("verdict",
+        when(col("s_tot") <= 0, "degenerate")
+          .when(lit(7L) * col("s_peak") >= lit(2L) * col("s_tot"),
+            "strong_weekly")
+          .otherwise("flat"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("s"),
+        col("mean_cents"), col("share"), col("rk"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"), asc("dow"))
+  }
+
+  val q279Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |bydow AS (
+       |  SELECT event_type, day % 7 AS dow,
+       |    CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(v) AS BIGINT) AS s
+       |  FROM grid GROUP BY 1, 2),
+       |wt AS (
+       |  SELECT *,
+       |    CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT) AS s_tot,
+       |    CAST(MAX(s) OVER (PARTITION BY event_type) AS BIGINT) AS s_peak,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY s DESC, dow) AS BIGINT) AS rk
+       |  FROM bydow)
+       |SELECT event_type, dow, n_days, s,
+       |  ROUND(CAST(s AS DOUBLE) / n_days, 2) AS mean_cents,
+       |  CASE WHEN s_tot > 0 THEN ROUND(CAST(s AS DOUBLE) / s_tot, 6) END
+       |    AS share,
+       |  rk,
+       |  CASE WHEN s_tot <= 0 THEN 'degenerate'
+       |    WHEN 7 * s_peak >= 2 * s_tot THEN 'strong_weekly'
+       |    ELSE 'flat' END AS verdict
+       |FROM wt
+       |ORDER BY event_type NULLS FIRST, dow""".stripMargin
+
+  /** Q280 — Gini concentration of per-user revenue per event type
+    * (Gini 1912, rank formulation): over users with positive total
+    * cents x_u, G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with i the
+    * ascending rank — the "how unequal is the engagement value"
+    * audit, plus the top-decile share (the governance number a
+    * data-acquisition review actually quotes) and a 'concentrated'
+    * verdict when the top 10% of users carry ≥ 40% of the value
+    * (5·S_top ≥ 2·S_tot, exact cross-product).
+    *
+    * Determinism: ranks order by (x, user_id) — Σ i·x is invariant to
+    * tie order within equal x, and the tie-break pins the engine plans
+    * anyway; all sums exact int64 (Σ i·x ≤ n²·x̄ — int64 to ~10⁸ users
+    * at 10⁵-cent totals; the documented DECIMAL switch applies
+    * beyond); G and the share divide once each, rounded 6. Types with
+    * no positive-total user emit 'insufficient'.
+    *
+    * Scale notes: one corpus scan to per-(type, user) totals, one
+    * window over each type's user list — the standard grouped ranking
+    * topology (Q138 class), no global sort.
+    */
+  def q280(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ux = c.events
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).cast("long").as("x"))
+      .filter(col("x") > 0)
+    val ranked = ux
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(asc("x"), asc("user_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("k", greatest(expr("n DIV 10"), lit(1L)))
+    val agg = ranked.groupBy(col("event_type"))
+      .agg(min(col("n")).as("n_users"),
+        min(col("k")).as("k_top"),
+        sum(col("x")).cast("long").as("s_tot"),
+        sum(col("i") * col("x")).cast("long").as("six"),
+        sum(when(col("i") > col("n") - col("k"), col("x")).otherwise(0L))
+          .cast("long").as("s_top"))
+    val types = c.events.select(col("event_type")).distinct()
+    types.join(agg, Seq("event_type"), "left")
+      .withColumn("gini", when(col("s_tot") > 0, expr(
+        "ROUND(CAST(2 * six - (n_users + 1) * s_tot AS DOUBLE)" +
+          " / (n_users * s_tot), 6)")))
+      .withColumn("top_decile_share", when(col("s_tot") > 0,
+        expr("ROUND(CAST(s_top AS DOUBLE) / s_tot, 6)")))
+      .withColumn("verdict",
+        when(col("s_tot").isNull, "insufficient")
+          .when(lit(5L) * col("s_top") >= lit(2L) * col("s_tot"),
+            "concentrated")
+          .otherwise("dispersed"))
+      .select(col("event_type"), col("n_users"), col("k_top"),
+        col("s_tot").as("total_cents"), col("gini"),
+        col("top_decile_share"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q280Oracle: String =
+    """WITH ux AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pos AS (SELECT * FROM ux WHERE x > 0),
+      |ranked AS (
+      |  SELECT event_type, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY x, user_id) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    GREATEST(CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |      // 10, 1) AS k
+      |  FROM pos),
+      |agg AS (
+      |  SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_users,
+      |    CAST(MIN(k) AS BIGINT) AS k_top,
+      |    CAST(SUM(x) AS BIGINT) AS s_tot,
+      |    CAST(SUM(i * x) AS BIGINT) AS six,
+      |    CAST(SUM(CASE WHEN i > n - k THEN x ELSE 0 END) AS BIGINT)
+      |      AS s_top
+      |  FROM ranked GROUP BY 1),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, a.n_users, a.k_top, a.s_tot AS total_cents,
+      |  CASE WHEN a.s_tot > 0 THEN
+      |    ROUND(CAST(2 * a.six - (a.n_users + 1) * a.s_tot AS DOUBLE)
+      |      / (a.n_users * a.s_tot), 6) END AS gini,
+      |  CASE WHEN a.s_tot > 0 THEN
+      |    ROUND(CAST(a.s_top AS DOUBLE) / a.s_tot, 6) END
+      |    AS top_decile_share,
+      |  CASE WHEN a.s_tot IS NULL THEN 'insufficient'
+      |    WHEN 5 * a.s_top >= 2 * a.s_tot THEN 'concentrated'
+      |    ELSE 'dispersed' END AS verdict
+      |FROM types t LEFT JOIN agg a ON a.event_type = t.event_type
+      |ORDER BY t.event_type NULLS FIRST""".stripMargin
+
+  /** Q281 — CUSUM mean-shift detection per event type (Page 1954) on
+    * the zero-filled daily grid: the first half of the spine is the
+    * CALIBRATION era; deviations are the exact n_cal-scaled residuals
+    * d_t = n_cal·v_t − S_cal (so the calibration mean never
+    * materializes as a float); the test-era cumulative sum C_t = Σ d
+    * alarms on the first day |C_t| exceeds 4× the calibration's total
+    * absolute deviation Σ_cal|d_u| — a threshold in the SAME exact
+    * integer scale. Where Q211 scores WHETHER the distribution
+    * drifted and Q276 whether a trend exists, this pinpoints WHEN the
+    * level broke.
+    *
+    * Determinism: every quantity through the alarm decision is exact
+    * int64 (n_cal ≤ 365-day spines at 10⁷-cent days keep n_cal·v
+    * within ~4·10⁹ and the running sum within ~10¹²); only the
+    * reported drift_score (max |C|/threshold) divides, rounded 4.
+    * n_cal < 7 degrades to 'insufficient'; a flat calibration era
+    * (threshold 0) alarms on any nonzero deviation with NULL score.
+    *
+    * Scale notes: one corpus-scan daily aggregate, one per-type window
+    * for the running sum over the bounded spine. Flat in corpus size.
+    */
+  def q281(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val idx = grid
+      .withColumn("dmin", min(col("day")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("t", (col("day") - col("dmin") + 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("n_cal", expr("n DIV 2"))
+    val meta = idx.groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"), min(col("n_cal")).as("n_cal"))
+    val cal = idx.filter(col("t") <= col("n_cal"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("s_cal"))
+    val dev = idx.join(cal.select(col("event_type"), col("s_cal")),
+        Seq("event_type"))
+      .filter(col("t") > col("n_cal"))
+      .withColumn("d", col("n_cal") * col("v") - col("s_cal"))
+      .withColumn("cu", sum(col("d")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    val thr = idx.filter(col("t") <= col("n_cal"))
+      .join(cal.select(col("event_type"), col("s_cal")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("n_cal") * col("v") - col("s_cal")))
+        .cast("long").as("mad_scaled"))
+    val alarms = dev.join(thr, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(abs(col("cu"))).cast("long").as("max_abs_cusum"),
+        min(when(abs(col("cu")) > lit(4L) * col("mad_scaled"), col("day")))
+          .as("first_alarm_day"))
+    meta
+      .join(thr, Seq("event_type"), "left")
+      .join(alarms, Seq("event_type"), "left")
+      .withColumn("drift_score",
+        when(col("mad_scaled") > 0, expr(
+          "ROUND(CAST(max_abs_cusum AS DOUBLE) / (4 * mad_scaled), 4)")))
+      .withColumn("verdict",
+        when(col("n_cal") < 7, "insufficient")
+          .when(col("first_alarm_day").isNotNull, "drift")
+          .otherwise("stable"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_cal"),
+        col("mad_scaled"), col("max_abs_cusum"), col("first_alarm_day"),
+        col("drift_score"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q281Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |idx AS (
+       |  SELECT event_type, day, v,
+       |    CAST(day - MIN(day) OVER (PARTITION BY event_type) + 1
+       |      AS BIGINT) AS t,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) // 2
+       |      AS n_cal
+       |  FROM grid),
+       |meta AS (
+       |  SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       |    CAST(MIN(n_cal) AS BIGINT) AS n_cal
+       |  FROM idx GROUP BY 1),
+       |cal AS (
+       |  SELECT event_type, CAST(SUM(v) AS BIGINT) AS s_cal
+       |  FROM idx WHERE t <= n_cal GROUP BY 1),
+       |thr AS (
+       |  SELECT i.event_type,
+       |    CAST(SUM(ABS(i.n_cal * i.v - c.s_cal)) AS BIGINT) AS mad_scaled
+       |  FROM idx i JOIN cal c ON c.event_type = i.event_type
+       |  WHERE i.t <= i.n_cal GROUP BY 1),
+       |dev AS (
+       |  SELECT i.event_type, i.day, i.t,
+       |    CAST(SUM(i.n_cal * i.v - c.s_cal) OVER (
+       |      PARTITION BY i.event_type ORDER BY i.t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cu
+       |  FROM idx i JOIN cal c ON c.event_type = i.event_type
+       |  WHERE i.t > i.n_cal),
+       |alarms AS (
+       |  SELECT d.event_type,
+       |    CAST(MAX(ABS(d.cu)) AS BIGINT) AS max_abs_cusum,
+       |    CAST(MIN(CASE WHEN ABS(d.cu) > 4 * th.mad_scaled
+       |      THEN d.day END) AS BIGINT) AS first_alarm_day
+       |  FROM dev d JOIN thr th ON th.event_type = d.event_type
+       |  GROUP BY 1)
+       |SELECT c.event_type, c.n AS n_days, c.n_cal, th.mad_scaled,
+       |  a.max_abs_cusum, a.first_alarm_day,
+       |  CASE WHEN th.mad_scaled > 0 THEN
+       |    ROUND(CAST(a.max_abs_cusum AS DOUBLE) / (4 * th.mad_scaled), 4)
+       |  END AS drift_score,
+       |  CASE WHEN c.n_cal < 7 THEN 'insufficient'
+       |    WHEN a.first_alarm_day IS NOT NULL THEN 'drift'
+       |    ELSE 'stable' END AS verdict
+       |FROM meta c
+       |LEFT JOIN thr th ON th.event_type = c.event_type
+       |LEFT JOIN alarms a ON a.event_type = c.event_type
+       |ORDER BY c.event_type NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
+    "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _))
+
+  def oracles: Map[String, String] = Map(
+    "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
+    "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle)
+}
