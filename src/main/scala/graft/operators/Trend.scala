@@ -72,8 +72,8 @@ object Trend {
       .withColumn("m", count(lit(1)).over(
         Window.partitionBy(col("event_type"))).cast("long"))
     val ts = ranked
-      .filter(col("rk") === (col("m") + 1) / 2 ||
-        col("rk") === col("m") / 2 + 1)
+      .filter(col("rk") === expr("(m + 1) DIV 2") ||
+        col("rk") === expr("m DIV 2 + 1"))
       .groupBy(col("event_type"))
       .agg(round(avg(col("slope")), 6).as("ts_slope"),
         min(col("m")).as("n_pairs"))
@@ -635,11 +635,410 @@ object Trend {
        |LEFT JOIN alarms a ON a.event_type = c.event_type
        |ORDER BY c.event_type NULLS FIRST""".stripMargin
 
+  /** Q282 — Wald–Wolfowitz runs test on the OLS residual SIGNS per
+    * event type (Wald & Wolfowitz 1940): fits the Q125/Q267 line via
+    * the exact-int64 normal-equation composites, takes the sign of the
+    * scaled residual E_t = nd·v_t − an − n·bn·t (zero residuals drop,
+    * the standard convention), counts the RUNS in day order, and asks
+    * whether R is consistent with exchangeable signs: too FEW runs =
+    * residuals cluster (the line over/undershoots in streaks — what
+    * Q267's DW measures parametrically), too MANY = oscillation.
+    * E[R] = 1 + 2n₁n₂/n, Var(R) = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+    *
+    * Determinism: signs come from exact int64 residuals (the Q267 n⁵
+    * margin note applies); R is an exact LAG-transition count; z is
+    * one fixed-shape double expression over (R, n₁, n₂), rounded 4,
+    * verdict on the rounded z. n₁ = 0 or n₂ = 0 (all residuals one
+    * side — a degenerate fit) emits 'degenerate'.
+    *
+    * Scale notes: the residual spine is bounded per type; one window
+    * pass counts transitions. Flat in corpus size past the daily
+    * aggregate.
+    */
+  def q282(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val base = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("t"), col("v"))
+    val sums = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("t")).cast("long").as("sx"),
+        sum(col("v")).cast("long").as("sy"),
+        sum(col("t") * col("t")).cast("long").as("sxx"),
+        sum(col("t") * col("v")).cast("long").as("sxy"))
+      .withColumn("d", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("bn", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("an", col("sy") * col("d") - col("bn") * col("sx"))
+    val signs = base.join(sums, Seq("event_type"))
+      .withColumn("e", col("n_days") * col("d") * col("v") - col("an") -
+        col("n_days") * col("bn") * col("t"))
+      .filter(col("e") =!= 0)
+      .withColumn("sgn", when(col("e") > 0, 1L).otherwise(-1L))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val runs = signs
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L))
+        .cast("long").as("n_pos"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L))
+          .cast("long").as("n_neg"),
+        (sum(when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+          .otherwise(0L))).cast("long").as("r_runs"))
+    val types = grid.select(col("event_type")).distinct()
+    types.join(runs, Seq("event_type"), "left")
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("z", when(col("n_pos") > 0 && col("n_neg") > 0 &&
+        col("n") > 1, expr(
+        "ROUND((CAST(r_runs AS DOUBLE) - (1 + CAST(2 * n_pos * n_neg" +
+          " AS DOUBLE) / n)) / SQRT(CAST(2 * n_pos * n_neg AS DOUBLE)" +
+          " * (2 * n_pos * n_neg - n)" +
+          " / (CAST(n AS DOUBLE) * n * (n - 1))), 4)")))
+      .withColumn("verdict",
+        when(col("r_runs").isNull || col("n_pos") === 0 ||
+          col("n_neg") === 0, "degenerate")
+          .when(col("z") < -1.96, "clustered")
+          .when(col("z") > 1.96, "oscillating")
+          .otherwise("random"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        col("r_runs"), col("z"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q282Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |base AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS t, v FROM grid),
+       |sums AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+       |    CAST(SUM(t * t) AS BIGINT) AS sxx,
+       |    CAST(SUM(t * v) AS BIGINT) AS sxy
+       |  FROM base GROUP BY 1),
+       |comp AS (
+       |  SELECT event_type, n_days,
+       |    n_days * sxx - sx * sx AS d,
+       |    n_days * sxy - sx * sy AS bn, sx, sy
+       |  FROM sums),
+       |comp2 AS (
+       |  SELECT event_type, n_days, d, bn, sy * d - bn * sx AS an FROM comp),
+       |signs AS (
+       |  SELECT b.event_type, b.t,
+       |    CASE WHEN c.n_days * c.d * b.v - c.an - c.n_days * c.bn * b.t > 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM base b JOIN comp2 c ON c.event_type = b.event_type
+       |  WHERE c.n_days * c.d * b.v - c.an - c.n_days * c.bn * b.t <> 0),
+       |lagged AS (
+       |  SELECT event_type, sgn,
+       |    LAG(sgn) OVER (PARTITION BY event_type ORDER BY t) AS prev
+       |  FROM signs),
+       |runs AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neg,
+       |    CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS r_runs
+       |  FROM lagged GROUP BY 1),
+       |types2 AS (SELECT DISTINCT event_type FROM grid),
+       |m AS (
+       |  SELECT t.event_type, r.n_pos, r.n_neg, r.r_runs,
+       |    r.n_pos + r.n_neg AS n
+       |  FROM types2 t LEFT JOIN runs r ON r.event_type = t.event_type),
+       |zc AS (
+       |  SELECT *, CASE WHEN n_pos > 0 AND n_neg > 0 AND n > 1 THEN
+       |    ROUND((CAST(r_runs AS DOUBLE) - (1 + CAST(2 * n_pos * n_neg
+       |      AS DOUBLE) / n)) / SQRT(CAST(2 * n_pos * n_neg AS DOUBLE)
+       |      * (2 * n_pos * n_neg - n)
+       |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) END AS z
+       |  FROM m)
+       |SELECT event_type, n_pos, n_neg, r_runs, z,
+       |  CASE WHEN r_runs IS NULL OR n_pos = 0 OR n_neg = 0
+       |      THEN 'degenerate'
+       |    WHEN z < -1.96 THEN 'clustered'
+       |    WHEN z > 1.96 THEN 'oscillating'
+       |    ELSE 'random' END AS verdict
+       |FROM zc
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q283 — Kruskal–Wallis-style mean-rank audit across event types
+    * (Kruskal & Wallis 1952, per-group standardized form): global
+    * doubled midranks over ALL event cents (the Q138 collapsed
+    * per-value relation), then per type the mean rank, its expectation
+    * (n+1)/2 under the null that all types draw one distribution, and
+    * the tie-corrected standardized deviation z_j = (R̄_j − (n+1)/2) /
+    * √[(n+1)(n−n_j)/(12 n_j) · (1 − ΣT/(n³−n))]. The per-group rows
+    * ARE the Dunn-style readout a pipeline review wants ("which event
+    * type's values sit systematically high/low"), and each row's z is
+    * one fixed-shape expression over exact ints — no cross-group float
+    * summation anywhere (the reason the scalar H statistic, a float
+    * SUM over groups, is deliberately NOT emitted).
+    *
+    * Determinism: doubled midranks 2·cum+c+1 exact int64 on the
+    * collapsed value relation; Σ r2·c_j exact; ΣT = Σ(c³−c) exact; z
+    * divides once, rounded 4; verdict on the rounded z at ±1.96.
+    *
+    * Scale notes: the global value-collapse is one groupBy(cents);
+    * the rank window runs over that bounded distinct-value relation
+    * (Q138 house rule — never a row-granularity sort); per-type sums
+    * are one aggregate over the value×type count relation.
+    */
+  def q283(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val vt = ev.groupBy(col("cents"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cj"))
+    val vals = vt.groupBy(col("cents"))
+      .agg(sum(col("cj")).cast("long").as("cc"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("cum", coalesce(sum(col("cc")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("cc") + 1)
+    val glob = vals.agg(sum(col("cc")).cast("long").as("n"),
+      sum(col("cc") * col("cc") * col("cc") - col("cc"))
+        .cast("long").as("tt"))
+    vt.join(ranked.select(col("cents"), col("r2")), Seq("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cj")).cast("long").as("nj"),
+        sum(col("r2") * col("cj")).cast("long").as("rj2"))
+      .crossJoin(broadcast(glob))
+      .withColumn("mean_rank",
+        expr("ROUND(CAST(rj2 AS DOUBLE) / (2 * nj), 4)"))
+      .withColumn("z", when(col("nj") < col("n"), expr(
+        "ROUND((CAST(rj2 AS DOUBLE) / (2 * nj) - CAST(n + 1 AS DOUBLE) / 2)" +
+          " / SQRT(CAST(n + 1 AS DOUBLE) * (n - nj) / (12 * nj)" +
+          " * (1 - CAST(tt AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * n * n - n))), 4)")))
+      .withColumn("verdict",
+        when(col("z").isNull, "degenerate")
+          .when(col("z") > 1.96, "high")
+          .when(col("z") < -1.96, "low")
+          .otherwise("typical"))
+      .select(col("event_type"), col("nj").as("n_values"), col("n"),
+        col("mean_rank"), col("z"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q283Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |vt AS (
+      |  SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS cj
+      |  FROM ev GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT cents, CAST(SUM(cj) AS BIGINT) AS cc FROM vt GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents,
+      |    2 * COALESCE(SUM(cc) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cc + 1 AS r2
+      |  FROM vals),
+      |gstat AS (
+      |  SELECT CAST(SUM(cc) AS BIGINT) AS n,
+      |    CAST(SUM(cc * cc * cc - cc) AS BIGINT) AS tt
+      |  FROM vals),
+      |agg AS (
+      |  SELECT vt.event_type, CAST(SUM(vt.cj) AS BIGINT) AS nj,
+      |    CAST(SUM(r.r2 * vt.cj) AS BIGINT) AS rj2
+      |  FROM vt JOIN ranked r ON r.cents = vt.cents
+      |  GROUP BY 1)
+      |SELECT a.event_type, a.nj AS n_values, g.n,
+      |  ROUND(CAST(a.rj2 AS DOUBLE) / (2 * a.nj), 4) AS mean_rank,
+      |  CASE WHEN a.nj < g.n THEN
+      |    ROUND((CAST(a.rj2 AS DOUBLE) / (2 * a.nj)
+      |      - CAST(g.n + 1 AS DOUBLE) / 2)
+      |      / SQRT(CAST(g.n + 1 AS DOUBLE) * (g.n - a.nj) / (12 * a.nj)
+      |      * (1 - CAST(g.tt AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n))), 4) END AS z,
+      |  CASE WHEN a.nj >= g.n THEN 'degenerate'
+      |    WHEN ROUND((CAST(a.rj2 AS DOUBLE) / (2 * a.nj)
+      |      - CAST(g.n + 1 AS DOUBLE) / 2)
+      |      / SQRT(CAST(g.n + 1 AS DOUBLE) * (g.n - a.nj) / (12 * a.nj)
+      |      * (1 - CAST(g.tt AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n))), 4) > 1.96
+      |      THEN 'high'
+      |    WHEN ROUND((CAST(a.rj2 AS DOUBLE) / (2 * a.nj)
+      |      - CAST(g.n + 1 AS DOUBLE) / 2)
+      |      / SQRT(CAST(g.n + 1 AS DOUBLE) * (g.n - a.nj) / (12 * a.nj)
+      |      * (1 - CAST(g.tt AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n))), 4) < -1.96
+      |      THEN 'low'
+      |    ELSE 'typical' END AS verdict
+      |FROM agg a CROSS JOIN gstat g
+      |ORDER BY a.event_type NULLS FIRST""".stripMargin
+
+  /** Shared two-sided-normal-p text: p = erfc(|z|/√2) via the
+    * Abramowitz–Stegun 7.1.26 polynomial (max abs error 1.5e-7, well
+    * inside the round-6 report). One fixed-shape expression over the
+    * already-ROUNDED z, textually identical in both engines, so both
+    * walk the same double ops. The macro expands `Z` for the z column
+    * reference.
+    */
+  private def pTwoSql(zCol: String): String = {
+    val x = s"(ABS($zCol) / SQRT(2))"
+    val u = s"(1 / (1 + 0.3275911 * $x))"
+    s"ROUND(((((1.061405429 * $u - 1.453152027) * $u + 1.421413741) * $u" +
+      s" - 0.284496736) * $u + 0.254829592) * $u * EXP(-($x * $x)), 6)"
+  }
+
+  /** Q284 — Benjamini–Hochberg FDR control over the per-type
+    * Mann–Whitney shift tests (Benjamini & Hochberg 1995): Q277 runs
+    * one test PER TYPE, so "which types shifted" is a multiple-testing
+    * question — at α = 0.10 the BH step-up procedure ranks the
+    * two-sided p-values ascending and rejects ranks 1..k* where k* is
+    * the largest k with p_k ≤ α·k/m. The p-values come from the
+    * rounded MWU z through the shared Abramowitz–Stegun erfc
+    * polynomial, rounded 6 BEFORE ranking, so the whole decision
+    * chain is reproducible digit-for-digit.
+    *
+    * Determinism: z is Q277's rounded-4 output; p is one fixed-shape
+    * polynomial over it rounded 6; ranks tie-break on (p, type); the
+    * BH fence compares p·10·m ≤ k in doubles of exact ints (α = 0.10
+    * as the exact 1/10); k* is a window MAX of qualifying ranks.
+    * Types whose MWU degraded (NULL z) emit 'no_test' and do not
+    * count toward m.
+    *
+    * Scale notes: everything after Q277's aggregate lives on m rows
+    * (one per type). Flat in corpus size.
+    */
+  def q284(spark: SparkSession, dir: String): DataFrame = {
+    val base = q277(spark, dir).select(col("event_type"), col("z"))
+    val tested = base.filter(col("z").isNotNull)
+      .withColumn("p", expr(pTwoSql("z")))
+      .withColumn("k", row_number().over(
+        Window.orderBy(asc("p"), asc("event_type"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+      .withColumn("kstar", max(when(col("p") * 10 * col("m") <= col("k"),
+        col("k"))).over(Window.partitionBy()))
+    base.join(tested.drop("z"), Seq("event_type"), "left")
+      .withColumn("verdict",
+        when(col("z").isNull, "no_test")
+          .when(col("kstar").isNotNull && col("k") <= col("kstar"),
+            "shifted_fdr10")
+          .otherwise("not_significant"))
+      .select(col("event_type"), col("z"), col("p"),
+        col("k").as("p_rank"), col("m").as("n_tests"), col("kstar"),
+        col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q284Oracle: String = {
+    val p = pTwoSql("z")
+    s"""WITH q277 AS (
+       |${q277Oracle.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |base AS (SELECT event_type, z FROM q277),
+       |tested AS (
+       |  SELECT event_type, z, $p AS p
+       |  FROM base WHERE z IS NOT NULL),
+       |ranked AS (
+       |  SELECT event_type, p,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT) AS k,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |  FROM tested),
+       |fenced AS (
+       |  SELECT *, MAX(CASE WHEN p * 10 * m <= k THEN k END) OVER ()
+       |    AS kstar
+       |  FROM ranked)
+       |SELECT b.event_type, b.z, f.p, f.k AS p_rank, f.m AS n_tests,
+       |  f.kstar,
+       |  CASE WHEN b.z IS NULL THEN 'no_test'
+       |    WHEN f.kstar IS NOT NULL AND f.k <= f.kstar
+       |      THEN 'shifted_fdr10'
+       |    ELSE 'not_significant' END AS verdict
+       |FROM base b LEFT JOIN fenced f ON f.event_type = b.event_type
+       |ORDER BY b.event_type NULLS FIRST""".stripMargin
+  }
+
+  /** Q285 — distribution-free median confidence interval per event
+    * type (order-statistic/binomial CI, normal-approximation indices;
+    * e.g. Conover 1999 §3.2): the daily-cents median with the ~95% CI
+    * [x_(lo), x_(hi)], lo = max(1, ⌊(n − 1.96√n)/2⌋), hi = min(n,
+    * ⌈1 + (n + 1.96√n)/2⌉) — rank picks from the sorted daily values,
+    * no bootstrap, no engine quantile(). The uncertainty companion to
+    * Q275/Q276: a trend call over a median whose CI spans zero change
+    * is noise.
+    *
+    * Determinism: the median is the house lower-median rank pick
+    * (n+1) DIV 2 on (v, day) order; lo/hi indices are FLOOR/CEIL of
+    * one fixed double expression of n, then exact rank picks; every
+    * reported value is exact int64 cents. n < 8 emits 'insufficient'
+    * (the normal approximation and the CI itself are vacuous).
+    *
+    * Scale notes: one corpus-scan daily aggregate, one window over the
+    * bounded per-type spine, three rank picks. Flat in corpus size.
+    */
+  def q285(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val ranked = grid
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(asc("v"), asc("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("lo", greatest(lit(1L), expr(
+        "CAST(FLOOR((n - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)")))
+      .withColumn("hi", least(col("n"), expr(
+        "CAST(CEIL(1 + (n + 1.96 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)")))
+    ranked.groupBy(col("event_type"))
+      .agg(min(col("n")).as("n_days"),
+        min(col("lo")).as("lo_rank"),
+        min(col("hi")).as("hi_rank"),
+        min(when(col("rk") === expr("(n + 1) DIV 2"), col("v")))
+          .as("median_cents"),
+        min(when(col("rk") === col("lo"), col("v"))).as("ci_lo_cents"),
+        min(when(col("rk") === col("hi"), col("v"))).as("ci_hi_cents"))
+      .withColumn("verdict",
+        when(col("n_days") < 8, "insufficient").otherwise("ok"))
+      .select(col("event_type"), col("n_days"), col("median_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"), col("lo_rank"),
+        col("hi_rank"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q285Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |ranked AS (
+       |  SELECT event_type, day, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY v, day) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM grid),
+       |idxed AS (
+       |  SELECT *,
+       |    GREATEST(1, CAST(FLOOR((n - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+       |      AS BIGINT)) AS lo,
+       |    LEAST(n, CAST(CEIL(1 + (n + 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+       |      AS BIGINT)) AS hi
+       |  FROM ranked)
+       |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_days,
+       |  CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN v END) AS BIGINT)
+       |    AS median_cents,
+       |  CAST(MIN(CASE WHEN rk = lo THEN v END) AS BIGINT) AS ci_lo_cents,
+       |  CAST(MIN(CASE WHEN rk = hi THEN v END) AS BIGINT) AS ci_hi_cents,
+       |  CAST(MIN(lo) AS BIGINT) AS lo_rank,
+       |  CAST(MIN(hi) AS BIGINT) AS hi_rank,
+       |  CASE WHEN MIN(n) < 8 THEN 'insufficient' ELSE 'ok' END AS verdict
+       |FROM idxed
+       |GROUP BY event_type
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
-    "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _))
+    "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
+    "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
+    "Q285" -> (q285 _))
 
   def oracles: Map[String, String] = Map(
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
-    "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle)
+    "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
+    "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,
+    "Q285" -> q285Oracle)
 }

@@ -198,6 +198,112 @@ class Round10GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q282 runs test: R replays from local residual signs") {
+    val grid = localGrid()
+    val out = Trend.q282(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    grid.foreach { case (t, series) =>
+      val n = series.length.toLong
+      val ts = series.map(_._1)
+      val dmin = ts.min
+      val xs = series.map(p => p._1 - dmin)
+      val vs = series.map(_._2)
+      val sx = xs.sum; val sy = vs.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(vs).map { case (x, v) => x * v }.sum
+      val d = n * sxx - sx * sx
+      val bn = n * sxy - sx * sy
+      val an = sy * d - bn * sx
+      val signs = xs.zip(vs)
+        .map { case (x, v) => n * d * v - an - n * bn * x }
+        .filter(_ != 0L).map(e => if (e > 0) 1 else -1)
+      val runs =
+        if (signs.isEmpty) 0L
+        else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val row = out(t)
+      assert(row.getAs[Long]("n_pos") == signs.count(_ == 1), s"$t: n_pos")
+      assert(row.getAs[Long]("n_neg") == signs.count(_ == -1), s"$t: n_neg")
+      assert(row.getAs[Long]("r_runs") == runs, s"$t: runs")
+    }
+  }
+
+  test("Q283 mean-rank audit: group mean ranks replay from the global pooled ranking") {
+    val c = Catalog(spark, dir)
+    val ev = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = ev.map(_._2).sorted
+    // doubled midrank of value v = 2*(# strictly smaller) + (# equal) + 1
+    val below = all.groupBy(identity).map { case (v, g) =>
+      v -> (all.count(_ < v).toLong, g.length.toLong) }
+    val out = Trend.q283(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = all.length.toLong
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val r2sum = rows.map { case (_, v) =>
+        val (cum, cc) = below(v); 2 * cum + cc + 1 }.sum
+      val nj = rows.length.toLong
+      assert(out(t).getAs[Long]("n_values") == nj)
+      assert(out(t).getAs[Long]("n") == n)
+      assert(out(t).getAs[Double]("mean_rank") ==
+        r(4)(r2sum.toDouble / (2 * nj)), s"$t: mean rank")
+    }
+    // mean ranks must straddle the global expectation (n+1)/2
+    val means = out.values.map(_.getAs[Double]("mean_rank"))
+    assert(means.min <= (n + 1) / 2.0 && means.max >= (n + 1) / 2.0)
+  }
+
+  test("Q284 BH: p is the A&S polynomial of z, and the rejection set is exactly ranks <= k*") {
+    val out = Trend.q284(spark, dir).collect()
+    val tested = out.filter(_.getAs[java.lang.Double]("z") != null)
+    assert(tested.nonEmpty)
+    tested.foreach { row =>
+      val z = row.getAs[Double]("z")
+      val x = math.abs(z) / math.sqrt(2.0)
+      val u = 1.0 / (1.0 + 0.3275911 * x)
+      val p = ((((1.061405429 * u - 1.453152027) * u + 1.421413741) * u
+        - 0.284496736) * u + 0.254829592) * u * math.exp(-(x * x))
+      assert(row.getAs[Double]("p") == r(6)(p), "A&S p mismatch")
+      assert(row.getAs[Double]("p") > 0 && row.getAs[Double]("p") <= 1)
+    }
+    val m = tested.head.getAs[Long]("n_tests")
+    assert(m == tested.length)
+    val kstar = Option(tested.head.getAs[java.lang.Long]("kstar"))
+    tested.foreach { row =>
+      val rejected = row.getAs[String]("verdict") == "shifted_fdr10"
+      val k = row.getAs[Long]("p_rank")
+      assert(rejected == kstar.exists(ks => k <= ks),
+        s"BH coherence at rank $k")
+      // every rejected rank satisfies its own fence only at k*; the
+      // defining property: p_(k*) <= 0.1*k*/m
+      if (kstar.contains(k))
+        assert(row.getAs[Double]("p") * 10 * m <= k)
+    }
+  }
+
+  test("Q285 median CI: rank picks replay from the sorted daily values") {
+    val grid = localGrid()
+    val out = Trend.q285(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    grid.foreach { case (t, series) =>
+      val vs = series.map(_._2).sorted
+      val n = vs.length
+      val lo = math.max(1L,
+        math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
+      val hi = math.min(n.toLong,
+        math.ceil(1 + (n + 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
+      val row = out(t)
+      assert(row.getAs[Long]("median_cents") == vs((n + 1) / 2 - 1),
+        s"$t: median")
+      assert(row.getAs[Long]("ci_lo_cents") == vs(lo.toInt - 1), s"$t: lo")
+      assert(row.getAs[Long]("ci_hi_cents") == vs(hi.toInt - 1), s"$t: hi")
+      assert(row.getAs[Long]("ci_lo_cents") <=
+        row.getAs[Long]("median_cents") &&
+        row.getAs[Long]("median_cents") <= row.getAs[Long]("ci_hi_cents"))
+    }
+  }
+
   test("Q281 CUSUM: alarm decision replays exactly from the local grid") {
     val grid = localGrid()
     val out = Trend.q281(spark, dir).collect()
