@@ -489,6 +489,85 @@ object StreamingOps {
           out.iterator
       }
   }
+
+
+  /** Per-type state of the online CUSUM monitor: the first-K daily
+    * buffer (bounded by K), then the frozen calibration stats and the
+    * running cumulative sum. */
+  case class CusumState(
+    calDays: List[Long], calVals: List[Long],
+    frozen: Boolean, sCal: Long, mad: Long,
+    cusum: Long, maxAbs: Long, alarmDay: Long)
+
+  /** One emitted monitor row per processed day. */
+  case class CusumRow(event_type: String, day: Long, phase: String,
+    cusum: Long, alarm_day: Long)
+
+  /** Q281 streaming twin — ONLINE CUSUM drift monitor per event type
+    * with flatMapGroupsWithState: the batch gate splits the spine in
+    * half offline; the online form freezes calibration at the FIRST K
+    * observed days (K = 14 by default — an operational choice, declared
+    * not inferred), then updates the n_cal-scaled cumulative deviation
+    * in O(1) per day and latches the first alarm day where |C| exceeds
+    * 4× the calibration's total absolute deviation — the identical
+    * integer threshold algebra as Q281, so the monitor's post-
+    * calibration fold is asserted equal to a batch replay of the same
+    * daily rows in Round10GatesSpec. Ingest contract is day-ordered
+    * files (the SCD2/EWMA twin contract); within a micro-batch rows
+    * sort by day.
+    *
+    * Scale notes: state per type is the bounded K-day calibration
+    * buffer until frozen, then six scalars; emission is one row per
+    * processed day in update mode. At production scale a watermark
+    * bounds replay depth exactly as for the other twins.
+    */
+  def cusumStream(daily: DataFrame, k: Int = 14): org.apache.spark.sql.Dataset[CusumRow] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    daily
+      .select(col("event_type").as[String], col("day").as[Long],
+        col("v").as[Long])
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[(String, Long, Long)],
+         gs: GroupState[CusumState]) =>
+          var st = gs.getOption.getOrElse(
+            CusumState(Nil, Nil, false, 0L, 0L, 0L, 0L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+          it.toSeq.sortBy(_._2).foreach { case (_, day, v) =>
+            if (!st.frozen) {
+              val days = st.calDays :+ day
+              val vals = st.calVals :+ v
+              if (days.length < k) {
+                st = st.copy(calDays = days, calVals = vals)
+                out += CusumRow(tpe, day, "calibrating", 0L, -1L)
+              } else {
+                val sCal = vals.sum
+                val mad = vals.map(x => math.abs(k * x - sCal)).sum
+                st = CusumState(Nil, Nil, frozen = true, sCal, mad,
+                  0L, 0L, -1L)
+                out += CusumRow(tpe, day, "calibrating", 0L, -1L)
+              }
+            } else {
+              val cu = st.cusum + k * v - st.sCal
+              val maxAbs = math.max(st.maxAbs, math.abs(cu))
+              val alarm =
+                if (st.alarmDay >= 0) st.alarmDay
+                else if (math.abs(cu) > 4 * st.mad) day
+                else -1L
+              st = st.copy(cusum = cu, maxAbs = maxAbs, alarmDay = alarm)
+              out += CusumRow(tpe, day,
+                if (alarm >= 0) "drift" else "monitoring", cu, alarm)
+            }
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
 }
 
 /** Per-user funnel state: min view time plus the click/purchase time sets
@@ -566,7 +645,6 @@ class DimensionStateProcessor
       case None => Iterator.empty
     }
   }
-
 }
 
 /** StatefulProcessor for C11c: one Long ValueState per user key. */

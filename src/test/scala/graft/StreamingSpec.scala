@@ -613,4 +613,80 @@ class StreamingSpec extends SparkSpec {
       s"closed-version count ${streamed.size} != batch ${batch.size}")
     assert(streamed == batch)
   }
+
+  test("streamed online CUSUM equals the sequential fold across a day-split replay") {
+    // Daily grid recomputed independently of the operator helpers.
+    val daily = Catalog(spark, sf("sf0.001")).events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("v"))
+    val rows = daily.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    val days = rows.map(_._2).distinct.sorted
+    // Three day-range files -> three micro-batches; calibration (first
+    // 14 days) must freeze across a batch boundary, not inside one fold.
+    val cutA = days(days.length / 4)
+    val cutB = days(days.length / 2)
+    val srcDir = tmpDir("graft-cusum-src")
+    Seq(("0", (d: Long) => d <= cutA),
+      ("1", (d: Long) => d > cutA && d <= cutB),
+      ("2", (d: Long) => d > cutB)).foreach { case (name, pred) =>
+      import spark.implicits._
+      val stage = tmpDir(s"graft-cusum-stage$name")
+      rows.filter(p => pred(p._2)).toSeq.toDF("event_type", "day", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val k = 14
+    val q = StreamingOps.cusumStream(stream, k)
+      .toDF("event_type", "day", "phase", "cusum", "alarm_day")
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-cusum-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // Sequential fold of the identical semantics, one pass per type.
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val sorted = series.sortBy(_._2)
+      val cal = sorted.take(k)
+      val sCal = cal.map(_._3).sum
+      val mad = cal.map(p => math.abs(k * p._3 - sCal)).sum
+      var cu = 0L
+      var alarm = -1L
+      sorted.zipWithIndex.foreach { case ((_, day, v), i) =>
+        val expected =
+          if (i < k) ("calibrating", 0L, -1L)
+          else {
+            cu += k * v - sCal
+            if (alarm < 0 && math.abs(cu) > 4 * mad) alarm = day
+            (if (alarm >= 0) "drift" else "monitoring", cu, alarm)
+          }
+        assert(streamed((t, day)) == expected,
+          s"$t day $day: ${streamed((t, day))} != $expected")
+      }
+      // every emitted day is accounted for (no phantom rows)
+      assert(streamed.keys.count(_._1 == t) == sorted.length)
+    }
+  }
 }
