@@ -43,7 +43,8 @@ object SparkEntry {
       (Reshape.queries, Reshape.oracles),
       (Pii.queries, Pii.oracles),
       (Behavior.queries, Behavior.oracles),
-      (Trend.queries, Trend.oracles)
+      (Trend.queries, Trend.oracles),
+      (Quality.queries, Quality.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
