@@ -170,6 +170,36 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("Q218 pairs on the collapsed name vocabulary, never part instances (r10 re-block)") {
+    // The r9 scale-killer was an instance-level self-join; the re-declared
+    // form must aggregate part down to DISTINCT names BEFORE the JW pair
+    // join — i.e. both join inputs sit above an Aggregate, and the join
+    // itself is a broadcast (vocabulary-sized build side), never an
+    // instance-cardinality sort-merge.
+    val plan = graft.operators.NearDup.q218(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"Q218 pair join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"Q218 shuffled an instance-level join:\n$plan")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(plan.indexOf("HashAggregate", joinIdx) >= 0,
+      s"Q218 join inputs are not name-collapsed aggregates:\n$plan")
+  }
+
+  test("Q286 RI probes broadcast the distinct-collapsed parent keys") {
+    val plan = graft.operators.Quality.q286(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // all eight FK probes build against parent DISTINCT-key relations —
+    // broadcast-sized at any corpus scale (parents are dimensions or
+    // key-collapsed); no probe may degenerate to a cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"Q286 has a cartesian probe:\n$plan")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 6,
+      s"expected the FK probes to broadcast parent keys, found $broadcasts:\n$plan")
+  }
+
   test("approx percentile within 1% of exact on order totals") {
     val c = Catalog(spark, sf("sf0.01"))
     val row = c.orders.agg(
