@@ -1645,7 +1645,174 @@ object TextAnalysis {
       |FROM agg
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  /** Q289 — Heaps'-law vocabulary-growth profile per source (Heaps
+    * 1978): the distinct-token count V(n) over the first n = 2^k docs
+    * of each source (doc_id order — the declared deterministic
+    * prefix), with the per-level growth exponent β_k = log₂(V_k /
+    * V_{k−1}) and a sublinearity verdict on the LAST level. β ≈ 0.4–
+    * 0.6 is natural text's signature; β → 1 means near-disjoint
+    * vocabularies (boilerplate IDs, hashes — the corpus smell a
+    * data-acquisition review looks for), β → 0 a closed template
+    * vocabulary. The "how fast does more data buy new words" read
+    * that the static Q170 vocab rollup cannot give.
+    *
+    * Determinism: prefixes are doc_id-ranked (exact); V counts are
+    * exact distinct aggregates; β is one LN-ratio expression of two
+    * exact int64 counts via LAG, rounded 4.
+    *
+    * Scale notes: one explode joined against log₂(n_docs) dyadic
+    * levels — the token relation replicates at most ⌈log₂ D⌉ times
+    * (the standard doubling-profile trick), then collapses per
+    * (source, level) in one distinct aggregate. No quadratic term.
+    */
+  def q289(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.documents
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val levels = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        explode(expr(
+          "sequence(1, CAST(FLOOR(LOG2(CAST(n_docs AS DOUBLE))) AS INT))"))
+          .as("k"))
+      .withColumn("n_prefix", expr("shiftleft(CAST(1 AS BIGINT), k)"))
+    val tok = docs
+      .select(col("source"), col("rn"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val v = tok.join(levels, Seq("source"))
+      .filter(col("rn") <= col("n_prefix"))
+      .groupBy(col("source"), col("k"), col("n_prefix"))
+      .agg(countDistinct(col("token")).cast("long").as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("k"))
+    v.withColumn("vprev", lag(col("vocab"), 1).over(w))
+      .withColumn("beta", when(col("vprev").isNotNull, expr(
+        "ROUND(LN(CAST(vocab AS DOUBLE) / vprev) / LN(2), 4)")))
+      .withColumn("kmax", max(col("k")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("verdict", when(col("k") =!= col("kmax"), lit(null)
+        .cast("string"))
+        .when(col("beta").isNull, "single_level")
+        .when(col("beta") < 0.2, "closed_vocab")
+        .when(col("beta") < 0.8, "heaps_sublinear")
+        .otherwise("open_vocab"))
+      .select(col("source"), col("k").cast("long").as("k"),
+        col("n_prefix"), col("vocab"), col("beta"), col("verdict"))
+      .orderBy(asc_nulls_first("source"), asc("k"))
+  }
+
+  val q289Oracle: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM documents),
+      |lv AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM docs GROUP BY 1),
+      |levels AS (
+      |  SELECT source,
+      |    CAST(UNNEST(generate_series(1,
+      |      CAST(FLOOR(LOG2(CAST(n_docs AS DOUBLE))) AS BIGINT))) AS BIGINT)
+      |      AS k
+      |  FROM lv),
+      |levels2 AS (
+      |  SELECT source, k, (1::BIGINT << k::INT) AS n_prefix FROM levels),
+      |tok AS (
+      |  SELECT d.source, d.rn, UNNEST(string_split(d.text, ' ')) AS token
+      |  FROM docs d),
+      |v AS (
+      |  SELECT t.source, l.k, l.n_prefix,
+      |    CAST(COUNT(DISTINCT t.token) AS BIGINT) AS vocab
+      |  FROM tok t JOIN levels2 l ON l.source = t.source
+      |  WHERE t.token <> '' AND t.rn <= l.n_prefix
+      |  GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT *,
+      |    LAG(vocab) OVER (PARTITION BY source ORDER BY k) AS vprev,
+      |    CAST(MAX(k) OVER (PARTITION BY source) AS BIGINT) AS kmax
+      |  FROM v)
+      |SELECT source, k, n_prefix, vocab,
+      |  CASE WHEN vprev IS NOT NULL THEN
+      |    ROUND(LN(CAST(vocab AS DOUBLE) / vprev) / LN(2), 4) END AS beta,
+      |  CASE WHEN k <> kmax THEN NULL
+      |    WHEN vprev IS NULL THEN 'single_level'
+      |    WHEN ROUND(LN(CAST(vocab AS DOUBLE) / vprev) / LN(2), 4) < 0.2
+      |      THEN 'closed_vocab'
+      |    WHEN ROUND(LN(CAST(vocab AS DOUBLE) / vprev) / LN(2), 4) < 0.8
+      |      THEN 'heaps_sublinear'
+      |    ELSE 'open_vocab' END AS verdict
+      |FROM b
+      |ORDER BY source NULLS FIRST, k""".stripMargin
+
+  /** Q290 — token burstiness top-20 (Church & Gale 1995's
+    * variance-to-mean read): for each token with df ≥ 5, the
+    * population variance-to-mean ratio of its per-doc count over ALL
+    * D docs (absent docs count 0): b = (D·Σc² − n²) / (D·n), exact
+    * int64 cross-products, one divide. b ≈ 1 is Poisson scatter
+    * (function words); b ≫ 1 marks topical/bursty tokens that
+    * concentrate in few docs — the token-level signal behind Q44's
+    * doc-level repetition flags, and the contamination smell when a
+    * "common" token's mass sits in two documents.
+    *
+    * Determinism: per-(token, doc) counts, df, n, Σc² are exact; b
+    * and the df share divide once each; the top-20 is fully
+    * tie-broken (b round-4 desc, token asc).
+    *
+    * Scale notes: one explode → one (token, doc) groupBy → one token
+    * rollup — the Q170 vocabulary topology; the top-20 is a
+    * TakeOrdered over the vocabulary-bounded rollup.
+    */
+  def q290(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val dTot = c.documents.agg(count(lit(1)).cast("long").as("d_total"))
+    val perDoc = c.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * col("cnt")).cast("long").as("ss"))
+      .filter(col("df") >= 5)
+      .crossJoin(broadcast(dTot))
+      .withColumn("burstiness", expr(
+        "ROUND(CAST(d_total * ss - n * n AS DOUBLE) / (d_total * n), 4)"))
+      .withColumn("df_share",
+        expr("ROUND(CAST(df AS DOUBLE) / d_total, 6)"))
+      .select(col("token"), col("df"), col("n").as("n_occurrences"),
+        col("burstiness"), col("df_share"))
+      .orderBy(desc("burstiness"), asc("token"))
+      .limit(20)
+  }
+
+  val q290Oracle: String =
+    """WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_total FROM documents),
+      |per_doc AS (
+      |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      |  FROM per_doc GROUP BY 1)
+      |SELECT token, df, n AS n_occurrences,
+      |  ROUND(CAST(d_total * ss - n * n AS DOUBLE) / (d_total * n), 4)
+      |    AS burstiness,
+      |  ROUND(CAST(df AS DOUBLE) / d_total, 6) AS df_share
+      |FROM roll CROSS JOIN d
+      |WHERE df >= 5
+      |ORDER BY burstiness DESC, token
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q289" -> (q289 _), "Q290" -> (q290 _),
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
@@ -1656,6 +1823,7 @@ object TextAnalysis {
     "Q259" -> (q259 _))
 
   def oracles: Map[String, String] = Map(
+    "Q289" -> q289Oracle, "Q290" -> q290Oracle,
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,

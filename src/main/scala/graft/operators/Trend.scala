@@ -1030,15 +1030,187 @@ object Trend {
        |GROUP BY event_type
        |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q291 — Poisson overdispersion test on the daily EVENT COUNTS per
+    * type (the dispersion test; e.g. Cameron & Trivedi 1990's VMR
+    * form): over the zero-filled day spine, the count variance-to-mean
+    * ratio and its normal score z = (VMR − 1)·√((n−1)/2) — VMR = 1 is
+    * the Poisson arrival hypothesis, VMR > 1 over-dispersion
+    * (clumping/contagion), VMR < 1 under-dispersion (regular/paced
+    * arrivals). The COUNT-side companion to Q211 (values) and Q276
+    * (trend): a stable mean with clumping arrivals is invisible to
+    * both.
+    *
+    * Determinism: daily counts, n, Σy, Σy² exact int64; VMR and z are
+    * fixed-shape expressions over them, each rounded 4; a flat series
+    * (Σy = 0 or zero variance with mean 0) degrades to 'degenerate'.
+    *
+    * Scale notes: one corpus-scan daily count aggregate, one
+    * five-number rollup per type. Flat in corpus size.
+    */
+  def q291(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val ext = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(ext))
+      .select(col("event_type"), explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .withColumn("mean_daily",
+        expr("ROUND(CAST(sy AS DOUBLE) / n, 4)"))
+      .withColumn("vmr", when(col("sy") > 0, expr(
+        "ROUND(CAST(n * syy - sy * sy AS DOUBLE) / ((n - 1) * sy), 4)")))
+      .withColumn("z", when(col("sy") > 0 && col("n") > 1, expr(
+        "ROUND((CAST(n * syy - sy * sy AS DOUBLE) / ((n - 1) * sy) - 1)" +
+          " * SQRT(CAST(n - 1 AS DOUBLE) / 2), 4)")))
+      .withColumn("verdict",
+        when(col("z").isNull, "degenerate")
+          .when(col("z") > 1.96, "overdispersed")
+          .when(col("z") < -1.96, "underdispersed")
+          .otherwise("poisson_like"))
+      .select(col("event_type"), col("n").as("n_days"), col("sy")
+        .as("n_events"), col("mean_daily"), col("vmr"), col("z"),
+        col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q291Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+      |spine AS (SELECT UNNEST(generate_series(dmin, dmax)) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |grid AS (
+      |  SELECT t.event_type, s.day, COALESCE(d.y, 0) AS y
+      |  FROM types t CROSS JOIN spine s
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM grid GROUP BY 1),
+      |zc AS (
+      |  SELECT *, CASE WHEN sy > 0 AND n > 1 THEN
+      |    ROUND((CAST(n * syy - sy * sy AS DOUBLE) / ((n - 1) * sy) - 1)
+      |      * SQRT(CAST(n - 1 AS DOUBLE) / 2), 4) END AS z
+      |  FROM m)
+      |SELECT event_type, n AS n_days, sy AS n_events,
+      |  ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_daily,
+      |  CASE WHEN sy > 0 THEN
+      |    ROUND(CAST(n * syy - sy * sy AS DOUBLE) / ((n - 1) * sy), 4) END
+      |    AS vmr,
+      |  z,
+      |  CASE WHEN z IS NULL THEN 'degenerate'
+      |    WHEN z > 1.96 THEN 'overdispersed'
+      |    WHEN z < -1.96 THEN 'underdispersed'
+      |    ELSE 'poisson_like' END AS verdict
+      |FROM zc
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Q292 — inter-event-time regularity per type: the coefficient of
+    * variation of consecutive event gaps (seconds, on the (ts,
+    * event_id) total order). A Poisson process has exponential gaps
+    * with CV = 1; CV ≫ 1 is burst-and-silence traffic, CV ≪ 1 a
+    * paced/scheduled source. The CONTINUOUS-TIME twin of Q291's daily
+    * count dispersion — together they tell clumping-within-days from
+    * clumping-across-days. The ±10% Poisson band is decided on the
+    * exact integer cross-product 10·|n·Σg² − 2·(Σg)²| ≤ (Σg)².
+    *
+    * Determinism: gaps are exact integer seconds (µs DIV 10⁶) over
+    * the fully tie-broken order; n, Σg, Σg² exact int64 (second
+    * granularity keeps Σg² within int64 to ~10¹⁰ gaps); CV² is one
+    * fixed expression rounded 4; the verdict compares integer
+    * cross-products, never the rounded float.
+    *
+    * Scale notes: one type-keyed LAG window over events, one rollup.
+    * The gap relation is |events| rows — linear, no spine needed.
+    */
+  def q292(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 1000000").as("s"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("s"), col("event_id"))
+    val gaps = ev
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .filter(col("ps").isNotNull)
+      .select(col("event_type"), (col("s") - col("ps")).as("g"))
+    val types = ev.select(col("event_type")).distinct()
+    types.join(
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("g")).cast("long").as("sg"),
+          sum(col("g") * col("g")).cast("long").as("sgg")),
+      Seq("event_type"), "left")
+      .withColumn("mean_gap_s", when(col("n") > 0,
+        expr("ROUND(CAST(sg AS DOUBLE) / n, 4)")))
+      .withColumn("cv2", when(col("sg") > 0, expr(
+        "ROUND(CAST(n * sgg - sg * sg AS DOUBLE) / (sg * sg), 4)")))
+      .withColumn("verdict",
+        when(col("n").isNull || col("sg") <= 0, "degenerate")
+          .when(lit(10L) * abs(col("n") * col("sgg")
+            - lit(2L) * col("sg") * col("sg")) <= col("sg") * col("sg"),
+            "poisson_like")
+          .when(col("n") * col("sgg") > lit(2L) * col("sg") * col("sg"),
+            "bursty")
+          .otherwise("paced"))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        col("mean_gap_s"), col("cv2"), col("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q292Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 AS s, event_id
+      |  FROM events),
+      |gaps AS (
+      |  SELECT event_type, s - ps AS g FROM (
+      |    SELECT event_type, s,
+      |      LAG(s) OVER (PARTITION BY event_type ORDER BY s, event_id)
+      |        AS ps
+      |    FROM ev)
+      |  WHERE ps IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(g) AS BIGINT) AS sg,
+      |    CAST(SUM(g * g) AS BIGINT) AS sgg
+      |  FROM gaps GROUP BY 1),
+      |types AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT t.event_type, m.n AS n_gaps,
+      |  CASE WHEN m.n > 0 THEN ROUND(CAST(m.sg AS DOUBLE) / m.n, 4) END
+      |    AS mean_gap_s,
+      |  CASE WHEN m.sg > 0 THEN
+      |    ROUND(CAST(m.n * m.sgg - m.sg * m.sg AS DOUBLE)
+      |      / (m.sg * m.sg), 4) END AS cv2,
+      |  CASE WHEN m.n IS NULL OR m.sg <= 0 THEN 'degenerate'
+      |    WHEN 10 * ABS(m.n * m.sgg - 2 * m.sg * m.sg) <= m.sg * m.sg
+      |      THEN 'poisson_like'
+      |    WHEN m.n * m.sgg > 2 * m.sg * m.sg THEN 'bursty'
+      |    ELSE 'paced' END AS verdict
+      |FROM types t LEFT JOIN m ON m.event_type = t.event_type
+      |ORDER BY t.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
-    "Q285" -> (q285 _))
+    "Q285" -> (q285 _), "Q291" -> (q291 _), "Q292" -> (q292 _))
 
   def oracles: Map[String, String] = Map(
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,
-    "Q285" -> q285Oracle)
+    "Q285" -> q285Oracle, "Q291" -> q291Oracle, "Q292" -> q292Oracle)
 }

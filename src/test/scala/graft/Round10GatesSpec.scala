@@ -304,6 +304,111 @@ class Round10GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q289 Heaps profile: dyadic prefix vocabularies replay from doc_id order") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val out = graft.operators.TextAnalysis.q289(spark, dir).collect()
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ordered = docs.filter(_._1 == src).sortBy(_._2)
+      rows.foreach { r =>
+        val np = r.getAs[Long]("n_prefix")
+        val vocab = ordered.take(np.toInt)
+          .flatMap(_._3.split(" ")).filter(_.nonEmpty).distinct.length
+        assert(r.getAs[Long]("vocab") == vocab, s"$src k=${r.getAs[Long]("k")}")
+        assert(np == (1L << r.getAs[Long]("k")))
+      }
+      // verdict only on the last level; betas are log2 ratios
+      val byK = rows.sortBy(_.getAs[Long]("k"))
+      byK.sliding(2).foreach {
+        case Array(a, b) =>
+          val exp = r(4)(math.log(b.getAs[Long]("vocab").toDouble /
+            a.getAs[Long]("vocab")) / math.log(2))
+          assert(b.getAs[Double]("beta") == exp)
+        case _ =>
+      }
+      assert(byK.init.forall(_.getAs[String]("verdict") == null))
+      assert(byK.last.getAs[String]("verdict") != null)
+    }
+  }
+
+  test("Q290 burstiness: the VMR formula replays for every reported token") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dTot = docs.length.toLong
+    val counts = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (tok, id)) }
+      .groupBy(identity).map { case ((tok, id), g) => (tok, id, g.length.toLong) }
+    val out = graft.operators.TextAnalysis.q290(spark, dir).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val byTok = counts.groupBy(_._1)
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val cs = byTok(tok).map(_._3).toSeq
+      val df = cs.length.toLong
+      val n = cs.sum
+      val ss = cs.map(x => x * x).sum
+      assert(r.getAs[Long]("df") == df)
+      assert(r.getAs[Long]("n_occurrences") == n)
+      assert(r.getAs[Double]("burstiness") ==
+        this.r(4)((dTot * ss - n * n).toDouble / (dTot * n)), s"token $tok")
+      assert(df >= 5)
+    }
+    // descending by burstiness with token tie-break
+    val bs = out.map(r => (r.getAs[Double]("burstiness"), r.getString(0)))
+    assert(bs.sliding(2).forall {
+      case Array((b1, t1), (b2, t2)) => b1 > b2 || (b1 == b2 && t1 < t2)
+      case _ => true
+    })
+  }
+
+  test("Q291 overdispersion: VMR and z replay from local daily counts") {
+    val c = Catalog(spark, dir)
+    val days = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val dmin = days.map(_._2).min; val dmax = days.map(_._2).max
+    val out = graft.operators.Trend.q291(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    days.groupBy(_._1).foreach { case (t, rows) =>
+      val byDay = rows.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+      val ys = (dmin to dmax).map(d => byDay.getOrElse(d, 0L))
+      val n = ys.length.toLong; val sy = ys.sum
+      val syy = ys.map(y => y * y).sum
+      val row = out(t)
+      assert(row.getAs[Long]("n_days") == n)
+      assert(row.getAs[Long]("n_events") == sy)
+      val vmr = (n * syy - sy * sy).toDouble / ((n - 1) * sy)
+      assert(row.getAs[Double]("vmr") == r(4)(vmr), s"$t vmr")
+      assert(row.getAs[Double]("z") ==
+        r(4)((vmr - 1) * math.sqrt((n - 1).toDouble / 2)), s"$t z")
+    }
+  }
+
+  test("Q292 gap CV: cv2 replays from the totally ordered gap sequence") {
+    val c = Catalog(spark, dir)
+    val ev = c.events.select(col("event_type"),
+      expr("(ts DIV 1000) DIV 1000000").as("s"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = graft.operators.Trend.q292(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val ss = rows.sortBy(p => (p._2, p._3)).map(_._2).toSeq
+      val gaps: Seq[Long] = ss.zip(ss.drop(1)).map { case (a, b) => b - a }
+      val n = gaps.length.toLong; val sg = gaps.sum
+      val sgg = gaps.map(g => g * g).sum
+      val row = out(t)
+      assert(row.getAs[Long]("n_gaps") == n)
+      if (sg > 0) {
+        assert(row.getAs[Double]("cv2") ==
+          r(4)((n * sgg - sg * sg).toDouble / (sg.toDouble * sg)), s"$t cv2")
+        val pois = 10 * math.abs(n * sgg - 2 * sg * sg) <= sg * sg
+        if (pois) assert(row.getAs[String]("verdict") == "poisson_like")
+      }
+    }
+  }
+
   test("Q281 CUSUM: alarm decision replays exactly from the local grid") {
     val grid = localGrid()
     val out = Trend.q281(spark, dir).collect()
