@@ -103,7 +103,11 @@ object Graphs {
     * component (Q67) views — what survives peeling is the subgraph
     * where every product co-occurs with ≥ 3 others that THEMSELVES
     * survive, the recursive density the one-shot degree filter (Q121's
-    * c ≥ 2 edges) cannot express.
+    * c ≥ 2 edges) cannot express. Q122 gates the final 3-core
+    * MEMBERSHIP (via [[kCore]], on the support-pruned graph); this
+    * gate reports the COLLAPSE DYNAMICS — the per-round profile a
+    * capacity review reads to see whether the dense backbone is one
+    * peel away or ten — on the unpruned edges.
     *
     * Determinism: synchronized peeling is order-free (the round-r
     * deletion set depends only on the round-(r−1) alive SET), so both
