@@ -1168,21 +1168,252 @@ object Behavior {
       |WHERE d.k = 12
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Shared-text closed-form 2-regressor OLS pieces for Q298: the
+    * restricted (own-lag) and full (own-lag + cause-lag) residual sums
+    * of squares, assembled from the m-scaled exact-int64 centered
+    * moments M·· = m·S·· − S·S·· — identical text in both engines.
+    */
+  private val q298Dd =
+    "CAST(m11 AS DOUBLE) * m22 - CAST(m12 AS DOUBLE) * m12"
+  private val q298RssR =
+    "CAST(myy AS DOUBLE) - CAST(m1y AS DOUBLE) * m1y / m11"
+  private val q298B1 =
+    "(CAST(m1y AS DOUBLE) * m22 - CAST(m2y AS DOUBLE) * m12) / dd"
+  private val q298B2 =
+    "(CAST(m2y AS DOUBLE) * m11 - CAST(m1y AS DOUBLE) * m12) / dd"
+  private val q298RssF =
+    "CAST(myy AS DOUBLE) - b1 * m1y - b2 * m2y"
+
+  /** Q298 — Granger-style lead–lag predictivity screen between event
+    * types (Granger 1969) on the zero-filled daily cents grid: for
+    * every ORDERED pair (cause → effect), does yesterday's CAUSE
+    * revenue improve the prediction of today's EFFECT revenue beyond
+    * the effect's own yesterday? Restricted model y_t ~ y_{t−1} vs
+    * full model y_t ~ y_{t−1} + x_{t−1}, both solved in closed form
+    * from exact moments; F = (RSS_r − RSS_f)·(m−3)/RSS_f with 1 and
+    * m−3 df. The DIRECTED sibling of Q216's symmetric lead–lag
+    * cross-correlation — correlation says the series co-move, this
+    * says whose past adds information about whose future.
+    *
+    * Determinism: all 9 raw moments are exact int64 sums of cents
+    * products; the centered M·· = m·S·· − S·S· are exact int64; every
+    * float after that (determinant, betas, RSSs, F) is one of the
+    * shared-text expressions above — identical IEEE evaluation in
+    * both engines — and beta/F are rounded once at emit. Verdicts
+    * compare the ROUNDED F against the declared 4.22 cut (the
+    * F(1,26) 5% point for this registry's 30-day spine; χ²₁ 3.84
+    * asymptotically).
+    *
+    * Scale notes: the pair relation is (types² × spine) — bounded by
+    * the vocabulary, not the corpus (the grouped-bounded-series
+    * contract); one corpus scan feeds the daily aggregate, everything
+    * after is broadcast-sized. Moment magnitudes: m·S11 ~ m²·v̄²
+    * stays inside int64 to ~10⁸ cents/day on a 30-day spine (~10⁶
+    * dollars/day); past that the identical plan carries DECIMAL(38,0)
+    * (the Q267 margin class).
+    */
+  def q298(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val eff = grid.withColumn("x1", lag(col("v"), 1).over(w))
+      .filter(col("x1").isNotNull)
+      .select(col("event_type").as("effect"), col("day"),
+        col("v").as("y"), col("x1"))
+    val cse = grid.select(col("event_type").as("cause"),
+      (col("day") + 1).as("day"), col("v").as("x2"))
+    val sums = eff.join(cse, Seq("day"))
+      .filter(col("cause") =!= col("effect"))
+      .groupBy(col("cause"), col("effect"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+    sums
+      .withColumn("m11", expr("m * s11 - s1 * s1"))
+      .withColumn("m22", expr("m * s22 - s2 * s2"))
+      .withColumn("m12", expr("m * s12 - s1 * s2"))
+      .withColumn("m1y", expr("m * s1y - s1 * sy"))
+      .withColumn("m2y", expr("m * s2y - s2 * sy"))
+      .withColumn("myy", expr("m * syy - sy * sy"))
+      .withColumn("dd", expr(q298Dd))
+      .withColumn("rss_r",
+        expr(s"CASE WHEN m11 > 0 THEN $q298RssR END"))
+      .withColumn("b1", expr(s"CASE WHEN dd <> 0 THEN $q298B1 END"))
+      .withColumn("b2", expr(s"CASE WHEN dd <> 0 THEN $q298B2 END"))
+      .withColumn("rss_f",
+        expr(s"CASE WHEN dd <> 0 THEN $q298RssF END"))
+      .withColumn("f_stat", expr(
+        "CASE WHEN rss_f > 0 AND m > 3 THEN " +
+          "ROUND((rss_r - rss_f) * (m - 3) / rss_f, 4) END"))
+      .select(col("cause"), col("effect"), col("m").as("n"),
+        round(col("b2"), 6).as("beta_cause"), col("f_stat"),
+        when(col("rss_r").isNull || col("b2").isNull, "degenerate")
+          .when(col("f_stat").isNull, "saturated")
+          .when(col("f_stat") >= 4.22, "granger_signal")
+          .otherwise("none").as("verdict"))
+      .orderBy(asc_nulls_first("cause"), asc_nulls_first("effect"))
+  }
+
+  val q298Oracle: String =
+    s"""WITH ${graft.operators.Stats.gridSql},
+       |lagged AS (
+       |  SELECT event_type, day, v,
+       |    LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS x1
+       |  FROM grid),
+       |eff AS (
+       |  SELECT event_type AS effect, day, v AS y, x1
+       |  FROM lagged WHERE x1 IS NOT NULL),
+       |cse AS (SELECT event_type AS cause, day + 1 AS day, v AS x2 FROM grid),
+       |sums AS (
+       |  SELECT c.cause, e.effect, CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(e.y) AS BIGINT) AS sy, CAST(SUM(e.x1) AS BIGINT) AS s1,
+       |    CAST(SUM(c.x2) AS BIGINT) AS s2,
+       |    CAST(SUM(e.x1 * e.x1) AS BIGINT) AS s11,
+       |    CAST(SUM(c.x2 * c.x2) AS BIGINT) AS s22,
+       |    CAST(SUM(e.x1 * c.x2) AS BIGINT) AS s12,
+       |    CAST(SUM(e.x1 * e.y) AS BIGINT) AS s1y,
+       |    CAST(SUM(c.x2 * e.y) AS BIGINT) AS s2y,
+       |    CAST(SUM(e.y * e.y) AS BIGINT) AS syy
+       |  FROM eff e JOIN cse c ON c.day = e.day AND c.cause <> e.effect
+       |  GROUP BY 1, 2),
+       |cen AS (
+       |  SELECT cause, effect, m,
+       |    m * s11 - s1 * s1 AS m11, m * s22 - s2 * s2 AS m22,
+       |    m * s12 - s1 * s2 AS m12, m * s1y - s1 * sy AS m1y,
+       |    m * s2y - s2 * sy AS m2y, m * syy - sy * sy AS myy
+       |  FROM sums),
+       |dets AS (SELECT *, $q298Dd AS dd FROM cen),
+       |fits AS (
+       |  SELECT *,
+       |    CASE WHEN m11 > 0 THEN $q298RssR END AS rss_r,
+       |    CASE WHEN dd <> 0 THEN $q298B1 END AS b1,
+       |    CASE WHEN dd <> 0 THEN $q298B2 END AS b2
+       |  FROM dets),
+       |full_ AS (
+       |  SELECT *, CASE WHEN dd <> 0 THEN $q298RssF END AS rss_f
+       |  FROM fits),
+       |fs AS (
+       |  SELECT *, CASE WHEN rss_f > 0 AND m > 3 THEN
+       |    ROUND((rss_r - rss_f) * (m - 3) / rss_f, 4) END AS f_stat
+       |  FROM full_)
+       |SELECT cause, effect, m AS n, ROUND(b2, 6) AS beta_cause, f_stat,
+       |  CASE WHEN rss_r IS NULL OR b2 IS NULL THEN 'degenerate'
+       |    WHEN f_stat IS NULL THEN 'saturated'
+       |    WHEN f_stat >= 4.22 THEN 'granger_signal'
+       |    ELSE 'none' END AS verdict
+       |FROM fs
+       |ORDER BY cause NULLS FIRST, effect NULLS FIRST""".stripMargin
+
+  /** Q305 — second-order Markov memory test on user event journeys:
+    * trigram transitions (s1, s2) → s3 over each user's (ts, event_id)-
+    * ordered stream, with the lift of the second-order conditional over
+    * the first-order one — p(s3|s1,s2) / p(s3|s2), both estimated on
+    * the SAME trigram-position population so the ratio is a pure
+    * memory signal. Lift ≈ 1 everywhere says Q209's first-order chain
+    * is a sufficient journey model; a persistent ≥1.2/≤0.8 band says
+    * journeys carry second-order structure the first-order model (and
+    * anything trained on it) misses. Top-20 trigrams by support.
+    *
+    * Determinism: trigram/bigram/unigram counts are exact int64 over
+    * the fully tie-broken per-user order; the conditional is one
+    * divide; the lift is ONE fixed expression over four exact int64
+    * counts (products ≤ 10⁸ at fixture scale, exact in the double);
+    * verdicts compare the ROUNDED lift.
+    *
+    * Scale notes: two LAG windows over the user-keyed stream (the
+    * same shuffle Q209 pays), then three vocabulary-bounded aggregates
+    * (|types|³ at most). Count products cap int64-exactness in the
+    * double around 10¹⁵ trigram instances — beyond any real corpus;
+    * TakeOrdered bounds the output.
+    */
+  def q305(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = c.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s3"))
+      .withColumn("s2", lag(col("s3"), 1).over(w))
+      .withColumn("s1", lag(col("s3"), 2).over(w))
+      .filter(col("s1").isNotNull)
+      .select(col("s1"), col("s2"), col("s3"))
+      .localCheckpoint()
+    val c123 = tri.groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).cast("long").as("c123"))
+    val c12 = tri.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val c23 = tri.groupBy(col("s2"), col("s3"))
+      .agg(count(lit(1)).cast("long").as("c23"))
+    val c2 = tri.groupBy(col("s2"))
+      .agg(count(lit(1)).cast("long").as("c2"))
+    c123.join(c12, Seq("s1", "s2")).join(c23, Seq("s2", "s3"))
+      .join(c2, Seq("s2"))
+      .select(col("s1"), col("s2"), col("s3"), col("c123"),
+        expr("ROUND(CAST(c123 AS DOUBLE) / c12, 6)").as("p_cond2"),
+        expr("ROUND(CAST(c123 AS DOUBLE) * c2" +
+          " / (CAST(c12 AS DOUBLE) * c23), 4)").as("lift"))
+      .withColumn("verdict", expr(
+        "CASE WHEN lift >= 1.2 OR lift <= 0.8 THEN 'second_order_memory' " +
+          "ELSE 'markov1_ok' END"))
+      .orderBy(desc("c123"), asc("s1"), asc("s2"), asc("s3"))
+      .limit(20)
+  }
+
+  val q305Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS s3,
+      |    LAG(event_type, 1) OVER w AS s2,
+      |    LAG(event_type, 2) OVER w AS s1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (SELECT s1, s2, s3 FROM ev WHERE s1 IS NOT NULL),
+      |c123 AS (SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS c123
+      |         FROM tri GROUP BY 1, 2, 3),
+      |c12 AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS c12
+      |        FROM tri GROUP BY 1, 2),
+      |c23 AS (SELECT s2, s3, CAST(COUNT(*) AS BIGINT) AS c23
+      |        FROM tri GROUP BY 1, 2),
+      |c2 AS (SELECT s2, CAST(COUNT(*) AS BIGINT) AS c2
+      |       FROM tri GROUP BY 1)
+      |SELECT t.s1, t.s2, t.s3, t.c123,
+      |  ROUND(CAST(t.c123 AS DOUBLE) / b.c12, 6) AS p_cond2,
+      |  ROUND(CAST(t.c123 AS DOUBLE) * u.c2
+      |    / (CAST(b.c12 AS DOUBLE) * f.c23), 4) AS lift,
+      |  CASE WHEN ROUND(CAST(t.c123 AS DOUBLE) * u.c2
+      |      / (CAST(b.c12 AS DOUBLE) * f.c23), 4) >= 1.2
+      |    OR ROUND(CAST(t.c123 AS DOUBLE) * u.c2
+      |      / (CAST(b.c12 AS DOUBLE) * f.c23), 4) <= 0.8
+      |    THEN 'second_order_memory' ELSE 'markov1_ok' END AS verdict
+      |FROM c123 t
+      |JOIN c12 b ON b.s1 = t.s1 AND b.s2 = t.s2
+      |JOIN c23 f ON f.s2 = t.s2 AND f.s3 = t.s3
+      |JOIN c2 u ON u.s2 = t.s2
+      |ORDER BY t.c123 DESC, t.s1, t.s2, t.s3
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q305" -> (q305 _),
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
     "Q224" -> (q224 _), "Q247" -> (q247 _),
     "Q249" -> (q249 _), "Q250" -> (q250 _), "Q261" -> (q261 _),
-    "Q271" -> (q271 _))
+    "Q271" -> (q271 _), "Q298" -> (q298 _))
 
   def oracles: Map[String, String] = Map(
+    "Q305" -> q305Oracle,
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,
     "Q224" -> q224Oracle, "Q247" -> q247Oracle,
     "Q249" -> q249Oracle, "Q250" -> q250Oracle, "Q261" -> q261Oracle,
-    "Q271" -> q271Oracle)
+    "Q271" -> q271Oracle, "Q298" -> q298Oracle)
 
   /** Q271 — Croston's method + SBA for INTERMITTENT demand per user
     * (Croston 1972; Syntetos & Boylan 2005): per-user daily purchase

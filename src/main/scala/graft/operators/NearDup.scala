@@ -1523,9 +1523,140 @@ object NearDup {
       |FROM per GROUP BY 1
       |ORDER BY cl_size""".stripMargin
 
+  /** Shared-text Fellegi–Sunter log₂ weights for Q293 — the agreement
+    * weight log₂(m/u_f) and disagreement weight log₂((1−m)/(1−u_f)),
+    * with the declared m = 0.9 and the frequency-based
+    * u_f = Σ_v n_v² / N² estimated from the data itself (Fellegi &
+    * Sunter 1969 §3.3; Winkler 1988's u-from-frequencies practice).
+    * u_f arrives as the exact int64 pair (num_f = Σ n_v², N), so both
+    * texts are fixed expressions over exact ints.
+    */
+  private def q293Wa(num: String): String =
+    s"(LN(0.9 * CAST(n AS DOUBLE) * n) - LN(CAST($num AS DOUBLE))) / LN(2)"
+  private def q293Wd(num: String): String =
+    s"(LN(0.1 * CAST(n AS DOUBLE) * n) - LN(CAST(n * n - $num AS DOUBLE)))" +
+      " / LN(2)"
+
+  /** Q293 — Fellegi–Sunter probabilistic record-linkage scoring
+    * (Fellegi & Sunter 1969): the PROBABILISTIC member of the linkage
+    * family, beside the string-metric members (Q218 Jaro–Winkler,
+    * Q94/Q126 edit distance). Part records are blocked on
+    * (p_name, p_size); candidate pairs are scored by the sum of
+    * per-field log₂ likelihood ratios over the scored fields (brand,
+    * type, $10 price bucket): agreement on a RARE field value is
+    * strong evidence (u_f small ⇒ big weight), disagreement subtracts
+    * log₂((1−m)/(1−u_f)). Weights come from the data: m = 0.9
+    * declared, u_f = Σ_v n_v²/N² (the chance two random records agree
+    * on field f). Top-30 scored pairs with the exact number of
+    * instance pairs each profile pair represents.
+    *
+    * Determinism: records collapse to DISTINCT (name, size, brand,
+    * type, bucket) profiles with exact counts (the Q218
+    * collapse-then-pair discipline), pair order is the lexicographic
+    * profile-string canonical order, u numerators are exact int64,
+    * the three weight terms are the shared-text expressions above in
+    * a FIXED + order, and the score is rounded once; ties break on
+    * (name, size, profile_a, profile_b).
+    *
+    * Scale notes: the corpus scan is the profile-count aggregate plus
+    * three vocabulary-bounded frequency aggregates (broadcast as one
+    * stats row); the pair join lives on the (name, size)-blocked
+    * DISTINCT-profile relation — in-block quadratics are over the
+    * bounded profile vocabulary, never instances. N² inside int64 to
+    * N ≈ 3·10⁹ records.
+    */
+  def q293(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.part.select(col("p_name"), col("p_size"),
+      col("p_brand"), col("p_type"),
+      expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) DIV 1000")
+        .as("pb"))
+    def fieldNum(f: String): DataFrame =
+      recs.groupBy(col(f)).agg(count(lit(1)).cast("long").as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as(s"num_$f"))
+    val stats = recs.agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(fieldNum("p_brand")).crossJoin(fieldNum("p_type"))
+      .crossJoin(fieldNum("pb"))
+      .select(col("n"),
+        expr(q293Wa("num_p_brand")).as("wa_brand"),
+        expr(q293Wd("num_p_brand")).as("wd_brand"),
+        expr(q293Wa("num_p_type")).as("wa_type"),
+        expr(q293Wd("num_p_type")).as("wd_type"),
+        expr(q293Wa("num_pb")).as("wa_pb"),
+        expr(q293Wd("num_pb")).as("wd_pb"))
+    val profiles = recs
+      .groupBy(col("p_name"), col("p_size"), col("p_brand"),
+        col("p_type"), col("pb"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("pk",
+        expr("concat_ws('|', p_brand, p_type, CAST(pb AS STRING))"))
+    val a = profiles.select(col("p_name"), col("p_size"),
+      col("p_brand").as("brand_a"), col("p_type").as("type_a"),
+      col("pb").as("pb_a"), col("cnt").as("cnt_a"), col("pk").as("profile_a"))
+    val b = profiles.select(col("p_name"), col("p_size"),
+      col("p_brand").as("brand_b"), col("p_type").as("type_b"),
+      col("pb").as("pb_b"), col("cnt").as("cnt_b"), col("pk").as("profile_b"))
+    a.join(b, Seq("p_name", "p_size"))
+      .filter(col("profile_a") < col("profile_b"))
+      .crossJoin(broadcast(stats))
+      .select(col("p_name"), col("p_size"),
+        col("profile_a"), col("profile_b"),
+        (col("cnt_a") * col("cnt_b")).as("n_pairs"),
+        round(
+          when(col("brand_a") === col("brand_b"), col("wa_brand"))
+            .otherwise(col("wd_brand")) +
+          when(col("type_a") === col("type_b"), col("wa_type"))
+            .otherwise(col("wd_type")) +
+          when(col("pb_a") === col("pb_b"), col("wa_pb"))
+            .otherwise(col("wd_pb")), 4).as("fs_score"))
+      .orderBy(desc("fs_score"), asc("p_name"), asc("p_size"),
+        asc("profile_a"), asc("profile_b"))
+      .limit(30)
+  }
+
+  val q293Oracle: String =
+    s"""WITH recs AS (
+       |  SELECT p_name, p_size, p_brand, p_type,
+       |    CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) // 1000 AS pb
+       |  FROM part),
+       |nb AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num_brand FROM
+       |  (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM recs GROUP BY p_brand)),
+       |nt AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num_type FROM
+       |  (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM recs GROUP BY p_type)),
+       |np AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num_pb FROM
+       |  (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM recs GROUP BY pb)),
+       |stats AS (
+       |  SELECT n,
+       |    ${q293Wa("num_brand")} AS wa_brand,
+       |    ${q293Wd("num_brand")} AS wd_brand,
+       |    ${q293Wa("num_type")} AS wa_type,
+       |    ${q293Wd("num_type")} AS wd_type,
+       |    ${q293Wa("num_pb")} AS wa_pb,
+       |    ${q293Wd("num_pb")} AS wd_pb
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM recs), nb, nt, np),
+       |profiles AS (
+       |  SELECT p_name, p_size, p_brand, p_type, pb,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    concat_ws('|', p_brand, p_type, CAST(pb AS VARCHAR)) AS pk
+       |  FROM recs GROUP BY 1, 2, 3, 4, 5)
+       |SELECT a.p_name, a.p_size, a.pk AS profile_a, b.pk AS profile_b,
+       |  a.cnt * b.cnt AS n_pairs,
+       |  ROUND(
+       |    (CASE WHEN a.p_brand = b.p_brand THEN s.wa_brand
+       |      ELSE s.wd_brand END) +
+       |    (CASE WHEN a.p_type = b.p_type THEN s.wa_type
+       |      ELSE s.wd_type END) +
+       |    (CASE WHEN a.pb = b.pb THEN s.wa_pb ELSE s.wd_pb END), 4)
+       |    AS fs_score
+       |FROM profiles a JOIN profiles b
+       |  ON b.p_name = a.p_name AND b.p_size = a.p_size AND a.pk < b.pk
+       |CROSS JOIN stats s
+       |ORDER BY fs_score DESC, a.p_name, a.p_size, profile_a, profile_b
+       |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q233" -> (q233 _), "Q251" -> (q251 _),
-    "Q218" -> (q218 _),
+    "Q218" -> (q218 _), "Q293" -> (q293 _),
     "Q48" -> (q48 _), "Q49" -> (q49 _), "Q51" -> (q51 _), "Q61" -> (q61 _),
     "Q67" -> (q67 _), "Q68" -> (q68 _), "Q84" -> (q84 _), "Q85" -> (q85 _),
     "Q94" -> (q94 _), "Q126" -> (q126 _), "Q160" -> (q160 _),
@@ -1539,5 +1670,5 @@ object NearDup {
     "Q126" -> q126Oracle, "Q160" -> q160Oracle, "Q166" -> q166Oracle,
     "Q172" -> q172Oracle, "Q187" -> q187Oracle, "Q189" -> q189Oracle,
     "Q196" -> q196Oracle, "Q218" -> q218Oracle, "Q233" -> q233Oracle,
-    "Q251" -> q251Oracle)
+    "Q251" -> q251Oracle, "Q293" -> q293Oracle)
 }

@@ -1100,7 +1100,348 @@ object Profiling {
       |FROM s
       |ORDER BY nation""".stripMargin
 
+  /** One Simpson screen: src carries (g, x, y) exact-int columns; the
+    * output is the one-row sign audit for this screen name. Slope signs
+    * are signs of the exact int64 covariance numerator n·Σxy − Σx·Σy —
+    * no floats anywhere in the gate.
+    */
+  private def slopeSignScreen(src: DataFrame, screen: String): DataFrame = {
+    val cells = src.groupBy(col("g")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .withColumn("sg", expr(
+        "CASE WHEN n * sxy - sx * sy > 0 THEN 1 " +
+          "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"))
+    cells.agg(
+        sum(col("n")).cast("long").as("nn"),
+        sum(col("sx")).cast("long").as("tx"),
+        sum(col("sy")).cast("long").as("ty"),
+        sum(col("sxy")).cast("long").as("txy"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("sg") === 1, 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(when(col("sg") === -1, 1L).otherwise(0L)).cast("long").as("n_neg"),
+        sum(when(col("sg") === 0, 1L).otherwise(0L)).cast("long").as("n_zero"))
+      .select(lit(screen).as("screen"), col("nn").as("n_rows"),
+        expr("CAST(CASE WHEN nn * txy - tx * ty > 0 THEN 1 " +
+          "WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END AS BIGINT)")
+          .as("overall_sign"),
+        col("n_groups"), col("n_pos"), col("n_neg"), col("n_zero"))
+      .withColumn("verdict", expr(
+        "CASE WHEN overall_sign = 1 AND n_pos = 0 AND n_neg > 0 THEN 'paradox' " +
+          "WHEN overall_sign = -1 AND n_neg = 0 AND n_pos > 0 THEN 'paradox' " +
+          "WHEN n_pos > 0 AND n_neg > 0 THEN 'mixed' " +
+          "ELSE 'consistent' END"))
+  }
+
+  /** Q295 — Simpson's-paradox screen (Simpson 1951; Pearl's
+    * aggregation-reversal reading) over three declared
+    * (x, y, stratifier) association triples: the sign of the pooled
+    * x–y trend vs the per-stratum trend signs. A 'paradox' row means
+    * the pooled direction is the OPPOSITE of every stratum that has a
+    * direction — the aggregate would mislead any downstream consumer
+    * that ignores the stratifier; 'mixed' means strata disagree among
+    * themselves. Screens: discount→quantity by return flag,
+    * ship-month→quantity by return flag (lineitem), and
+    * size→price by brand (part).
+    *
+    * Determinism: x and y are exact ints (discount cents, quantities,
+    * month index, size, price cents); every trend sign is the sign of
+    * the exact int64 covariance numerator n·Σxy − Σx·Σy; the gate
+    * emits no floats at all.
+    *
+    * Scale notes: each screen is one linear scan + a stratum-count
+    * aggregate (strata are bounded: 3 flags, 25 brands); output is 3
+    * rows. n·Σxy stays inside int64 to ~10⁸ rows per screen at these
+    * column magnitudes (x·y ≤ ~500 for the lineitem screens); past
+    * that the identical plan carries DECIMAL(38,0).
+    */
+  def q295(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem.select(
+      col("l_returnflag"),
+      expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").as("disc"),
+      expr("month(CAST(l_shipdate AS DATE))").cast("long").as("mth"),
+      col("l_quantity").cast("long").as("qty"))
+    val s1 = slopeSignScreen(
+      li.select(col("l_returnflag").as("g"), col("disc").as("x"),
+        col("qty").as("y")), "disc_qty_by_flag")
+    val s2 = slopeSignScreen(
+      li.select(col("l_returnflag").as("g"), col("mth").as("x"),
+        col("qty").as("y")), "month_qty_by_flag")
+    val s3 = slopeSignScreen(
+      c.part.select(col("p_brand").as("g"),
+        col("p_size").cast("long").as("x"),
+        expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").as("y")),
+      "size_price_by_brand")
+    s1.unionAll(s2).unionAll(s3).orderBy(asc_nulls_first("screen"))
+  }
+
+  val q295Oracle: String = {
+    def screen(cellsFrom: String, name: String): String =
+      s"""(WITH cells AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM $cellsFrom GROUP BY 1),
+         |sg AS (
+         |  SELECT *, CASE WHEN n * sxy - sx * sy > 0 THEN 1
+         |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS sg
+         |  FROM cells),
+         |roll AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sx) AS BIGINT) AS tx,
+         |    CAST(SUM(sy) AS BIGINT) AS ty, CAST(SUM(sxy) AS BIGINT) AS txy,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |    CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM sg)
+         |SELECT '$name' AS screen, nn AS n_rows,
+         |  CAST(CASE WHEN nn * txy - tx * ty > 0 THEN 1
+         |    WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END AS BIGINT)
+         |    AS overall_sign,
+         |  n_groups, n_pos, n_neg, n_zero,
+         |  CASE WHEN (CASE WHEN nn * txy - tx * ty > 0 THEN 1
+         |      WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END) = 1
+         |      AND n_pos = 0 AND n_neg > 0 THEN 'paradox'
+         |    WHEN (CASE WHEN nn * txy - tx * ty > 0 THEN 1
+         |      WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END) = -1
+         |      AND n_neg = 0 AND n_pos > 0 THEN 'paradox'
+         |    WHEN n_pos > 0 AND n_neg > 0 THEN 'mixed'
+         |    ELSE 'consistent' END AS verdict
+         |FROM roll)""".stripMargin
+    val li1 = "(SELECT l_returnflag AS g, " +
+      "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x, " +
+      "CAST(l_quantity AS BIGINT) AS y FROM lineitem)"
+    val li2 = "(SELECT l_returnflag AS g, " +
+      "CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS x, " +
+      "CAST(l_quantity AS BIGINT) AS y FROM lineitem)"
+    val pt = "(SELECT p_brand AS g, CAST(p_size AS BIGINT) AS x, " +
+      "CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS y FROM part)"
+    s"""SELECT * FROM (
+       |${screen(li1, "disc_qty_by_flag")}
+       |UNION ALL
+       |${screen(li2, "month_qty_by_flag")}
+       |UNION ALL
+       |${screen(pt, "size_price_by_brand")})
+       |ORDER BY screen NULLS FIRST""".stripMargin
+  }
+
+  /** Shared-text inventory formulas for Q299 — the classic normal-
+    * approximation safety-stock algebra (Silver, Pyke & Peterson 1998
+    * ch. 7) with declared constants: review-period lead time L = 2
+    * weeks, service factor z = 1.645 (95% cycle service).
+    */
+  private val q299Mean = "CAST(sq AS DOUBLE) / n"
+  private val q299Var =
+    "CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))"
+
+  /** Q299 — safety stock / reorder point profile per brand
+    * (Silver–Pyke–Peterson normal approximation): weekly demand on
+    * the ZERO-FILLED week spine (unlike Q223's observed-weeks CV, the
+    * zero weeks are real demand observations here — omitting them
+    * understates σ and the safety stock with it), then
+    * SS = z·σ·√L, ROP = L·μ + SS, order-up-to = ROP + μ (one review
+    * period), with an intermittency verdict that routes erratic
+    * demand to the Croston/SBA forecaster (Q271) instead.
+    *
+    * Determinism: weekly demand is exact int64 quantities on the
+    * shared week spine; n, zero-weeks, Σq, Σq² exact int64; μ, σ², and
+    * every derived policy number assemble from the two shared-text
+    * shapes above (single fixed expressions over exact ints; the
+    * 1.645/2/3 constants fold identically in both engines), each
+    * rounded once at emit; the verdict compares exact ints
+    * (4·n_zero > n) or the ROUNDED cv.
+    *
+    * Scale notes: one lineitem scan (broadcast part join) to
+    * (brand, week) demand; the spine fill is brands × weeks — bounded
+    * by vocabulary × calendar, not corpus; output is 25 rows. Σq² is
+    * inside int64 to ~10⁹-unit brand-weeks.
+    */
+  def q299(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem
+      .join(broadcast(c.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7")
+          .as("week"),
+        col("l_quantity").cast("long").as("qty"))
+    val weekly = li.groupBy(col("p_brand"), col("week"))
+      .agg(sum(col("qty")).cast("long").as("q"))
+    val ext = weekly.agg(min(col("week")).as("wmin"),
+      max(col("week")).as("wmax"))
+    val grid = weekly.select(col("p_brand")).distinct()
+      .crossJoin(broadcast(ext))
+      .select(col("p_brand"), explode(expr("sequence(wmin, wmax)")).as("week"))
+      .join(weekly, Seq("p_brand", "week"), "left")
+      .select(col("p_brand"), col("week"),
+        coalesce(col("q"), lit(0L)).as("q"))
+    grid.groupBy(col("p_brand")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).cast("long").as("nz"),
+        sum(col("q")).cast("long").as("sq"),
+        sum(col("q") * col("q")).cast("long").as("sqq"))
+      .select(col("p_brand"), col("n").as("n_weeks"),
+        col("nz").as("zero_weeks"),
+        expr(s"ROUND($q299Mean, 4)").as("mean_weekly"),
+        expr(s"CASE WHEN sq > 0 AND n > 1 THEN " +
+          s"ROUND(SQRT($q299Var) / ($q299Mean), 4) END").as("cv"),
+        expr(s"CASE WHEN n > 1 THEN " +
+          s"ROUND(1.645 * SQRT(2 * ($q299Var)), 4) END").as("safety_stock"),
+        expr(s"CASE WHEN n > 1 THEN ROUND(2 * ($q299Mean) " +
+          s"+ 1.645 * SQRT(2 * ($q299Var)), 4) END").as("reorder_point"),
+        expr(s"CASE WHEN n > 1 THEN ROUND(3 * ($q299Mean) " +
+          s"+ 1.645 * SQRT(2 * ($q299Var)), 4) END").as("order_up_to"))
+      .withColumn("verdict", expr(
+        "CASE WHEN mean_weekly = 0 THEN 'idle' " +
+          "WHEN 4 * zero_weeks > n_weeks THEN 'intermittent' " +
+          "WHEN cv >= 1 THEN 'erratic' ELSE 'smooth' END"))
+      .orderBy(asc_nulls_first("p_brand"))
+  }
+
+  val q299Oracle: String =
+    s"""WITH li AS (
+       |  SELECT p.p_brand,
+       |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+       |    CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+       |weekly AS (
+       |  SELECT p_brand, week, CAST(SUM(qty) AS BIGINT) AS q
+       |  FROM li GROUP BY 1, 2),
+       |ext AS (SELECT MIN(week) AS wmin, MAX(week) AS wmax FROM weekly),
+       |spine AS (
+       |  SELECT b.p_brand, s.week FROM
+       |    (SELECT DISTINCT p_brand FROM weekly) b
+       |  CROSS JOIN (SELECT UNNEST(generate_series(wmin, wmax)) AS week
+       |              FROM ext) s),
+       |grd AS (
+       |  SELECT s.p_brand, s.week, COALESCE(w.q, 0) AS q
+       |  FROM spine s LEFT JOIN weekly w
+       |    ON w.p_brand = s.p_brand AND w.week = s.week),
+       |agg AS (
+       |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+       |    CAST(SUM(q) AS BIGINT) AS sq,
+       |    CAST(SUM(q * q) AS BIGINT) AS sqq
+       |  FROM grd GROUP BY 1),
+       |outp AS (
+       |  SELECT p_brand, n AS n_weeks, nz AS zero_weeks,
+       |    ROUND($q299Mean, 4) AS mean_weekly,
+       |    CASE WHEN sq > 0 AND n > 1 THEN
+       |      ROUND(SQRT($q299Var) / ($q299Mean), 4) END AS cv,
+       |    CASE WHEN n > 1 THEN
+       |      ROUND(1.645 * SQRT(2 * ($q299Var)), 4) END AS safety_stock,
+       |    CASE WHEN n > 1 THEN ROUND(2 * ($q299Mean)
+       |      + 1.645 * SQRT(2 * ($q299Var)), 4) END AS reorder_point,
+       |    CASE WHEN n > 1 THEN ROUND(3 * ($q299Mean)
+       |      + 1.645 * SQRT(2 * ($q299Var)), 4) END AS order_up_to
+       |  FROM agg)
+       |SELECT *,
+       |  CASE WHEN mean_weekly = 0 THEN 'idle'
+       |    WHEN 4 * zero_weeks > n_weeks THEN 'intermittent'
+       |    WHEN cv >= 1 THEN 'erratic' ELSE 'smooth' END AS verdict
+       |FROM outp
+       |ORDER BY p_brand NULLS FIRST""".stripMargin
+
+  /** Shared-text log-log OLS pieces for Q304: slope and R² from the
+    * centered double moments (the log transform forces double sums;
+    * they accumulate at ~1e-13 against the 1e-4 rounding grid — the
+    * Q158 ln-parity precedent).
+    */
+  private val q304Slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+  private val q304R2 =
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy))" +
+      " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+
+  /** Q304 — price elasticity of demand per part type, by log-log OLS
+    * (Marshall 1890's elasticity; the constant-elasticity ln q = α +
+    * ε·ln p regression): each part contributes one (ln price-cents,
+    * ln total-quantity-sold) point; ε is the within-type slope, with
+    * R² as the fit quality. ε ≤ −1 is elastic demand, −1 < ε < 0
+    * inelastic — the pricing-analytics read on the catalog that the
+    * Simpson screen (Q295) stratum-checks.
+    *
+    * Determinism: per-part quantity and price collapse to exact int64
+    * first; x/y are single LN(CAST(int AS DOUBLE)) transforms; the
+    * five moment sums are double accumulations bounded ~1e-13 against
+    * the 1e-4 grid (Q158 precedent); slope/R² are the shared-text
+    * shapes above rounded once; the verdict compares the ROUNDED
+    * slope.
+    *
+    * Scale notes: one lineitem aggregate to per-part quantity
+    * (map-side combinable), one broadcast part join, one
+    * bounded-cardinality (6-type) moment rollup. n·Σxy stays far
+    * inside double's exact-integer range at any scale because the
+    * logs cap |x|,|y| ≲ 50.
+    */
+  def q304(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val qty = c.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+    val pts = qty.join(broadcast(c.part.select(col("p_partkey"),
+        col("p_type"),
+        expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").as("cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("q") > 0 && col("cents") > 0)
+      .select(col("p_type"),
+        expr("LN(CAST(cents AS DOUBLE))").as("x"),
+        expr("LN(CAST(q AS DOUBLE))").as("y"))
+    pts.groupBy(col("p_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") > 2)
+      .select(col("p_type"), col("n").as("n_parts"),
+        expr(s"CASE WHEN n * sxx - sx * sx > 0 THEN " +
+          s"ROUND($q304Slope, 4) END").as("elasticity"),
+        expr(s"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0" +
+          s" THEN ROUND($q304R2, 4) END").as("r2"))
+      .withColumn("verdict", expr(
+        "CASE WHEN elasticity IS NULL THEN 'degenerate' " +
+          "WHEN elasticity <= -1 THEN 'elastic' " +
+          "WHEN elasticity < 0 THEN 'inelastic' " +
+          "ELSE 'non_negative' END"))
+      .orderBy(asc_nulls_first("p_type"))
+  }
+
+  val q304Oracle: String =
+    s"""WITH qty AS (
+       |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |    AS q
+       |  FROM lineitem GROUP BY 1),
+       |pts AS (
+       |  SELECT p.p_type,
+       |    LN(CAST(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS DOUBLE))
+       |      AS x,
+       |    LN(CAST(q AS DOUBLE)) AS y
+       |  FROM qty JOIN part p ON p.p_partkey = qty.l_partkey
+       |  WHERE q > 0 AND CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) > 0),
+       |mom AS (
+       |  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+       |    SUM(x * y) AS sxy, SUM(y * y) AS syy
+       |  FROM pts GROUP BY 1),
+       |fit AS (
+       |  SELECT p_type, n AS n_parts,
+       |    CASE WHEN n * sxx - sx * sx > 0 THEN
+       |      ROUND($q304Slope, 4) END AS elasticity,
+       |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |      THEN ROUND($q304R2, 4) END AS r2
+       |  FROM mom WHERE n > 2)
+       |SELECT *,
+       |  CASE WHEN elasticity IS NULL THEN 'degenerate'
+       |    WHEN elasticity <= -1 THEN 'elastic'
+       |    WHEN elasticity < 0 THEN 'inelastic'
+       |    ELSE 'non_negative' END AS verdict
+       |FROM fit
+       |ORDER BY p_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q295" -> (q295 _), "Q299" -> (q299 _), "Q304" -> (q304 _),
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
@@ -1108,6 +1449,7 @@ object Profiling {
     "Q226" -> (q226 _), "Q234" -> (q234 _), "Q238" -> (q238 _))
 
   def oracles: Map[String, String] = Map(
+    "Q295" -> q295Oracle, "Q299" -> q299Oracle, "Q304" -> q304Oracle,
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,

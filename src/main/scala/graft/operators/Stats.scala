@@ -4022,7 +4022,201 @@ object Stats {
        |FROM tspine t LEFT JOIN cover c ON c.event_type = t.event_type
        |ORDER BY t.event_type NULLS FIRST""".stripMargin
 
+  /** Q297 — exact 1-Wasserstein (earth-mover) distance between every
+    * pair of event types' per-event value distributions, in cents
+    * (Monge 1781 / Kantorovich 1942; for 1-D empirical measures
+    * W₁ = ∫|F̂a − F̂b| — Vallender 1974). The KS statistic (Q139) reads
+    * the WORST ECDF gap; W₁ integrates ALL of it, so two types that
+    * differ by a small shift everywhere score higher than a pair with
+    * one localized kink — the distance a distribution-drift monitor
+    * actually wants.
+    *
+    * Determinism: values collapse to exact cents (the house
+    * ROUND(value·100) convention); the integral is the exact int64 sum
+    * Σ_t |cumA_t·nB − cumB_t·nA|·Δcents_t over consecutive distinct
+    * cents, and only the final W₁ = num/(nA·nB) is a (rounded) float.
+    *
+    * Scale notes: the Q139 collapsed-domain shape — per-(type, cents)
+    * counts once (linear), pair replication only over DISTINCT cents,
+    * one window pass per pair for the two running ECDFs, one rollup.
+    * num ≤ nA·nB·range(cents): ~10¹⁸ at 10⁶-row sides × 10⁵-cent range —
+    * inside int64; beyond that the identical plan carries DECIMAL(38,0).
+    */
+  def q297(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = byVal.select(col("event_type")).distinct()
+    val pairTags = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val sided = broadcast(pairTags)
+      .join(byVal, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("cents"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt"))
+          .otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === col("type_b"), col("cnt"))
+          .otherwise(0L)).as("cnt_b"))
+    val wOrd = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(asc("cents"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("type_a"), col("type_b"))
+    sided
+      .withColumn("cum_a", sum(col("cnt_a")).over(wCum))
+      .withColumn("cum_b", sum(col("cnt_b")).over(wCum))
+      .withColumn("nxt", lead(col("cents"), 1).over(wOrd))
+      .withColumn("na", max(col("cum_a")).over(wAll))
+      .withColumn("nb", max(col("cum_b")).over(wAll))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")) *
+          (col("nxt") - col("cents"))).as("w1_num"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("w1_num"),
+        round(col("w1_num").cast("double") /
+          (col("na").cast("double") * col("nb")), 6).as("w1_cents"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q297Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM byval) a
+      |  JOIN (SELECT DISTINCT event_type FROM byval) b
+      |    ON a.event_type < b.event_type),
+      |sided AS (
+      |  SELECT p.type_a, p.type_b, v.cents,
+      |    SUM(CASE WHEN v.event_type = p.type_a THEN v.cnt ELSE 0 END) AS cnt_a,
+      |    SUM(CASE WHEN v.event_type = p.type_b THEN v.cnt ELSE 0 END) AS cnt_b
+      |  FROM pairs p JOIN byval v
+      |    ON v.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |cums AS (
+      |  SELECT type_a, type_b, cents,
+      |    SUM(cnt_a) OVER w AS cum_a, SUM(cnt_b) OVER w AS cum_b,
+      |    LEAD(cents) OVER (PARTITION BY type_a, type_b ORDER BY cents)
+      |      AS nxt
+      |  FROM sided
+      |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY cents
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT type_a, type_b,
+      |    CAST(MAX(cum_a) AS BIGINT) AS na, CAST(MAX(cum_b) AS BIGINT) AS nb
+      |  FROM cums GROUP BY 1, 2)
+      |SELECT c.type_a AS type_a, c.type_b AS type_b, t.na AS na, t.nb AS nb,
+      |  CAST(SUM(ABS(c.cum_a * t.nb - c.cum_b * t.na) * (c.nxt - c.cents))
+      |    AS BIGINT) AS w1_num,
+      |  ROUND(CAST(SUM(ABS(c.cum_a * t.nb - c.cum_b * t.na)
+      |      * (c.nxt - c.cents)) AS DOUBLE)
+      |    / (CAST(t.na AS DOUBLE) * t.nb), 6) AS w1_cents
+      |FROM cums c JOIN tot t
+      |  ON t.type_a = c.type_a AND t.type_b = c.type_b
+      |WHERE c.nxt IS NOT NULL
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
+  /** Shared-text Gumbel method-of-moments pieces for Q301 (Gumbel 1958
+    * ch. 6): sample variance of the block maxima, scale
+    * β = √(6·var)/π, location μ = mean − γ·β with the Euler–Mascheroni
+    * constant as an explicit double literal, and the T = 30-block
+    * return level μ − β·ln(−ln(1 − 1/30)).
+    */
+  private val q301Var =
+    "CAST(n * smm - sm * sm AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))"
+  private val q301Beta = s"SQRT(6 * ($q301Var)) / PI()"
+  private val q301Mu =
+    s"CAST(sm AS DOUBLE) / n - 0.5772156649015329 * ($q301Beta)"
+  private val q301Rl30 =
+    s"($q301Mu) - ($q301Beta) * LN(-LN(CAST(29 AS DOUBLE) / 30))"
+
+  /** Q301 — Gumbel extreme-value fit + 30-day return level per event
+    * type (Fisher–Tippett 1928; Gumbel 1958): the daily block maxima
+    * of per-event value cents, fitted by method of moments to the
+    * Gumbel (type-I) law, with the 30-block return level — "the daily
+    * maximum you expect to see once a month" — and an exceedance
+    * backtest against the observed maxima. The TAIL companion to the
+    * bulk-distribution gates (Q137 moments, Q139/Q297 distances): ops
+    * capacity planning reads this number, not the mean.
+    *
+    * Determinism: block maxima are exact int64 cents MAX per (type,
+    * day); n, Σm, Σm² exact int64; β, μ, and the return level are the
+    * shared-text fixed shapes above (PI(), LN, and the γ literal
+    * evaluate identically in both engines), each rounded once at
+    * emit; the exceedance count compares exact cents against the
+    * ROUNDED return level, and the verdict compares exact ints.
+    *
+    * Scale notes: one linear scan to (type, day) maxima (map-side
+    * combinable MAX), a spine-bounded moment rollup, and one bounded
+    * join back for the exceedance count. Output is |types| rows.
+    */
+  def q301(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val maxima = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("mx"))
+      .localCheckpoint()
+    val fit = maxima.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("mx")).cast("long").as("sm"),
+        sum(col("mx") * col("mx")).cast("long").as("smm"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_blocks"),
+        expr("ROUND(CAST(sm AS DOUBLE) / n, 4)").as("mean_max"),
+        expr(s"ROUND($q301Beta, 4)").as("beta"),
+        expr(s"ROUND($q301Mu, 4)").as("mu"),
+        expr(s"ROUND($q301Rl30, 4)").as("rl30"))
+    fit.join(maxima, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_blocks"), col("mean_max"),
+        col("beta"), col("mu"), col("rl30"))
+      .agg(sum(when(col("mx") > col("rl30"), 1L).otherwise(0L))
+        .cast("long").as("n_exceed"))
+      .withColumn("verdict", expr(
+        "CASE WHEN n_exceed <= 1 THEN 'gumbel_consistent' " +
+          "ELSE 'heavier_tail' END"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q301Oracle: String =
+    s"""WITH maxima AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS mx
+       |  FROM events GROUP BY 1, 2),
+       |mom AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(mx) AS BIGINT) AS sm,
+       |    CAST(SUM(mx * mx) AS BIGINT) AS smm
+       |  FROM maxima GROUP BY 1),
+       |fit AS (
+       |  SELECT event_type, n AS n_blocks,
+       |    ROUND(CAST(sm AS DOUBLE) / n, 4) AS mean_max,
+       |    ROUND($q301Beta, 4) AS beta,
+       |    ROUND($q301Mu, 4) AS mu,
+       |    ROUND($q301Rl30, 4) AS rl30
+       |  FROM mom WHERE n > 1)
+       |SELECT f.event_type, f.n_blocks, f.mean_max, f.beta, f.mu, f.rl30,
+       |  CAST(SUM(CASE WHEN m.mx > f.rl30 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exceed,
+       |  CASE WHEN SUM(CASE WHEN m.mx > f.rl30 THEN 1 ELSE 0 END) <= 1
+       |    THEN 'gumbel_consistent' ELSE 'heavier_tail' END AS verdict
+       |FROM fit f JOIN maxima m ON m.event_type = f.event_type
+       |GROUP BY 1, 2, 3, 4, 5, 6
+       |ORDER BY f.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q297" -> (q297 _), "Q301" -> (q301 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4037,6 +4231,7 @@ object Stats {
     "Q264" -> (q264 _), "Q267" -> (q267 _), "Q273" -> (q273 _))
 
   def oracles: Map[String, String] = Map(
+    "Q297" -> q297Oracle, "Q301" -> q301Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

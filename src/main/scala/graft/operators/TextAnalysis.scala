@@ -1811,8 +1811,170 @@ object TextAnalysis {
       |ORDER BY burstiness DESC, token
       |LIMIT 20""".stripMargin
 
+  /** Q300 — Chao1 nonparametric vocabulary-richness estimate per source
+    * (Chao 1984, the bias-corrected form; Good 1953's coverage): how many
+    * distinct tokens does the source's population vocabulary hold, given
+    * what the sample's hapax/dis-legomena spectrum says about unseen
+    * mass? Chao1 = V + n1(n1−1)/(2(n2+1)); Good's coverage Ĉ = 1 − n1/N.
+    * The RICHNESS companion to Q235's Good–Turing mass re-allocation and
+    * Q289's Heaps growth curve — Q289 measures how fast vocabulary is
+    * still growing, Chao1 estimates where it tops out.
+    *
+    * Determinism: V, n1, n2, N are exact int64 spectrum counts; chao1
+    * and coverage are single fixed-shape expressions over exact ints,
+    * rounded once; the undersampling verdict compares the exact integer
+    * cross-product 5·n1·(n1−1) > 2·(n2+1)·V (⟺ Chao1 > 1.2·V) — never
+    * the rounded float.
+    *
+    * Scale notes: one (source, token) aggregate of the corpus (the
+    * data-sized shuffle Q259 already pays), then a vocabulary-bounded
+    * spectrum rollup per source. Output is |sources| rows.
+    */
+  def q300(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tf = c.documents
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("cw"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("cw")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("cw") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("cw") === 2, 1L).otherwise(0L)).cast("long").as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        expr("ROUND(vocab + CAST(n1 * (n1 - 1) AS DOUBLE)" +
+          " / (2 * (n2 + 1)), 4)").as("chao1"),
+        expr("ROUND(CAST(n_tokens - n1 AS DOUBLE) / n_tokens, 6)")
+          .as("coverage"),
+        expr("CASE WHEN 5 * n1 * (n1 - 1) > 2 * (n2 + 1) * vocab" +
+          " THEN 'undersampled' ELSE 'well_sampled' END").as("verdict"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  val q300Oracle: String =
+    """WITH tf AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cw
+      |  FROM (
+      |    SELECT source,
+      |      UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |spec AS (
+      |  SELECT source, CAST(SUM(cw) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN cw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab, n1, n2,
+      |  ROUND(vocab + CAST(n1 * (n1 - 1) AS DOUBLE) / (2 * (n2 + 1)), 4)
+      |    AS chao1,
+      |  ROUND(CAST(n_tokens - n1 AS DOUBLE) / n_tokens, 6) AS coverage,
+      |  CASE WHEN 5 * n1 * (n1 - 1) > 2 * (n2 + 1) * vocab
+      |    THEN 'undersampled' ELSE 'well_sampled' END AS verdict
+      |FROM spec
+      |ORDER BY source NULLS FIRST""".stripMargin
+
+  /** Q303 — Burrows' Delta stylometric distance between sources
+    * (Burrows 2002; Argamon 2008's z-score reading): over the top-30
+    * corpus marker words (most frequent overall, token-ascending
+    * tiebreak), each source's relative frequency is standardized
+    * across sources (population z per word), and
+    * Delta(a, b) = mean |z_a − z_b|. The authorship/register-shift
+    * distance the JSD gate (Q158) can't give: JSD weighs the whole
+    * vocabulary by mass, Delta reads only the function-word profile —
+    * the classic stylometric signal.
+    *
+    * Determinism: marker selection orders on exact int64 counts;
+    * relative frequencies are single divides of exact ints; per-word
+    * mean/std and z assemble through fixed-shape expressions (the
+    * source count is a small exact int); the per-pair sum of 30 |Δz|
+    * doubles accumulates at ~1e-15 against the 1e-4 rounding grid
+    * (the Q158 ln-parity precedent); words with σ = 0 drop on an
+    * exact comparison.
+    *
+    * Scale notes: one (source, token) aggregate (shared shape with
+    * Q259/Q300), a TakeOrdered(30) marker pick, then everything lives
+    * on the (sources × 30) grid — broadcast-sized at any corpus
+    * scale. Output is |sources|²/2 rows.
+    */
+  def q303(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tf = c.documents
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("cw"))
+      .localCheckpoint()
+    val markers = tf.groupBy(col("t"))
+      .agg(sum(col("cw")).cast("long").as("ct"))
+      .orderBy(desc("ct"), asc("t")).limit(30)
+      .select(col("t"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("cw")).cast("long").as("tot"))
+    val nsrc = tot.agg(count(lit(1)).cast("long").as("ns"))
+    val grid = tot.crossJoin(broadcast(markers))
+      .join(tf, Seq("source", "t"), "left")
+      .select(col("source"), col("t"),
+        (coalesce(col("cw"), lit(0L)).cast("double") / col("tot")).as("f"))
+    val stats = grid.groupBy(col("t"))
+      .agg(sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"))
+      .crossJoin(broadcast(nsrc))
+      .select(col("t"),
+        expr("sf / ns").as("mu"),
+        expr("SQRT(sff / ns - (sf / ns) * (sf / ns))").as("sigma"))
+      .filter(col("sigma") > 0)
+    val z = grid.join(stats, Seq("t"))
+      .select(col("source"), col("t"),
+        expr("(f - mu) / sigma").as("z"))
+    z.as("x").join(z.as("y"),
+        col("x.t") === col("y.t") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_markers"),
+        round(sum(abs(col("x.z") - col("y.z"))) /
+          count(lit(1)), 4).as("delta"))
+      .orderBy(asc_nulls_first("src_a"), asc_nulls_first("src_b"))
+  }
+
+  val q303Oracle: String =
+    """WITH tf AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cw
+      |  FROM (
+      |    SELECT source,
+      |      UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |markers AS (
+      |  SELECT t FROM (
+      |    SELECT t, CAST(SUM(cw) AS BIGINT) AS ct FROM tf GROUP BY 1)
+      |  ORDER BY ct DESC, t LIMIT 30),
+      |tot AS (SELECT source, CAST(SUM(cw) AS BIGINT) AS tot
+      |        FROM tf GROUP BY 1),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM tot),
+      |grid AS (
+      |  SELECT s.source, m.t,
+      |    CAST(COALESCE(f.cw, 0) AS DOUBLE) / s.tot AS f
+      |  FROM tot s CROSS JOIN markers m
+      |  LEFT JOIN tf f ON f.source = s.source AND f.t = m.t),
+      |stats AS (
+      |  SELECT t, sf / ns AS mu,
+      |    SQRT(sff / ns - (sf / ns) * (sf / ns)) AS sigma
+      |  FROM (SELECT t, SUM(f) AS sf, SUM(f * f) AS sff
+      |        FROM grid GROUP BY 1) CROSS JOIN ns),
+      |z AS (
+      |  SELECT g.source, g.t, (g.f - s.mu) / s.sigma AS z
+      |  FROM grid g JOIN stats s ON s.t = g.t
+      |  WHERE s.sigma > 0)
+      |SELECT x.source AS src_a, y.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_markers,
+      |  ROUND(SUM(ABS(x.z - y.z)) / COUNT(*), 4) AS delta
+      |FROM z x JOIN z y ON y.t = x.t AND x.source < y.source
+      |GROUP BY 1, 2
+      |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q289" -> (q289 _), "Q290" -> (q290 _),
+    "Q300" -> (q300 _), "Q303" -> (q303 _),
     "Q44" -> (q44 _), "Q45" -> (q45 _), "Q46" -> (q46 _), "Q47" -> (q47 _),
     "Q52" -> (q52 _), "Q66" -> (q66 _), "Q88" -> (q88 _), "Q89" -> (q89 _),
     "Q96" -> (q96 _), "Q158" -> (q158 _), "Q164" -> (q164 _),
@@ -1824,6 +1986,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "Q289" -> q289Oracle, "Q290" -> q290Oracle,
+    "Q300" -> q300Oracle, "Q303" -> q303Oracle,
     "Q44" -> q44Oracle, "Q45" -> q45Oracle, "Q46" -> q46Oracle,
     "Q47" -> q47Oracle, "Q52" -> q52Oracle, "Q66" -> q66Oracle,
     "Q88" -> q88Oracle, "Q89" -> q89Oracle, "Q96" -> q96Oracle,

@@ -681,13 +681,123 @@ object TextRank {
        |    AS kendall_tau
        |FROM tens t CROSS JOIN rbo CROSS JOIN tau u""".stripMargin
 
+  /** Q294 — RAKE keyword extraction (Rose, Engel, Cramer & Cowley
+    * 2010): the CO-OCCURRENCE-based keyword ranker beside the
+    * graph-based one (Q237 TextRank) and the frequency-based one
+    * (Q142 TF-IDF). Documents split into candidate phrases at the
+    * declared delimiter set ('the','a','value','table','row','key',
+    * and the empty token); for each word in a kept phrase (1–4 words,
+    * RAKE's standard cap), freq(w) counts occurrences and deg(w) sums
+    * the lengths of the phrases containing it (degree = within-phrase
+    * co-occurrence mass); word score = deg/freq favors words that
+    * appear in LONG multi-word phrases; a phrase scores the sum of
+    * its words' scores. Top-20 phrases.
+    *
+    * Determinism: word scores are carried as exact int64
+    * milli-scores (1000·deg) DIV freq — RAKE's deg/freq quantized at
+    * the declared 10⁻³ resolution — so the phrase score is a SUM OF
+    * EXACT INTS (order-independent, unlike summing float ratios);
+    * the one emitted float is a single divide-by-1000, and the
+    * ranking orders on the int. Phrase assembly uses the
+    * position-sorted struct collect (the registry's standard
+    * order-pinned idiom).
+    *
+    * Scale notes: linear — one posexplode over documents, one window
+    * per doc for phrase ids, two vocabulary-bounded aggregates
+    * (freq/deg), one phrase rollup, TakeOrdered(20). No pair joins
+    * anywhere: RAKE's co-occurrence is WITHIN-phrase only, so the
+    * "graph" never materializes (that's why it beats TextRank at
+    * 100 TB: Q237 needs the token co-occurrence graph, RAKE needs a
+    * groupBy).
+    */
+  def q294(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = c.documents.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("dl",
+        col("tok").isin("the", "a", "value", "table", "row", "key", "")
+          .cast("int"))
+      .withColumn("pid", sum(col("dl")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ptoks = toks.filter(col("dl") === 0)
+      .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+      .localCheckpoint()
+    val plen = ptoks.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).cast("long").as("len"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), x -> x.tok), ' ')").as("phrase"))
+      .filter(col("len") <= 4)
+    val wsc = ptoks.join(plen, Seq("doc_id", "pid"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("len")).cast("long").as("deg"))
+      .select(col("tok"), expr("(1000 * deg) DIV freq").as("sm"))
+    ptoks.join(plen, Seq("doc_id", "pid"))
+      .join(wsc, Seq("tok"))
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("len"))
+      .agg(sum(col("sm")).cast("long").as("isc"))
+      .groupBy(col("phrase"))
+      .agg(min(col("len")).as("n_words"),
+        count(lit(1)).cast("long").as("n_occur"),
+        min(col("isc")).as("sm"))
+      .select(col("phrase"), col("n_words"), col("n_occur"),
+        expr("ROUND(CAST(sm AS DOUBLE) / 1000, 3)").as("rake_score"))
+      .orderBy(desc("rake_score"), asc("phrase"))
+      .limit(20)
+  }
+
+  val q294Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    UNNEST(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |marked AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN tok IN ('the', 'a', 'value', 'table', 'row', 'key', '')
+      |      THEN 1 ELSE 0 END AS dl
+      |  FROM toks),
+      |pids AS (
+      |  SELECT doc_id, pos, tok, dl,
+      |    SUM(dl) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      |  FROM marked),
+      |ptoks AS (SELECT doc_id, pid, pos, tok FROM pids WHERE dl = 0),
+      |plen AS (
+      |  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len,
+      |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+      |  FROM ptoks GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+      |wsc AS (
+      |  SELECT t.tok,
+      |    (1000 * CAST(SUM(p.len) AS BIGINT))
+      |      // CAST(COUNT(*) AS BIGINT) AS sm
+      |  FROM ptoks t JOIN plen p ON p.doc_id = t.doc_id AND p.pid = t.pid
+      |  GROUP BY 1),
+      |inst AS (
+      |  SELECT t.doc_id, t.pid, p.phrase, p.len,
+      |    CAST(SUM(w.sm) AS BIGINT) AS isc
+      |  FROM ptoks t
+      |  JOIN plen p ON p.doc_id = t.doc_id AND p.pid = t.pid
+      |  JOIN wsc w ON w.tok = t.tok
+      |  GROUP BY 1, 2, 3, 4),
+      |ph AS (
+      |  SELECT phrase, CAST(MIN(len) AS BIGINT) AS n_words,
+      |    CAST(COUNT(*) AS BIGINT) AS n_occur,
+      |    CAST(MIN(isc) AS BIGINT) AS sm
+      |  FROM inst GROUP BY 1)
+      |SELECT phrase, n_words, n_occur,
+      |  ROUND(CAST(sm AS DOUBLE) / 1000, 3) AS rake_score
+      |FROM ph
+      |ORDER BY rake_score DESC, phrase
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q141" -> (q141 _), "Q142" -> (q142 _), "Q148" -> (q148 _),
     "Q201" -> (q201 _), "Q237" -> (q237 _), "Q260" -> (q260 _),
-    "Q266" -> (q266 _))
+    "Q266" -> (q266 _), "Q294" -> (q294 _))
 
   def oracles: Map[String, String] = Map(
     "Q141" -> q141Oracle, "Q142" -> q142Oracle, "Q148" -> q148Oracle,
     "Q201" -> q201Oracle, "Q237" -> q237Oracle, "Q260" -> q260Oracle,
-    "Q266" -> q266Oracle)
+    "Q266" -> q266Oracle, "Q294" -> q294Oracle)
 }

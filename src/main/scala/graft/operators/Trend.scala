@@ -1202,15 +1202,89 @@ object Trend {
       |FROM types t LEFT JOIN m ON m.event_type = t.event_type
       |ORDER BY t.event_type NULLS FIRST""".stripMargin
 
+  /** Q296 — isotonic (monotone non-decreasing) regression of the daily
+    * revenue series per event type, via the exact minimax
+    * characterization fit_i = max_{j ≤ i} min_{k ≥ i} avg(v[j..k])
+    * (Ayer et al. 1955; Robertson, Wright & Dykstra 1988, Thm 1.4.4) —
+    * the closed form whose output EQUALS pool-adjacent-violators
+    * without PAVA's inherently sequential merge loop, so both engines
+    * (and a 1000-executor cluster) compute it as plain joins +
+    * min/max aggregates. The monotone fit is the nonparametric answer
+    * to "is revenue trending up, and through which level sets" —
+    * the shape-constrained sibling of Q275's Theil–Sen line.
+    *
+    * Determinism: every segment average is ONE divide of exact int64
+    * cents (prefix-sum differences) by an exact day count — both
+    * engines produce bit-identical doubles — and min/max over a set
+    * of identical doubles is order-independent; the fit is rounded
+    * once at emit. No sequential state anywhere.
+    *
+    * Scale notes: the minimax relation is spine-bounded — segments
+    * are n(n+1)/2 and the (i, j, k) triple ~n³/6 PER TYPE on the
+    * 30-day spine (≈ 5k rows/type), independent of corpus size past
+    * the daily aggregate (the grouped-bounded-series contract Q245's
+    * DTW and Q264's LZ76 declare). For multi-year spines the same
+    * fit would switch to the O(n) PAVA fold inside a grouped
+    * aggregate; at this registry's spine the join form keeps the
+    * whole gate inside WholeStageCodegen.
+    */
+  def q296(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pre = grid.withColumn("s", sum(col("v")).over(w))
+    val a = pre.select(col("event_type"), col("day").as("j"),
+      (col("s") - col("v")).as("sjm1"))
+    val b = pre.select(col("event_type"), col("day").as("k"), col("s").as("sk"))
+    val segs = a.join(b, Seq("event_type")).filter(col("k") >= col("j"))
+      .select(col("event_type"), col("j"), col("k"),
+        ((col("sk") - col("sjm1")).cast("double") /
+          (col("k") - col("j") + 1)).as("segavg"))
+    val days = grid.select(col("event_type"), col("day").as("i"), col("v"))
+    segs.join(days, Seq("event_type"))
+      .filter(col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("event_type"), col("i"), col("v"), col("j"))
+      .agg(min(col("segavg")).as("mn"))
+      .groupBy(col("event_type"), col("i"), col("v"))
+      .agg(round(max(col("mn")), 4).as("fit_cents"))
+      .select(col("event_type"), col("i").as("day"),
+        col("v").as("cents"), col("fit_cents"))
+      .orderBy(asc_nulls_first("event_type"), asc("day"))
+  }
+
+  val q296Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |pre AS (
+       |  SELECT event_type, day, v,
+       |    SUM(v) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM grid),
+       |segs AS (
+       |  SELECT a.event_type, a.day AS j, b.day AS k,
+       |    CAST(b.s - (a.s - a.v) AS DOUBLE) / (b.day - a.day + 1) AS segavg
+       |  FROM pre a JOIN pre b
+       |    ON b.event_type = a.event_type AND b.day >= a.day),
+       |mins AS (
+       |  SELECT s.event_type, d.day AS i, d.v, s.j, MIN(s.segavg) AS mn
+       |  FROM segs s JOIN grid d ON d.event_type = s.event_type
+       |    AND d.day BETWEEN s.j AND s.k
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT event_type, i AS day, v AS cents,
+       |  ROUND(MAX(mn), 4) AS fit_cents
+       |FROM mins GROUP BY 1, 2, 3
+       |ORDER BY event_type NULLS FIRST, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
-    "Q285" -> (q285 _), "Q291" -> (q291 _), "Q292" -> (q292 _))
+    "Q285" -> (q285 _), "Q291" -> (q291 _), "Q292" -> (q292 _),
+    "Q296" -> (q296 _))
 
   def oracles: Map[String, String] = Map(
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,
-    "Q285" -> q285Oracle, "Q291" -> q291Oracle, "Q292" -> q292Oracle)
+    "Q285" -> q285Oracle, "Q291" -> q291Oracle, "Q292" -> q292Oracle,
+    "Q296" -> q296Oracle)
 }

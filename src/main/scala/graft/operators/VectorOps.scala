@@ -1108,13 +1108,97 @@ object VectorOps {
       |QUALIFY rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** Q302 — hubness profile of the exact k = 10 cosine-NN graph over
+    * the embedding table (Radovanović, Nanopoulos & Ivanović 2010):
+    * the k-occurrence histogram — for each occurrence count, how many
+    * vectors appear that often in OTHER vectors' top-10 lists. In high
+    * dimension the distribution right-skews ("hub" points enter
+    * everyone's neighbor lists, "anti-hubs" nobody's), which silently
+    * degrades every kNN consumer downstream (Q38's search, Q270's
+    * KNN-Shapley, label propagation); this gate is the diagnostic
+    * that says whether that pathology is present BEFORE those run.
+    *
+    * Determinism: neighbor ranking orders on ROUND(cos, 6) with n_id
+    * tiebreak — the two engines' dot products agree to ~1e-15, so the
+    * 10⁻⁶ grid collapses them identically away from (doubly-unlucky)
+    * boundary straddles, and ties inside a grid cell break on the
+    * exact id; occurrence counts and the histogram are exact int64
+    * (zero-occurrence vectors included via the id spine).
+    *
+    * Scale notes: exact all-pairs is the DECLARED gate (the fixture
+    * table is bounded); the 100 TB path swaps the candidate generator
+    * for the SRP-LSH / IVF-PQ structures (Q198, `Ann.scala`) and keeps
+    * the same occurrence rollup — hubness only needs the top-k lists,
+    * however they were produced. The histogram is ≤ n distinct rows,
+    * the rollup one aggregate.
+    */
+  def q302(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.embeddings.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    val p = e.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val v = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(desc("rcos"), asc("n_id"))
+    val topk = v.join(broadcast(p), col("p_id") =!= col("n_id"))
+      .withColumn("rcos", round(
+        dot(col("p_emb"), col("n_emb")) / (col("p_nrm") * col("n_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+    val occ = e.select(col("vec_id"))
+      .join(topk.groupBy(col("n_id"))
+          .agg(count(lit(1)).cast("long").as("k_occ")),
+        col("vec_id") === col("n_id"), "left")
+      .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+    occ.groupBy(col("k_occ"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .orderBy(asc("k_occ"))
+  }
+
+  val q302Oracle: String =
+    """WITH norms AS (
+      |  SELECT vec_id, SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    UNNEST(embedding) AS val
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT p.vec_id AS p_id, q.vec_id AS n_id,
+      |    SUM(CAST(p.val AS DOUBLE) * CAST(q.val AS DOUBLE)) AS dot
+      |  FROM flat p JOIN flat q ON p.pos = q.pos
+      |  WHERE p.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT p_id, n_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY
+      |      ROUND(dot / (np.nrm * nq.nrm), 6) DESC, n_id) AS rnk
+      |  FROM dots
+      |  JOIN norms np ON np.vec_id = p_id
+      |  JOIN norms nq ON nq.vec_id = n_id),
+      |occ AS (
+      |  SELECT e.vec_id, COALESCE(t.k_occ, 0) AS k_occ
+      |  FROM (SELECT vec_id FROM embeddings) e
+      |  LEFT JOIN (
+      |    SELECT n_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+      |    FROM ranked WHERE rnk <= 10 GROUP BY 1) t
+      |    ON t.n_id = e.vec_id)
+      |SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      |FROM occ GROUP BY 1
+      |ORDER BY k_occ""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q302" -> (q302 _),
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
     "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _),
     "Q270" -> (q270 _))
 
   def oracles: Map[String, String] = Map(
+    "Q302" -> q302Oracle,
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
     "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle,

@@ -1,0 +1,458 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Behavior, NearDup, Profiling, Stats, TextRank, Trend}
+
+/** Model pins for the round-10 continuation slate (Q293–Q299): each test
+  * recomputes the gate's defining algorithm from first principles on
+  * sf0.001 (driver-shaped but independent code paths — sequential PAVA
+  * vs the engine's minimax joins, brute-force ECDF integration vs the
+  * windowed pair relation, direct normal-equation OLS vs the shared-text
+  * closed forms) and compares. The cross-engine hash gate stays the
+  * DuckDB oracle; these pin the MODEL.
+  */
+class Round10bGatesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def r(k: Int)(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Zero-filled daily cents series per type, recomputed independently. */
+  private def localGrid(): Map[String, Seq[(Long, Long)]] = {
+    val c = Catalog(spark, dir)
+    val daily = c.events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dmin = daily.map(_._2).min
+    val dmax = daily.map(_._2).max
+    daily.groupBy(_._1).map { case (t, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      t -> (dmin to dmax).map(d => (d, m.getOrElse(d, 0L)))
+    }
+  }
+
+  test("Q296 isotonic: minimax join output equals sequential PAVA") {
+    val grid = localGrid()
+    val out = Trend.q296(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("fit_cents")).toMap
+    assert(out.nonEmpty)
+    grid.foreach { case (t, series) =>
+      // Sequential pool-adjacent-violators: stack of (sum, count) blocks,
+      // merging while the left neighbor's mean exceeds the new block's.
+      var blocks = List.empty[(Long, Long)] // (sum, n), head = rightmost
+      series.foreach { case (_, v) =>
+        var cur = (v, 1L)
+        while (blocks.nonEmpty && {
+          val (s0, n0) = blocks.head
+          s0.toDouble / n0 >= cur._1.toDouble / cur._2
+        }) {
+          val (s0, n0) = blocks.head
+          blocks = blocks.tail
+          cur = (s0 + cur._1, n0 + cur._2)
+        }
+        blocks = cur :: blocks
+      }
+      val fits = blocks.reverse.flatMap { case (s, n) =>
+        Seq.fill(n.toInt)(s.toDouble / n)
+      }
+      series.zip(fits).foreach { case ((day, _), f) =>
+        assert(out((t, day)) == r(4)(f), s"$t day $day: PAVA mismatch")
+      }
+      // Isotonicity of the emitted fit itself.
+      val emitted = series.map { case (day, _) => out((t, day)) }
+      assert(emitted.zip(emitted.tail).forall { case (a, b) => a <= b },
+        s"$t: fit not monotone")
+    }
+  }
+
+  test("Q297 W1: exact earth-mover distance matches brute-force ECDF integration") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val out = Stats.q297(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.nonEmpty)
+    for ((ta, va) <- vals; (tb, vb) <- vals if ta < tb) {
+      val support = (va ++ vb).distinct.sorted
+      val na = va.length.toLong
+      val nb = vb.length.toLong
+      var num = 0L
+      support.zip(support.tail).foreach { case (x, nxt) =>
+        val ca = va.count(_ <= x).toLong
+        val cb = vb.count(_ <= x).toLong
+        num += math.abs(ca * nb - cb * na) * (nxt - x)
+      }
+      val row = out((ta, tb))
+      assert(row.getAs[Long]("w1_num") == num, s"($ta,$tb): W1 numerator")
+      assert(row.getAs[Double]("w1_cents") ==
+        r(6)(num.toDouble / (na.toDouble * nb)), s"($ta,$tb): W1")
+    }
+  }
+
+  test("Q298 Granger: closed-form F matches a direct two-regressor OLS") {
+    val grid = localGrid()
+    val out = Behavior.q298(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.nonEmpty)
+    for ((tc, cs) <- grid; (te, es) <- grid if tc != te) {
+      val y = es.tail.map(_._2.toDouble)
+      val x1 = es.init.map(_._2.toDouble)
+      val x2 = cs.init.map(_._2.toDouble)
+      val m = y.length
+      def mean(s: Seq[Double]) = s.sum / m
+      val (my, m1, m2) = (mean(y), mean(x1), mean(x2))
+      def cc(a: Seq[Double], ma: Double, b: Seq[Double], mb: Double) =
+        a.zip(b).map { case (u, w) => (u - ma) * (w - mb) }.sum
+      val (c11, c22, c12) =
+        (cc(x1, m1, x1, m1), cc(x2, m2, x2, m2), cc(x1, m1, x2, m2))
+      val (c1y, c2y, cyy) =
+        (cc(x1, m1, y, my), cc(x2, m2, y, my), cc(y, my, y, my))
+      val rssR = cyy - c1y * c1y / c11
+      val d = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / d
+      val b2 = (c2y * c11 - c1y * c12) / d
+      val rssF = cyy - b1 * c1y - b2 * c2y
+      val f = (rssR - rssF) * (m - 3) / rssF
+      val row = out((tc, te))
+      assert(row.getAs[Long]("n") == m)
+      // Independent float path (centered doubles vs m-scaled exact ints):
+      // agree to 1e-6 relative, and the ROUNDED beta agrees at ~1e-4.
+      val beta = row.getAs[Double]("beta_cause")
+      assert(math.abs(beta - b2) <= 1e-4 * (1 + math.abs(b2)),
+        s"($tc->$te): beta $beta vs $b2")
+      val fOut = row.getAs[Double]("f_stat")
+      assert(math.abs(fOut - f) <= 1e-3 * (1 + math.abs(f)),
+        s"($tc->$te): F $fOut vs $f")
+    }
+  }
+
+  test("Q295 Simpson screen: signs match direct covariance computation") {
+    val c = Catalog(spark, dir)
+    val li = c.lineitem.select(col("l_returnflag"),
+        expr("CAST(ROUND(l_discount * 100, 0) AS LONG)").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def sign(rows: Seq[(Long, Long)]): Int = {
+      val n = rows.length.toLong
+      val sx = rows.map(_._1).sum
+      val sy = rows.map(_._2).sum
+      val sxy = rows.map(p => p._1 * p._2).sum
+      java.lang.Long.signum(n * sxy - sx * sy)
+    }
+    val overall = sign(li.map(t => (t._2, t._3)).toSeq)
+    val perGroup = li.groupBy(_._1).values
+      .map(g => sign(g.map(t => (t._2, t._3)).toSeq)).toSeq
+    val row = Profiling.q295(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+      .apply("disc_qty_by_flag")
+    assert(row.getAs[Long]("overall_sign") == overall.toLong)
+    assert(row.getAs[Long]("n_pos") == perGroup.count(_ == 1).toLong)
+    assert(row.getAs[Long]("n_neg") == perGroup.count(_ == -1).toLong)
+    assert(row.getAs[Long]("n_zero") == perGroup.count(_ == 0).toLong)
+    val verdict = row.getAs[String]("verdict")
+    val (np, nn) = (perGroup.count(_ == 1), perGroup.count(_ == -1))
+    val expect =
+      if (overall == 1 && np == 0 && nn > 0) "paradox"
+      else if (overall == -1 && nn == 0 && np > 0) "paradox"
+      else if (np > 0 && nn > 0) "mixed" else "consistent"
+    assert(verdict == expect)
+  }
+
+  test("Q299 safety stock: policy numbers match local zero-filled weekly moments") {
+    val c = Catalog(spark, dir)
+    val rows = c.lineitem
+      .join(c.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7")
+          .as("week"), col("l_quantity").cast("long").as("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val weekly = rows.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> g.map(_._3).sum
+    }
+    val wmin = weekly.keys.map(_._2).min
+    val wmax = weekly.keys.map(_._2).max
+    val out = Profiling.q299(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.map(_._1).distinct.foreach { b =>
+      val series = (wmin to wmax).map(w => weekly.getOrElse((b, w), 0L))
+      val n = series.length.toLong
+      val sq = series.sum
+      val sqq = series.map(q => q * q).sum
+      val mean = sq.toDouble / n
+      val v = (n * sqq - sq * sq).toDouble / (n.toDouble * (n - 1))
+      val row = out(b)
+      assert(row.getAs[Long]("n_weeks") == n)
+      assert(row.getAs[Long]("zero_weeks") == series.count(_ == 0).toLong)
+      assert(row.getAs[Double]("mean_weekly") == r(4)(mean))
+      assert(row.getAs[Double]("safety_stock") ==
+        r(4)(1.645 * math.sqrt(2 * v)), s"$b: safety stock")
+      assert(row.getAs[Double]("reorder_point") ==
+        r(4)(2 * mean + 1.645 * math.sqrt(2 * v)), s"$b: ROP")
+      assert(row.getAs[Double]("order_up_to") ==
+        r(4)(3 * mean + 1.645 * math.sqrt(2 * v)), s"$b: OUT")
+    }
+  }
+
+  test("Q293 FS linkage: weights and top pair scores match brute force") {
+    val c = Catalog(spark, dir)
+    val recs = c.part.select(col("p_name"), col("p_size"), col("p_brand"),
+        col("p_type"),
+        expr("CAST(ROUND(p_retailprice * 100, 0) AS LONG) DIV 1000").as("pb"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val n = recs.length.toLong
+    def uNum[K](key: ((String, Int, String, String, Long)) => K): Long =
+      recs.groupBy(key).values.map(g => { val c = g.length.toLong; c * c }).sum
+    def wa(num: Long) =
+      (math.log(0.9 * n.toDouble * n) - math.log(num.toDouble)) / math.log(2)
+    def wd(num: Long) =
+      (math.log(0.1 * n.toDouble * n) - math.log((n * n - num).toDouble)) /
+        math.log(2)
+    val (ub, ut, up) = (uNum(_._3), uNum(_._4), uNum(_._5))
+    val profiles = recs.groupBy(identity).map { case (p, g) =>
+      (p, g.length.toLong)
+    }.toSeq
+    val scored = for {
+      ((pa, ca), ia) <- profiles.zipWithIndex
+      ((pb, cb), ib) <- profiles.zipWithIndex
+      if pa._1 == pb._1 && pa._2 == pb._2 && ia != ib
+      pka = s"${pa._3}|${pa._4}|${pa._5}"
+      pkb = s"${pb._3}|${pb._4}|${pb._5}"
+      if pka < pkb
+    } yield {
+      val s = (if (pa._3 == pb._3) wa(ub) else wd(ub)) +
+        (if (pa._4 == pb._4) wa(ut) else wd(ut)) +
+        (if (pa._5 == pb._5) wa(up) else wd(up))
+      (r(4)(s), pa._1, pa._2, pka, pkb, ca * cb)
+    }
+    val top = scored.sortBy(t => (-t._1, t._2, t._3, t._4, t._5)).take(30)
+    val out = NearDup.q293(spark, dir).collect()
+    assert(out.length == math.min(30, scored.size))
+    out.zip(top).foreach { case (row, exp) =>
+      assert(row.getAs[Double]("fs_score") == exp._1 &&
+        row.getAs[String]("p_name") == exp._2 &&
+        row.getAs[String]("profile_a") == exp._4 &&
+        row.getAs[String]("profile_b") == exp._5 &&
+        row.getAs[Long]("n_pairs") == exp._6,
+        s"row mismatch: $row vs $exp")
+    }
+  }
+
+  test("Q300 Chao1: spectrum, estimate and coverage match local recount") {
+    val c = Catalog(spark, dir)
+    val toks = c.documents.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val out = operators.TextAnalysis.q300(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    toks.groupBy(_._1).foreach { case (s, ts) =>
+      val freq = ts.groupBy(_._2).map(_._2.length)
+      val (v, n1, n2, nt) =
+        (freq.size.toLong, freq.count(_ == 1).toLong,
+          freq.count(_ == 2).toLong, ts.length.toLong)
+      val row = out(s)
+      assert(row.getAs[Long]("vocab") == v && row.getAs[Long]("n1") == n1 &&
+        row.getAs[Long]("n2") == n2 && row.getAs[Long]("n_tokens") == nt)
+      assert(row.getAs[Double]("chao1") ==
+        r(4)(v + n1.toDouble * (n1 - 1) / (2 * (n2 + 1))), s"$s: chao1")
+      assert(row.getAs[Double]("coverage") ==
+        r(6)((nt - n1).toDouble / nt), s"$s: coverage")
+      val expect = if (5 * n1 * (n1 - 1) > 2 * (n2 + 1) * v) "undersampled"
+        else "well_sampled"
+      assert(row.getAs[String]("verdict") == expect)
+    }
+  }
+
+  test("Q301 Gumbel: moment fit and return level match local block maxima") {
+    val c = Catalog(spark, dir)
+    val mx = c.events.select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val out = operators.Stats.q301(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    mx.groupBy(_._1).foreach { case (t, xs) =>
+      val ms = xs.map(_._2)
+      val n = ms.length.toLong
+      val (sm, smm) = (ms.sum, ms.map(m => m * m).sum)
+      val varS = (n * smm - sm * sm).toDouble / (n.toDouble * (n - 1))
+      val beta = math.sqrt(6 * varS) / math.Pi
+      val mu = sm.toDouble / n - 0.5772156649015329 * beta
+      val rl = mu - beta * math.log(-math.log(29.0 / 30))
+      val row = out(t)
+      assert(row.getAs[Long]("n_blocks") == n)
+      assert(row.getAs[Double]("beta") == r(4)(beta), s"$t: beta")
+      assert(row.getAs[Double]("mu") == r(4)(mu), s"$t: mu")
+      assert(row.getAs[Double]("rl30") == r(4)(rl), s"$t: rl30")
+      assert(row.getAs[Long]("n_exceed") ==
+        ms.count(_.toDouble > r(4)(rl)).toLong, s"$t: exceedances")
+    }
+  }
+
+  test("Q302 hubness: k-occurrence histogram matches a local exact kNN graph") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val occ = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vecs.foreach { case (pid, pv) =>
+      vecs.filter(_._1 != pid)
+        .map { case (nid, nv) => (r(6)(cos(pv, nv)), nid) }
+        .sortBy { case (cc, nid) => (-cc, nid) }
+        .take(10)
+        .foreach { case (_, nid) => occ(nid) += 1 }
+    }
+    val hist = vecs.map(v => occ(v._1)).groupBy(identity)
+      .map { case (k, g) => k -> g.length.toLong }
+    val out = operators.VectorOps.q302(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == hist, s"histogram: $out vs $hist")
+  }
+
+  test("Q303 Burrows Delta: marker z-profile distance matches local recount") {
+    val c = Catalog(spark, dir)
+    val toks = c.documents.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val tf = toks.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val markers = tf.groupBy(_._1._2).map { case (t, g) => t -> g.values.sum }
+      .toSeq.sortBy { case (t, ct) => (-ct, t) }.take(30).map(_._1)
+    val sources = toks.map(_._1).distinct.sorted
+    val tot = sources.map(s => s -> toks.count(_._1 == s).toLong).toMap
+    val f = (for (s <- sources; w <- markers)
+      yield (s, w) -> tf.getOrElse((s, w), 0L).toDouble / tot(s)).toMap
+    val ns = sources.length
+    val zOpt = markers.map { w =>
+      val fs = sources.map(s => f((s, w)))
+      val mu = fs.sum / ns
+      val sigma = math.sqrt(fs.map(x => x * x).sum / ns - mu * mu)
+      w -> (if (sigma > 0) Some(sources.map(s => s -> (f((s, w)) - mu) / sigma).toMap)
+            else None)
+    }.toMap
+    val out = operators.TextAnalysis.q303(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for (a <- sources; b <- sources if a < b) {
+      val zs = markers.flatMap(w => zOpt(w).map(z => math.abs(z(a) - z(b))))
+      val row = out((a, b))
+      assert(row.getAs[Long]("n_markers") == zs.length.toLong)
+      val delta = zs.sum / zs.length
+      val got = row.getAs[Double]("delta")
+      assert(math.abs(got - delta) <= 2e-4 * (1 + math.abs(delta)),
+        s"($a,$b): delta $got vs $delta")
+    }
+  }
+
+  test("Q304 elasticity: log-log slope matches local OLS per type") {
+    val c = Catalog(spark, dir)
+    val pts = c.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .join(c.part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        expr("CAST(ROUND(p_retailprice * 100, 0) AS LONG)").as("cents"),
+        col("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = operators.Profiling.q304(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    pts.groupBy(_._1).foreach { case (t, g) =>
+      val xy = g.map(p => (math.log(p._2.toDouble), math.log(p._3.toDouble)))
+      val n = xy.length.toDouble
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val got = out(t).getAs[Double]("elasticity")
+      assert(math.abs(got - slope) <= 2e-4 * (1 + math.abs(slope)),
+        s"$t: slope $got vs $slope")
+      assert(out(t).getAs[Long]("n_parts") == g.length.toLong)
+    }
+  }
+
+  test("Q305 trigram memory: counts and lift match a local recount") {
+    val c = Catalog(spark, dir)
+    val seqs = c.events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .map(_.sortBy(t => (t._2, t._3)).map(_._4).toSeq)
+    val tris = seqs.flatMap(_.sliding(3).filter(_.length == 3)
+      .map(s => (s(0), s(1), s(2)))).toSeq
+    val c123 = tris.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val c12 = tris.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.length.toLong }
+    val c23 = tris.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.length.toLong }
+    val c2 = tris.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val out = operators.Behavior.q305(spark, dir).collect()
+    assert(out.length == math.min(20, c123.size))
+    out.foreach { row =>
+      val k = (row.getString(0), row.getString(1), row.getString(2))
+      assert(row.getAs[Long]("c123") == c123(k), s"$k: support")
+      val lift = c123(k).toDouble * c2(k._2) /
+        (c12((k._1, k._2)).toDouble * c23((k._2, k._3)))
+      assert(row.getAs[Double]("lift") == r(4)(lift), s"$k: lift")
+    }
+    // The emitted top-20 really is the support-ordered head.
+    val minEmitted = out.map(_.getAs[Long]("c123")).min
+    val dropped = c123.filterNot { case (k, _) =>
+      out.exists(r => (r.getString(0), r.getString(1), r.getString(2)) == k)
+    }
+    assert(dropped.values.forall(_ <= minEmitted))
+  }
+
+  test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stop = Set("the", "a", "value", "table", "row", "key", "")
+    // Candidate phrases (runs of non-stop tokens, capped at 4 words).
+    val phrases = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      text.split(" ", -1).foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.filter(_.length <= 4)
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, g) =>
+      w -> g.length.toLong
+    }
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val sm = freq.keys.map(w => w -> (1000L * deg(w)) / freq(w)).toMap
+    val byPhrase = phrases.groupBy(_.mkString(" ")).map { case (ph, g) =>
+      (ph, g.head.length.toLong, g.length.toLong,
+        g.head.map(sm).sum)
+    }.toSeq
+    val top = byPhrase.sortBy(t => (-t._4, t._1)).take(20)
+    val out = TextRank.q294(spark, dir).collect()
+    assert(out.length == math.min(20, byPhrase.size))
+    out.zip(top).foreach { case (row, (ph, nw, no, s)) =>
+      assert(row.getAs[String]("phrase") == ph, s"phrase order: $row vs $ph")
+      assert(row.getAs[Long]("n_words") == nw)
+      assert(row.getAs[Long]("n_occur") == no)
+      assert(row.getAs[Double]("rake_score") == r(3)(s.toDouble / 1000))
+    }
+  }
+}
