@@ -4215,8 +4215,122 @@ object Stats {
        |GROUP BY 1, 2, 3, 4, 5, 6
        |ORDER BY f.event_type NULLS FIRST""".stripMargin
 
+  /** Q306 — normalized compression distance between event types'
+    * daily direction sequences (Cilibrasi & Vitányi 2005; Li et al.
+    * 2004), using the native `graft_lz76` parser (Q264's expression)
+    * as the compressor: NCD(x,y) = (C(xy) − min(C(x),C(y))) /
+    * max(C(x),C(y)), with C(xy) symmetrized as the min over both
+    * concatenation orders. Two types whose up/down/flat dynamics share
+    * structure compress together (low NCD) even when their VALUE
+    * distributions differ — the parameter-free, alignment-free
+    * similarity that completes the sequence-distance family (Q245 DTW
+    * aligns magnitudes, Q297 W₁ compares distributions, NCD compares
+    * generative structure).
+    *
+    * Determinism: symbols are exact int64 comparisons on the
+    * tie-broken daily grid; every C(·) is the integer LZ76 phrase
+    * count (codegen'd expression, char-equality only); NCD is one
+    * divide of exact ints rounded 4; the verdict compares the ROUNDED
+    * value.
+    *
+    * Scale notes: sequences are spine-bounded per type (the
+    * grouped-bounded-series contract); the pair relation is
+    * |types|²-bounded with two O(n²) integer parses per pair inside
+    * WholeStageCodegen — flat in corpus size past the daily
+    * aggregate.
+    */
+  def q306(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val seqs = grid.withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("ch", when(col("v") > col("pv"), "u")
+        .when(col("v") < col("pv"), "d").otherwise("f"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(day, ch))), x -> x.ch), '')").as("s"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumn("cx", expr("graft_lz76(s)").cast("long"))
+    val a = seqs.select(col("event_type").as("type_a"), col("s").as("sa"),
+      col("n").as("n_a"), col("cx").as("c_a"))
+    val b = seqs.select(col("event_type").as("type_b"), col("s").as("sb"),
+      col("n").as("n_b"), col("cx").as("c_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("c_ab", least(
+        expr("graft_lz76(concat(sa, sb))").cast("long"),
+        expr("graft_lz76(concat(sb, sa))").cast("long")))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("c_a"), col("c_b"), col("c_ab"),
+        expr("ROUND(CAST(c_ab - LEAST(c_a, c_b) AS DOUBLE)" +
+          " / GREATEST(c_a, c_b), 4)").as("ncd"))
+      .withColumn("verdict", expr(
+        "CASE WHEN ncd <= 0.5 THEN 'similar_dynamics' " +
+          "ELSE 'distinct_dynamics' END"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q306Oracle: String =
+    s"""WITH RECURSIVE $gridSql,
+       |sym AS (
+       |  SELECT event_type, day,
+       |    CASE WHEN v > pv THEN 'u' WHEN v < pv THEN 'd' ELSE 'f' END AS ch
+       |  FROM (
+       |    SELECT event_type, day, v,
+       |      LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+       |    FROM grid)
+       |  WHERE pv IS NOT NULL),
+       |seqs AS (
+       |  SELECT event_type, STRING_AGG(ch, '' ORDER BY day) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sym GROUP BY 1),
+       |pairs0 AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+       |  FROM seqs a JOIN seqs b ON a.event_type < b.event_type),
+       |strs AS (
+       |  SELECT event_type AS k, s, n FROM seqs
+       |  UNION ALL
+       |  SELECT ta || '|' || tb || '|f', sa || sb, na + nb FROM pairs0
+       |  UNION ALL
+       |  SELECT ta || '|' || tb || '|r', sb || sa, na + nb FROM pairs0),
+       |parse AS (
+       |  SELECT k, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c
+       |  FROM strs
+       |  UNION ALL
+       |  SELECT k, pos + phrase, c + 1 FROM (
+       |    SELECT p.k, p.pos, p.c,
+       |      LEAST(COALESCE(MAX(CASE WHEN q.q < p.pos
+       |          AND l.l <= s.n - p.pos + 1
+       |          AND substr(s.s, q.q, l.l) = substr(s.s, p.pos, l.l)
+       |          THEN l.l END), 0) + 1,
+       |        s.n - p.pos + 1) AS phrase
+       |    FROM parse p
+       |    JOIN strs s ON s.k = p.k
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1,
+       |      (SELECT CAST(MAX(n) AS BIGINT) FROM strs))) AS l) l
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1,
+       |      (SELECT CAST(MAX(n) AS BIGINT) FROM strs))) AS q) q
+       |    WHERE p.pos <= s.n
+       |    GROUP BY 1, 2, 3, s.n) st),
+       |lz AS (SELECT k, CAST(MAX(c) AS BIGINT) AS lz FROM parse GROUP BY 1)
+       |SELECT p.ta AS type_a, p.tb AS type_b, p.na AS n_a, p.nb AS n_b,
+       |  za.lz AS c_a, zb.lz AS c_b,
+       |  LEAST(zf.lz, zr.lz) AS c_ab,
+       |  ROUND(CAST(LEAST(zf.lz, zr.lz) - LEAST(za.lz, zb.lz) AS DOUBLE)
+       |    / GREATEST(za.lz, zb.lz), 4) AS ncd,
+       |  CASE WHEN ROUND(CAST(LEAST(zf.lz, zr.lz) - LEAST(za.lz, zb.lz)
+       |      AS DOUBLE) / GREATEST(za.lz, zb.lz), 4) <= 0.5
+       |    THEN 'similar_dynamics' ELSE 'distinct_dynamics' END AS verdict
+       |FROM pairs0 p
+       |JOIN lz za ON za.k = p.ta
+       |JOIN lz zb ON zb.k = p.tb
+       |JOIN lz zf ON zf.k = p.ta || '|' || p.tb || '|f'
+       |JOIN lz zr ON zr.k = p.ta || '|' || p.tb || '|r'
+       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q297" -> (q297 _), "Q301" -> (q301 _),
+    "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4231,7 +4345,7 @@ object Stats {
     "Q264" -> (q264 _), "Q267" -> (q267 _), "Q273" -> (q273 _))
 
   def oracles: Map[String, String] = Map(
-    "Q297" -> q297Oracle, "Q301" -> q301Oracle,
+    "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

@@ -568,6 +568,97 @@ object StreamingOps {
       }
   }
 
+  /** Per-type state of the online W₁ drift monitor: the set of
+    * calibration days seen so far, the frozen reference histogram, and
+    * the running live histogram — both over the declared $1 value
+    * buckets, so state is bounded by the value DOMAIN, not the stream.
+    */
+  case class W1State(
+    calDays: List[Long], frozen: Boolean,
+    ref: Map[Long, Long], live: Map[Long, Long])
+
+  /** One emitted monitor row per post-calibration processed day. */
+  case class W1Row(event_type: String, day: Long, phase: String,
+    n_live: Long, w1_num: Long, w1_den: Long)
+
+  /** Q297 streaming twin — ONLINE 1-Wasserstein drift monitor per event
+    * type with flatMapGroupsWithState: the batch gate compares two
+    * types' full distributions offline; the online form freezes a
+    * REFERENCE histogram over the first K observed days (K = 14
+    * declared, the cusumStream convention), then folds each later
+    * day's values into a live histogram and emits the exact integer
+    * W₁ algebra between the two ECDFs — w1_num = Σ_t
+    * |cumRef·nLive − cumLive·nRef|·Δbucket over the merged bucket
+    * grid, w1_den = nRef·nLive — the identical exact-int shape as
+    * Q297, so the monitor's post-calibration fold is asserted equal
+    * to a batch replay in StreamingSpec. Values quantize to $1
+    * buckets (cents DIV 100) so per-type state is bounded by the
+    * value domain (≤ ~500 buckets here) rather than the stream.
+    * Drift flags on the integer compare w1_num > 2·w1_den (a ≥ 2-
+    * bucket mean shift), never a float.
+    *
+    * Ingest contract: day-ordered files of pre-aggregated
+    * (event_type, day, bucket, cnt) rows (the SCD2/EWMA/CUSUM twin
+    * contract); within a micro-batch rows sort by day.
+    */
+  def w1DriftStream(buckets: DataFrame, k: Int = 14): org.apache.spark.sql.Dataset[W1Row] = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def w1(ref: Map[Long, Long], live: Map[Long, Long]): (Long, Long) = {
+      val nR = ref.values.sum
+      val nL = live.values.sum
+      val grid = (ref.keySet ++ live.keySet).toSeq.sorted
+      var (cumR, cumL, num) = (0L, 0L, 0L)
+      grid.zip(grid.tail).foreach { case (b, nxt) =>
+        cumR += ref.getOrElse(b, 0L)
+        cumL += live.getOrElse(b, 0L)
+        num += math.abs(cumR * nL - cumL * nR) * (nxt - b)
+      }
+      (num, nR * nL)
+    }
+    buckets
+      .select(col("event_type").as[String], col("day").as[Long],
+        col("bucket").as[Long], col("cnt").as[Long])
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[W1State, W1Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[(String, Long, Long, Long)],
+         gs: GroupState[W1State]) =>
+          var st = gs.getOption.getOrElse(
+            W1State(Nil, frozen = false, Map.empty, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[W1Row]
+          it.toSeq.sortBy(r => (r._2, r._3)).groupBy(_._2).toSeq
+            .sortBy(_._1).foreach { case (day, rows) =>
+              if (!st.frozen && (st.calDays.contains(day) ||
+                  st.calDays.length < k)) {
+                val ref = rows.foldLeft(st.ref) { case (h, (_, _, b, n)) =>
+                  h.updated(b, h.getOrElse(b, 0L) + n)
+                }
+                val calDays =
+                  if (st.calDays.contains(day)) st.calDays
+                  else st.calDays :+ day
+                st = st.copy(calDays = calDays, ref = ref,
+                  frozen = calDays.length >= k)
+                out += W1Row(tpe, day, "calibrating", 0L, 0L, 0L)
+              } else {
+                if (!st.frozen) st = st.copy(frozen = true)
+                val live = rows.foldLeft(st.live) { case (h, (_, _, b, n)) =>
+                  h.updated(b, h.getOrElse(b, 0L) + n)
+                }
+                st = st.copy(live = live)
+                val (num, den) = w1(st.ref, live)
+                out += W1Row(tpe, day,
+                  if (num > 2 * den) "drift" else "monitoring",
+                  live.values.sum, num, den)
+              }
+            }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
 }
 
 /** Per-user funnel state: min view time plus the click/purchase time sets

@@ -419,6 +419,46 @@ class Round10bGatesSpec extends SparkSpec {
     assert(dropped.values.forall(_ <= minEmitted))
   }
 
+  test("Q306 NCD: compression distances match a local LZ76 recount") {
+    // Independent LZ76 phrase counter (Lempel & Ziv 1976 exhaustive
+    // history): at each position, the longest copy of a prefix of the
+    // remainder that starts strictly earlier extends the phrase by one.
+    def lz76(s: String): Long = {
+      var (pos, c) = (0, 0L)
+      while (pos < s.length) {
+        var best = 0
+        var q = 0
+        while (q < pos) {
+          var l = 0
+          while (pos + l < s.length && q + l < s.length &&
+            s(q + l) == s(pos + l)) l += 1
+          if (l > best) best = l
+          q += 1
+        }
+        pos += math.min(best + 1, s.length - pos)
+        c += 1
+      }
+      c
+    }
+    val grid = localGrid()
+    val seqs = grid.map { case (t, series) =>
+      t -> series.zip(series.tail).map { case ((_, pv), (_, v)) =>
+        if (v > pv) 'u' else if (v < pv) 'd' else 'f'
+      }.mkString
+    }
+    val out = operators.Stats.q306(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for ((ta, sa) <- seqs; (tb, sb) <- seqs if ta < tb) {
+      val (ca, cb) = (lz76(sa), lz76(sb))
+      val cab = math.min(lz76(sa + sb), lz76(sb + sa))
+      val ncd = (cab - math.min(ca, cb)).toDouble / math.max(ca, cb)
+      val row = out((ta, tb))
+      assert(row.getAs[Long]("c_a") == ca && row.getAs[Long]("c_b") == cb &&
+        row.getAs[Long]("c_ab") == cab, s"($ta,$tb): phrase counts")
+      assert(row.getAs[Double]("ncd") == r(4)(ncd), s"($ta,$tb): ncd")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()

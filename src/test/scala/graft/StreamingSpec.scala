@@ -614,6 +614,91 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamed online W1 drift monitor equals the batch replay across a day-split") {
+    val k = 14
+    val bucketed = Catalog(spark, sf("sf0.001")).events
+      .select(col("event_type"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG) DIV 100").as("bucket"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val rows = bucketed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2, p._3))
+    val days = rows.map(_._2).distinct.sorted
+    val cutA = days(days.length / 4)
+    val cutB = days(days.length / 2)
+    val srcDir = tmpDir("graft-w1-src")
+    Seq(("0", (d: Long) => d <= cutA),
+      ("1", (d: Long) => d > cutA && d <= cutB),
+      ("2", (d: Long) => d > cutB)).foreach { case (name, pred) =>
+      import spark.implicits._
+      val stage = tmpDir(s"graft-w1-stage$name")
+      rows.filter(p => pred(p._2)).toSeq
+        .toDF("event_type", "day", "bucket", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamingOps.w1DriftStream(stream, k)
+      .toDF("event_type", "day", "phase", "n_live", "w1_num", "w1_den")
+      .writeStream.format("memory").queryName("w1_stream")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-w1-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("w1_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // Batch replay of the identical semantics.
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val byDay = series.groupBy(_._2).toSeq.sortBy(_._1)
+      val calDays = byDay.map(_._1).take(k).toSet
+      val ref = series.filter(p => calDays(p._2)).groupBy(_._3)
+        .map { case (b, g) => b -> g.map(_._4).sum }
+      var live = Map.empty[Long, Long]
+      byDay.foreach { case (day, dayRows) =>
+        val expected =
+          if (calDays(day)) ("calibrating", 0L, 0L, 0L)
+          else {
+            live = dayRows.foldLeft(live) { case (h, (_, _, b, n)) =>
+              h.updated(b, h.getOrElse(b, 0L) + n)
+            }
+            val nR = ref.values.sum
+            val nL = live.values.sum
+            val grid = (ref.keySet ++ live.keySet).toSeq.sorted
+            var (cumR, cumL, num) = (0L, 0L, 0L)
+            grid.zip(grid.tail).foreach { case (b, nxt) =>
+              cumR += ref.getOrElse(b, 0L)
+              cumL += live.getOrElse(b, 0L)
+              num += math.abs(cumR * nL - cumL * nR) * (nxt - b)
+            }
+            (if (num > 2 * nR * nL) "drift" else "monitoring",
+              nL, num, nR * nL)
+          }
+        assert(streamed((t, day)) == expected,
+          s"$t day $day: ${streamed((t, day))} != $expected")
+      }
+      assert(streamed.keys.count(_._1 == t) == byDay.length)
+    }
+  }
+
   test("streamed online CUSUM equals the sequential fold across a day-split replay") {
     // Daily grid recomputed independently of the operator helpers.
     val daily = Catalog(spark, sf("sf0.001")).events
