@@ -1471,9 +1471,101 @@ object Graphs {
       |ORDER BY rank
       |LIMIT 25""".stripMargin
 
+  /** Q307 — frequent 3-itemsets over co-ordered parts (Agrawal &
+    * Srikant 1994's itemset lattice, third level): Q107 reads the pair
+    * level; this asks which part TRIPLES recur across baskets and
+    * whether their support exceeds what the three marginals predict —
+    * lift₃ = n²·c_abc/(c_a·c_b·c_c) — the bundle signal a
+    * pair-level rule can't see. Top-20 supported triples (support ≥ 2).
+    *
+    * Determinism: baskets truncate to their 50 smallest part ids
+    * (declared — the tighter triple-level sibling of the pair
+    * artifact's MaxBasket = 1000; a no-op on the ≈7-item fixtures,
+    * and the ENFORCED per-order bound that keeps the within-basket
+    * triple expansion B³/6 from exploding on a degenerate basket);
+    * all counts are exact int64; lift₃ is one fixed expression whose
+    * integer products stay exact in the double to ~10¹⁵ (n_orders ≈
+    * 3·10⁷ at the documented margin); ties break on (support desc,
+    * p1, p2, p3).
+    *
+    * Scale notes: the triple expansion is a per-order 3-way equi-join
+    * on the order key — work per order is capped-B³/6, so the stage is
+    * LINEAR in orders (the same argument as the pair artifact build);
+    * marginals are one aggregate; TakeOrdered bounds the output.
+    */
+  def q307(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val op = c.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val capped = op
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ok")).orderBy(col("pk"))))
+      .filter(col("rn") <= 50)
+      .select(col("ok"), col("pk"))
+      .localCheckpoint()
+    val nOrders = capped.agg(countDistinct(col("ok")).cast("long")
+      .as("n_orders"))
+    val item = capped.groupBy(col("pk"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val a = capped.select(col("ok"), col("pk").as("p1"))
+    val b = capped.select(col("ok"), col("pk").as("p2"))
+    val d = capped.select(col("ok"), col("pk").as("p3"))
+    val trip = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .join(d, Seq("ok")).filter(col("p2") < col("p3"))
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).cast("long").as("n_all3"))
+      .filter(col("n_all3") >= 2)
+    trip
+      .join(item.select(col("pk").as("p1"), col("cnt").as("c1")), Seq("p1"))
+      .join(item.select(col("pk").as("p2"), col("cnt").as("c2")), Seq("p2"))
+      .join(item.select(col("pk").as("p3"), col("cnt").as("c3")), Seq("p3"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("p3"), col("n_all3"),
+        expr("ROUND(CAST(n_all3 AS DOUBLE) * n_orders * n_orders" +
+          " / (CAST(c1 AS DOUBLE) * c2 * c3), 4)").as("lift3"))
+      .orderBy(desc("n_all3"), asc("p1"), asc("p2"), asc("p3"))
+      .limit(20)
+  }
+
+  // `capped`/`pr` carry the MATERIALIZED hint: inlined three ways, the
+  // planner loses the ok-equality join keys and falls back to an
+  // inequality join across ALL orders (measured: minutes vs 0.15 s).
+  val q307Oracle: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS MATERIALIZED (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk)
+      |      AS rn
+      |    FROM op) WHERE rn <= 50),
+      |no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+      |       FROM capped),
+      |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM capped GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT c1.ok, c1.pk AS p1, c2.pk AS p2
+      |  FROM capped c1 JOIN capped c2 ON c2.ok = c1.ok AND c1.pk < c2.pk),
+      |trip AS (
+      |  SELECT p.p1, p.p2, d.pk AS p3,
+      |    CAST(COUNT(*) AS BIGINT) AS n_all3
+      |  FROM pr p JOIN capped d ON d.ok = p.ok AND p.p2 < d.pk
+      |  GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 2)
+      |SELECT t.p1, t.p2, t.p3, t.n_all3,
+      |  ROUND(CAST(t.n_all3 AS DOUBLE) * n.n_orders * n.n_orders
+      |    / (CAST(i1.cnt AS DOUBLE) * i2.cnt * i3.cnt), 4) AS lift3
+      |FROM trip t
+      |JOIN item i1 ON i1.pk = t.p1
+      |JOIN item i2 ON i2.pk = t.p2
+      |JOIN item i3 ON i3.pk = t.p3
+      |CROSS JOIN no n
+      |ORDER BY t.n_all3 DESC, t.p1, t.p2, t.p3
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q222" -> (q222 _),
-    "Q265" -> (q265 _),
+    "Q265" -> (q265 _), "Q307" -> (q307 _),
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
     "Q121" -> (q121 _), "Q122" -> (q122 _), "Q131" -> (q131 _),
     "Q135" -> (q135 _), "Q145" -> (q145 _), "Q147" -> (q147 _),
@@ -1486,5 +1578,5 @@ object Graphs {
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,
     "Q156" -> q156Oracle, "Q162" -> q162Oracle, "Q168" -> q168Oracle,
     "Q197" -> q197Oracle, "Q222" -> q222Oracle, "Q265" -> q265Oracle,
-    "Q278" -> q278Oracle)
+    "Q278" -> q278Oracle, "Q307" -> q307Oracle)
 }

@@ -459,6 +459,36 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q307 3-itemsets: supports and lift3 match a local basket recount") {
+    val c = Catalog(spark, dir)
+    val baskets = c.lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, g) =>
+        ok -> g.map(_._2).distinct.sorted.take(50)
+      }
+    val nOrders = baskets.size.toLong
+    val item = baskets.values.flatten.groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }
+    val trip = baskets.values.flatMap(_.combinations(3))
+      .map(s => (s(0), s(1), s(2))).toSeq
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      .filter(_._2 >= 2)
+    val out = operators.Graphs.q307(spark, dir).collect()
+    assert(out.length == math.min(20, trip.size) && out.nonEmpty)
+    out.foreach { row =>
+      val k = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(row.getAs[Long]("n_all3") == trip(k), s"$k: support")
+      val lift = trip(k).toDouble * nOrders * nOrders /
+        (item(k._1).toDouble * item(k._2) * item(k._3))
+      assert(row.getAs[Double]("lift3") == r(4)(lift), s"$k: lift3")
+    }
+    val minEmitted = out.map(_.getAs[Long]("n_all3")).min
+    assert(trip.filterNot { case (k, _) =>
+      out.exists(r => (r.getLong(0), r.getLong(1), r.getLong(2)) == k)
+    }.values.forall(_ <= minEmitted))
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
