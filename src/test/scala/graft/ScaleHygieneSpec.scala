@@ -200,6 +200,45 @@ class ScaleHygieneSpec extends SparkSpec {
       s"expected the FK probes to broadcast parent keys, found $broadcasts:\n$plan")
   }
 
+  test("Q302 widens the BNLJ stream side before the all-pairs dot stage (r10b)") {
+    // The hubness gate's nested-loop pair join inherits parallelism from
+    // the stream side; the small embedding parquet reads as 1-2
+    // partitions, so the plan must carry an explicit round-robin
+    // repartition below the join (measured 8.1 s -> 1.5 s at sf0.1).
+    val plan = graft.operators.VectorOps.q302(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"Q302 pair join shape changed:\n${plan.take(3000)}")
+    assert(plan.contains("REPARTITION_BY_NUM") ||
+      plan.contains("RoundRobinPartitioning"),
+      s"Q302 stream side is not widened:\n${plan.take(3000)}")
+  }
+
+  test("Q293 pairs on collapsed profiles with a broadcast weights row (r10b)") {
+    // FS linkage must follow the Q218 collapse-then-pair discipline:
+    // the (name,size)-blocked pair join sits above profile-count
+    // aggregates, and the 1-row weights relation reaches the scorer as
+    // a broadcast, never a shuffled join.
+    val plan = graft.operators.NearDup.q293(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"Q293 degenerated to a cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"Q293 weights row is not broadcast:\n${plan.take(3000)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"Q293 join inputs are not profile-collapsed aggregates:\n${plan.take(3000)}")
+  }
+
+  test("Q299 broadcasts the part dimension under the weekly rollup (r10b)") {
+    val plan = graft.operators.Profiling.q299(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"Q299 lineitem-part join is not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"Q299 has a cartesian:\n${plan.take(3000)}")
+  }
+
   test("approx percentile within 1% of exact on order totals") {
     val c = Catalog(spark, sf("sf0.01"))
     val row = c.orders.agg(
