@@ -4329,8 +4329,105 @@ object Stats {
        |JOIN lz zr ON zr.k = p.ta || '|' || p.tb || '|r'
        |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
+  /** Q308 — longest-common-subsequence alignment between event types'
+    * daily direction sequences, via the native codegen'd `graft_lcs`
+    * expression (`plans/Lcs.scala`, Wagner & Fischer 1974): the
+    * order-preserving, indel-tolerant alignment score that completes
+    * the sequence-distance family — DTW (Q245) warps magnitudes, NCD
+    * (Q306) compares generative structure, LCS reads shared ORDERED
+    * sub-patterns. Similarity is the Sørensen-normalized
+    * 2·LCS/(n_a + n_b).
+    *
+    * Determinism: symbols are exact int64 comparisons on the
+    * tie-broken daily grid; LCS is the integer DP (char equality
+    * only); the similarity is one divide of exact ints rounded 4; the
+    * verdict compares the ROUNDED value. The DuckDB twin replays the
+    * DP through the prefix-max row identity LCS(i,j) =
+    * max(LCS(i−1,j), max_{t≤j, a_i=b_t}(LCS(i−1,t−1)+1)) with each DP
+    * row carried as a LIST in a recursive CTE — same integers, no
+    * window-in-recursion needed.
+    *
+    * Scale notes: sequences are spine-bounded per type (the
+    * grouped-bounded-series contract); the pair relation is
+    * |types|²-bounded with one O(n·m) integer DP per pair inside
+    * WholeStageCodegen.
+    */
+  def q308(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val seqs = grid.withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("ch", when(col("v") > col("pv"), "u")
+        .when(col("v") < col("pv"), "d").otherwise("f"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(day, ch))), x -> x.ch), '')").as("s"),
+        count(lit(1)).cast("long").as("n"))
+    val a = seqs.select(col("event_type").as("type_a"), col("s").as("sa"),
+      col("n").as("n_a"))
+    val b = seqs.select(col("event_type").as("type_b"), col("s").as("sb"),
+      col("n").as("n_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("lcs", expr("graft_lcs(sa, sb)").cast("long"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("lcs"),
+        expr("ROUND(CAST(2 * lcs AS DOUBLE) / (n_a + n_b), 4)")
+          .as("lcs_sim"))
+      .withColumn("verdict", expr(
+        "CASE WHEN lcs_sim >= 0.8 THEN 'aligned' ELSE 'baseline' END"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q308Oracle: String =
+    s"""WITH RECURSIVE $gridSql,
+       |sym AS (
+       |  SELECT event_type, day,
+       |    CASE WHEN v > pv THEN 'u' WHEN v < pv THEN 'd' ELSE 'f' END AS ch
+       |  FROM (
+       |    SELECT event_type, day, v,
+       |      LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+       |    FROM grid)
+       |  WHERE pv IS NOT NULL),
+       |seqs AS (
+       |  SELECT event_type, STRING_AGG(ch, '' ORDER BY day) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sym GROUP BY 1),
+       |prs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb,
+       |    a.event_type || '|' || b.event_type AS k
+       |  FROM seqs a JOIN seqs b ON a.event_type < b.event_type),
+       |dp AS (
+       |  SELECT k, CAST(0 AS BIGINT) AS i,
+       |    list_transform(generate_series(0, CAST(nb AS INTEGER)),
+       |      x -> CAST(0 AS BIGINT)) AS row
+       |  FROM prs
+       |  UNION ALL
+       |  SELECT r.k, r.i + 1,
+       |    list_transform(generate_series(0, CAST(p.nb AS INTEGER)), j ->
+       |      CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE GREATEST(r.row[j + 1],
+       |        COALESCE(list_max(list_transform(generate_series(1, j), t ->
+       |          CASE WHEN substr(p.sb, CAST(t AS INTEGER), 1)
+       |              = substr(p.sa, CAST(r.i AS INTEGER) + 1, 1)
+       |            THEN r.row[t] + 1 END)), 0)) END) AS row
+       |  FROM dp r JOIN prs p ON p.k = r.k
+       |  WHERE r.i < p.na),
+       |lcs AS (
+       |  SELECT d.k, d.row[CAST(p.nb AS INTEGER) + 1] AS lcs
+       |  FROM dp d JOIN prs p ON p.k = d.k AND d.i = p.na)
+       |SELECT p.ta AS type_a, p.tb AS type_b, p.na AS n_a, p.nb AS n_b,
+       |  CAST(l.lcs AS BIGINT) AS lcs,
+       |  ROUND(CAST(2 * l.lcs AS DOUBLE) / (p.na + p.nb), 4) AS lcs_sim,
+       |  CASE WHEN ROUND(CAST(2 * l.lcs AS DOUBLE) / (p.na + p.nb), 4)
+       |      >= 0.8 THEN 'aligned' ELSE 'baseline' END AS verdict
+       |FROM prs p JOIN lcs l ON l.k = p.k
+       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
+    "Q308" -> (q308 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4346,6 +4443,7 @@ object Stats {
 
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
+    "Q308" -> q308Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

@@ -1274,7 +1274,127 @@ object Trend {
        |FROM mins GROUP BY 1, 2, 3
        |ORDER BY event_type NULLS FIRST, day""".stripMargin
 
+  /** Q309 — Haar wavelet multiresolution energy ladder per event type
+    * (Haar 1910; Mallat 1989's pyramid): the zero-filled daily cents
+    * series decomposes into 5 dyadic detail levels (level L reads
+    * variation at the 2^L-day scale); the per-level detail energy and
+    * its share of total detail energy say WHERE the series' variance
+    * lives — day-to-day noise (level 1), weekly-scale swings (level
+    * 3), or regime-scale drift (level 5). The TIME-LOCALIZED
+    * multiresolution companion to Q255's Fourier periodogram: the DFT
+    * reads periodicity, the wavelet ladder reads scale — a burst and
+    * a cycle with equal spectral mass separate here.
+    *
+    * Determinism: the pyramid carries UNSCALED int64 pair sums and
+    * differences (Haar coefficients at level L are d_scaled/2^L, so
+    * energy = Σd_scaled²/4^L keeps everything exact-int until one
+    * divide); incomplete pairs zero-pad implicitly through the
+    * parity-sum construction; shares scale each level's Σd² by
+    * 4^(5−L) to a common exact-int64 denominator. Every emitted float
+    * is a single divide (POWER(4, L) is exact in the double), and the
+    * dominant-scale verdict compares exact scaled ints.
+    *
+    * Scale notes: the pyramid is 5 grouped aggregates over the
+    * spine-bounded grid (halving each level — Σ work < 2·spine per
+    * type); output is |types|·5 rows. Σd²·4⁴ stays inside int64 to
+    * ~10⁸ cents/day on this spine (the Q298 margin class).
+    */
+  def q309(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    var cur = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("d"),
+        col("v").as("a"))
+    val levels = (1 to 5).map { lvl =>
+      val paired = cur
+        .withColumn("parent", expr("d DIV 2"))
+        .withColumn("parity", expr("d % 2"))
+        .groupBy(col("event_type"), col("parent"))
+        .agg(sum(when(col("parity") === 0, col("a")).otherwise(0L))
+            .cast("long").as("a0"),
+          sum(when(col("parity") === 1, col("a")).otherwise(0L))
+            .cast("long").as("a1"))
+      cur = paired.select(col("event_type"), col("parent").as("d"),
+        (col("a0") + col("a1")).as("a")).localCheckpoint()
+      paired.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_coeffs"),
+          sum((col("a0") - col("a1")) * (col("a0") - col("a1")))
+            .cast("long").as("ssq"))
+        .select(col("event_type"), lit(lvl).cast("long").as("level"),
+          col("n_coeffs"), col("ssq"))
+    }
+    val all = levels.reduce(_ unionAll _)
+    val wAll = Window.partitionBy(col("event_type"))
+    all
+      .withColumn("esc", expr(
+        "ssq * CAST(POWER(4, 5 - level) AS BIGINT)"))
+      .withColumn("tot", sum(col("esc")).over(wAll))
+      .withColumn("mx", max(col("esc")).over(wAll))
+      .select(col("event_type"), col("level"), col("n_coeffs"), col("ssq"),
+        expr("ROUND(CAST(ssq AS DOUBLE) / POWER(4, level), 4)")
+          .as("energy"),
+        expr("CASE WHEN tot > 0 THEN " +
+          "ROUND(CAST(esc AS DOUBLE) / tot, 4) END").as("energy_share"),
+        expr("CASE WHEN esc = mx AND tot > 0 THEN 1 ELSE 0 END")
+          .cast("long").as("is_dominant"))
+      .orderBy(asc_nulls_first("event_type"), asc("level"))
+  }
+
+  val q309Oracle: String = {
+    def lvl(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT event_type, d // 2 AS d,
+         |    CAST(SUM(CASE WHEN d % 2 = 0 THEN a ELSE 0 END) AS BIGINT)
+         |      AS a0,
+         |    CAST(SUM(CASE WHEN d % 2 = 1 THEN a ELSE 0 END) AS BIGINT)
+         |      AS a1
+         |  FROM $prev GROUP BY 1, 2)""".stripMargin
+    val nxt = (name: String) =>
+      s"(SELECT event_type, d, a0 + a1 AS a FROM $name)"
+    s"""WITH ${Stats.gridSql},
+       |dm AS (SELECT MIN(day) AS dmin FROM grid),
+       |l0 AS (
+       |  SELECT event_type, day - dmin AS d, v AS a FROM grid CROSS JOIN dm),
+       |${lvl("l0", "p1")},
+       |${lvl(nxt("p1"), "p2")},
+       |${lvl(nxt("p2"), "p3")},
+       |${lvl(nxt("p3"), "p4")},
+       |${lvl(nxt("p4"), "p5")},
+       |stats AS (
+       |  SELECT event_type, lv AS level,
+       |    CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       |    CAST(SUM((a0 - a1) * (a0 - a1)) AS BIGINT) AS ssq
+       |  FROM (
+       |    SELECT event_type, CAST(1 AS BIGINT) AS lv, a0, a1 FROM p1
+       |    UNION ALL
+       |    SELECT event_type, CAST(2 AS BIGINT), a0, a1 FROM p2
+       |    UNION ALL
+       |    SELECT event_type, CAST(3 AS BIGINT), a0, a1 FROM p3
+       |    UNION ALL
+       |    SELECT event_type, CAST(4 AS BIGINT), a0, a1 FROM p4
+       |    UNION ALL
+       |    SELECT event_type, CAST(5 AS BIGINT), a0, a1 FROM p5)
+       |  GROUP BY 1, 2),
+       |scaled AS (
+       |  SELECT *, ssq * CAST(POWER(4, 5 - level) AS BIGINT) AS esc,
+       |    CAST(SUM(ssq * CAST(POWER(4, 5 - level) AS BIGINT))
+       |      OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+       |    CAST(MAX(ssq * CAST(POWER(4, 5 - level) AS BIGINT))
+       |      OVER (PARTITION BY event_type) AS BIGINT) AS mx
+       |  FROM stats)
+       |SELECT event_type, level, n_coeffs, ssq,
+       |  ROUND(CAST(ssq AS DOUBLE) / POWER(4, level), 4) AS energy,
+       |  CASE WHEN tot > 0 THEN ROUND(CAST(esc AS DOUBLE) / tot, 4) END
+       |    AS energy_share,
+       |  CAST(CASE WHEN esc = mx AND tot > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_dominant
+       |FROM scaled
+       |ORDER BY event_type NULLS FIRST, level""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q309" -> (q309 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
@@ -1282,6 +1402,7 @@ object Trend {
     "Q296" -> (q296 _))
 
   def oracles: Map[String, String] = Map(
+    "Q309" -> q309Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectFunction(GraftExtensions.dtwFunction)
     ext.injectFunction(GraftExtensions.lz76Function)
+    ext.injectFunction(GraftExtensions.lcsFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
     ext.injectFunction(GraftExtensions.rhFunction)
@@ -75,6 +76,16 @@ object GraftExtensions {
   val lz76Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_lz76"), lz76Info,
       (children: Seq[Expression]) => Lz76(children(0)))
+
+  private val lcsInfo = new ExpressionInfo(
+    classOf[Lcs].getName, null, "graft_lcs",
+    "graft_lcs(a, b) - longest-common-subsequence length of two strings " +
+      "(Wagner-Fischer DP); exact integer, 0 when either side is empty.",
+    "")
+
+  val lcsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lcs"), lcsInfo,
+      (children: Seq[Expression]) => Lcs(children(0), children(1)))
 
   private def kmvBuilder(children: Seq[Expression]): Expression = {
     val k = children(1) match {
@@ -320,6 +331,8 @@ object GraftExtensions {
       children => Dtw(children(0), children(1), children(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lz76", children => Lz76(children(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lcs", children => Lcs(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

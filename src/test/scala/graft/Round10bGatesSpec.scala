@@ -489,6 +489,89 @@ class Round10bGatesSpec extends SparkSpec {
     }.values.forall(_ <= minEmitted))
   }
 
+  test("Q308 LCS: native expression matches a local DP and its identities") {
+    // Independent memoized recursion (not the two-row sweep the
+    // expression uses).
+    def lcsLocal(a: String, b: String): Long = {
+      val memo = Array.fill(a.length + 1, b.length + 1)(-1L)
+      def go(i: Int, j: Int): Long = {
+        if (i == 0 || j == 0) 0L
+        else if (memo(i)(j) >= 0) memo(i)(j)
+        else {
+          val v =
+            if (a(i - 1) == b(j - 1)) go(i - 1, j - 1) + 1
+            else math.max(go(i - 1, j), go(i, j - 1))
+          memo(i)(j) = v; v
+        }
+      }
+      go(a.length, b.length)
+    }
+    // Expression-level identities on deterministic pseudo-random strings.
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 12).map(_ =>
+      (1 to (5 + rnd.nextInt(25))).map(_ => "udf"(rnd.nextInt(3))).mkString)
+    strs.foreach { s =>
+      assert(graft.plans.Lcs.length(s, s) == s.length.toLong)
+      assert(graft.plans.Lcs.length(s, "") == 0L)
+    }
+    for (a <- strs; b <- strs) {
+      assert(graft.plans.Lcs.length(a, b) == lcsLocal(a, b), s"($a,$b)")
+      assert(graft.plans.Lcs.length(a, b) == graft.plans.Lcs.length(b, a))
+    }
+    // Gate pin: per-pair LCS and similarity over the direction strings.
+    val grid = localGrid()
+    val seqs = grid.map { case (t, series) =>
+      t -> series.zip(series.tail).map { case ((_, pv), (_, v)) =>
+        if (v > pv) 'u' else if (v < pv) 'd' else 'f'
+      }.mkString
+    }
+    val out = operators.Stats.q308(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for ((ta, sa) <- seqs; (tb, sb) <- seqs if ta < tb) {
+      val l = lcsLocal(sa, sb)
+      val row = out((ta, tb))
+      assert(row.getAs[Long]("lcs") == l, s"($ta,$tb): lcs")
+      assert(row.getAs[Double]("lcs_sim") ==
+        r(4)(2.0 * l / (sa.length + sb.length)), s"($ta,$tb): sim")
+    }
+  }
+
+  test("Q309 Haar ladder: per-level energies match a local pyramid") {
+    val grid = localGrid()
+    val out = operators.Trend.q309(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    grid.foreach { case (t, series) =>
+      var cur = series.map(_._2)
+      var totEsc = 0L
+      val perLevel = (1 to 5).map { lvl =>
+        val pairs = cur.grouped(2).toSeq
+        val a0a1 = pairs.map(p => (p.head, if (p.length > 1) p(1) else 0L))
+        cur = a0a1.map { case (x, y) => x + y }
+        val ssq = a0a1.map { case (x, y) => (x - y) * (x - y) }.sum
+        totEsc += ssq * math.pow(4, 5 - lvl).toLong
+        (lvl, a0a1.length.toLong, ssq)
+      }
+      perLevel.foreach { case (lvl, nc, ssq) =>
+        val row = out((t, lvl.toLong))
+        assert(row.getAs[Long]("n_coeffs") == nc, s"$t L$lvl: n_coeffs")
+        assert(row.getAs[Long]("ssq") == ssq, s"$t L$lvl: ssq")
+        assert(row.getAs[Double]("energy") ==
+          r(4)(ssq.toDouble / math.pow(4, lvl)), s"$t L$lvl: energy")
+        if (totEsc > 0) {
+          val esc = ssq * math.pow(4, 5 - lvl).toLong
+          assert(row.getAs[Double]("energy_share") ==
+            r(4)(esc.toDouble / totEsc), s"$t L$lvl: share")
+        }
+      }
+      // shares sum to ~1 and exactly one dominant level is flagged
+      val rows = (1 to 5).map(l => out((t, l.toLong)))
+      assert(rows.map(_.getAs[Long]("is_dominant")).sum >= 1)
+      val shareSum = rows.flatMap(r =>
+        Option(r.getAs[java.lang.Double]("energy_share"))).map(_.toDouble).sum
+      assert(math.abs(shareSum - 1.0) < 0.001, s"$t: shares sum $shareSum")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
