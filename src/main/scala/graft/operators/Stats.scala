@@ -4425,9 +4425,138 @@ object Stats {
        |FROM prs p JOIN lcs l ON l.k = p.k
        |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
+  /** The exact int64 sum Σᵢⱼ|aᵢ − bⱼ| over a collapsed two-sided value
+    * relation: each distinct cents row contributes
+    * cnt_row · (v·cumB − sumB below v, mirrored above) via inclusive
+    * running (count, value·count) cums — ties contribute 0 either way.
+    * Shared by Q311's three pairwise-distance sums.
+    */
+  private def absPairSum(cntA: Column, v: Column, cbI: Column, sbI: Column,
+      cbT: Column, sbT: Column): Column =
+    cntA * (v * cbI - sbI + (sbT - sbI) - v * (cbT - cbI))
+
+  /** Q311 — energy distance between every pair of event types' value
+    * distributions (Székely & Rizzo 2004/2013): ℰ = 2·E|X−Y| −
+    * E|X−X′| − E|Y−Y′|, the two-sample statistic that is zero IFF the
+    * distributions are equal and reads ALL moments — where KS (Q139)
+    * takes the worst ECDF gap and W₁ (Q297) integrates it, energy
+    * distance weighs discrepancies by pairwise separation, which is
+    * what makes the energy test consistent against every alternative.
+    * Emitted in cents with the three exact pairwise sums.
+    *
+    * Determinism: values collapse to exact cents; all three Σ|·−·|
+    * sums are exact int64 via inclusive running cums on the collapsed
+    * domain (no pair enumeration anywhere); ℰ is ONE fixed three-term
+    * expression of exact ints rounded 6.
+    *
+    * Scale notes: the Q139/Q297 collapsed-domain shape — one
+    * per-(type, cents) aggregate, pair replication over DISTINCT
+    * cents only, one window pass per pair. Σ|x−y| ≤ nA·nB·range:
+    * inside int64 to ~10⁶-row sides at this value range; beyond, the
+    * identical plan carries DECIMAL(38,0).
+    */
+  def q311(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = byVal.select(col("event_type")).distinct()
+    val pairTags = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val sided = broadcast(pairTags)
+      .join(byVal, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("cents"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt"))
+          .otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === col("type_b"), col("cnt"))
+          .otherwise(0L)).as("cnt_b"))
+    val wCum = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("type_a"), col("type_b"))
+    val cums = sided
+      .withColumn("ca", sum(col("cnt_a")).over(wCum))
+      .withColumn("sa", sum(col("cnt_a") * col("cents")).over(wCum))
+      .withColumn("cb", sum(col("cnt_b")).over(wCum))
+      .withColumn("sb", sum(col("cnt_b") * col("cents")).over(wCum))
+      .withColumn("na", max(col("ca")).over(wAll))
+      .withColumn("ta", max(col("sa")).over(wAll))
+      .withColumn("nb", max(col("cb")).over(wAll))
+      .withColumn("tb", max(col("sb")).over(wAll))
+    cums.groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(absPairSum(col("cnt_a"), col("cents"), col("cb"), col("sb"),
+          col("nb"), col("tb"))).cast("long").as("sxy"),
+        sum(absPairSum(col("cnt_a"), col("cents"), col("ca"), col("sa"),
+          col("na"), col("ta"))).cast("long").as("sxx"),
+        sum(absPairSum(col("cnt_b"), col("cents"), col("cb"), col("sb"),
+          col("nb"), col("tb"))).cast("long").as("syy"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("sxy"), col("sxx"), col("syy"),
+        expr("ROUND(2 * CAST(sxy AS DOUBLE) / (CAST(na AS DOUBLE) * nb)" +
+          " - CAST(sxx AS DOUBLE) / (CAST(na AS DOUBLE) * na)" +
+          " - CAST(syy AS DOUBLE) / (CAST(nb AS DOUBLE) * nb), 6)")
+          .as("e_cents"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q311Oracle: String = {
+    def aps(cnt: String, cI: String, sI: String, cT: String, sT: String) =
+      s"$cnt * (cents * $cI - $sI + ($sT - $sI) - cents * ($cT - $cI))"
+    s"""WITH byval AS (
+       |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM (SELECT DISTINCT event_type FROM byval) a
+       |  JOIN (SELECT DISTINCT event_type FROM byval) b
+       |    ON a.event_type < b.event_type),
+       |sided AS (
+       |  SELECT p.type_a, p.type_b, v.cents,
+       |    SUM(CASE WHEN v.event_type = p.type_a THEN v.cnt ELSE 0 END)
+       |      AS cnt_a,
+       |    SUM(CASE WHEN v.event_type = p.type_b THEN v.cnt ELSE 0 END)
+       |      AS cnt_b
+       |  FROM pairs p JOIN byval v
+       |    ON v.event_type IN (p.type_a, p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |cums AS (
+       |  SELECT type_a, type_b, cents, cnt_a, cnt_b,
+       |    SUM(cnt_a) OVER w AS ca, SUM(cnt_a * cents) OVER w AS sa,
+       |    SUM(cnt_b) OVER w AS cb, SUM(cnt_b * cents) OVER w AS sb,
+       |    SUM(cnt_a) OVER wa AS na, SUM(cnt_a * cents) OVER wa AS ta,
+       |    SUM(cnt_b) OVER wa AS nb, SUM(cnt_b * cents) OVER wa AS tb
+       |  FROM sided
+       |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY cents
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wa AS (PARTITION BY type_a, type_b)),
+       |sums AS (
+       |  SELECT type_a, type_b,
+       |    CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+       |    CAST(SUM(${aps("cnt_a", "cb", "sb", "nb", "tb")}) AS BIGINT)
+       |      AS sxy,
+       |    CAST(SUM(${aps("cnt_a", "ca", "sa", "na", "ta")}) AS BIGINT)
+       |      AS sxx,
+       |    CAST(SUM(${aps("cnt_b", "cb", "sb", "nb", "tb")}) AS BIGINT)
+       |      AS syy
+       |  FROM cums GROUP BY 1, 2)
+       |SELECT type_a, type_b, na, nb, sxy, sxx, syy,
+       |  ROUND(2 * CAST(sxy AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+       |    - CAST(sxx AS DOUBLE) / (CAST(na AS DOUBLE) * na)
+       |    - CAST(syy AS DOUBLE) / (CAST(nb AS DOUBLE) * nb), 6) AS e_cents
+       |FROM sums
+       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
-    "Q308" -> (q308 _),
+    "Q308" -> (q308 _), "Q311" -> (q311 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4443,7 +4572,7 @@ object Stats {
 
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
-    "Q308" -> q308Oracle,
+    "Q308" -> q308Oracle, "Q311" -> q311Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

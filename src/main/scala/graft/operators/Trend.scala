@@ -1393,8 +1393,123 @@ object Trend {
        |ORDER BY event_type NULLS FIRST, level""".stripMargin
   }
 
+  /** Q310 — Hodges–Lehmann pseudo-median per event type (Hodges &
+    * Lehmann 1963): the median of all n(n+1)/2 Walsh averages
+    * (v_i + v_j)/2, i ≤ j, of the daily cents — the LOCATION sibling
+    * of Q275's Theil–Sen slope (same pairwise-then-rank topology,
+    * ~29% breakdown point) sitting between the mean (efficient,
+    * fragile) and the median (robust, inefficient): the estimator
+    * behind the Wilcoxon signed-rank CI. Emitted beside the plain
+    * median and the mean, with a mean-vs-HL skew signal.
+    *
+    * Determinism: Walsh SUMS v_i + v_j are exact int64; both medians
+    * are rank-selected from sorted multisets (ranks (m+1) DIV 2 and
+    * m DIV 2 + 1, averaged) so no engine median() semantics are
+    * involved; HL = (w_a + w_b)/4 and median = (x_a + x_b)/2 are
+    * single divides of exact ints; the skew verdict compares the
+    * exact integer cross-products 100·|4·Σv − n·W| vs n·W (a 1%
+    * band), never a float.
+    *
+    * Scale notes: Walsh pairs live on the bounded per-type spine
+    * (i ≤ j over ≤ 366 days — the Q275 grouped-bounded contract);
+    * the rank picks are windows over that bounded relation. One
+    * corpus scan feeds the daily aggregate.
+    */
+  def q310(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val a = grid.select(col("event_type"), col("day").as("i"),
+      col("v").as("vi"))
+    val b = grid.select(col("event_type"), col("day").as("j"),
+      col("v").as("vj"))
+    val walsh = a.join(b, Seq("event_type")).filter(col("j") >= col("i"))
+      .select(col("event_type"), (col("vi") + col("vj")).as("w"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("w"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val hl = walsh
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("rk") === expr("(m + 1) DIV 2") ||
+        col("rk") === expr("m DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).cast("long").as("wsum"),
+        count(lit(1)).cast("long").as("npick"))
+      // npick = 1 when both rank picks coincide (odd m with the DIV
+      // algebra picking the same row); scale to the 2-pick sum shape.
+      .select(col("event_type"),
+        expr("CASE WHEN npick = 1 THEN 2 * wsum ELSE wsum END").as("w2"))
+    val vRank = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val med = grid
+      .withColumn("rk", row_number().over(vRank))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("rk") === expr("(n + 1) DIV 2") ||
+        col("rk") === expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("vsum"),
+        count(lit(1)).cast("long").as("npick"))
+      .select(col("event_type"),
+        expr("CASE WHEN npick = 1 THEN 2 * vsum ELSE vsum END").as("v2"))
+    val mom = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("long").as("sv"))
+    mom.join(hl, Seq("event_type")).join(med, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("ROUND(CAST(sv AS DOUBLE) / n, 4)").as("mean_cents"),
+        expr("ROUND(CAST(v2 AS DOUBLE) / 2, 4)").as("median_cents"),
+        expr("ROUND(CAST(w2 AS DOUBLE) / 4, 4)").as("hl_cents"),
+        expr("CASE WHEN 100 * ABS(4 * sv - n * w2) <= n * w2" +
+          " THEN 'symmetric_band' WHEN 4 * sv > n * w2" +
+          " THEN 'mean_above_hl' ELSE 'mean_below_hl' END").as("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q310Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |walsh AS (
+       |  SELECT a.event_type, a.v + b.v AS w
+       |  FROM grid a JOIN grid b
+       |    ON b.event_type = a.event_type AND b.day >= a.day),
+       |wr AS (
+       |  SELECT event_type, w,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |  FROM walsh),
+       |hl AS (
+       |  SELECT event_type,
+       |    CASE WHEN COUNT(*) = 1 THEN 2 * CAST(SUM(w) AS BIGINT)
+       |      ELSE CAST(SUM(w) AS BIGINT) END AS w2
+       |  FROM wr WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1
+       |  GROUP BY 1),
+       |vr AS (
+       |  SELECT event_type, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM grid),
+       |med AS (
+       |  SELECT event_type,
+       |    CASE WHEN COUNT(*) = 1 THEN 2 * CAST(SUM(v) AS BIGINT)
+       |      ELSE CAST(SUM(v) AS BIGINT) END AS v2
+       |  FROM vr WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+       |  GROUP BY 1),
+       |mom AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(v) AS BIGINT) AS sv
+       |  FROM grid GROUP BY 1)
+       |SELECT m.event_type, m.n AS n_days,
+       |  ROUND(CAST(m.sv AS DOUBLE) / m.n, 4) AS mean_cents,
+       |  ROUND(CAST(d.v2 AS DOUBLE) / 2, 4) AS median_cents,
+       |  ROUND(CAST(h.w2 AS DOUBLE) / 4, 4) AS hl_cents,
+       |  CASE WHEN 100 * ABS(4 * m.sv - m.n * h.w2) <= m.n * h.w2
+       |    THEN 'symmetric_band' WHEN 4 * m.sv > m.n * h.w2
+       |    THEN 'mean_above_hl' ELSE 'mean_below_hl' END AS verdict
+       |FROM mom m JOIN hl h ON h.event_type = m.event_type
+       |JOIN med d ON d.event_type = m.event_type
+       |ORDER BY m.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q309" -> (q309 _),
+    "Q309" -> (q309 _), "Q310" -> (q310 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
@@ -1402,7 +1517,7 @@ object Trend {
     "Q296" -> (q296 _))
 
   def oracles: Map[String, String] = Map(
-    "Q309" -> q309Oracle,
+    "Q309" -> q309Oracle, "Q310" -> q310Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,

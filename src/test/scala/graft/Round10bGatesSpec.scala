@@ -572,6 +572,53 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q310 Hodges-Lehmann: pseudo-median matches the brute-force Walsh median") {
+    val grid = localGrid()
+    val out = operators.Trend.q310(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    grid.foreach { case (t, series) =>
+      val vs = series.map(_._2)
+      val walsh = (for {
+        i <- vs.indices; j <- vs.indices if j >= i
+      } yield vs(i) + vs(j)).sorted
+      val m = walsh.length
+      val hl = (walsh((m + 1) / 2 - 1) + walsh(m / 2)).toDouble / 4
+      val sorted = vs.sorted
+      val n = sorted.length
+      val med = (sorted((n + 1) / 2 - 1) + sorted(n / 2)).toDouble / 2
+      val row = out(t)
+      assert(row.getAs[Double]("hl_cents") == r(4)(hl), s"$t: HL")
+      assert(row.getAs[Double]("median_cents") == r(4)(med), s"$t: median")
+      assert(row.getAs[Double]("mean_cents") ==
+        r(4)(vs.sum.toDouble / n), s"$t: mean")
+    }
+  }
+
+  test("Q311 energy distance: collapsed-domain sums match brute-force pair enumeration") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val out = operators.Stats.q311(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def apsum(a: Seq[Long], b: Seq[Long]): Long =
+      a.map(x => b.map(y => math.abs(x - y)).sum).sum
+    for ((ta, va) <- vals; (tb, vb) <- vals if ta < tb) {
+      val (sxy, sxx, syy) = (apsum(va, vb), apsum(va, va), apsum(vb, vb))
+      val (na, nb) = (va.length.toLong, vb.length.toLong)
+      val row = out((ta, tb))
+      assert(row.getAs[Long]("sxy") == sxy && row.getAs[Long]("sxx") == sxx
+        && row.getAs[Long]("syy") == syy, s"($ta,$tb): pair sums")
+      val e = 2.0 * sxy / (na.toDouble * nb) - sxx.toDouble / (na.toDouble * na) -
+        syy.toDouble / (nb.toDouble * nb)
+      assert(row.getAs[Double]("e_cents") == r(6)(e), s"($ta,$tb): energy")
+      // nonnegativity of the population statistic's estimator form
+      assert(row.getAs[Double]("e_cents") >= 0, s"($ta,$tb): negative energy")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
