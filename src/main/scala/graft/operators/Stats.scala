@@ -4554,9 +4554,135 @@ object Stats {
        |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
   }
 
+  /** Q312 — Kendall τ-b dependence matrix over lineitem's three discrete
+    * measures (quantity, discount, tax), pairwise (Kendall 1938; the
+    * tie-corrected τ-b of Agresti, *Analysis of Ordinal Categorical
+    * Data*). Where Q137's Pearson r reads only linear co-movement and
+    * Q161's Spearman needs full midrank vectors, τ-b is the ordinal
+    * association measure of record for heavily-tied discrete domains —
+    * exactly these (50/11/9 distinct values): C and D count concordant /
+    * discordant observation pairs, and the denominator removes pairs
+    * tied in either margin.
+    *
+    * Determinism: measures collapse to exact cents; C, D, n₀ and both
+    * tie terms are exact int64 assembled from cell counts; τ-b is ONE
+    * fixed expression of those ints rounded 6, and the verdict reads the
+    * already-rounded value.
+    *
+    * Scale notes: the corpus is scanned ONCE (stack → long form), then
+    * everything runs on the collapsed (pair, x, y) cell relation whose
+    * size is value-domain-bounded (≤ 50·11 + 50·9 + 11·9 = 1 049 cells
+    * at ANY row count — 100 TB included); the C/D cell self-join is a
+    * broadcast over that bounded relation, never an observation-level
+    * pair join. Int64 headroom: C, D ≤ n(n−1)/2, inside int64 to
+    * n ≈ 4·10⁹ rows; the τ denominator is formed in double (its exact
+    * int form could overflow at ~10⁶ rows, so BOTH texts cast the two
+    * factors to double before multiplying).
+    */
+  def q312(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.lineitem
+      .select(round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc"),
+        round(col("l_tax") * 100).cast("long").as("tax"))
+      .selectExpr("stack(3, 'qty_disc', qty, disc, 'qty_tax', qty, tax, " +
+        "'disc_tax', disc, tax) AS (pair, x, y)")
+      .groupBy(col("pair"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = cells.groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n"))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+    def tieTerm(margin: String, out: String): DataFrame = cells
+      .groupBy(col("pair"), col(margin))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("pair"))
+      .agg(sum(expr("t * (t - 1) DIV 2")).as(out))
+    val cd = cells
+      .select(col("pair"), col("x").as("xa"), col("y").as("ya"),
+        col("cnt").as("ca"))
+      .join(broadcast(cells.select(col("pair"), col("x").as("xb"),
+        col("y").as("yb"), col("cnt").as("cb"))),
+        Seq("pair"))
+      .where(col("xa") < col("xb"))
+      .groupBy(col("pair"))
+      .agg(sum(when(col("ya") < col("yb"), col("ca") * col("cb"))
+          .otherwise(0L)).as("concordant"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
+          .otherwise(0L)).as("discordant"))
+    tot.join(tieTerm("x", "tied_x"), Seq("pair"))
+      .join(tieTerm("y", "tied_y"), Seq("pair"))
+      .join(cd, Seq("pair"))
+      .select(col("pair"), col("n"), col("n0"), col("tied_x"),
+        col("tied_y"), col("concordant"), col("discordant"),
+        expr("CASE WHEN n0 - tied_x <= 0 OR n0 - tied_y <= 0 THEN NULL " +
+          "ELSE ROUND(CAST(concordant - discordant AS DOUBLE) / " +
+          "SQRT(CAST(n0 - tied_x AS DOUBLE) * " +
+          "CAST(n0 - tied_y AS DOUBLE)), 6) END").as("tau_b"))
+      .withColumn("verdict", expr("CASE WHEN tau_b IS NULL " +
+        "THEN 'degenerate' WHEN ABS(tau_b) >= 0.05 THEN 'dependent' " +
+        "ELSE 'independent' END"))
+      .orderBy(asc_nulls_first("pair"))
+  }
+
+  val q312Oracle: String =
+    """WITH li AS (
+      |  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+      |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+      |    CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax
+      |  FROM lineitem),
+      |longf AS (
+      |  SELECT 'qty_disc' AS pair, qty AS x, disc AS y FROM li
+      |  UNION ALL SELECT 'qty_tax', qty, tax FROM li
+      |  UNION ALL SELECT 'disc_tax', disc, tax FROM li),
+      |cells AS (
+      |  SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM longf GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) * (CAST(SUM(cnt) AS BIGINT) - 1) // 2
+      |      AS n0
+      |  FROM cells GROUP BY 1),
+      |tx AS (
+      |  SELECT pair, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tied_x
+      |  FROM (SELECT pair, x, CAST(SUM(cnt) AS BIGINT) AS t
+      |        FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |ty AS (
+      |  SELECT pair, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tied_y
+      |  FROM (SELECT pair, y, CAST(SUM(cnt) AS BIGINT) AS t
+      |        FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |cd AS (
+      |  SELECT a.pair,
+      |    CAST(SUM(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS concordant,
+      |    CAST(SUM(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS discordant
+      |  FROM cells a JOIN cells b ON a.pair = b.pair AND a.x < b.x
+      |  GROUP BY 1),
+      |out AS (
+      |  SELECT t.pair, t.n, t.n0, tx.tied_x, ty.tied_y,
+      |    cd.concordant, cd.discordant,
+      |    CASE WHEN t.n0 - tx.tied_x <= 0 OR t.n0 - ty.tied_y <= 0
+      |      THEN NULL
+      |      ELSE ROUND(CAST(cd.concordant - cd.discordant AS DOUBLE) /
+      |        SQRT(CAST(t.n0 - tx.tied_x AS DOUBLE) *
+      |        CAST(t.n0 - ty.tied_y AS DOUBLE)), 6) END AS tau_b
+      |  FROM tot t
+      |  JOIN tx ON tx.pair = t.pair
+      |  JOIN ty ON ty.pair = t.pair
+      |  JOIN cd ON cd.pair = t.pair)
+      |SELECT pair, n, n0, tied_x, tied_y, concordant, discordant, tau_b,
+      |  CASE WHEN tau_b IS NULL THEN 'degenerate'
+      |    WHEN ABS(tau_b) >= 0.05 THEN 'dependent'
+      |    ELSE 'independent' END AS verdict
+      |FROM out
+      |ORDER BY pair NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
-    "Q308" -> (q308 _), "Q311" -> (q311 _),
+    "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4572,7 +4698,7 @@ object Stats {
 
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
-    "Q308" -> q308Oracle, "Q311" -> q311Oracle,
+    "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

@@ -619,6 +619,53 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q312 Kendall tau-b: cell-join C/D/ties match a direct nested-loop count") {
+    val c = Catalog(spark, dir)
+    val rows = c.lineitem
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val measures = Map(
+      "qty_disc" -> rows.map(t => (t._1, t._2)),
+      "qty_tax" -> rows.map(t => (t._1, t._3)),
+      "disc_tax" -> rows.map(t => (t._2, t._3)))
+    val out = Stats.q312(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == measures.keySet)
+    measures.foreach { case (pair, xs) =>
+      // Independent path: contingency cells + direct nested-loop cell
+      // enumeration (the engine uses a broadcast self-join).
+      val cells = xs.groupBy(identity).map { case (k, g) =>
+        (k._1, k._2, g.length.toLong)
+      }.toSeq
+      var conc = 0L; var disc = 0L
+      for ((xa, ya, ca) <- cells; (xb, yb, cb) <- cells if xa < xb) {
+        if (ya < yb) conc += ca * cb
+        else if (ya > yb) disc += ca * cb
+      }
+      val n = xs.length.toLong
+      val n0 = n * (n - 1) / 2
+      def ties(sel: ((Long, Long)) => Long): Long =
+        xs.groupBy(sel).values.map { g =>
+          val t = g.length.toLong; t * (t - 1) / 2
+        }.sum
+      val (tx, ty) = (ties(_._1), ties(_._2))
+      val row = out(pair)
+      assert(row.getAs[Long]("n") == n && row.getAs[Long]("n0") == n0,
+        s"$pair: n/n0")
+      assert(row.getAs[Long]("concordant") == conc &&
+        row.getAs[Long]("discordant") == disc, s"$pair: C/D")
+      assert(row.getAs[Long]("tied_x") == tx &&
+        row.getAs[Long]("tied_y") == ty, s"$pair: ties")
+      val tau = (conc - disc).toDouble /
+        math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+      assert(row.getAs[Double]("tau_b") == r(6)(tau), s"$pair: tau_b")
+      // τ-b is a correlation: bounded to [-1, 1]
+      assert(math.abs(row.getAs[Double]("tau_b")) <= 1.0, s"$pair: range")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
