@@ -4680,9 +4680,121 @@ object Stats {
       |FROM out
       |ORDER BY pair NULLS FIRST""".stripMargin
 
+  /** Q313 — Cramér–von Mises two-sample statistic between every pair of
+    * event types' value distributions (Cramér 1928; Anderson 1962's
+    * two-sample form): T = nm/(n+m)² · Σ over POOLED observations of
+    * (F_n − G_m)², i.e. the L² distance between the ECDFs. Completes
+    * the ECDF-distance family: KS (Q139) takes the sup gap, W₁ (Q297)
+    * its L¹ integral, energy distance (Q311) the all-pairs form — CvM
+    * is the L² member, the one with the classical tabulated null
+    * (reject at 5% when T ≥ 0.461).
+    *
+    * Determinism: on the collapsed cents domain the ECDF gap at a
+    * pooled point is the exact int64 cross-count d = m·cumA − n·cumB,
+    * and Σ w·d² is carried EXACTLY in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — d² alone can pass 2⁶³ at sf0.1 — then cast
+    * once to double; T is ONE fixed expression of that exact integer
+    * rounded 6, and the verdict reads the rounded T.
+    *
+    * Scale notes: the Q139/Q297/Q311 collapsed-domain shape — one
+    * per-(type, cents) aggregate, pair replication over DISTINCT cents
+    * only, one window pass per pair; never an observation-level join.
+    * The decimal carrier is exact to ~10⁶-row sides (Σw·d² ≤ (n+m)·
+    * (nm)² < 10³⁸); beyond that the identical plan carries the gap in
+    * double with ~1 ulp noise on a statistic read against 0.461.
+    */
+  def q313(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = byVal.select(col("event_type")).distinct()
+    val pairTags = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val sided = broadcast(pairTags)
+      .join(byVal, col("event_type") === col("type_a") ||
+        col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("cents"))
+      .agg(sum(when(col("event_type") === col("type_a"), col("cnt"))
+          .otherwise(0L)).as("cnt_a"),
+        sum(when(col("event_type") === col("type_b"), col("cnt"))
+          .otherwise(0L)).as("cnt_b"))
+    val wCum = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("type_a"), col("type_b"))
+    sided
+      .withColumn("ca", sum(col("cnt_a")).over(wCum))
+      .withColumn("cb", sum(col("cnt_b")).over(wCum))
+      .withColumn("na", max(col("ca")).over(wAll))
+      .withColumn("nb", max(col("cb")).over(wAll))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(expr("CAST(nb * ca - na * cb AS DECIMAL(38,0)) * " +
+          "CAST(nb * ca - na * cb AS DECIMAL(38,0)) * " +
+          "CAST(cnt_a + cnt_b AS DECIMAL(38,0))")).as("udec"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("CAST(udec AS DOUBLE)").as("sum_w_d2"),
+        expr("ROUND(CAST(udec AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b *" +
+          " (n_a + n_b) * (n_a + n_b)), 6)").as("t_cvm"))
+      .withColumn("verdict", expr("CASE WHEN t_cvm >= 0.461 " +
+        "THEN 'different' ELSE 'same' END"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q313Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM byval) a
+      |  JOIN (SELECT DISTINCT event_type FROM byval) b
+      |    ON a.event_type < b.event_type),
+      |sided AS (
+      |  SELECT p.type_a, p.type_b, v.cents,
+      |    CAST(SUM(CASE WHEN v.event_type = p.type_a THEN v.cnt
+      |      ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN v.event_type = p.type_b THEN v.cnt
+      |      ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM pairs p JOIN byval v
+      |    ON v.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |cums AS (
+      |  SELECT type_a, type_b, cents, cnt_a, cnt_b,
+      |    CAST(SUM(cnt_a) OVER w AS BIGINT) AS ca,
+      |    CAST(SUM(cnt_b) OVER w AS BIGINT) AS cb,
+      |    CAST(SUM(cnt_a) OVER wa AS BIGINT) AS na,
+      |    CAST(SUM(cnt_b) OVER wa AS BIGINT) AS nb
+      |  FROM sided
+      |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY cents
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY type_a, type_b)),
+      |sums AS (
+      |  SELECT type_a, type_b, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |    SUM(CAST(nb * ca - na * cb AS HUGEINT) *
+      |        CAST(nb * ca - na * cb AS HUGEINT) *
+      |        CAST(cnt_a + cnt_b AS HUGEINT)) AS udec
+      |  FROM cums GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  CAST(udec AS DOUBLE) AS sum_w_d2,
+      |  ROUND(CAST(udec AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b *
+      |    (n_a + n_b) * (n_a + n_b)), 6) AS t_cvm,
+      |  CASE WHEN ROUND(CAST(udec AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b
+      |    * (n_a + n_b) * (n_a + n_b)), 6) >= 0.461
+      |    THEN 'different' ELSE 'same' END AS verdict
+      |FROM sums
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
+    "Q313" -> (q313 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4699,6 +4811,7 @@ object Stats {
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
+    "Q313" -> q313Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

@@ -666,6 +666,34 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q313 Cramer-von Mises: window-pass U matches direct ECDF evaluation") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val out = operators.Stats.q313(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for ((ta, va) <- vals; (tb, vb) <- vals if ta < tb) {
+      val (n, m) = (va.length.toLong, vb.length.toLong)
+      // Direct: evaluate both ECDF counts at every pooled observation.
+      def cumAt(sorted: Seq[Long], x: Long): Long =
+        sorted.count(_ <= x).toLong
+      val u = (va ++ vb).map { x =>
+        val d = m * cumAt(va, x) - n * cumAt(vb, x)
+        BigInt(d) * BigInt(d)
+      }.sum
+      val row = out((ta, tb))
+      assert(row.getAs[Long]("n_a") == n && row.getAs[Long]("n_b") == m,
+        s"($ta,$tb): sizes")
+      assert(row.getAs[Double]("sum_w_d2") == u.toDouble, s"($ta,$tb): U")
+      val t = u.toDouble / (n.toDouble * m * (n + m) * (n + m))
+      assert(row.getAs[Double]("t_cvm") == r(6)(t), s"($ta,$tb): T")
+      assert(row.getAs[Double]("t_cvm") >= 0, s"($ta,$tb): nonneg")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
