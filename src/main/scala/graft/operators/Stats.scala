@@ -4791,10 +4791,122 @@ object Stats {
       |FROM sums
       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
+  /** Q314 — Mood's median test, decomposed per event type (Mood 1950;
+    * Brown & Mood 1951): dichotomize every event's value against the
+    * GRAND pooled median (exact lower order statistic, ties dropped per
+    * the classical prescription) and test each type's above-median count
+    * against its expectation with the ADJUSTED standardized residual
+    * z = (o − n_t·A/N) / √(n_t·(A/N)·(B/N)·(1 − n_t/N)) — the k-sample
+    * location screen that needs NO distributional shape at all, the
+    * coarse-but-robust sibling of Mann–Whitney (Q280-era) and the
+    * per-type decomposition the omnibus χ² form hides.
+    *
+    * Determinism: the grand median is an exact order statistic on the
+    * collapsed cents domain; every count is exact int64; the residual
+    * numerator N·o − n_t·A is ONE exact int64 and z ONE fixed float
+    * shape rounded 4; the verdict reads the rounded z.
+    *
+    * Scale notes: one corpus scan collapses to (type, cents) cells; the
+    * median is one cumulative pass over the POOLED cells (value-domain-
+    * bounded, single global window on a bounded relation); per-type
+    * counts are one more pass over the cells; totals broadcast. The
+    * int64 numerator N·o holds to N ≈ 3·10⁹ events; beyond, the same
+    * plan casts before the product (documented, not silent).
+    */
+  def q314(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val pooled = byVal.groupBy(col("cents")).agg(sum(col("cnt")).as("w"))
+    val ntot = pooled.agg(sum(col("w")).as("ntot"))
+    val wCum = Window.orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = pooled.withColumn("cum", sum(col("w")).over(wCum))
+      .crossJoin(broadcast(ntot))
+      .where(col("cum") >= expr("(ntot + 1) DIV 2"))
+      .agg(min(col("cents")).as("grand_median_cents"))
+    val perType = byVal.crossJoin(broadcast(med))
+      .groupBy(col("event_type"), col("grand_median_cents"))
+      .agg(sum(when(col("cents") > col("grand_median_cents"), col("cnt"))
+          .otherwise(0L)).as("n_above"),
+        sum(when(col("cents") < col("grand_median_cents"), col("cnt"))
+          .otherwise(0L)).as("n_below"),
+        sum(when(col("cents") === col("grand_median_cents"), col("cnt"))
+          .otherwise(0L)).as("n_ties"))
+    val tots = perType.agg(sum(col("n_above")).as("ta"),
+      sum(col("n_below")).as("tb"))
+    perType.crossJoin(broadcast(tots))
+      .withColumn("nt", col("n_above") + col("n_below"))
+      .withColumn("nn", col("ta") + col("tb"))
+      .select(col("event_type"), col("grand_median_cents"),
+        col("n_above"), col("n_below"), col("n_ties"),
+        col("nt").as("n_used"),
+        expr("CASE WHEN nt = 0 OR ta = 0 OR tb = 0 OR nn - nt = 0 " +
+          "THEN NULL ELSE ROUND(CAST(nn * n_above - nt * ta AS DOUBLE) /" +
+          " SQRT(CAST(nt AS DOUBLE) * ta * tb * (nn - nt) / nn), 4) END")
+          .as("z_med"))
+      .withColumn("verdict", expr("CASE WHEN z_med IS NULL " +
+        "THEN 'degenerate' WHEN z_med >= 1.96 THEN 'above_median' " +
+        "WHEN z_med <= -1.96 THEN 'below_median' ELSE 'centered' END"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q314Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pooled AS (
+      |  SELECT cents, CAST(SUM(cnt) AS BIGINT) AS w
+      |  FROM byval GROUP BY 1),
+      |tot0 AS (SELECT CAST(SUM(w) AS BIGINT) AS ntot FROM pooled),
+      |med AS (
+      |  SELECT MIN(cents) AS grand_median_cents
+      |  FROM (SELECT cents, CAST(SUM(w) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum FROM pooled) c, tot0
+      |  WHERE cum >= (ntot + 1) // 2),
+      |pertype AS (
+      |  SELECT event_type, grand_median_cents,
+      |    CAST(SUM(CASE WHEN cents > grand_median_cents THEN cnt
+      |      ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(SUM(CASE WHEN cents < grand_median_cents THEN cnt
+      |      ELSE 0 END) AS BIGINT) AS n_below,
+      |    CAST(SUM(CASE WHEN cents = grand_median_cents THEN cnt
+      |      ELSE 0 END) AS BIGINT) AS n_ties
+      |  FROM byval, med GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+      |    CAST(SUM(n_below) AS BIGINT) AS tb
+      |  FROM pertype),
+      |out AS (
+      |  SELECT p.event_type, p.grand_median_cents, p.n_above, p.n_below,
+      |    p.n_ties, p.n_above + p.n_below AS n_used,
+      |    CASE WHEN p.n_above + p.n_below = 0 OR t.ta = 0 OR t.tb = 0
+      |        OR (t.ta + t.tb) - (p.n_above + p.n_below) = 0 THEN NULL
+      |      ELSE ROUND(CAST((t.ta + t.tb) * p.n_above -
+      |        (p.n_above + p.n_below) * t.ta AS DOUBLE) /
+      |        SQRT(CAST(p.n_above + p.n_below AS DOUBLE) * t.ta * t.tb *
+      |        ((t.ta + t.tb) - (p.n_above + p.n_below)) / (t.ta + t.tb)),
+      |        4) END AS z_med
+      |  FROM pertype p, tots t)
+      |SELECT event_type, grand_median_cents, n_above, n_below, n_ties,
+      |  n_used, z_med,
+      |  CASE WHEN z_med IS NULL THEN 'degenerate'
+      |    WHEN z_med >= 1.96 THEN 'above_median'
+      |    WHEN z_med <= -1.96 THEN 'below_median'
+      |    ELSE 'centered' END AS verdict
+      |FROM out
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
-    "Q313" -> (q313 _),
+    "Q313" -> (q313 _), "Q314" -> (q314 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4811,7 +4923,7 @@ object Stats {
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
-    "Q313" -> q313Oracle,
+    "Q313" -> q313Oracle, "Q314" -> q314Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

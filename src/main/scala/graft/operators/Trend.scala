@@ -1508,8 +1508,94 @@ object Trend {
        |JOIN med d ON d.event_type = m.event_type
        |ORDER BY m.event_type NULLS FIRST""".stripMargin
 
+  /** Q315 — turning-point randomness test per event type on the
+    * zero-filled daily revenue series (Kendall & Stuart, *The Advanced
+    * Theory of Statistics* vol. 3 §45.18): count strict local extrema
+    * T among the n−2 interior days and test against the exact null
+    * moments E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. ORTHOGONAL to the
+    * runs test (Q240, level clustering around the median) and
+    * Mann–Kendall (Q227, monotone drift): turning points read the
+    * SMOOTHNESS of increments — too many ⇒ high-frequency oscillation,
+    * too few ⇒ momentum/inertia — which both of those miss.
+    *
+    * Determinism: peaks/troughs are strict integer comparisons on
+    * exact cents; the z numerator 3T − 2(n−2) is exact int64 and z ONE
+    * fixed float shape rounded 4; the verdict reads the rounded z.
+    * Flat interior days (a tied neighbor) are counted and excluded
+    * from T, per the strict-extremum definition.
+    *
+    * Scale notes: spine-bounded — one lag+lead window pass over the
+    * types × calendar-days grid; no joins beyond the shared grid
+    * build.
+    */
+  def q315(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid.withColumn("pv", lag(col("v"), 1).over(wd))
+      .withColumn("nv", lead(col("v"), 1).over(wd))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("pv").isNotNull && col("nv").isNotNull &&
+          col("v") > col("pv") && col("v") > col("nv"), 1L)
+          .otherwise(0L)).as("n_peaks"),
+        sum(when(col("pv").isNotNull && col("nv").isNotNull &&
+          col("v") < col("pv") && col("v") < col("nv"), 1L)
+          .otherwise(0L)).as("n_troughs"),
+        sum(when(col("pv").isNotNull && col("nv").isNotNull &&
+          (col("v") === col("pv") || col("v") === col("nv")), 1L)
+          .otherwise(0L)).as("n_flat"))
+      .select(col("event_type"), col("n_days"), col("n_peaks"),
+        col("n_troughs"), col("n_flat"),
+        (col("n_peaks") + col("n_troughs")).as("n_turning"),
+        expr("CASE WHEN n_days < 3 THEN NULL ELSE " +
+          "ROUND(CAST(3 * (n_peaks + n_troughs) - 2 * (n_days - 2) " +
+          "AS DOUBLE) / (3 * SQRT(CAST(16 * n_days - 29 AS DOUBLE) " +
+          "/ 90)), 4) END").as("z"))
+      .withColumn("verdict", expr("CASE WHEN z IS NULL " +
+        "THEN 'degenerate' WHEN z > 1.96 THEN 'oscillating' " +
+        "WHEN z < -1.96 THEN 'smooth' ELSE 'random' END"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q315Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |lagged AS (
+       |  SELECT event_type, v,
+       |    LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+       |    LEAD(v) OVER (PARTITION BY event_type ORDER BY day) AS nv
+       |  FROM grid),
+       |agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |      AND v > pv AND v > nv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_peaks,
+       |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |      AND v < pv AND v < nv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_troughs,
+       |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |      AND (v = pv OR v = nv) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flat
+       |  FROM lagged GROUP BY 1),
+       |out AS (
+       |  SELECT event_type, n_days, n_peaks, n_troughs, n_flat,
+       |    n_peaks + n_troughs AS n_turning,
+       |    CASE WHEN n_days < 3 THEN NULL ELSE
+       |      ROUND(CAST(3 * (n_peaks + n_troughs) - 2 * (n_days - 2)
+       |      AS DOUBLE) / (3 * SQRT(CAST(16 * n_days - 29 AS DOUBLE)
+       |      / 90)), 4) END AS z
+       |  FROM agg)
+       |SELECT event_type, n_days, n_peaks, n_troughs, n_flat, n_turning,
+       |  z,
+       |  CASE WHEN z IS NULL THEN 'degenerate'
+       |    WHEN z > 1.96 THEN 'oscillating'
+       |    WHEN z < -1.96 THEN 'smooth'
+       |    ELSE 'random' END AS verdict
+       |FROM out
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q309" -> (q309 _), "Q310" -> (q310 _),
+    "Q309" -> (q309 _), "Q310" -> (q310 _), "Q315" -> (q315 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
@@ -1517,7 +1603,7 @@ object Trend {
     "Q296" -> (q296 _))
 
   def oracles: Map[String, String] = Map(
-    "Q309" -> q309Oracle, "Q310" -> q310Oracle,
+    "Q309" -> q309Oracle, "Q310" -> q310Oracle, "Q315" -> q315Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,

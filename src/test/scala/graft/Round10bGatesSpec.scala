@@ -694,6 +694,69 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q314 Mood median test: counts and residuals match a direct dichotomization") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = vals.map(_._2).sorted
+    val gm = all((all.length + 1) / 2 - 1) // exact lower median
+    val byType = vals.groupBy(_._1).map { case (t, xs) =>
+      val vs = xs.map(_._2)
+      t -> (vs.count(_ > gm).toLong, vs.count(_ < gm).toLong,
+        vs.count(_ == gm).toLong)
+    }
+    val ta = byType.values.map(_._1).sum
+    val tb = byType.values.map(_._2).sum
+    val nn = ta + tb
+    val out = operators.Stats.q314(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (t, (oa, ob, ot)) =>
+      val row = out(t)
+      assert(row.getAs[Long]("grand_median_cents") == gm, s"$t: median")
+      assert(row.getAs[Long]("n_above") == oa &&
+        row.getAs[Long]("n_below") == ob &&
+        row.getAs[Long]("n_ties") == ot, s"$t: counts")
+      val nt = oa + ob
+      val z = (nn * oa - nt * ta).toDouble /
+        math.sqrt(nt.toDouble * ta * tb * (nn - nt) / nn)
+      assert(row.getAs[Double]("z_med") == r(4)(z), s"$t: z")
+    }
+    // the above-median residuals balance: sum of numerators is zero
+    val numSum = byType.values.map { case (oa, ob, _) =>
+      nn * oa - (oa + ob) * ta
+    }.sum
+    assert(numSum == 0L, "residual numerators must sum to zero")
+  }
+
+  test("Q315 turning points: extrema counts and z match a sequential scan") {
+    val grid = localGrid()
+    val out = operators.Trend.q315(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == grid.keySet)
+    grid.foreach { case (t, series) =>
+      val vs = series.map(_._2)
+      val n = vs.length
+      var peaks = 0L; var troughs = 0L; var flat = 0L
+      for (i <- 1 until n - 1) {
+        if (vs(i) > vs(i - 1) && vs(i) > vs(i + 1)) peaks += 1
+        else if (vs(i) < vs(i - 1) && vs(i) < vs(i + 1)) troughs += 1
+        else if (vs(i) == vs(i - 1) || vs(i) == vs(i + 1)) flat += 1
+      }
+      val row = out(t)
+      assert(row.getAs[Long]("n_days") == n.toLong, s"$t: n")
+      assert(row.getAs[Long]("n_peaks") == peaks &&
+        row.getAs[Long]("n_troughs") == troughs &&
+        row.getAs[Long]("n_flat") == flat, s"$t: extrema")
+      val tp = peaks + troughs
+      val z = (3 * tp - 2L * (n - 2)).toDouble /
+        (3 * math.sqrt((16.0 * n - 29) / 90))
+      assert(row.getAs[Double]("z") == r(4)(z), s"$t: z")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
