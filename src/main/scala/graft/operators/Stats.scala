@@ -4903,10 +4903,132 @@ object Stats {
       |FROM out
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q316 — partial correlation matrix over lineitem's three discrete
+    * measures: for each pair, the Pearson correlation CONTROLLING for
+    * the third variable, r_xy·z = (C_xy·C_zz − C_xz·C_yz) /
+    * √((C_xx·C_zz − C_xz²)(C_yy·C_zz − C_yz²)) on the centered-sum
+    * matrix C_ab = n·Σab − Σa·Σb (Yule 1907; Anderson, *Introduction to
+    * Multivariate Statistical Analysis* §4.3). Reported beside the
+    * zero-order r so a confounded pair (r large, partial ≈ 0) is
+    * visible — the screen Q137/Q161's marginal matrices can't give.
+    *
+    * Determinism: measures are exact cents; all nine sufficient sums
+    * accumulate in DECIMAL(38,0) (cast BEFORE the product, the Q127
+    * rule) / HUGEINT, each C_ab is assembled EXACTLY there and cast
+    * ONCE to double; r and the partial are fixed double expressions of
+    * those casts rounded 4, and the verdict reads rounded values.
+    *
+    * Scale notes: ONE aggregate pass over the corpus to a single
+    * 10-field summary row (map-side combined); the three output rows
+    * explode from that one row — no join, no second scan, no shuffle
+    * beyond the scalar aggregate, at any data size.
+    */
+  def q316(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val meas = Seq("qty", "disc", "tax")
+    val base = c.lineitem.select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    val dec = "decimal(38,0)"
+    def d(m: String): Column = col(m).cast(dec)
+    val pairsIdx = for {
+      i <- meas.indices; j <- meas.indices if i <= j
+    } yield (meas(i), meas(j))
+    val sums = base.agg(count(lit(1)).as("n"),
+      meas.map(m => sum(d(m)).as(s"s_$m")) ++
+        pairsIdx.map { case (a, b) =>
+          sum(d(a) * d(b)).as(s"sp_${a}_$b") }: _*)
+    val withC = pairsIdx.foldLeft(sums) { case (df, (a, b)) =>
+      df.withColumn(s"c_${a}_$b",
+        expr(s"CAST(CAST(n AS DECIMAL(38,0)) * sp_${a}_$b " +
+          s"- s_$a * s_$b AS DOUBLE)"))
+    }
+    // (x, y, control) triples in fixed order
+    val triples = Seq(("qty", "disc", "tax"), ("qty", "tax", "disc"),
+      ("disc", "tax", "qty"))
+    def cc(a: String, b: String): Column = {
+      val (x, y) = if (meas.indexOf(a) <= meas.indexOf(b)) (a, b)
+      else (b, a)
+      col(s"c_${x}_$y")
+    }
+    val rows = triples.map { case (x, y, z) =>
+      val num = cc(x, y) * cc(z, z) - cc(x, z) * cc(y, z)
+      val dx = cc(x, x) * cc(z, z) - cc(x, z) * cc(x, z)
+      val dy = cc(y, y) * cc(z, z) - cc(y, z) * cc(y, z)
+      val r0den = sqrt(cc(x, x) * cc(y, y))
+      struct(lit(x).as("measure_x"), lit(y).as("measure_y"),
+        lit(z).as("control"),
+        round(cc(x, y) / when(r0den =!= 0, r0den), 4).as("r_xy"),
+        when(dx > 0 && dy > 0,
+          round(num / sqrt(dx * dy), 4)).as("r_partial"))
+    }
+    withC.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.measure_x"), col("p.measure_y"), col("p.control"),
+        col("n"), col("p.r_xy"), col("p.r_partial"))
+      .withColumn("verdict", expr("CASE WHEN r_partial IS NULL " +
+        "THEN 'degenerate' WHEN ABS(r_partial) >= 0.05 " +
+        "THEN 'dependent' ELSE 'independent' END"))
+      .orderBy(asc_nulls_first("measure_x"), asc_nulls_first("measure_y"))
+  }
+
+  val q316Oracle: String = {
+    // C_ab over HUGEINT sums, cast once to double — same exact integer,
+    // same IEEE double, as the engine's DECIMAL(38,0) path.
+    def cAs(a: String, b: String) =
+      s"CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) AS c_${a}_$b"
+    def partial(x: String, y: String, z: String, cn: (String, String) => String) = {
+      val num = s"(${cn(x, y)} * ${cn(z, z)} - ${cn(x, z)} * ${cn(y, z)})"
+      val dx = s"(${cn(x, x)} * ${cn(z, z)} - ${cn(x, z)} * ${cn(x, z)})"
+      val dy = s"(${cn(y, y)} * ${cn(z, z)} - ${cn(y, z)} * ${cn(y, z)})"
+      s"""SELECT '$x' AS measure_x, '$y' AS measure_y, '$z' AS control,
+         |  n, ROUND(${cn(x, y)} / NULLIF(SQRT(${cn(x, x)} * ${cn(y, y)}),
+         |    0), 4) AS r_xy,
+         |  CASE WHEN $dx > 0 AND $dy > 0 THEN
+         |    ROUND($num / SQRT($dx * $dy), 4) END AS r_partial
+         |FROM cmat""".stripMargin
+    }
+    val cn = (a: String, b: String) => {
+      val ms = Seq("qty", "disc", "tax")
+      val (x, y) = if (ms.indexOf(a) <= ms.indexOf(b)) (a, b) else (b, a)
+      s"c_${x}_$y"
+    }
+    s"""WITH li AS (
+       |  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+       |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+       |    CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(qty) AS s_qty, SUM(disc) AS s_disc, SUM(tax) AS s_tax,
+       |    SUM(qty * qty) AS sp_qty_qty, SUM(qty * disc) AS sp_qty_disc,
+       |    SUM(qty * tax) AS sp_qty_tax, SUM(disc * disc) AS sp_disc_disc,
+       |    SUM(disc * tax) AS sp_disc_tax, SUM(tax * tax) AS sp_tax_tax
+       |  FROM li),
+       |cmat AS (
+       |  SELECT CAST(n AS BIGINT) AS n,
+       |    ${cAs("qty", "qty")}, ${cAs("qty", "disc")},
+       |    ${cAs("qty", "tax")}, ${cAs("disc", "disc")},
+       |    ${cAs("disc", "tax")}, ${cAs("tax", "tax")}
+       |  FROM sums),
+       |rows0 AS (
+       |${partial("qty", "disc", "tax", cn)}
+       |UNION ALL
+       |${partial("qty", "tax", "disc", cn)}
+       |UNION ALL
+       |${partial("disc", "tax", "qty", cn)})
+       |SELECT measure_x, measure_y, control, n, r_xy, r_partial,
+       |  CASE WHEN r_partial IS NULL THEN 'degenerate'
+       |    WHEN ABS(r_partial) >= 0.05 THEN 'dependent'
+       |    ELSE 'independent' END AS verdict
+       |FROM rows0
+       |ORDER BY measure_x NULLS FIRST, measure_y NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
-    "Q313" -> (q313 _), "Q314" -> (q314 _),
+    "Q313" -> (q313 _), "Q314" -> (q314 _), "Q316" -> (q316 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -4923,7 +5045,7 @@ object Stats {
   def oracles: Map[String, String] = Map(
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
-    "Q313" -> q313Oracle, "Q314" -> q314Oracle,
+    "Q313" -> q313Oracle, "Q314" -> q314Oracle, "Q316" -> q316Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

@@ -757,6 +757,37 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q316 partial correlation: matrix identities match a direct BigInt computation") {
+    val c = Catalog(spark, dir)
+    val rows = c.lineitem
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .collect().map(r => Map("qty" -> r.getLong(0), "disc" -> r.getLong(1),
+        "tax" -> r.getLong(2)))
+    val n = BigInt(rows.length)
+    def s(m: String): BigInt = rows.map(r => BigInt(r(m))).sum
+    def sp(a: String, b: String): BigInt =
+      rows.map(r => BigInt(r(a)) * r(b)).sum
+    def cAb(a: String, b: String): Double =
+      (n * sp(a, b) - s(a) * s(b)).toDouble
+    val out = operators.Stats.q316(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for ((x, y, z) <- Seq(("qty", "disc", "tax"), ("qty", "tax", "disc"),
+      ("disc", "tax", "qty"))) {
+      val row = out((x, y))
+      assert(row.getAs[String]("control") == z)
+      val rxy = cAb(x, y) / math.sqrt(cAb(x, x) * cAb(y, y))
+      assert(row.getAs[Double]("r_xy") == r(4)(rxy), s"($x,$y): r")
+      val num = cAb(x, y) * cAb(z, z) - cAb(x, z) * cAb(y, z)
+      val dx = cAb(x, x) * cAb(z, z) - cAb(x, z) * cAb(x, z)
+      val dy = cAb(y, y) * cAb(z, z) - cAb(y, z) * cAb(y, z)
+      val part = num / math.sqrt(dx * dy)
+      assert(row.getAs[Double]("r_partial") == r(4)(part), s"($x,$y): partial")
+      assert(math.abs(row.getAs[Double]("r_partial")) <= 1.0, s"($x,$y): range")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
