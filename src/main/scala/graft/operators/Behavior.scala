@@ -1397,8 +1397,87 @@ object Behavior {
       |ORDER BY t.c123 DESC, t.s1, t.s2, t.s3
       |LIMIT 20""".stripMargin
 
+  /** Q318 — directional flow-asymmetry audit of the user-journey graph:
+    * for every unordered event-type pair {a, b}, compare the a→b step
+    * count against b→a with the exact sign test's normal statistic
+    * z = (n_fwd − n_bwd)/√(n_fwd + n_bwd) (Dixon & Mood 1946; under
+    * directionless flow n_fwd ~ Binomial(m, ½)). Q209 gives the
+    * CONDITIONAL next-step table and Q298 the daily-series lead–lag —
+    * this is the step-granular directionality readout: which
+    * transitions are one-way streets (funnels) vs ping-pong loops.
+    * Self-loops are excluded; only pairs with ≥ 1 step appear.
+    *
+    * Determinism: step counts are exact int64 from one LAG pass;
+    * asymmetry and z are single-divide float shapes (rounded 6/4) and
+    * the verdict reads the rounded z.
+    *
+    * Scale notes: one window over the per-user order (single shuffle
+    * on user_id), then a hash aggregate onto ≤ |types|² keys — the
+    * Q209 plan with a second bounded fold on LEAST/GREATEST; nothing
+    * data-proportional after the first aggregate.
+    */
+  def q318(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = c.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("event_type"))
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .groupBy(least(col("src"), col("dst")).as("type_a"),
+        greatest(col("src"), col("dst")).as("type_b"))
+      .agg(sum(when(col("src") < col("dst"), col("n")).otherwise(0L))
+          .as("n_fwd"),
+        sum(when(col("src") > col("dst"), col("n")).otherwise(0L))
+          .as("n_bwd"))
+      .withColumn("n_steps", col("n_fwd") + col("n_bwd"))
+      .select(col("type_a"), col("type_b"), col("n_fwd"), col("n_bwd"),
+        col("n_steps"),
+        expr("ROUND(CAST(n_fwd - n_bwd AS DOUBLE) / n_steps, 6)")
+          .as("asymmetry"),
+        expr("ROUND(CAST(n_fwd - n_bwd AS DOUBLE) / " +
+          "SQRT(CAST(n_steps AS DOUBLE)), 4)").as("z"))
+      .withColumn("verdict", expr("CASE WHEN z >= 1.96 THEN 'forward' " +
+        "WHEN z <= -1.96 THEN 'backward' ELSE 'balanced' END"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"))
+  }
+
+  val q318Oracle: String =
+    """WITH steps AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |dirs AS (
+      |  SELECT src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM steps WHERE src IS NOT NULL AND src <> event_type
+      |  GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT LEAST(src, dst) AS type_a, GREATEST(src, dst) AS type_b,
+      |    CAST(SUM(CASE WHEN src < dst THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_fwd,
+      |    CAST(SUM(CASE WHEN src > dst THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_bwd
+      |  FROM dirs GROUP BY 1, 2),
+      |out AS (
+      |  SELECT type_a, type_b, n_fwd, n_bwd, n_fwd + n_bwd AS n_steps,
+      |    ROUND(CAST(n_fwd - n_bwd AS DOUBLE) / (n_fwd + n_bwd), 6)
+      |      AS asymmetry,
+      |    ROUND(CAST(n_fwd - n_bwd AS DOUBLE) /
+      |      SQRT(CAST(n_fwd + n_bwd AS DOUBLE)), 4) AS z
+      |  FROM folded)
+      |SELECT type_a, type_b, n_fwd, n_bwd, n_steps, asymmetry, z,
+      |  CASE WHEN z >= 1.96 THEN 'forward'
+      |    WHEN z <= -1.96 THEN 'backward'
+      |    ELSE 'balanced' END AS verdict
+      |FROM out
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q305" -> (q305 _),
+    "Q305" -> (q305 _), "Q318" -> (q318 _),
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
@@ -1407,7 +1486,7 @@ object Behavior {
     "Q271" -> (q271 _), "Q298" -> (q298 _))
 
   def oracles: Map[String, String] = Map(
-    "Q305" -> q305Oracle,
+    "Q305" -> q305Oracle, "Q318" -> q318Oracle,
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,

@@ -107,17 +107,27 @@ object Cdc {
     * is versions, bounded by observation days per key; nothing is
     * calendar-densified.
     */
-  def q268(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
+  def q268(spark: SparkSession, dir: String): DataFrame =
+    scd2History(Catalog(spark, dir))
+      .orderBy(asc_nulls_first("user_id"), asc("version"))
+
+  /** The per-(user, observed day) last-state relation and the SCD2
+    * version table built from it — Q268's construction, shared with
+    * Q320's point-in-time audit. */
+  private[operators] def lastStateObs(c: Catalog): DataFrame = {
     val wPick = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(desc("us"), desc("event_id"))
-    val obs = c.events
+    c.events
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts DIV 1000").as("us"))
       .withColumn("day", expr("us DIV 86400000000"))
       .withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("day"), col("event_type").as("state"))
+  }
+
+  private[operators] def scd2History(c: Catalog): DataFrame = {
+    val obs = lastStateObs(c)
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val versioned = obs
       .withColumn("chg",
@@ -138,7 +148,6 @@ object Cdc {
       .select(col("user_id"), col("version"), col("state"),
         col("valid_from_day"), col("valid_to_day"), col("n_obs_days"),
         col("is_current"))
-      .orderBy(asc_nulls_first("user_id"), asc("version"))
   }
 
   val q268Oracle: String =
@@ -179,9 +188,147 @@ object Cdc {
       |FROM vers
       |ORDER BY user_id NULLS FIRST, version""".stripMargin
 
+  /** Q320 — point-in-time reconstruction audit of the SCD2 history: at
+    * the three interior quartile days of the observed span, rebuild
+    * every user's state (a) by interval lookup in the Q268 version
+    * table (valid_from ≤ d AND (valid_to IS NULL OR valid_to ≥ d)) and
+    * (b) directly from raw events (last state at or before d), and
+    * count agreement per (as-of day, state). This is the TIME-TRAVEL
+    * CONSISTENCY invariant every warehouse's type-2 dimension must
+    * satisfy — the audit that catches interval-boundary bugs
+    * (off-by-one valid_to, overlapping versions, a dropped current
+    * row) that Q268's own hash can't see from the write side.
+    *
+    * Determinism: as-of days are exact int arithmetic on the observed
+    * bounds (dmin + k·(dmax−dmin) DIV 4); every output is an exact
+    * count; the verdict is integer equality.
+    *
+    * Scale notes: the history and the per-(user, day) obs relation are
+    * each built once (user-keyed windows, the Q268 plan); the K = 3
+    * as-of rows broadcast onto both sides; the reconciliation join is
+    * user-keyed. Nothing calendar-densified, nothing quadratic.
+    */
+  def q320(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val obs = lastStateObs(c).localCheckpoint()
+    val hist = scd2History(c)
+    val asof = obs.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(explode(array(Seq(1, 2, 3).map(k =>
+        struct(lit(s"q$k").as("asof_label"),
+          expr(s"dmin + (dmax - dmin) * $k DIV 4").cast("long")
+            .as("asof_day"))): _*)).as("p"))
+      .select(col("p.asof_label"), col("p.asof_day"))
+    val scdAt = hist.crossJoin(broadcast(asof))
+      .filter(col("valid_from_day") <= col("asof_day") &&
+        (col("valid_to_day").isNull ||
+          col("valid_to_day") >= col("asof_day")))
+      .select(col("user_id"), col("asof_label"), col("asof_day"),
+        col("state").as("state_scd"))
+    val wLast = Window.partitionBy(col("user_id"), col("asof_label"))
+      .orderBy(desc("day"))
+    val directAt = obs.crossJoin(broadcast(asof))
+      .filter(col("day") <= col("asof_day"))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("asof_label"), col("asof_day"),
+        col("state").as("state_direct"))
+    scdAt.join(directAt, Seq("user_id", "asof_label", "asof_day"), "full")
+      .groupBy(col("asof_label"), col("asof_day"),
+        coalesce(col("state_scd"), col("state_direct")).as("state"))
+      .agg(sum(when(col("state_scd").isNotNull, 1L).otherwise(0L))
+          .as("n_scd"),
+        sum(when(col("state_direct").isNotNull, 1L).otherwise(0L))
+          .as("n_direct"),
+        sum(when(col("state_scd") === col("state_direct"), 1L)
+          .otherwise(0L)).as("n_match"))
+      .withColumn("verdict", expr("CASE WHEN n_scd = n_direct " +
+        "AND n_direct = n_match THEN 'consistent' " +
+        "ELSE 'inconsistent' END"))
+      .orderBy(asc_nulls_first("asof_label"), asc_nulls_first("state"))
+  }
+
+  val q320Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, day, event_type AS state FROM (
+      |    SELECT user_id, day, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |        ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev) r
+      |  WHERE rn = 1),
+      |flagged AS (
+      |  SELECT user_id, day, state,
+      |    CASE WHEN LAG(state) OVER w IS NULL
+      |      OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+      |  FROM obs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |versioned AS (
+      |  SELECT user_id, day, state,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS BIGINT) AS version
+      |  FROM flagged),
+      |vers AS (
+      |  SELECT user_id, version, MIN(state) AS state,
+      |    CAST(MIN(day) AS BIGINT) AS valid_from_day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs_days
+      |  FROM versioned GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT user_id, version, state, valid_from_day,
+      |    CAST(LEAD(valid_from_day) OVER (PARTITION BY user_id
+      |      ORDER BY version) - 1 AS BIGINT) AS valid_to_day
+      |  FROM vers),
+      |bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM obs),
+      |marks AS (
+      |  SELECT 'q' || CAST(k AS VARCHAR) AS asof_label,
+      |    CAST(dmin + (dmax - dmin) * k // 4 AS BIGINT) AS asof_day
+      |  FROM bounds, (SELECT UNNEST([1, 2, 3]) AS k) ks),
+      |scd_at AS (
+      |  SELECT h.user_id, a.asof_label, a.asof_day,
+      |    h.state AS state_scd
+      |  FROM hist h CROSS JOIN marks a
+      |  WHERE h.valid_from_day <= a.asof_day
+      |    AND (h.valid_to_day IS NULL OR h.valid_to_day >= a.asof_day)),
+      |direct_at AS (
+      |  SELECT user_id, asof_label, asof_day, state AS state_direct
+      |  FROM (
+      |    SELECT o.user_id, a.asof_label, a.asof_day, o.state,
+      |      ROW_NUMBER() OVER (PARTITION BY o.user_id, a.asof_label
+      |        ORDER BY o.day DESC) AS rn
+      |    FROM obs o CROSS JOIN marks a
+      |    WHERE o.day <= a.asof_day) d
+      |  WHERE rn = 1),
+      |joined AS (
+      |  SELECT COALESCE(s.user_id, d.user_id) AS user_id,
+      |    COALESCE(s.asof_label, d.asof_label) AS asof_label,
+      |    COALESCE(s.asof_day, d.asof_day) AS asof_day,
+      |    s.state_scd, d.state_direct
+      |  FROM scd_at s
+      |  FULL OUTER JOIN direct_at d
+      |    ON d.user_id = s.user_id AND d.asof_label = s.asof_label
+      |    AND d.asof_day = s.asof_day)
+      |SELECT asof_label, asof_day,
+      |  COALESCE(state_scd, state_direct) AS state,
+      |  CAST(SUM(CASE WHEN state_scd IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_scd,
+      |  CAST(SUM(CASE WHEN state_direct IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_direct,
+      |  CAST(SUM(CASE WHEN state_scd = state_direct THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_match,
+      |  CASE WHEN SUM(CASE WHEN state_scd IS NOT NULL THEN 1 ELSE 0 END)
+      |      = SUM(CASE WHEN state_direct IS NOT NULL THEN 1 ELSE 0 END)
+      |    AND SUM(CASE WHEN state_direct IS NOT NULL THEN 1 ELSE 0 END)
+      |      = SUM(CASE WHEN state_scd = state_direct THEN 1 ELSE 0 END)
+      |    THEN 'consistent' ELSE 'inconsistent' END AS verdict
+      |FROM joined
+      |GROUP BY 1, 2, 3
+      |ORDER BY asof_label NULLS FIRST, state NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q112" -> (q112 _), "Q268" -> (q268 _))
+    "Q112" -> (q112 _), "Q268" -> (q268 _), "Q320" -> (q320 _))
 
   def oracles: Map[String, String] = Map(
-    "Q112" -> q112Oracle, "Q268" -> q268Oracle)
+    "Q112" -> q112Oracle, "Q268" -> q268Oracle, "Q320" -> q320Oracle)
 }

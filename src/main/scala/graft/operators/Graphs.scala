@@ -1563,7 +1563,110 @@ object Graphs {
       |ORDER BY t.n_all3 DESC, t.p1, t.p2, t.p3
       |LIMIT 20""".stripMargin
 
+  /** Q317 — rich-club coefficient ladder of the support-pruned co-order
+    * graph (Colizza, Flammini, Serrano & Vespignani 2006): for each
+    * degree threshold k in the dyadic ladder {1,2,4,8,16,32}, the edge
+    * density φ(k) = 2E₍>k₎ / (N₍>k₎(N₍>k₎−1)) among the nodes of degree
+    * > k. Reads whether the graph's hubs form a connected oligarchy
+    * (φ rising with k — supply-chain cores, celebrity cliques) or stay
+    * mutually independent; the verdict compares φ(k) against 2× the
+    * whole-graph density by EXACT integer cross-multiplication. The
+    * hub-interconnection read that assortativity (Q162, a single
+    * correlation) and the k-core (Q122, a membership set) both miss.
+    *
+    * Determinism: degrees, N₍>k₎, E₍>k₎ and the verdict comparison are
+    * exact int64; φ is one single-divide float per rung rounded 6.
+    *
+    * Scale notes: consumes the bucketed [[Derived.coOrderPairCounts]]
+    * artifact (no rebuild); degrees are one groupBy of the edge list;
+    * ALL six rungs come from ONE conditional-sum aggregate pass over
+    * the degree-joined edges (no per-rung rescan — the ladder explodes
+    * from a single summary row, the Q161 struct-array shape). The
+    * verdict cross-product E·N² stays in int64 to ~10⁹ nodes with
+    * ~10¹⁰ edges.
+    */
+  def q317(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+    val directed = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val ks = Seq(1, 2, 4, 8, 16, 32)
+    val edgesDeg = pairs
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val etot = edgesDeg.agg(count(lit(1)).as("n_edges"),
+      ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
+        .otherwise(0L)).as(s"e_$k")): _*)
+    val ntot = deg.agg(count(lit(1)).as("n_nodes"),
+      ks.map(k => sum(when(col("d") > k, 1L).otherwise(0L))
+        .as(s"n_$k")): _*)
+    val rungs = ks.map(k => struct(lit(k.toLong).as("k"),
+      col(s"n_$k").as("n_rich"), col(s"e_$k").as("e_rich")))
+    etot.crossJoin(ntot)
+      .select(col("n_nodes"), col("n_edges"),
+        explode(array(rungs: _*)).as("p"))
+      .select(col("p.k"), col("p.n_rich"), col("p.e_rich"),
+        col("n_nodes"), col("n_edges"))
+      .withColumn("phi", expr("CASE WHEN n_rich < 2 THEN NULL ELSE " +
+        "ROUND(CAST(2 * e_rich AS DOUBLE) / " +
+        "(CAST(n_rich AS DOUBLE) * (n_rich - 1)), 6) END"))
+      .withColumn("verdict", expr("CASE WHEN n_rich < 2 " +
+        "THEN 'degenerate' WHEN e_rich * (n_nodes * (n_nodes - 1)) >= " +
+        "2 * n_edges * (n_rich * (n_rich - 1)) THEN 'clubby' " +
+        "ELSE 'flat' END"))
+      .orderBy(asc("k"))
+  }
+
+  val q317Oracle: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |pairs AS (
+      |  SELECT o1.pk AS a, o2.pk AS b
+      |  FROM capped o1 JOIN capped o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |directed AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b, a FROM pairs),
+      |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      |        FROM directed GROUP BY 1),
+      |ks AS (SELECT CAST(UNNEST([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k),
+      |ed AS (
+      |  SELECT da.d AS da, db.d AS db
+      |  FROM pairs p
+      |  JOIN deg da ON da.node = p.a
+      |  JOIN deg db ON db.node = p.b),
+      |etot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed),
+      |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+      |er AS (
+      |  SELECT k.k,
+      |    CAST(SUM(CASE WHEN e.da > k.k AND e.db > k.k THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS e_rich
+      |  FROM ks k CROSS JOIN ed e GROUP BY 1),
+      |nr AS (
+      |  SELECT k.k,
+      |    CAST(SUM(CASE WHEN d.d > k.k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rich
+      |  FROM ks k CROSS JOIN deg d GROUP BY 1)
+      |SELECT er.k, nr.n_rich, er.e_rich, ntot.n_nodes, etot.n_edges,
+      |  CASE WHEN nr.n_rich < 2 THEN NULL ELSE
+      |    ROUND(CAST(2 * er.e_rich AS DOUBLE) /
+      |    (CAST(nr.n_rich AS DOUBLE) * (nr.n_rich - 1)), 6) END AS phi,
+      |  CASE WHEN nr.n_rich < 2 THEN 'degenerate'
+      |    WHEN er.e_rich * (ntot.n_nodes * (ntot.n_nodes - 1)) >=
+      |      2 * etot.n_edges * (nr.n_rich * (nr.n_rich - 1))
+      |    THEN 'clubby' ELSE 'flat' END AS verdict
+      |FROM er JOIN nr ON nr.k = er.k, etot, ntot
+      |ORDER BY er.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q317" -> (q317 _),
     "Q222" -> (q222 _),
     "Q265" -> (q265 _), "Q307" -> (q307 _),
     "Q103" -> (q103 _), "Q106" -> (q106 _), "Q107" -> (q107 _),
@@ -1573,6 +1676,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
+    "Q317" -> q317Oracle,
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,
     "Q135" -> q135Oracle, "Q145" -> q145Oracle, "Q147" -> q147Oracle,

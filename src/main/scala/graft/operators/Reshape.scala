@@ -82,9 +82,99 @@ object Reshape {
       |GROUP BY 1, 2
       |ORDER BY l_returnflag NULLS FIRST, measure NULLS FIRST""".stripMargin
 
+  /** Q319 — contingency crosstab of l_returnflag × l_linestatus with
+    * margins, expected counts, per-cell χ² contributions and Haberman
+    * (1973) ADJUSTED standardized residuals z = (O − E) /
+    * √(E(1 − R/N)(1 − C/N)) — the cell-level readout that says WHICH
+    * cells drive a categorical association, not just whether one
+    * exists. The categorical×categorical member of the dependence
+    * family (numeric×numeric: Q137/Q161/Q312; numeric×categorical:
+    * Q314); TPC-H's returnflag/linestatus are causally coupled through
+    * shipdate, so the residual structure is real, not null.
+    *
+    * Determinism: all counts exact int64; the residual numerator
+    * N·O − R·C and the χ² numerator (N·O − R·C)² are exact-int
+    * assemblies (the square formed in double AFTER the exact int64
+    * difference); expected, chi2_part and z_adj are fixed single
+    * expressions rounded 4; the verdict reads the rounded z.
+    *
+    * Scale notes: ONE hash aggregate onto |flags|·|statuses| cells
+    * (≤ 6 for TPC-H, value-domain-bounded always); margins come from
+    * window sums over the bounded cell relation — no second corpus
+    * scan, no join. N·O holds int64 to N ≈ 3·10⁹ rows.
+    */
+  def q319(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.lineitem
+      .groupBy(col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("returnflag"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("linestatus"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    cells
+      .withColumn("row_total", sum(col("n_obs")).over(wr))
+      .withColumn("col_total", sum(col("n_obs")).over(wc))
+      .withColumn("nn", sum(col("n_obs")).over(wAll))
+      .select(col("returnflag"), col("linestatus"), col("n_obs"),
+        col("row_total"), col("col_total"),
+        expr("ROUND(CAST(row_total * col_total AS DOUBLE) / nn, 4)")
+          .as("expected"),
+        expr("ROUND(CAST(nn * n_obs - row_total * col_total AS DOUBLE) *" +
+          " (nn * n_obs - row_total * col_total) /" +
+          " (CAST(nn AS DOUBLE) * row_total * col_total), 4)")
+          .as("chi2_part"),
+        expr("CASE WHEN nn = row_total OR nn = col_total THEN NULL ELSE" +
+          " ROUND(CAST(nn * n_obs - row_total * col_total AS DOUBLE) /" +
+          " SQRT(CAST(row_total AS DOUBLE) * col_total *" +
+          " (nn - row_total) * (nn - col_total) / nn), 4) END")
+          .as("z_adj"))
+      .withColumn("verdict", expr("CASE WHEN z_adj IS NULL " +
+        "THEN 'degenerate' WHEN z_adj >= 1.96 THEN 'over' " +
+        "WHEN z_adj <= -1.96 THEN 'under' ELSE 'expected' END"))
+      .orderBy(asc_nulls_first("returnflag"), asc_nulls_first("linestatus"))
+  }
+
+  val q319Oracle: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT returnflag, linestatus, n_obs,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY returnflag) AS BIGINT)
+      |      AS row_total,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY linestatus) AS BIGINT)
+      |      AS col_total,
+      |    CAST(SUM(n_obs) OVER () AS BIGINT) AS nn
+      |  FROM cells),
+      |out AS (
+      |  SELECT returnflag, linestatus, n_obs, row_total, col_total,
+      |    ROUND(CAST(row_total * col_total AS DOUBLE) / nn, 4)
+      |      AS expected,
+      |    ROUND(CAST(nn * n_obs - row_total * col_total AS DOUBLE) *
+      |      (nn * n_obs - row_total * col_total) /
+      |      (CAST(nn AS DOUBLE) * row_total * col_total), 4) AS chi2_part,
+      |    CASE WHEN nn = row_total OR nn = col_total THEN NULL ELSE
+      |      ROUND(CAST(nn * n_obs - row_total * col_total AS DOUBLE) /
+      |      SQRT(CAST(row_total AS DOUBLE) * col_total *
+      |      (nn - row_total) * (nn - col_total) / nn), 4) END AS z_adj
+      |  FROM marg)
+      |SELECT returnflag, linestatus, n_obs, row_total, col_total,
+      |  expected, chi2_part, z_adj,
+      |  CASE WHEN z_adj IS NULL THEN 'degenerate'
+      |    WHEN z_adj >= 1.96 THEN 'over'
+      |    WHEN z_adj <= -1.96 THEN 'under'
+      |    ELSE 'expected' END AS verdict
+      |FROM out
+      |ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q143" -> (q143 _), "Q144" -> (q144 _))
+    "Q143" -> (q143 _), "Q144" -> (q144 _), "Q319" -> (q319 _))
 
   def oracles: Map[String, String] = Map(
-    "Q143" -> q143Oracle, "Q144" -> q144Oracle)
+    "Q143" -> q143Oracle, "Q144" -> q144Oracle, "Q319" -> q319Oracle)
 }

@@ -788,6 +788,118 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q317 rich club: rungs match a brute-force degree filter") {
+    val edges = operators.Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, g) => n -> g.length.toLong }
+    val nn = deg.size.toLong
+    val ee = edges.length.toLong
+    val out = operators.Graphs.q317(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L))
+    for (k <- Seq(1L, 2L, 4L, 8L, 16L, 32L)) {
+      val rich = deg.filter(_._2 > k).keySet
+      val eRich = edges.count(e => rich(e._1) && rich(e._2)).toLong
+      val row = out(k)
+      assert(row.getAs[Long]("n_rich") == rich.size.toLong, s"k=$k: N")
+      assert(row.getAs[Long]("e_rich") == eRich, s"k=$k: E")
+      assert(row.getAs[Long]("n_nodes") == nn &&
+        row.getAs[Long]("n_edges") == ee, s"k=$k: totals")
+      if (rich.size >= 2)
+        assert(row.getAs[Double]("phi") ==
+          r(6)(2.0 * eRich / (rich.size.toDouble * (rich.size - 1))),
+          s"k=$k: phi")
+      else assert(row.getAs[String]("verdict") == "degenerate")
+    }
+  }
+
+  test("Q318 flow asymmetry: pair counts match a per-user sequential scan") {
+    val c = Catalog(spark, dir)
+    val journeys = c.events
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (_, xs) => xs.sortBy(t => (t._2, t._3)).map(_._4).toSeq }
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    journeys.foreach { seq =>
+      seq.sliding(2).foreach {
+        case Seq(s, t) if s != t =>
+          val key = if (s < t) (s, t) else (t, s)
+          val (f, b) = counts(key)
+          counts(key) = if (s < t) (f + 1, b) else (f, b + 1)
+        case _ =>
+      }
+    }
+    val out = operators.Behavior.q318(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == counts.filter(c => c._2._1 + c._2._2 > 0).keySet)
+    counts.foreach { case (key, (f, b)) =>
+      val row = out(key)
+      assert(row.getAs[Long]("n_fwd") == f &&
+        row.getAs[Long]("n_bwd") == b, s"$key: counts")
+      val z = (f - b).toDouble / math.sqrt((f + b).toDouble)
+      assert(row.getAs[Double]("z") == r(4)(z), s"$key: z")
+    }
+  }
+
+  test("Q319 crosstab residuals: cells match a direct contingency computation") {
+    val c = Catalog(spark, dir)
+    val obs = c.lineitem.select(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nn = obs.length.toLong
+    val cells = obs.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val rowT = obs.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val colT = obs.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val out = operators.Reshape.q319(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == cells.keySet)
+    var chi2 = 0.0
+    cells.foreach { case ((rf, ls), o) =>
+      val row = out((rf, ls))
+      val (rr, cc) = (rowT(rf), colT(ls))
+      assert(row.getAs[Long]("n_obs") == o &&
+        row.getAs[Long]("row_total") == rr &&
+        row.getAs[Long]("col_total") == cc, s"($rf,$ls): counts")
+      val e = rr.toDouble * cc / nn
+      assert(row.getAs[Double]("expected") == r(4)(e), s"($rf,$ls): E")
+      val num = (nn * o - rr * cc).toDouble
+      assert(row.getAs[Double]("chi2_part") ==
+        r(4)(num * num / (nn.toDouble * rr * cc)), s"($rf,$ls): chi2")
+      val z = num / math.sqrt(rr.toDouble * cc * (nn - rr) * (nn - cc) / nn)
+      assert(row.getAs[Double]("z_adj") == r(4)(z), s"($rf,$ls): z")
+      chi2 += num * num / (nn.toDouble * rr * cc)
+    }
+    // adjusted residuals of a 2-column table are antisymmetric per row
+    out.values.groupBy(_.getAs[String]("returnflag")).foreach { case (_, g) =>
+      val zs = g.map(_.getAs[Double]("z_adj")).toSeq.sorted
+      assert(math.abs(zs.sum) <= 2e-4, s"row residuals should cancel: $zs")
+    }
+  }
+
+  test("Q320 SCD2 point-in-time audit: invariant holds and totals match direct recon") {
+    val c = Catalog(spark, dir)
+    val out = operators.Cdc.q320(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("verdict") == "consistent"),
+      "every (asof, state) cell must reconcile")
+    // independent check: per as-of day, total users with any observation
+    // at or before it equals the summed per-state counts
+    val obs = c.events
+      .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byAsof = out.groupBy(_.getAs[Long]("asof_day"))
+    byAsof.foreach { case (d, rows) =>
+      val expected = obs.filter(_._2 <= d).map(_._1).distinct.length.toLong
+      assert(rows.map(_.getAs[Long]("n_scd")).sum == expected, s"asof $d")
+      assert(rows.map(_.getAs[Long]("n_direct")).sum == expected, s"asof $d direct")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
