@@ -1195,15 +1195,243 @@ object VectorOps {
       |FROM occ GROUP BY 1
       |ORDER BY k_occ""".stripMargin
 
+  /** Q321 — embedding anisotropy / effective-rank audit per label via
+    * covariance TRACE IDENTITIES (participation ratio, Roy & Vetterli
+    * 2007 / Gao et al.'s PR dimension): eff_rank = (tr C)² / ‖C‖²_F
+    * where C is the per-label population covariance — computed WITHOUT
+    * any eigendecomposition, from one pass of per-dimension moments
+    * (tr) and one pass of upper-triangle cross-moments (Frobenius).
+    * eff_rank = d for isotropic embeddings and collapses toward 1 as a
+    * single direction dominates — the representation-collapse /
+    * anisotropy screen (Ethayarajh 2019's cone effect) every embedding
+    * pipeline should run before trusting cosine geometry (Q38/Q50's
+    * consumers). Also reports the top-variance coordinate.
+    *
+    * Determinism: per-dimension and cross sums are double sums of
+    * float32-exact values (engine order drift ~1e-15 relative, far
+    * inside the 4-digit rounding — the Q137 rule); the top-variance
+    * pick ranks on ROUND(var, 6) with dimension-index tiebreak so both
+    * engines collapse identically (the Q302 discipline).
+    *
+    * Scale notes: no n×n object — both passes are map-side-combinable
+    * aggregates onto labels·d and labels·d(d+1)/2 keys respectively
+    * (d = 64 ⇒ 2 080 cells/label at ANY row count); the pairwise pass
+    * explodes each row to its upper triangle locally, shuffling only
+    * the bounded cell keys. Memory per task is O(d²).
+    */
+  def q321(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val flat = c.embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), col("vec_id"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        col("v").cast("double").as("val"))
+      .localCheckpoint()
+    val mom = flat.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("s1"),
+        sum(col("val") * col("val")).as("s2"))
+      .withColumn("varj", col("s2") / col("n") -
+        (col("s1") / col("n")) * (col("s1") / col("n")))
+      .localCheckpoint()
+    val trc = mom.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("d"),
+        sum(col("varj")).as("tr_sum"))
+    val top = mom
+      .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(round(col("varj"), 6).desc, col("pos").asc)))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("pos").as("top_var_dim"),
+        round(col("varj"), 6).as("top_var"))
+    val crossP = flat.as("x").join(flat.as("y"),
+        col("x.label") === col("y.label") &&
+          col("x.vec_id") === col("y.vec_id") &&
+          col("x.pos") <= col("y.pos"))
+      .groupBy(col("x.label").as("label"), col("x.pos").as("j"),
+        col("y.pos").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x.val") * col("y.val")).as("sjk"))
+    val fro = crossP
+      .join(broadcast(mom.select(col("label"), col("pos").as("j"),
+        col("s1").as("s1j"))), Seq("label", "j"))
+      .join(broadcast(mom.select(col("label"), col("pos").as("k"),
+        col("s1").as("s1k"))), Seq("label", "k"))
+      .withColumn("cjk", col("sjk") / col("n") -
+        (col("s1j") / col("n")) * (col("s1k") / col("n")))
+      .withColumn("w", expr("CASE WHEN j = k THEN cjk * cjk " +
+        "ELSE 2 * cjk * cjk END"))
+      .groupBy(col("label")).agg(sum(col("w")).as("fro2"))
+    trc.join(fro, Seq("label")).join(top, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("d"),
+        round(col("tr_sum"), 4).as("tr_c"),
+        round(col("fro2"), 4).as("fro_sq"),
+        expr("ROUND(tr_sum * tr_sum / fro2, 4)").as("eff_rank"),
+        col("top_var_dim"), col("top_var"))
+      .withColumn("verdict", expr("CASE WHEN eff_rank >= d / 2.0 " +
+        "THEN 'isotropic' ELSE 'anisotropic' END"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q321Oracle: String =
+    """WITH flat AS (
+      |  SELECT label, vec_id, CAST(pos AS BIGINT) AS pos,
+      |    CAST(val AS DOUBLE) AS val FROM (
+      |    SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      |      UNNEST(embedding) AS val
+      |    FROM embeddings)),
+      |mom AS (
+      |  SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(val) AS s1, SUM(val * val) AS s2,
+      |    SUM(val * val) / COUNT(*)
+      |      - (SUM(val) / COUNT(*)) * (SUM(val) / COUNT(*)) AS varj
+      |  FROM flat GROUP BY 1, 2),
+      |trc AS (
+      |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+      |    CAST(COUNT(*) AS BIGINT) AS d, SUM(varj) AS tr_sum
+      |  FROM mom GROUP BY 1),
+      |top AS (
+      |  SELECT label, pos AS top_var_dim, ROUND(varj, 6) AS top_var
+      |  FROM (
+      |    SELECT label, pos, varj,
+      |      ROW_NUMBER() OVER (PARTITION BY label
+      |        ORDER BY ROUND(varj, 6) DESC, pos) AS rk
+      |    FROM mom) r
+      |  WHERE rk = 1),
+      |crossp AS (
+      |  SELECT x.label, x.pos AS j, y.pos AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS n, SUM(x.val * y.val) AS sjk
+      |  FROM flat x JOIN flat y
+      |    ON y.label = x.label AND y.vec_id = x.vec_id AND y.pos >= x.pos
+      |  GROUP BY 1, 2, 3),
+      |fro AS (
+      |  SELECT label,
+      |    SUM(CASE WHEN j = k THEN cjk * cjk ELSE 2 * cjk * cjk END)
+      |      AS fro2
+      |  FROM (
+      |    SELECT q.label, q.j, q.k,
+      |      q.sjk / q.n - (mj.s1 / q.n) * (mk.s1 / q.n) AS cjk
+      |    FROM crossp q
+      |    JOIN mom mj ON mj.label = q.label AND mj.pos = q.j
+      |    JOIN mom mk ON mk.label = q.label AND mk.pos = q.k) w
+      |  GROUP BY 1)
+      |SELECT t.label, t.n_vecs, t.d, ROUND(t.tr_sum, 4) AS tr_c,
+      |  ROUND(f.fro2, 4) AS fro_sq,
+      |  ROUND(t.tr_sum * t.tr_sum / f.fro2, 4) AS eff_rank,
+      |  p.top_var_dim, p.top_var,
+      |  CASE WHEN ROUND(t.tr_sum * t.tr_sum / f.fro2, 4) >= t.d / 2.0
+      |    THEN 'isotropic' ELSE 'anisotropic' END AS verdict
+      |FROM trc t
+      |JOIN fro f ON f.label = t.label
+      |JOIN top p ON p.label = t.label
+      |ORDER BY t.label NULLS FIRST""".stripMargin
+
+  /** Q322 — two-NN intrinsic-dimensionality estimate per label (Facco,
+    * d'Errico, Rodriguez & Laio 2017): for each vector the ratio
+    * μ = r₂/r₁ of its two nearest-neighbor distances follows a Pareto
+    * with shape = the intrinsic dimension, giving the MLE
+    * ID = 2n / Σ ln(d²₂/d²₁). Says how many degrees of freedom the
+    * data ACTUALLY occupies — eff_rank (Q321) reads the linear spread,
+    * two-NN the manifold dimension, and the gap between them is the
+    * nonlinearity of the embedding cloud.
+    *
+    * Determinism: squared distances round to the 10⁻⁶ grid BEFORE
+    * ranking and before the ratio, with vec_id tiebreak (the Q302
+    * discipline) — both engines rank and ratio IDENTICAL doubles; the
+    * ln sum drifts only at libm's last ulp, inside the 4-digit round.
+    * Vectors whose rounded d²₁ = 0 (exact duplicates) are excluded
+    * and counted.
+    *
+    * Scale notes: exact within-label all-pairs is the DECLARED gate
+    * (the Q38/Q302 framing — the fixture table is bounded); the
+    * 100 TB path swaps the candidate generator for the SRP-LSH / IVF
+    * structures in `Ann.scala` and keeps the same two-NN rollup. The
+    * pair stage broadcasts the probe side and repartitions the stream
+    * side (the Q302/Q248 parallelism lesson).
+    */
+  def q322(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.embeddings.select(col("label"), col("vec_id"),
+      col("embedding"), dot(col("embedding"), col("embedding")).as("n2"))
+    val p = e.select(col("label").as("l"), col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), col("n2").as("p2"))
+    val v = e.select(col("label"), col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("n2").as("q2"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(asc("d2"), asc("n_id"))
+    val nn2 = v.join(broadcast(p),
+        col("l") === col("label") && col("p_id") =!= col("n_id"))
+      .withColumn("d2", round(
+        col("p2") + col("q2") - lit(2.0) * dot(col("p_emb"), col("n_emb")),
+        6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("label"), col("p_id"))
+      .agg(min(when(col("rnk") === 1, col("d2"))).as("d1sq"),
+        min(when(col("rnk") === 2, col("d2"))).as("d2sq"))
+    nn2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("d1sq") > 0, 1L).otherwise(0L)).as("n_used"),
+        sum(when(col("d1sq") > 0, log(col("d2sq") / col("d1sq")))).as("lnsum"))
+      .select(col("label"), col("n_vecs"), col("n_used"),
+        expr("CASE WHEN lnsum IS NULL OR lnsum <= 0 THEN NULL ELSE " +
+          "ROUND(2 * n_used / lnsum, 4) END").as("id_two_nn"))
+      .withColumn("verdict", expr("CASE WHEN id_two_nn IS NULL " +
+        "THEN 'degenerate' WHEN id_two_nn < 8 THEN 'clustered' " +
+        "WHEN id_two_nn < 32 THEN 'moderate' ELSE 'ambient' END"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q322Oracle: String =
+    """WITH flat AS (
+      |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    UNNEST(embedding) AS val
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT p.vec_id AS p_id, q.vec_id AS n_id,
+      |    ROUND(SUM((CAST(p.val AS DOUBLE) - CAST(q.val AS DOUBLE)) *
+      |      (CAST(p.val AS DOUBLE) - CAST(q.val AS DOUBLE))), 6) AS d2
+      |  FROM flat p JOIN flat q ON p.pos = q.pos
+      |  JOIN embeddings ep ON ep.vec_id = p.vec_id
+      |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+      |  WHERE p.vec_id <> q.vec_id AND ep.label = eq.label
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT p_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY d2, n_id) AS rnk
+      |  FROM dots),
+      |nn2 AS (
+      |  SELECT e.label, r.p_id,
+      |    MIN(CASE WHEN r.rnk = 1 THEN r.d2 END) AS d1sq,
+      |    MIN(CASE WHEN r.rnk = 2 THEN r.d2 END) AS d2sq
+      |  FROM ranked r JOIN embeddings e ON e.vec_id = r.p_id
+      |  WHERE r.rnk <= 2
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CASE WHEN d1sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_used,
+      |    SUM(CASE WHEN d1sq > 0 THEN LN(d2sq / d1sq) END) AS lnsum
+      |  FROM nn2 GROUP BY 1)
+      |SELECT label, n_vecs, n_used,
+      |  CASE WHEN lnsum IS NULL OR lnsum <= 0 THEN NULL ELSE
+      |    ROUND(2 * n_used / lnsum, 4) END AS id_two_nn,
+      |  CASE WHEN (CASE WHEN lnsum IS NULL OR lnsum <= 0 THEN NULL ELSE
+      |      ROUND(2 * n_used / lnsum, 4) END) IS NULL THEN 'degenerate'
+      |    WHEN ROUND(2 * n_used / lnsum, 4) < 8 THEN 'clustered'
+      |    WHEN ROUND(2 * n_used / lnsum, 4) < 32 THEN 'moderate'
+      |    ELSE 'ambient' END AS verdict
+      |FROM agg
+      |ORDER BY label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q302" -> (q302 _),
+    "Q302" -> (q302 _), "Q321" -> (q321 _), "Q322" -> (q322 _),
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
     "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _),
     "Q270" -> (q270 _))
 
   def oracles: Map[String, String] = Map(
-    "Q302" -> q302Oracle,
+    "Q302" -> q302Oracle, "Q321" -> q321Oracle, "Q322" -> q322Oracle,
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
     "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle,

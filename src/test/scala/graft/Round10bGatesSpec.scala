@@ -900,6 +900,71 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q321 effective rank: trace identities match a direct covariance build") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2) }
+    val out = operators.VectorOps.q321(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == vecs.keySet)
+    vecs.foreach { case (l, xs) =>
+      val n = xs.length
+      val d = xs.head.length
+      val mu = Array.tabulate(d)(j => xs.map(_(j)).sum / n)
+      def cov(j: Int, k: Int): Double =
+        xs.map(x => x(j) * x(k)).sum / n - mu(j) * mu(k)
+      val tr = (0 until d).map(j => cov(j, j)).sum
+      val fro = (for (j <- 0 until d; k <- 0 until d) yield {
+        val v = cov(j, k); v * v
+      }).sum
+      val row = out(l)
+      assert(row.getAs[Long]("n_vecs") == n.toLong &&
+        row.getAs[Long]("d") == d.toLong, s"$l: dims")
+      assert(math.abs(row.getAs[Double]("tr_c") - tr) < 1e-3, s"$l: trace")
+      assert(math.abs(row.getAs[Double]("fro_sq") - fro) < 1e-3, s"$l: frobenius")
+      assert(math.abs(row.getAs[Double]("eff_rank") - tr * tr / fro) < 0.01,
+        s"$l: eff_rank")
+      // participation ratio is bounded by min(d, n) and >= 1
+      val er = row.getAs[Double]("eff_rank")
+      assert(er >= 1.0 && er <= math.min(d, n).toDouble, s"$l: PR bounds")
+      // top-variance dim agrees with direct argmax (round-6 tiebreak)
+      val vars = (0 until d).map(j => (j + 1, r(6)(cov(j, j))))
+      val top = vars.minBy { case (p, v) => (-v, p) }
+      assert(row.getAs[Long]("top_var_dim") == top._1.toLong, s"$l: top dim")
+      assert(row.getAs[Double]("top_var") == top._2, s"$l: top var")
+    }
+  }
+
+  test("Q322 two-NN intrinsic dimension: matches a direct neighbor scan") {
+    val c = Catalog(spark, dir)
+    val vecs = c.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .groupBy(_._1)
+    val out = operators.VectorOps.q322(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == vecs.keySet)
+    vecs.foreach { case (l, members) =>
+      val ratios = members.map { case (_, id, x) =>
+        val ds = members.filter(_._2 != id).map { case (_, oid, y) =>
+          val d2 = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+          (r(6)(d2), oid)
+        }.sortBy(identity)
+        (ds(0)._1, ds(1)._1)
+      }.filter(_._1 > 0)
+      val lnsum = ratios.map { case (d1, d2) => math.log(d2 / d1) }.sum
+      val id = 2.0 * ratios.length / lnsum
+      val row = out(l)
+      assert(row.getAs[Long]("n_vecs") == members.length.toLong, s"$l: n")
+      assert(row.getAs[Long]("n_used") == ratios.length.toLong, s"$l: used")
+      assert(math.abs(row.getAs[Double]("id_two_nn") - id) < 0.01, s"$l: ID")
+      assert(row.getAs[Double]("id_two_nn") > 0, s"$l: positive")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
