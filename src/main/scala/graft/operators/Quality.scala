@@ -341,9 +341,104 @@ object Quality {
       |FROM rules
       |ORDER BY rule""".stripMargin
 
+  /** Q324 — order-total reconciliation audit: per order, rebuild the
+    * book total from its lines as Σ ROUND(extprice·(1−disc)·(1+tax)·
+    * 100) cents and band the discrepancy against ROUND(o_totalprice·
+    * 100) into exact relative-error buckets (0 / ≤0.1% / ≤1% / ≤10% /
+    * >10% / no_lines). The cross-table ARITHMETIC invariant beside the
+    * ingest trio — Q286 checks keys exist, Q287 that they're unique,
+    * Q288 that values conform; this checks the MONEY adds up, the
+    * audit every revenue pipeline runs first.
+    *
+    * Determinism: each line's cents value is one fixed ROUND of a
+    * fixed double product (identical text both engines); order sums,
+    * diffs and EVERY bucket edge are exact int64 — banding is integer
+    * cross-multiplication (|d|·1000 ≤ book ⟺ rel ≤ 0.1%), no float
+    * thresholds anywhere; share is one single-divide float rounded 6.
+    *
+    * Scale notes: one lineitem aggregate keyed on orderkey (map-side
+    * combined), one join to orders on the SAME key (co-partitioned
+    * exchange reuse), then a hash aggregate onto 6 bucket keys. The
+    * bucket relation is O(1) at any scale; |d|·1000 holds int64 to
+    * ~10¹⁵-cent orders.
+    */
+  def q324(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recon = c.lineitem
+      .select(col("l_orderkey"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * " +
+          "(1 + l_tax) * 100, 0) AS BIGINT)").as("line_cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_cents")).as("recon_cents"))
+    val joined = c.orders
+      .select(col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+          .as("book_cents"))
+      .join(recon, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("ad",
+        abs(col("book_cents") - coalesce(col("recon_cents"), lit(0L))))
+      .withColumn("bucket", expr("CASE " +
+        "WHEN recon_cents IS NULL THEN 'no_lines' " +
+        "WHEN ad = 0 THEN 'exact' " +
+        "WHEN ad * 1000 <= book_cents THEN 'within_0_1pct' " +
+        "WHEN ad * 100 <= book_cents THEN 'within_1pct' " +
+        "WHEN ad * 10 <= book_cents THEN 'within_10pct' " +
+        "ELSE 'over_10pct' END"))
+    val tot = joined.agg(count(lit(1)).as("n_orders_total"))
+    joined.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("recon_cents").isNotNull, col("ad")).otherwise(0L))
+          .as("total_abs_diff_cents"),
+        max(when(col("recon_cents").isNotNull, col("ad")).otherwise(0L))
+          .as("max_abs_diff_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_orders"),
+        col("total_abs_diff_cents"), col("max_abs_diff_cents"),
+        expr("ROUND(CAST(n_orders AS DOUBLE) / n_orders_total, 6)")
+          .as("share"))
+      .orderBy(asc_nulls_first("bucket"))
+  }
+
+  val q324Oracle: String =
+    """WITH recon AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) *
+      |      (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS recon_cents
+      |  FROM lineitem GROUP BY 1),
+      |joined AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS book_cents,
+      |    r.recon_cents,
+      |    ABS(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+      |      - COALESCE(r.recon_cents, 0)) AS ad
+      |  FROM orders o LEFT JOIN recon r ON r.l_orderkey = o.o_orderkey),
+      |bucketed AS (
+      |  SELECT CASE
+      |    WHEN recon_cents IS NULL THEN 'no_lines'
+      |    WHEN ad = 0 THEN 'exact'
+      |    WHEN ad * 1000 <= book_cents THEN 'within_0_1pct'
+      |    WHEN ad * 100 <= book_cents THEN 'within_1pct'
+      |    WHEN ad * 10 <= book_cents THEN 'within_10pct'
+      |    ELSE 'over_10pct' END AS bucket,
+      |    recon_cents, ad
+      |  FROM joined),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_total
+      |        FROM joined)
+      |SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN b.recon_cents IS NOT NULL THEN b.ad
+      |    ELSE 0 END) AS BIGINT) AS total_abs_diff_cents,
+      |  CAST(MAX(CASE WHEN b.recon_cents IS NOT NULL THEN b.ad
+      |    ELSE 0 END) AS BIGINT) AS max_abs_diff_cents,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_orders_total, 6) AS share
+      |FROM bucketed b, tot t
+      |GROUP BY b.bucket, t.n_orders_total
+      |ORDER BY b.bucket NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q286" -> (q286 _), "Q287" -> (q287 _), "Q288" -> (q288 _))
+    "Q286" -> (q286 _), "Q287" -> (q287 _), "Q288" -> (q288 _),
+    "Q324" -> (q324 _))
 
   def oracles: Map[String, String] = Map(
-    "Q286" -> q286Oracle, "Q287" -> q287Oracle, "Q288" -> q288Oracle)
+    "Q286" -> q286Oracle, "Q287" -> q287Oracle, "Q288" -> q288Oracle,
+    "Q324" -> q324Oracle)
 }

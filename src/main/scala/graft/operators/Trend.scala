@@ -1594,8 +1594,116 @@ object Trend {
        |FROM out
        |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q323 — maximum drawdown profile per event type on the zero-filled
+    * daily revenue series: the worst peak-to-trough drop below the
+    * historical running maximum (the operational-health metric
+    * portfolio analytics calls max drawdown; Magdon-Ismail & Atiya
+    * 2004). Reports the peak, the trough day/value, the drawdown in
+    * cents and as a share of the peak, how many days the series spent
+    * below its running peak, and whether it had RECOVERED (matched the
+    * old peak again) by the end of the window. Q227/Q275 read monotone
+    * drift and Q114-era gates point anomalies — drawdown reads
+    * sustained deterioration against the best level ever achieved,
+    * which neither captures.
+    *
+    * Determinism: the series, running max, drawdown and all day picks
+    * are exact int64 (trough = earliest day attaining the max drawdown,
+    * an exact (dd, day) order statistic); dd_share is ONE single-divide
+    * float rounded 6; the verdict reads exact ints only.
+    *
+    * Scale notes: spine-bounded — one running-max window and one
+    * order-statistic pick over the types × calendar-days grid; no
+    * joins beyond the shared grid build and a per-type single-row
+    * broadcast-back.
+    */
+  def q323(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = grid
+      .withColumn("runmax", max(col("v")).over(wCum))
+      .withColumn("dd", col("runmax") - col("v"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(desc("dd"), asc("day"))
+    val trough = dd
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("trough_day"),
+        col("runmax").as("peak_cents"), col("dd").as("max_dd_cents"))
+    val agg = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("v")).as("max_day_cents"),
+        sum(when(col("dd") > 0, 1L).otherwise(0L)).as("days_below_peak"))
+    // recovered = the global max day value was re-attained at or after
+    // the trough day, i.e. some day >= trough has v >= peak
+    val rec = dd.join(trough, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("day") >= col("trough_day") &&
+        col("v") >= col("peak_cents"), 1L).otherwise(0L)).as("n_rec"))
+    agg.join(trough, Seq("event_type")).join(rec, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("peak_cents"),
+        col("trough_day"), col("max_dd_cents"), col("days_below_peak"),
+        expr("CASE WHEN peak_cents > 0 THEN " +
+          "ROUND(CAST(max_dd_cents AS DOUBLE) / peak_cents, 6) END")
+          .as("dd_share"),
+        col("n_rec"))
+      .withColumn("verdict", expr("CASE WHEN max_dd_cents = 0 " +
+        "THEN 'monotone_peak'" +
+        " WHEN n_rec > 0 THEN 'recovered' ELSE 'underwater' END"))
+      .drop("n_rec")
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q323Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |dd AS (
+       |  SELECT event_type, day, v,
+       |    CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS runmax,
+       |    CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
+       |      AS BIGINT) AS ddv
+       |  FROM grid),
+       |trough AS (
+       |  SELECT event_type, day AS trough_day, runmax AS peak_cents,
+       |    ddv AS max_dd_cents
+       |  FROM (
+       |    SELECT event_type, day, runmax, ddv,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY ddv DESC, day) AS rk
+       |    FROM dd) r
+       |  WHERE rk = 1),
+       |agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(CASE WHEN ddv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS days_below_peak
+       |  FROM dd GROUP BY 1),
+       |rec AS (
+       |  SELECT d.event_type,
+       |    CAST(SUM(CASE WHEN d.day >= t.trough_day
+       |      AND d.v >= t.peak_cents THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rec
+       |  FROM dd d JOIN trough t ON t.event_type = d.event_type
+       |  GROUP BY 1)
+       |SELECT a.event_type, a.n_days, t.peak_cents, t.trough_day,
+       |  t.max_dd_cents, a.days_below_peak,
+       |  CASE WHEN t.peak_cents > 0 THEN
+       |    ROUND(CAST(t.max_dd_cents AS DOUBLE) / t.peak_cents, 6) END
+       |    AS dd_share,
+       |  CASE WHEN t.max_dd_cents = 0 THEN 'monotone_peak'
+       |    WHEN r.n_rec > 0 THEN 'recovered'
+       |    ELSE 'underwater' END AS verdict
+       |FROM agg a
+       |JOIN trough t ON t.event_type = a.event_type
+       |JOIN rec r ON r.event_type = a.event_type
+       |ORDER BY a.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q309" -> (q309 _), "Q310" -> (q310 _), "Q315" -> (q315 _),
+    "Q323" -> (q323 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
@@ -1604,6 +1712,7 @@ object Trend {
 
   def oracles: Map[String, String] = Map(
     "Q309" -> q309Oracle, "Q310" -> q310Oracle, "Q315" -> q315Oracle,
+    "Q323" -> q323Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,

@@ -965,6 +965,80 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q323 max drawdown: peak/trough/recovery match a sequential scan") {
+    val grid = localGrid()
+    val out = operators.Trend.q323(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == grid.keySet)
+    grid.foreach { case (t, series) =>
+      var runmax = Long.MinValue
+      var maxDd = Long.MinValue
+      var troughDay = 0L; var peak = 0L; var below = 0L
+      series.foreach { case (day, v) =>
+        runmax = math.max(runmax, v)
+        val dd = runmax - v
+        if (dd > 0) below += 1
+        if (dd > maxDd) { maxDd = dd; troughDay = day; peak = runmax }
+      }
+      val recovered = series.exists { case (day, v) =>
+        day >= troughDay && v >= peak
+      }
+      val row = out(t)
+      assert(row.getAs[Long]("peak_cents") == peak, s"$t: peak")
+      assert(row.getAs[Long]("trough_day") == troughDay, s"$t: trough")
+      assert(row.getAs[Long]("max_dd_cents") == maxDd, s"$t: dd")
+      assert(row.getAs[Long]("days_below_peak") == below, s"$t: below")
+      assert(row.getAs[Double]("dd_share") ==
+        r(6)(maxDd.toDouble / peak), s"$t: share")
+      val expectVerdict =
+        if (maxDd == 0) "monotone_peak"
+        else if (recovered) "recovered" else "underwater"
+      assert(row.getAs[String]("verdict") == expectVerdict, s"$t: verdict")
+    }
+  }
+
+  test("Q324 reconciliation: buckets match a direct per-order rebuild") {
+    val c = Catalog(spark, dir)
+    val recon = c.lineitem
+      .select(col("l_orderkey"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * " +
+          "(1 + l_tax) * 100, 0) AS BIGINT)").as("lc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val books = c.orders
+      .select(col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val buckets = books.map { case (ok, book) =>
+      recon.get(ok) match {
+        case None => ("no_lines", 0L)
+        case Some(rc) =>
+          val ad = math.abs(book - rc)
+          val b =
+            if (ad == 0) "exact"
+            else if (ad * 1000 <= book) "within_0_1pct"
+            else if (ad * 100 <= book) "within_1pct"
+            else if (ad * 10 <= book) "within_10pct"
+            else "over_10pct"
+          (b, ad)
+      }
+    }
+    val out = operators.Quality.q324(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val grouped = buckets.groupBy(_._1)
+    assert(out.keySet == grouped.keySet)
+    grouped.foreach { case (b, g) =>
+      val row = out(b)
+      assert(row.getAs[Long]("n_orders") == g.length.toLong, s"$b: n")
+      assert(row.getAs[Long]("total_abs_diff_cents") == g.map(_._2).sum,
+        s"$b: sum")
+      assert(row.getAs[Long]("max_abs_diff_cents") == g.map(_._2).max,
+        s"$b: max")
+      assert(row.getAs[Double]("share") ==
+        r(6)(g.length.toDouble / books.length), s"$b: share")
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
