@@ -1440,8 +1440,114 @@ object Profiling {
        |FROM fit
        |ORDER BY p_type NULLS FIRST""".stripMargin
 
+  /** Q325 — corpus-composition dissimilarity between every source pair:
+    * Duncan & Duncan's (1955) index of dissimilarity over the language
+    * distribution, D = ½ Σ_l |p_l|a − p_l|b| — the share of either
+    * source's documents that would have to switch language for the two
+    * compositions to match. The curation read for "can I mix these two
+    * sources into one training shard without shifting the language
+    * mix": PSI (Q211) audits ONE population across eras; this audits
+    * every source pair at a point in time, with the top contributing
+    * language named.
+    *
+    * Determinism: D's numerator Σ|c_al·n_b − c_bl·n_a| and the
+    * top-language pick (largest gap, language tiebreak) are exact
+    * int64; D is ONE single-divide float rounded 6; the verdict reads
+    * the rounded D.
+    *
+    * Scale notes: one corpus scan collapses to (source, lang) cells;
+    * pair replication happens on the BOUNDED cell relation (sources ×
+    * langs), never on documents; per-pair work is one window pick +
+    * one aggregate over ≤ |langs| rows. |c·n| holds int64 to ~3·10⁹
+    * docs per source.
+    */
+  def q325(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = cells.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val pairs = tot.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val sided = broadcast(pairs)
+      .join(cells, col("source") === col("src_a") ||
+        col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("lang"))
+      .agg(sum(when(col("source") === col("src_a"), col("cnt"))
+          .otherwise(0L)).as("c_a"),
+        sum(when(col("source") === col("src_b"), col("cnt"))
+          .otherwise(0L)).as("c_b"))
+      .withColumn("gap", abs(col("c_a") * col("n_b") -
+        col("c_b") * col("n_a")))
+    val wTop = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(desc("gap"), asc("lang"))
+    val top = sided.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("src_a"), col("src_b"), col("lang").as("top_lang"))
+    sided.groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("gap")).as("gap_sum"))
+      .join(top, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_langs"),
+        expr("ROUND(CAST(gap_sum AS DOUBLE) / (2 * n_a * n_b), 6)")
+          .as("dissim"),
+        col("top_lang"))
+      .withColumn("verdict", expr("CASE WHEN dissim >= 0.2 " +
+        "THEN 'shifted' ELSE 'aligned' END"))
+      .orderBy(asc_nulls_first("src_a"), asc_nulls_first("src_b"))
+  }
+
+  val q325Oracle: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+      |  FROM cells GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b,
+      |    b.n AS n_b
+      |  FROM tot a JOIN tot b ON a.source < b.source),
+      |sided AS (
+      |  SELECT p.src_a, p.src_b, p.n_a, p.n_b, c.lang,
+      |    CAST(SUM(CASE WHEN c.source = p.src_a THEN c.cnt ELSE 0 END)
+      |      AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN c.source = p.src_b THEN c.cnt ELSE 0 END)
+      |      AS BIGINT) AS c_b
+      |  FROM pairs p JOIN cells c
+      |    ON c.source IN (p.src_a, p.src_b)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |gapped AS (
+      |  SELECT src_a, src_b, n_a, n_b, lang,
+      |    ABS(c_a * n_b - c_b * n_a) AS gap
+      |  FROM sided),
+      |top AS (
+      |  SELECT src_a, src_b, lang AS top_lang FROM (
+      |    SELECT src_a, src_b, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+      |        ORDER BY gap DESC, lang) AS rk
+      |    FROM gapped) r
+      |  WHERE rk = 1),
+      |agg AS (
+      |  SELECT src_a, src_b, n_a, n_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |    CAST(SUM(gap) AS BIGINT) AS gap_sum
+      |  FROM gapped GROUP BY 1, 2, 3, 4)
+      |SELECT a.src_a, a.src_b, a.n_a, a.n_b, a.n_langs,
+      |  ROUND(CAST(a.gap_sum AS DOUBLE) / (2 * a.n_a * a.n_b), 6)
+      |    AS dissim,
+      |  t.top_lang,
+      |  CASE WHEN ROUND(CAST(a.gap_sum AS DOUBLE) /
+      |    (2 * a.n_a * a.n_b), 6) >= 0.2 THEN 'shifted'
+      |    ELSE 'aligned' END AS verdict
+      |FROM agg a JOIN top t ON t.src_a = a.src_a AND t.src_b = a.src_b
+      |ORDER BY a.src_a NULLS FIRST, a.src_b NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q295" -> (q295 _), "Q299" -> (q299 _), "Q304" -> (q304 _),
+    "Q325" -> (q325 _),
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
@@ -1450,6 +1556,7 @@ object Profiling {
 
   def oracles: Map[String, String] = Map(
     "Q295" -> q295Oracle, "Q299" -> q299Oracle, "Q304" -> q304Oracle,
+    "Q325" -> q325Oracle,
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,

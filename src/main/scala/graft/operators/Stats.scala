@@ -5025,10 +5025,121 @@ object Stats {
        |ORDER BY measure_x NULLS FIRST, measure_y NULLS FIRST""".stripMargin
   }
 
+  /** Q326 — Kruskal–Wallis k-sample rank test across ALL event types at
+    * once (Kruskal & Wallis 1952): H = 12/(N(N+1)) Σ R_j²/n_j − 3(N+1)
+    * with the tie correction C = 1 − Σ(t³−t)/(N³−N). The OMNIBUS
+    * location test the pairwise ladder can't give: Q138's Mann–Whitney
+    * answers "are a and b shifted?" k(k−1)/2 times (multiplicity!);
+    * KW answers "is ANY type shifted?" once — the gate you run BEFORE
+    * the pairwise drill-down, exactly as one-way ANOVA precedes
+    * pairwise t-tests.
+    *
+    * Determinism: the Q138 house rule — DOUBLED pooled midranks are
+    * exact int64 (2·cum − t + 1 on the collapsed cents domain), so
+    * every per-type rank sum R2_j, N and Σ(t³−t) are exact ints; the
+    * only floats are the fixed H/C shapes rounded once, and the
+    * verdict reads the rounded value with an explicit df guard.
+    *
+    * Scale notes: one corpus scan to (type, cents) cells; pooled
+    * midranks are one window over the value-domain-bounded collapsed
+    * relation; rank sums are one cell-keyed join + aggregate. Exact
+    * int64 needs N³ < 2⁶³ ⇒ N ≲ 2·10⁶ for the tie term's denominator
+    * — beyond that the SAME plan forms N³ in double (documented).
+    */
+  def q326(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val wCum = Window.orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal.groupBy(col("cents")).agg(sum(col("cnt")).as("w"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("r2", lit(2L) * col("cum") - col("w") + 1L)
+    val perType = byVal
+      .join(ranked.select(col("cents"), col("r2")), Seq("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("nj"), sum(col("cnt") * col("r2")).as("r2j"))
+    val ties = ranked.agg(sum(expr("w * w * w - w")).as("t3"),
+      sum(col("w")).as("nn"))
+    perType.crossJoin(broadcast(ties))
+      .agg(max(col("nn")).as("n_total"), count(lit(1)).as("k_types"),
+        max(col("t3")).as("sum_t3_minus_t"),
+        sum(expr("CAST(r2j AS DOUBLE) * r2j / (4.0 * nj)")).as("srr"))
+      .select(col("n_total"), col("k_types"), col("sum_t3_minus_t"),
+        (col("k_types") - 1L).as("df"),
+        expr("ROUND(12.0 * srr / (CAST(n_total AS DOUBLE) * " +
+          "(n_total + 1)) - 3.0 * (n_total + 1), 4)").as("h_stat"),
+        expr("ROUND(1.0 - CAST(sum_t3_minus_t AS DOUBLE) / " +
+          "(CAST(n_total AS DOUBLE) * n_total * n_total - n_total), 6)")
+          .as("tie_c"),
+        expr("ROUND((12.0 * srr / (CAST(n_total AS DOUBLE) * " +
+          "(n_total + 1)) - 3.0 * (n_total + 1)) / " +
+          "(1.0 - CAST(sum_t3_minus_t AS DOUBLE) / " +
+          "(CAST(n_total AS DOUBLE) * n_total * n_total - n_total)), 4)")
+          .as("h_adj"))
+      .withColumn("verdict", expr("CASE WHEN k_types <> 5 " +
+        "THEN 'unscored' WHEN h_adj > 9.488 THEN 'heterogeneous' " +
+        "ELSE 'homogeneous' END"))
+  }
+
+  val q326Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pooled AS (
+      |  SELECT cents, CAST(SUM(cnt) AS BIGINT) AS w
+      |  FROM byval GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents, w,
+      |    2 * CAST(SUM(w) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - w + 1 AS r2
+      |  FROM pooled),
+      |pertype AS (
+      |  SELECT v.event_type, CAST(SUM(v.cnt) AS BIGINT) AS nj,
+      |    CAST(SUM(v.cnt * r.r2) AS BIGINT) AS r2j
+      |  FROM byval v JOIN ranked r ON r.cents = v.cents
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT CAST(SUM(w * w * w - w) AS BIGINT) AS t3,
+      |    CAST(SUM(w) AS BIGINT) AS nn
+      |  FROM pooled),
+      |agg AS (
+      |  SELECT CAST(MAX(t.nn) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) AS BIGINT) AS k_types,
+      |    CAST(MAX(t.t3) AS BIGINT) AS sum_t3_minus_t,
+      |    SUM(CAST(p.r2j AS DOUBLE) * p.r2j / (4.0 * p.nj)) AS srr
+      |  FROM pertype p, ties t)
+      |SELECT n_total, k_types, sum_t3_minus_t, k_types - 1 AS df,
+      |  ROUND(12.0 * srr / (CAST(n_total AS DOUBLE) * (n_total + 1))
+      |    - 3.0 * (n_total + 1), 4) AS h_stat,
+      |  ROUND(1.0 - CAST(sum_t3_minus_t AS DOUBLE) /
+      |    (CAST(n_total AS DOUBLE) * n_total * n_total - n_total), 6)
+      |    AS tie_c,
+      |  ROUND((12.0 * srr / (CAST(n_total AS DOUBLE) * (n_total + 1))
+      |    - 3.0 * (n_total + 1)) /
+      |    (1.0 - CAST(sum_t3_minus_t AS DOUBLE) /
+      |    (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)), 4)
+      |    AS h_adj,
+      |  CASE WHEN k_types <> 5 THEN 'unscored'
+      |    WHEN ROUND((12.0 * srr / (CAST(n_total AS DOUBLE) *
+      |      (n_total + 1)) - 3.0 * (n_total + 1)) /
+      |      (1.0 - CAST(sum_t3_minus_t AS DOUBLE) /
+      |      (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)), 4)
+      |      > 9.488
+      |    THEN 'heterogeneous' ELSE 'homogeneous' END AS verdict
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
     "Q313" -> (q313 _), "Q314" -> (q314 _), "Q316" -> (q316 _),
+    "Q326" -> (q326 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -5046,6 +5157,7 @@ object Stats {
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
     "Q313" -> q313Oracle, "Q314" -> q314Oracle, "Q316" -> q316Oracle,
+    "Q326" -> q326Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

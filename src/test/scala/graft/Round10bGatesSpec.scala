@@ -1039,6 +1039,68 @@ class Round10bGatesSpec extends SparkSpec {
     }
   }
 
+  test("Q325 dissimilarity index: matches a direct composition comparison") {
+    val c = Catalog(spark, dir)
+    val docs = c.documents.select(col("source"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.groupBy(_._2).map { case (l, h) => l -> h.length.toLong }
+    }
+    val out = operators.Profiling.q325(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(out.size == srcs.size * (srcs.size - 1) / 2)
+    for (a <- srcs; b <- srcs if a < b) {
+      val (ca, cb) = (bySrc(a), bySrc(b))
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      val langs = (ca.keySet ++ cb.keySet).toSeq.sorted
+      val gaps = langs.map(l =>
+        l -> math.abs(ca.getOrElse(l, 0L) * nb - cb.getOrElse(l, 0L) * na))
+      val d = gaps.map(_._2).sum.toDouble / (2.0 * na * nb)
+      val row = out((a, b))
+      assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb,
+        s"($a,$b): totals")
+      assert(row.getAs[Double]("dissim") == r(6)(d), s"($a,$b): D")
+      // D is a proper dissimilarity: in [0, 1]
+      assert(d >= 0 && d <= 1, s"($a,$b): bounds")
+      val topLang = gaps.maxBy(g => (g._2, g._1.map(-_.toInt).mkString))._1
+      val expectTop = gaps.sortBy(g => (-g._2, g._1)).head._1
+      assert(row.getAs[String]("top_lang") == expectTop, s"($a,$b): top $topLang")
+    }
+  }
+
+  test("Q326 Kruskal-Wallis: H matches a direct midrank computation") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = vals.length.toLong
+    // pooled doubled midranks per distinct value
+    val sorted = vals.map(_._2).groupBy(identity)
+      .map { case (v, g) => v -> g.length.toLong }.toSeq.sortBy(_._1)
+    var cum = 0L
+    val r2 = sorted.map { case (v, w) =>
+      cum += w; v -> (2 * cum - w + 1)
+    }.toMap
+    val byType = vals.groupBy(_._1)
+    val srr = byType.values.map { g =>
+      val r2j = g.map(x => r2(x._2)).sum
+      r2j.toDouble * r2j / (4.0 * g.length)
+    }.sum
+    val h = 12.0 * srr / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val t3 = sorted.map { case (_, w) => w * w * w - w }.sum
+    val tieC = 1.0 - t3.toDouble / (n.toDouble * n * n - n)
+    val row = operators.Stats.q326(spark, dir).collect().head
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("k_types") == byType.size.toLong)
+    assert(row.getAs[Long]("sum_t3_minus_t") == t3)
+    assert(row.getAs[Double]("h_stat") == r(4)(h))
+    assert(row.getAs[Double]("tie_c") == r(6)(tieC))
+    assert(row.getAs[Double]("h_adj") == r(4)(h / tieC))
+    assert(h >= 0, "H is nonnegative")
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
