@@ -1243,13 +1243,19 @@ object VectorOps {
       .filter(col("rk") === 1)
       .select(col("label"), col("pos").as("top_var_dim"),
         round(col("varj"), 6).as("top_var"))
-    val crossP = flat.as("x").join(flat.as("y"),
-        col("x.label") === col("y.label") &&
-          col("x.vec_id") === col("y.vec_id") &&
-          col("x.pos") <= col("y.pos"))
-      .groupBy(col("x.label").as("label"), col("x.pos").as("j"),
-        col("y.pos").as("k"))
-      .agg(count(lit(1)).as("n"), sum(col("x.val") * col("y.val")).as("sjk"))
+    // Upper-triangle outer products explode LOCALLY per row (no self-
+    // join, no shuffle of n·d² rows — partial aggregation combines to
+    // ≤ d(d+1)/2 cells per task before the exchange).
+    val crossP = c.embeddings
+      .select(col("label"), explode(expr(
+        "flatten(transform(sequence(1, size(embedding)), j -> " +
+          "transform(sequence(j, size(embedding)), k -> struct(" +
+          "j AS j, k AS k, CAST(element_at(embedding, j) AS DOUBLE) * " +
+          "CAST(element_at(embedding, k) AS DOUBLE) AS p))))")).as("t"))
+      .select(col("label"), col("t.j").cast("long").as("j"),
+        col("t.k").cast("long").as("k"), col("t.p").as("p"))
+      .groupBy(col("label"), col("j"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sjk"))
     val fro = crossP
       .join(broadcast(mom.select(col("label"), col("pos").as("j"),
         col("s1").as("s1j"))), Seq("label", "j"))
