@@ -1476,8 +1476,91 @@ object Behavior {
       |FROM out
       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
 
+  /** Q328 — Theil-T inequality decomposition of (user, event-type)
+    * spend cells BY event type (Theil 1967; Shorrocks 1980 on the
+    * decomposable class): T = T_between + Σ_g s_g·T_within,g — the
+    * property Q213's Gini famously LACKS. Emits, per type, its
+    * within-group Theil, its share-weighted contribution and its
+    * between-group term, so "is spend inequality driven by gaps
+    * BETWEEN activity types or by whales WITHIN a type?" is one read
+    * of the output; the spec pins the decomposition identity itself.
+    *
+    * Determinism: cell totals, group sums and every verdict compare
+    * (rev·N vs n_g·S, exact int64) are exact; the only floats are
+    * Σ x·ln x sums (ln of exact ints — engine sum-order drift ~1e-13,
+    * inside round 6) and the fixed ln-ratio shapes rounded once.
+    *
+    * Scale notes: one aggregate to (type, user) cells (map-side
+    * combined on the natural key), one to k group rows, broadcast
+    * totals — no window, no join beyond the k-row crossJoin. rev·N
+    * stays int64 to ~10¹⁵ total cents · 10³ cells-scale; the ratio
+    * forms cast first beyond that (documented).
+    */
+  def q328(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cells = c.events
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("x"))
+      .filter(col("x") > 0)
+    val perG = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("x")).as("rev"),
+        sum(col("x").cast("double") * log(col("x").cast("double")))
+          .as("sxlx"))
+    val tot = perG.agg(sum(col("n_cells")).as("nn"),
+      sum(col("rev")).as("ss"))
+    perG.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_cells"),
+        col("rev").as("revenue_cents"),
+        expr("ROUND(CAST(rev AS DOUBLE) / ss, 6)").as("revenue_share"),
+        expr("ROUND(CAST(rev AS DOUBLE) / n_cells, 4)").as("mean_cents"),
+        expr("ROUND(sxlx / rev - LN(CAST(rev AS DOUBLE) / n_cells), 6)")
+          .as("theil_within"),
+        expr("ROUND((CAST(rev AS DOUBLE) / ss) * (sxlx / rev - " +
+          "LN(CAST(rev AS DOUBLE) / n_cells)), 6)").as("contribution"),
+        expr("ROUND((CAST(rev AS DOUBLE) / ss) * " +
+          "LN(CAST(rev AS DOUBLE) * nn / (CAST(n_cells AS DOUBLE) * ss))" +
+          ", 6)").as("between_term"),
+        expr("CASE WHEN rev * nn > n_cells * ss THEN 'above_mean' " +
+          "WHEN rev * nn < n_cells * ss THEN 'below_mean' " +
+          "ELSE 'at_mean' END").as("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q328Oracle: String =
+    """WITH cells AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |  HAVING SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) > 0),
+      |perg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |    CAST(SUM(x) AS BIGINT) AS rev,
+      |    SUM(CAST(x AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS sxlx
+      |  FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_cells) AS BIGINT) AS nn,
+      |    CAST(SUM(rev) AS BIGINT) AS ss
+      |  FROM perg)
+      |SELECT p.event_type, p.n_cells, p.rev AS revenue_cents,
+      |  ROUND(CAST(p.rev AS DOUBLE) / t.ss, 6) AS revenue_share,
+      |  ROUND(CAST(p.rev AS DOUBLE) / p.n_cells, 4) AS mean_cents,
+      |  ROUND(p.sxlx / p.rev - LN(CAST(p.rev AS DOUBLE) / p.n_cells), 6)
+      |    AS theil_within,
+      |  ROUND((CAST(p.rev AS DOUBLE) / t.ss) * (p.sxlx / p.rev -
+      |    LN(CAST(p.rev AS DOUBLE) / p.n_cells)), 6) AS contribution,
+      |  ROUND((CAST(p.rev AS DOUBLE) / t.ss) *
+      |    LN(CAST(p.rev AS DOUBLE) * t.nn / (CAST(p.n_cells AS DOUBLE)
+      |    * t.ss)), 6) AS between_term,
+      |  CASE WHEN p.rev * t.nn > p.n_cells * t.ss THEN 'above_mean'
+      |    WHEN p.rev * t.nn < p.n_cells * t.ss THEN 'below_mean'
+      |    ELSE 'at_mean' END AS verdict
+      |FROM perg p, tot t
+      |ORDER BY p.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q305" -> (q305 _), "Q318" -> (q318 _),
+    "Q305" -> (q305 _), "Q318" -> (q318 _), "Q328" -> (q328 _),
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
@@ -1486,7 +1569,7 @@ object Behavior {
     "Q271" -> (q271 _), "Q298" -> (q298 _))
 
   def oracles: Map[String, String] = Map(
-    "Q305" -> q305Oracle, "Q318" -> q318Oracle,
+    "Q305" -> q305Oracle, "Q318" -> q318Oracle, "Q328" -> q328Oracle,
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,

@@ -1545,9 +1545,94 @@ object Profiling {
       |FROM agg a JOIN top t ON t.src_a = a.src_a AND t.src_b = a.src_b
       |ORDER BY a.src_a NULLS FIRST, a.src_b NULLS FIRST""".stripMargin
 
+  /** Q327 — ABC (Pareto) classification of parts by net lineitem
+    * revenue: rank parts by Σ ROUND(extprice·(1−disc)·100) cents
+    * descending and band the INCLUSIVE cumulative share at the
+    * classical 80 / 95 cut points (A carries the first ~80% of
+    * revenue, B the next ~15%, C the tail) — the inventory-control
+    * segmentation (Dickie 1951's ABC analysis) every ops team runs;
+    * the Q159/Q213-style concentration gates say HOW skewed revenue
+    * is, this says WHICH items form each band and how thin the head
+    * is.
+    *
+    * Determinism: per-part revenue is exact int64 cents; the ranking
+    * orders (revenue DESC, partkey) — exact ints; band edges are
+    * integer cross-multiplication (cum·100 ≤ 80·total), no float
+    * thresholds; share is one single-divide float rounded 6. Rank 1
+    * is pinned to A so a single dominant part can't produce an empty
+    * A class.
+    *
+    * Scale notes: the per-part rollup is one map-side-combined
+    * aggregate onto the part dimension; the cumulative pass is ONE
+    * window over that dimension-sized relation (at warehouse scale,
+    * swap for the two-pass range-partitioned cumsum — per-partition
+    * partials + broadcast offsets — same semantics, documented, not
+    * silent); the class rollup is 3 rows.
+    */
+  def q327(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val perPart = c.lineitem
+      .select(col("l_partkey"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) " +
+          "AS BIGINT)").as("net_cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("net_cents")).as("rev"))
+    val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perPart.agg(sum(col("rev")).as("tot"))
+    val classed = perPart
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("rev"), asc("l_partkey"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class", expr("CASE " +
+        "WHEN rnk = 1 OR cum * 100 <= 80 * tot THEN 'A' " +
+        "WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END"))
+    classed.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("class_revenue_cents"),
+        min(col("rnk")).as("first_rank"), max(col("rnk")).as("last_rank"),
+        max(col("tot")).as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        col("class_revenue_cents"), col("first_rank"), col("last_rank"),
+        expr("ROUND(CAST(class_revenue_cents AS DOUBLE) / tot, 6)")
+          .as("revenue_share"))
+      .orderBy(asc_nulls_first("abc_class"))
+  }
+
+  val q327Oracle: String =
+    """WITH perpart AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+      |      0) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM perpart),
+      |classed AS (
+      |  SELECT p.l_partkey, p.rev, t.tot,
+      |    CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY p.rev DESC, p.l_partkey)
+      |      AS BIGINT) AS rnk
+      |  FROM perpart p, tot t),
+      |banded AS (
+      |  SELECT CASE
+      |    WHEN rnk = 1 OR cum * 100 <= 80 * tot THEN 'A'
+      |    WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS abc_class,
+      |    rev, rnk, tot
+      |  FROM classed)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS BIGINT) AS class_revenue_cents,
+      |  CAST(MIN(rnk) AS BIGINT) AS first_rank,
+      |  CAST(MAX(rnk) AS BIGINT) AS last_rank,
+      |  ROUND(CAST(SUM(rev) AS DOUBLE) / MAX(tot), 6) AS revenue_share
+      |FROM banded
+      |GROUP BY 1
+      |ORDER BY abc_class NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q295" -> (q295 _), "Q299" -> (q299 _), "Q304" -> (q304 _),
-    "Q325" -> (q325 _),
+    "Q325" -> (q325 _), "Q327" -> (q327 _),
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
     "Q116" -> (q116 _), "Q127" -> (q127 _), "Q129" -> (q129 _),
     "Q133" -> (q133 _), "Q151" -> (q151 _), "Q159" -> (q159 _),
@@ -1556,7 +1641,7 @@ object Profiling {
 
   def oracles: Map[String, String] = Map(
     "Q295" -> q295Oracle, "Q299" -> q299Oracle, "Q304" -> q304Oracle,
-    "Q325" -> q325Oracle,
+    "Q325" -> q325Oracle, "Q327" -> q327Oracle,
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,
     "Q115" -> q115Oracle, "Q116" -> q116Oracle, "Q127" -> q127Oracle,
     "Q129" -> q129Oracle, "Q133" -> q133Oracle, "Q151" -> q151Oracle,

@@ -1101,6 +1101,86 @@ class Round10bGatesSpec extends SparkSpec {
     assert(h >= 0, "H is nonnegative")
   }
 
+  test("Q327 ABC classification: bands match a sequential cumulative scan") {
+    val c = Catalog(spark, dir)
+    val revs = c.lineitem
+      .select(col("l_partkey"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) " +
+          "AS BIGINT)").as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }.toSeq
+    val sorted = revs.sortBy { case (pk, rev) => (-rev, pk) }
+    val tot = sorted.map(_._2).sum
+    var cum = 0L
+    val banded = sorted.zipWithIndex.map { case ((pk, rev), i) =>
+      cum += rev
+      val cls =
+        if (i == 0 || cum * 100 <= 80 * tot) "A"
+        else if (cum * 100 <= 95 * tot) "B" else "C"
+      (cls, rev, i + 1L)
+    }
+    val grouped = banded.groupBy(_._1)
+    val out = operators.Profiling.q327(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == grouped.keySet)
+    grouped.foreach { case (cls, g) =>
+      val row = out(cls)
+      assert(row.getAs[Long]("n_parts") == g.length.toLong, s"$cls: n")
+      assert(row.getAs[Long]("class_revenue_cents") == g.map(_._2).sum,
+        s"$cls: rev")
+      assert(row.getAs[Long]("first_rank") == g.map(_._3).min &&
+        row.getAs[Long]("last_rank") == g.map(_._3).max, s"$cls: ranks")
+      assert(row.getAs[Double]("revenue_share") ==
+        r(6)(g.map(_._2).sum.toDouble / tot), s"$cls: share")
+    }
+    // classes are contiguous rank bands in A < B < C order
+    val byClass = grouped.view.mapValues(g => (g.map(_._3).min, g.map(_._3).max))
+    for (Seq(a, b) <- Seq("A", "B", "C").filter(grouped.contains).sliding(2))
+      assert(byClass(a)._2 + 1 == byClass(b)._1, s"$a/$b bands contiguous")
+  }
+
+  test("Q328 Theil decomposition: identity T_total = between + sum of contributions") {
+    val c = Catalog(spark, dir)
+    val cells = c.events
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      .filter(_._2 > 0)
+    val xs = cells.toSeq.map { case ((t, _), x) => (t, x) }
+    val nn = xs.length.toLong
+    val ss = xs.map(_._2).sum
+    val mu = ss.toDouble / nn
+    val tTotal = xs.map { case (_, x) =>
+      (x / mu) * math.log(x / mu)
+    }.sum / nn
+    val out = operators.Behavior.q328(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = xs.groupBy(_._1)
+    assert(out.keySet == byType.keySet)
+    var recon = 0.0
+    byType.foreach { case (t, g) =>
+      val (ng, sg) = (g.length.toLong, g.map(_._2).sum)
+      val mug = sg.toDouble / ng
+      val tw = g.map { case (_, x) => (x / mug) * math.log(x / mug) }.sum / ng
+      val share = sg.toDouble / ss
+      val row = out(t)
+      assert(row.getAs[Long]("n_cells") == ng, s"$t: n")
+      assert(row.getAs[Long]("revenue_cents") == sg, s"$t: rev")
+      assert(math.abs(row.getAs[Double]("theil_within") - tw) < 1e-4,
+        s"$t: within")
+      assert(math.abs(row.getAs[Double]("contribution") - share * tw) < 1e-4,
+        s"$t: contribution")
+      assert(math.abs(row.getAs[Double]("between_term") -
+        share * math.log(mug / mu)) < 1e-4, s"$t: between")
+      recon += row.getAs[Double]("contribution") +
+        row.getAs[Double]("between_term")
+    }
+    // the decomposition identity (up to the 1e-6 output rounding per term)
+    assert(math.abs(recon - tTotal) < 1e-4,
+      s"decomposition identity: $recon vs $tTotal")
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
