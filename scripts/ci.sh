@@ -33,11 +33,15 @@ python3 scripts/golden.py check "$OUT" golden/sf0.01.json
 # rewrite (the Q99-HOF class of bug) before it reaches a judge. Budgets are
 # regenerated on a quiet machine with `scaling.py budget`.
 BENCH_OUT=$(mktemp /tmp/graft-ci-bench.XXXXXX.json)
-# head -1: Bench prints the full per-query map first and a short summary
-# line last (for the driver's bounded stdout tail); the budget check wants
-# the full map.
+BENCH_RAW=$(mktemp /tmp/graft-ci-bench-raw.XXXXXX.log)
+# Bench prints the full per-query map first and a short summary line last
+# (for the driver's bounded stdout tail); the budget check wants the full
+# map. grep -m1 (not `| head -1`): under pipefail, head exiting after the
+# first match SIGPIPEs the producer and 141-fails the whole gate AFTER
+# every real check has passed (observed once at the 329-gate size).
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench" \
-  | grep -o '{"metric".*}' | head -1 > "$BENCH_OUT"
+  > "$BENCH_RAW"
+grep -m1 -o '{"metric".*}' "$BENCH_RAW" > "$BENCH_OUT"
 python3 scripts/scaling.py check "$BENCH_OUT" golden/bench_budget_sf0.001.json
 
 echo "CI GREEN ($SF_DIR)"

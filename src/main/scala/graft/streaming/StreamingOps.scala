@@ -659,6 +659,67 @@ object StreamingOps {
       }
   }
 
+  /** Per-type online drawdown state: the running peak, the worst
+    * peak-to-trough drop seen so far and where it happened, plus
+    * whether the pre-trough peak has been re-attained since. */
+  case class DdState(runmax: Long, maxDd: Long, troughDay: Long,
+    peakAtTrough: Long, recovered: Boolean)
+
+  /** One emitted row per processed (type, day). */
+  case class DdRow(event_type: String, day: Long, v: Long, runmax: Long,
+    dd: Long, max_dd: Long, trough_day: Long, peak_cents: Long,
+    recovered: Boolean)
+
+  /** Q323 streaming twin — ONLINE maximum-drawdown monitor per event
+    * type with flatMapGroupsWithState: the batch gate scans the whole
+    * daily grid offline; the online form carries O(1) exact-int64
+    * state per type — (running peak, worst drawdown, its trough day,
+    * the peak it fell from, recovered?) — and emits the full drawdown
+    * readout per processed day. All updates are exact integer
+    * comparisons (a NEW worst drawdown resets the recovery flag; any
+    * later day with v ≥ that peak sets it), so the monitor is
+    * REPLAY-EQUAL to a sequential scan of the same day-ordered feed —
+    * asserted against batch Q323's (peak, trough, max_dd, verdict) in
+    * StreamingSpec.
+    *
+    * Ingest contract: day-ordered files of pre-aggregated (type, day,
+    * cents) rows (the dailyCentsGrid shape); within a micro-batch,
+    * rows sort by day before the fold, so day-split replay and
+    * all-at-once replay produce identical rows.
+    */
+  def drawdownStream(daily: DataFrame): org.apache.spark.sql.Dataset[DdRow] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    daily
+      .select(col("event_type").as[String], col("day").as[Long],
+        col("v").as[Long])
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DdState, DdRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[(String, Long, Long)],
+         gs: GroupState[DdState]) =>
+          var st = gs.getOption.getOrElse(
+            DdState(Long.MinValue, -1L, 0L, 0L, recovered = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DdRow]
+          it.toSeq.sortBy(_._2).foreach { case (_, day, v) =>
+            val runmax = math.max(st.runmax, v)
+            val dd = runmax - v
+            st =
+              if (dd > st.maxDd)
+                DdState(runmax, dd, day, runmax, recovered = v >= runmax)
+              else st.copy(runmax = runmax,
+                recovered = st.recovered ||
+                  (day >= st.troughDay && v >= st.peakAtTrough))
+            out += DdRow(tpe, day, v, runmax, dd, st.maxDd,
+              st.troughDay, st.peakAtTrough, st.recovered)
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
 }
 
 /** Per-user funnel state: min view time plus the click/purchase time sets

@@ -774,4 +774,92 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.keys.count(_._1 == t) == sorted.length)
     }
   }
+
+  test("streamed online drawdown monitor equals a sequential scan and batch Q323 across a day-split") {
+    val grid = {
+      // zero-filled daily cents grid, recomputed independently
+      val daily = Catalog(spark, sf("sf0.001")).events
+        .select(col("event_type"),
+          expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val dmin = daily.map(_._2).min
+      val dmax = daily.map(_._2).max
+      val m = daily.map(t => (t._1, t._2) -> t._3).toMap
+      (for {
+        t <- daily.map(_._1).distinct
+        d <- dmin to dmax
+      } yield (t, d, m.getOrElse((t, d), 0L))).sortBy(p => (p._1, p._2))
+    }
+    val days = grid.map(_._2).distinct.sorted
+    val cutA = days(days.length / 4)
+    val cutB = days(days.length / 2)
+    val srcDir = tmpDir("graft-dd-src")
+    Seq(("0", (d: Long) => d <= cutA),
+      ("1", (d: Long) => d > cutA && d <= cutB),
+      ("2", (d: Long) => d > cutB)).foreach { case (name, pred) =>
+      import spark.implicits._
+      val stage = tmpDir(s"graft-dd-stage$name")
+      grid.filter(p => pred(p._2)).toSeq.toDF("event_type", "day", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamingOps.drawdownStream(stream)
+      .toDF("event_type", "day", "v", "runmax", "dd", "max_dd",
+        "trough_day", "peak_cents", "recovered")
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-dd-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dd_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getBoolean(8)))
+      .toMap
+    // Sequential replay of the identical semantics.
+    val batch = graft.operators.Trend.q323(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    grid.groupBy(_._1).foreach { case (t, series) =>
+      var runmax = Long.MinValue
+      var maxDd = -1L; var troughDay = 0L; var peak = 0L
+      var recovered = false
+      series.sortBy(_._2).foreach { case (_, day, v) =>
+        runmax = math.max(runmax, v)
+        val dd = runmax - v
+        if (dd > maxDd) {
+          maxDd = dd; troughDay = day; peak = runmax
+          recovered = v >= runmax
+        } else if (day >= troughDay && v >= peak) recovered = true
+        assert(streamed((t, day)) ==
+          ((runmax, dd, maxDd, troughDay, peak, recovered)),
+          s"$t day $day")
+      }
+      // final state agrees with batch Q323
+      val row = batch(t)
+      assert(row.getAs[Long]("peak_cents") == peak, s"$t: batch peak")
+      assert(row.getAs[Long]("trough_day") == troughDay, s"$t: batch trough")
+      assert(row.getAs[Long]("max_dd_cents") == maxDd, s"$t: batch dd")
+      val expectVerdict =
+        if (maxDd == 0) "monotone_peak"
+        else if (recovered) "recovered" else "underwater"
+      assert(row.getAs[String]("verdict") == expectVerdict, s"$t: verdict")
+    }
+  }
 }
