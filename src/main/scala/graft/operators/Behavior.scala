@@ -1559,8 +1559,94 @@ object Behavior {
       |FROM perg p, tot t
       |ORDER BY p.event_type NULLS FIRST""".stripMargin
 
+  /** Q331 — Lorenz decile table of total user spend (Lorenz 1905): the
+    * curve behind Q213's Gini scalar and Q328's Theil — users ranked by
+    * lifetime spend ascending, bucketed into exact tenths, each
+    * decile's revenue and cumulative revenue share. This is the
+    * operational shape: "the bottom half holds 28% of spend, the top
+    * decile 23%" — numbers a concentration INDEX can't give back.
+    *
+    * Determinism: spend and rank are exact int64 ((spend, user_id)
+    * total order); the decile bucket is pure integer arithmetic
+    * ((rank−1)·10 DIV n + 1 — NOT ntile, whose remainder placement
+    * convention we'd have to trust to match); shares are single-divide
+    * floats rounded 6; the verdict compares exact cross-products
+    * (rev_d·n vs total·n_d — is the decile above or below uniform?).
+    *
+    * Scale notes: one aggregate to per-user spend (map-side combined),
+    * one rank window over that relation and a 10-key rollup. The rank
+    * window is the gate's declared single-pass form; at warehouse
+    * user counts it becomes the two-pass range-partitioned rank (the
+    * Q327 note), identical semantics.
+    */
+  def q331(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val spend = c.events
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x"))
+    val w = Window.orderBy(asc("x"), asc("user_id"))
+    val tot = spend.agg(count(lit(1)).as("n_users"),
+      sum(col("x")).as("total"))
+    val deciled = spend
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(rnk - 1) * 10 DIV n_users + 1"))
+    val wCum = Window.orderBy(asc("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users_d"), sum(col("x")).as("decile_cents"),
+        max(col("n_users")).as("n_users"), max(col("total")).as("total"))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(wCum))
+      .select(col("decile"), col("n_users_d"), col("decile_cents"),
+        expr("ROUND(CAST(decile_cents AS DOUBLE) / total, 6)")
+          .as("revenue_share"),
+        expr("ROUND(CAST(cum_cents AS DOUBLE) / total, 6)")
+          .as("cum_share"),
+        expr("CASE WHEN decile_cents * n_users > total * n_users_d " +
+          "THEN 'above_uniform' WHEN decile_cents * n_users < " +
+          "total * n_users_d THEN 'below_uniform' " +
+          "ELSE 'uniform' END").as("verdict"))
+      .orderBy(asc("decile"))
+  }
+
+  val q331Oracle: String =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS total
+      |  FROM spend),
+      |deciled AS (
+      |  SELECT s.x, t.n_users, t.total,
+      |    (CAST(ROW_NUMBER() OVER (ORDER BY s.x, s.user_id) AS BIGINT)
+      |      - 1) * 10 // t.n_users + 1 AS decile
+      |  FROM spend s, tot t),
+      |rolled AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users_d,
+      |    CAST(SUM(x) AS BIGINT) AS decile_cents,
+      |    CAST(MAX(n_users) AS BIGINT) AS n_users,
+      |    CAST(MAX(total) AS BIGINT) AS total
+      |  FROM deciled GROUP BY 1)
+      |SELECT decile, n_users_d, decile_cents,
+      |  ROUND(CAST(decile_cents AS DOUBLE) / total, 6) AS revenue_share,
+      |  ROUND(CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE) / total, 6) AS cum_share,
+      |  CASE WHEN decile_cents * n_users > total * n_users_d
+      |    THEN 'above_uniform'
+      |    WHEN decile_cents * n_users < total * n_users_d
+      |    THEN 'below_uniform'
+      |    ELSE 'uniform' END AS verdict
+      |FROM rolled
+      |ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q305" -> (q305 _), "Q318" -> (q318 _), "Q328" -> (q328 _),
+    "Q331" -> (q331 _),
     "Q209" -> (q209 _), "Q211" -> (q211 _),
     "Q212" -> (q212 _), "Q213" -> (q213 _), "Q216" -> (q216 _),
     "Q217" -> (q217 _), "Q220" -> (q220 _), "Q221" -> (q221 _),
@@ -1570,6 +1656,7 @@ object Behavior {
 
   def oracles: Map[String, String] = Map(
     "Q305" -> q305Oracle, "Q318" -> q318Oracle, "Q328" -> q328Oracle,
+    "Q331" -> q331Oracle,
     "Q209" -> q209Oracle, "Q211" -> q211Oracle,
     "Q212" -> q212Oracle, "Q213" -> q213Oracle, "Q216" -> q216Oracle,
     "Q217" -> q217Oracle, "Q220" -> q220Oracle, "Q221" -> q221Oracle,

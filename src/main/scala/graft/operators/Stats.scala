@@ -5135,11 +5135,199 @@ object Stats {
       |    THEN 'heterogeneous' ELSE 'homogeneous' END AS verdict
       |FROM agg""".stripMargin
 
+  /** Q329 — Jonckheere–Terpstra ordered-alternative trend test of order
+    * value across the five ORDERED priority classes (Jonckheere 1954;
+    * Terpstra 1952): JT = Σ_{g<h in priority order} U_gh, the sum of
+    * pairwise Mann–Whitney counts taken ONLY in the declared direction.
+    * Where Kruskal–Wallis (Q326) asks "is any group shifted?", JT asks
+    * the sharper ordered question — "does order value trend
+    * monotonically with priority?" — with far more power against
+    * monotone alternatives. Priorities order lexicographically
+    * ('1-URGENT' < … < '5-LOW'), so z > 0 reads "value rises as
+    * priority falls".
+    *
+    * Determinism: the Q138 collapsed-domain rule — DOUBLED pairwise
+    * counts U2 = Σ_v c_h(v)·(2·C_g(<v) + c_g(v)) are exact int64 (ties
+    * count once, not half, in the doubled form), as are N, Σn², the
+    * doubled expectation e2 = (N²−Σn²)/2 (always an integer:
+    * N²−Σn² = 2Σn_g n_h) and Σn²(2n+3); z is ONE fixed float shape
+    * (the classical no-tie variance — prices are cents-distinct, tie
+    * mass is negligible and the shape is DECLARED) rounded 4.
+    *
+    * Scale notes: one orders scan to (priority, cents) cells; the 10
+    * ordered pairs replicate only the collapsed relation; one window
+    * pass per pair. U2 ≤ N² holds int64 to N ≈ 3·10⁹ orders.
+    */
+  def q329(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.orders
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("prio"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val grps = byVal.select(col("prio")).distinct()
+    val pairTags = grps.select(col("prio").as("ga"))
+      .join(grps.select(col("prio").as("gb")), col("ga") < col("gb"))
+    val sided = broadcast(pairTags)
+      .join(byVal, col("prio") === col("ga") || col("prio") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("cents"))
+      .agg(sum(when(col("prio") === col("ga"), col("cnt")).otherwise(0L))
+          .as("ca"),
+        sum(when(col("prio") === col("gb"), col("cnt")).otherwise(0L))
+          .as("cb"))
+    val wCum = Window.partitionBy(col("ga"), col("gb"))
+      .orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val jt = sided
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("term", col("cb") *
+        (lit(2L) * (col("cuma") - col("ca")) + col("ca")))
+      .agg(sum(col("term")).as("jt2"))
+    val sizes = byVal.groupBy(col("prio")).agg(sum(col("cnt")).as("n"))
+      .agg(sum(col("n")).as("nn"), count(lit(1)).as("k_groups"),
+        sum(col("n") * col("n")).as("sn2"),
+        sum(col("n") * col("n") * (lit(2L) * col("n") + 3L)).as("sn2t"))
+    jt.crossJoin(broadcast(sizes))
+      .select(col("nn").as("n_total"), col("k_groups"), col("jt2"),
+        expr("(nn * nn - sn2) DIV 2").as("e2"),
+        expr("ROUND(CAST(jt2 - (nn * nn - sn2) DIV 2 AS DOUBLE) / " +
+          "(2 * SQRT((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - sn2t) " +
+          "/ 72)), 4)").as("z"))
+      .withColumn("verdict", expr("CASE WHEN z >= 1.96 " +
+        "THEN 'increasing' WHEN z <= -1.96 THEN 'decreasing' " +
+        "ELSE 'no_trend' END"))
+  }
+
+  val q329Oracle: String =
+    """WITH byval AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |grps AS (SELECT DISTINCT prio FROM byval),
+      |pairs AS (
+      |  SELECT a.prio AS ga, b.prio AS gb
+      |  FROM grps a JOIN grps b ON a.prio < b.prio),
+      |sided AS (
+      |  SELECT p.ga, p.gb, v.cents,
+      |    CAST(SUM(CASE WHEN v.prio = p.ga THEN v.cnt ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN v.prio = p.gb THEN v.cnt ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM pairs p JOIN byval v ON v.prio IN (p.ga, p.gb)
+      |  GROUP BY 1, 2, 3),
+      |terms AS (
+      |  SELECT cb * (2 * (CAST(SUM(ca) OVER (PARTITION BY ga, gb
+      |      ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS BIGINT) - ca) + ca) AS term
+      |  FROM sided),
+      |jt AS (SELECT CAST(SUM(term) AS BIGINT) AS jt2 FROM terms),
+      |sizes AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(COUNT(*) AS BIGINT) AS k_groups,
+      |    CAST(SUM(n * n) AS BIGINT) AS sn2,
+      |    CAST(SUM(n * n * (2 * n + 3)) AS BIGINT) AS sn2t
+      |  FROM (SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n
+      |        FROM byval GROUP BY 1) g),
+      |out AS (
+      |  SELECT s.nn AS n_total, s.k_groups, j.jt2,
+      |    (s.nn * s.nn - s.sn2) // 2 AS e2,
+      |    ROUND(CAST(j.jt2 - (s.nn * s.nn - s.sn2) // 2 AS DOUBLE) /
+      |      (2 * SQRT((CAST(s.nn AS DOUBLE) * s.nn * (2 * s.nn + 3)
+      |      - s.sn2t) / 72)), 4) AS z
+      |  FROM jt j, sizes s)
+      |SELECT n_total, k_groups, jt2, e2, z,
+      |  CASE WHEN z >= 1.96 THEN 'increasing'
+      |    WHEN z <= -1.96 THEN 'decreasing'
+      |    ELSE 'no_trend' END AS verdict
+      |FROM out""".stripMargin
+
+  /** Q330 — Doksum shift function between every pair of event types at
+    * the nine interior deciles (Doksum 1974; Doksum & Sievers 1976):
+    * Δ(p) = q_b(p) − q_a(p), the quantile-by-quantile difference that
+    * says WHERE two distributions differ — a uniform Δ means a pure
+    * location shift, Δ growing with p means the difference lives in
+    * the tail — where KS (Q139), W₁ (Q297), CvM (Q313) and energy
+    * (Q311) each compress the comparison to one scalar.
+    *
+    * Determinism: each quantile is an exact LOWER order statistic on
+    * the collapsed cents domain (smallest cents with cum ≥
+    * ⌈p·n/100⌉ = (p·n+99) DIV 100 — pure integer arithmetic); every
+    * output is an exact int; no floats anywhere.
+    *
+    * Scale notes: one corpus scan to (type, cents) cells, one
+    * per-type cumulative window over the value-domain-bounded
+    * relation, a 9-row broadcast decile spine, then a min-aggregate
+    * and a (type, pct)-keyed self-join of the k·9-row quantile table.
+    */
+  def q330(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val byVal = c.events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cums = byVal
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val spine = byVal.sparkSession.range(1, 10)
+      .select((col("id") * 10).cast("long").as("pct"))
+    val quant = cums.crossJoin(broadcast(spine))
+      .filter(col("cum") >= expr("(pct * n + 99) DIV 100"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(col("cents")).as("qv"))
+      .localCheckpoint()
+    quant.select(col("event_type").as("type_a"), col("pct"),
+        col("qv").as("q_a"))
+      .join(quant.select(col("event_type").as("type_b"),
+        col("pct").as("pctb"), col("qv").as("q_b")),
+        col("pct") === col("pctb") && col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("pct"), col("q_a"),
+        col("q_b"), (col("q_b") - col("q_a")).as("shift_cents"))
+      .withColumn("verdict", expr("CASE WHEN shift_cents > 0 " +
+        "THEN 'b_above' WHEN shift_cents < 0 THEN 'a_above' " +
+        "ELSE 'equal' END"))
+      .orderBy(asc_nulls_first("type_a"), asc_nulls_first("type_b"),
+        asc("pct"))
+  }
+
+  val q330Oracle: String =
+    """WITH byval AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT event_type, cents,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM byval),
+      |spine AS (SELECT CAST(UNNEST([10,20,30,40,50,60,70,80,90])
+      |  AS BIGINT) AS pct),
+      |quant AS (
+      |  SELECT c.event_type, s.pct, CAST(MIN(c.cents) AS BIGINT) AS qv
+      |  FROM cums c CROSS JOIN spine s
+      |  WHERE c.cum >= (s.pct * c.n + 99) // 100
+      |  GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b, a.pct,
+      |  a.qv AS q_a, b.qv AS q_b, b.qv - a.qv AS shift_cents,
+      |  CASE WHEN b.qv - a.qv > 0 THEN 'b_above'
+      |    WHEN b.qv - a.qv < 0 THEN 'a_above'
+      |    ELSE 'equal' END AS verdict
+      |FROM quant a JOIN quant b
+      |  ON b.pct = a.pct AND a.event_type < b.event_type
+      |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST, a.pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
     "Q313" -> (q313 _), "Q314" -> (q314 _), "Q316" -> (q316 _),
-    "Q326" -> (q326 _),
+    "Q326" -> (q326 _), "Q329" -> (q329 _), "Q330" -> (q330 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -5157,7 +5345,7 @@ object Stats {
     "Q297" -> q297Oracle, "Q301" -> q301Oracle, "Q306" -> q306Oracle,
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
     "Q313" -> q313Oracle, "Q314" -> q314Oracle, "Q316" -> q316Oracle,
-    "Q326" -> q326Oracle,
+    "Q326" -> q326Oracle, "Q329" -> q329Oracle, "Q330" -> q330Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

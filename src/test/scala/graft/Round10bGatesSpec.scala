@@ -1181,6 +1181,97 @@ class Round10bGatesSpec extends SparkSpec {
       s"decomposition identity: $recon vs $tTotal")
   }
 
+  test("Q329 Jonckheere-Terpstra: JT and moments match a direct pair count") {
+    val c = Catalog(spark, dir)
+    val vals = c.orders
+      .select(col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = vals.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2)
+    }
+    val ordered = groups.keys.toSeq.sorted
+    // doubled JT: pairs in declared order; x<y counts 2, tie counts 1
+    var jt2 = 0L
+    for {
+      i <- ordered.indices; j <- ordered.indices if i < j
+      x <- groups(ordered(i)); y <- groups(ordered(j))
+    } jt2 += (if (x < y) 2L else if (x == y) 1L else 0L)
+    val n = vals.length.toLong
+    val ns = ordered.map(g => groups(g).length.toLong)
+    val e2 = (n * n - ns.map(x => x * x).sum) / 2
+    val varJt = (n.toDouble * n * (2 * n + 3) -
+      ns.map(x => x.toDouble * x * (2 * x + 3)).sum) / 72
+    val z = (jt2 - e2).toDouble / (2 * math.sqrt(varJt))
+    val row = operators.Stats.q329(spark, dir).collect().head
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("jt2") == jt2, "doubled JT")
+    assert(row.getAs[Long]("e2") == e2, "doubled expectation")
+    assert(row.getAs[Double]("z") == r(4)(z), "z")
+  }
+
+  test("Q330 shift function: deciles match direct order statistics") {
+    val c = Catalog(spark, dir)
+    val vals = c.events
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def quant(sorted: Seq[Long], pct: Long): Long = {
+      val k = (pct * sorted.length + 99) / 100
+      sorted((k - 1).toInt)
+    }
+    val out = operators.Stats.q330(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r).toMap
+    val types = vals.keys.toSeq.sorted
+    assert(out.size == types.size * (types.size - 1) / 2 * 9)
+    for (a <- types; b <- types if a < b; p <- 10L to 90L by 10L) {
+      val (qa, qb) = (quant(vals(a), p), quant(vals(b), p))
+      val row = out((a, b, p))
+      assert(row.getAs[Long]("q_a") == qa && row.getAs[Long]("q_b") == qb,
+        s"($a,$b,$p): quantiles")
+      assert(row.getAs[Long]("shift_cents") == qb - qa, s"($a,$b,$p)")
+    }
+    // shift function of a distribution against itself would be zero;
+    // monotone quantiles: q_a non-decreasing in p within each pair
+    for (a <- types; b <- types if a < b) {
+      val qs = (10L to 90L by 10L).map(p => out((a, b, p)).getAs[Long]("q_a"))
+      assert(qs == qs.sorted, s"($a,$b): monotone quantiles")
+    }
+  }
+
+  test("Q331 Lorenz deciles: buckets match a direct rank scan") {
+    val c = Catalog(spark, dir)
+    val spend = c.events
+      .select(col("user_id"),
+        expr("CAST(ROUND(value * 100, 0) AS LONG)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).sum) }.toSeq
+    val ranked = spend.sortBy { case (u, x) => (x, u) }
+    val n = ranked.length.toLong
+    val total = ranked.map(_._2).sum
+    val buckets = ranked.zipWithIndex.map { case ((_, x), i) =>
+      (i.toLong * 10 / n + 1, x)
+    }.groupBy(_._1)
+    val out = operators.Behavior.q331(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == buckets.keySet)
+    var cum = 0L
+    buckets.toSeq.sortBy(_._1).foreach { case (d, g) =>
+      cum += g.map(_._2).sum
+      val row = out(d)
+      assert(row.getAs[Long]("n_users_d") == g.length.toLong, s"$d: n")
+      assert(row.getAs[Long]("decile_cents") == g.map(_._2).sum, s"$d: rev")
+      assert(row.getAs[Double]("cum_share") == r(6)(cum.toDouble / total),
+        s"$d: cum")
+    }
+    // users are rank-ordered, so the per-user decile MEAN is monotone
+    // (decile sums need not be when bucket sizes differ by one)
+    val means = buckets.toSeq.sortBy(_._1)
+      .map(g => g._2.map(_._2).sum.toDouble / g._2.length)
+    assert(means == means.sorted, "non-decreasing decile mean spend")
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
