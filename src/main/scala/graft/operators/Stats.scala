@@ -5323,11 +5323,118 @@ object Stats {
       |  ON b.pct = a.pct AND a.event_type < b.event_type
       |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST, a.pct""".stripMargin
 
+  /** Q332 — Breusch–Pagan/Koenker heteroskedasticity test per event
+    * type on the Q125/Q267 daily OLS (Breusch & Pagan 1979; Koenker
+    * 1981's studentized form): regress the SQUARED residuals on the
+    * day index and take BP = n·R²_aux against χ²₁. Answers the
+    * question the trend fit's OTHER diagnostics don't — is the
+    * residual VARIANCE drifting over time (fan-out)? — where Q267's DW
+    * reads serial correlation of the residual LEVEL, Q282 its sign
+    * runs, and Q248-era Levene compares variance across GROUPS.
+    *
+    * Determinism: residuals are the exact int64 n-scaled composites
+    * (E_t = nd·v − an − n·bn·t, the Q267 carrier — R² is invariant to
+    * the nd scale, so E² substitutes for e² exactly); the four
+    * auxiliary moments are double sums of E²-products (E⁴ passes both
+    * int64 and DECIMAL(38,0), the one documented double stage — engine
+    * sum-order drift ~1e-13, inside round 4); BP is one fixed shape
+    * and the verdict reads the rounded value.
+    *
+    * Scale notes: the Q125 plan — one daily aggregate, one five-sum
+    * pass, one residual spine join per type; the auxiliary moments
+    * add one more spine-bounded aggregate. Flat in corpus size past
+    * the daily rollup.
+    */
+  def q332(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val base = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), (col("day") - col("dmin")).as("t"),
+        col("v"))
+    val sums = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("sx"),
+        sum(col("v")).cast("long").as("sy"),
+        sum(col("t") * col("t")).cast("long").as("sxx"),
+        sum(col("t") * col("v")).cast("long").as("sxy"))
+      .withColumn("d", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("bn", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("an", col("sy") * col("d") - col("bn") * col("sx"))
+    val aux = base.join(sums, Seq("event_type"))
+      .withColumn("e", col("n") * col("d") * col("v") - col("an") -
+        col("n") * col("bn") * col("t"))
+      .withColumn("u", col("e").cast("double") * col("e"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("sx")).as("st"),
+        max(col("sxx")).as("stt"),
+        sum(col("u")).as("su"), sum(col("u") * col("t")).as("sut"),
+        sum(col("u") * col("u")).as("suu"))
+    aux.select(col("event_type"), col("n").as("n_days"),
+        expr("CASE WHEN (n * suu - su * su) > 0 " +
+          "AND (n * stt - CAST(st AS DOUBLE) * st) > 0 THEN " +
+          "ROUND(n * (n * sut - su * st) * (n * sut - su * st) / " +
+          "((n * suu - su * su) * " +
+          "(n * stt - CAST(st AS DOUBLE) * st)), 4) END").as("bp"))
+      .withColumn("verdict", expr("CASE WHEN bp IS NULL " +
+        "THEN 'degenerate' WHEN bp > 3.841 THEN 'heteroskedastic' " +
+        "ELSE 'homoskedastic' END"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q332Oracle: String =
+    s"""WITH $gridSql,
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |base AS (
+       |  SELECT event_type, day - (SELECT dmin FROM bnd) AS t, v
+       |  FROM grid),
+       |sums AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+       |    CAST(SUM(t * t) AS BIGINT) AS sxx,
+       |    CAST(SUM(t * v) AS BIGINT) AS sxy
+       |  FROM base GROUP BY 1),
+       |comp AS (
+       |  SELECT event_type, n, sx, sxx,
+       |    n * sxx - sx * sx AS d,
+       |    n * sxy - sx * sy AS bn,
+       |    sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS an
+       |  FROM sums),
+       |aux AS (
+       |  SELECT b.event_type, CAST(MAX(c.n) AS BIGINT) AS n,
+       |    CAST(MAX(c.sx) AS BIGINT) AS st,
+       |    CAST(MAX(c.sxx) AS BIGINT) AS stt,
+       |    SUM(CAST(c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS DOUBLE)
+       |      * (c.n * c.d * b.v - c.an - c.n * c.bn * b.t)) AS su,
+       |    SUM(CAST(c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS DOUBLE)
+       |      * (c.n * c.d * b.v - c.an - c.n * c.bn * b.t) * b.t) AS sut,
+       |    SUM((CAST(c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS DOUBLE)
+       |      * (c.n * c.d * b.v - c.an - c.n * c.bn * b.t)) *
+       |      (CAST(c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS DOUBLE)
+       |      * (c.n * c.d * b.v - c.an - c.n * c.bn * b.t))) AS suu
+       |  FROM base b JOIN comp c ON c.event_type = b.event_type
+       |  GROUP BY 1),
+       |out AS (
+       |  SELECT event_type, n AS n_days,
+       |    CASE WHEN (n * suu - su * su) > 0
+       |      AND (n * stt - CAST(st AS DOUBLE) * st) > 0 THEN
+       |      ROUND(n * (n * sut - su * st) * (n * sut - su * st) /
+       |      ((n * suu - su * su) *
+       |      (n * stt - CAST(st AS DOUBLE) * st)), 4) END AS bp
+       |  FROM aux)
+       |SELECT event_type, n_days, bp,
+       |  CASE WHEN bp IS NULL THEN 'degenerate'
+       |    WHEN bp > 3.841 THEN 'heteroskedastic'
+       |    ELSE 'homoskedastic' END AS verdict
+       |FROM out
+       |ORDER BY event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q297" -> (q297 _), "Q301" -> (q301 _), "Q306" -> (q306 _),
     "Q308" -> (q308 _), "Q311" -> (q311 _), "Q312" -> (q312 _),
     "Q313" -> (q313 _), "Q314" -> (q314 _), "Q316" -> (q316 _),
     "Q326" -> (q326 _), "Q329" -> (q329 _), "Q330" -> (q330 _),
+    "Q332" -> (q332 _),
     "Q137" -> (q137 _), "Q138" -> (q138 _), "Q139" -> (q139 _),
     "Q140" -> (q140 _), "Q146" -> (q146 _), "Q161" -> (q161 _),
     "Q163" -> (q163 _), "Q176" -> (q176 _), "Q184" -> (q184 _),
@@ -5346,6 +5453,7 @@ object Stats {
     "Q308" -> q308Oracle, "Q311" -> q311Oracle, "Q312" -> q312Oracle,
     "Q313" -> q313Oracle, "Q314" -> q314Oracle, "Q316" -> q316Oracle,
     "Q326" -> q326Oracle, "Q329" -> q329Oracle, "Q330" -> q330Oracle,
+    "Q332" -> q332Oracle,
     "Q137" -> q137Oracle, "Q138" -> q138Oracle, "Q139" -> q139Oracle,
     "Q140" -> q140Oracle, "Q146" -> q146Oracle, "Q161" -> q161Oracle,
     "Q163" -> q163Oracle, "Q176" -> q176Oracle, "Q184" -> q184Oracle,

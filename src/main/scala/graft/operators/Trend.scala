@@ -1701,9 +1701,119 @@ object Trend {
        |JOIN rec r ON r.event_type = a.event_type
        |ORDER BY a.event_type NULLS FIRST""".stripMargin
 
+  /** Q333 — influence scan of the per-type daily OLS: leverage and
+    * Cook's distance for every day, top-3 most influential days per
+    * type (Cook 1977). The diagnostic that names WHICH observations
+    * bend the Q125 trend line — where DW (Q267), the sign-runs test
+    * (Q282) and Breusch–Pagan (Q332) read residual STRUCTURE, Cook's D
+    * reads single-point LEVERAGE × misfit. p = 2 (intercept + slope);
+    * rows flag 'influential' at the classical D > 4/n fence.
+    *
+    * Determinism: with the exact int64 composites (d, bn, an) and the
+    * n-scaled residual E_t, BOTH diagnostics collapse to scale-free
+    * ratios of exact integers — leverage h_t = a_t/(n·d) with
+    * a_t = d + (n·t − Sx)² exact int64, and Cook's
+    * D_t = (n−2)·E²·a·n·d / (2·ΣE²·(n·d − a)²), where the (nd)²
+    * residual scale cancels; E² terms are the one documented double
+    * stage (round 6), ranking orders on (round-6 D, day) with NULLs
+    * coalesced below zero so both engines pick identical rows.
+    *
+    * Scale notes: the Q125 plan plus one spine-bounded scoring pass
+    * and a per-type top-3 window. Flat past the daily rollup.
+    */
+  def q333(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val dmin = grid.agg(min(col("day")).as("dmin"))
+    val base = grid.crossJoin(broadcast(dmin))
+      .select(col("event_type"), col("day"),
+        (col("day") - col("dmin")).as("t"), col("v"))
+    val sums = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("sx"),
+        sum(col("v")).cast("long").as("sy"),
+        sum(col("t") * col("t")).cast("long").as("sxx"),
+        sum(col("t") * col("v")).cast("long").as("sxy"))
+      .withColumn("d", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("bn", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("an", col("sy") * col("d") - col("bn") * col("sx"))
+    val resid = base.join(sums, Seq("event_type"))
+      .withColumn("e", col("n") * col("d") * col("v") - col("an") -
+        col("n") * col("bn") * col("t"))
+      .withColumn("a", col("d") +
+        (col("n") * col("t") - col("sx")) * (col("n") * col("t") - col("sx")))
+    val sse = resid.groupBy(col("event_type"))
+      .agg(sum(col("e").cast("double") * col("e")).as("se2"))
+    val scored = resid.join(sse, Seq("event_type"))
+      .withColumn("leverage", expr("ROUND(CAST(a AS DOUBLE) / (n * d), 6)"))
+      .withColumn("cook_d", expr("CASE WHEN se2 > 0 AND n > 2 " +
+        "AND (n * d - a) <> 0 THEN " +
+        "ROUND((n - 2) * (CAST(e AS DOUBLE) * e) * a * n * d / " +
+        "(2 * se2 * CAST(n * d - a AS DOUBLE) * (n * d - a)), 6) END"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(coalesce(col("cook_d"), lit(-1.0)).desc, asc("day"))
+    scored.withColumn("influence_rank", row_number().over(w).cast("long"))
+      .filter(col("influence_rank") <= 3)
+      .select(col("event_type"), col("influence_rank"), col("day"),
+        col("t"), col("v"), col("leverage"), col("cook_d"), col("n"))
+      .withColumn("verdict", expr("CASE WHEN cook_d IS NULL " +
+        "THEN 'degenerate' WHEN cook_d > 4.0 / n THEN 'influential' " +
+        "ELSE 'ordinary' END"))
+      .drop("n")
+      .orderBy(asc_nulls_first("event_type"), asc("influence_rank"))
+  }
+
+  val q333Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |bnd AS (SELECT MIN(day) AS dmin FROM grid),
+       |base AS (
+       |  SELECT event_type, day, day - (SELECT dmin FROM bnd) AS t, v
+       |  FROM grid),
+       |sums AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+       |    CAST(SUM(t * t) AS BIGINT) AS sxx,
+       |    CAST(SUM(t * v) AS BIGINT) AS sxy
+       |  FROM base GROUP BY 1),
+       |comp AS (
+       |  SELECT event_type, n, sx,
+       |    n * sxx - sx * sx AS d,
+       |    n * sxy - sx * sy AS bn,
+       |    sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS an
+       |  FROM sums),
+       |resid AS (
+       |  SELECT b.event_type, b.day, b.t, b.v, c.n, c.d,
+       |    c.n * c.d * b.v - c.an - c.n * c.bn * b.t AS e,
+       |    c.d + (c.n * b.t - c.sx) * (c.n * b.t - c.sx) AS a
+       |  FROM base b JOIN comp c ON c.event_type = b.event_type),
+       |sse AS (
+       |  SELECT event_type, SUM(CAST(e AS DOUBLE) * e) AS se2
+       |  FROM resid GROUP BY 1),
+       |scored AS (
+       |  SELECT r.event_type, r.day, r.t, r.v, r.n,
+       |    ROUND(CAST(r.a AS DOUBLE) / (r.n * r.d), 6) AS leverage,
+       |    CASE WHEN s.se2 > 0 AND r.n > 2 AND (r.n * r.d - r.a) <> 0
+       |      THEN ROUND((r.n - 2) * (CAST(r.e AS DOUBLE) * r.e) * r.a *
+       |      r.n * r.d / (2 * s.se2 * CAST(r.n * r.d - r.a AS DOUBLE) *
+       |      (r.n * r.d - r.a)), 6) END AS cook_d
+       |  FROM resid r JOIN sse s ON s.event_type = r.event_type),
+       |ranked AS (
+       |  SELECT event_type, day, t, v, n, leverage, cook_d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY COALESCE(cook_d, -1.0) DESC, day) AS BIGINT)
+       |      AS influence_rank
+       |  FROM scored)
+       |SELECT event_type, influence_rank, day, t, v, leverage, cook_d,
+       |  CASE WHEN cook_d IS NULL THEN 'degenerate'
+       |    WHEN cook_d > 4.0 / n THEN 'influential'
+       |    ELSE 'ordinary' END AS verdict
+       |FROM ranked
+       |WHERE influence_rank <= 3
+       |ORDER BY event_type NULLS FIRST, influence_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q309" -> (q309 _), "Q310" -> (q310 _), "Q315" -> (q315 _),
-    "Q323" -> (q323 _),
+    "Q323" -> (q323 _), "Q333" -> (q333 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
     "Q279" -> (q279 _), "Q280" -> (q280 _), "Q281" -> (q281 _),
     "Q282" -> (q282 _), "Q283" -> (q283 _), "Q284" -> (q284 _),
@@ -1712,7 +1822,7 @@ object Trend {
 
   def oracles: Map[String, String] = Map(
     "Q309" -> q309Oracle, "Q310" -> q310Oracle, "Q315" -> q315Oracle,
-    "Q323" -> q323Oracle,
+    "Q323" -> q323Oracle, "Q333" -> q333Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
     "Q279" -> q279Oracle, "Q280" -> q280Oracle, "Q281" -> q281Oracle,
     "Q282" -> q282Oracle, "Q283" -> q283Oracle, "Q284" -> q284Oracle,

@@ -1272,6 +1272,72 @@ class Round10bGatesSpec extends SparkSpec {
     assert(means == means.sorted, "non-decreasing decile mean spend")
   }
 
+  test("Q332 Breusch-Pagan: BP matches a direct auxiliary regression on raw residuals") {
+    val grid = localGrid()
+    val out = operators.Stats.q332(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == grid.keySet)
+    grid.foreach { case (tp, series) =>
+      val n = series.length
+      val ts = series.indices.map(_.toDouble)
+      val vs = series.map(_._2.toDouble)
+      // plain textbook OLS in doubles, residuals e, then aux regression
+      // of e^2 on t — R² is invariant to the engine's nd residual scale
+      val (sx, sy) = (ts.sum, vs.sum)
+      val sxx = ts.map(t => t * t).sum
+      val sxy = ts.zip(vs).map { case (t, v) => t * v }.sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      val u = ts.zip(vs).map { case (t, v) =>
+        val e = v - a - b * t; e * e
+      }
+      val (su, sut) = (u.sum, u.zip(ts).map { case (x, t) => x * t }.sum)
+      val suu = u.map(x => x * x).sum
+      val num = n * sut - su * sx
+      val r2 = num * num / ((n * suu - su * su) * (n * sxx - sx * sx))
+      val bp = n * r2
+      val got = out(tp).getAs[Double]("bp")
+      assert(math.abs(got - bp) < 5e-4, s"$tp: BP $got vs $bp")
+      assert(got >= 0 && got <= n, s"$tp: BP bounds")
+    }
+  }
+
+  test("Q333 Cook's distance: scale-cancelled form matches textbook leverage and D") {
+    val grid = localGrid()
+    val out = operators.Trend.q333(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("influence_rank")) -> r)
+      .toMap
+    grid.foreach { case (tp, series) =>
+      val n = series.length
+      val ts = series.indices.map(_.toDouble)
+      val vs = series.map(_._2.toDouble)
+      val (sx, sy) = (ts.sum, vs.sum)
+      val sxx = ts.map(t => t * t).sum
+      val sxy = ts.zip(vs).map { case (t, v) => t * v }.sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      val es = ts.zip(vs).map { case (t, v) => v - a - b * t }
+      val sse = es.map(e => e * e).sum
+      val s2 = sse / (n - 2)
+      val tbar = sx / n
+      val sxxC = sxx - sx * sx / n
+      val scoredAll = ts.zip(es).zip(series).map { case ((t, e), (day, _)) =>
+        val h = 1.0 / n + (t - tbar) * (t - tbar) / sxxC
+        val dCook = e * e * h / (2 * s2 * (1 - h) * (1 - h))
+        (day, h, dCook)
+      }
+      val top = scoredAll.sortBy { case (day, _, d) => (-r(6)(d), day) }.take(3)
+      top.zipWithIndex.foreach { case ((day, h, dCook), i) =>
+        val row = out((tp, i + 1L))
+        assert(row.getAs[Long]("day") == day, s"$tp rank ${i + 1}: day")
+        assert(math.abs(row.getAs[Double]("leverage") - h) < 1e-5,
+          s"$tp rank ${i + 1}: leverage")
+        assert(math.abs(row.getAs[Double]("cook_d") - dCook) < 1e-4,
+          s"$tp rank ${i + 1}: D")
+      }
+    }
+  }
+
   test("Q294 RAKE: phrase scores match a first-principles local RAKE") {
     val c = Catalog(spark, dir)
     val docs = c.documents.select(col("doc_id"), col("text")).collect()
