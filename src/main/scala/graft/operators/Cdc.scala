@@ -126,8 +126,14 @@ object Cdc {
       .select(col("user_id"), col("day"), col("event_type").as("state"))
   }
 
-  private[operators] def scd2History(c: Catalog): DataFrame = {
-    val obs = lastStateObs(c)
+  private[operators] def scd2History(c: Catalog): DataFrame =
+    scd2HistoryFrom(lastStateObs(c))
+
+  /** SCD2 versioning from an already-built (user, day, state) relation —
+    * so a caller that has checkpointed [[lastStateObs]] (Q320) can share
+    * it instead of re-running the per-(user, day) window pick over the
+    * full events table twice per execution. */
+  private[operators] def scd2HistoryFrom(obs: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val versioned = obs
       .withColumn("chg",
@@ -211,7 +217,7 @@ object Cdc {
   def q320(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val obs = lastStateObs(c).localCheckpoint()
-    val hist = scd2History(c)
+    val hist = scd2HistoryFrom(obs)
     val asof = obs.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
       .select(explode(array(Seq(1, 2, 3).map(k =>
         struct(lit(s"q$k").as("asof_label"),

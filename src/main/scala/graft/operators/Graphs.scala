@@ -1582,8 +1582,11 @@ object Graphs {
     * ALL six rungs come from ONE conditional-sum aggregate pass over
     * the degree-joined edges (no per-rung rescan — the ladder explodes
     * from a single summary row, the Q161 struct-array shape). The
-    * verdict cross-product E·N² stays in int64 to ~10⁹ nodes with
-    * ~10¹⁰ edges.
+    * verdict cross-product E·N² overflows int64 past E·N² ≈ 9.2·10¹⁸
+    * (roughly 10⁴–10⁵ nodes at 10⁹–10¹⁰ edges), so the comparison runs
+    * in DOUBLE on both engines — exact below 2⁵³ (every fixture scale)
+    * and safe for the coarse ≥ verdict beyond it, where non-ANSI int64
+    * would wrap silently.
     */
   def q317(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Derived.coOrderPairCounts(spark, dir)
@@ -1613,8 +1616,10 @@ object Graphs {
         "ROUND(CAST(2 * e_rich AS DOUBLE) / " +
         "(CAST(n_rich AS DOUBLE) * (n_rich - 1)), 6) END"))
       .withColumn("verdict", expr("CASE WHEN n_rich < 2 " +
-        "THEN 'degenerate' WHEN e_rich * (n_nodes * (n_nodes - 1)) >= " +
-        "2 * n_edges * (n_rich * (n_rich - 1)) THEN 'clubby' " +
+        "THEN 'degenerate' WHEN CAST(e_rich AS DOUBLE) * " +
+        "(CAST(n_nodes AS DOUBLE) * (n_nodes - 1)) >= " +
+        "2 * CAST(n_edges AS DOUBLE) * " +
+        "(CAST(n_rich AS DOUBLE) * (n_rich - 1)) THEN 'clubby' " +
         "ELSE 'flat' END"))
       .orderBy(asc("k"))
   }
@@ -1659,8 +1664,10 @@ object Graphs {
       |    ROUND(CAST(2 * er.e_rich AS DOUBLE) /
       |    (CAST(nr.n_rich AS DOUBLE) * (nr.n_rich - 1)), 6) END AS phi,
       |  CASE WHEN nr.n_rich < 2 THEN 'degenerate'
-      |    WHEN er.e_rich * (ntot.n_nodes * (ntot.n_nodes - 1)) >=
-      |      2 * etot.n_edges * (nr.n_rich * (nr.n_rich - 1))
+      |    WHEN CAST(er.e_rich AS DOUBLE) *
+      |      (CAST(ntot.n_nodes AS DOUBLE) * (ntot.n_nodes - 1)) >=
+      |      2 * CAST(etot.n_edges AS DOUBLE) *
+      |      (CAST(nr.n_rich AS DOUBLE) * (nr.n_rich - 1))
       |    THEN 'clubby' ELSE 'flat' END AS verdict
       |FROM er JOIN nr ON nr.k = er.k, etot, ntot
       |ORDER BY er.k""".stripMargin

@@ -4610,9 +4610,15 @@ object Stats {
           .otherwise(0L)).as("concordant"),
         sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
           .otherwise(0L)).as("discordant"))
+    // cd has no row for a pair whose x margin is a single distinct value
+    // (no xa < xb combination exists) — LEFT join + coalesce-to-0 so the
+    // pair surfaces as a 'degenerate' verdict row instead of vanishing
+    // (tied_x = n0 there, so tau_b is NULL by the guard).
     tot.join(tieTerm("x", "tied_x"), Seq("pair"))
       .join(tieTerm("y", "tied_y"), Seq("pair"))
-      .join(cd, Seq("pair"))
+      .join(cd, Seq("pair"), "left")
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
       .select(col("pair"), col("n"), col("n0"), col("tied_x"),
         col("tied_y"), col("concordant"), col("discordant"),
         expr("CASE WHEN n0 - tied_x <= 0 OR n0 - tied_y <= 0 THEN NULL " +
@@ -4663,16 +4669,18 @@ object Stats {
       |  GROUP BY 1),
       |out AS (
       |  SELECT t.pair, t.n, t.n0, tx.tied_x, ty.tied_y,
-      |    cd.concordant, cd.discordant,
+      |    CAST(COALESCE(cd.concordant, 0) AS BIGINT) AS concordant,
+      |    CAST(COALESCE(cd.discordant, 0) AS BIGINT) AS discordant,
       |    CASE WHEN t.n0 - tx.tied_x <= 0 OR t.n0 - ty.tied_y <= 0
       |      THEN NULL
-      |      ELSE ROUND(CAST(cd.concordant - cd.discordant AS DOUBLE) /
+      |      ELSE ROUND(CAST(COALESCE(cd.concordant, 0)
+      |          - COALESCE(cd.discordant, 0) AS DOUBLE) /
       |        SQRT(CAST(t.n0 - tx.tied_x AS DOUBLE) *
       |        CAST(t.n0 - ty.tied_y AS DOUBLE)), 6) END AS tau_b
       |  FROM tot t
       |  JOIN tx ON tx.pair = t.pair
       |  JOIN ty ON ty.pair = t.pair
-      |  JOIN cd ON cd.pair = t.pair)
+      |  LEFT JOIN cd ON cd.pair = t.pair)
       |SELECT pair, n, n0, tied_x, tied_y, concordant, discordant, tau_b,
       |  CASE WHEN tau_b IS NULL THEN 'degenerate'
       |    WHEN ABS(tau_b) >= 0.05 THEN 'dependent'

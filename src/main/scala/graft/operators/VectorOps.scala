@@ -748,10 +748,13 @@ object VectorOps {
     * both engines.
     *
     * Scale notes: projections are ROW-LOCAL codegen'd folds as in
-    * Q198; the pair set is md5-sampled (% 37) BEFORE the vector join,
-    * so the audit is a tunable-rate sample join, never all-pairs; at
-    * 10⁹ vectors the rate drops and the histogram shape is the same
-    * statistic. Output rows = bins + 1.
+    * Q198; the VECTORS are md5-sampled (gate `md5('jl:v:'||vec_id) % 6`,
+    * ~1/6 of ids) BEFORE any pairing, so the candidate enumeration is
+    * quadratic in the SAMPLE (≈ n²/36 surviving pairs — the same ~1/37
+    * pair density the round-9 pair-gate form had), never in the corpus:
+    * no n² id enumeration ever materializes. At 10⁹ vectors the gate
+    * modulus rises so the sample stays bounded and the histogram is the
+    * same statistic. Output rows = bins + 1.
     */
   def q248(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -763,22 +766,23 @@ object VectorOps {
       s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)"
     }.mkString("array(", ", ", ")")
     val v = xi.withColumn("p", expr(projArr)).localCheckpoint()
-    // Sample on NARROW id pairs first — the quadratic stage carries two
-    // longs and a hash, never the 64-dim arrays; the vectors join back
-    // onto only the ~1/37 survivors (8.9 s → 2.3 s at sf0.1 together
-    // with the repartition below).
+    // Sample VECTORS before pairing (round-11 fix of the r10 `weak`):
+    // the r9/r10 form enumerated ALL n²/2 id pairs and md5-gated each —
+    // cheap rows, but corpus-quadratic enumeration (5·10¹⁷ hashes at
+    // 10⁹ vectors). Gating vec_ids at ~1/6 first makes the pair stage
+    // quadratic in the SAMPLE only, at the same surviving-pair density.
     // The nested-loop pair join's parallelism is the STREAM side's
     // partition count — a checkpointed small relation sits in 1-2
-    // partitions and would run the quadratic md5 stage single-threaded
+    // partitions and would run the quadratic stage single-threaded
     // (measured ~20 s vs ~1 s at sf0.1). Spread the ids first.
     val ids = v.select(col("vec_id"))
+      .withColumn("hv", md5(concat(lit("jl:v:"), col("vec_id").cast("string"))))
+      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % 6L === 0L)
+      .select(col("vec_id"))
       .repartition(spark.sparkContext.defaultParallelism)
     val sampled = ids.select(col("vec_id").as("v1"))
       .join(broadcast(ids.select(col("vec_id").as("v2"))),
         col("v1") < col("v2"))
-      .withColumn("h", md5(concat(lit("jl:p:"), col("v1").cast("string"),
-        lit(":"), col("v2").cast("string"))))
-      .filter(expr(graft.operators.NearDup.hexValueExpr("h")) % 37L === 0L)
       .select(col("v1"), col("v2"))
     val a = v.select(col("vec_id").as("v1"), col("xi").as("x1"),
       col("p").as("p1"))
@@ -821,8 +825,8 @@ object VectorOps {
   val q248Oracle: String = {
     val hexPlane = NearDup.hexValueExpr(
       "md5('jl:' || CAST(k.k AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
-    val hexPair = NearDup.hexValueExpr(
-      "md5('jl:p:' || CAST(a.vec_id AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR))")
+    val hexVec = NearDup.hexValueExpr(
+      "md5('jl:v:' || CAST(vec_id AS VARCHAR))")
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
@@ -838,10 +842,11 @@ object VectorOps {
        |proj AS (
        |  SELECT f.vec_id, p.k, CAST(SUM(f.x * p.s) AS BIGINT) AS pr
        |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
+       |samp AS (
+       |  SELECT vec_id FROM v WHERE ($hexVec) % 6 = 0),
        |sampled AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
-       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |  WHERE ($hexPair) % 37 = 0),
+       |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id),
        |dd AS (
        |  SELECT s.v1, s.v2,
        |    CAST(SUM((fa.x - fb.x) * (fa.x - fb.x)) AS BIGINT) AS d2
@@ -1339,12 +1344,15 @@ object VectorOps {
     * two-NN the manifold dimension, and the gap between them is the
     * nonlinearity of the embedding cloud.
     *
-    * Determinism: squared distances round to the 10⁻⁶ grid BEFORE
-    * ranking and before the ratio, with vec_id tiebreak (the Q302
-    * discipline) — both engines rank and ratio IDENTICAL doubles; the
-    * ln sum drifts only at libm's last ulp, inside the 4-digit round.
-    * Vectors whose rounded d²₁ = 0 (exact duplicates) are excluded
-    * and counted.
+    * Determinism: coordinates quantize to Q248's exact 2²⁰ integer
+    * grid FIRST, so every squared distance is an exact int64 fold —
+    * ranks CANNOT flip cross-engine (the Q302 all-integer discipline;
+    * the round-10 form ranked rounded doubles computed via different
+    * algebra on each engine, a knife-edge this rewrite retires);
+    * d²₂/d²₁ is one divide of exact ints (identical doubles both
+    * engines) and the ln sum drifts only at libm's last ulp, inside
+    * the 4-digit round. Vectors whose grid d²₁ = 0 (grid-exact
+    * duplicates) are excluded and counted.
     *
     * Scale notes: exact within-label all-pairs is the DECLARED gate
     * (the Q38/Q302 framing — the fixture table is bounded); the
@@ -1355,20 +1363,20 @@ object VectorOps {
     */
   def q322(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val e = c.embeddings.select(col("label"), col("vec_id"),
-      col("embedding"), dot(col("embedding"), col("embedding")).as("n2"))
+    val e = c.embeddings.select(col("label"), col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+      .as("xi"))
     val p = e.select(col("label").as("l"), col("vec_id").as("p_id"),
-      col("embedding").as("p_emb"), col("n2").as("p2"))
+      col("xi").as("p_xi"))
     val v = e.select(col("label"), col("vec_id").as("n_id"),
-      col("embedding").as("n_emb"), col("n2").as("q2"))
+      col("xi").as("n_xi"))
       .repartition(spark.sparkContext.defaultParallelism)
     val w = Window.partitionBy(col("p_id"))
       .orderBy(asc("d2"), asc("n_id"))
     val nn2 = v.join(broadcast(p),
         col("l") === col("label") && col("p_id") =!= col("n_id"))
-      .withColumn("d2", round(
-        col("p2") + col("q2") - lit(2.0) * dot(col("p_emb"), col("n_emb")),
-        6))
+      .withColumn("d2", expr("aggregate(zip_with(p_xi, n_xi," +
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 2)
       .groupBy(col("label"), col("p_id"))
@@ -1388,18 +1396,20 @@ object VectorOps {
   }
 
   val q322Oracle: String =
-    """WITH flat AS (
-      |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
-      |    UNNEST(embedding) AS val
+    """WITH v AS (
+      |  SELECT label, vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+      |    AS xi
       |  FROM embeddings),
+      |flat AS (
+      |  SELECT label, vec_id, generate_subscripts(xi, 1) AS pos,
+      |    UNNEST(xi) AS val
+      |  FROM v),
       |dots AS (
       |  SELECT p.vec_id AS p_id, q.vec_id AS n_id,
-      |    ROUND(SUM((CAST(p.val AS DOUBLE) - CAST(q.val AS DOUBLE)) *
-      |      (CAST(p.val AS DOUBLE) - CAST(q.val AS DOUBLE))), 6) AS d2
-      |  FROM flat p JOIN flat q ON p.pos = q.pos
-      |  JOIN embeddings ep ON ep.vec_id = p.vec_id
-      |  JOIN embeddings eq ON eq.vec_id = q.vec_id
-      |  WHERE p.vec_id <> q.vec_id AND ep.label = eq.label
+      |    CAST(SUM((p.val - q.val) * (p.val - q.val)) AS BIGINT) AS d2
+      |  FROM flat p JOIN flat q ON p.pos = q.pos AND p.label = q.label
+      |  WHERE p.vec_id <> q.vec_id
       |  GROUP BY 1, 2),
       |ranked AS (
       |  SELECT p_id, d2,

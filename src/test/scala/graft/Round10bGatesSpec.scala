@@ -947,15 +947,22 @@ class Round10bGatesSpec extends SparkSpec {
     val out = operators.VectorOps.q322(spark, dir).collect()
       .map(r => r.getInt(0) -> r).toMap
     assert(out.keySet == vecs.keySet)
+    // round-11 form: distances on the exact 2^20 integer grid (Q302
+    // discipline), so ranks and ratios are int-exact in both engines
+    def grid(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1048576.0 + 0.5).toLong)
     vecs.foreach { case (l, members) =>
       val ratios = members.map { case (_, id, x) =>
+        val xi = grid(x)
         val ds = members.filter(_._2 != id).map { case (_, oid, y) =>
-          val d2 = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
-          (r(6)(d2), oid)
+          val yi = grid(y)
+          val d2 = xi.zip(yi).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, oid)
         }.sortBy(identity)
         (ds(0)._1, ds(1)._1)
       }.filter(_._1 > 0)
-      val lnsum = ratios.map { case (d1, d2) => math.log(d2 / d1) }.sum
+      val lnsum = ratios.map { case (d1, d2) =>
+        math.log(d2.toDouble / d1.toDouble) }.sum
       val id = 2.0 * ratios.length / lnsum
       val row = out(l)
       assert(row.getAs[Long]("n_vecs") == members.length.toLong, s"$l: n")

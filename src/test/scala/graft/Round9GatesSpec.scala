@@ -1662,10 +1662,12 @@ class Round9GatesSpec extends SparkSpec {
         while (d < xi.length) { acc += xi(d) * signs(k)(d); d += 1 }
         acc
       }
+    // round-11 form: vec_ids are gated BEFORE pairing (1/6 sample),
+    // so the pair set is quadratic in the sample, never the corpus
     val ids = vecs.keys.toSeq.sorted
+      .filter(i => md5hv(s"jl:v:$i") % 6L == 0L)
     val model = for {
       i <- ids; j <- ids if i < j
-      if md5hv(s"jl:p:$i:$j") % 37L == 0L
       xa = grid(vecs(i)); xb = grid(vecs(j))
       d2 = xa.zip(xb).map { case (x, y) => (x - y) * (x - y) }.sum
       if d2 > 0
