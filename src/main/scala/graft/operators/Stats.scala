@@ -1067,26 +1067,17 @@ object Stats {
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
   /** The zero-filled per-type daily revenue-cents grid on the GLOBAL
-    * [dmin, dmax] day spine — the shared series base of Q227/Q229 (the
-    * same construction Q216/Q179 inline). One corpus scan; everything
-    * downstream runs on types × bounded-calendar-days rows.
+    * [dmin, dmax] day spine — the shared series base of the whole
+    * Stats/Trend/Behavior spine (~34 gates). Since round 11 this is the
+    * bucketed [[Derived.dailyCentsGrid]] ARTIFACT: the `events` corpus
+    * scan + (type, day) aggregate runs once per dataset drop instead of
+    * once per consumer execution (34 corpus scans at 100 TB → one), and
+    * consumers read a types × calendar-days relation bucketed/sorted on
+    * (event_type, day) — the exact layout their per-type day windows
+    * want.
     */
-  private[operators] def dailyCentsGrid(spark: SparkSession, c: Catalog): DataFrame = {
-    val daily = c.events
-      .select(col("event_type"),
-        expr("(ts DIV 1000) DIV 86400000000").as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).cast("long").as("v"))
-    val ext = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
-    daily.select(col("event_type")).distinct()
-      .crossJoin(broadcast(ext))
-      .select(col("event_type"), explode(expr("sequence(dmin, dmax)")).as("day"))
-      .join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("v"), lit(0L)).as("v"))
-      .localCheckpoint()
-  }
+  private[operators] def dailyCentsGrid(spark: SparkSession, c: Catalog): DataFrame =
+    Derived.dailyCentsGrid(spark, c.dir)
 
   /** The shared DuckDB text of [[dailyCentsGrid]]. */
   private[operators] val gridSql: String =

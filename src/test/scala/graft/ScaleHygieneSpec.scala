@@ -170,6 +170,44 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("daily-grid artifact equals a fresh build; spine gates consume it, not an events scan") {
+    val dir = sf("sf0.001")
+    val derivedBase = Files.createTempDirectory("graft-derived-test").toString
+    spark.conf.set("spark.graft.derivedDir", derivedBase)
+    try {
+      val c = Catalog(spark, dir)
+      val artifact = graft.operators.Derived.rebuildDailyCentsGrid(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val fresh = graft.operators.Derived.buildDailyCentsGrid(c.events)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(artifact == fresh, "bucketed grid artifact diverged from a fresh build")
+      assert(artifact.nonEmpty)
+      // zero-filled: every (type, day-in-span) cell exists
+      val days = artifact.keys.map(_._2)
+      val types = artifact.keys.map(_._1).toSet
+      assert(artifact.size == types.size * (days.max - days.min + 1).toInt)
+
+      // The shared accessor resolves to the bucketed catalog table.
+      val gridPlan = graft.operators.Derived.dailyCentsGrid(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(gridPlan.contains("daily_grid"), s"grid is not a catalog table read:\n$gridPlan")
+
+      // Spine consumers (one per family: Stats Q227, Trend Q323, Behavior
+      // Q298) must read ONLY the artifact — no events scan, no ts
+      // arithmetic left in their physical plans (gates that checkpoint
+      // the grid show it as an ExistingRDD, so the positive assertion is
+      // the accessor resolution above).
+      for (q <- Seq(graft.operators.Stats.q227 _,
+          graft.operators.Trend.q323 _, graft.operators.Behavior.q298 _)) {
+        val plan = q(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("events.parquet"), s"spine gate still scans events:\n$plan")
+        assert(!plan.contains("ts DIV"), s"spine gate still does ts arithmetic:\n$plan")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.derivedDir")
+    }
+  }
+
   test("Q218 pairs on the collapsed name vocabulary, never part instances (r10 re-block)") {
     // The r9 scale-killer was an instance-level self-join; the re-declared
     // form must aggregate part down to DISTINCT names BEFORE the JW pair
