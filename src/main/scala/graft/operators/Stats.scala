@@ -447,22 +447,25 @@ object Stats {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY t""".stripMargin
 
-  /** Doubled midranks of one measure joined back to rows: the window runs
+  /** The (value → doubled midrank) map of one measure: the window runs
     * over the COLLAPSED per-value relation (Q138 discipline — never a
-    * row-granularity global sort), then the bounded ranked relation joins
-    * back on the value (co-partitioned join key). For a tie group of size
-    * c after cum strict predecessors, the doubled midrank is the exact
-    * int64 2·cum + c + 1.
+    * row-granularity global sort). For a tie group of size c after cum
+    * strict predecessors, the doubled midrank is the exact int64
+    * 2·cum + c + 1. Callers join the bounded map back on the value.
+    * (A distributed range-partitioned prefix-sum variant was measured
+    * at sf0.1 and lost to this form — 3 checkpoints + an offset collect
+    * per measure cost more than the one serial pass over the collapsed
+    * cells; at a scale where a measure's distinct-value relation
+    * outgrows one partition, swap in the two-pass prefix sum.)
     */
-  private[operators] def doubledMidranks(
+  private[operators] def doubledMidrankMap(
       rows: DataFrame, valueCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v")).rowsBetween(Long.MinValue, -1)
-    val ranked = rows.groupBy(col(valueCol).as("v"))
+    rows.groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
       .select(col("v"), (lit(2L) * col("cum") + col("c") + 1).as("r2"))
-    rows.join(ranked, rows(valueCol) === ranked("v")).drop("v")
   }
 
   private val SpearmanMeasures =
@@ -482,18 +485,34 @@ object Stats {
     * RANK()+COUNT() midranks equal 2·cum+c+1 identically.
     *
     * Scale notes: per measure, one groupBy to the distinct-value
-    * relation, one window over that bounded relation, one value-keyed
-    * join back. All sums then come from ONE aggregate pass over the
-    * joined rows (a single-row result reused by all 6 pairs); no
-    * row-granularity global sort anywhere in the plan.
+    * relation and one window over that bounded relation, each
+    * materialized ONCE via localCheckpoint (the Q179 shared-relation
+    * discipline — the round-10 chained form re-derived every earlier
+    * measure's join inside each later measure's rank build, stacking 28
+    * exchanges into the AQE-final plan); the main plan is then one
+    * lineitem scan + four value-keyed joins of the checkpointed maps +
+    * ONE aggregate pass whose single-row result serves all 6 pairs. No
+    * row-granularity global sort anywhere.
     */
   def q161(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val meas = SpearmanMeasures
-    val base = c.lineitem.select(
-      col("l_orderkey") +: col("l_linenumber") +: meas.map(col): _*)
-    val withRanks = meas.foldLeft(base) { (df, m) =>
-      doubledMidranks(df, m).withColumnRenamed("r2", s"r2_$m")
+    // Only the four measure columns ride the joins — the sums are
+    // order-independent, so no row identity is needed.
+    val base = c.lineitem.select(meas.map(col): _*)
+    // The four map builds are independent Spark jobs — materialize them
+    // CONCURRENTLY (the scheduler interleaves their stages across the
+    // executor cores) instead of paying four sequential checkpoint waits.
+    val rankMaps = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      meas.map(m => m -> Future(doubledMidrankMap(base, m).localCheckpoint()))
+        .map { case (m, f) => m -> Await.result(f, Duration.Inf) }
+    }
+    val withRanks = rankMaps.foldLeft(base) { case (df, (m, ranked)) =>
+      df.join(ranked, df(m) === ranked("v")).drop("v")
+        .withColumnRenamed("r2", s"r2_$m")
     }
     val dec = "decimal(38,0)"
     def d(m: String): Column = col(s"r2_$m").cast(dec)
