@@ -1685,10 +1685,15 @@ object Behavior {
     * points per user (both engine texts identically): with α = 1/2
     * the dropped weights are < 2⁻³⁸ ≈ 4·10⁻¹² of the total — below
     * the round-4 resolution — and the cap bounds the largest shift at
-    * 2³⁸, keeping z·2^k and the 40-term numerator sums exact int64
-    * for demand sizes up to ~10⁷ cents/day (the uncapped form wrapped
-    * silently at k ≈ 45 for 10⁵-cent demands, and shiftleft itself
-    * wraps mod 64 at k ≥ 66).
+    * 2³⁸. The exactness envelope is now ENFORCED, not just documented
+    * (the Q252 loud-degradation discipline): a user with any demand
+    * z > 2²⁴−1 cents/day (the 40-term numerator Σ z·2^k ≤ z·2³⁹ bound)
+    * or any interval p > 2²⁵−1 days gets NULL s_num/p_num/forecasts
+    * and demand_class = 'overflow_guard' — the capped branch fires
+    * BEFORE the shift multiply in both engine texts, so neither engine
+    * ever evaluates a wrapping (Spark, silent) or erroring (DuckDB,
+    * loud) product. z ≤ 2²⁴ also keeps z_sq exact to ~2¹⁰ demand days
+    * per user (a multi-century spine).
     *
     * Scale notes: one corpus scan to per-(user, day) demand, one
     * user-keyed window for indices/intervals, one aggregate. At 10⁹
@@ -1714,20 +1719,37 @@ object Behavior {
       // α=1/2 weights are < 2⁻³⁸) but still count in kd/z_sum/z_sq/span.
       .withColumn("ke", col("k") - greatest(col("n_all") - lit(40L), lit(0L)))
       .withColumn("p", (col("day") - lag(col("day"), 1).over(w)).cast("long"))
+    // Exactness-envelope caps: the 40-term α=1/2 numerator is ≤ z·2³⁹
+    // (p·2³⁸), so z ≤ 2²⁴−1 / p ≤ 2²⁵−1 keep it inside int64. The cap
+    // branch fires FIRST so the shift multiply is never evaluated on an
+    // over-cap row in either engine.
+    val zCap = 16777215L
+    val pCap = 33554431L
     val agg = idx.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("kd"),
-        sum(when(col("ke") === 1, col("z"))
+        sum(when(col("z") > zCap, lit(0L))
+          .when(col("ke") === 1, col("z"))
           .when(col("ke") > 1,
             col("z") * expr("shiftleft(CAST(1 AS BIGINT), CAST(ke - 2 AS INT))")))
-          .cast("long").as("s_num"),
-        sum(when(col("ke") === 2, col("p"))
+          .cast("long").as("s_raw"),
+        sum(when(col("p") > pCap, lit(0L))
+          .when(col("ke") === 2, col("p"))
           .when(col("ke") > 2,
             col("p") * expr("shiftleft(CAST(1 AS BIGINT), CAST(ke - 3 AS INT))")))
-          .cast("long").as("p_num"),
-        sum(col("z")).cast("long").as("z_sum"),
-        sum(col("z") * col("z")).cast("long").as("z_sq"),
+          .cast("long").as("p_raw"),
+        sum(when(col("z") > zCap ||
+            (col("p").isNotNull && col("p") > pCap), 1L).otherwise(0L))
+          .cast("long").as("n_over"),
+        sum(when(col("z") > zCap, lit(0L)).otherwise(col("z")))
+          .cast("long").as("z_sum"),
+        sum(when(col("z") > zCap, lit(0L)).otherwise(col("z") * col("z")))
+          .cast("long").as("z_sq"),
         (max(col("day")) - min(col("day"))).cast("long").as("span"))
     agg.filter(col("kd") >= 2)
+      .withColumn("s_num",
+        when(col("n_over") === 0, col("s_raw")))
+      .withColumn("p_num",
+        when(col("n_over") === 0, col("p_raw")))
       .withColumn("croston_cents",
         expr("ROUND(CAST(s_num AS DOUBLE) / (2 * p_num), 4)"))
       .withColumn("sba_cents",
@@ -1744,7 +1766,8 @@ object Behavior {
         lit(100L) * (col("kd") * col("z_sq") - col("z_sum") * col("z_sum")) >=
           lit(49L) * col("z_sum") * col("z_sum"))
       .withColumn("demand_class",
-        when(col("intermittent") && col("erratic"), "lumpy")
+        when(col("n_over") > 0, "overflow_guard")
+          .when(col("intermittent") && col("erratic"), "lumpy")
           .when(col("intermittent"), "intermittent")
           .when(col("erratic"), "erratic")
           .otherwise("smooth"))
@@ -1771,21 +1794,34 @@ object Behavior {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
       |agg AS (
       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kd,
-      |    CAST(SUM(CASE WHEN ke = 1 THEN z
+      |    CAST(SUM(CASE WHEN z > 16777215 THEN 0
+      |      WHEN ke = 1 THEN z
       |      WHEN ke > 1 THEN z * (1::BIGINT << (ke - 2)::INT) END)
-      |      AS BIGINT) AS s_num,
-      |    CAST(SUM(CASE WHEN ke = 2 THEN p
+      |      AS BIGINT) AS s_raw,
+      |    CAST(SUM(CASE WHEN p > 33554431 THEN 0
+      |      WHEN ke = 2 THEN p
       |      WHEN ke > 2 THEN p * (1::BIGINT << (ke - 3)::INT) END)
-      |      AS BIGINT) AS p_num,
-      |    CAST(SUM(z) AS BIGINT) AS z_sum,
-      |    CAST(SUM(z * z) AS BIGINT) AS z_sq,
+      |      AS BIGINT) AS p_raw,
+      |    CAST(SUM(CASE WHEN z > 16777215
+      |      OR (p IS NOT NULL AND p > 33554431) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_over,
+      |    CAST(SUM(CASE WHEN z > 16777215 THEN 0 ELSE z END)
+      |      AS BIGINT) AS z_sum,
+      |    CAST(SUM(CASE WHEN z > 16777215 THEN 0 ELSE z * z END)
+      |      AS BIGINT) AS z_sq,
       |    CAST(MAX(day) - MIN(day) AS BIGINT) AS span
-      |  FROM idx GROUP BY 1)
+      |  FROM idx GROUP BY 1),
+      |guarded AS (
+      |  SELECT user_id, kd, n_over, z_sum, z_sq, span,
+      |    CASE WHEN n_over = 0 THEN s_raw END AS s_num,
+      |    CASE WHEN n_over = 0 THEN p_raw END AS p_num
+      |  FROM agg)
       |SELECT user_id, kd AS n_demands, s_num, p_num,
       |  ROUND(CAST(s_num AS DOUBLE) / (2 * p_num), 4) AS croston_cents,
       |  ROUND(CAST(3 * s_num AS DOUBLE) / (8 * p_num), 4) AS sba_cents,
       |  ROUND(CAST(span AS DOUBLE) / (kd - 1), 4) AS mean_interval,
       |  CASE
+      |    WHEN n_over > 0 THEN 'overflow_guard'
       |    WHEN 100 * span >= 132 * (kd - 1)
       |      AND 100 * (kd * z_sq - z_sum * z_sum) >= 49 * z_sum * z_sum
       |      THEN 'lumpy'
@@ -1793,7 +1829,7 @@ object Behavior {
       |    WHEN 100 * (kd * z_sq - z_sum * z_sum) >= 49 * z_sum * z_sum
       |      THEN 'erratic'
       |    ELSE 'smooth' END AS demand_class
-      |FROM agg
+      |FROM guarded
       |WHERE kd >= 2
       |ORDER BY user_id NULLS FIRST""".stripMargin
 

@@ -205,4 +205,58 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(mk(0).getAs[String]("trend") == "none")
     assert(graft.operators.Stats.q229(spark, dir).count() == 0)
   }
+
+  test("Q271 degrades over-cap demand magnitudes to an 'overflow_guard' row, never a wrapped forecast") {
+    // The exactness envelope (z <= 2^24-1 cents/day for the 40-term
+    // alpha=1/2 EWMA numerator) is enforced, not just documented: a user
+    // whose demand exceeds the cap must surface as demand_class =
+    // 'overflow_guard' with NULL s_num/p_num/forecasts, while normal
+    // users on the same corpus keep real forecasts.
+    val dir = java.nio.file.Files.createTempDirectory("degen-croston").toString
+    val day = 86400L * 1000000000L
+    val day0 = 19723L * day
+    val rows = Seq(
+      // user 1: two modest demands -> real forecast
+      (10L, day0, 1L, "purchase", 100.0, "{}"),
+      (11L, day0 + 2 * day, 1L, "purchase", 200.0, "{}"),
+      // user 2: one demand at 10^9 cents/day (over the 2^24-1 cap)
+      (20L, day0, 2L, "purchase", 1.0e7, "{}"),
+      (21L, day0 + 3 * day, 2L, "purchase", 50.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Behavior.q271(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val ok = out(1L)
+    assert(ok.getAs[String]("demand_class") != "overflow_guard")
+    assert(!ok.isNullAt(ok.fieldIndex("croston_cents")))
+    // z1=10000, z2=20000, ke: 1,2 -> s_num = 10000 + 20000 = 30000;
+    // p_num = interval 2 -> croston = 30000 / (2*2) = 7500
+    assert(ok.getAs[Double]("croston_cents") == 7500.0)
+    val over = out(2L)
+    assert(over.getAs[String]("demand_class") == "overflow_guard")
+    for (c <- Seq("s_num", "p_num", "croston_cents", "sba_cents"))
+      assert(over.isNullAt(over.fieldIndex(c)), s"$c must be NULL under the guard")
+    // the safe columns stay populated
+    assert(over.getAs[Long]("n_demands") == 2L)
+    assert(over.getAs[Double]("mean_interval") == 3.0)
+  }
+
+  test("Q264 direction-sequence lengths stay within the oracle's recursive-CTE practical depth") {
+    // The Q264 oracle enumerates (l, q) up to MAX(n) per parse step, so
+    // its cost grows ~ n^2 per phrase: the gate contract assumes the
+    // per-type direction sequence (spine days - 1) stays small. Guard
+    // that assumption on the LARGEST driver tier so a future testdata
+    // regen with a multi-decade spine fails here, loudly, instead of
+    // hanging the DuckDB compare.
+    val c = Catalog(spark, sf("sf0.1"))
+    val span = c.events
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .agg(expr("max(day) - min(day)").as("span")).collect()(0).getLong(0)
+    assert(span + 1 <= 2048,
+      s"event-day spine ${span + 1} exceeds the Q264 recursive-CTE depth " +
+        "contract (2048); re-declare the oracle's enumeration bound or " +
+        "cap the sequence before shipping this data scale")
+  }
 }
