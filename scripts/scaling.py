@@ -81,8 +81,9 @@ def family_totals(bench):
             v = v.get(field, -1)
         if isinstance(v, (int, float)) and v > 0:
             tot[f"leg:{leg}"] = v
-    if bench.get("derived_build", -1) > 0:
-        tot["leg:derived_build"] = bench["derived_build"]
+    for legname in ("derived_build", "neardup_build", "daily_grid_build"):
+        if bench.get(legname, -1) > 0:
+            tot[f"leg:{legname}"] = bench[legname]
     return tot
 
 

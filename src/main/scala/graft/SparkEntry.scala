@@ -44,7 +44,8 @@ object SparkEntry {
       (Pii.queries, Pii.oracles),
       (Behavior.queries, Behavior.oracles),
       (Trend.queries, Trend.oracles),
-      (Quality.queries, Quality.oracles)
+      (Quality.queries, Quality.oracles),
+      (TensorGates.queries, TensorGates.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -321,4 +321,64 @@ class TensorSpec extends SparkSpec {
     assert(model.a.forall(_ >= 0.0) && model.b.forall(_ >= 0.0) &&
       model.c.forall(_ >= 0.0))
   }
+
+  test("Q335 relational ALS half-step replays exactly against a local adjugate solve") {
+    import org.apache.spark.sql.functions._
+    def md5hv(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def sign(mode: String, idx: Long, p: Int): Long =
+      md5hv(s"als:$mode:$idx:$p") % 19L - 9L
+    val dir = sf("sf0.001")
+    val c = Catalog(spark, dir)
+    // cells replayed through Spark's own cents convention (ROUND on double)
+    val cells = c.events.select(
+        col("user_id").as("i"),
+        expr("CASE event_type WHEN 'click' THEN 0L WHEN 'error' THEN 1L " +
+          "WHEN 'purchase' THEN 2L WHEN 'signup' THEN 3L WHEN 'view' THEN 4L END")
+          .as("j"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minDay = cells.map(_._3).min
+    val agg = cells.groupBy(t => (t._1, t._2, t._3 - minDay))
+      .view.mapValues(_.map(_._4).sum).toMap
+    val js = agg.keys.map(_._2).toSet
+    val ks = agg.keys.map(_._3).toSet
+    def gram(idxs: Set[Long], mode: String): Array[Long] = {
+      var g00 = 0L; var g01 = 0L; var g11 = 0L
+      idxs.foreach { x =>
+        val s0 = sign(mode, x, 0); val s1 = sign(mode, x, 1)
+        g00 += s0 * s0; g01 += s0 * s1; g11 += s1 * s1
+      }
+      Array(g00, g01, g11)
+    }
+    val gb = gram(js, "b"); val gc = gram(ks, "c")
+    val h00 = gb(0) * gc(0); val h01 = gb(1) * gc(1); val h11 = gb(2) * gc(2)
+    val det = h00 * h11 - h01 * h01
+    assert(det != 0L, "fixture determinant must be nonzero")
+    val byUser = agg.groupBy(_._1._1)
+    val out = graft.operators.TensorGates.q335(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (i, cellsI) =>
+      var m0 = 0L; var m1 = 0L
+      cellsI.foreach { case ((_, j, k), v) =>
+        m0 += v * sign("b", j, 0) * sign("c", k, 0)
+        m1 += v * sign("b", j, 1) * sign("c", k, 1)
+      }
+      val r = out(i)
+      assert(r.getAs[Long]("n_cells") == cellsI.size.toLong, s"$i: n_cells")
+      assert(r.getAs[Long]("m0") == m0, s"$i: m0")
+      assert(r.getAs[Long]("m1") == m1, s"$i: m1")
+      def r6(x: Double) = BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val n0 = (BigInt(m0) * h11 - BigInt(m1) * h01).toDouble
+      val n1 = (BigInt(m1) * h00 - BigInt(m0) * h01).toDouble
+      assert(math.abs(r.getAs[Double]("a0") - r6(n0 / det)) <= 1e-6, s"$i: a0")
+      assert(math.abs(r.getAs[Double]("a1") - r6(n1 / det)) <= 1e-6, s"$i: a1")
+    }
+  }
 }
