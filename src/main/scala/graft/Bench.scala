@@ -42,11 +42,25 @@ object Bench {
       // a 9x one-off on Q98 that re-measured at 1x in the next session
       // and in isolation).
       System.gc()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      // Unpersist the localCheckpoint RDD blocks this run created (r10
+      // verdict #2): clearCache() covers DataFrame caches but NOT
+      // checkpoint blocks, which otherwise accumulate block-manager debt
+      // across the 335-leg session — the prime suspect for the 2-6x
+      // late-position inflation the driver's full-registry runs showed on
+      // checkpoint-heavy legs (Q248/Q103/Q156/Q160). Outside the timed
+      // region; non-blocking so the removal overlaps the next GC.
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      sec
     }
 
     // Warm-up: JVM/codegen/parquet-footer caches.

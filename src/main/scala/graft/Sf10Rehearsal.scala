@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** sf10 dress-rehearsal runner (r10 verdict item 8) — a DEV TOOL. Runs the
+  * derived builds plus a hand-picked set of the heaviest scale-safe legs
+  * against an [[Sf10Gen]] directory, with a task-metrics listener that
+  * reports per-leg wall time, memory/disk SPILL bytes, shuffle write
+  * bytes, and peak single-task execution memory — the "where does the
+  * first spill appear" measurement SCALE.md's analysis is pinned to.
+  *
+  * Usage: runMain graft.Sf10Rehearsal [dir=/tmp/graft-sf10] [legs...]
+  */
+object Sf10Rehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spillMem = new AtomicLong(0L)
+    val spillDisk = new AtomicLong(0L)
+    val shufWrite = new AtomicLong(0L)
+    val shufRead = new AtomicLong(0L)
+    val peakTaskMem = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+    })
+
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+
+    def leg(name: String)(body: => Unit): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      spillMem.set(0); spillDisk.set(0); shufWrite.set(0); shufRead.set(0)
+      peakTaskMem.set(0)
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch {
+        case e: Throwable =>
+          println(s"""{"leg":"$name","error":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(120).replace('"', ' ')}"}""")
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // wait for straggler task-end events before reading the counters
+      Thread.sleep(500)
+      if (ok) println(f"""{"leg":"$name","sec":$sec%.1f,"spill_mem_mb":${
+        mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)},"shuffle_write_mb":${
+        mb(shufWrite.get)},"shuffle_read_mb":${mb(shufRead.get)},"peak_task_mem_mb":${
+        mb(peakTaskMem.get)}}""")
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+
+    val defaultLegs = Seq("Q13", "Q05", "Q103", "Q117", "Q145", "Q156",
+      "Q160", "Q161", "Q218", "Q248", "Q335")
+    val queryLegs = if (args.length > 1) args.drop(1).toSeq else defaultLegs
+
+    leg("derived_build") { operators.Derived.rebuildCoOrderPairCounts(spark, dir) }
+    leg("daily_grid_build") { operators.Derived.rebuildDailyCentsGrid(spark, dir) }
+    leg("neardup_build") { operators.Derived.rebuildNearDupClusters(spark, dir) }
+    queryLegs.foreach { q =>
+      leg(q) {
+        SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+    spark.stop()
+  }
+}

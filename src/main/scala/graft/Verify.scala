@@ -22,14 +22,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Release any relation the operator cached (e.g. the Jaccard token
-      // relation) so caches don't pile up across the full query sweep.
+      // relation) so caches don't pile up across the full query sweep,
+      // and drop the query's localCheckpoint RDD blocks (clearCache does
+      // not cover those) so block-manager state stays bounded over 335
+      // queries.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     writeOracleJson(outDir)
     spark.stop()

@@ -748,13 +748,15 @@ object VectorOps {
     * both engines.
     *
     * Scale notes: projections are ROW-LOCAL codegen'd folds as in
-    * Q198; the VECTORS are md5-sampled (gate `md5('jl:v:'||vec_id) % 6`,
-    * ~1/6 of ids) BEFORE any pairing, so the candidate enumeration is
-    * quadratic in the SAMPLE (≈ n²/36 surviving pairs — the same ~1/37
-    * pair density the round-9 pair-gate form had), never in the corpus:
-    * no n² id enumeration ever materializes. At 10⁹ vectors the gate
-    * modulus rises so the sample stays bounded and the histogram is the
-    * same statistic. Output rows = bins + 1.
+    * Q198; the VECTORS are md5-sampled BEFORE any pairing, so the
+    * candidate enumeration is quadratic in the SAMPLE, never in the
+    * corpus: no n² id enumeration ever materializes. The gate modulus
+    * is corpus-adaptive in BOTH engine texts — GREATEST(6,
+    * (n+349) DIV 350), i.e. ~1/6 of ids at fixture scale (≈ the round-9
+    * 1/37 pair density) and a ~350-vector / ~60k-pair sample at ANY
+    * larger n (10⁹ vectors → modulus ~3·10⁶), the same statistic at a
+    * bounded cost. Exact integer derivation, so the two engines compute
+    * the identical modulus. Output rows = bins + 1.
     */
   def q248(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -775,9 +777,12 @@ object VectorOps {
     // partition count — a checkpointed small relation sits in 1-2
     // partitions and would run the quadratic stage single-threaded
     // (measured ~20 s vs ~1 s at sf0.1). Spread the ids first.
+    val modulus = v.agg(
+      expr("GREATEST(CAST(6 AS BIGINT), (COUNT(1) + 349) DIV 350)").as("m"))
     val ids = v.select(col("vec_id"))
+      .crossJoin(broadcast(modulus))
       .withColumn("hv", md5(concat(lit("jl:v:"), col("vec_id").cast("string"))))
-      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % 6L === 0L)
+      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % col("m") === 0L)
       .select(col("vec_id"))
       .repartition(spark.sparkContext.defaultParallelism)
     val sampled = ids.select(col("vec_id").as("v1"))
@@ -842,8 +847,11 @@ object VectorOps {
        |proj AS (
        |  SELECT f.vec_id, p.k, CAST(SUM(f.x * p.s) AS BIGINT) AS pr
        |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
+       |md AS (
+       |  SELECT GREATEST(CAST(6 AS BIGINT),
+       |    (COUNT(*) + 349) // 350) AS m FROM v),
        |samp AS (
-       |  SELECT vec_id FROM v WHERE ($hexVec) % 6 = 0),
+       |  SELECT vec_id FROM v WHERE ($hexVec) % (SELECT m FROM md) = 0),
        |sampled AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
        |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id),

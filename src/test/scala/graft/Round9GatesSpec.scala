@@ -1662,10 +1662,12 @@ class Round9GatesSpec extends SparkSpec {
         while (d < xi.length) { acc += xi(d) * signs(k)(d); d += 1 }
         acc
       }
-    // round-11 form: vec_ids are gated BEFORE pairing (1/6 sample),
-    // so the pair set is quadratic in the sample, never the corpus
+    // round-11 form: vec_ids are gated BEFORE pairing with a
+    // corpus-adaptive modulus, so the pair set is quadratic in the
+    // bounded sample, never the corpus
+    val m = math.max(6L, (vecs.size + 349L) / 350L)
     val ids = vecs.keys.toSeq.sorted
-      .filter(i => md5hv(s"jl:v:$i") % 6L == 0L)
+      .filter(i => md5hv(s"jl:v:$i") % m == 0L)
     val model = for {
       i <- ids; j <- ids if i < j
       xa = grid(vecs(i)); xb = grid(vecs(j))
