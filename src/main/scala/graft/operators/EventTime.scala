@@ -2729,7 +2729,91 @@ object EventTime {
       |GROUP BY 1
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q338 — diurnal (hour-of-day) usage fingerprint per event type: the
+    * 24-bin UTC hour histogram summarized as a χ² test against the
+    * uniform clock, the peak hour and its traffic share, and a
+    * 'diurnal' / 'flat' verdict. The WITHIN-day twin of the
+    * day-of-week family (Q188/Q279 weekly cycle, Q118/Q219 seasonal
+    * decompositions): capacity planning and bot/batch-traffic
+    * screening read exactly this — human traffic concentrates in
+    * waking hours, machine traffic doesn't.
+    *
+    * Determinism: hour = ((ts DIV 1000) DIV 3600000000) % 24 is pure
+    * integer arithmetic on the epoch (the day-index idiom's hourly
+    * sibling — no calendar functions); χ² against uniform collapses
+    * algebraically to (24·Σo² − n²)/n, carried in DECIMAL(38,0)/
+    * HUGEINT (Σo² overflows int64 once a single (type, hour) cell
+    * passes ~3·10⁹ rows — reachable at 100 TB) with ONE terminal
+    * divide rounded 4; peak share is one divide rounded 6; the
+    * verdict compares the exact cross-product 24·max_o ≥ 2·n (peak
+    * carries ≥ 2× its uniform share), int64-safe to n ≈ 4·10¹⁷ rows
+    * per type. Peak-hour ties break to the earliest hour in both
+    * engines.
+    *
+    * Scale notes: ONE corpus scan folds to ≤ 24·|types| cells
+    * (map-side combinable — the Q116 bounded-cells shape); everything
+    * downstream is arithmetic on that bounded relation. The argmax is
+    * a bounded self-join on the 120-cell relation, not a window over
+    * the corpus. Flat in corpus size.
+    */
+  def q338(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val hrs = c.events
+      .select(col("event_type"),
+        expr("((ts DIV 1000) DIV 3600000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤ 24·|types| cells; feeds the summary AND the argmax
+    val s = hrs.groupBy(col("event_type")).agg(
+      sum(col("o")).cast("long").as("n"),
+      sum(col("o").cast("decimal(38,0)") * col("o"))
+        .cast("decimal(38,0)").as("sum_o2"),
+      max(col("o")).cast("long").as("max_o"),
+      count(lit(1)).cast("long").as("n_hours_active"))
+    val p = hrs
+      .join(s.select(col("event_type"), col("max_o")), Seq("event_type"))
+      .filter(col("o") === col("max_o"))
+      .groupBy(col("event_type"))
+      .agg(min(col("hr")).cast("long").as("peak_hr"))
+    s.join(p, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_hours_active"),
+        expr("ROUND(CAST(CAST(24 AS DECIMAL(38,0)) * sum_o2 - " +
+          "CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) / n, 4)")
+          .as("chi2_uniform"),
+        col("peak_hr"),
+        expr("ROUND(CAST(max_o AS DOUBLE) / n, 6)").as("peak_share"),
+        expr("CASE WHEN 24 * max_o >= 2 * n THEN 'diurnal' " +
+          "ELSE 'flat' END").as("verdict"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q338Oracle: String =
+    """WITH hrs AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+      |    SUM(CAST(o AS HUGEINT) * o) AS sum_o2,
+      |    CAST(MAX(o) AS BIGINT) AS max_o,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hours_active
+      |  FROM hrs GROUP BY 1),
+      |p AS (
+      |  SELECT h.event_type, CAST(MIN(h.hr) AS BIGINT) AS peak_hr
+      |  FROM hrs h JOIN s ON s.event_type = h.event_type AND h.o = s.max_o
+      |  GROUP BY 1)
+      |SELECT s.event_type, s.n, s.n_hours_active,
+      |  ROUND(CAST(CAST(24 AS HUGEINT) * s.sum_o2 -
+      |    CAST(s.n AS HUGEINT) * s.n AS DOUBLE) / s.n, 4) AS chi2_uniform,
+      |  p.peak_hr,
+      |  ROUND(CAST(s.max_o AS DOUBLE) / s.n, 6) AS peak_share,
+      |  CASE WHEN 24 * s.max_o >= 2 * s.n THEN 'diurnal' ELSE 'flat' END
+      |    AS verdict
+      |FROM s JOIN p ON p.event_type = s.event_type
+      |ORDER BY s.event_type NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q338" -> (q338 _),
     "Q219" -> (q219 _),
     "Q40" -> (q40 _), "Q41" -> (q41 _), "Q42" -> (q42 _), "Q43" -> (q43 _),
     "Q59" -> (q59 _), "Q63" -> (q63 _), "Q65" -> (q65 _), "Q86" -> (q86 _),
@@ -2941,6 +3025,7 @@ object EventTime {
       |FROM s1, s2, s3""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "Q338" -> q338Oracle,
     "Q40" -> q40Oracle, "Q41" -> q41Oracle, "Q42" -> q42Oracle,
     "Q43" -> q43Oracle, "Q59" -> q59Oracle, "Q63" -> q63Oracle,
     "Q65" -> q65Oracle, "Q86" -> q86Oracle, "Q87" -> q87Oracle,

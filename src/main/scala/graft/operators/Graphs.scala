@@ -1672,7 +1672,99 @@ object Graphs {
       |FROM er JOIN nr ON nr.k = er.k, etot, ntot
       |ORDER BY er.k""".stripMargin
 
+  /** Q337 — edge-support (truss) profile of the support-pruned co-order
+    * graph (Cohen 2008's k-truss read): for every edge, its SUPPORT =
+    * the number of triangles it closes; reported as the support
+    * histogram (support → edge count, share, and the max k-truss the
+    * edge could belong to, k = support + 2). The EDGE-cohesion
+    * completion of the triangle family: Q103 counts triangles per NODE,
+    * Q145 normalizes them per node (clustering coefficient), Q122/Q278
+    * peel by DEGREE (k-core) — this reads how embedded each
+    * RELATIONSHIP is, the quantity k-truss decompositions peel on and
+    * the standard spam-edge / bridge-edge screen (support-0 edges are
+    * exactly the triangle-free bridges).
+    *
+    * Determinism: supports, counts and max_truss are exact int64;
+    * edge_share is one single-divide float rounded 6. The oriented
+    * enumeration counts each triangle once; credited to its 3 edges in
+    * canonical (lo, hi) form, identical to the oracle's x<y<z
+    * three-way self-join.
+    *
+    * Scale notes: consumes the bucketed [[Derived.coOrderPairCounts]]
+    * artifact (no rebuild); triangles come from [[triangleCorners]]'s
+    * degree-oriented intersection (Σ out-deg² ≤ O(m^1.5) work bound,
+    * the Q103 defenses), NEVER a per-edge |N(a) ∩ N(b)| join on raw
+    * skewed adjacency; the histogram fold is map-side combinable and
+    * its output is bounded by the max support, not the edge count.
+    */
+  def q337(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+      .localCheckpoint()
+    // one row per triangle (triangleCorners explodes per corner; the
+    // node = u row is that unique corner-invariant representative)
+    val tri = triangleCorners(pairs)
+      .filter(col("node") === col("u"))
+      .select(col("u"), col("v"), col("w"))
+    val credits = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi")),
+        struct(least(col("u"), col("w")).as("lo"),
+          greatest(col("u"), col("w")).as("hi")),
+        struct(least(col("v"), col("w")).as("lo"),
+          greatest(col("v"), col("w")).as("hi")))).as("ed"))
+      .groupBy(col("ed.lo").as("a"), col("ed.hi").as("b"))
+      .agg(count(lit(1)).as("support"))
+    val sup = pairs.join(credits, Seq("a", "b"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+    val tot = sup.agg(count(lit(1)).cast("long").as("n_total"))
+    sup.groupBy(col("support"))
+      .agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(broadcast(tot))
+      .select(col("support"), col("n_edges"),
+        expr("ROUND(CAST(n_edges AS DOUBLE) / n_total, 6)")
+          .as("edge_share"),
+        (col("support") + 2).as("max_truss"))
+      .orderBy(asc("support"))
+  }
+
+  val q337Oracle: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |pairs AS (
+      |  SELECT o1.pk AS a, o2.pk AS b
+      |  FROM capped o1 JOIN capped o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |tri AS (
+      |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+      |  FROM pairs p1
+      |  JOIN pairs p2 ON p2.a = p1.b
+      |  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+      |cred AS (
+      |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+      |    SELECT x AS a, y AS b FROM tri
+      |    UNION ALL SELECT x AS a, z AS b FROM tri
+      |    UNION ALL SELECT y AS a, z AS b FROM tri) e
+      |  GROUP BY 1, 2),
+      |sup AS (
+      |  SELECT COALESCE(c.support, 0) AS support
+      |  FROM pairs p LEFT JOIN cred c ON c.a = p.a AND c.b = p.b),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sup)
+      |SELECT CAST(s.support AS BIGINT) AS support,
+      |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS edge_share,
+      |  CAST(s.support + 2 AS BIGINT) AS max_truss
+      |FROM sup s CROSS JOIN tot t
+      |GROUP BY s.support, t.n_total
+      |ORDER BY support""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q337" -> (q337 _),
     "Q317" -> (q317 _),
     "Q222" -> (q222 _),
     "Q265" -> (q265 _), "Q307" -> (q307 _),
@@ -1683,6 +1775,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
+    "Q337" -> q337Oracle,
     "Q317" -> q317Oracle,
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,
     "Q121" -> q121Oracle, "Q122" -> q122Oracle, "Q131" -> q131Oracle,

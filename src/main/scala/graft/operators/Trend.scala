@@ -1811,7 +1811,334 @@ object Trend {
        |WHERE influence_rank <= 3
        |ORDER BY event_type NULLS FIRST, influence_rank""".stripMargin
 
+  /** Q336 — Holt–Winters ADDITIVE-SEASONAL smoothing + 7-step forecast
+    * per event type on the zero-filled daily revenue-cents grid
+    * (Winters 1960; the Hyndman & Athanasopoulos "fpp" additive form
+    * with period m = 7 and α = β = γ = 1/2) — the seasonal completion
+    * of the smoothing family: Q100 (EWMA, no trend), Q123 (Holt,
+    * trend but no season), Q118/Q219 (decompositions that DESCRIBE the
+    * weekly cycle but don't forecast it). Recurrence for t ≥ 7:
+    *   ℓ_t = ((y_t − s_{t−7}) + (ℓ_{t−1} + b_{t−1})) / 2
+    *   b_t = (b_{t−1} + (ℓ_t − ℓ_{t−1})) / 2
+    *   s_t = ((y_t − ℓ_t) + s_{t−7}) / 2
+    * initialized from the first week: ℓ₆ = (Σ y₀..y₆)/7, b₆ = 0,
+    * s_i = y_i − ℓ₆ (i = 0..6); forecast ŷ_{T+h} = ℓ_T + h·b_T +
+    * s_{T+h−7} for h = 1..7. Fewer than 7 observed days degrades to
+    * NULL metrics with an 'insufficient' verdict (the Q252 loudness
+    * rule) rather than fitting a partial week.
+    *
+    * Determinism (the Q123 rule): ℓ₆ is ONE IEEE divide of an exact
+    * int64 cents sum; every subsequent quantity uses only IEEE
+    * add/sub/÷2 with a FIXED parenthesization duplicated textually in
+    * the oracle's recursive-CTE replay — both engines execute the
+    * identical operation sequence on identical doubles, so the state
+    * is bit-equal at every t even where the values outgrow exactness.
+    * The seasonal slot is t mod 7 (positions are the contiguous
+    * global-spine index), integer arithmetic in both engines.
+    *
+    * Scale notes: consumes the bucketed [[Derived.dailyCentsGrid]]
+    * artifact — no events scan; a smoother is sequential IN ITS KEY,
+    * so the distributed shape is "parallel across types, one codegen'd
+    * higher-order `aggregate` fold within type" over the spine-bounded
+    * series array (Q123's shape, with the 7-slot seasonal ring carried
+    * in the fold state). No shuffle beyond the per-type collect; flat
+    * in corpus size past the artifact.
+    */
+  def q336(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    // textually shared ℓ/b/s step shapes (the oracle mirrors these)
+    val sOld = "element_at(acc.s, CAST(pmod(acc.t, 7) + 1 AS INT))"
+    val lNew = s"((CAST(x.v AS DOUBLE) - $sOld) + (acc.l + acc.b)) / 2"
+    val fitExpr =
+      s"""aggregate(
+         |  slice(ser, 8, CAST(GREATEST(n_obs - 7, 0L) AS INT)),
+         |  named_struct('t', 7, 'l', l0, 'b', CAST(0 AS DOUBLE),
+         |    's', s_init),
+         |  (acc, x) -> named_struct(
+         |    't', acc.t + 1,
+         |    'l', $lNew,
+         |    'b', (acc.b + (($lNew) - acc.l)) / 2,
+         |    's', transform(acc.s, (sv, si) -> IF(si = pmod(acc.t, 7),
+         |      ((CAST(x.v AS DOUBLE) - ($lNew)) + $sOld) / 2,
+         |      sv))))""".stripMargin
+    val seas = "element_at(fit.s, CAST(pmod(n_obs - 1 + h, 7) + 1 AS INT))"
+    grid.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("ser"))
+      .withColumn("n_obs", size(col("ser")).cast("long"))
+      .withColumn("init_sum", expr(
+        "aggregate(slice(ser, 1, 7), 0L, (a, x) -> a + x.v)"))
+      .withColumn("l0", expr("CAST(init_sum AS DOUBLE) / 7"))
+      .withColumn("s_init", expr(
+        "transform(slice(ser, 1, 7), x -> CAST(x.v AS DOUBLE) - l0)"))
+      .withColumn("fit", expr(fitExpr))
+      .select(col("event_type"), col("n_obs"), col("fit"),
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select(col("event_type"), col("h"), col("n_obs"),
+        when(col("n_obs") >= 7, round(col("fit.l"), 4)).as("level"),
+        when(col("n_obs") >= 7, round(col("fit.b"), 4)).as("trend"),
+        when(col("n_obs") >= 7, round(expr(seas), 4)).as("seasonal"),
+        when(col("n_obs") >= 7, round(
+          expr(s"fit.l + CAST(h AS DOUBLE) * fit.b + $seas"), 4))
+          .as("forecast"),
+        when(col("n_obs") >= 7, lit("ok")).otherwise("insufficient")
+          .as("verdict"))
+      .orderBy(asc_nulls_first("event_type"), asc("h"))
+  }
+
+  val q336Oracle: String = {
+    val slots = 0 to 6
+    def sOld(t: String) =
+      "CASE (" + t + ") % 7 " +
+        slots.map(i => s"WHEN $i THEN h.s$i").mkString(" ") + " END"
+    val so = sOld("h.t + 1")
+    val lNew = s"((CAST(g.v AS DOUBLE) - $so) + (h.l + h.b)) / 2"
+    val sStep = slots.map { i =>
+      s"""CASE WHEN (h.t + 1) % 7 = $i THEN
+         |      ((CAST(g.v AS DOUBLE) - ($lNew)) + $so) / 2
+         |      ELSE h.s$i END AS s$i""".stripMargin
+    }.mkString(",\n    ")
+    def sFin(t: String) =
+      "CASE (" + t + ") % 7 " +
+        slots.map(i => s"WHEN $i THEN f.s$i").mkString(" ") + " END"
+    val seas = sFin("n.n_obs - 1 + hz.h")
+    s"""WITH RECURSIVE ${Stats.gridSql},
+       |pos AS (
+       |  SELECT event_type, day, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      - 1 AS BIGINT) AS k
+       |  FROM grid),
+       |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+       |      FROM pos GROUP BY 1),
+       |init AS (
+       |  SELECT event_type, CAST(SUM(v) AS DOUBLE) / 7 AS l0,
+       |    ${slots.map(i =>
+            s"MAX(CASE WHEN k = $i THEN v END) AS y$i").mkString(",\n    ")}
+       |  FROM pos WHERE k <= 6 GROUP BY 1
+       |  HAVING COUNT(*) = 7),
+       |hw AS (
+       |  SELECT event_type, CAST(6 AS BIGINT) AS t, l0 AS l,
+       |    CAST(0 AS DOUBLE) AS b,
+       |    ${slots.map(i =>
+            s"CAST(y$i AS DOUBLE) - l0 AS s$i").mkString(",\n    ")}
+       |  FROM init
+       |  UNION ALL
+       |  SELECT h.event_type, h.t + 1,
+       |    $lNew,
+       |    (h.b + (($lNew) - h.l)) / 2,
+       |    $sStep
+       |  FROM hw h JOIN pos g
+       |  ON g.event_type = h.event_type AND g.k = h.t + 1),
+       |fin AS (
+       |  SELECT h.* FROM hw h
+       |  JOIN n ON n.event_type = h.event_type AND h.t = n.n_obs - 1),
+       |hz AS (SELECT UNNEST(range(1, 8)) AS h)
+       |SELECT n.event_type, CAST(hz.h AS INT) AS h, n.n_obs,
+       |  ROUND(f.l, 4) AS level, ROUND(f.b, 4) AS trend,
+       |  ROUND($seas, 4) AS seasonal,
+       |  ROUND(f.l + CAST(hz.h AS DOUBLE) * f.b + $seas, 4) AS forecast,
+       |  CASE WHEN f.event_type IS NULL THEN 'insufficient' ELSE 'ok' END
+       |    AS verdict
+       |FROM n CROSS JOIN hz
+       |LEFT JOIN fin f ON f.event_type = n.event_type
+       |ORDER BY n.event_type NULLS FIRST, h""".stripMargin
+  }
+
+  /** Q339 — cross-correlation function between every ORDERED event-type
+    * pair at lags 0..7 days on the zero-filled daily revenue grid: the
+    * cross-series completion of Q128's autocorrelation (self at lag L)
+    * and Q298's Granger screen (lag-1 predictivity only) — "does
+    * purchase revenue echo click revenue three days later, and at
+    * which offset is the echo loudest?" (Box & Jenkins 1970's CCF).
+    * For (ta, tb, L): Pearson r between ta's value at day d and tb's
+    * at day d+L over the overlap, plus each pair's lead_rank ordering
+    * lags by |r| — rank 1 is the pair's best alignment.
+    *
+    * Determinism (the Q125/Q128 discipline): all five moment sums and
+    * num = m·Σxy − Σx·Σy are exact int64; the only floats are the one
+    * SQRT and one divide in a fixed textual shape, rounded 6 BEFORE
+    * the |r| ranking so rank order cannot straddle a last-ulp
+    * difference; NULL r (a zero-variance side) sorts below every real
+    * value via COALESCE(|r|, −1); lag ties break ascending.
+    *
+    * Scale notes: consumes the daily-grid ARTIFACT (no events scan);
+    * ONE self-join on (type-pair, day+L) with a broadcast 8-row lag
+    * spine produces all lags in one shuffle of the bounded
+    * types×days relation, map-side combined to |types|²·8 output
+    * rows. Intermediates stay int64 while m·Σv² < 2⁶³ (≈ 10-year
+    * spines at 10⁷-cent days); past that the same plan widens to
+    * DECIMAL(38,0).
+    */
+  def q339(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val lags = spark.range(0, 8).select(col("id").as("lag"))
+    val a = grid.select(col("event_type").as("ta"), col("day"),
+      col("v").as("x")).crossJoin(broadcast(lags))
+    val b = grid.select(col("event_type").as("tb"), col("day").as("bday"),
+      col("v").as("y"))
+    val scored = a.join(b, col("ta") =!= col("tb") &&
+        col("bday") === col("day") + col("lag"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("ta"), col("tb"), col("lag"), col("m"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den_a"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("den_b"))
+      .withColumn("ccf",
+        when(col("den_a") > 0L && col("den_b") > 0L,
+          round(col("num").cast("double") /
+            sqrt(col("den_a").cast("double") * col("den_b").cast("double")),
+            6)))
+    scored
+      .withColumn("lead_rank", row_number().over(
+        Window.partitionBy(col("ta"), col("tb"))
+          .orderBy(coalesce(abs(col("ccf")), lit(-1.0)).desc, col("lag").asc))
+        .cast("long"))
+      .select(col("ta"), col("tb"), col("lag"), col("m"), col("num"),
+        col("ccf"), col("lead_rank"))
+      .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"), asc("lag"))
+  }
+
+  val q339Oracle: String =
+    s"""WITH ${Stats.gridSql},
+       |lagged AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag AS lag,
+       |    a.v AS x, b.v AS y
+       |  FROM grid a
+       |  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS lag) l
+       |  JOIN grid b ON b.event_type <> a.event_type
+       |    AND b.day = a.day + l.lag),
+       |sums AS (
+       |  SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS m,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+       |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+       |  FROM lagged GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT ta, tb, CAST(lag AS BIGINT) AS lag, m,
+       |    CAST(m*sxy - sx*sy AS BIGINT) AS num,
+       |    CASE WHEN (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0 THEN
+       |      ROUND(CAST(m*sxy - sx*sy AS DOUBLE)
+       |        / SQRT(CAST(m*sxx - sx*sx AS DOUBLE)
+       |               * CAST(m*syy - sy*sy AS DOUBLE)), 6)
+       |    END AS ccf
+       |  FROM sums)
+       |SELECT ta, tb, lag, m, num, ccf,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ta, tb
+       |    ORDER BY COALESCE(ABS(ccf), -1.0) DESC, lag) AS BIGINT)
+       |    AS lead_rank
+       |FROM scored
+       |ORDER BY ta NULLS FIRST, tb NULLS FIRST, lag""".stripMargin
+
+  /** Q340 — derandomized percentile-bootstrap 95% CI (Efron 1979) of
+    * each event type's MEAN daily revenue on the zero-filled grid:
+    * B = 200 resamples of the n-day series, each day of resample r
+    * drawn by the md5-uniform index hv('boot:type:r:i') mod n — the
+    * same engine-identical derandomization the permutation tests
+    * (Q229) use for sign flips and Q101/Q108 use for sampling, so
+    * both engines draw the IDENTICAL resamples and the bootstrap
+    * distribution is a deterministic function of the data. CI bounds
+    * are the ⌈0.025B⌉ = 5th and ⌈0.975B⌉ = 195th order statistics of
+    * the resample SUMS (rank-and-pick, the Q54 discipline). The
+    * INFERENTIAL companion the point-estimate gates lack: Q285 gives
+    * a distribution-free median CI from order statistics; this gives
+    * the mean's, where no closed form exists without normality.
+    *
+    * Determinism: resample sums are exact int64 (ranking never touches
+    * a float); the only floats are the four final divides by n,
+    * rounded 4. Sum ties in the rank pick break on the resample id —
+    * and order statistics are tie-invariant anyway.
+    *
+    * Scale notes: consumes the daily-grid ARTIFACT; the resample
+    * relation is B·n·|types| rows (bounded by the SPINE, not the
+    * corpus — 200·365·types for a year) equi-joined to the grid on
+    * (type, day-index) and folded to B·|types| sums map-side. Flat in
+    * corpus size past the artifact.
+    */
+  def q340(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val grid = Stats.dailyCentsGrid(spark, c)
+    val pos = grid
+      .crossJoin(broadcast(grid.agg(min(col("day")).as("dmin"))))
+      .select(col("event_type"), (col("day") - col("dmin")).as("k"),
+        col("v"))
+      .localCheckpoint()
+    val meta = pos.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("long").as("sv"))
+    val hv = NearDup.hexValueExpr(
+      "md5('boot:' || event_type || ':' || CAST(r AS STRING) || ':' || " +
+        "CAST(i AS STRING))")
+    val picks = meta.select(col("event_type"), col("n"))
+      .crossJoin(broadcast(
+        spark.range(1, 201).select(col("id").as("r"))))
+      .select(col("event_type"), col("n"), col("r"),
+        explode(expr("sequence(0L, n - 1)")).as("i"))
+      .withColumn("pick", expr(s"($hv) % n"))
+    val sums = picks
+      .join(pos, picks("event_type") === pos("event_type") &&
+        col("pick") === col("k"))
+      .groupBy(picks("event_type").as("et"), col("r"))
+      .agg(sum(col("v")).cast("long").as("s"))
+    val ranked = sums.withColumn("rk", row_number().over(
+      Window.partitionBy(col("et")).orderBy(col("s").asc, col("r").asc)))
+    val lo = ranked.filter(col("rk") === 5)
+      .select(col("et").as("event_type"), col("s").as("s_lo"))
+    val hi = ranked.filter(col("rk") === 195)
+      .select(col("et").as("event_type"), col("s").as("s_hi"))
+    meta.join(lo, Seq("event_type")).join(hi, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        lit(200L).as("b"),
+        expr("ROUND(CAST(sv AS DOUBLE) / n, 4)").as("mean_cents"),
+        expr("ROUND(CAST(s_lo AS DOUBLE) / n, 4)").as("boot_lo"),
+        expr("ROUND(CAST(s_hi AS DOUBLE) / n, 4)").as("boot_hi"),
+        expr("ROUND(CAST(s_hi - s_lo AS DOUBLE) / n, 4)").as("ci_width"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  val q340Oracle: String = {
+    val hv = NearDup.hexValueExpr(
+      "md5('boot:' || m.event_type || ':' || CAST(r.r AS VARCHAR) || " +
+        "':' || CAST(i.i AS VARCHAR))")
+    s"""WITH ${Stats.gridSql},
+       |pos AS (
+       |  SELECT event_type, day - (SELECT MIN(day) FROM grid) AS k, v
+       |  FROM grid),
+       |meta AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(v) AS BIGINT) AS sv
+       |  FROM pos GROUP BY 1),
+       |picks AS (
+       |  SELECT m.event_type, m.n, r.r, i.i, ($hv) % m.n AS pick
+       |  FROM meta m
+       |  CROSS JOIN (SELECT UNNEST(range(1, 201)) AS r) r
+       |  CROSS JOIN (SELECT UNNEST(range(0, 5000)) AS i) i
+       |  WHERE i.i < m.n),
+       |sums AS (
+       |  SELECT p.event_type AS et, p.r, CAST(SUM(g.v) AS BIGINT) AS s
+       |  FROM picks p JOIN pos g
+       |  ON g.event_type = p.event_type AND g.k = p.pick
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT et, s,
+       |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY s, r) AS rk
+       |  FROM sums)
+       |SELECT m.event_type, m.n AS n_days, CAST(200 AS BIGINT) AS b,
+       |  ROUND(CAST(m.sv AS DOUBLE) / m.n, 4) AS mean_cents,
+       |  ROUND(CAST(lo.s AS DOUBLE) / m.n, 4) AS boot_lo,
+       |  ROUND(CAST(hi.s AS DOUBLE) / m.n, 4) AS boot_hi,
+       |  ROUND(CAST(hi.s - lo.s AS DOUBLE) / m.n, 4) AS ci_width
+       |FROM meta m
+       |JOIN (SELECT et, s FROM ranked WHERE rk = 5) lo ON lo.et = m.event_type
+       |JOIN (SELECT et, s FROM ranked WHERE rk = 195) hi ON hi.et = m.event_type
+       |ORDER BY m.event_type NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q336" -> (q336 _), "Q339" -> (q339 _), "Q340" -> (q340 _),
     "Q309" -> (q309 _), "Q310" -> (q310 _), "Q315" -> (q315 _),
     "Q323" -> (q323 _), "Q333" -> (q333 _),
     "Q275" -> (q275 _), "Q276" -> (q276 _), "Q277" -> (q277 _),
@@ -1821,6 +2148,7 @@ object Trend {
     "Q296" -> (q296 _))
 
   def oracles: Map[String, String] = Map(
+    "Q336" -> q336Oracle, "Q339" -> q339Oracle, "Q340" -> q340Oracle,
     "Q309" -> q309Oracle, "Q310" -> q310Oracle, "Q315" -> q315Oracle,
     "Q323" -> q323Oracle, "Q333" -> q333Oracle,
     "Q275" -> q275Oracle, "Q276" -> q276Oracle, "Q277" -> q277Oracle,
