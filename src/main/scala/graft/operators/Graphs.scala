@@ -1701,21 +1701,7 @@ object Graphs {
     val pairs = Derived.coOrderPairCounts(spark, dir)
       .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
       .localCheckpoint()
-    // one row per triangle (triangleCorners explodes per corner; the
-    // node = u row is that unique corner-invariant representative)
-    val tri = triangleCorners(pairs)
-      .filter(col("node") === col("u"))
-      .select(col("u"), col("v"), col("w"))
-    val credits = tri.select(explode(array(
-        struct(least(col("u"), col("v")).as("lo"),
-          greatest(col("u"), col("v")).as("hi")),
-        struct(least(col("u"), col("w")).as("lo"),
-          greatest(col("u"), col("w")).as("hi")),
-        struct(least(col("v"), col("w")).as("lo"),
-          greatest(col("v"), col("w")).as("hi")))).as("ed"))
-      .groupBy(col("ed.lo").as("a"), col("ed.hi").as("b"))
-      .agg(count(lit(1)).as("support"))
-    val sup = pairs.join(credits, Seq("a", "b"), "left")
+    val sup = pairs.join(edgeSupport(pairs), Seq("a", "b"), "left")
       .select(coalesce(col("support"), lit(0L)).as("support"))
     val tot = sup.agg(count(lit(1)).cast("long").as("n_total"))
     sup.groupBy(col("support"))
@@ -1763,7 +1749,134 @@ object Graphs {
       |GROUP BY s.support, t.n_total
       |ORDER BY support""".stripMargin
 
+  /** Shared per-edge triangle-support relation: for an a<b edge list,
+    * one row per edge with the number of triangles it closes, from the
+    * degree-oriented enumeration (Σ out-deg² bound — never a per-edge
+    * set intersection on raw skewed adjacency). Support-0 edges are
+    * ABSENT (callers left-join + coalesce when they need them).
+    */
+  private def edgeSupport(edges: DataFrame): DataFrame =
+    triangleCorners(edges)
+      .filter(col("node") === col("u"))
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi")),
+        struct(least(col("u"), col("w")).as("lo"),
+          greatest(col("u"), col("w")).as("hi")),
+        struct(least(col("v"), col("w")).as("lo"),
+          greatest(col("v"), col("w")).as("hi")))).as("ed"))
+      .groupBy(col("ed.lo").as("a"), col("ed.hi").as("b"))
+      .agg(count(lit(1)).as("support"))
+
+  /** Q341 — 4-truss peeling profile of the support-pruned co-order
+    * graph (Cohen 2008; the truss sibling of Q278's k-core peeling):
+    * synchronized rounds delete every edge with support < 2 (fewer
+    * than two triangles), and the profile reports alive edge/node
+    * counts for rounds 0..8 with the init/peeling/stable phase read.
+    * Where the k-core keeps nodes with enough NEIGHBORS, the k-truss
+    * keeps relationships embedded in enough TRIANGLES — the standard
+    * stronger community backbone (a 4-truss is always inside a 3-core,
+    * never vice versa). Q337 reports the round-0 support histogram;
+    * this gates the COLLAPSE DYNAMICS of peeling on it.
+    *
+    * Determinism: synchronized peeling is order-free (the round-r
+    * deletion set depends only on the round-(r−1) edge SET), so both
+    * engines walk identical set sequences; all outputs are exact
+    * counts. The 8-round cap is declared profile depth (the phase
+    * column says whether the walk stabilized inside the window), and
+    * peeling is MONOTONE, so an unchanged edge count proves the
+    * fixpoint — later rounds are emitted without recompute (the Q278
+    * short-circuit).
+    *
+    * Scale notes: each round recounts support via the degree-oriented
+    * enumeration on the SHRINKING edge set (O(|E_r|^1.5) per round,
+    * constant rounds); localCheckpoint truncates per-round lineage
+    * exactly as Q106/Q278 do. The oracle is GENERATED unrolled SQL
+    * (the Q122 discipline — round counts cannot drift) with
+    * MATERIALIZED stage hints (the Q307 lesson: inlined, DuckDB
+    * re-evaluates each stage three ways).
+    */
+  def q341(spark: SparkSession, dir: String): DataFrame = {
+    var e = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+      .localCheckpoint()
+    def nodes(d: DataFrame): Long =
+      d.select(col("a").as("n")).union(d.select(col("b").as("n")))
+        .distinct().count()
+    var nE = e.count()
+    var nN = nodes(e)
+    val prof = scala.collection.mutable.ArrayBuffer((0L, nE, nN))
+    var stable = false
+    for (r <- 1 to 8) {
+      if (!stable) {
+        val next = e.join(edgeSupport(e), Seq("a", "b"), "left")
+          .filter(coalesce(col("support"), lit(0L)) >= 2L)
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+        val nNext = next.count()
+        if (nNext == nE) stable = true
+        else { e = next; nE = nNext; nN = nodes(e) }
+      }
+      prof += ((r.toLong, nE, nN))
+    }
+    import spark.implicits._
+    prof.toSeq.zipWithIndex.map { case ((r, ed, nd), i) =>
+      val phase =
+        if (r == 0L) "init"
+        else if (ed == prof(i - 1)._2) "stable"
+        else "peeling"
+      (4L, r, ed, nd, phase)
+    }.toDF("k", "round", "n_edges_alive", "n_nodes_alive", "phase")
+      .orderBy(asc("round"))
+  }
+
+  val q341Oracle: String = {
+    val rounds = 1 to 8
+    val stages = rounds.map { r =>
+      val p = s"e${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT a, b FROM $p UNION ALL SELECT b, a FROM $p),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e1.a, e1.b, COUNT(*) AS sup
+         |  FROM $p e1
+         |  JOIN u$r u1 ON u1.a = e1.a
+         |  JOIN u$r u2 ON u2.a = e1.b AND u2.b = u1.b
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT s.a, s.b FROM sup$r s WHERE s.sup >= 2)""".stripMargin
+    }.mkString(",\n")
+    val profRows = (0 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges_alive,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT a AS n FROM e$r UNION SELECT b FROM e$r))
+         |    AS n_nodes_alive""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+       |    FROM op) WHERE rn <= 1000),
+       |e0 AS MATERIALIZED (
+       |  SELECT o1.pk AS a, o2.pk AS b
+       |  FROM capped o1 JOIN capped o2 ON o1.ok = o2.ok AND o1.pk < o2.pk
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2),
+       |$stages,
+       |prof AS (
+       |  $profRows)
+       |SELECT CAST(4 AS BIGINT) AS k, round, n_edges_alive, n_nodes_alive,
+       |  CASE WHEN round = 0 THEN 'init'
+       |    WHEN n_edges_alive = LAG(n_edges_alive) OVER (ORDER BY round)
+       |      THEN 'stable'
+       |    ELSE 'peeling' END AS phase
+       |FROM prof
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q341" -> (q341 _),
     "Q337" -> (q337 _),
     "Q317" -> (q317 _),
     "Q222" -> (q222 _),
@@ -1775,6 +1888,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
+    "Q341" -> q341Oracle,
     "Q337" -> q337Oracle,
     "Q317" -> q317Oracle,
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,

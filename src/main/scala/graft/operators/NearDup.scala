@@ -1233,18 +1233,33 @@ object NearDup {
     * them. The prefix-4 block still bounds the distinct-pair join.
     *
     * Scale notes: the corpus scan is the linear name-count aggregate;
-    * everything after lives on the vocabulary-bounded distinct-name
-    * relation (broadcast-sized at any corpus scale — the quadratic is
-    * over |vocab|, not rows). Scoring is a per-pair scalar inside
-    * WholeStageCodegen; TakeOrdered bounds the output. This is the
-    * same collapse-then-pair discipline as the Derived near-dup
-    * artifacts.
+    * everything after lives on the distinct-name relation. The r10
+    * claim that this relation is "vocabulary-bounded at any corpus
+    * scale" was WRONG — the sf10 dress rehearsal (r11) measured it:
+    * TPC-H-style names are COMBINATORIAL (5 words from ~90 colors ⇒
+    * ~6·10⁹ possible), so at 2M parts the names are nearly all
+    * distinct, a prefix-4 block holds ~22k of them, and the in-block
+    * quadratic is ~10¹⁰ JW scorings (>1 h at 25 cores). Fixed by the
+    * MaxBasket discipline: each block keeps its `BlockCap` = 2000
+    * HIGHEST-COUNT names (ties to the lexicographically first — a
+    * DECLARED truncation mirrored in the oracle), bounding the block
+    * quadratic at ~2M scorings regardless of corpus size. A no-op on
+    * every fixture tier (≤ ~230 names/block at sf0.1 — goldens
+    * unchanged). Scoring is a per-pair scalar inside
+    * WholeStageCodegen; TakeOrdered bounds the output.
     */
+  private[operators] val BlockCap = 2000
+
   def q218(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val names = c.part.groupBy(col("p_name"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .withColumn("blk", substring(col("p_name"), 1, 4))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+          .orderBy(col("cnt").desc, col("p_name").asc)))
+      .filter(col("rn") <= BlockCap)
+      .drop("rn")
     val a = names.select(col("p_name").as("name_a"),
       col("cnt").as("cnt_a"), col("blk"))
     val b = names.select(col("p_name").as("name_b"),
@@ -1261,10 +1276,15 @@ object NearDup {
   }
 
   val q218Oracle: String =
-    """WITH names AS (
+    s"""WITH all_names AS (
       |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt,
       |    substring(p_name, 1, 4) AS blk
       |  FROM part GROUP BY 1),
+      |names AS (
+      |  SELECT p_name, cnt, blk FROM (
+      |    SELECT p_name, cnt, blk, ROW_NUMBER() OVER (
+      |      PARTITION BY blk ORDER BY cnt DESC, p_name) AS rn
+      |    FROM all_names) WHERE rn <= $BlockCap),
       |pairs AS (
       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
       |    jaro_winkler_similarity(a.p_name, b.p_name) AS sim,

@@ -159,6 +159,39 @@ class Round11GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q341 truss peeling: synchronized rounds match a sequential peel") {
+    var e = localEdges()
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+      es.toSeq.map(ed => ed -> (adj(ed._1) intersect adj(ed._2)).size).toMap
+    }
+    def nodes(es: Set[(Long, Long)]): Long =
+      es.flatMap(ed => Seq(ed._1, ed._2)).size.toLong
+    val prof = scala.collection.mutable.ArrayBuffer(
+      (0L, e.size.toLong, nodes(e), "init"))
+    for (r <- 1 to 8) {
+      val sup = support(e)
+      val next = e.filter(ed => sup(ed) >= 2)
+      val phase = if (next.size == e.size) "stable" else "peeling"
+      e = next
+      prof += ((r.toLong, e.size.toLong, nodes(e), phase))
+    }
+    val out = Graphs.q341(spark, dir).collect()
+      .map(r => r.getAs[Long]("round") -> r).toMap
+    assert(out.size == 9)
+    prof.foreach { case (r, ne, nn, ph) =>
+      val row = out(r)
+      assert(row.getAs[Long]("k") == 4L, s"round $r: k")
+      assert(row.getAs[Long]("n_edges_alive") == ne, s"round $r: edges")
+      assert(row.getAs[Long]("n_nodes_alive") == nn, s"round $r: nodes")
+      assert(row.getAs[String]("phase") == ph, s"round $r: phase")
+    }
+    // peeling must be monotone and actually peel something at round 1
+    // on the fixture (Q337's histogram shows support-0/1 edges exist)
+    assert(prof(1)._2 < prof(0)._2, "round 1 peeled nothing")
+  }
+
   test("Q339 CCF: lagged Pearson and lead ranks match a local replay") {
     val grid = localGrid()
     val out = Trend.q339(spark, dir).collect()
