@@ -1875,8 +1875,142 @@ object Graphs {
        |ORDER BY round""".stripMargin
   }
 
+  /** Q342 — Newman modularity of the Q156 LPA-3 community partition
+    * (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²) over the
+    * pruned co-order graph, reported per community (top-10 by size)
+    * with each community's internal-edge count, degree mass, and
+    * contribution, plus the GLOBAL Q on every row. Scores the
+    * partition Q156 only enumerates — the standard "is this community
+    * structure real" read (Q > 0 means denser-than-chance insides;
+    * Q ≈ 0 means the labels are noise), and the quantity a Louvain
+    * refinement would climb.
+    *
+    * Determinism: the LPA rounds are the deterministic min-tiebreak
+    * variant (Q156's — both engines replay identical label sequences);
+    * e_c, d_c, m are exact counts; the contribution numerator
+    * 4m·e_c − d_c² is carried in DECIMAL(38,0)/HUGEINT (d_c² passes
+    * int64 once Σdeg ~ 3·10⁹ — reachable for a hub community at
+    * 10¹⁰ edges); per-row and global Q are single divides by the
+    * shared double (4·m)·m, rounded 6. Communities with zero internal
+    * edges surface via the left join (coalesce 0), not silently.
+    *
+    * Scale notes: LPA is one join + bounded-window groupBy per round
+    * on the artifact-backed edge list (Q156's plan); the modularity
+    * algebra runs on the COMMUNITY relation (≤ |nodes| rows, collapsed
+    * map-side); e_c is one co-keyed double label join of the edge
+    * list. No quadratic anywhere — the heaviest op is the LPA itself.
+    */
+  def q342(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
+      .localCheckpoint()
+    val labels = labelPropagation(edges, LpaRounds).localCheckpoint()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val comm = labels.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(col("deg")).cast("long").as("d_sum"))
+    val ein = edges
+      .join(labels.select(col("node").as("a"), col("label").as("la")),
+        Seq("a"))
+      .join(labels.select(col("node").as("b"), col("label").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).cast("long").as("e_in"))
+    val me = edges.agg(count(lit(1)).cast("long").as("m_edges"))
+    val full = comm.join(ein, Seq("label"), "left")
+      .select(col("label"), col("n_members"), col("d_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .crossJoin(broadcast(me))
+      .withColumn("cnum", expr(
+        "CAST(4 AS DECIMAL(38,0)) * m_edges * e_in - " +
+          "CAST(d_sum AS DECIMAL(38,0)) * d_sum"))
+      .localCheckpoint()
+    val tot = full.agg(sum(col("cnum")).cast("decimal(38,0)").as("qnum"),
+      count(lit(1)).cast("long").as("n_comms"))
+    full.crossJoin(broadcast(tot))
+      .select(col("label").as("community"), col("n_members"),
+        col("d_sum"), col("e_in"),
+        expr("ROUND(CAST(cnum AS DOUBLE) / " +
+          "(CAST(4 AS DOUBLE) * m_edges * m_edges), 6)").as("contrib"),
+        expr("ROUND(CAST(qnum AS DOUBLE) / " +
+          "(CAST(4 AS DOUBLE) * m_edges * m_edges), 6)").as("modularity"),
+        col("n_comms"), col("m_edges"))
+      .orderBy(desc("n_members"), asc_nulls_first("community"))
+      .limit(10)
+  }
+
+  val q342Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT c1.pk AS a, c2.pk AS b, COUNT(*) AS c
+      |    FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+      |    GROUP BY 1, 2)
+      |  WHERE c >= 2),
+      |de AS MATERIALIZED (SELECT a AS node, b AS dst FROM e
+      |                    UNION ALL SELECT b AS node, a AS dst FROM e),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM de),
+      |v1 AS (SELECT de.node, l0.label, COUNT(*) AS cnt
+      |       FROM de JOIN l0 ON l0.node = de.dst GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v1)
+      |  WHERE rn = 1),
+      |v2 AS (SELECT de.node, l1.label, COUNT(*) AS cnt
+      |       FROM de JOIN l1 ON l1.node = de.dst GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v2)
+      |  WHERE rn = 1),
+      |v3 AS (SELECT de.node, l2.label, COUNT(*) AS cnt
+      |       FROM de JOIN l2 ON l2.node = de.dst GROUP BY 1, 2),
+      |l3 AS MATERIALIZED (SELECT node, label FROM (
+      |  SELECT node, label, ROW_NUMBER() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v3)
+      |  WHERE rn = 1),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM de GROUP BY 1),
+      |comm AS (
+      |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    CAST(SUM(d.deg) AS BIGINT) AS d_sum
+      |  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY 1),
+      |ein AS (
+      |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+      |  FROM e
+      |  JOIN l3 la ON la.node = e.a
+      |  JOIN l3 lb ON lb.node = e.b AND lb.label = la.label
+      |  GROUP BY 1),
+      |me AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+      |full_c AS (
+      |  SELECT c.label, c.n_members, c.d_sum,
+      |    COALESCE(i.e_in, 0) AS e_in, m.m_edges,
+      |    CAST(4 AS HUGEINT) * m.m_edges * COALESCE(i.e_in, 0)
+      |      - CAST(c.d_sum AS HUGEINT) * c.d_sum AS cnum
+      |  FROM comm c LEFT JOIN ein i ON i.label = c.label
+      |  CROSS JOIN me m),
+      |tot AS (
+      |  SELECT SUM(cnum) AS qnum, CAST(COUNT(*) AS BIGINT) AS n_comms
+      |  FROM full_c)
+      |SELECT f.label AS community, f.n_members, f.d_sum, f.e_in,
+      |  ROUND(CAST(f.cnum AS DOUBLE)
+      |    / (CAST(4 AS DOUBLE) * f.m_edges * f.m_edges), 6) AS contrib,
+      |  ROUND(CAST(t.qnum AS DOUBLE)
+      |    / (CAST(4 AS DOUBLE) * f.m_edges * f.m_edges), 6) AS modularity,
+      |  t.n_comms, f.m_edges
+      |FROM full_c f CROSS JOIN tot t
+      |ORDER BY f.n_members DESC, f.label NULLS FIRST
+      |LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q341" -> (q341 _),
+    "Q341" -> (q341 _), "Q342" -> (q342 _),
     "Q337" -> (q337 _),
     "Q317" -> (q317 _),
     "Q222" -> (q222 _),
@@ -1888,7 +2022,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
-    "Q341" -> q341Oracle,
+    "Q341" -> q341Oracle, "Q342" -> q342Oracle,
     "Q337" -> q337Oracle,
     "Q317" -> q317Oracle,
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,

@@ -192,6 +192,51 @@ class Round11GatesSpec extends SparkSpec {
     assert(prof(1)._2 < prof(0)._2, "round 1 peeled nothing")
   }
 
+  test("Q342 modularity: LPA replay and exact contribution algebra match") {
+    val edges = localEdges()
+    val adjL = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+    // deterministic 3-round LPA: most frequent neighbor label, min label
+    // on ties — Q156's declared variant
+    var lab: Map[Long, Long] = adjL.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = adjL.map { case (v, ns) =>
+        val votes = ns.map(lab).groupBy(identity).toSeq
+          .map { case (l, xs) => (xs.size, l) }
+        v -> votes.maxBy { case (c, l) => (c, -l) }._2
+      }
+    }
+    val m = edges.size.toLong
+    val deg = adjL.map { case (v, ns) => v -> ns.size.toLong }
+    val comms = lab.groupBy(_._2).map { case (l, members) =>
+      val nodes = members.keys.toSeq
+      val dSum = nodes.map(deg).sum
+      val eIn = edges.count { case (a, b) => lab(a) == l && lab(b) == l }
+        .toLong
+      (l, nodes.size.toLong, dSum, eIn)
+    }
+    val qNum = comms.map { case (_, _, d, e) => BigInt(4) * m * e - BigInt(d) * d }.sum
+    val modularity = r(6)((BigDecimal(qNum) /
+      (BigDecimal(4) * BigDecimal(m) * BigDecimal(m))).toDouble)
+    val out = Graphs.q342(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val expTop = comms.toSeq.sortBy { case (l, n, _, _) => (-n, l) }.take(10)
+    out.zip(expTop).foreach { case (row, (l, n, d, e)) =>
+      assert(row.getAs[Long]("community") == l, "community order")
+      assert(row.getAs[Long]("n_members") == n, s"comm $l: members")
+      assert(row.getAs[Long]("d_sum") == d, s"comm $l: d_sum")
+      assert(row.getAs[Long]("e_in") == e, s"comm $l: e_in")
+      assert(row.getAs[Long]("m_edges") == m, s"comm $l: m")
+      assert(row.getAs[Long]("n_comms") == comms.size.toLong, "n_comms")
+      assert(math.abs(row.getAs[Double]("modularity") - modularity) < 2e-6,
+        s"comm $l: global Q")
+      val contrib = r(6)((BigDecimal(BigInt(4) * m * e - BigInt(d) * d) /
+        (BigDecimal(4) * BigDecimal(m) * BigDecimal(m))).toDouble)
+      assert(math.abs(row.getAs[Double]("contrib") - contrib) < 2e-6,
+        s"comm $l: contrib")
+    }
+  }
+
   test("Q339 CCF: lagged Pearson and lead ranks match a local replay") {
     val grid = localGrid()
     val out = Trend.q339(spark, dir).collect()
