@@ -1630,7 +1630,162 @@ object Profiling {
       |GROUP BY 1
       |ORDER BY abc_class NULLS FIRST""".stripMargin
 
+  /** Q343 — ABC × XYZ portfolio segmentation matrix over BRANDS (the
+    * standard two-axis stocking-policy classification; Silver, Pyke &
+    * Peterson 1998): Q327's Pareto REVENUE fences applied to brand
+    * revenue, crossed with demand VARIABILITY classes from each
+    * brand's 28-day-period quantity series — X (steady, CV ≤ 0.5),
+    * Y (variable, CV ≤ 1), Z (erratic). An A-X brand wants tight
+    * continuous replenishment; a C-Z brand wants make-to-order; the
+    * ≤ 9-cell matrix is the report a planner reads. Q299's
+    * safety-stock profile PRICES variability; this SEGMENTS the
+    * portfolio by it. (Brands, not parts: fixture per-part demand is
+    * 3 shipments over 7 years — per-part XYZ degenerates to all-Z at
+    * any fence; the brand × 28-day series is dense enough to spread.)
+    *
+    * Determinism: period buckets are exact datediff-days DIV 28 from
+    * the global min ship date; zero-demand periods enter the variance
+    * through the GLOBAL period count n (absent periods contribute
+    * nothing to Σq, Σq² — algebraically identical to zero-filling, no
+    * spine join); the CV fences compare EXACT integer cross-products
+    * (CV² = (nΣq² − S²)/S², so X ⇔ 4(nΣq² − S²) ≤ S², Y ⇔ ≤ S²)
+    * carried in DECIMAL(38,0)/HUGEINT (S² passes int64 once a brand
+    * ships ~3·10⁹ units); ABC classes replay Q327's exact
+    * cum·100 ≤ 80·tot cross-multiplication with its rank-1 pin; the
+    * only floats are the two share divides, rounded 6.
+    *
+    * Scale notes: one lineitem scan joined to the broadcast-sized
+    * part dimension for p_brand, two map-side-combinable aggregates
+    * (per-(brand, period), then per-brand), one broadcast bounds row,
+    * the ABC rank window over the |brands|-bounded relation, and a
+    * ≤ 9-cell output fold. Flat in corpus size past the brand
+    * collapse.
+    */
+  def q343(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val bounds = c.lineitem.agg(
+      min(col("l_shipdate")).as("w0"),
+      expr("CAST(datediff(MAX(l_shipdate), MIN(l_shipdate)) DIV 28 + 1 " +
+        "AS BIGINT)").as("n_periods"))
+    val li = c.lineitem
+      .join(broadcast(c.part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) " +
+          "AS BIGINT)").as("net_cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        col("l_shipdate"))
+      .crossJoin(broadcast(bounds))
+    val periodic = li
+      .select(col("p_brand"), col("qty"), col("n_periods"),
+        expr("datediff(l_shipdate, w0) DIV 28").as("period"))
+      .groupBy(col("p_brand"), col("period"), col("n_periods"))
+      .agg(sum(col("qty")).as("q"))
+    val xyz = periodic.groupBy(col("p_brand"), col("n_periods"))
+      .agg(sum(col("q")).cast("long").as("s"),
+        sum(col("q") * col("q")).cast("long").as("sq"))
+      .withColumn("varn", expr(
+        "CAST(n_periods AS DECIMAL(38,0)) * sq - CAST(s AS DECIMAL(38,0)) * s"))
+      .withColumn("xyz_class", expr(
+        "CASE WHEN 4 * varn <= CAST(s AS DECIMAL(38,0)) * s THEN 'X' " +
+          "WHEN varn <= CAST(s AS DECIMAL(38,0)) * s THEN 'Y' " +
+          "ELSE 'Z' END"))
+      .select(col("p_brand"), col("xyz_class"), col("s"))
+    val perBrand = li.groupBy(col("p_brand"))
+      .agg(sum(col("net_cents")).as("rev"))
+    val tot = perBrand.agg(sum(col("rev")).as("tot"))
+    val qtot = xyz.agg(sum(col("s")).cast("long").as("qtot"))
+    val abc = perBrand
+      .withColumn("cum", sum(col("rev")).over(
+        Window.orderBy(desc("rev"), asc("p_brand"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("rev"), asc("p_brand"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class", expr("CASE " +
+        "WHEN rnk = 1 OR cum * 100 <= 80 * tot THEN 'A' " +
+        "WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END"))
+      .select(col("p_brand"), col("abc_class"), col("rev"), col("tot"))
+    abc.join(xyz, Seq("p_brand"))
+      .crossJoin(broadcast(qtot))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).cast("long").as("n_brands"),
+        sum(col("rev")).cast("long").as("cell_revenue_cents"),
+        sum(col("s")).cast("long").as("cell_qty"),
+        max(col("tot")).as("tot"), max(col("qtot")).as("qtot"))
+      .select(col("abc_class"), col("xyz_class"), col("n_brands"),
+        col("cell_revenue_cents"),
+        expr("ROUND(CAST(cell_revenue_cents AS DOUBLE) / tot, 6)")
+          .as("revenue_share"),
+        col("cell_qty"),
+        expr("ROUND(CAST(cell_qty AS DOUBLE) / qtot, 6)").as("qty_share"))
+      .orderBy(asc_nulls_first("abc_class"), asc_nulls_first("xyz_class"))
+  }
+
+  val q343Oracle: String =
+    """WITH bounds AS (
+      |  SELECT MIN(l_shipdate) AS w0,
+      |    CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) // 28 + 1
+      |      AS BIGINT) AS n_periods
+      |  FROM lineitem),
+      |li AS (
+      |  SELECT p.p_brand,
+      |    CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+      |      AS BIGINT) AS net_cents,
+      |    CAST(l.l_quantity AS BIGINT) AS qty,
+      |    date_diff('day', b.w0, l.l_shipdate) // 28 AS period,
+      |    b.n_periods
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey,
+      |    bounds b),
+      |periodic AS (
+      |  SELECT p_brand, period, n_periods, CAST(SUM(qty) AS BIGINT) AS q
+      |  FROM li GROUP BY 1, 2, 3),
+      |xyz AS (
+      |  SELECT p_brand, s, CASE
+      |      WHEN 4 * varn <= CAST(s AS HUGEINT) * s THEN 'X'
+      |      WHEN varn <= CAST(s AS HUGEINT) * s THEN 'Y'
+      |      ELSE 'Z' END AS xyz_class
+      |  FROM (
+      |    SELECT p_brand,
+      |      CAST(SUM(q) AS BIGINT) AS s,
+      |      CAST(MIN(n_periods) AS HUGEINT) * CAST(SUM(q * q) AS BIGINT)
+      |        - CAST(SUM(q) AS HUGEINT) * SUM(q) AS varn
+      |    FROM periodic GROUP BY 1)),
+      |perbrand AS (
+      |  SELECT p_brand, CAST(SUM(net_cents) AS BIGINT) AS rev
+      |  FROM li GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM perbrand),
+      |qtot AS (SELECT CAST(SUM(s) AS BIGINT) AS qtot FROM xyz),
+      |abc AS (
+      |  SELECT p.p_brand, p.rev, t.tot, CASE
+      |      WHEN rnk = 1 OR cum * 100 <= 80 * t.tot THEN 'A'
+      |      WHEN cum * 100 <= 95 * t.tot THEN 'B' ELSE 'C' END AS abc_class
+      |  FROM (
+      |    SELECT p_brand, rev,
+      |      CAST(SUM(rev) OVER (ORDER BY rev DESC, p_brand
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS BIGINT) AS cum,
+      |      CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand)
+      |        AS BIGINT) AS rnk
+      |    FROM perbrand) p, tot t),
+      |cells AS (
+      |  SELECT a.abc_class, x.xyz_class,
+      |    CAST(COUNT(*) AS BIGINT) AS n_brands,
+      |    CAST(SUM(a.rev) AS BIGINT) AS cell_revenue_cents,
+      |    CAST(SUM(x.s) AS BIGINT) AS cell_qty,
+      |    CAST(MAX(a.tot) AS BIGINT) AS tot
+      |  FROM abc a JOIN xyz x ON x.p_brand = a.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT c.abc_class, c.xyz_class, c.n_brands, c.cell_revenue_cents,
+      |  ROUND(CAST(c.cell_revenue_cents AS DOUBLE) / c.tot, 6)
+      |    AS revenue_share,
+      |  c.cell_qty,
+      |  ROUND(CAST(c.cell_qty AS DOUBLE) / q.qtot, 6) AS qty_share
+      |FROM cells c CROSS JOIN qtot q
+      |ORDER BY c.abc_class NULLS FIRST, c.xyz_class NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q343" -> (q343 _),
     "Q295" -> (q295 _), "Q299" -> (q299 _), "Q304" -> (q304 _),
     "Q325" -> (q325 _), "Q327" -> (q327 _),
     "Q78" -> (q78 _), "Q79" -> (q79 _), "Q114" -> (q114 _), "Q115" -> (q115 _),
@@ -1640,6 +1795,7 @@ object Profiling {
     "Q226" -> (q226 _), "Q234" -> (q234 _), "Q238" -> (q238 _))
 
   def oracles: Map[String, String] = Map(
+    "Q343" -> q343Oracle,
     "Q295" -> q295Oracle, "Q299" -> q299Oracle, "Q304" -> q304Oracle,
     "Q325" -> q325Oracle, "Q327" -> q327Oracle,
     "Q78" -> q78Oracle, "Q79" -> q79Oracle, "Q114" -> q114Oracle,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventTime, Graphs, Trend}
+import graft.operators.{EventTime, Graphs, Profiling, Trend}
 
 /** Model pins for the round-11 slate: each test recomputes the gate's
   * defining algorithm from first principles on sf0.001 (sequential
@@ -279,6 +279,67 @@ class Round11GatesSpec extends SparkSpec {
       }
       assert(rank1.toSeq == Seq(best), s"($ta,$tb): lead_rank 1")
     }
+  }
+
+  test("Q343 ABC-XYZ: class fences and cell rollups match a sequential replay") {
+    val c = Catalog(spark, dir)
+    val rows = c.lineitem
+      .join(c.part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) " +
+          "AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS LONG)")
+          .as("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d0 = rows.map(_._4).min
+    val nPeriods = (rows.map(_._4).max - d0) / 28 + 1
+    // per-brand 28-day-period sums -> exact CV fences
+    val periodic = rows.groupBy(r => (r._1, (r._4 - d0) / 28)).toSeq
+      .map { case ((b, _), xs) => (b, xs.map(_._3).sum) }
+    val xyz = periodic.groupBy(_._1).map { case (b, ws) =>
+      val s = ws.map(_._2).sum
+      val sq = ws.map(w => w._2 * w._2).sum
+      val varn = BigInt(nPeriods) * sq - BigInt(s) * s
+      val cls = if (varn * 4 <= BigInt(s) * s) "X"
+        else if (varn <= BigInt(s) * s) "Y" else "Z"
+      b -> (cls, s)
+    }
+    // ABC replay (Q327 fences) on brand revenue
+    val rev = rows.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val tot = rev.values.sum
+    val ranked = rev.toSeq.sortBy { case (b, rv) => (-rv, b) }
+    var cum = 0L
+    val abc = ranked.zipWithIndex.map { case ((b, rv), i) =>
+      cum += rv
+      val cls = if (i == 0 || cum * 100 <= 80 * tot) "A"
+        else if (cum * 100 <= 95 * tot) "B" else "C"
+      b -> (cls, rv)
+    }.toMap
+    val qtot = xyz.values.map(_._2).sum
+    val cells = abc.keys.map { b =>
+      (abc(b)._1, xyz(b)._1, abc(b)._2, xyz(b)._2)
+    }.toSeq.groupBy(t => (t._1, t._2))
+    val out = Profiling.q343(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == cells.keySet, "cell set")
+    cells.foreach { case (k, xs) =>
+      val row = out(k)
+      assert(row.getAs[Long]("n_brands") == xs.size.toLong, s"$k: n_brands")
+      val cr = xs.map(_._3).sum
+      val cq = xs.map(_._4).sum
+      assert(row.getAs[Long]("cell_revenue_cents") == cr, s"$k: revenue")
+      assert(row.getAs[Long]("cell_qty") == cq, s"$k: qty")
+      assert(row.getAs[Double]("revenue_share") == r(6)(cr.toDouble / tot),
+        s"$k: rev share")
+      assert(row.getAs[Double]("qty_share") == r(6)(cq.toDouble / qtot),
+        s"$k: qty share")
+    }
+    // both axes must actually spread on the fixture
+    assert(Set("A", "B", "C").subsetOf(cells.keySet.map(_._1)), "ABC classes")
+    assert(cells.keySet.map(_._2).size >= 2, "XYZ spread")
   }
 
   test("Q340 bootstrap CI: md5 resampling and order-statistic bounds match a local replay") {
