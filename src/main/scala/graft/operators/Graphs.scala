@@ -2009,8 +2009,99 @@ object Graphs {
       |ORDER BY f.n_members DESC, f.label NULLS FIRST
       |LIMIT 10""".stripMargin
 
+  /** Q344 — power-law degree-exponent MLE of the co-order graph
+    * (Clauset, Shalizi & Newman, SIAM Review 2009, eq. 3.7 — the
+    * discrete Hill estimator): α̂ = 1 + n·[Σ_{d ≥ dmin} ln(d/(dmin−½))]⁻¹
+    * over the UNPRUNED co-order degree distribution with the declared
+    * tail cutoff dmin = 2, plus tail mass and the max degree, and a
+    * 'scale-free-ish' / 'not-power-law' verdict on the rounded
+    * 2 ≤ α̂ ≤ 3.5 fence. The parametric completion of Q151's log2
+    * degree histogram (shape read → fitted exponent): whether hubs
+    * follow the heavy tail every sampling/partitioning decision on
+    * this graph must plan for.
+    *
+    * Determinism: degrees are exact counts; the estimator collapses to
+    * the bounded DEGREE HISTOGRAM first (distinct degree values, a few
+    * hundred cells at any corpus size — the Q211 bounded-cells float
+    * discipline), so Σ cnt_d·ln(d/1.5) is a sum over bounded cells
+    * with ln-of-exact-ratios terms (the Q142 rule), rounded once at
+    * α̂; n, tail counts, max degree exact int64.
+    *
+    * Scale notes: one groupBy of the artifact edge list for degrees,
+    * one groupBy of degrees for the histogram (both map-side
+    * combinable), then arithmetic on the bounded histogram. Flat in
+    * corpus size past the degree aggregate.
+    */
+  def q344(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    hist.agg(
+        sum(col("cnt")).cast("long").as("n_nodes"),
+        sum(when(col("d") >= 2, col("cnt")).otherwise(0L)).cast("long")
+          .as("n_tail"),
+        sum(when(col("d") >= 2,
+          col("cnt").cast("double") * log(col("d").cast("double") / 1.5))
+          .otherwise(0.0)).as("lnsum"),
+        max(col("d")).cast("long").as("max_degree"))
+      .select(col("n_nodes"), col("n_tail"), col("max_degree"),
+        expr("CASE WHEN lnsum > 0 THEN " +
+          "ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END")
+          .as("alpha"),
+        expr("ROUND(CAST(n_tail AS DOUBLE) / n_nodes, 6)")
+          .as("tail_share"))
+      .withColumn("verdict", expr(
+        "CASE WHEN alpha IS NULL THEN 'degenerate' " +
+          "WHEN alpha >= 2.0 AND alpha <= 3.5 THEN 'scale-free-ish' " +
+          "ELSE 'not-power-law' END"))
+  }
+
+  val q344Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM op) WHERE rn <= 1000),
+      |e AS (
+      |  SELECT c1.pk AS a, c2.pk AS b
+      |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+      |  GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |hist AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(CASE WHEN d >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_tail,
+      |    SUM(CASE WHEN d >= 2 THEN
+      |      CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / 1.5)
+      |      ELSE 0.0 END) AS lnsum,
+      |    CAST(MAX(d) AS BIGINT) AS max_degree
+      |  FROM hist)
+      |SELECT n_nodes, n_tail, max_degree,
+      |  CASE WHEN lnsum > 0 THEN
+      |    ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END AS alpha,
+      |  ROUND(CAST(n_tail AS DOUBLE) / n_nodes, 6) AS tail_share,
+      |  CASE WHEN (CASE WHEN lnsum > 0 THEN
+      |      ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END) IS NULL
+      |    THEN 'degenerate'
+      |    WHEN (CASE WHEN lnsum > 0 THEN
+      |      ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END) >= 2.0
+      |     AND (CASE WHEN lnsum > 0 THEN
+      |      ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END) <= 3.5
+      |    THEN 'scale-free-ish'
+      |    ELSE 'not-power-law' END AS verdict
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "Q341" -> (q341 _), "Q342" -> (q342 _),
+    "Q341" -> (q341 _), "Q342" -> (q342 _), "Q344" -> (q344 _),
     "Q337" -> (q337 _),
     "Q317" -> (q317 _),
     "Q222" -> (q222 _),
@@ -2022,7 +2113,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
-    "Q341" -> q341Oracle, "Q342" -> q342Oracle,
+    "Q341" -> q341Oracle, "Q342" -> q342Oracle, "Q344" -> q344Oracle,
     "Q337" -> q337Oracle,
     "Q317" -> q317Oracle,
     "Q103" -> q103Oracle, "Q106" -> q106Oracle, "Q107" -> q107Oracle,

@@ -237,6 +237,36 @@ class Round11GatesSpec extends SparkSpec {
     }
   }
 
+  test("Q344 power-law MLE: Hill estimator matches a local replay on the unpruned graph") {
+    val c = Catalog(spark, dir)
+    // unpruned co-order degrees (Q103's input), replayed locally
+    val occ = c.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = occ.groupBy(_._1).values.toSeq.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted.take(1000)
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.distinct
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).toSeq.map { case (_, xs) => xs.size.toLong }
+    val n = deg.size.toLong
+    val tail = deg.filter(_ >= 2)
+    val lnsum = tail.groupBy(identity).toSeq
+      .map { case (d, xs) => xs.size * math.log(d.toDouble / 1.5) }.sum
+    val alpha = 1.0 + tail.size.toDouble / lnsum
+    val row = Graphs.q344(spark, dir).collect().head
+    assert(row.getAs[Long]("n_nodes") == n, "n_nodes")
+    assert(row.getAs[Long]("n_tail") == tail.size.toLong, "n_tail")
+    assert(row.getAs[Long]("max_degree") == deg.max, "max_degree")
+    assert(math.abs(row.getAs[Double]("alpha") - alpha) < 1e-6, "alpha")
+    assert(row.getAs[Double]("tail_share") ==
+      r(6)(tail.size.toDouble / n), "tail_share")
+    val v = row.getAs[Double]("alpha")
+    assert(row.getAs[String]("verdict") ==
+      (if (v >= 2.0 && v <= 3.5) "scale-free-ish" else "not-power-law"),
+      "verdict")
+  }
+
   test("Q339 CCF: lagged Pearson and lead ranks match a local replay") {
     val grid = localGrid()
     val out = Trend.q339(spark, dir).collect()
