@@ -95,6 +95,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
 
+    // LPA community-label artifact (Q156/Q342 consume): same protocol.
+    // Runs AFTER derivedBuild — it reads the co-pair artifact.
+    val lpaBuild =
+      try {
+        val t0 = System.nanoTime()
+        operators.Derived.rebuildLpaLabels(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
     // Dev-only subset: `runMain graft.Bench Q102 Q103`, or
     // `runMain graft.Bench tensors` for the tensor legs alone (isolates
     // them from end-of-session registry pressure). The driver passes no
@@ -224,7 +233,7 @@ object Bench {
         if (tensorObjects) (cpals, nnhals, tucker)
         else (headline(cpals, "sec_per_iter"), headline(nnhals, "sec_per_iter"),
           headline(tucker, "sec"))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"lpa_build":${fmt(lpaBuild)},"sf":"$sf"}"""
     }
     // Stdout form: trailing zeros trimmed ("0.10"→"0.1", "3.00"→"3" —
     // still valid JSON numbers) and sf as its basename; every byte helps
@@ -252,7 +261,7 @@ object Bench {
       }
       val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
         .map { case (k, v) => "\"" + k + "\":" + compact(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
+      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"lpa_build":${compact(lpaBuild)},"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
     }
     // Only a full-registry (driver-shaped) run AT THE DRIVER'S SF may
     // refresh the repo copy — a dev subset would clobber it with a partial

@@ -77,8 +77,8 @@ object Sf10Rehearsal {
     // low-entropy fixture vocabulary; see SCALE.md), so reruns need to
     // resume without it.
     val defaultLegs = Seq("derived_build", "daily_grid_build",
-      "neardup_build", "Q13", "Q05", "Q103", "Q117", "Q145", "Q156",
-      "Q160", "Q161", "Q218", "Q248", "Q335")
+      "lpa_build", "neardup_build", "Q13", "Q05", "Q103", "Q117",
+      "Q145", "Q156", "Q160", "Q161", "Q218", "Q248", "Q335")
     val legs = if (args.length > 1) args.drop(1).toSeq else defaultLegs
 
     legs.foreach {
@@ -86,6 +86,8 @@ object Sf10Rehearsal {
         operators.Derived.rebuildCoOrderPairCounts(spark, dir) }
       case "daily_grid_build" => leg("daily_grid_build") {
         operators.Derived.rebuildDailyCentsGrid(spark, dir) }
+      case "lpa_build" => leg("lpa_build") {
+        operators.Derived.rebuildLpaLabels(spark, dir) }
       case "neardup_build" => leg("neardup_build") {
         operators.Derived.rebuildNearDupClusters(spark, dir) }
       case q => leg(q) {
