@@ -154,10 +154,19 @@ object Derived {
     */
   /** Get-or-build the verified shingle-Jaccard ≥ 0.6 pair relation
     * (doc_lo, doc_hi, jaccard) — the discovery output of the near-dup
-    * pipeline (PPJoin-filtered candidate join + exact verification).
-    * Q49 (pair listing) and Q166 (cross-source rollup) consume it
-    * directly; [[nearDupClusters]] builds its CC over it. One
+    * pipeline. Q49 (pair listing) and Q166 (cross-source rollup) consume
+    * it directly; [[nearDupClusters]] builds its CC over it. One
     * discovery pass per data drop instead of one per report.
+    *
+    * Build strategy is ADAPTIVE (TextOps.jaccardFromTokens, r11 verdict
+    * item 1): exact discovery (direct or PPJoin prefix-filtered join)
+    * while its measured candidate mass fits the declared budgets; when
+    * even the prefix-filtered mass degenerates (low-entropy corpora —
+    * the sf10 rehearsal measured >70 GB scratch DNF), discovery switches
+    * to MinHash-LSH banding + exact verification of candidates. Fixture
+    * tiers always take the exact path (their direct mass is ~3M rows),
+    * so the artifact's gate hashes are byte-identical; LSH-vs-exact set
+    * equality at fixture scale is pinned in NearDupSpec.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "documents")

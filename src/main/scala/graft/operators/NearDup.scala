@@ -174,6 +174,49 @@ object NearDup {
       .distinct()
   }
 
+  /** Hot-bucket fence for the LSH similarity-join fallback
+    * (TextOps.jaccardLsh): a (band, signature) bucket holding more than
+    * this many docs contributes cap²/2 candidate pairs from a single
+    * non-discriminative signature value — at that size the signature
+    * carries no information (every doc in it is near-identical to
+    * thousands of others) and the full pair list is quadratic BY
+    * DEFINITION of the requested output, so the bucket is deterministically
+    * truncated to its BandBucketCap smallest doc_ids (the Q218 BlockCap /
+    * MaxBasket discipline). The kept docs still pair with each other, so
+    * connected-components consumers still collapse the cluster core.
+    * Measured max bucket: 9 at sf0.1 and 9 at sf10 (k = 8 signatures) — a
+    * no-op everywhere measured; it exists to bound the adversarial case.
+    */
+  private[operators] val BandBucketCap = 2000
+
+  /** [[lshCandidates]] with the hot-bucket fence, (d1, d2) output — the
+    * candidate stage of the artifact-build fallback path. The per-bucket
+    * rank is a window over (band, band_sig); a hot bucket sorts in one
+    * task, but sorting is n·log n where pairing it would be n² — the
+    * whole point of the fence.
+    */
+  private[operators] def lshCandidatesCapped(
+      signatures: DataFrame, bands: Int, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = signatures
+      .withColumn("band", col("p") % bands)
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("p").cast("string"), lit("="), col("minhash").cast("string")))))
+        .as("band_sig"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("band_sig"))
+          .orderBy(asc("doc_id"))))
+      .filter(col("r") <= bucketCap)
+      .select(col("doc_id"), col("band"), col("band_sig"))
+    val b1 = banded.select(col("doc_id").as("d1"), col("band"), col("band_sig"))
+    val b2 = banded.select(col("doc_id").as("d2"), col("band"), col("band_sig"))
+    b1.join(b2, Seq("band", "band_sig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
   /** Q61 — winnowing fingerprints (Schleimer, Wilkerson, Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash each word-trigram k-gram,
     * slide a window of 4 consecutive k-gram hashes over the document, and

@@ -154,7 +154,28 @@ object TextOps {
       } else if (directCandidates <= DirectJoinBudget) {
         jaccardDirect(tok, threshold, Some(dfreq))
       } else {
-        jaccardPrefix(tok, dfreq, threshold)
+        // PPJoin admissibility probe (SCALE.md sf10 finding 1, r11 verdict
+        // item 1): on low-entropy corpora — boilerplate-heavy crawls, tiny
+        // vocabularies — EVERY shingle is common, prefix filtering has no
+        // rare tokens to filter with, and the prefix join's candidate mass
+        // degenerates toward n² (measured: >70 GB scratch DNF at sf10).
+        // So compute the prefix join's EXACT candidate-row count
+        // Σ_token prefixdf² (two Longs to the driver, one linear pass over
+        // the prefix relation) BEFORE committing to it; past the budget
+        // the exact join is inadmissible and discovery switches to
+        // MinHash-LSH banding + exact verification of candidates — the
+        // recorded production rule, now wired as the build path. Fixture
+        // tiers never reach this branch (direct mass ≤ 3M ≪ the 200M
+        // direct budget), so fixture plans and gate hashes are untouched;
+        // LSH-vs-exact equality at fixture scale is pinned in NearDupSpec
+        // by forcing this path.
+        val prefix = prefixRelation(tok, dfreq, threshold).cache()
+        val prefixMass = Option(
+          prefix.groupBy(col("token")).agg(count(lit(1)).as("pf"))
+            .agg(sum(col("pf") * col("pf"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (prefixMass <= PrefixJoinBudget) jaccardPrefixFrom(tok, prefix, threshold)
+        else { prefix.unpersist(); jaccardLsh(tok, threshold) }
       }
     val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     pairs
@@ -168,6 +189,28 @@ object TextOps {
     * dominate and prefix filtering wins.
     */
   private val DirectJoinBudget = 200L * 1000 * 1000
+
+  /** Prefix-join budget: candidate rows the PREFIX-filtered join may
+    * produce before exact discovery is declared inadmissible and the
+    * similarity join falls back to LSH + exact verify. 2G candidate rows
+    * (~80 GB of join intermediate) is the measured order of the sf10
+    * wall; a 1000-executor cluster absorbs it, but past this point the
+    * mass is growing ~n² in the corpus and NO budget survives the next
+    * decade — the fallback is a design decision, not a tuning knob.
+    */
+  private val PrefixJoinBudget = 2L * 1000 * 1000 * 1000
+
+  /** LSH discovery parameters for the [[jaccardLsh]] fallback: k = 32
+    * md5-seeded MinHash permutations in b = 16 bands of r = 2 rows.
+    * A pair at Jaccard J bands together with p = 1 − (1 − J²)¹⁶:
+    * 99.92% at the 0.6 threshold, 1 − 9·10⁻⁸ at J = 0.8 (the fixture
+    * pairs all sit ≥ 0.8 — measured, which is why NearDupSpec can pin
+    * set EQUALITY against the exact build at fixture scale). r = 2 keeps
+    * band buckets discriminative on low-entropy corpora where r = 1
+    * buckets (raw min-hash equality) would themselves go quadratic.
+    */
+  private[graft] val LshPerms = 32
+  private[graft] val LshBands = 16
 
   /** Direct exact plan: self-join the (doc,token) relation on token with a
     * size-ratio prefilter; the groupBy count IS the intersection size.
@@ -225,11 +268,20 @@ object TextOps {
     * satisfies the bound when J ≥ t, so no true pair is lost.
     */
   private[graft] def jaccardPrefix(
+      tok: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame =
+    jaccardPrefixFrom(tok, prefixRelation(tok, dfreq, threshold), threshold)
+
+  /** The PPJoin prefix relation (doc_id, token, p, sz): each doc's tokens
+    * ranked by ascending global df, kept to the first |A| − ⌊t·|A|⌋ + 1.
+    * Exposed separately so [[jaccardFromTokens]] can probe its EXACT
+    * candidate mass (Σ_token prefixdf²) before committing to the join.
+    */
+  private[graft] def prefixRelation(
       tok: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("token"))
-    val prefix = tok
+    tok
       .join(dfreq, Seq("token"))
       .withColumn("p", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
@@ -238,6 +290,10 @@ object TextOps {
       // jaccardDirect's pruning (they produce zero join output rows).
       .filter(col("df") >= 2)
       .select(col("doc_id"), col("token"), col("p"), col("sz"))
+  }
+
+  private[graft] def jaccardPrefixFrom(
+      tok: DataFrame, prefix: DataFrame, threshold: Double): DataFrame = {
     val p1 = prefix.select(
       col("doc_id").as("d1"), col("token"), col("p").as("p1"), col("sz").as("sz1"))
     val p2 = prefix.select(
@@ -257,6 +313,39 @@ object TextOps {
     cands
       .join(arrs.select(col("doc_id").as("d1"), col("toks").as("tk1")), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("toks").as("tk2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .select(col("d1"), col("d2"), col("sz1"), col("sz2"), col("inter"))
+  }
+
+  /** LSH discovery + exact verification — the scale path the exact plans
+    * fall back to when even prefix filtering is inadmissible (SCALE.md
+    * sf10 finding 1): MinHash signatures ([[NearDup.minHashSignatures]],
+    * md5-seeded so both engines and every rerun derive identical values)
+    * → banded bucket join with the hot-bucket fence
+    * ([[NearDup.lshCandidatesCapped]]) → ONE array_intersect per
+    * surviving candidate. Same (d1, d2, sz1, sz2, inter) contract as the
+    * exact plans, so the caller's threshold filter and J arithmetic are
+    * shared — a candidate that verifies carries the IDENTICAL exact
+    * integer counts the exact plans would produce; the only divergence a
+    * consumer can observe is a true pair whose 16 band signatures all
+    * miss (probability ≤ 9·10⁻⁸ per pair at the fixture's J ≥ 0.8 —
+    * NearDupSpec pins set equality against the exact build at fixture
+    * scale by forcing this path).
+    */
+  private[graft] def jaccardLsh(
+      tok: DataFrame, threshold: Double,
+      k: Int = LshPerms, bands: Int = LshBands): DataFrame = {
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sigs = NearDup.minHashSignatures(tok, k)
+    val cands = NearDup.lshCandidatesCapped(sigs, bands, NearDup.BandBucketCap)
+    val arrs = tok.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("toks"))
+      .join(sizes, Seq("doc_id"))
+    cands
+      .join(arrs.select(col("doc_id").as("d1"),
+        col("toks").as("tk1"), col("sz").as("sz1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"),
+        col("toks").as("tk2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
       .select(col("d1"), col("d2"), col("sz1"), col("sz2"), col("inter"))
   }

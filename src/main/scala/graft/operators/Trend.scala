@@ -1954,20 +1954,26 @@ object Trend {
     * at day d+L over the overlap, plus each pair's lead_rank ordering
     * lags by |r| — rank 1 is the pair's best alignment.
     *
-    * Determinism (the Q125/Q128 discipline): all five moment sums and
-    * num = m·Σxy − Σx·Σy are exact int64; the only floats are the one
-    * SQRT and one divide in a fixed textual shape, rounded 6 BEFORE
-    * the |r| ranking so rank order cannot straddle a last-ulp
-    * difference; NULL r (a zero-variance side) sorts below every real
-    * value via COALESCE(|r|, −1); lag ties break ascending.
+    * Determinism (the Q125/Q128 discipline): the five moment sums are
+    * exact int64 (linear in the spine); the cross-products
+    * num = m·Σxy − Σx·Σy and both denominators are carried in
+    * DECIMAL(38,0)/HUGEINT (exact to ~10³⁸ — ADVICE r11: the int64
+    * form wrapped silently past m·Σv² ≈ 2⁶³ while the oracle raised,
+    * an asymmetric failure); the only floats are the one SQRT and one
+    * divide in a fixed textual shape, rounded 6 BEFORE the |r|
+    * ranking so rank order cannot straddle a last-ulp difference.
+    * The OUTPUT num column stays BIGINT via try_cast in BOTH engines,
+    * so a value past 2⁶³ degrades to NULL symmetrically (Q252
+    * loudness) instead of one engine wrapping and the other erroring.
+    * NULL r (a zero-variance side) sorts below every real value via
+    * COALESCE(|r|, −1); lag ties break ascending.
     *
     * Scale notes: consumes the daily-grid ARTIFACT (no events scan);
     * ONE self-join on (type-pair, day+L) with a broadcast 8-row lag
     * spine produces all lags in one shuffle of the bounded
     * types×days relation, map-side combined to |types|²·8 output
-    * rows. Intermediates stay int64 while m·Σv² < 2⁶³ (≈ 10-year
-    * spines at 10⁷-cent days); past that the same plan widens to
-    * DECIMAL(38,0).
+    * rows. r values stay exact to m·Σv² < 10³⁸ — beyond any
+    * physical spine.
     */
   def q339(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -1985,12 +1991,21 @@ object Trend {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("ta"), col("tb"), col("lag"), col("m"),
-        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("m") * col("sxx") - col("sx") * col("sx")).as("den_a"),
-        (col("m") * col("syy") - col("sy") * col("sy")).as("den_b"))
+        // Cross-products in DECIMAL(38,0) (the Q338 widening, ADVICE r11):
+        // the moment sums stay int64 (linear in the spine), but m·Σxy
+        // wraps int64 past m·Σv² ≈ 2⁶³ — in DECIMAL the r values stay
+        // exact to ~10³⁸ and only the OUTPUT num column degrades (to
+        // NULL, symmetrically in both engines via try_cast below).
+        (col("m").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).as("numd"),
+        (col("m").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).as("den_a"),
+        (col("m").cast("decimal(38,0)") * col("syy") -
+          col("sy").cast("decimal(38,0)") * col("sy")).as("den_b"))
+      .withColumn("num", expr("TRY_CAST(numd AS BIGINT)"))
       .withColumn("ccf",
         when(col("den_a") > 0L && col("den_b") > 0L,
-          round(col("num").cast("double") /
+          round(col("numd").cast("double") /
             sqrt(col("den_a").cast("double") * col("den_b").cast("double")),
             6)))
     scored
@@ -2019,7 +2034,7 @@ object Trend {
        |  FROM lagged GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT ta, tb, CAST(lag AS BIGINT) AS lag, m,
-       |    CAST(m*sxy - sx*sy AS BIGINT) AS num,
+       |    TRY_CAST(m*sxy - sx*sy AS BIGINT) AS num,
        |    CASE WHEN (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0 THEN
        |      ROUND(CAST(m*sxy - sx*sy AS DOUBLE)
        |        / SQRT(CAST(m*sxx - sx*sx AS DOUBLE)
@@ -2050,7 +2065,11 @@ object Trend {
     * Determinism: resample sums are exact int64 (ranking never touches
     * a float); the only floats are the four final divides by n,
     * rounded 4. Sum ties in the rank pick break on the resample id —
-    * and order statistics are tie-invariant anyway.
+    * and order statistics are tie-invariant anyway. The oracle's
+    * resample index space is derived from the data (range to MAX(n)
+    * over the per-type day counts — ADVICE r11: a hardcoded cap would
+    * silently under-draw past its fence), so both engines enumerate
+    * exactly n indices per (type, resample) at ANY spine length.
     *
     * Scale notes: consumes the daily-grid ARTIFACT; the resample
     * relation is B·n·|types| rows (bounded by the SPINE, not the
@@ -2115,7 +2134,8 @@ object Trend {
        |  SELECT m.event_type, m.n, r.r, i.i, ($hv) % m.n AS pick
        |  FROM meta m
        |  CROSS JOIN (SELECT UNNEST(range(1, 201)) AS r) r
-       |  CROSS JOIN (SELECT UNNEST(range(0, 5000)) AS i) i
+       |  CROSS JOIN (SELECT UNNEST(range(0, (SELECT MAX(n) FROM meta)))
+       |              AS i) i
        |  WHERE i.i < m.n),
        |sums AS (
        |  SELECT p.event_type AS et, p.r, CAST(SUM(g.v) AS BIGINT) AS s
