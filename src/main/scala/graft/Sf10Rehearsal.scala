@@ -71,14 +71,16 @@ object Sf10Rehearsal {
         .values.foreach(_.unpersist(blocking = false))
     }
 
-    // Build legs are selectable by name like query legs: the r11
+    // Build legs are selectable by name like query legs. The r11
     // rehearsal measured `neardup_build` EXHAUSTING THE DISK at sf10
-    // (the exact PPJoin candidate mass is Σ df² — quadratic-ish on the
-    // low-entropy fixture vocabulary; see SCALE.md), so reruns need to
-    // resume without it.
+    // (exact PPJoin candidate mass → n² on the low-entropy fixture
+    // vocabulary); since r12 the adaptive LSH fallback
+    // (TextOps.jaccardFromTokens) makes the same leg complete in ~130 s
+    // with ~4 GB scratch — see SCALE.md finding 1 (RESOLVED).
     val defaultLegs = Seq("derived_build", "daily_grid_build",
       "lpa_build", "neardup_build", "Q13", "Q05", "Q103", "Q117",
-      "Q145", "Q156", "Q160", "Q161", "Q218", "Q248", "Q335")
+      "Q145", "Q156", "Q160", "Q161", "Q218", "Q248", "Q334", "Q335",
+      "Q345")
     val legs = if (args.length > 1) args.drop(1).toSeq else defaultLegs
 
     legs.foreach {

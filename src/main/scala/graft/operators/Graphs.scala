@@ -851,6 +851,120 @@ object Graphs {
       |ORDER BY cc DESC, p_partkey NULLS FIRST
       |LIMIT 30""".stripMargin
 
+  /** Q334 — DOULION edge-sampled triangle estimation (Tsourakakis, Kang,
+    * Miller, Faloutsos, KDD 2009) of the co-order graph at three declared
+    * sampling rates p ∈ {1/8, 1/4, 1/2}: the approximate scale twin the
+    * exact enumeration gates need at 100 TB the way Q35 has Q160 and Q50
+    * has Q198 (r11 verdict item 3) — the sf10 rehearsal measured the
+    * exact wedge mass at 75 GB spill (Q103) and an 8 GB OOM (Q145);
+    * sampling each edge independently at rate p cuts the enumerated
+    * wedge mass by p² while T̂ = T_sampled / p³ stays unbiased (each
+    * triangle survives with probability p³), with relative error
+    * shrinking as corpora grow (Var(T̂)/T² ≤ (p⁻³−1)/T + O(Δ/T²)).
+    *
+    * Derandomized (the Q340 bootstrap discipline): edge (a, b) survives
+    * rate num/8 iff md5('doulion:a:b') % 8 < num, so both engines draw
+    * IDENTICAL sparsified graphs and the rates are NESTED (the num = 1
+    * graph ⊆ num = 2 ⊆ num = 4 — one hash draw, three thresholds).
+    * tri_sampled is an exact count of the oriented enumeration on the
+    * sampled graph, est_triangles = tri_sampled·(8/num)³ exact int64,
+    * and the full graph's wedge count Σ deg(deg−1)/2 is exact from one
+    * degree pass; the only float is the final global-cc estimate
+    * 3·T̂/wedges — one divide of exact int64s, rounded 6. Accuracy
+    * against the exact triangle count is property-pinned at fixture
+    * scale in Round12GatesSpec; the estimator-in-the-8-GB-envelope
+    * claim is a measured sf10 rehearsal row (SCALE.md).
+    *
+    * Scale notes: three linear filter passes over the bucketed pair
+    * artifact + three oriented enumerations whose wedge mass is
+    * p²-scaled (1/64, 1/16, 1/4 of Q103's); the per-rate counts are
+    * bounded driver scalars (the Q278 profile discipline), never a data
+    * collect. At 100 TB the p = 1/8 leg enumerates ~1.5% of the exact
+    * gate's mass — the production read; the exact gates remain the
+    * fixture-scale contract.
+    */
+  def q334(spark: SparkSession, dir: String): DataFrame = {
+    val hv8 = "(" + NearDup.hexValueExpr(
+      "md5('doulion:' || CAST(a AS STRING) || ':' || CAST(b AS STRING))") +
+      ") % 8"
+    // Deliberately NOT checkpointed: the md5 tag is row-local codegen
+    // over the bucketed artifact scan, so each rate's filter pass costs
+    // one cheap linear read — pinning the full 100 TB-scale tagged edge
+    // list in the block manager just to avoid re-reading it is the wrong
+    // trade (measured: at sf10 the 90M-row checkpoint plus the
+    // enumeration's own working set starved the 8 GB heap's aggregation
+    // memory; unpinned, the same legs run clean).
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b"))
+      .withColumn("hv8", expr(hv8))
+    val nEdges = edges.count()
+    val wedges = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L))
+        .cast("long"))
+      .first().getLong(0)
+    val measured = Seq(1L, 2L, 4L).map { num =>
+      val kept = edges.filter(col("hv8") < num).select(col("a"), col("b"))
+      val keptEdges = kept.count()
+      val triSampled = triangleCorners(kept).count() / 3
+      (num, 8L, nEdges, keptEdges, triSampled)
+    }
+    import spark.implicits._
+    measured
+      .toDF("num", "den", "n_edges", "kept_edges", "tri_sampled")
+      .withColumn("est_triangles", expr(
+        "tri_sampled * (den DIV num) * (den DIV num) * (den DIV num)"))
+      .withColumn("wedges", lit(wedges))
+      .withColumn("est_global_cc", expr(
+        "ROUND(CAST(3 * est_triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6)"))
+      .orderBy(asc("num"))
+  }
+
+  val q334Oracle: String = {
+    val hv8 = "(" + NearDup.hexValueExpr(
+      "md5('doulion:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))") +
+      ") % 8"
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |capped AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+       |    FROM op) WHERE rn <= 1000),
+       |e AS MATERIALIZED (
+       |  SELECT a, b, ($hv8) AS hv8
+       |  FROM (SELECT DISTINCT c1.pk AS a, c2.pk AS b
+       |        FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk)),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |w AS (SELECT CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT)
+       |      AS wedges FROM deg),
+       |rates AS (SELECT UNNEST([1, 2, 4]) AS num),
+       |kept AS MATERIALIZED (
+       |  SELECT r.num, e.a, e.b FROM e JOIN rates r ON e.hv8 < r.num),
+       |ke AS (SELECT num, CAST(COUNT(*) AS BIGINT) AS kept_edges
+       |       FROM kept GROUP BY 1),
+       |tri AS (
+       |  SELECT k1.num, CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM kept k1
+       |  JOIN kept k2 ON k2.num = k1.num AND k2.a = k1.b
+       |  JOIN kept k3 ON k3.num = k1.num AND k3.a = k1.a AND k3.b = k2.b
+       |  GROUP BY 1)
+       |SELECT CAST(r.num AS BIGINT) AS num, CAST(8 AS BIGINT) AS den,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |  COALESCE(ke.kept_edges, 0) AS kept_edges,
+       |  COALESCE(tri.t, 0) AS tri_sampled,
+       |  COALESCE(tri.t, 0) * CAST((8 // r.num) * (8 // r.num) * (8 // r.num)
+       |    AS BIGINT) AS est_triangles,
+       |  (SELECT wedges FROM w) AS wedges,
+       |  ROUND(CAST(3 * COALESCE(tri.t, 0) * (8 // r.num) * (8 // r.num)
+       |      * (8 // r.num) AS DOUBLE)
+       |    / CAST((SELECT wedges FROM w) AS DOUBLE), 6) AS est_global_cc
+       |FROM rates r
+       |LEFT JOIN ke ON ke.num = r.num
+       |LEFT JOIN tri ON tri.num = r.num
+       |ORDER BY num""".stripMargin
+  }
+
   /** Hop distances from EVERY node of a seed set at once, frontier BFS
     * keyed by (src, node) — the multi-source generalization of
     * [[bfsHops]]. One loop serves all sources: per round the combined
@@ -2103,6 +2217,7 @@ object Graphs {
       |FROM s""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "Q334" -> (q334 _),
     "Q341" -> (q341 _), "Q342" -> (q342 _), "Q344" -> (q344 _),
     "Q337" -> (q337 _),
     "Q317" -> (q317 _),
@@ -2115,6 +2230,7 @@ object Graphs {
     "Q197" -> (q197 _), "Q278" -> (q278 _))
 
   def oracles: Map[String, String] = Map(
+    "Q334" -> q334Oracle,
     "Q341" -> q341Oracle, "Q342" -> q342Oracle, "Q344" -> q344Oracle,
     "Q337" -> q337Oracle,
     "Q317" -> q317Oracle,

@@ -277,6 +277,71 @@ class ScaleHygieneSpec extends SparkSpec {
       s"Q299 has a cartesian:\n${plan.take(3000)}")
   }
 
+  test("graph-family sizing rule: degree-histogram wedge mass bounds the enumeration (SCALE.md finding 3, executable)") {
+    // r11 verdict item 8: the "executor memory ≥ ~1.5 GB/core for the
+    // triangle/wedge family" rule lived only in SCALE.md prose; this
+    // makes its three load-bearing claims assertions.
+    import graft.operators.Derived
+    val dir = sf("sf0.01")
+    val edges = Derived.coOrderPairCounts(spark, dir)
+      .select(col("a"), col("b")).localCheckpoint()
+    val m = edges.count()
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // (1) the (deg, id) orientation bounds out-degree by O(√(2m)) — the
+    // Chiba–Nishizeki fact the whole memory model rests on.
+    val sqrt2m = math.ceil(math.sqrt(2.0 * m)).toLong
+    val outDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("a")).otherwise(col("b")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("od"))
+    val maxOut = outDeg.agg(max(col("od"))).first().getLong(0)
+    assert(maxOut <= sqrt2m,
+      s"orientation out-degree $maxOut exceeds sqrt(2m) = $sqrt2m")
+    // (2) the capacity-review estimate — computable from the DEGREE
+    // HISTOGRAM alone (Q151/Q222's artifact), BEFORE running anything —
+    // upper-bounds the actual oriented wedge mass Σ outdeg², and (3) is
+    // within a useful constant of it (measured 3.55x at sf0.01).
+    val actualMass = outDeg.agg(sum(col("od") * col("od"))).first().getLong(0)
+    val histEstimate = deg
+      .agg(sum(least(col("deg"), lit(sqrt2m)) * least(col("deg"), lit(sqrt2m))))
+      .first().getLong(0)
+    assert(histEstimate >= actualMass,
+      s"histogram estimate $histEstimate < actual oriented mass $actualMass")
+    assert(histEstimate <= 8L * actualMass,
+      s"histogram estimate $histEstimate is vacuous (> 8x actual $actualMass)")
+    // The sizing rule itself, as arithmetic. The family is DESIGNED to
+    // spill (the mass flows through external sort, it never has to fit);
+    // what the ≥ 1.5 GB/core rule guarantees is that the per-core mass
+    // stays within a small multiple of per-core heap, so the external
+    // sort merges in one pass and per-task buffers (adjacency arrays,
+    // agg maps) still fit. At ~36 B per enumerated wedge row, 32 cores:
+    //  - fixture: < 64 MB/core — the in-memory class, as measured;
+    //  - sf10 (×778 edges, documented linear wedge growth at fixed
+    //    basket size): per-core mass > 8 GB/32 = 256 MB/core — the model
+    //    PREDICTS the measured 8 GB-heap pressure (Q103 75 GB spill,
+    //    Q145 OOM);
+    //  - at the declared 1.5 GB/core the sf10 mass-to-heap ratio is ~4.6
+    //    ≤ 8 — inside the single-merge-pass envelope where the 48 GB
+    //    rehearsal measured the family COMPLETING. If a build change
+    //    ever makes wedge mass grow super-linearly, the ratio blows
+    //    through 8 and this spec trips before any rehearsal does.
+    val bytesPerRow = 36L
+    val perCoreFixture = actualMass * bytesPerRow / 32
+    assert(perCoreFixture < (64L << 20),
+      s"fixture per-core wedge footprint $perCoreFixture unexpectedly large")
+    val sf10Mass = actualMass * 778
+    val perCoreSf10 = sf10Mass * bytesPerRow / 32
+    assert(perCoreSf10 > (256L << 20),
+      "model no longer predicts the measured sf10 8 GB pressure — " +
+        "re-derive SCALE.md finding 3 if the graph build changed")
+    assert(perCoreSf10.toDouble / (1536L << 20) <= 8.0,
+      s"sf10 per-core mass $perCoreSf10 exceeds 8x the declared 1.5 GB/core " +
+        "— the documented sizing rule would no longer admit the family")
+  }
+
   test("approx percentile within 1% of exact on order totals") {
     val c = Catalog(spark, sf("sf0.01"))
     val row = c.orders.agg(
