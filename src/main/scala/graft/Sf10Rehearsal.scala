@@ -81,7 +81,20 @@ object Sf10Rehearsal {
       "lpa_build", "neardup_build", "Q13", "Q05", "Q103", "Q117",
       "Q145", "Q156", "Q160", "Q161", "Q218", "Q248", "Q334", "Q335",
       "Q345")
-    val legs = if (args.length > 1) args.drop(1).toSeq else defaultLegs
+    // `all` (r11 verdict item 5): the WHOLE registry, one run per leg,
+    // builds first, with the known-heaviest wedge-mass legs deferred to
+    // the very end so an interrupted sweep still yields full-family
+    // coverage. Meant for a 48 GB heap (SPARK_DRIVER_MEM=48g) — Q145's
+    // exact enumeration OOMs the 8 GB dev default (SCALE.md finding 3).
+    val heavyTail = Seq("Q334", "Q117", "Q103", "Q145")
+    val legs =
+      if (args.drop(1).toSeq == Seq("all"))
+        Seq("derived_build", "daily_grid_build", "lpa_build",
+          "neardup_build") ++
+          (SparkEntry.queries.keys.toSeq.sorted.filterNot(heavyTail.contains)
+            ++ heavyTail)
+      else if (args.length > 1) args.drop(1).toSeq
+      else defaultLegs
 
     legs.foreach {
       case "derived_build" => leg("derived_build") {
