@@ -385,11 +385,16 @@ object Behavior {
         count(lit(1)).as("n"),
         sum(col("x")).cast("long").as("sx"),
         sum(col("y")).cast("long").as("sy"),
-        sum(col("x") * col("y")).cast("long").as("sxy"),
-        sum(col("x") * col("x")).cast("long").as("sxx"),
-        sum(col("y") * col("y")).cast("long").as("syy"))
-      // products of the raw sums exceed int64 (n·Σxy ~ 1e20 at sf0.1),
-      // so the identity evaluates in DOUBLE — same shape both engines
+        // moment sums of PRODUCTS in DECIMAL(38,0)/HUGEINT: a single
+        // x·y of two sf10-scale daily-cents values (~3·10⁹ each) already
+        // tops 2⁶³ — the r12 sf10 sweep measured the int64 form THROWING
+        // under ANSI while the oracle's HUGEINT sum sailed on
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("syy"))
+      // products of the raw sums exceed even decimal38 head-room when
+      // multiplied again (n·Σxy), so the identity evaluates in DOUBLE —
+      // same shape both engines
       .withColumn("r",
         (col("n").cast("double") * col("sxy") - col("sx").cast("double")
           * col("sy")) /
@@ -428,9 +433,9 @@ object Behavior {
       |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
       |    COUNT(*) AS n,
       |    CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT) AS sy,
-      |    CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
-      |    CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
-      |    CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+      |    CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(a.v AS HUGEINT) * a.v) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(b.v AS HUGEINT) * b.v) AS HUGEINT) AS syy
       |  FROM spine a
       |  CROSS JOIN (SELECT UNNEST(range(-7, 8)) AS lag) l
       |  JOIN spine b ON b.day = a.day + l.lag

@@ -1411,10 +1411,11 @@ object Graphs {
     *
     * Assortativity is the Pearson correlation of endpoint degrees over
     * the DIRECTED edge list (both orientations, the standard
-    * symmetrization): r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) with all
-    * sums exact int64 (M = 2|E| ≤ 4·10⁵ here; products ≤ ~7·10¹⁵,
-    * inside int64 — at graphs where M·Σjk would overflow, flip the
-    * identity to double partials) and ONE double division at the end.
+    * symmetrization): r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²). The linear
+    * sums stay exact int64; the product sums and both cross-products
+    * are carried in DECIMAL(38,0)/HUGEINT (r12: the sf10 sweep measured
+    * the old int64 fence THROWING at 180M directed edges — Σj² ≈
+    * 2.6·10²⁰), leaving ONE double division at the end.
     *
     * Scale notes: degree table is one aggregate over the bucketed edge
     * artifact; the two degree joins are node-keyed; every reported
@@ -1448,8 +1449,15 @@ object Graphs {
         col("deg_min"),
         round(col("deg_sum").cast("double") / col("n_nodes"), 2).as("deg_avg"),
         col("deg_max"),
-        round((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
-          (col("m") * col("sjj") - col("sj") * col("sj")), 6)
+        // cross-products in DECIMAL(38,0)/HUGEINT (the Q338 widening):
+        // the docstring's int64 fence (M·Σjk < 2⁶³) is real — the r12
+        // sf10 sweep measured this exact site THROWING at 180M directed
+        // edges (Σj ≈ 1.6·10¹⁰ ⇒ Σj² ≈ 2.6·10²⁰); in decimal the r stays
+        // exact to 10³⁸ and the one divide is unchanged in-range
+        round((col("m").cast("decimal(38,0)") * col("sjk") -
+          col("sj").cast("decimal(38,0)") * col("sj")).cast("double") /
+          (col("m").cast("decimal(38,0)") * col("sjj") -
+            col("sj").cast("decimal(38,0)") * col("sj")).cast("double"), 6)
           .as("assortativity"))
   }
 
@@ -1473,8 +1481,8 @@ object Graphs {
       |sums AS (
       |  SELECT COUNT(*) AS m,
       |    CAST(SUM(d1.deg) AS BIGINT) AS sj,
-      |    CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS sjk,
-      |    CAST(SUM(d1.deg * d1.deg) AS BIGINT) AS sjj
+      |    CAST(SUM(CAST(d1.deg AS HUGEINT) * d2.deg) AS HUGEINT) AS sjk,
+      |    CAST(SUM(CAST(d1.deg AS HUGEINT) * d1.deg) AS HUGEINT) AS sjj
       |  FROM de
       |  JOIN deg d1 ON d1.src = de.src
       |  JOIN deg d2 ON d2.src = de.dst)
@@ -1483,8 +1491,9 @@ object Graphs {
       |  deg_min,
       |  ROUND(CAST(deg_sum AS DOUBLE) / n_nodes, 2) AS deg_avg,
       |  deg_max,
-      |  ROUND(CAST(m * sjk - sj * sj AS DOUBLE)
-      |    / (m * sjj - sj * sj), 6) AS assortativity
+      |  ROUND(CAST(CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sj AS DOUBLE)
+      |    / CAST(CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj AS DOUBLE),
+      |    6) AS assortativity
       |FROM sums CROSS JOIN ds""".stripMargin
 
   /** Q265 — personalized PageRank / random walk with restart from the

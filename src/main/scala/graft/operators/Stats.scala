@@ -1966,19 +1966,21 @@ object Stats {
     * localizes the dominant time scale.
     *
     * Determinism: v is exact cents, so every detail/approximation
-    * coefficient is an exact int64 sum and e_l = Σd_l², A = Σa_3², T =
-    * Σv² are exact int64 — the engine and oracle compare INTEGERS, and
-    * the Parseval identity 8T = 4e1 + 2e2 + e3 + A holds exactly (the
-    * spec asserts it). Shares are single divides of exact ints rounded
-    * once; the dominant level compares exact ints (ties break to the
-    * finer scale). Constant series degrade shares to NULL / 'flat'.
+    * coefficient is an exact int64 sum; the energies e_l = Σd_l²,
+    * A = Σa_3², T = Σv² are exact DECIMAL(38,0)/HUGEINT (r12: the sf10
+    * sweep measured a single 3·10⁹-cent day's v² topping 2⁶³, so the
+    * old int64 form threw under ANSI) — the engine and oracle still
+    * compare INTEGERS, and the Parseval identity 8T = 4e1 + 2e2 + e3 +
+    * A holds exactly (the spec asserts it). The BIGINT energy output
+    * columns degrade to NULL symmetrically via try_cast past 2⁶³ (the
+    * Q339 discipline). Shares are single divides of exact quantities
+    * rounded once; the dominant level compares exact decimals (ties
+    * break to the finer scale). Constant series degrade to 'flat'.
     *
     * Scale notes: one corpus scan into the (type, day) daily aggregate;
     * the cascade is three map-side-combinable GROUP BYs over the
     * spine-bounded grid (≤ calendar days per type regardless of corpus
-    * size). Σv² holds to int64 through ~10⁹-cent days on a 10⁵-day
-    * spine; beyond that the squares widen to DECIMAL(38,0) — the Q128
-    * overflow-analysis convention.
+    * size). Energies stay exact to 10³⁸ — beyond any physical spine.
     */
   def q239(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -2001,30 +2003,44 @@ object Stats {
       .agg(sum(when(expr("j2 % 2 = 0"), col("a")).otherwise(-col("a")))
         .cast("long").as("d"),
         sum(col("a")).cast("long").as("a"))
+    // Energy sums in DECIMAL(38,0)/HUGEINT (r12: at sf10 a single v² of
+    // a 3·10⁹-cent day tops 2⁶³ and the int64 form THREW under ANSI);
+    // shares and the dominant verdict compute on the exact decimals, and
+    // the BIGINT output columns degrade to NULL symmetrically via
+    // try_cast past 2⁶³ (the Q339 discipline).
     val base = idx.groupBy(col("event_type"))
       .agg(max(col("n8")).as("n8"),
-        sum(col("v") * col("v")).cast("long").as("t_sq"))
+        sum(col("v").cast("decimal(38,0)") * col("v"))
+          .cast("decimal(38,0)").as("t_sqd"))
     val e1 = l1.groupBy(col("event_type"))
-      .agg(sum(col("d") * col("d")).cast("long").as("e1"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d"))
+        .cast("decimal(38,0)").as("e1d"))
     val e2 = l2.groupBy(col("event_type"))
-      .agg(sum(col("d") * col("d")).cast("long").as("e2"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d"))
+        .cast("decimal(38,0)").as("e2d"))
     val e3 = l3.groupBy(col("event_type"))
-      .agg(sum(col("d") * col("d")).cast("long").as("e3"),
-        sum(col("a") * col("a")).cast("long").as("a_energy"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d"))
+        .cast("decimal(38,0)").as("e3d"),
+        sum(col("a").cast("decimal(38,0)") * col("a"))
+          .cast("decimal(38,0)").as("a_energyd"))
     base.join(e1, Seq("event_type")).join(e2, Seq("event_type"))
       .join(e3, Seq("event_type"))
-      .withColumn("den", expr("4 * e1 + 2 * e2 + e3"))
-      .select(col("event_type"), col("n8"), col("t_sq"),
-        col("e1"), col("e2"), col("e3"), col("a_energy"),
-        expr("CASE WHEN den > 0 THEN ROUND(CAST(4 * e1 AS DOUBLE) / den, 6) END")
+      .withColumn("den", expr("4 * e1d + 2 * e2d + e3d"))
+      .select(col("event_type"), col("n8"),
+        expr("TRY_CAST(t_sqd AS BIGINT)").as("t_sq"),
+        expr("TRY_CAST(e1d AS BIGINT)").as("e1"),
+        expr("TRY_CAST(e2d AS BIGINT)").as("e2"),
+        expr("TRY_CAST(e3d AS BIGINT)").as("e3"),
+        expr("TRY_CAST(a_energyd AS BIGINT)").as("a_energy"),
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(4 * e1d AS DOUBLE) / CAST(den AS DOUBLE), 6) END")
           .as("share1"),
-        expr("CASE WHEN den > 0 THEN ROUND(CAST(2 * e2 AS DOUBLE) / den, 6) END")
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(2 * e2d AS DOUBLE) / CAST(den AS DOUBLE), 6) END")
           .as("share2"),
-        expr("CASE WHEN den > 0 THEN ROUND(CAST(e3 AS DOUBLE) / den, 6) END")
+        expr("CASE WHEN den > 0 THEN ROUND(CAST(e3d AS DOUBLE) / CAST(den AS DOUBLE), 6) END")
           .as("share3"),
         expr("CASE WHEN den = 0 THEN 'flat'" +
-          " WHEN 4 * e1 >= 2 * e2 AND 4 * e1 >= e3 THEN 'day_noise'" +
-          " WHEN 2 * e2 >= e3 THEN 'two_day'" +
+          " WHEN 4 * e1d >= 2 * e2d AND 4 * e1d >= e3d THEN 'day_noise'" +
+          " WHEN 2 * e2d >= e3d THEN 'two_day'" +
           " ELSE 'multi_day' END").as("dominant"))
       .orderBy(asc_nulls_first("event_type"))
   }
@@ -2054,14 +2070,14 @@ object Stats {
        |  FROM l2 GROUP BY 1, 2),
        |base AS (
        |  SELECT event_type, CAST(MAX(n8) AS BIGINT) AS n8,
-       |    CAST(SUM(v * v) AS BIGINT) AS t_sq
+       |    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS t_sq
        |  FROM idx GROUP BY 1),
-       |s1 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e1
+       |s1 AS (SELECT event_type, CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS e1
        |  FROM l1 GROUP BY 1),
-       |s2 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e2
+       |s2 AS (SELECT event_type, CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS e2
        |  FROM l2 GROUP BY 1),
-       |s3 AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e3,
-       |    CAST(SUM(a * a) AS BIGINT) AS a_energy
+       |s3 AS (SELECT event_type, CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS e3,
+       |    CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS a_energy
        |  FROM l3 GROUP BY 1),
        |f AS (
        |  SELECT b.event_type, b.n8, b.t_sq, s1.e1, s2.e2, s3.e3,
@@ -2069,10 +2085,13 @@ object Stats {
        |  FROM base b
        |  JOIN s1 USING (event_type) JOIN s2 USING (event_type)
        |  JOIN s3 USING (event_type))
-       |SELECT event_type, n8, t_sq, e1, e2, e3, a_energy,
-       |  CASE WHEN den > 0 THEN ROUND(CAST(4 * e1 AS DOUBLE) / den, 6) END AS share1,
-       |  CASE WHEN den > 0 THEN ROUND(CAST(2 * e2 AS DOUBLE) / den, 6) END AS share2,
-       |  CASE WHEN den > 0 THEN ROUND(CAST(e3 AS DOUBLE) / den, 6) END AS share3,
+       |SELECT event_type, n8, TRY_CAST(t_sq AS BIGINT) AS t_sq,
+       |  TRY_CAST(e1 AS BIGINT) AS e1, TRY_CAST(e2 AS BIGINT) AS e2,
+       |  TRY_CAST(e3 AS BIGINT) AS e3,
+       |  TRY_CAST(a_energy AS BIGINT) AS a_energy,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(4 * e1 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS share1,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(2 * e2 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS share2,
+       |  CASE WHEN den > 0 THEN ROUND(CAST(e3 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS share3,
        |  CASE WHEN den = 0 THEN 'flat'
        |    WHEN 4 * e1 >= 2 * e2 AND 4 * e1 >= e3 THEN 'day_noise'
        |    WHEN 2 * e2 >= e3 THEN 'two_day'
@@ -3420,9 +3439,10 @@ object Stats {
     *
     * Scale notes: the lag join replicates the spine 5× against itself
     * shifted — bounded per type — and everything downstream is one row
-    * per type. Int64 composites n'·Σxy hold to ~10⁹-cent daily
-    * revenues; beyond that widen to double before the product
-    * (documented, unreachable at test sf).
+    * per type. Product sums and the n'·Σxy composites are carried in
+    * DECIMAL(38,0)/HUGEINT (r12: the old ~10⁹-cent int64 fence was
+    * MEASURED throwing at the sf10 rehearsal's 3·10⁹-cent days) —
+    * exact to 10³⁸, beyond any physical spine.
     */
   def q257(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -3433,17 +3453,24 @@ object Stats {
         col("v").as("x"))
       .join(grid.select(col("event_type"), col("day").as("dayk"),
         col("v").as("y")), Seq("event_type", "dayk"))
+    // product sums + cross-products in DECIMAL(38,0)/HUGEINT (r12: the
+    // sf10 sweep measured the documented int64 fence actually THROWING
+    // at 3·10⁹-cent days — a single x² tops 2⁶³); the ρ divide is
+    // unchanged in-range, and no output column carries the decimals.
     val rho = lagged.groupBy(col("event_type"), col("k"))
       .agg(count(lit(1)).cast("long").as("np"),
         sum(col("x")).cast("long").as("sx"),
         sum(col("y")).cast("long").as("sy"),
-        sum(col("x") * col("x")).cast("long").as("sxx"),
-        sum(col("y") * col("y")).cast("long").as("syy"),
-        sum(col("x") * col("y")).cast("long").as("sxy"))
-      .withColumn("a", col("np") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("b", col("np") * col("syy") - col("sy") * col("sy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"))
+      .withColumn("a", col("np").cast("decimal(38,0)") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx"))
+      .withColumn("b", col("np").cast("decimal(38,0)") * col("syy") -
+        col("sy").cast("decimal(38,0)") * col("sy"))
       .withColumn("rho", when(col("a") > 0 && col("b") > 0,
-        (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("np").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
           sqrt(col("a").cast("double") * col("b").cast("double"))))
     val wide = rho.groupBy(col("event_type"))
       .agg(
@@ -3515,16 +3542,17 @@ object Stats {
        |sums AS (
        |  SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS np,
        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-       |    CAST(SUM(y * y) AS BIGINT) AS syy,
-       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
        |  FROM lagged GROUP BY 1, 2),
        |rho AS (
        |  SELECT event_type, k,
-       |    CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
-       |      THEN CAST(np * sxy - sx * sy AS DOUBLE)
-       |        / SQRT(CAST(np * sxx - sx * sx AS DOUBLE)
-       |             * CAST(np * syy - sy * sy AS DOUBLE)) END AS rho
+       |    CASE WHEN CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+       |        AND CAST(np AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+       |      THEN CAST(CAST(np AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |        / SQRT(CAST(CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |             * CAST(CAST(np AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END AS rho
        |  FROM sums),
        |wide AS (
        |  SELECT event_type,
@@ -3613,11 +3641,16 @@ object Stats {
       .withColumn("v1", lead(col("v"), 1).over(w))
       .withColumn("v2", lead(col("v"), 2).over(w))
       .filter(col("v2").isNotNull)
+    // Σv² and the variance radicand in DECIMAL(38,0)/HUGEINT (r12: a
+    // single v² of an sf10-scale 3·10⁹-cent day tops 2⁶³ and the int64
+    // sum THREW under ANSI); sqrt-of-decimal-cast-to-double is the same
+    // correctly-rounded double in-range, so r_tol is unchanged.
     val tol = grid.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("v")).cast("long").as("s1"),
-        sum(col("v") * col("v")).cast("long").as("s2"))
-      .withColumn("vs", col("n_days") * col("s2") - col("s1") * col("s1"))
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("s2"))
+      .withColumn("vs", col("n_days").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1"))
       .withColumn("r_tol",
         ceil(sqrt(col("vs").cast("double")) / (lit(5.0) * col("n_days")))
           .cast("long"))
@@ -3659,7 +3692,8 @@ object Stats {
        |  FROM grid QUALIFY v2 IS NOT NULL),
        |tol AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-       |    CAST(CEIL(SQRT(CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v)
+       |    CAST(CEIL(SQRT(CAST(COUNT(*) * SUM(CAST(v AS HUGEINT) * v)
+       |      - SUM(CAST(v AS HUGEINT)) * SUM(CAST(v AS HUGEINT))
        |      AS DOUBLE)) / (5.0 * COUNT(*))) AS BIGINT) AS r_tol
        |  FROM grid GROUP BY 1),
        |cnt AS (
