@@ -753,10 +753,14 @@ object NearDup {
     val c = Catalog(spark, dir)
     val p = c.part.select(col("p_brand"), col("p_partkey"), col("p_name"))
       .localCheckpoint()
+    // Deliberately NOT checkpointed (r12 sf10 sweep): 2M combinatorial
+    // names × ~466 deletion variants ≈ 10⁹ signature rows — pinning that
+    // in the block manager starved execution memory at 48 GB. Unpinned,
+    // the self-join's two sides share one shuffle via ReusedExchange and
+    // the codegen'd variant expansion re-runs at scan speed.
     val sigs = p.select(col("p_brand"), col("p_partkey"),
         explode(array_distinct(expr("graft_deletion_hashes(p_name, 2)")))
           .as("sig"))
-      .localCheckpoint()
     val cands = sigs
       .join(sigs.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
           col("sig").as("sb")),

@@ -2975,13 +2975,18 @@ object Stats {
       .withColumn("rn", row_number().over(wOrd).cast("long"))
       .withColumn("cum", sum(col("v")).over(wOrd).cast("long"))
       .withColumn("s1", sum(col("v")).over(wAll).cast("long"))
-      .withColumn("s2", sum(col("v") * col("v")).over(wAll).cast("long"))
+      // Σv² within a block in DECIMAL(38,0)/HUGEINT (r12: a single v²
+      // of an sf10-scale 3·10⁹-cent day tops 2⁶³ — measured throwing
+      // in the sweep); vs follows, the R/S divide is unchanged in-range.
+      .withColumn("s2", sum(col("v").cast("decimal(38,0)") * col("v"))
+        .over(wAll).cast("decimal(38,0)"))
       .withColumn("y", col("bn") * col("cum") - col("rn") * col("s1"))
       .groupBy(col("event_type"), col("bn"), col("blk"), col("s1"), col("s2"))
       .agg((max(col("y")) - min(col("y"))).cast("long").as("r2"))
-      .withColumn("vs", col("bn") * col("s2") - col("s1") * col("s1"))
+      .withColumn("vs", col("bn").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1"))
       .withColumn("rs", when(col("vs") > 0,
-        col("r2").cast("double") / sqrt(col("vs"))))
+        col("r2").cast("double") / sqrt(col("vs").cast("double"))))
     val perSize = perBlock.groupBy(col("event_type"), col("bn"))
       .agg(count(col("rs")).cast("long").as("nb"), avg(col("rs")).as("mrs"))
     val fit = perSize.filter(col("mrs").isNotNull)
@@ -3031,7 +3036,7 @@ object Stats {
        |    ROW_NUMBER() OVER w_ord AS rn,
        |    SUM(v) OVER w_ord AS cum,
        |    SUM(v) OVER w_all AS s1,
-       |    SUM(v * v) OVER w_all AS s2
+       |    SUM(CAST(v AS HUGEINT) * v) OVER w_all AS s2
        |  FROM sized
        |  WINDOW
        |    w_all AS (PARTITION BY event_type, bn, blk),
@@ -3040,12 +3045,14 @@ object Stats {
        |  SELECT event_type, bn, blk,
        |    CAST(MAX(bn * cum - rn * s1) - MIN(bn * cum - rn * s1) AS BIGINT)
        |      AS r2,
-       |    CAST(MAX(bn * s2 - s1 * s1) AS BIGINT) AS vs
+       |    CAST(MAX(CAST(bn AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+       |      AS HUGEINT) AS vs
        |  FROM yy WHERE cnt = bn
        |  GROUP BY 1, 2, 3),
        |perblock AS (
        |  SELECT event_type, bn, blk,
-       |    CASE WHEN vs > 0 THEN CAST(r2 AS DOUBLE) / SQRT(vs) END AS rs
+       |    CASE WHEN vs > 0 THEN CAST(r2 AS DOUBLE) / SQRT(CAST(vs AS DOUBLE)) END
+       |      AS rs
        |  FROM blocks),
        |persize AS (
        |  SELECT event_type, bn, CAST(COUNT(rs) AS BIGINT) AS nb,
