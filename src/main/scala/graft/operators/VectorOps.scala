@@ -1053,9 +1053,17 @@ object VectorOps {
       .withColumn("ci",
         when(col("i") === col("n"), col("delta").cast("double") / col("n"))
           .otherwise((col("delta") - col("dnext")).cast("double") / col("i")))
+      // Suffix sum as a RUNNING sum over descending rank: the
+      // [currentRow, unboundedFollowing) frame looks identical but
+      // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
+      // whole tail PER ROW — O(n²) per probe partition, measured as a
+      // 72-CPU-minute-per-task wall at the sf10 sweep's 200k-row
+      // partitions. The reversed unboundedPreceding frame is the O(n)
+      // streaming form; both engines accumulate in the same i-descending
+      // order, and all three fixture-tier hashes are unchanged.
       .withColumn("s", sum(col("ci")).over(
-        Window.partitionBy(col("pid")).orderBy(asc("i"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        Window.partitionBy(col("pid")).orderBy(desc("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val value = contrib.groupBy(col("tid"), col("tlabel"))
       .agg(count(lit(1)).cast("long").as("n_probes"),
         round(avg(col("s")), 6).as("mean_shapley"))
