@@ -3,7 +3,8 @@
 records (r11 verdict item 5): wall seconds, spill, shuffle — one decade
 above the bench tier — plus the per-leg outliers worth a finding.
 
-Usage: python3 scripts/sf10_table.py /tmp/sf10_all.log
+Usage: python3 scripts/sf10_table.py <sweep.log> [more.log ...]
+Later files win per leg (a clean re-measure supersedes an earlier error).
 """
 import json
 import re
@@ -13,18 +14,20 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 from scaling import family_map  # noqa: E402
 
 
-def main(path):
+def main(*paths):
     fams = family_map()
-    rows, errors = [], []
-    for line in open(path):
-        line = line.strip()
-        if not line.startswith('{"leg"'):
-            continue
-        d = json.loads(line)
-        if "error" in d:
-            errors.append(d)
-        else:
-            rows.append(d)
+    byleg = {}
+    for path in paths:
+        for line in open(path):
+            line = line.strip()
+            if line.startswith('{"leg"'):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                byleg[d["leg"]] = d
+    rows = [d for d in byleg.values() if "error" not in d]
+    errors = [d for d in byleg.values() if "error" in d]
     agg = {}
     for r in rows:
         leg = r["leg"]
@@ -59,4 +62,4 @@ def main(path):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(*sys.argv[1:])

@@ -1200,10 +1200,11 @@ object Behavior {
     * cross-correlation — correlation says the series co-move, this
     * says whose past adds information about whose future.
     *
-    * Determinism: all 9 raw moments are exact int64 sums of cents
-    * products; the centered M·· = m·S·· − S·S· are exact int64; every
-    * float after that (determinant, betas, RSSs, F) is one of the
-    * shared-text expressions above — identical IEEE evaluation in
+    * Determinism: the linear moments are exact int64 sums; product
+    * moments and the centered M·· = m·S·· − S·S· are exact
+    * DECIMAL(38,0)/HUGEINT (r12: a single x² of an sf10-scale day tops
+    * 2⁶³); every float after that (determinant, betas, RSSs, F) is one
+    * of the shared-text expressions above — identical IEEE evaluation in
     * both engines — and beta/F are rounded once at emit. Verdicts
     * compare the ROUNDED F against the declared 4.22 cut (the
     * F(1,26) 5% point for this registry's 30-day spine; χ²₁ 3.84
@@ -1230,22 +1231,26 @@ object Behavior {
     val sums = eff.join(cse, Seq("day"))
       .filter(col("cause") =!= col("effect"))
       .groupBy(col("cause"), col("effect"))
+      // product moments + centered M·· in DECIMAL(38,0)/HUGEINT (r12
+      // sf10 sweep: a single x² of a 3·10⁹-cent day tops 2⁶³ and the
+      // int64 form threw under ANSI); every downstream float already
+      // CASTs to DOUBLE, so the shared expression texts are unchanged.
       .agg(count(lit(1)).cast("long").as("m"),
         sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
         sum(col("x2")).as("s2"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x1").cast("decimal(38,0)") * col("x1")).as("s11"),
+        sum(col("x2").cast("decimal(38,0)") * col("x2")).as("s22"),
+        sum(col("x1").cast("decimal(38,0)") * col("x2")).as("s12"),
+        sum(col("x1").cast("decimal(38,0)") * col("y")).as("s1y"),
+        sum(col("x2").cast("decimal(38,0)") * col("y")).as("s2y"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
     sums
-      .withColumn("m11", expr("m * s11 - s1 * s1"))
-      .withColumn("m22", expr("m * s22 - s2 * s2"))
-      .withColumn("m12", expr("m * s12 - s1 * s2"))
-      .withColumn("m1y", expr("m * s1y - s1 * sy"))
-      .withColumn("m2y", expr("m * s2y - s2 * sy"))
-      .withColumn("myy", expr("m * syy - sy * sy"))
+      .withColumn("m11", expr("CAST(m AS DECIMAL(38,0)) * s11 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("m22", expr("CAST(m AS DECIMAL(38,0)) * s22 - CAST(s2 AS DECIMAL(38,0)) * s2"))
+      .withColumn("m12", expr("CAST(m AS DECIMAL(38,0)) * s12 - CAST(s1 AS DECIMAL(38,0)) * s2"))
+      .withColumn("m1y", expr("CAST(m AS DECIMAL(38,0)) * s1y - CAST(s1 AS DECIMAL(38,0)) * sy"))
+      .withColumn("m2y", expr("CAST(m AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * sy"))
+      .withColumn("myy", expr("CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
       .withColumn("dd", expr(q298Dd))
       .withColumn("rss_r",
         expr(s"CASE WHEN m11 > 0 THEN $q298RssR END"))
@@ -1279,19 +1284,22 @@ object Behavior {
        |  SELECT c.cause, e.effect, CAST(COUNT(*) AS BIGINT) AS m,
        |    CAST(SUM(e.y) AS BIGINT) AS sy, CAST(SUM(e.x1) AS BIGINT) AS s1,
        |    CAST(SUM(c.x2) AS BIGINT) AS s2,
-       |    CAST(SUM(e.x1 * e.x1) AS BIGINT) AS s11,
-       |    CAST(SUM(c.x2 * c.x2) AS BIGINT) AS s22,
-       |    CAST(SUM(e.x1 * c.x2) AS BIGINT) AS s12,
-       |    CAST(SUM(e.x1 * e.y) AS BIGINT) AS s1y,
-       |    CAST(SUM(c.x2 * e.y) AS BIGINT) AS s2y,
-       |    CAST(SUM(e.y * e.y) AS BIGINT) AS syy
+       |    CAST(SUM(CAST(e.x1 AS HUGEINT) * e.x1) AS HUGEINT) AS s11,
+       |    CAST(SUM(CAST(c.x2 AS HUGEINT) * c.x2) AS HUGEINT) AS s22,
+       |    CAST(SUM(CAST(e.x1 AS HUGEINT) * c.x2) AS HUGEINT) AS s12,
+       |    CAST(SUM(CAST(e.x1 AS HUGEINT) * e.y) AS HUGEINT) AS s1y,
+       |    CAST(SUM(CAST(c.x2 AS HUGEINT) * e.y) AS HUGEINT) AS s2y,
+       |    CAST(SUM(CAST(e.y AS HUGEINT) * e.y) AS HUGEINT) AS syy
        |  FROM eff e JOIN cse c ON c.day = e.day AND c.cause <> e.effect
        |  GROUP BY 1, 2),
        |cen AS (
        |  SELECT cause, effect, m,
-       |    m * s11 - s1 * s1 AS m11, m * s22 - s2 * s2 AS m22,
-       |    m * s12 - s1 * s2 AS m12, m * s1y - s1 * sy AS m1y,
-       |    m * s2y - s2 * sy AS m2y, m * syy - sy * sy AS myy
+       |    CAST(m AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS m11,
+       |    CAST(m AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS m22,
+       |    CAST(m AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2 AS m12,
+       |    CAST(m AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS m1y,
+       |    CAST(m AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy AS m2y,
+       |    CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS myy
        |  FROM sums),
        |dets AS (SELECT *, $q298Dd AS dd FROM cen),
        |fits AS (

@@ -1111,9 +1111,13 @@ object Profiling {
         sum(col("x")).cast("long").as("sx"),
         sum(col("y")).cast("long").as("sy"),
         sum(col("x") * col("y")).cast("long").as("sxy"))
+      // sign cross-products in DECIMAL(38,0)/HUGEINT (r12 sf10 sweep:
+      // nn·txy ≈ 1.8·10¹⁹ tops 2⁶³ at 60M-row strata and the int64 form
+      // threw under ANSI); only SIGNS leave this stage, so no output
+      // type changes
       .withColumn("sg", expr(
-        "CASE WHEN n * sxy - sx * sy > 0 THEN 1 " +
-          "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"))
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1 " +
+          "WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1 ELSE 0 END"))
     cells.agg(
         sum(col("n")).cast("long").as("nn"),
         sum(col("sx")).cast("long").as("tx"),
@@ -1124,8 +1128,8 @@ object Profiling {
         sum(when(col("sg") === -1, 1L).otherwise(0L)).cast("long").as("n_neg"),
         sum(when(col("sg") === 0, 1L).otherwise(0L)).cast("long").as("n_zero"))
       .select(lit(screen).as("screen"), col("nn").as("n_rows"),
-        expr("CAST(CASE WHEN nn * txy - tx * ty > 0 THEN 1 " +
-          "WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END AS BIGINT)")
+        expr("CAST(CASE WHEN CAST(nn AS DECIMAL(38,0)) * txy - CAST(tx AS DECIMAL(38,0)) * ty > 0 THEN 1 " +
+          "WHEN CAST(nn AS DECIMAL(38,0)) * txy - CAST(tx AS DECIMAL(38,0)) * ty < 0 THEN -1 ELSE 0 END AS BIGINT)")
           .as("overall_sign"),
         col("n_groups"), col("n_pos"), col("n_neg"), col("n_zero"))
       .withColumn("verdict", expr(
@@ -1186,8 +1190,8 @@ object Profiling {
          |    CAST(SUM(x * y) AS BIGINT) AS sxy
          |  FROM $cellsFrom GROUP BY 1),
          |sg AS (
-         |  SELECT *, CASE WHEN n * sxy - sx * sy > 0 THEN 1
-         |    WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS sg
+         |  SELECT *, CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+         |    WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1 ELSE 0 END AS sg
          |  FROM cells),
          |roll AS (
          |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sx) AS BIGINT) AS tx,
@@ -1198,15 +1202,15 @@ object Profiling {
          |    CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
          |  FROM sg)
          |SELECT '$name' AS screen, nn AS n_rows,
-         |  CAST(CASE WHEN nn * txy - tx * ty > 0 THEN 1
-         |    WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END AS BIGINT)
+         |  CAST(CASE WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty > 0 THEN 1
+         |    WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty < 0 THEN -1 ELSE 0 END AS BIGINT)
          |    AS overall_sign,
          |  n_groups, n_pos, n_neg, n_zero,
-         |  CASE WHEN (CASE WHEN nn * txy - tx * ty > 0 THEN 1
-         |      WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END) = 1
+         |  CASE WHEN (CASE WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty > 0 THEN 1
+         |      WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty < 0 THEN -1 ELSE 0 END) = 1
          |      AND n_pos = 0 AND n_neg > 0 THEN 'paradox'
-         |    WHEN (CASE WHEN nn * txy - tx * ty > 0 THEN 1
-         |      WHEN nn * txy - tx * ty < 0 THEN -1 ELSE 0 END) = -1
+         |    WHEN (CASE WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty > 0 THEN 1
+         |      WHEN CAST(nn AS HUGEINT) * txy - CAST(tx AS HUGEINT) * ty < 0 THEN -1 ELSE 0 END) = -1
          |      AND n_neg = 0 AND n_pos > 0 THEN 'paradox'
          |    WHEN n_pos > 0 AND n_neg > 0 THEN 'mixed'
          |    ELSE 'consistent' END AS verdict
