@@ -1317,25 +1317,32 @@ object Trend {
             .cast("long").as("a1"))
       cur = paired.select(col("event_type"), col("parent").as("d"),
         (col("a0") + col("a1")).as("a")).localCheckpoint()
+      // detail energies in DECIMAL(38,0)/HUGEINT (r12 sf10 sweep: a
+      // squared coarse-level coefficient of 3·10⁹-cent days tops 2⁶³);
+      // the BIGINT ssq output degrades to NULL symmetrically via
+      // try_cast (the Q339 discipline), shares compute on the decimals.
       paired.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_coeffs"),
-          sum((col("a0") - col("a1")) * (col("a0") - col("a1")))
-            .cast("long").as("ssq"))
+          sum((col("a0") - col("a1")).cast("decimal(38,0)") *
+            (col("a0") - col("a1")))
+            .cast("decimal(38,0)").as("ssqd"))
         .select(col("event_type"), lit(lvl).cast("long").as("level"),
-          col("n_coeffs"), col("ssq"))
+          col("n_coeffs"), col("ssqd"))
     }
     val all = levels.reduce(_ unionAll _)
     val wAll = Window.partitionBy(col("event_type"))
     all
       .withColumn("esc", expr(
-        "ssq * CAST(POWER(4, 5 - level) AS BIGINT)"))
+        "ssqd * CAST(POWER(4, 5 - level) AS BIGINT)"))
       .withColumn("tot", sum(col("esc")).over(wAll))
       .withColumn("mx", max(col("esc")).over(wAll))
-      .select(col("event_type"), col("level"), col("n_coeffs"), col("ssq"),
-        expr("ROUND(CAST(ssq AS DOUBLE) / POWER(4, level), 4)")
+      .select(col("event_type"), col("level"), col("n_coeffs"),
+        expr("TRY_CAST(ssqd AS BIGINT)").as("ssq"),
+        expr("ROUND(CAST(ssqd AS DOUBLE) / POWER(4, level), 4)")
           .as("energy"),
         expr("CASE WHEN tot > 0 THEN " +
-          "ROUND(CAST(esc AS DOUBLE) / tot, 4) END").as("energy_share"),
+          "ROUND(CAST(esc AS DOUBLE) / CAST(tot AS DOUBLE), 4) END")
+          .as("energy_share"),
         expr("CASE WHEN esc = mx AND tot > 0 THEN 1 ELSE 0 END")
           .cast("long").as("is_dominant"))
       .orderBy(asc_nulls_first("event_type"), asc("level"))
@@ -1364,7 +1371,7 @@ object Trend {
        |stats AS (
        |  SELECT event_type, lv AS level,
        |    CAST(COUNT(*) AS BIGINT) AS n_coeffs,
-       |    CAST(SUM((a0 - a1) * (a0 - a1)) AS BIGINT) AS ssq
+       |    CAST(SUM(CAST(a0 - a1 AS HUGEINT) * (a0 - a1)) AS HUGEINT) AS ssq
        |  FROM (
        |    SELECT event_type, CAST(1 AS BIGINT) AS lv, a0, a1 FROM p1
        |    UNION ALL
@@ -1379,13 +1386,13 @@ object Trend {
        |scaled AS (
        |  SELECT *, ssq * CAST(POWER(4, 5 - level) AS BIGINT) AS esc,
        |    CAST(SUM(ssq * CAST(POWER(4, 5 - level) AS BIGINT))
-       |      OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+       |      OVER (PARTITION BY event_type) AS HUGEINT) AS tot,
        |    CAST(MAX(ssq * CAST(POWER(4, 5 - level) AS BIGINT))
-       |      OVER (PARTITION BY event_type) AS BIGINT) AS mx
+       |      OVER (PARTITION BY event_type) AS HUGEINT) AS mx
        |  FROM stats)
-       |SELECT event_type, level, n_coeffs, ssq,
+       |SELECT event_type, level, n_coeffs, TRY_CAST(ssq AS BIGINT) AS ssq,
        |  ROUND(CAST(ssq AS DOUBLE) / POWER(4, level), 4) AS energy,
-       |  CASE WHEN tot > 0 THEN ROUND(CAST(esc AS DOUBLE) / tot, 4) END
+       |  CASE WHEN tot > 0 THEN ROUND(CAST(esc AS DOUBLE) / CAST(tot AS DOUBLE), 4) END
        |    AS energy_share,
        |  CAST(CASE WHEN esc = mx AND tot > 0 THEN 1 ELSE 0 END AS BIGINT)
        |    AS is_dominant
