@@ -6,12 +6,24 @@ above the bench tier — plus the per-leg outliers worth a finding.
 Usage: python3 scripts/sf10_table.py <sweep.log> [more.log ...]
 Later files win per leg (a clean re-measure supersedes an earlier error).
 """
+import glob
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from scaling import family_map  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def family_map():
+    """Same parse as scaling.py's (which cannot be imported — it runs
+    main() at module load): '"Qnn" ->' registrations per operator file."""
+    fams = {}
+    for path in sorted(glob.glob(f"{REPO}/src/main/scala/graft/operators/*.scala")):
+        fam = os.path.basename(path)[:-len(".scala")]
+        for q in re.findall(r'"(Q[0-9]+b?)"\s*->', open(path).read()):
+            fams[q] = fam
+    return fams
 
 
 def main(*paths):
