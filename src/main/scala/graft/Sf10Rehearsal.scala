@@ -105,6 +105,8 @@ object Sf10Rehearsal {
         operators.Derived.rebuildLpaLabels(spark, dir) }
       case "neardup_build" => leg("neardup_build") {
         operators.Derived.rebuildNearDupClusters(spark, dir) }
+      case "fastss_build" => leg("fastss_build") {
+        operators.Derived.rebuildFastssSignatures(spark, dir, 2) }
       case q => leg(q) {
         SparkEntry.queries(q)(spark, dir)
           .write.mode("overwrite").format("noop").save()

@@ -330,6 +330,65 @@ object Derived {
     dailyCentsGrid(spark, dir)
   }
 
+  /** Get-or-build the FastSS deletion-signature artifact over part
+    * names: (p_brand, p_partkey, sig) with sig ranging over each name's
+    * ≤k-deletion neighborhood hashes, BUCKETED by sig (32 buckets,
+    * sorted by sig, p_partkey). The r12 sf10 sweep measured Q126's
+    * in-memory signature self-join inadmissible at combinatorial-name
+    * scale (2M names × ~466 variants ≈ 10⁹ rows OOMed a 48 GB heap —
+    * SCALE.md finding 3); served from this artifact, BOTH sides of the
+    * candidate self-join read the same bucketed, sig-sorted layout, so
+    * the join runs bucket-co-located with NO exchange and NO hash-table
+    * build — a streaming sort-merge over disk-sorted runs whose memory
+    * is bounded by the largest single-signature group, not the
+    * relation. The k parameter is part of the artifact key: k = 2 is
+    * the declared gate semantics; k = 1 (~L variants/name instead of
+    * ~L²/2) is the probe-gated fallback one more decade up, which
+    * keeps d ≤ 1 recall complete but finds only the d = 2 pairs that
+    * share a 1-deletion variant — a documented recall trade, the Q334
+    * sampled-twin discipline.
+    */
+  def fastssSignatures(spark: SparkSession, dir: String, k: Int): DataFrame = synchronized {
+    val key = datasetKeyFor(spark, dir, "part")
+    val table = s"graft_fastss_k${k}_$key"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val loc = s"${baseDir(spark)}/fastss_k${k}_$key"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      spark.sql(
+        s"""CREATE TABLE $table (p_brand STRING, p_partkey BIGINT, sig BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (sig) SORTED BY (sig, p_partkey) INTO 32 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      return spark.table(table)
+    }
+    graft.Catalog(spark, dir).part
+      .select(col("p_brand"), col("p_partkey"),
+        explode(array_distinct(expr(s"graft_deletion_hashes(p_name, $k)")))
+          .as("sig"))
+      // One shuffle on the bucket key so each bucket lands as one
+      // sorted file; the writer's per-task sort is then exactly the
+      // bucket's rows (external, spillable) instead of a per-task
+      // re-sort of a mixed-bucket partition.
+      .repartition(32, col("sig"))
+      .write.mode("overwrite")
+      .bucketBy(32, "sig").sortBy("sig", "p_partkey")
+      .option("path", loc)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Forced fresh rebuild of the FastSS signature artifact (sweep leg). */
+  def rebuildFastssSignatures(spark: SparkSession, dir: String, k: Int): DataFrame = synchronized {
+    val key = datasetKeyFor(spark, dir, "part")
+    val table = s"graft_fastss_k${k}_$key"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(s"${baseDir(spark)}/fastss_k${k}_$key")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    fastssSignatures(spark, dir, k)
+  }
+
   /** Forced fresh rebuild of the near-dup artifacts for the bench. */
   def rebuildNearDupClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "documents")

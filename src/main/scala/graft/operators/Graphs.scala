@@ -128,29 +128,30 @@ object Graphs {
   def q278(spark: SparkSession, dir: String): DataFrame = {
     val e = Derived.coOrderPairCounts(spark, dir)
       .select(col("a"), col("b")).localCheckpoint()
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // Loop state is the SHRINKING live undirected edge relation, not
+    // the full graph (r13, VERDICT r12 item 9): r12's form re-joined
+    // the ORIGINAL |E| every round — O(13·|E|) even after the graph
+    // had collapsed to its core (321 s at sf10). Peeling the edge set
+    // itself (filter both endpoints alive, checkpoint, iterate) makes
+    // each round's join and degree pass proportional to what is STILL
+    // ALIVE, the per-round shuffle decay ScaleHygieneSpec asserts.
+    // Degrees over live edges ≡ degrees of the alive-restricted graph,
+    // and the live count is 2·n_edges_alive — same 13-row profile.
+    var live = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var alive = und.select(col("a").as("node")).distinct().localCheckpoint()
-    def edgesAlive(al: DataFrame): Long =
-      e.join(al.select(col("node").as("a")), Seq("a"))
-        .join(al.select(col("node").as("b")), Seq("b"))
-        .count()
+    var nA = live.select(col("a")).distinct().count()
+    var nE = live.count() / 2
     // The per-round profile is 13 bounded scalars — driver state of the
     // BFS-frontier class, not a data collect. Peeling is MONOTONE
     // (alive_{r+1} ⊆ alive_r), so an unchanged COUNT proves an
     // unchanged SET and every later round is identical — short-circuit
-    // instead of paying |E| per post-fixpoint round (the declared
-    // 13-row output is unchanged; this cut the sf0.1 leg 13.7 s → the
-    // rounds-to-stable cost only).
-    var nA = alive.count()
-    var nE = edgesAlive(alive)
+    // instead of paying the live relation per post-fixpoint round (the
+    // declared 13-row output is unchanged).
     val prof = scala.collection.mutable.ArrayBuffer((0L, nA, nE))
     var stable = false
     for (r <- 1 to 12) {
       if (!stable) {
-        val next = und
-          .join(alive.select(col("node").as("a")), Seq("a"))
-          .join(alive.select(col("node").as("b")), Seq("b"))
+        val next = live
           .groupBy(col("a").as("node"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3)
@@ -158,7 +159,14 @@ object Graphs {
           .localCheckpoint()
         val nNext = next.count()
         if (nNext == nA) stable = true
-        else { alive = next; nA = nNext; nE = edgesAlive(alive) }
+        else {
+          live = live
+            .join(next.select(col("node").as("a")), Seq("a"))
+            .join(next.select(col("node").as("b")), Seq("b"))
+            .localCheckpoint()
+          nA = nNext
+          nE = live.count() / 2
+        }
       }
       prof += ((r.toLong, nA, nE))
     }
@@ -278,10 +286,23 @@ object Graphs {
     // The inner checkpoint matters too: degreeEdges references its input
     // four times (both union legs, the degree agg, the join).
     val e = degreeEdges(edges.localCheckpoint()).localCheckpoint()
-    var pr = e.select(col("src")).distinct().withColumn("pr", lit(1.0))
+    val nodes = e.select(col("src")).distinct().localCheckpoint()
+    // Rank-side broadcast fence (r13, VERDICT r12 item 9): the rank
+    // relation is one row per NODE — orders of magnitude smaller than
+    // the edge relation it joins (2M vs 90M on the sf10 co-order
+    // graph). Below ~64 MB built, broadcasting it turns every
+    // iteration into a map-side join + partial-agg over the
+    // checkpointed edges (zero edge-relation shuffle; only the
+    // combined per-dst partials exchange). Past the fence — web-scale
+    // node sets — the shuffle join with the once-partitioned edge
+    // layout is the cluster shape, unchanged.
+    val nNodes = nodes.count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= 4L * 1000 * 1000) broadcast(_) else identity
+    var pr = nodes.withColumn("pr", lit(1.0))
     var i = 0
     while (i < iters) {
-      pr = e.join(pr, Seq("src"))
+      pr = e.join(hint(pr), Seq("src"))
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
         .select(col("dst").as("src"), col("pr"))
@@ -852,8 +873,11 @@ object Graphs {
       |LIMIT 30""".stripMargin
 
   /** Q334 — DOULION edge-sampled triangle estimation (Tsourakakis, Kang,
-    * Miller, Faloutsos, KDD 2009) of the co-order graph at three declared
-    * sampling rates p ∈ {1/8, 1/4, 1/2}: the approximate scale twin the
+    * Miller, Faloutsos, KDD 2009) of the co-order graph at a nested
+    * three-rate ladder p ∈ {1, 2, 4}/den, where den = 2^(s+2) is
+    * DERIVED from the measured wedge mass (s = smallest shift with
+    * W·4⁻ˢ inside the wedge budget; den = 8 ⇒ the declared
+    * {1/8, 1/4, 1/2} at every fixture tier): the approximate scale twin the
     * exact enumeration gates need at 100 TB the way Q35 has Q160 and Q50
     * has Q198 (r11 verdict item 3) — the sf10 rehearsal measured the
     * exact wedge mass at 75 GB spill (Q103) and an 8 GB OOM (Q145);
@@ -884,9 +908,6 @@ object Graphs {
     * fixture-scale contract.
     */
   def q334(spark: SparkSession, dir: String): DataFrame = {
-    val hv8 = "(" + NearDup.hexValueExpr(
-      "md5('doulion:' || CAST(a AS STRING) || ':' || CAST(b AS STRING))") +
-      ") % 8"
     // Deliberately NOT checkpointed: the md5 tag is row-local codegen
     // over the bucketed artifact scan, so each rate's filter pass costs
     // one cheap linear read — pinning the full 100 TB-scale tagged edge
@@ -896,7 +917,6 @@ object Graphs {
     // memory; unpinned, the same legs run clean).
     val edges = Derived.coOrderPairCounts(spark, dir)
       .select(col("a"), col("b"))
-      .withColumn("hv8", expr(hv8))
     val nEdges = edges.count()
     val wedges = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
@@ -904,11 +924,27 @@ object Graphs {
       .agg(coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L))
         .cast("long"))
       .first().getLong(0)
+    // Rate ladder derived from the measured wedge mass (r13, VERDICT
+    // r12 item 8): the heaviest leg samples at p = 2^-s with s the
+    // smallest shift ≥ 1 keeping its p²-scaled wedge mass W >> 2s
+    // inside [[DoulionWedgeBudget]] — pure-integer, mirrored verbatim
+    // by the oracle's range-scan MIN, and s = 1 (den = 8, the declared
+    // {1/8, 1/4, 1/2} ladder) at every fixture tier so golden hashes
+    // stand. r12's FIXED den = 8 made the p = 1/2 leg spill 29 GB at
+    // sf10; the derived shift scales p down exactly as fast as the
+    // wedge mass grows.
+    val shift = (1 to 30)
+      .find(s => (wedges >> (2 * s)) <= DoulionWedgeBudget).getOrElse(30)
+    val den = 1L << (shift + 2)
+    val hvd = "(" + NearDup.hexValueExpr(
+      "md5('doulion:' || CAST(a AS STRING) || ':' || CAST(b AS STRING))") +
+      s") % $den"
+    val tagged = edges.withColumn("hvd", expr(hvd))
     val measured = Seq(1L, 2L, 4L).map { num =>
-      val kept = edges.filter(col("hv8") < num).select(col("a"), col("b"))
+      val kept = tagged.filter(col("hvd") < num).select(col("a"), col("b"))
       val keptEdges = kept.count()
       val triSampled = triangleCorners(kept).count() / 3
-      (num, 8L, nEdges, keptEdges, triSampled)
+      (num, den, nEdges, keptEdges, triSampled)
     }
     import spark.implicits._
     measured
@@ -921,26 +957,40 @@ object Graphs {
       .orderBy(asc("num"))
   }
 
+  /** Wedge mass the HEAVIEST DOULION leg may enumerate: 2·10⁹ wedges
+    * ≈ the measured seconds-cheap band of the oriented enumeration on
+    * 32 threads and a rounding-error share of a 1000-executor cluster;
+    * the sampled mass decays 4× per derived shift step, so the budget
+    * fences cost while the p⁻³ variance growth stays logarithmic in W.
+    */
+  private[operators] val DoulionWedgeBudget = 2L * 1000 * 1000 * 1000
+
   val q334Oracle: String = {
-    val hv8 = "(" + NearDup.hexValueExpr(
+    val hv = "(" + NearDup.hexValueExpr(
       "md5('doulion:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))") +
-      ") % 8"
+      ")"
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |capped AS (
        |  SELECT ok, pk FROM (
        |    SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
        |    FROM op) WHERE rn <= 1000),
        |e AS MATERIALIZED (
-       |  SELECT a, b, ($hv8) AS hv8
-       |  FROM (SELECT DISTINCT c1.pk AS a, c2.pk AS b
-       |        FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk)),
+       |  SELECT DISTINCT c1.pk AS a, c2.pk AS b
+       |  FROM capped c1 JOIN capped c2 ON c1.ok = c2.ok AND c1.pk < c2.pk),
        |deg AS (SELECT node, COUNT(*) AS deg FROM (
        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
        |w AS (SELECT CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT)
        |      AS wedges FROM deg),
+       |-- Wedge-budget-derived rate denominator (r13): the IDENTICAL
+       |-- pure-integer shift search the engine runs on its wedge scalar.
+       |dn AS (SELECT CAST(1 AS BIGINT) << ((
+       |  SELECT MIN(t.s) FROM range(1, 31) t(s), w
+       |  WHERE (w.wedges >> (2 * t.s)) <= 2000000000) + 2) AS den),
+       |tagged AS MATERIALIZED (
+       |  SELECT a, b, ($hv) % (SELECT den FROM dn) AS hvd FROM e),
        |rates AS (SELECT UNNEST([1, 2, 4]) AS num),
        |kept AS MATERIALIZED (
-       |  SELECT r.num, e.a, e.b FROM e JOIN rates r ON e.hv8 < r.num),
+       |  SELECT r.num, t.a, t.b FROM tagged t JOIN rates r ON t.hvd < r.num),
        |ke AS (SELECT num, CAST(COUNT(*) AS BIGINT) AS kept_edges
        |       FROM kept GROUP BY 1),
        |tri AS (
@@ -949,15 +999,18 @@ object Graphs {
        |  JOIN kept k2 ON k2.num = k1.num AND k2.a = k1.b
        |  JOIN kept k3 ON k3.num = k1.num AND k3.a = k1.a AND k3.b = k2.b
        |  GROUP BY 1)
-       |SELECT CAST(r.num AS BIGINT) AS num, CAST(8 AS BIGINT) AS den,
+       |SELECT CAST(r.num AS BIGINT) AS num,
+       |  (SELECT den FROM dn) AS den,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
        |  COALESCE(ke.kept_edges, 0) AS kept_edges,
        |  COALESCE(tri.t, 0) AS tri_sampled,
-       |  COALESCE(tri.t, 0) * CAST((8 // r.num) * (8 // r.num) * (8 // r.num)
-       |    AS BIGINT) AS est_triangles,
+       |  COALESCE(tri.t, 0) * CAST(((SELECT den FROM dn) // r.num)
+       |    * ((SELECT den FROM dn) // r.num)
+       |    * ((SELECT den FROM dn) // r.num) AS BIGINT) AS est_triangles,
        |  (SELECT wedges FROM w) AS wedges,
-       |  ROUND(CAST(3 * COALESCE(tri.t, 0) * (8 // r.num) * (8 // r.num)
-       |      * (8 // r.num) AS DOUBLE)
+       |  ROUND(CAST(3 * COALESCE(tri.t, 0) * ((SELECT den FROM dn) // r.num)
+       |      * ((SELECT den FROM dn) // r.num) * ((SELECT den FROM dn) // r.num)
+       |      AS DOUBLE)
        |    / CAST((SELECT wedges FROM w) AS DOUBLE), 6) AS est_global_cc
        |FROM rates r
        |LEFT JOIN ke ON ke.num = r.num

@@ -748,26 +748,68 @@ object NearDup {
     * ed ≤ 2 shares a variant) plus verify-on-candidate makes the
     * rewrite exact: the golden hash is unchanged from the blocked
     * all-pairs form, which the oracle still runs.
+    *
+    * r13 (SCALE.md finding 3): the signature relation is PRICED before
+    * it is materialized — past [[FastssDirectBudget]] it is served from
+    * the sig-bucketed [[Derived.fastssSignatures]] artifact and the
+    * candidate self-join runs bucket-co-located (streaming sort-merge
+    * over disk-sorted runs, memory bounded by the hottest single
+    * signature); past [[FastssK2Budget]] the neighborhood depth drops
+    * to k = 1 with the documented d = 2 recall trade.
     */
   def q126(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val p = c.part.select(col("p_brand"), col("p_partkey"), col("p_name"))
       .localCheckpoint()
-    // Deliberately NOT checkpointed (r12 sf10 sweep): 2M combinatorial
-    // names × ~466 deletion variants ≈ 10⁹ signature rows — pinning that
-    // in the block manager starved execution memory at 48 GB. Unpinned,
-    // the self-join's two sides share one shuffle via ReusedExchange and
-    // the codegen'd variant expansion re-runs at scan speed.
-    val sigs = p.select(col("p_brand"), col("p_partkey"),
-        explode(array_distinct(expr("graft_deletion_hashes(p_name, 2)")))
-          .as("sig"))
-    val cands = sigs
-      .join(sigs.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
-          col("sig").as("sb")),
-        col("bb") === col("p_brand") && col("sb") === col("sig") &&
-          col("kb") > col("p_partkey"))
-      .select(col("p_brand"), col("p_partkey"), col("kb"))
-      .distinct()
+    // Admissibility probe (one long to the driver, the TextOps
+    // discipline): the distinct ≤2-deletion neighborhood of a length-L
+    // name is at most 1 + L + L(L−1)/2 variants, so the summed bound
+    // prices the signature relation BEFORE materializing it. Fixture
+    // tiers stay far under the direct budget (20k names ≈ 10⁷ rows),
+    // so fixture plans and golden hashes are untouched.
+    val sigMass = Option(p.agg(sum(expr(
+        "1L + CAST(length(p_name) AS BIGINT) + " +
+          "CAST(length(p_name) AS BIGINT) * " +
+          "(CAST(length(p_name) AS BIGINT) - 1L) DIV 2")))
+      .first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val cands =
+      if (sigMass <= FastssDirectBudget) {
+        // Deliberately NOT checkpointed (r12 sf10 sweep): pinning the
+        // signature relation starved execution memory at 48 GB.
+        // Unpinned, the self-join's two sides share one shuffle via
+        // ReusedExchange and the codegen'd variant expansion re-runs at
+        // scan speed.
+        val sigs = p.select(col("p_brand"), col("p_partkey"),
+            explode(array_distinct(expr("graft_deletion_hashes(p_name, 2)")))
+              .as("sig"))
+        sigs
+          .join(sigs.select(col("p_brand").as("bb"), col("p_partkey").as("kb"),
+              col("sig").as("sb")),
+            col("bb") === col("p_brand") && col("sb") === col("sig") &&
+              col("kb") > col("p_partkey"))
+          .select(col("p_brand"), col("p_partkey"), col("kb"))
+          .distinct()
+      } else {
+        // Past the direct budget (r13, SCALE.md finding 3): serve the
+        // signature relation from the BUCKETED Derived artifact and
+        // self-join it bucket-co-located — no exchange, no hash build,
+        // a streaming merge over sig-sorted disk runs. One more decade
+        // up the probe drops the neighborhood depth to k = 1 (~L
+        // variants/name): d ≤ 1 recall stays complete, d = 2 keeps
+        // only the pairs sharing a 1-deletion variant — the documented
+        // recall trade.
+        val k = if (sigMass <= FastssK2Budget) 2 else 1
+        val art = Derived.fastssSignatures(spark, dir, k)
+        art.as("sa")
+          .join(art.as("sb"),
+            col("sb.sig") === col("sa.sig") &&
+              col("sb.p_brand") === col("sa.p_brand") &&
+              col("sb.p_partkey") > col("sa.p_partkey"))
+          .select(col("sa.p_brand").as("p_brand"),
+            col("sa.p_partkey").as("p_partkey"),
+            col("sb.p_partkey").as("kb"))
+          .distinct()
+      }
     cands
       .join(p.select(col("p_partkey"), col("p_name")), Seq("p_partkey"))
       .join(p.select(col("p_partkey").as("kb"), col("p_name").as("nb")),
@@ -780,6 +822,22 @@ object NearDup {
         countDistinct(col("p_partkey")).as("n_lo_parts"))
       .orderBy(asc_nulls_first("p_brand"), asc("d"))
   }
+
+  /** Signature rows the in-memory FastSS self-join may materialize
+    * before Q126 switches to the bucketed Derived artifact: 2·10⁸ rows
+    * (~5 GB of exploded relation, re-derived on both join sides at scan
+    * speed) is comfortable executor work; the r12 sweep measured the
+    * 10⁹-row form OOMing a 48 GB heap.
+    */
+  private[operators] val FastssDirectBudget = 200L * 1000 * 1000
+
+  /** Signature rows the k = 2 ARTIFACT may hold before the neighborhood
+    * depth drops to k = 1 (≈ L variants/name instead of L²/2 — a ~L/2×
+    * mass cut). 2·10¹⁰ rows ≈ the disk-sorted merge a 1000-executor
+    * cluster absorbs per the 1.5 GB/core rule; past it the d = 2 recall
+    * trade is the lesser evil.
+    */
+  private[operators] val FastssK2Budget = 20L * 1000 * 1000 * 1000
 
   val q126Oracle: String =
     """SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d,
@@ -1093,26 +1151,74 @@ object NearDup {
     * Scale notes: same candidate-bounded discovery as Q49 (df ≥ 2
     * pruning drops every unshared shingle) MINUS the Jaccard length
     * filter, which is exactly what must go: it prunes asymmetric pairs.
-    * The residual risk is high-df boilerplate shingles fanning out the
-    * join; at 100 TB cap df at the boilerplate bound (the Q80
-    * shared-chunk detector owns that mass) — a threshold-exact prune is
-    * impossible for containment (any shared shingle can certify a
-    * short doc), so the cap is the published containment-join
-    * compromise.
+    * A threshold-exact prune is impossible for containment (any shared
+    * shingle can certify a short doc), so past the direct budget the
+    * gate switches to the published containment-join compromise: a
+    * DF-CAP — candidates must share at least one RARE (df ≤ cap)
+    * shingle, then the TRUE containment of each candidate is verified
+    * over ALL its shingles. Recall semantics, stated: a contained doc
+    * shares every one of its shingles with its container, so any pair
+    * whose short side has ≥ 1 sub-cap shingle is FOUND and scored
+    * exactly; a pair whose every shared shingle is hotter than the cap
+    * — pure boilerplate overlap — is MISSED here by design, because
+    * that mass belongs to the Q80 shared-chunk detector (r12 measured
+    * the uncapped form UNABLE_TO_ACQUIRE_MEMORY at 48 GB on the
+    * 31-word sf10 corpus, where every shingle is common — SCALE.md
+    * finding 4). The cap itself is DATA-DERIVED: one probe aggregation
+    * prices Σ_{2≤df≤D} df² at a cap ladder and the largest admissible
+    * cap wins — fixture tiers stay on the exact path (mass ≪ budget),
+    * so golden hashes are untouched.
     */
   def q189(spark: SparkSession, dir: String): DataFrame = {
     val tok = shingles(Catalog(spark, dir))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val shareable = tok.join(
-      dfreq.filter(col("df") >= 2).select(col("token")), Seq("token"), "leftsemi")
-    val t1 = shareable.join(sizes, Seq("doc_id"))
-      .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
-    val t2 = shareable.join(sizes, Seq("doc_id"))
-      .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
-    t1.join(t2, col("tk1") === col("tk2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
-      .agg(count(lit(1)).as("inter"))
+    // One probe pass prices the exact join AND the cap ladder
+    // (five longs to the driver, the TextOps discipline).
+    val capLadder = Seq(1024L, 256L, 64L, 16L)
+    val probeCols = sum(when(col("df") >= 2, col("df") * col("df"))
+        .otherwise(0L)).as("full") +:
+      capLadder.map(d => sum(when(col("df").between(2L, d),
+        col("df") * col("df")).otherwise(0L)).as(s"m$d"))
+    val probe = dfreq.agg(probeCols.head, probeCols.tail: _*).first()
+    def pl(i: Int): Long =
+      Option(probe.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val scored =
+      if (pl(0) <= ContainmentDirectBudget) {
+        val shareable = tok.join(
+          dfreq.filter(col("df") >= 2).select(col("token")), Seq("token"), "leftsemi")
+        val t1 = shareable.join(sizes, Seq("doc_id"))
+          .select(col("doc_id").as("d1"), col("token").as("tk1"), col("sz").as("sz1"))
+        val t2 = shareable.join(sizes, Seq("doc_id"))
+          .select(col("doc_id").as("d2"), col("token").as("tk2"), col("sz").as("sz2"))
+        t1.join(t2, col("tk1") === col("tk2") && col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        // Df-capped discovery (largest admissible cap from the probe;
+        // the 16 floor is linear-in-corpus mass — distributed work,
+        // never a single-bucket quadratic) + exact verify of the
+        // surviving candidates over the FULL token relation.
+        val cap = capLadder.zipWithIndex
+          .find { case (_, i) => pl(i + 1) <= ContainmentDirectBudget }
+          .map(_._1).getOrElse(capLadder.last)
+        val rare = tok.join(
+          dfreq.filter(col("df").between(2L, cap)).select(col("token")),
+          Seq("token"), "leftsemi")
+        val cand = rare.select(col("doc_id").as("d1"), col("token"))
+          .join(rare.select(col("doc_id").as("d2"), col("token")), Seq("token"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+        cand
+          .join(tok.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
+          .join(tok.select(col("doc_id").as("d2"), col("token")),
+            Seq("d2", "token"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      }
+    scored
       .filter(col("inter") * 5L >= least(col("sz1"), col("sz2")) * 4L)
       .select(col("d1").as("doc_lo"), col("d2").as("doc_hi"),
         col("inter"), least(col("sz1"), col("sz2")).as("min_sz"),
@@ -1120,6 +1226,13 @@ object NearDup {
           least(col("sz1"), col("sz2")).cast("double"), 4).as("containment"))
       .orderBy(asc_nulls_first("doc_lo"), asc_nulls_first("doc_hi"))
   }
+
+  /** Candidate rows Q189's exact containment join may produce before
+    * discovery drops to the df-capped form — the same 2G-row order as
+    * [[TextOps.PrefixJoinBudget]], the measured wall of the 48 GB
+    * local envelope and ~seconds of distributed work at cluster scale.
+    */
+  private[operators] val ContainmentDirectBudget = 2L * 1000 * 1000 * 1000
 
   val q189Oracle: String =
     """WITH tok AS (

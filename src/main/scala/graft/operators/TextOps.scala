@@ -174,8 +174,17 @@ object TextOps {
           prefix.groupBy(col("token")).agg(count(lit(1)).as("pf"))
             .agg(sum(col("pf") * col("pf"))).first().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        if (prefixMass <= PrefixJoinBudget) jaccardPrefixFrom(tok, prefix, threshold)
-        else { prefix.unpersist(); jaccardLsh(tok, threshold) }
+        if (prefixMass <= PrefixJoinBudget) {
+          // Materialize the verified candidates (bounded: surviving
+          // near-dup pairs only) and THEN release the cached prefix
+          // relation — ADVICE r12: the admissible branch previously
+          // left the near-linear prefix blocks pinned for the session,
+          // largest exactly when this branch is reached.
+          val verified =
+            jaccardPrefixFrom(tok, prefix, threshold).localCheckpoint()
+          prefix.unpersist()
+          verified
+        } else { prefix.unpersist(); jaccardLsh(tok, threshold) }
       }
     val j = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
     pairs

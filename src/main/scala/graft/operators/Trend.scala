@@ -1961,12 +1961,16 @@ object Trend {
     * at day d+L over the overlap, plus each pair's lead_rank ordering
     * lags by |r| — rank 1 is the pair's best alignment.
     *
-    * Determinism (the Q125/Q128 discipline): the five moment sums are
-    * exact int64 (linear in the spine); the cross-products
-    * num = m·Σxy − Σx·Σy and both denominators are carried in
-    * DECIMAL(38,0)/HUGEINT (exact to ~10³⁸ — ADVICE r11: the int64
-    * form wrapped silently past m·Σv² ≈ 2⁶³ while the oracle raised,
-    * an asymmetric failure); the only floats are the one SQRT and one
+    * Determinism (the Q125/Q128 discipline): the LINEAR moment sums
+    * (m, Σx, Σy) are exact int64; the PRODUCT sums (Σxy, Σx², Σy²) are
+    * widened to DECIMAL(38,0)/HUGEINT BEFORE the multiply (ADVICE r12:
+    * a single x² tops 2⁶³ at the sf10 sweep's 3·10⁹-cent days — the
+    * r12-measured Q257 fence — so "linear in the spine" never applied
+    * to sums of squares); the cross-products num = m·Σxy − Σx·Σy and
+    * both denominators stay in DECIMAL(38,0)/HUGEINT (exact to ~10³⁸
+    * — ADVICE r11: the int64 form wrapped silently past m·Σv² ≈ 2⁶³
+    * while the oracle raised, an asymmetric failure); the only floats
+    * are the one SQRT and one
     * divide in a fixed textual shape, rounded 6 BEFORE the |r|
     * ranking so rank order cannot straddle a last-ulp difference.
     * The OUTPUT num column stays BIGINT via try_cast in BOTH engines,
@@ -1994,9 +1998,16 @@ object Trend {
         col("bday") === col("day") + col("lag"))
       .groupBy(col("ta"), col("tb"), col("lag"))
       .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("y")).as("sy"),
+        // Widen BEFORE the multiply (the Q257 discipline): a single
+        // x·y tops 2⁶³ at ~3·10⁹-cent days, so the int64 product
+        // throws under ANSI while the oracle's HUGEINT sum returns.
+        sum(col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)").as("syy"))
       .select(col("ta"), col("tb"), col("lag"), col("m"),
         // Cross-products in DECIMAL(38,0) (the Q338 widening, ADVICE r11):
         // the moment sums stay int64 (linear in the spine), but m·Σxy
@@ -2036,16 +2047,19 @@ object Trend {
        |    AND b.day = a.day + l.lag),
        |sums AS (
        |  SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS m,
-       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-       |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
        |  FROM lagged GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT ta, tb, CAST(lag AS BIGINT) AS lag, m,
-       |    TRY_CAST(m*sxy - sx*sy AS BIGINT) AS num,
-       |    CASE WHEN (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0 THEN
-       |      ROUND(CAST(m*sxy - sx*sy AS DOUBLE)
-       |        / SQRT(CAST(m*sxx - sx*sx AS DOUBLE)
-       |               * CAST(m*syy - sy*sy AS DOUBLE)), 6)
+       |    TRY_CAST(m*sxy - CAST(sx AS HUGEINT)*sy AS BIGINT) AS num,
+       |    CASE WHEN (m*sxx - CAST(sx AS HUGEINT)*sx) > 0
+       |          AND (m*syy - CAST(sy AS HUGEINT)*sy) > 0 THEN
+       |      ROUND(CAST(m*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+       |        / SQRT(CAST(m*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+       |               * CAST(m*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)), 6)
        |    END AS ccf
        |  FROM sums)
        |SELECT ta, tb, lag, m, num, ccf,

@@ -484,54 +484,91 @@ object VectorOps {
     * vector quantizes to an exact integer grid (⌊x·2²⁰+0.5⌋ — float32
     * inputs are exact in double, so the grid is engine-independent),
     * projects onto 24 md5-derived ±1 hyperplanes (exact int64 sums),
-    * and the 24 sign bits split into eight 3-bit bands; pairs sharing
+    * and the sign bits split into eight r-bit bands; pairs sharing
     * any band bucket are candidates, verified by the exact-integer
-    * cosine ≥ 0.4. Emits the verified pairs in Q50's shape. Band shape
-    * is tuned to the threshold: at τ = 0.4 (θ ≈ 66°, sign-agreement
-    * p ≈ 0.63) 3-bit bands give ~0.94 measured recall (AnnSpec pins
-    * it); a production near-dup sweep at τ ≥ 0.85 would use the longer
-    * 8-bit bands, where candidates collapse toward true pairs — band
-    * width slides the operator along the SRP recall/cost curve.
+    * cosine ≥ 0.4. Emits the verified pairs in Q50's shape.
     *
-    * Determinism: every projection, band value, dot, and norm is exact
-    * int64 arithmetic; cos is one divide of identical doubles, so even
-    * the ≥ 0.4 fence cannot flip cross-engine. AnnSpec pins recall
-    * against Q50's exhaustive pairs on the shared id range.
+    * Band width is DATA-DERIVED (r13, SCALE.md finding 5): r12's
+    * declared 8×3-bit shape admits only 8 bucket values per band, so
+    * candidate mass was ~n²/8 BY PARAMETER (measured: ~70 GB scratch
+    * disk exhaustion at 200k vectors) regardless of skew. Now
+    * r = max(3, min r : 2^r · 256 ≥ n) — the smallest width that
+    * keeps the UNIFORM expected bucket ≤ 256 vectors — computed from
+    * the corpus count by IDENTICAL pure-integer search in both
+    * engines (the Q340 derived-bound discipline: never a float log
+    * whose last ulp could straddle a ceil). At the fixture tiers
+    * (n = 500 and n = 2000) the search lands exactly on the old
+    * r = 3, so golden hashes and bench-tier plans are byte-identical;
+    * at sf10's 200k vectors r = 10 (1024 buckets/band, within-cluster
+    * recall ≈ 0.86 at the corpus's cos ≈ 0.9 pairs) and candidate
+    * mass collapses from n²/8 toward the true-pair mass. Recall
+    * slides with r by the SRP curve p_band = p_agree^r — the
+    * standard LSH cost/recall trade, stated rather than hidden.
+    *
+    * Determinism: the corpus count is exact in both engines, the
+    * width search is integer-only, and every projection, band value,
+    * dot, and norm is exact int64 arithmetic; cos is one divide of
+    * identical doubles, so even the ≥ 0.4 fence cannot flip
+    * cross-engine. AnnSpec pins recall against Q50's exhaustive pairs
+    * on the shared id range.
     *
     * Scale notes: signatures are ROW-LOCAL codegen'd folds (zip_with +
     * aggregate over the 64-dim arrays — no per-dimension shuffle, the
     * plane signs ride along as literals); the only shuffles are the
-    * (band, value) bucket self-join — candidate volume Σ bucket² stays
-    * near-linear when bands are tuned to corpus size — and the verify
+    * (band, value) bucket self-join — candidate volume Σ bucket² now
+    * tracks corpus size via the derived width — and the verify
     * join back to the integer vectors. A pathological hot bucket (all
     * vectors identical) degrades toward Q50's quadratic; the salting
     * defense is the same as Q103's and a per-bucket cap is one window.
     */
+  private[graft] val SrpBands = 8
+  private[graft] val SrpTargetBucket = 256L
+
+  /** Smallest r ≥ 3 with 2^r · SrpTargetBucket ≥ n — pure-integer,
+    * mirrored verbatim by the oracle's range-scan MIN.
+    */
+  private[graft] def srpBandBits(n: Long): Int =
+    (1 to 40).find(r => (1L << r) * SrpTargetBucket >= n).getOrElse(40).max(3)
+
   def q198(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // Corpus-count probe (two-long-to-driver class, the Q340/TextOps
+    // adjudicated pattern): derives the band width both engines use.
+    val rBits = srpBandBits(c.embeddings.count())
+    val nPlanes = SrpBands * rBits
     val xi = c.embeddings.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
       .as("xi"))
-    val projCols = (0 until 24).map { k =>
+    val projCols = (0 until nPlanes).map { k =>
       val signs = (0 until 64).map(d => srpSign(k, d)).mkString("array(", ", ", ")")
       expr(s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)")
         .as(s"p$k")
     }
     val withBands = xi.select(col("vec_id") +: col("xi") +: projCols: _*)
-      .withColumns((0 until 8).map(b => s"band$b" -> (0 until 3).map(j =>
-        when(col(s"p${3 * b + j}") >= 0L, lit(1L << j)).otherwise(lit(0L)))
+      .withColumns((0 until SrpBands).map(b => s"band$b" -> (0 until rBits).map(j =>
+        when(col(s"p${rBits * b + j}") >= 0L, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)).toMap)
       .withColumn("nrm", expr("aggregate(transform(xi, x -> x * x), 0L, (a, v) -> a + v)"))
       .localCheckpoint()
-    val buckets = (0 until 8).map(b =>
+    val buckets = (0 until SrpBands).map(b =>
         withBands.select(col("vec_id"), lit(b).as("band"), col(s"band$b").as("bv")))
       .reduce(_ union _)
     val cand = buckets.as("b1").join(buckets.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.bv") === col("b2.bv") &&
           col("b1.vec_id") < col("b2.vec_id"))
       .select(col("b1.vec_id").as("v1"), col("b2.vec_id").as("v2")).distinct()
-    val side1 = withBands.select(col("vec_id").as("v1"), col("xi").as("x1"), col("nrm").as("n1"))
-    val side2 = withBands.select(col("vec_id").as("v2"), col("xi").as("x2"), col("nrm").as("n2"))
+    // Verify join: the candidate relation is the BIG side (up to the
+    // true-pair mass); the integer-vector sides are n × ~520 B. Below
+    // ~1 GB built size, broadcasting both sides keeps the candidates
+    // map-side (zero candidate shuffle beyond the distinct barrier);
+    // past that — production vector corpora — the plain equi-join
+    // shuffles bucket-co-located, which is the cluster-scale shape.
+    val hintIfSmall: DataFrame => DataFrame =
+      if (rBits <= 12) broadcast(_) else identity
+    val side1 = hintIfSmall(
+      withBands.select(col("vec_id").as("v1"), col("xi").as("x1"), col("nrm").as("n1")))
+    val side2 = hintIfSmall(
+      withBands.select(col("vec_id").as("v2"), col("xi").as("x2"), col("nrm").as("n2")))
     cand.join(side1, Seq("v1")).join(side2, Seq("v2"))
       .withColumn("dp", expr("aggregate(zip_with(x1, x2, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
       .withColumn("cos", col("dp").cast("double") /
@@ -545,7 +582,15 @@ object VectorOps {
   val q198Oracle: String = {
     val hexv = NearDup.hexValueExpr(
       "md5('srp:' || CAST(k.k AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
-    s"""WITH v AS (
+    s"""WITH rb AS (
+       |  -- Data-derived band width (r13): smallest r >= 3 with
+       |  -- 2^r * 256 >= corpus count — the IDENTICAL pure-integer
+       |  -- search the engine runs on its driver-side count probe.
+       |  SELECT GREATEST(3, (
+       |    SELECT MIN(t.r) FROM range(1, 41) t(r)
+       |    WHERE (CAST(1 AS BIGINT) << t.r) * 256 >=
+       |      (SELECT COUNT(*) FROM embeddings))) AS r),
+       |v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
        |    AS xi
@@ -556,14 +601,15 @@ object VectorOps {
        |planes AS (
        |  SELECT k.k, d.d,
        |    CASE WHEN ($hexv) % 2 = 0 THEN 1 ELSE -1 END AS s
-       |  FROM range(24) k(k) CROSS JOIN range(64) d(d)),
+       |  FROM range(320) k(k) CROSS JOIN range(64) d(d), rb
+       |  WHERE k.k < 8 * rb.r),
        |proj AS (
        |  SELECT f.vec_id, p.k, SUM(f.x * p.s) AS pr
        |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
        |bands AS (
-       |  SELECT vec_id, k // 3 AS band,
-       |    SUM(CASE WHEN pr >= 0 THEN 1 << (k % 3) ELSE 0 END) AS bv
-       |  FROM proj GROUP BY 1, 2),
+       |  SELECT vec_id, k // rb.r AS band,
+       |    SUM(CASE WHEN pr >= 0 THEN 1 << (k % rb.r) ELSE 0 END) AS bv
+       |  FROM proj, rb GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
        |  FROM bands b1 JOIN bands b2
@@ -777,12 +823,18 @@ object VectorOps {
     // partition count — a checkpointed small relation sits in 1-2
     // partitions and would run the quadratic stage single-threaded
     // (measured ~20 s vs ~1 s at sf0.1). Spread the ids first.
-    val modulus = v.agg(
-      expr("GREATEST(CAST(6 AS BIGINT), (COUNT(1) + 349) DIV 350)").as("m"))
+    // Corpus-adaptive gate modulus, derived on the DRIVER from the
+    // already-checkpointed relation (r13, VERDICT r12 item 7: the r12
+    // form computed it as a one-row aggregate + broadcast crossJoin —
+    // an extra job and exchange that cost Q248 ~0.8 s of fixed
+    // overhead per run; counting checkpointed blocks is ~free and the
+    // literal modulus keeps the gate fully codegen'd). Same exact
+    // integer formula as the oracle text → identical sample, hashes
+    // unchanged.
+    val modulus = math.max(6L, (v.count() + 349L) / 350L)
     val ids = v.select(col("vec_id"))
-      .crossJoin(broadcast(modulus))
       .withColumn("hv", md5(concat(lit("jl:v:"), col("vec_id").cast("string"))))
-      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % col("m") === 0L)
+      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % lit(modulus) === 0L)
       .select(col("vec_id"))
       .repartition(spark.sparkContext.defaultParallelism)
     val sampled = ids.select(col("vec_id").as("v1"))
@@ -1108,9 +1160,13 @@ object VectorOps {
       |        AS DOUBLE) / i END AS ci
       |  FROM ranked),
       |suff AS (
+      |  -- Same DESCENDING-i running-sum shape as the engine (ADVICE
+      |  -- r12): both engines accumulate the double ci terms in the
+      |  -- identical i-descending order, so the suffix sums agree
+      |  -- bit-for-bit, not merely to rounding.
       |  SELECT tid, tlabel, pid,
-      |    SUM(ci) OVER (PARTITION BY pid ORDER BY i
-      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+      |    SUM(ci) OVER (PARTITION BY pid ORDER BY i DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
       |  FROM contrib),
       |value AS (
       |  SELECT tid, tlabel, CAST(COUNT(*) AS BIGINT) AS n_probes,
@@ -1455,8 +1511,292 @@ object VectorOps {
       |FROM agg
       |ORDER BY label NULLS FIRST""".stripMargin
 
+  /** Per-bucket neighbor-side cap for the ANN-backed twin gates
+    * (Q346/Q347): within each (band, bucket) cell only the first
+    * [[SrpCandCap]] members by md5 order serve as NEIGHBOR candidates
+    * (probes are never dropped), so total candidate mass is bounded by
+    * SrpBands · SrpCandCap · n — LINEAR in the corpus regardless of
+    * bucket skew, the guarantee the uncapped Q198 join lacks on a
+    * degenerate hot bucket. 512 > the whole sf0.01 corpus, so the cap
+    * CANNOT activate at the oracle tier; it is still mirrored in the
+    * oracle text so any tier compares like-for-like.
+    */
+  private[graft] val SrpCandCap = 512
+
+  /** Shared SRP-LSH candidate generator for the ANN twin gates:
+    * returns (p_id, n_id) DIRECTED candidate pairs — every pair
+    * sharing ≥ 1 band bucket, neighbor side capped per bucket — plus
+    * the integer-grid vector relation (vec_id, xi, nrm2) for exact
+    * scoring. Mirrors Q198's machinery (same md5 planes, same derived
+    * band width) with the directed/capped shape top-k search needs.
+    */
+  private def srpCandidates(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int) = {
+    val c = Catalog(spark, dir)
+    val rBits = srpBandBits(c.embeddings.count())
+    val nPlanes = SrpBands * rBits
+    val xi = c.embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+      .as("xi"))
+    val projCols = (0 until nPlanes).map { k =>
+      val signs = (0 until 64).map(d => srpSign(k, d)).mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(xi, $signs, (x, s) -> x * s), 0L, (a, v) -> a + v)")
+        .as(s"p$k")
+    }
+    val withBands = xi.select(col("vec_id") +: col("xi") +: projCols: _*)
+      .withColumns((0 until SrpBands).map(b => s"band$b" -> (0 until rBits).map(j =>
+        when(col(s"p${rBits * b + j}") >= 0L, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)).toMap)
+      .withColumn("nrm2", expr("aggregate(transform(xi, x -> x * x), 0L, (a, v) -> a + v)"))
+      .localCheckpoint()
+    val buckets = (0 until SrpBands).map(b =>
+        withBands.select(col("vec_id"), lit(b).as("band"), col(s"band$b").as("bv")))
+      .reduce(_ union _)
+    val capped = buckets
+      .withColumn("h", md5(concat(lit("cap:"), col("vec_id").cast("string"))))
+      .withColumn("hv", expr(NearDup.hexValueExpr("h")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bv"))
+          .orderBy(asc("hv"), asc("vec_id"))))
+      .filter(col("rk") <= SrpCandCap)
+      .select(col("vec_id"), col("band"), col("bv"))
+    val cand = buckets.as("b1").join(capped.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.bv") === col("b2.bv") &&
+          col("b1.vec_id") =!= col("b2.vec_id"))
+      .select(col("b1.vec_id").as("p_id"), col("b2.vec_id").as("n_id"))
+      .distinct()
+    (cand, withBands.select(col("vec_id"), col("xi"), col("nrm2")), rBits)
+  }
+
+  /** Q346 — SRP-LSH-candidate hubness: the ANN-backed twin of Q302's
+    * exact k-occurrence histogram (the Q334-vs-Q145 sampled-twin
+    * discipline applied to vectors — r12 measured Q302's honest
+    * all-pairs filling the disk at 200k vectors, 4·10¹⁰ dots). Top-10
+    * lists are ranked EXACTLY — integer-grid cosine, round 6, id
+    * tiebreak — but only over each probe's LSH candidates (any shared
+    * band bucket, Q198's derived-width md5 planes, neighbor side
+    * capped per bucket), so the dot count is candidate-bounded:
+    * ≤ 8 · 512 · n by construction, never n². The occurrence rollup
+    * and zero-occurrence spine are Q302's verbatim.
+    *
+    * Semantics, stated: a true top-10 neighbor missed by every band
+    * (SRP recall curve) is replaced by the 11th-nearest candidate, so
+    * the histogram is the hubness of the ANN GRAPH — which is exactly
+    * the graph downstream consumers (Q38 shortlists, kNN labelers)
+    * actually traverse at scale. VectorOpsSpec pins the twin against
+    * exact Q302 at the fixture tier (near-total candidate recall).
+    *
+    * Determinism: candidates are md5-derived (planes, cap order) and
+    * the score is one divide of exact int64 folds rounded at 6 with
+    * id tiebreak — the Q302 discipline on a candidate subset.
+    */
+  def q346(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, vecs, rBits) = srpCandidates(spark, dir)
+    // Same built-size fence as Q198's verify: below ~1 GB the vector
+    // sides broadcast so the candidate mass never shuffles for scoring.
+    val hintIfSmall: DataFrame => DataFrame =
+      if (rBits <= 12) broadcast(_) else identity
+    val s1 = hintIfSmall(vecs.select(col("vec_id").as("p_id"),
+      col("xi").as("p_xi"), col("nrm2").as("p_n2")))
+    val s2 = hintIfSmall(vecs.select(col("vec_id").as("n_id"),
+      col("xi").as("n_xi"), col("nrm2").as("n_n2")))
+    val topk = cand.join(s1, Seq("p_id")).join(s2, Seq("n_id"))
+      .withColumn("dp", expr(
+        "aggregate(zip_with(p_xi, n_xi, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
+      .withColumn("rcos", round(col("dp").cast("double") /
+        (sqrt(col("p_n2").cast("double")) * sqrt(col("n_n2").cast("double"))), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(desc("rcos"), asc("n_id"))))
+      .filter(col("rnk") <= 10)
+    vecs.select(col("vec_id"))
+      .join(topk.groupBy(col("n_id"))
+          .agg(count(lit(1)).cast("long").as("k_occ")),
+        col("vec_id") === col("n_id"), "left")
+      .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      .groupBy(col("k_occ"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .orderBy(asc("k_occ"))
+  }
+
+  private def srpCandSql: String = {
+    val hexv = NearDup.hexValueExpr(
+      "md5('srp:' || CAST(k.k AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
+    val capv = NearDup.hexValueExpr("md5('cap:' || CAST(vec_id AS VARCHAR))")
+    s"""rb AS (
+       |  SELECT GREATEST(3, (
+       |    SELECT MIN(t.r) FROM range(1, 41) t(r)
+       |    WHERE (CAST(1 AS BIGINT) << t.r) * 256 >=
+       |      (SELECT COUNT(*) FROM embeddings))) AS r),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+       |    AS xi
+       |  FROM embeddings),
+       |flat AS (
+       |  SELECT vec_id, generate_subscripts(xi, 1) - 1 AS d, UNNEST(xi) AS x
+       |  FROM v),
+       |planes AS (
+       |  SELECT k.k, d.d,
+       |    CASE WHEN ($hexv) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM range(320) k(k) CROSS JOIN range(64) d(d), rb
+       |  WHERE k.k < 8 * rb.r),
+       |proj AS (
+       |  SELECT f.vec_id, p.k, SUM(f.x * p.s) AS pr
+       |  FROM flat f JOIN planes p ON p.d = f.d GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT vec_id, k // rb.r AS band,
+       |    SUM(CASE WHEN pr >= 0 THEN 1 << (k % rb.r) ELSE 0 END) AS bv
+       |  FROM proj, rb GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT vec_id, band, bv FROM (
+       |    SELECT vec_id, band, bv, ROW_NUMBER() OVER (
+       |      PARTITION BY band, bv ORDER BY ($capv), vec_id) AS rk
+       |    FROM bands)
+       |  WHERE rk <= 512),
+       |cand AS (
+       |  SELECT DISTINCT b1.vec_id AS p_id, b2.vec_id AS n_id
+       |  FROM bands b1 JOIN capped b2
+       |    ON b1.band = b2.band AND b1.bv = b2.bv
+       |    AND b1.vec_id <> b2.vec_id)""".stripMargin
+  }
+
+  val q346Oracle: String =
+    s"""WITH $srpCandSql,
+       |norms AS (
+       |  SELECT vec_id, SUM(x * x) AS nn FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.p_id, c.n_id, SUM(f1.x * f2.x) AS dp
+       |  FROM cand c
+       |  JOIN flat f1 ON f1.vec_id = c.p_id
+       |  JOIN flat f2 ON f2.vec_id = c.n_id AND f2.d = f1.d
+       |  GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT n_id FROM (
+       |    SELECT d.n_id, ROW_NUMBER() OVER (PARTITION BY d.p_id ORDER BY
+       |      ROUND(CAST(d.dp AS DOUBLE)
+       |        / (SQRT(CAST(n1.nn AS DOUBLE)) * SQRT(CAST(n2.nn AS DOUBLE))),
+       |        6) DESC, d.n_id) AS rnk
+       |    FROM dots d
+       |    JOIN norms n1 ON n1.vec_id = d.p_id
+       |    JOIN norms n2 ON n2.vec_id = d.n_id)
+       |  WHERE rnk <= 10),
+       |occ AS (
+       |  SELECT e.vec_id, COALESCE(t.k_occ, 0) AS k_occ
+       |  FROM (SELECT vec_id FROM embeddings) e
+       |  LEFT JOIN (
+       |    SELECT n_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+       |    FROM topk GROUP BY 1) t
+       |    ON t.n_id = e.vec_id)
+       |SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |FROM occ GROUP BY 1
+       |ORDER BY k_occ""".stripMargin
+
+  /** Q347 — ANN two-NN intrinsic dimension: the candidate-bounded twin
+    * of Q322 (whose exact within-label all-pairs was cut after 40 min
+    * of healthy quadratic compute at sf10 — SCALE.md r12). Two nearest
+    * SAME-LABEL candidates per probe by exact integer-grid distance,
+    * then the Facco two-NN MLE rollup verbatim. Probes with fewer than
+    * two same-label candidates (LSH misses) are excluded and COUNTED —
+    * n_vecs is label size, n_cand how many probes had a usable pair,
+    * so the miss rate is visible in the output, never silent.
+    *
+    * Determinism: md5-derived candidates, exact int64 distances with
+    * id tiebreak, one divide + libm ln inside a 4-digit round — the
+    * Q322 discipline on a candidate subset. VectorOpsSpec pins the
+    * twin's id_two_nn against exact Q322 per label at the fixture tier.
+    */
+  def q347(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val (cand, vecs, rBits) = srpCandidates(spark, dir)
+    val hintIfSmall: DataFrame => DataFrame =
+      if (rBits <= 12) broadcast(_) else identity
+    val labels = hintIfSmall(c.embeddings.select(col("vec_id"), col("label")))
+    val s1 = hintIfSmall(vecs.select(col("vec_id").as("p_id"), col("xi").as("p_xi")))
+    val s2 = hintIfSmall(vecs.select(col("vec_id").as("n_id"), col("xi").as("n_xi")))
+    val nn2 = cand
+      .join(labels.select(col("vec_id").as("p_id"), col("label")), Seq("p_id"))
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("nl")),
+        Seq("n_id"))
+      .filter(col("nl") === col("label"))
+      .join(s1, Seq("p_id")).join(s2, Seq("n_id"))
+      .withColumn("d2", expr("aggregate(zip_with(p_xi, n_xi," +
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(asc("d2"), asc("n_id"))))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("label"), col("p_id"))
+      .agg(min(when(col("rnk") === 1, col("d2"))).as("d1sq"),
+        min(when(col("rnk") === 2, col("d2"))).as("d2sq"))
+    c.embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(nn2
+          .filter(col("d2sq").isNotNull)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("d1sq") > 0, 1L).otherwise(0L)).as("n_used"),
+            sum(when(col("d1sq") > 0, log(col("d2sq") / col("d1sq"))))
+              .as("lnsum")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_used"), lit(0L)).as("n_used"),
+        expr("CASE WHEN lnsum IS NULL OR lnsum <= 0 THEN NULL ELSE " +
+          "ROUND(2 * n_used / lnsum, 4) END").as("id_two_nn"))
+      .withColumn("verdict", expr("CASE WHEN id_two_nn IS NULL " +
+        "THEN 'degenerate' WHEN id_two_nn < 8 THEN 'clustered' " +
+        "WHEN id_two_nn < 32 THEN 'moderate' ELSE 'ambient' END"))
+      .orderBy(asc_nulls_first("label"))
+  }
+
+  val q347Oracle: String =
+    s"""WITH $srpCandSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |samelab AS (
+       |  SELECT c.p_id, c.n_id, lp.label
+       |  FROM cand c
+       |  JOIN lab lp ON lp.vec_id = c.p_id
+       |  JOIN lab ln ON ln.vec_id = c.n_id AND ln.label = lp.label),
+       |dists AS (
+       |  SELECT s.p_id, s.n_id, s.label,
+       |    CAST(SUM((f1.x - f2.x) * (f1.x - f2.x)) AS BIGINT) AS d2
+       |  FROM samelab s
+       |  JOIN flat f1 ON f1.vec_id = s.p_id
+       |  JOIN flat f2 ON f2.vec_id = s.n_id AND f2.d = f1.d
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT label, p_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY d2, n_id) AS rnk
+       |  FROM dists),
+       |nn2 AS (
+       |  SELECT label, p_id,
+       |    MIN(CASE WHEN rnk = 1 THEN d2 END) AS d1sq,
+       |    MIN(CASE WHEN rnk = 2 THEN d2 END) AS d2sq
+       |  FROM ranked WHERE rnk <= 2 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN d1sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_used,
+       |    SUM(CASE WHEN d1sq > 0 THEN LN(d2sq / d1sq) END) AS lnsum
+       |  FROM nn2 WHERE d2sq IS NOT NULL GROUP BY 1),
+       |base AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |  FROM embeddings GROUP BY 1)
+       |SELECT b.label, b.n_vecs,
+       |  COALESCE(a.n_cand, 0) AS n_cand, COALESCE(a.n_used, 0) AS n_used,
+       |  CASE WHEN a.lnsum IS NULL OR a.lnsum <= 0 THEN NULL ELSE
+       |    ROUND(2 * a.n_used / a.lnsum, 4) END AS id_two_nn,
+       |  CASE WHEN (CASE WHEN a.lnsum IS NULL OR a.lnsum <= 0 THEN NULL
+       |      ELSE ROUND(2 * a.n_used / a.lnsum, 4) END) IS NULL
+       |      THEN 'degenerate'
+       |    WHEN ROUND(2 * a.n_used / a.lnsum, 4) < 8 THEN 'clustered'
+       |    WHEN ROUND(2 * a.n_used / a.lnsum, 4) < 32 THEN 'moderate'
+       |    ELSE 'ambient' END AS verdict
+       |FROM base b LEFT JOIN agg a ON a.label = b.label
+       |ORDER BY b.label NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "Q302" -> (q302 _), "Q321" -> (q321 _), "Q322" -> (q322 _),
+    "Q346" -> (q346 _), "Q347" -> (q347 _),
     "Q38" -> (q38 _), "Q39" -> (q39 _), "Q50" -> (q50 _), "Q171" -> (q171 _),
     "Q173" -> (q173 _), "Q185" -> (q185 _), "Q198" -> (q198 _),
     "Q200" -> (q200 _), "Q248" -> (q248 _), "Q262" -> (q262 _),
@@ -1464,6 +1804,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "Q302" -> q302Oracle, "Q321" -> q321Oracle, "Q322" -> q322Oracle,
+    "Q346" -> q346Oracle, "Q347" -> q347Oracle,
     "Q38" -> q38Oracle, "Q39" -> q39Oracle, "Q50" -> q50Oracle,
     "Q171" -> q171Oracle, "Q173" -> q173Oracle, "Q185" -> q185Oracle,
     "Q198" -> q198Oracle, "Q200" -> q200Oracle, "Q248" -> q248Oracle,
