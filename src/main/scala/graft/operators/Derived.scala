@@ -347,16 +347,27 @@ object Derived {
     * keeps d ≤ 1 recall complete but finds only the d = 2 pairs that
     * share a 1-deletion variant — a documented recall trade, the Q334
     * sampled-twin discipline.
+    *
+    * The stored sig FOLDS THE BRAND BLOCK into the variant hash
+    * (xxhash64(p_brand, variant)): the candidate self-join then has
+    * sig as its ONLY key, which the bucket sort order (sig, p_partkey)
+    * satisfies exactly — a ZERO-SORT streaming merge (the first cut of
+    * this artifact joined on (brand, sig) and re-sorted all 10⁹ rows
+    * per run: 47 GB of measured spill for a sort the layout almost
+    * carried). Cross-brand pairs collide only at xxhash64-collision
+    * odds — the same accepted 2⁻⁶⁴ class as the variant hashes
+    * themselves — and every candidate is still verified by the banded
+    * Levenshtein before it can reach the output.
     */
   def fastssSignatures(spark: SparkSession, dir: String, k: Int): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "part")
-    val table = s"graft_fastss_k${k}_$key"
+    val table = s"graft_fastss2_k${k}_$key"
     if (spark.catalog.tableExists(table)) return spark.table(table)
-    val loc = s"${baseDir(spark)}/fastss_k${k}_$key"
+    val loc = s"${baseDir(spark)}/fastss2_k${k}_$key"
     val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(loc, "_SUCCESS"))) {
       spark.sql(
-        s"""CREATE TABLE $table (p_brand STRING, p_partkey BIGINT, sig BIGINT)
+        s"""CREATE TABLE $table (p_partkey BIGINT, sig BIGINT)
            |USING PARQUET
            |CLUSTERED BY (sig) SORTED BY (sig, p_partkey) INTO 32 BUCKETS
            |LOCATION '$loc'""".stripMargin)
@@ -365,7 +376,8 @@ object Derived {
     graft.Catalog(spark, dir).part
       .select(col("p_brand"), col("p_partkey"),
         explode(array_distinct(expr(s"graft_deletion_hashes(p_name, $k)")))
-          .as("sig"))
+          .as("v"))
+      .select(col("p_partkey"), xxhash64(col("p_brand"), col("v")).as("sig"))
       // One shuffle on the bucket key so each bucket lands as one
       // sorted file; the writer's per-task sort is then exactly the
       // bucket's rows (external, spillable) instead of a per-task
@@ -381,9 +393,9 @@ object Derived {
   /** Forced fresh rebuild of the FastSS signature artifact (sweep leg). */
   def rebuildFastssSignatures(spark: SparkSession, dir: String, k: Int): DataFrame = synchronized {
     val key = datasetKeyFor(spark, dir, "part")
-    val table = s"graft_fastss_k${k}_$key"
+    val table = s"graft_fastss2_k${k}_$key"
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new Path(s"${baseDir(spark)}/fastss_k${k}_$key")
+    val loc = new Path(s"${baseDir(spark)}/fastss2_k${k}_$key")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     fastssSignatures(spark, dir, k)

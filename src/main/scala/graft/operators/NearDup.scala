@@ -787,31 +787,31 @@ object NearDup {
               col("sig").as("sb")),
             col("bb") === col("p_brand") && col("sb") === col("sig") &&
               col("kb") > col("p_partkey"))
-          .select(col("p_brand"), col("p_partkey"), col("kb"))
+          .select(col("p_partkey"), col("kb"))
           .distinct()
       } else {
         // Past the direct budget (r13, SCALE.md finding 3): serve the
         // signature relation from the BUCKETED Derived artifact and
-        // self-join it bucket-co-located — no exchange, no hash build,
-        // a streaming merge over sig-sorted disk runs. One more decade
-        // up the probe drops the neighborhood depth to k = 1 (~L
-        // variants/name): d ≤ 1 recall stays complete, d = 2 keeps
-        // only the pairs sharing a 1-deletion variant — the documented
-        // recall trade.
+        // self-join it bucket-co-located on its SINGLE brand-folded
+        // key — no exchange, no re-sort (the layout IS the join
+        // order), no hash build: a streaming merge over sig-sorted
+        // disk runs. One more decade up the probe drops the
+        // neighborhood depth to k = 1 (~L variants/name): d ≤ 1
+        // recall stays complete, d = 2 keeps only the pairs sharing a
+        // 1-deletion variant — the documented recall trade.
         val k = if (sigMass <= FastssK2Budget) 2 else 1
         val art = Derived.fastssSignatures(spark, dir, k)
         art.as("sa")
           .join(art.as("sb"),
             col("sb.sig") === col("sa.sig") &&
-              col("sb.p_brand") === col("sa.p_brand") &&
               col("sb.p_partkey") > col("sa.p_partkey"))
-          .select(col("sa.p_brand").as("p_brand"),
-            col("sa.p_partkey").as("p_partkey"),
+          .select(col("sa.p_partkey").as("p_partkey"),
             col("sb.p_partkey").as("kb"))
           .distinct()
       }
     cands
-      .join(p.select(col("p_partkey"), col("p_name")), Seq("p_partkey"))
+      .join(p.select(col("p_partkey"), col("p_name"), col("p_brand")),
+        Seq("p_partkey"))
       .join(p.select(col("p_partkey").as("kb"), col("p_name").as("nb")),
         Seq("kb"))
       .select(col("p_brand"), col("p_partkey"),

@@ -81,19 +81,17 @@ class Round13GatesSpec extends SparkSpec {
           col("sig").as("sb")),
         col("bb") === col("p_brand") && col("sb") === col("sig") &&
           col("kb") > col("p_partkey"))
-      .select(col("p_brand"), col("p_partkey"), col("kb"))
+      .select(col("p_partkey"), col("kb"))
       .distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val art = Derived.fastssSignatures(spark, dir, 2)
     val viaArtifact = art.as("sa")
       .join(art.as("sb"),
         col("sb.sig") === col("sa.sig") &&
-          col("sb.p_brand") === col("sa.p_brand") &&
           col("sb.p_partkey") > col("sa.p_partkey"))
-      .select(col("sa.p_brand"), col("sa.p_partkey"),
-        col("sb.p_partkey").as("kb"))
+      .select(col("sa.p_partkey"), col("sb.p_partkey").as("kb"))
       .distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(direct == viaArtifact,
       s"artifact candidates diverge: ${direct.size} direct vs ${viaArtifact.size}")
     // bucketed layout: the artifact self-join plans with NO exchange
