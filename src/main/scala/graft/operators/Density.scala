@@ -86,7 +86,9 @@ object Density {
       .join(core.withColumnRenamed("id", "b"), Seq("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-    val (labels, _) = NearDup.connectedComponentsStars(coreEdges)
+    // Adaptive CC (r13): driver union-find under the probe budget, the
+    // O(log n) star contraction past it — identical labels either way.
+    val labels = NearDup.connectedComponentsAdaptive(coreEdges)
     // isolated cores (no core neighbor) label themselves
     val coreClusters = core
       .join(labels.withColumnRenamed("member", "id"), Seq("id"), "left")

@@ -213,7 +213,10 @@ object Derived {
       return spark.table(table)
     }
     val pairs = nearDupPairs(spark, dir).select(col("doc_lo"), col("doc_hi"))
-    NearDup.connectedComponentsStars(pairs)._1
+    // Adaptive CC (r13): the verified dup-pair graph is a sparse side
+    // output; under the probe budget the driver union-find replaces the
+    // star-contraction loop's 2-jobs-per-round fixpoint — same labels.
+    NearDup.connectedComponentsAdaptive(pairs)
       .write.mode("overwrite")
       .bucketBy(8, "rep").sortBy("rep", "member")
       .option("path", loc)

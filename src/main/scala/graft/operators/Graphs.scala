@@ -899,13 +899,15 @@ object Graphs {
     * scale in Round12GatesSpec; the estimator-in-the-8-GB-envelope
     * claim is a measured sf10 rehearsal row (SCALE.md).
     *
-    * Scale notes: three linear filter passes over the bucketed pair
-    * artifact + three oriented enumerations whose wedge mass is
-    * p²-scaled (1/64, 1/16, 1/4 of Q103's); the per-rate counts are
+    * Scale notes: one degree pass + one tagged scan over the bucketed
+    * pair artifact + ONE oriented enumeration of the largest sampled
+    * graph (wedge mass 1/4 of Q103's; the nested smaller rates are
+    * classified per triangle by max edge hash — r13, was three
+    * enumerations at 1/64 + 1/16 + 1/4); the per-rate counts are
     * bounded driver scalars (the Q278 profile discipline), never a data
-    * collect. At 100 TB the p = 1/8 leg enumerates ~1.5% of the exact
-    * gate's mass — the production read; the exact gates remain the
-    * fixture-scale contract.
+    * collect. At 100 TB the p = 1/8 leg reads off the same enumeration
+    * — the production read; the exact gates remain the fixture-scale
+    * contract.
     */
   def q334(spark: SparkSession, dir: String): DataFrame = {
     // Deliberately NOT checkpointed: the md5 tag is row-local codegen
@@ -917,13 +919,20 @@ object Graphs {
     // memory; unpinned, the same legs run clean).
     val edges = Derived.coOrderPairCounts(spark, dir)
       .select(col("a"), col("b"))
-    val nEdges = edges.count()
-    val wedges = edges.select(col("a").as("v"))
+    // ONE degree pass serves both probe scalars (r13): the wedge mass
+    // AND the edge count (Σ deg = 2·|E| exactly — every a<b pair
+    // contributes one entry per endpoint), replacing r12's separate
+    // edges.count() job.
+    val degRow = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .agg(coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L))
-        .cast("long"))
-      .first().getLong(0)
+      .agg(
+        coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L))
+          .cast("long"),
+        coalesce(sum(col("deg")), lit(0L)).cast("long"))
+      .first()
+    val wedges = degRow.getLong(0)
+    val nEdges = degRow.getLong(1) / 2
     // Rate ladder derived from the measured wedge mass (r13, VERDICT
     // r12 item 8): the heaviest leg samples at p = 2^-s with s the
     // smallest shift ≥ 1 keeping its p²-scaled wedge mass W >> 2s
@@ -940,11 +949,70 @@ object Graphs {
       "md5('doulion:' || CAST(a AS STRING) || ':' || CAST(b AS STRING))") +
       s") % $den"
     val tagged = edges.withColumn("hvd", expr(hvd))
-    val measured = Seq(1L, 2L, 4L).map { num =>
-      val kept = tagged.filter(col("hvd") < num).select(col("a"), col("b"))
-      val keptEdges = kept.count()
-      val triSampled = triangleCorners(kept).count() / 3
-      (num, den, nEdges, keptEdges, triSampled)
+    // The three rates are NESTED (num = 1 ⊆ 2 ⊆ 4 by construction of the
+    // shared hash draw), so ONE pass serves all three (r13): the per-rate
+    // edge counts are three conditional sums over the tagged scan, and
+    // the three triangle counts come from ONE oriented enumeration of the
+    // LARGEST sampled graph (hvd < 4) — a triangle lies in the num-rate
+    // graph iff the max of its three edge hashes is < num, so each
+    // enumerated triangle is classified by that max instead of being
+    // re-enumerated per rate. Wedge mass enumerated drops from
+    // (1/64 + 1/16 + 1/4)·W to 1/4·W and two of the three enumeration
+    // job chains disappear; every count stays the exact integer the
+    // per-rate enumerations produced (orientation choice cannot change a
+    // triangle SET).
+    val keRow = tagged.agg(
+      coalesce(sum(when(col("hvd") < 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long"),
+      coalesce(sum(when(col("hvd") < 2, 1L).otherwise(0L)), lit(0L))
+        .cast("long"),
+      coalesce(sum(when(col("hvd") < 4, 1L).otherwise(0L)), lit(0L))
+        .cast("long"))
+      .first()
+    val kept4 = tagged.filter(col("hvd") < 4)
+      .select(col("a"), col("b"), col("hvd")).localCheckpoint()
+    val deg4 = kept4.select(col("a").as("v"))
+      .unionAll(kept4.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented4 = kept4
+      .join(deg4.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"),
+        Seq("a"))
+      .join(deg4.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"),
+        Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"),
+        col("hvd"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("hvd"))
+      .localCheckpoint()
+    // Out-adjacency as a map (nbr -> edge hash): the closing edges'
+    // hashes are looked up during the same array_intersect pass the
+    // plain enumeration runs, and every probed key is IN both maps (w
+    // ranges over the intersection), so the ANSI map access can never
+    // miss.
+    val adj4 = oriented4.groupBy(col("u"))
+      .agg(map_from_entries(collect_list(struct(col("v"), col("hvd"))))
+        .as("m"))
+    val triRow = oriented4
+      .join(adj4.select(col("u"), col("m").as("mu")), Seq("u"))
+      .join(adj4.select(col("u").as("v"), col("m").as("mv")), Seq("v"))
+      .select(col("hvd"),
+        expr("array_intersect(map_keys(mu), map_keys(mv))").as("common"),
+        col("mu"), col("mv"))
+      .select(
+        expr("size(filter(common, w -> greatest(hvd, mu[w], mv[w]) < 1))")
+          .as("c1"),
+        expr("size(filter(common, w -> greatest(hvd, mu[w], mv[w]) < 2))")
+          .as("c2"),
+        expr("size(common)").as("c4"))
+      .agg(
+        coalesce(sum(col("c1")), lit(0L)).cast("long"),
+        coalesce(sum(col("c2")), lit(0L)).cast("long"),
+        coalesce(sum(col("c4")), lit(0L)).cast("long"))
+      .first()
+    val measured = Seq(0, 1, 2).map { i =>
+      (1L << i, den, nEdges, keRow.getLong(i), triRow.getLong(i))
     }
     import spark.implicits._
     measured
@@ -1312,7 +1380,12 @@ object Graphs {
     val edges = Derived.coOrderPairCounts(spark, dir)
       .filter(col("n_pairs") >= 2).select(col("a"), col("b"))
       .localCheckpoint()
-    val labels = labelPropagation(edges, LpaRounds)
+    // Consume the Derived.lpaLabels ARTIFACT like Q156/Q342 do (r13):
+    // this gate previously re-ran the 3 LPA join+window rounds per
+    // execution — the exact per-report recompute the artifact exists to
+    // remove. Same edges (support-pruned co-order graph), same rounds,
+    // identical labels, so the modularity terms are unchanged.
+    val labels = Derived.lpaLabels(spark, dir)
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = directed.groupBy(col("src").as("node"))

@@ -523,6 +523,62 @@ object NearDup {
     (labels, rounds)
   }
 
+  /** Edge budget for the driver-local CC fast path: 4M two-long edge
+    * rows ≈ 64 MB raw (~a few hundred MB transient boxed) — the same
+    * bounded-collect class as the ANN codebook fit and the ALS factor
+    * rows. The verified dup-pair / core-core graphs this front-end
+    * serves are SPARSE side outputs (surviving near-dup pairs), orders
+    * of magnitude below their corpora; past the budget the distributed
+    * star contraction runs unchanged.
+    */
+  private[operators] val DriverCcEdgeBudget = 4L * 1000 * 1000
+
+  /** Adaptive CC front-end (r13): the star-contraction loop costs
+    * 2 jobs × O(log n) ROUNDS of driver-synchronized fixpoint checks —
+    * at fixture scale that is ~40 near-empty jobs whose launch overhead
+    * dominates the leg (Q117 measured 103 jobs / 6 s with ~3 s of
+    * driver-side gaps). When one exact count probe shows the edge
+    * relation inside [[DriverCcEdgeBudget]], collect it and run
+    * union-find on the driver (one job instead of the loop); the label
+    * relation (component-min rep per member, reps self-labeled) is
+    * IDENTICAL to the distributed fixpoint — the min-id rep is a pure
+    * function of the component partition, which both algorithms compute
+    * exactly. NearDupSpec pins label equality on the fixture graphs.
+    */
+  def connectedComponentsAdaptive(
+      edges: DataFrame,
+      budget: Long = DriverCcEdgeBudget): DataFrame = {
+    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    if (e0.count() > budget) return connectedComponentsStars(e0)._1
+    val arr = e0.collect()
+    val idx = new scala.collection.mutable.LongMap[Int](arr.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def nodeIdx(v: Long): Int =
+      idx.getOrElseUpdate(v, { ids += v; parent += parent.length; ids.length - 1 })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    arr.foreach { r =>
+      val ra = find(nodeIdx(r.getLong(0)))
+      val rb = find(nodeIdx(r.getLong(1)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = new scala.collection.mutable.HashMap[Int, Long]()
+    (0 until ids.length).foreach { i =>
+      val r = find(i)
+      if (ids(i) < minOfRoot.getOrElse(r, Long.MaxValue)) minOfRoot(r) = ids(i)
+    }
+    val rows = (0 until ids.length).map(i => (minOfRoot(find(i)), ids(i)))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toDF("rep", "member")
+  }
+
   /** Q67 — near-dup cluster collapse: connected components over the
     * verified shingle-Jaccard ≥ 0.6 pairs (Q49's output), emitting
     * (cluster representative = min doc_id, member). The final stage of

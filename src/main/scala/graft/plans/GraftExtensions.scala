@@ -16,6 +16,8 @@ import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, He
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.dotLongFunction)
+    ext.injectFunction(GraftExtensions.sqDistLongFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectFunction(GraftExtensions.dtwFunction)
     ext.injectFunction(GraftExtensions.lz76Function)
@@ -45,6 +47,26 @@ object GraftExtensions {
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"), dotInfo,
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  private val dotLongInfo = new ExpressionInfo(
+    classOf[DotProductLong].getName, null, "graft_dot_long",
+    "graft_dot_long(x, y) - exact int64 dot product of two bigint/int arrays; " +
+      "NULL on length mismatch or null elements; overflow throws.",
+    "")
+
+  val dotLongFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot_long"), dotLongInfo,
+      (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+
+  private val sqDistLongInfo = new ExpressionInfo(
+    classOf[SqDistLong].getName, null, "graft_sqdist_long",
+    "graft_sqdist_long(x, y) - exact int64 squared L2 distance of two bigint/int " +
+      "arrays; NULL on length mismatch or null elements; overflow throws.",
+    "")
+
+  val sqDistLongFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_sqdist_long"), sqDistLongInfo,
+      (children: Seq[Expression]) => SqDistLong(children(0), children(1)))
 
   private val jwInfo = new ExpressionInfo(
     classOf[JaroWinkler].getName, null, "graft_jaro_winkler",
@@ -323,6 +345,12 @@ object GraftExtensions {
   def registerRuntime(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_long",
+      children => DotProductLong(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist_long",
+      children => SqDistLong(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       children => JaroWinkler(children(0), children(1)), "built-in")

@@ -181,6 +181,28 @@ class NearDupSpec extends SparkSpec {
     info(s"Q67 pair set: star CC $starRounds rounds, min-label $minLabelRounds rounds")
   }
 
+  test("adaptive CC: driver union-find path and forced stars fallback emit identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val n = 50
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst")
+      val viaDriver = NearDup.connectedComponentsAdaptive(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // budget 0 forces the distributed star-contraction branch
+      val viaStars = NearDup.connectedComponentsAdaptive(df, budget = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaMinLabel = NearDup.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDriver == viaStars,
+        s"mismatch: onlyDriver=${viaDriver -- viaStars} onlyStars=${viaStars -- viaDriver}")
+      assert(viaDriver == viaMinLabel,
+        s"mismatch vs min-label: ${viaDriver -- viaMinLabel} / ${viaMinLabel -- viaDriver}")
+    }
+  }
+
   test("star CC converges in O(log n) rounds on a chain (worst case for min-label)") {
     import spark.implicits._
     // A 64-node path graph: diameter 63, so min-label needs ~63 rounds;
