@@ -81,8 +81,8 @@ def family_totals(bench):
             v = v.get(field, -1)
         if isinstance(v, (int, float)) and v > 0:
             tot[f"leg:{leg}"] = v
-    for legname in ("derived_build", "neardup_build", "daily_grid_build",
-                    "lpa_build"):
+    for legname in ("derived_build", "tri_build", "neardup_build",
+                    "daily_grid_build", "lpa_build"):
         if bench.get(legname, -1) > 0:
             tot[f"leg:{legname}"] = bench[legname]
     return tot

@@ -77,6 +77,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
 
+    // Triangle-count artifact (Q103/Q145 consume; r13): same protocol.
+    // Runs AFTER derivedBuild — it reads the co-pair artifact.
+    val triBuild =
+      try {
+        val t0 = System.nanoTime()
+        operators.Derived.rebuildTriangleCounts(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
     // Near-dup cluster artifact (Q67/Q68/Q187/Q196 consume): same
     // force-fresh-and-time-separately protocol as the co-order pairs.
     val nearDupBuild =
@@ -259,7 +268,7 @@ object Bench {
         if (tensorObjects) (cpals, nnhals, tucker)
         else (headline(cpals, "sec_per_iter"), headline(nnhals, "sec_per_iter"),
           headline(tucker, "sec"))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"lpa_build":${fmt(lpaBuild)},"sentinels":$sentinelJson,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"tri_build":${fmt(triBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"lpa_build":${fmt(lpaBuild)},"sentinels":$sentinelJson,"sf":"$sf"}"""
     }
     // Stdout form: trailing zeros trimmed ("0.10"→"0.1", "3.00"→"3" —
     // still valid JSON numbers) and sf as its basename; every byte helps
@@ -287,7 +296,7 @@ object Bench {
       }
       val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
         .map { case (k, v) => "\"" + k + "\":" + compact(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"lpa_build":${compact(lpaBuild)},"sentinels":$sentinelJson,"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
+      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"tri_build":${compact(triBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"lpa_build":${compact(lpaBuild)},"sentinels":$sentinelJson,"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
     }
     // Only a full-registry (driver-shaped) run AT THE DRIVER'S SF may
     // refresh the repo copy — a dev subset would clobber it with a partial

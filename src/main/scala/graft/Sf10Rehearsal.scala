@@ -77,7 +77,7 @@ object Sf10Rehearsal {
     // vocabulary); since r12 the adaptive LSH fallback
     // (TextOps.jaccardFromTokens) makes the same leg complete in ~130 s
     // with ~4 GB scratch — see SCALE.md finding 1 (RESOLVED).
-    val defaultLegs = Seq("derived_build", "daily_grid_build",
+    val defaultLegs = Seq("derived_build", "tri_build", "daily_grid_build",
       "lpa_build", "neardup_build", "Q13", "Q05", "Q103", "Q117",
       "Q145", "Q156", "Q160", "Q161", "Q218", "Q248", "Q334", "Q335",
       "Q345")
@@ -89,7 +89,7 @@ object Sf10Rehearsal {
     val heavyTail = Seq("Q334", "Q117", "Q103", "Q145")
     val legs =
       if (args.drop(1).toSeq == Seq("all"))
-        Seq("derived_build", "daily_grid_build", "lpa_build",
+        Seq("derived_build", "tri_build", "daily_grid_build", "lpa_build",
           "neardup_build") ++
           (SparkEntry.queries.keys.toSeq.sorted.filterNot(heavyTail.contains)
             ++ heavyTail)
@@ -99,6 +99,8 @@ object Sf10Rehearsal {
     legs.foreach {
       case "derived_build" => leg("derived_build") {
         operators.Derived.rebuildCoOrderPairCounts(spark, dir) }
+      case "tri_build" => leg("tri_build") {
+        operators.Derived.rebuildTriangleCounts(spark, dir) }
       case "daily_grid_build" => leg("daily_grid_build") {
         operators.Derived.rebuildDailyCentsGrid(spark, dir) }
       case "lpa_build" => leg("lpa_build") {

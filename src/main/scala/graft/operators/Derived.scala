@@ -192,6 +192,56 @@ object Derived {
     spark.table(table)
   }
 
+  /** Get-or-build the per-node triangle-count artifact of the co-order
+    * graph: (node, n_triangles) from ONE degree-oriented enumeration
+    * (r13). Q103 (top-k participation) and Q145 (clustering
+    * coefficient) both consumed the FULL enumeration per execution —
+    * at 100 TB the enumerated wedge mass (O(m^1.5), the r12 sweep's
+    * 75 GB-spill Q103 leg) is the whole cost, and it was paid twice
+    * per report batch (×3 again under the bench's 3-run protocol).
+    * Same discipline as [[nearDupClusters]]: the expensive shared
+    * relation is built once per dataset drop, bucketed on its join
+    * key, and the bench times the build as its own `tri_build` leg so
+    * consumer timings stay honest.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKey(spark, dir)
+    val table = s"graft_co_tri_$key"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val loc = s"${baseDir(spark)}/co_tri_$key"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(loc, "_SUCCESS"))) {
+      spark.sql(
+        s"""CREATE TABLE $table (node BIGINT, n_triangles BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (node) SORTED BY (node) INTO 8 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      return spark.table(table)
+    }
+    Graphs.triangleCorners(
+        coOrderPairCounts(spark, dir).select(col("a"), col("b")))
+      .groupBy(col("node").cast("long").as("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .write.mode("overwrite")
+      .bucketBy(8, "node").sortBy("node")
+      .option("path", loc)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Forced fresh rebuild of the triangle-count artifact (bench leg).
+    * Runs AFTER [[rebuildCoOrderPairCounts]] — it reads the pair artifact.
+    */
+  def rebuildTriangleCounts(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = datasetKey(spark, dir)
+    val table = s"graft_co_tri_$key"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(s"${baseDir(spark)}/co_tri_$key")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    triangleCounts(spark, dir)
+  }
+
   /** Get-or-build the near-dup cluster-assignment artifact: the
     * (rep, member) connected-components relation over
     * [[nearDupPairs]] (O(log n) star contraction). Q67/Q68/Q187/Q196

@@ -84,11 +84,12 @@ object Graphs {
     * (count desc, partkey asc) so LIMIT is deterministic.
     */
   def q103(spark: SparkSession, dir: String): DataFrame = {
-    triangleCorners(
-      Derived.coOrderPairCounts(spark, dir).select(col("a"), col("b")))
-      .groupBy(col("node").as("p_partkey"))
-      .agg(count(lit(1)).as("n_triangles"))
-      .select(col("p_partkey"), col("n_triangles"))
+    // Consumes the shared per-node triangle-count artifact (r13 — built
+    // once per dataset by the same degree-oriented enumeration, timed as
+    // the bench's tri_build leg; Q145 shares it): identical counts,
+    // identical output.
+    Derived.triangleCounts(spark, dir)
+      .select(col("node").as("p_partkey"), col("n_triangles"))
       .orderBy(desc("n_triangles"), asc_nulls_first("p_partkey"))
       .limit(20)
   }
@@ -827,9 +828,11 @@ object Graphs {
     */
   def q145(spark: SparkSession, dir: String): DataFrame = {
     val edges = Derived.coOrderPairCounts(spark, dir)
-      .select(col("a"), col("b")).localCheckpoint()
-    val tri = triangleCorners(edges)
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .select(col("a"), col("b"))
+    // Per-node triangle counts come from the shared artifact (r13 —
+    // same enumeration Q103 reads; the degree pass below is one linear
+    // aggregate over the bucketed pair artifact).
+    val tri = Derived.triangleCounts(spark, dir)
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -240,19 +240,30 @@ object TensorGates {
         sum(cf(0) * cf(1)).cast("long").as("gc01"),
         sum(cf(1) * cf(1)).cast("long").as("gc11"))
       .localCheckpoint() // reused by mode B's Hadamard
+    // Every 1-row solve/λ relation below is localCheckpoint'd at its
+    // REUSE point (r13): each is consumed 2-3 times (the next mode's
+    // numerators AND the final λ spine), and un-materialized Spark
+    // re-executed the whole upstream subtree per consumer — measured as
+    // 48 jobs for this gate, most of them re-runs of the cells joins
+    // behind a 1-row broadcast. Materialization boundaries only; every
+    // expression and type is byte-identical, so the exact integer /
+    // decimal algebra (and its overflow loudness) is unchanged.
     val hA = gb.crossJoin(gc)
       .select((col("g00") * col("gc00")).cast("decimal(38,0)").as("h00"),
         (col("g01") * col("gc01")).cast("decimal(38,0)").as("h01"),
         (col("g11") * col("gc11")).cast("decimal(38,0)").as("h11"))
       .withColumn("det", col("h00") * col("h11") - col("h01") * col("h01"))
       .withColumn("sd", expr("CASE WHEN det < 0 THEN -1 ELSE 1 END"))
+      .localCheckpoint() // reused by aNum and the final λ spine
     val aNum = mA.crossJoin(broadcast(hA))
       .select(col("i"),
         (col("sd") * (col("m0").cast("decimal(38,0)") * col("h11") -
           col("m1").cast("decimal(38,0)") * col("h01"))).as("n0"),
         (col("sd") * (col("m1").cast("decimal(38,0)") * col("h00") -
           col("m0").cast("decimal(38,0)") * col("h01"))).as("n1"))
+      .localCheckpoint() // reused by lamA and aQ
     val lamA = aNum.agg(max(abs(col("n0"))).as("l0"), max(abs(col("n1"))).as("l1"))
+      .localCheckpoint() // reused by aQ and the final λ spine
     def quant(numCol: String, lamCol: String): org.apache.spark.sql.Column =
       expr(s"""CASE WHEN $lamCol = 0 THEN 0L ELSE
               |CAST(FLOOR(CAST($numCol AS DOUBLE) / CAST($lamCol AS DOUBLE)
@@ -281,13 +292,17 @@ object TensorGates {
         (col("ga11") * col("gc11")).as("h11"))
       .withColumn("det", col("h00") * col("h11") - col("h01") * col("h01"))
       .withColumn("sd", expr("CASE WHEN det < 0 THEN -1 ELSE 1 END"))
+      .localCheckpoint() // reused by bNum and the final λ spine
     val bNum = mB.crossJoin(broadcast(hB))
       .select(col("j"),
         (col("sd") * (col("m0") * col("h11") - col("m1") * col("h01"))).as("n0"),
         (col("sd") * (col("m1") * col("h00") - col("m0") * col("h01"))).as("n1"))
+      .localCheckpoint() // reused by lamB and bQ
     val lamB = bNum.agg(max(abs(col("n0"))).as("l0"), max(abs(col("n1"))).as("l1"))
+      .localCheckpoint() // reused by bQ and the final λ spine
     val bQ = bNum.crossJoin(broadcast(lamB))
       .select(col("j"), quant("n0", "l0").as("b0"), quant("n1", "l1").as("b1"))
+      .localCheckpoint() // reused by gB and mC
 
     // ---- mode C: MTTKRP over (ã, b̃), Gramians ÃᵀÃ ∗ B̃ᵀB̃ ----
     val gB = bQ.agg(
@@ -305,10 +320,12 @@ object TensorGates {
         (col("ga11") * col("gb11")).as("h11"))
       .withColumn("det", col("h00") * col("h11") - col("h01") * col("h01"))
       .withColumn("sd", expr("CASE WHEN det < 0 THEN -1 ELSE 1 END"))
+      .localCheckpoint() // reused by cNum and the final λ spine
     val cNum = mC.crossJoin(broadcast(hC))
       .select(col("k"), col("n_cells"),
         (col("sd") * (col("m0") * col("h11") - col("m1") * col("h01"))).as("n0"),
         (col("sd") * (col("m1") * col("h00") - col("m0") * col("h01"))).as("n1"))
+      .localCheckpoint() // reused by lamC and the final assembly
     val lamC = cNum.agg(max(abs(col("n0"))).as("lc0"), max(abs(col("n1"))).as("lc1"))
 
     // ---- assemble: quantized day factors + the six λs (ROUND 6) ----

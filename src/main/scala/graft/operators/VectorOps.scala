@@ -1320,19 +1320,35 @@ object VectorOps {
       .filter(col("rk") === 1)
       .select(col("label"), col("pos").as("top_var_dim"),
         round(col("varj"), 6).as("top_var"))
-    // Upper-triangle outer products explode LOCALLY per row (no self-
-    // join, no shuffle of n·d² rows — partial aggregation combines to
-    // ≤ d(d+1)/2 cells per task before the exchange).
+    // Upper-triangle outer products stay INSIDE one row as a d(d+1)/2
+    // double array summed element-wise by graft_vec_sum (r13): the
+    // previous form exploded one struct row per cell per input row —
+    // n·d²/2 rows through the hash aggregate, measured as Q321's single
+    // 1.5 s job — where the vector aggregate ships one d(d+1)/2 vector
+    // per (label, partition). Same partition-parallel double sums of
+    // the identical products (the Q137 rounding rule covers merge-order
+    // drift, exactly as it did for the hash aggregate), then the
+    // canonical (j ≤ k) spine unfolds the summed vector back to cells.
     val crossP = c.embeddings
-      .select(col("label"), explode(expr(
+      .select(col("label"), expr(
         "flatten(transform(sequence(1, size(embedding)), j -> " +
-          "transform(sequence(j, size(embedding)), k -> struct(" +
-          "j AS j, k AS k, CAST(element_at(embedding, j) AS DOUBLE) * " +
-          "CAST(element_at(embedding, k) AS DOUBLE) AS p))))")).as("t"))
-      .select(col("label"), col("t.j").cast("long").as("j"),
-        col("t.k").cast("long").as("k"), col("t.p").as("p"))
-      .groupBy(col("label"), col("j"), col("k"))
-      .agg(count(lit(1)).as("n"), sum(col("p")).as("sjk"))
+          "transform(sequence(j, size(embedding)), k -> " +
+          "CAST(element_at(embedding, j) AS DOUBLE) * " +
+          "CAST(element_at(embedding, k) AS DOUBLE))))").as("pp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), expr("graft_vec_sum(pp)").as("sums"),
+        max(size(col("pp"))).as("ncells"))
+      .withColumn("d", expr(
+        "CAST((CAST(SQRT(8.0 * ncells + 1.0) AS BIGINT) - 1) DIV 2 AS INT)"))
+      .select(col("label"), col("n"), explode(expr(
+        """zip_with(
+          |  flatten(transform(sequence(1, d), j ->
+          |    transform(sequence(j, d), k ->
+          |      struct(CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k)))),
+          |  sums, (jk, s) -> struct(jk.j AS j, jk.k AS k, s AS sjk))"""
+          .stripMargin)).as("t"))
+      .select(col("label"), col("t.j").as("j"), col("t.k").as("k"),
+        col("n"), col("t.sjk").as("sjk"))
     val fro = crossP
       .join(broadcast(mom.select(col("label"), col("pos").as("j"),
         col("s1").as("s1j"))), Seq("label", "j"))

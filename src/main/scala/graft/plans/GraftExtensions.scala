@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, HeavyHitters, HllDistinct, HllEstimate, HllMergeAgg, HllSketchAgg, HllUnionEstimate, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK}
+import graft.functions.{CmsBuildAgg, CmsCountExpr, CmsMergeAgg, CmsQueryExpr, HeavyHitters, HllDistinct, HllEstimate, HllMergeAgg, HllSketchAgg, HllUnionEstimate, KllBuildAgg, KllCountExpr, KllMergeAgg, KllQuantileExpr, KllRankExpr, KmvDistinct, KmvEstimate, KmvIntersectEstimate, KmvJaccardEstimate, KmvMergeAgg, KmvSketchAgg, KmvUnionEstimate, TopK, VecSumAgg}
 
 /** Engine extensions. Two registration paths for the same functions:
   *
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rhFunction)
     ext.injectFunction(GraftExtensions.dhFunction)
     ext.injectFunction(GraftExtensions.topkFunction)
+    ext.injectFunction(GraftExtensions.vecSumFunction)
     ext.injectFunction(GraftExtensions.bloomFunction)
     GraftExtensions.kmvAlgebra.foreach(ext.injectFunction)
     GraftExtensions.hllAlgebra.foreach(ext.injectFunction)
@@ -198,6 +199,16 @@ object GraftExtensions {
 
   val topkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder _)
+
+  private val vecSumInfo = new ExpressionInfo(
+    classOf[VecSumAgg].getName, null, "graft_vec_sum",
+    "graft_vec_sum(arr) - element-wise sum of equal-length double/float arrays " +
+      "as array<double>; O(d) state per group, map-side combinable.",
+    "")
+
+  val vecSumFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_vec_sum"), vecSumInfo,
+      (c: Seq[Expression]) => VecSumAgg(c.head).toAggregateExpression())
 
   private def bloomBuilder(children: Seq[Expression]): Expression = {
     val bytes = children(1) match {
@@ -371,6 +382,9 @@ object GraftExtensions {
       "graft_deletion_hashes", dhBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", topkBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum",
+      c => VecSumAgg(c.head).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "built-in")
     (kmvAlgebra ++ hllAlgebra ++ kllAlgebra ++ cmsAlgebra).foreach { case (id, _, builder) =>

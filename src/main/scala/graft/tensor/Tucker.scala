@@ -94,6 +94,20 @@ object Tucker {
       require(r1 >= 1 && r1 <= di && r2 >= 1 && r2 <= dj && r3 >= 1 && r3 <= dk,
         s"ranks $ranks out of range for dims ($di,$dj,$dk)")
 
+      // Reduce-side partition count for the fiber passes (r13): each
+      // accumulating partition allocates a DENSE d² (exact Gram) or d·S
+      // (range-finder) buffer that the treeReduce then ships whole, so
+      // partitions ∝ cores is the wrong shape when the tensor is small —
+      // at the bench tier 32 partitions × an 18 MB mode-0 buffer put
+      // ~0.6 GB of zero-heavy arrays through allocate+reduce for 80k
+      // nonzeros. Size the reduce side to the DATA (≥ ~200k nonzeros per
+      // partition) and cap at the core count; the per-fiber outer
+      // products still parallelize across whatever partitions remain,
+      // and at corpus scale the count climbs back to defaultParallelism.
+      val nnz = rdd.count()
+      val gramParts = math.max(2, math.min(
+        rdd.sparkContext.defaultParallelism.toLong, nnz / 200000L + 1)).toInt
+
       // --- per-mode fiber Grams -----------------------------------------
       def gram(mode: Int, d: Int): Array[Double] = {
         val keyed = rdd.map {
@@ -103,7 +117,7 @@ object Tucker {
             case _ => ((i.toLong << 32) | (j.toLong & 0xffffffffL), (k, v))
           }
         }
-        keyed.groupByKey().mapPartitions { fibers =>
+        keyed.groupByKey(gramParts).mapPartitions { fibers =>
           val g = new Array[Double](d * d)
           fibers.foreach { case (_, entries) =>
             val e = entries.toArray
@@ -172,7 +186,7 @@ object Tucker {
             case _ => ((i.toLong << 32) | (j.toLong & 0xffffffffL), (k, v))
           }
         }
-        val y = keyed.groupByKey().mapPartitions { fibers =>
+        val y = keyed.groupByKey(gramParts).mapPartitions { fibers =>
           val buf = new Array[Double](d * s)
           fibers.foreach { case (fid, entries) =>
             val g = fiberGauss(fid)
@@ -197,7 +211,7 @@ object Tucker {
         val qr = breeze.linalg.qr.reduced(ym)
         val q = Array.tabulate(s)(c => Array.tabulate(d)(rr => qr.q(rr, c))) // s × d rows
         val bq = rdd.sparkContext.broadcast(q)
-        val m = keyed.groupByKey().mapPartitions { fibers =>
+        val m = keyed.groupByKey(gramParts).mapPartitions { fibers =>
           val qq = bq.value
           val acc = new Array[Double](s * s)
           val z = new Array[Double](s)
@@ -238,13 +252,78 @@ object Tucker {
         }
       }
 
+      // Leading eigvecs of a (symmetric PSD) Gram by DETERMINISTIC
+      // subspace iteration + Rayleigh–Ritz (Halko et al. 2011 §5.1 —
+      // the power-iterated range finder run on the driver against the
+      // EXACT Gram). Why (r13): this box has no native LAPACK, so
+      // breeze's full dsyev on a d×d Gram is pure-Java O(d³) — measured
+      // 6.7 s for d = 1500, which was ~the ENTIRE tucker bench leg —
+      // while the fit only needs the leading r-dimensional subspace.
+      // 20 sweeps of G·Q + thin QR cost O(20·d²·S) (~0.5 s at d = 1500,
+      // S = r+8) and converge the leading subspace to working precision
+      // under the power-iteration rate ((λ_{S+1}/λ_r)^sweeps); the fit
+      // identity depends only on the SUBSPACES (‖X ×ᵢ Uᵢᵀ‖² is invariant
+      // to rotations within each span), so the model is the HOSVD one.
+      // Deterministic: fixed-seed start, sign-fixed output — no
+      // partition-order dependence (everything here is driver-side).
+      def leadingEigvecsIterated(
+          g: Array[Double], d: Int, r: Int, seed: Long): Array[Array[Double]] = {
+        val s = math.min(d, r + 8)
+        val gm = new BDM[Double](d, d)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { gm(i, j) = g(i * d + j); j += 1 }
+          i += 1
+        }
+        val rnd = new java.util.Random(seed)
+        var q = breeze.linalg.qr.reduced(
+          BDM.tabulate(d, s)((_, _) => rnd.nextGaussian())).q
+        var it = 0
+        while (it < 20) {
+          q = breeze.linalg.qr.reduced(gm * q).q
+          it += 1
+        }
+        val small = q.t * (gm * q) // S×S Rayleigh–Ritz projection
+        val es = eigSym((small + small.t) * 0.5)
+        val order = (0 until s).sortBy(p => -es.eigenvalues(p)).take(r)
+        val u = q * es.eigenvectors // d×S ritz vectors
+        order.map { p =>
+          val v = Array.tabulate(d)(row => u(row, p))
+          val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+          if (lead < 0) v.map(-_) else v
+        }.toArray
+      }
+
+      /** Full dsyev stays the exact path while it is seconds-cheap in
+        * pure Java (d ≤ 512 ⇒ ~0.3 s); above it the subspace iteration
+        * takes over, and past maxGramDim the Gram itself is never built.
+        */
+      val exactEigDim = 512
+
       def basis(mode: Int, d: Int, r: Int): Array[Array[Double]] =
-        if (d <= maxGramDim) leadingEigvecs(gram(mode, d), d, r)
+        if (d <= exactEigDim) leadingEigvecs(gram(mode, d), d, r)
+        else if (d <= maxGramDim)
+          leadingEigvecsIterated(gram(mode, d), d, r, seed = 0xA11CE + mode)
         else randomizedBasis(mode, d, r)
 
-      var u1 = basis(0, di, r1) // r1 × di
-      var u2 = basis(1, dj, r2)
-      var u3 = basis(2, dk, r3)
+      // The three HOSVD bases are independent Spark jobs over the same
+      // persisted RDD — materialize them CONCURRENTLY (the Q161 shared-
+      // relation discipline) instead of paying three sequential
+      // shuffle+reduce waits. HOOI's sweeps below stay sequential by
+      // definition (each mode refines against the others' CURRENT bases).
+      val bases = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fs = Seq(
+          Future(basis(0, di, r1)), Future(basis(1, dj, r2)),
+          Future(basis(2, dk, r3)))
+        fs.map(f => Await.result(f, Duration.Inf))
+      }
+      var u1 = bases(0) // r1 × di
+      var u2 = bases(1)
+      var u3 = bases(2)
 
       // --- HOOI sweeps (sweeps = 0 → plain truncated HOSVD) -------------
       def signFix(v: Array[Double]): Array[Double] = {

@@ -92,10 +92,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("Q103: triangle closure runs inside codegen (array_intersect), no cartesian") {
+  test("Q103: consumes the triangle artifact; the enumeration's closure stays codegen'd") {
+    // r13: Q103 reads the shared (node, n_triangles) artifact — the
+    // degree-oriented enumeration runs once per dataset in the
+    // tri_build leg. The consumer plan must be an artifact scan + top-k;
+    // the BUILD plan keeps the codegen'd array_intersect closure with no
+    // cartesian anywhere.
     val p = plan(Graphs.q103(spark, sf("sf0.001")))
-    assert(p.contains("array_intersect"), p)
+    assert(p.contains("co_tri"), p)
     assert(!p.contains("CartesianProduct"), p)
+    val build = plan(Graphs.triangleCorners(
+      graft.operators.Derived.coOrderPairCounts(spark, sf("sf0.001"))
+        .select(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))))
+    assert(build.contains("array_intersect"), build)
+    assert(!build.contains("CartesianProduct"), build)
   }
 
   test("Q105: skyline is join-free — dominated rows die in partition-local sweeps") {

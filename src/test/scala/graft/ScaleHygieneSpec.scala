@@ -170,6 +170,32 @@ class ScaleHygieneSpec extends SparkSpec {
     }
   }
 
+  test("triangle-count artifact equals a fresh enumeration; Q103/Q145 consume it") {
+    val dir = sf("sf0.001")
+    val derivedBase = Files.createTempDirectory("graft-derived-test").toString
+    spark.conf.set("spark.graft.derivedDir", derivedBase)
+    try {
+      val artifact = graft.operators.Derived.rebuildTriangleCounts(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fresh = graft.operators.Graphs.triangleCorners(
+          graft.operators.Derived.coOrderPairCounts(spark, dir)
+            .select(col("a"), col("b")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(artifact == fresh, "triangle artifact diverged from a fresh enumeration")
+      assert(artifact.nonEmpty)
+      // Consumers read the artifact, never re-enumerate: no adjacency
+      // groupBy (collect_list) or intersect in their plans.
+      for (q <- Seq(graft.operators.Graphs.q103 _, graft.operators.Graphs.q145 _)) {
+        val plan = q(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("array_intersect"), s"consumer still enumerates:\n$plan")
+        assert(plan.contains("co_tri"), s"consumer does not read the artifact:\n$plan")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.derivedDir")
+    }
+  }
+
   test("daily-grid artifact equals a fresh build; spine gates consume it, not an events scan") {
     val dir = sf("sf0.001")
     val derivedBase = Files.createTempDirectory("graft-derived-test").toString
