@@ -86,10 +86,18 @@ object Bpe {
       else {
         val a = top(0).getString(0); val b = top(0).getString(1)
         merges += ((step, a, b, top(0).getLong(2)))
+        // Checkpoint every 4th round, not every round (r13): a chained
+        // `replace` tail of ≤ 4 merges replayed inside the next argmax
+        // job costs microseconds over the vocabulary-sized state, while
+        // the per-round localCheckpoint was one extra Spark job per
+        // merge (measured: 66 jobs for the 20-round gate, mostly
+        // checkpoint materializations). Replace is deterministic, so
+        // the chained expression yields byte-identical strings and the
+        // merge table is unchanged.
         state = state.withColumn("s",
             call_function("replace", col("s"),
               lit(SOT + a + EOT + SOT + b + EOT), lit(SOT + a + b + EOT)))
-          .localCheckpoint()
+        if (step % 4 == 0) state = state.localCheckpoint()
         step += 1
       }
     }

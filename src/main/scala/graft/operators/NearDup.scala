@@ -1064,6 +1064,10 @@ object NearDup {
     */
   def q172(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    // cache(): the gram relation (the expensive md5 explode) feeds BOTH
+    // the df aggregate and the flag join; uncached, Spark re-ran the
+    // explode on each side (r13 — the TextOps.jaccardFromTokens
+    // discipline; Verify/Bench clearCache() per query).
     val grams = c.documents
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 13)
@@ -1071,6 +1075,7 @@ object NearDup {
         """transform(sequence(0, size(toks) - 13),
           |  i -> md5(concat_ws(' ', slice(toks, i + 1, 13))))""".stripMargin))
         .as("g"))
+      .cache()
     val df = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
     grams.join(df, Seq("g"))
@@ -1226,6 +1231,8 @@ object NearDup {
     * so golden hashes are untouched.
     */
   def q189(spark: SparkSession, dir: String): DataFrame = {
+    // (r13 measured: caching this shingle relation LOSES — the explode
+    // is cheaper to recompute than the cache round-trips it causes.)
     val tok = shingles(Catalog(spark, dir))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))

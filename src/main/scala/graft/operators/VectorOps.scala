@@ -1576,11 +1576,23 @@ object VectorOps {
           .orderBy(asc("hv"), asc("vec_id"))))
       .filter(col("rk") <= SrpCandCap)
       .select(col("vec_id"), col("band"), col("bv"))
-    val cand = buckets.as("b1").join(capped.as("b2"),
-        col("b1.band") === col("b2.band") && col("b1.bv") === col("b2.bv") &&
-          col("b1.vec_id") =!= col("b2.vec_id"))
-      .select(col("b1.vec_id").as("p_id"), col("b2.vec_id").as("n_id"))
-      .distinct()
+    // Per-probe dedup via bounded array unions (r13): the pair-granular
+    // form joined every (probe, bucket-mate) row and pushed ~n·bands·
+    // bucket rows through a DISTINCT exchange (the single heaviest job
+    // of both twin gates). The capped cells are ≤ SrpCandCap members
+    // each, so grouping members per cell and union-ing each probe's
+    // ≤ SrpBands cells inside one array_distinct keeps the shuffle at
+    // 8n bounded-array rows instead of Σ bucket² pairs — the SAME
+    // candidate set (union over shared cells, self excluded), just
+    // deduplicated per probe instead of per pair.
+    val cells = capped.groupBy(col("band"), col("bv"))
+      .agg(collect_list(col("vec_id")).as("members"))
+    val cand = buckets.join(cells, Seq("band", "bv"))
+      .groupBy(col("vec_id").as("p_id"))
+      .agg(flatten(collect_list(col("members"))).as("all_members"))
+      .select(col("p_id"),
+        explode(array_distinct(col("all_members"))).as("n_id"))
+      .filter(col("n_id") =!= col("p_id"))
     (cand, withBands.select(col("vec_id"), col("xi"), col("nrm2")), rBits)
   }
 
