@@ -257,6 +257,26 @@ object Bench {
     // the full tensor objects (iters/fit).
     val sentinelJson = sentinels
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // All-in total (r14, VERDICT r13 item 5): queries + every build leg +
+    // the tensor legs' full wall time — the accounting that cannot be
+    // gamed by moving work into an excluded leg. Published NEXT TO the
+    // existing `value` (which stays the sum of query legs only, as every
+    // prior round's artifact defined it) — additions-only.
+    def headlineD(obj: String, field: String): Double = {
+      val m = (s""""$field":(-?[0-9.]+)""").r.findFirstMatchIn(obj)
+      m.map(_.group(1).toDouble).getOrElse(-1.0)
+    }
+    val allIn = {
+      val q = results.map(_._2).filter(_ >= 0).sum
+      val builds = Seq(derivedBuild, triBuild, nearDupBuild, dailyGridBuild,
+        lpaBuild).filter(_ >= 0).sum
+      val cpTotal = math.max(0.0, headlineD(cpals, "sec_per_iter")) *
+        math.max(0.0, headlineD(cpals, "iters"))
+      val nnTotal = math.max(0.0, headlineD(nnhals, "sec_per_iter")) *
+        math.max(0.0, headlineD(nnhals, "iters"))
+      val tkTotal = math.max(0.0, headlineD(tucker, "sec"))
+      q + builds + cpTotal + nnTotal + tkTotal
+    }
     def line(fmt: Double => String, sf: String, tensorObjects: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -268,7 +288,7 @@ object Bench {
         if (tensorObjects) (cpals, nnhals, tucker)
         else (headline(cpals, "sec_per_iter"), headline(nnhals, "sec_per_iter"),
           headline(tucker, "sec"))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"tri_build":${fmt(triBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"lpa_build":${fmt(lpaBuild)},"sentinels":$sentinelJson,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_all_in":${fmt(allIn)},"unit":"sec","queries":$qs,"cpals":$cp,"nnhals":$nn,"tucker":$tk,"derived_build":${fmt(derivedBuild)},"tri_build":${fmt(triBuild)},"neardup_build":${fmt(nearDupBuild)},"daily_grid_build":${fmt(dailyGridBuild)},"lpa_build":${fmt(lpaBuild)},"sentinels":$sentinelJson,"sf":"$sf"}"""
     }
     // Stdout form: trailing zeros trimmed ("0.10"→"0.1", "3.00"→"3" —
     // still valid JSON numbers) and sf as its basename; every byte helps
@@ -296,18 +316,27 @@ object Bench {
       }
       val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
         .map { case (k, v) => "\"" + k + "\":" + compact(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${compact(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"tri_build":${compact(triBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"lpa_build":${compact(lpaBuild)},"sentinels":$sentinelJson,"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
+      println(s"""{"metric":"total","value":${compact(total)},"value_all_in":${compact(allIn)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"cpals":${headline(cpals, "sec_per_iter")},"nnhals":${headline(nnhals, "sec_per_iter")},"tucker":${headline(tucker, "sec")},"derived_build":${compact(derivedBuild)},"tri_build":${compact(triBuild)},"neardup_build":${compact(nearDupBuild)},"daily_grid_build":${compact(dailyGridBuild)},"lpa_build":${compact(lpaBuild)},"sentinels":$sentinelJson,"queries_map":"docs/BENCH_LAST.json","sf":"${sfDir.split('/').last}"}""")
     }
     // Only a full-registry (driver-shaped) run AT THE DRIVER'S SF may
     // refresh the repo copy — a dev subset would clobber it with a partial
     // map, and a CI sf0.001 sweep would clobber it with the wrong tier's
     // numbers.
-    if (args.isEmpty && sfDir.split('/').last == "sf0.1")
+    if (args.isEmpty && sfDir.split('/').last == "sf0.1") {
+      val full = line(v => if (v < 0) "-1" else d("%.4f", v), sfDir,
+        tensorObjects = true) + "\n"
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/BENCH_LAST.json"),
-        (line(v => if (v < 0) "-1" else d("%.4f", v), sfDir, tensorObjects = true) + "\n")
-          .getBytes("UTF-8"))
+        java.nio.file.Paths.get("docs/BENCH_LAST.json"), full.getBytes("UTF-8"))
       catch { case _: Throwable => () }
+      // Per-core archive (r14, VERDICT r13 item 6): the driver re-runs the
+      // bench at a lower core count AFTER its main run, which used to
+      // clobber BENCH_LAST.json and lose the 32-core per-query map. A
+      // core-count-suffixed copy preserves every map of the round.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"docs/BENCH_LAST_c$cpus.json"),
+        full.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -21,6 +21,13 @@ final class VecSumState extends Serializable {
       s"graft_vec_sum: array length changed mid-group (${sums.length} vs $n)")
     var i = 0
     while (i < n) {
+      // NULL elements fail LOUDLY (ADVICE r13): getDouble on a null slot
+      // is undefined (garbage on unsafe rows, NPE on generic ones), and
+      // silently treating it as 0.0 would diverge from the explode+SUM
+      // formulation this aggregate replaces. The declared callers build
+      // dense non-null arrays; anything else is a caller bug.
+      require(!a.isNullAt(i),
+        s"graft_vec_sum: NULL element at position $i — input arrays must be dense")
       sums(i) += (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
       i += 1
     }
@@ -42,7 +49,8 @@ final class VecSumState extends Serializable {
 
 /** `graft_vec_sum(arr)` — element-wise sum of equal-length double/float
   * arrays as ARRAY<DOUBLE>; NULL rows are skipped, an all-NULL group
-  * yields NULL (the SUM convention).
+  * yields NULL (the SUM convention), and a NULL ELEMENT inside a non-null
+  * array throws (dense-array contract — ADVICE r13).
   *
   * 100 TB role (r13): per-group dense-moment passes (Q321's d(d+1)/2
   * covariance upper triangle) previously EXPLODED one row per cell per

@@ -58,12 +58,37 @@ object Bpe {
   private def toks(sCol: Column): Column =
     split(trim(sCol, SOT + EOT), EOT + SOT)
 
+  /** Word-table row budget for the driver-local training fast path: 2M
+    * (word, cnt) rows ≈ tens of MB of strings — the same bounded-collect
+    * class as the adaptive-CC edge budget. BPE trains on the VOCABULARY
+    * (already collapsed by [[wordTable]]), which is orders of magnitude
+    * below the corpus; past the budget the distributed loop runs
+    * unchanged.
+    */
+  private[operators] val DriverBpeWordBudget = 2L * 1000 * 1000
+
   /** Train `numMerges` BPE merges over a (word, cnt) table. Returns the
     * merge table (step, lhs, rhs, pair_count) in merge order; stops early
     * if no adjacent pair remains.
+    *
+    * Adaptive (r14, the Q117 adaptive-CC discipline): the distributed
+    * loop costs ~2.5 driver-synchronized jobs PER MERGE ROUND (measured:
+    * 51 jobs / 2.8 s for the 20-round gate, nearly all job-launch fixed
+    * cost). When one count probe shows the word table inside
+    * [[DriverBpeWordBudget]], collect it and replay the identical rounds
+    * locally — same weighted adjacent-pair counts, same (n DESC, a, b)
+    * lexicographic argmax (tokens are [a-z]+ so Java and UTF8 binary
+    * order agree), same left-to-right non-overlapping literal replace —
+    * so the merge table is byte-identical (BpeSpec pins local ==
+    * distributed with the distributed path forced via budget = 0).
     */
-  def train(words: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+  def train(words: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] =
+    train(words, numMerges, DriverBpeWordBudget)
+
+  private[graft] def train(words: DataFrame, numMerges: Int,
+      budget: Long): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    if (words.count() <= budget) return trainLocal(words, numMerges)
     var state = words
       .select(col("word"), col("cnt"), charWrapped(col("word")).as("s"))
       .localCheckpoint()
@@ -98,6 +123,59 @@ object Bpe {
             call_function("replace", col("s"),
               lit(SOT + a + EOT + SOT + b + EOT), lit(SOT + a + b + EOT)))
         if (step % 4 == 0) state = state.localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Driver-local replay of the identical merge rounds over a collected
+    * (word, cnt) vocabulary. Semantics mirrored operation by operation:
+    * tokens = split(trim(s, SOT+EOT), EOT+SOT) with empties kept (Spark
+    * split keeps trailing empties), pair counts weighted by cnt, argmax
+    * = max n then lexicographically smallest (a, b), merge = literal
+    * left-to-right non-overlapping replace (String.replace == Spark
+    * replace for literal patterns).
+    */
+  private def trainLocal(words: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val sp = words.sparkSession
+    val rows: Array[(String, Long)] = {
+      import sp.implicits._
+      words.select(col("word"), col("cnt").cast("long")).as[(String, Long)].collect()
+    }
+    val trimSet = Set(SOT.charAt(0), EOT.charAt(0))
+    val sep = java.util.regex.Pattern.quote(EOT + SOT)
+    def toksOf(s: String): Array[String] = {
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && trimSet(s.charAt(lo))) lo += 1
+      while (hi > lo && trimSet(s.charAt(hi - 1))) hi -= 1
+      s.substring(lo, hi).split(sep, -1)
+    }
+    var state: Array[(String, Long)] = rows.map { case (w, c) =>
+      (w.flatMap(ch => s"$SOT$ch$EOT"), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      state.foreach { case (s, cnt) =>
+        val t = toksOf(s)
+        var i = 0
+        while (i < t.length - 1) {
+          val key = (t(i), t(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((step, a, b, n))
+        val pattern = SOT + a + EOT + SOT + b + EOT
+        val repl = SOT + a + b + EOT
+        state = state.map { case (s, cnt) => (s.replace(pattern, repl), cnt) }
         step += 1
       }
     }

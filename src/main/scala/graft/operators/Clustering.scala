@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 import graft.operators.VectorOps.{dot, l2}
@@ -40,16 +39,38 @@ object Clustering {
     * @return (assignments df: id, cid, cos; newCentroids df: cid, pos, cen)
     */
   def lloydStep(vectors: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
-    val v = vectors.select(col("id"), col("emb"), l2(col("emb")).as("nrm"))
-    val c = centroids.select(col("cid"), col("cemb"), l2(col("cemb")).as("cnrm"))
-    // Argmax via min(struct(-cos, cid)): one shuffle keyed by vector id,
-    // k rows of state per key. Ties (equal cos) break to the lowest cid.
-    val w = Window.partitionBy(col("id")).orderBy(desc("cos"), asc("cid"))
-    val assigned = v.join(broadcast(c), lit(true))
-      .withColumn("cos", dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("cid"), col("cos"), col("emb"))
+    // Row-local argmax over the k centroid LITERALS (r14, guide §2.4
+    // remove shuffles outright): the centroids are k·d doubles — the
+    // bounded-collect class that already rode driver↔executor as a
+    // broadcast — so collect them ONCE (norms computed in Spark with the
+    // same l2 expression, so every cosine is bit-identical to the joined
+    // form) and fold each vector over the k (cos, cid) candidates in
+    // ascending cid order with a strict > replace. That is exactly
+    // row_number over (cos DESC, cid ASC) = 1, without materializing the
+    // n·k cross join or shuffling it through the window sort — the
+    // assignment pass is now one row-local projection over the corpus.
+    val cents = centroids
+      .select(col("cid"), col("cemb").cast("array<double>").as("ce"),
+        l2(col("cemb")).as("cnrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "lloydStep requires a non-empty centroid relation")
+    val candidates = array(cents.map { case (cid, ce, cnrm) =>
+      struct(
+        (dot(col("emb"), array(ce.map(lit): _*)) / (col("nrm") * lit(cnrm)))
+          .as("cos"),
+        lit(cid).as("cid"))
+    }: _*)
+    val best = aggregate(
+      slice(candidates, lit(2), lit(math.max(0, cents.length - 1))),
+      element_at(candidates, 1),
+      (acc, x) => when(x.getField("cos") > acc.getField("cos"), x).otherwise(acc))
+    val assigned = vectors
+      .select(col("id"), col("emb"), l2(col("emb")).as("nrm"))
+      .withColumn("best", best)
+      .select(col("id"), col("best.cid").as("cid"), col("best.cos").as("cos"),
+        col("emb"))
     // Update: explode members to (cid, pos) cells — the shuffle carries
     // k·d aggregation cells (map-side combined), not vectors.
     val newCentroids = assigned

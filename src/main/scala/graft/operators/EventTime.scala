@@ -517,7 +517,7 @@ object EventTime {
     val (p, lo, hi) = wilson("n_users", "n_converted")
     c.events
       .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 2)
       .groupBy(col("user_id"), col("bucket"))
       .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
       .groupBy(col("bucket"))

@@ -913,6 +913,10 @@ object Graphs {
     * contract.
     */
   def q334(spark: SparkSession, dir: String): DataFrame = {
+    // q334 never constructs Catalog (it reads the Derived artifact), so
+    // register the graft_* functions itself — idempotent; required by
+    // graft_hex32 in single-query sessions (JobProfile/PlanDump).
+    graft.plans.GraftExtensions.registerRuntime(spark)
     // Deliberately NOT checkpointed: the md5 tag is row-local codegen
     // over the bucketed artifact scan, so each rate's filter pass costs
     // one cheap linear read — pinning the full 100 TB-scale tagged edge
@@ -948,7 +952,7 @@ object Graphs {
     val shift = (1 to 30)
       .find(s => (wedges >> (2 * s)) <= DoulionWedgeBudget).getOrElse(30)
     val den = 1L << (shift + 2)
-    val hvd = "(" + NearDup.hexValueExpr(
+    val hvd = "(" + NearDup.hexValueFastExpr(
       "md5('doulion:' || CAST(a AS STRING) || ':' || CAST(b AS STRING))") +
       s") % $den"
     val tagged = edges.withColumn("hvd", expr(hvd))
@@ -964,16 +968,20 @@ object Graphs {
     // job chains disappear; every count stays the exact integer the
     // per-rate enumerations produced (orientation choice cannot change a
     // triangle SET).
-    val keRow = tagged.agg(
+    val kept4 = tagged.filter(col("hvd") < 4)
+      .select(col("a"), col("b"), col("hvd")).localCheckpoint()
+    // Per-rate kept-edge counts read off the CHECKPOINTED num = 4 graph
+    // (r14): hvd < num ⊆ hvd < 4 for every rate, so the conditional sums
+    // over kept4 are the identical integers the full tagged scan
+    // produced — one cheap scan of the sampled subset instead of a
+    // second full pass over the edge artifact (guide §1.2 step 1).
+    val keRow = kept4.agg(
       coalesce(sum(when(col("hvd") < 1, 1L).otherwise(0L)), lit(0L))
         .cast("long"),
       coalesce(sum(when(col("hvd") < 2, 1L).otherwise(0L)), lit(0L))
         .cast("long"),
-      coalesce(sum(when(col("hvd") < 4, 1L).otherwise(0L)), lit(0L))
-        .cast("long"))
+      count(lit(1)).cast("long"))
       .first()
-    val kept4 = tagged.filter(col("hvd") < 4)
-      .select(col("a"), col("b"), col("hvd")).localCheckpoint()
     val deg4 = kept4.select(col("a").as("v"))
       .unionAll(kept4.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -117,16 +117,30 @@ object NearDup {
       s"(instr('$HexDigits', substring($hCol, $d, 1)) - 1) * CAST($scale AS BIGINT)"
     }.mkString(" + ")
 
+  /** Spark-side fast twin of [[hexValueExpr]]: the IDENTICAL value from
+    * one codegen'd call ([[graft.plans.Hex32]]) instead of the 8-term
+    * instr/substring chain — r14, the interpreted-expression-in-hot-path
+    * class (every md5-derandomized draw pays the chain per row). Oracle
+    * SQL keeps the portable chain; Hex32Spec pins fast == portable on
+    * md5 outputs and every edge case (short/non-hex/uppercase/NULL).
+    */
+  private[graft] def hexValueFastExpr(hCol: String): String =
+    s"graft_hex32($hCol)"
+
   /** MinHash signatures: k md5-seeded permutations, min over the doc's
     * distinct tokens. API form over any (doc_id, token) relation.
     */
-  def minHashSignatures(tok: DataFrame, k: Int): DataFrame =
+  def minHashSignatures(tok: DataFrame, k: Int): DataFrame = {
+    // Callers reach this without constructing Catalog (the Derived
+    // near-dup build's LSH fallback) — register graft_hex32 idempotently.
+    graft.plans.GraftExtensions.registerRuntime(tok.sparkSession)
     tok
       .withColumn("p", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("h", md5(concat(col("p").cast("string"), lit(":"), col("token"))))
-      .withColumn("hv", expr(hexValueExpr("h")))
+      .withColumn("hv", expr(hexValueFastExpr("h")))
       .groupBy(col("doc_id"), col("p"))
       .agg(min(col("hv")).as("minhash"))
+  }
 
   /** Q51 — MinHash signatures (k=8) for the probe documents. */
   def q51(spark: SparkSession, dir: String): DataFrame = {
@@ -241,7 +255,7 @@ object NearDup {
           |              element_at(toks, i + 2), ' ',
           |              element_at(toks, i + 3)))""".stripMargin)).as(Seq("pos", "sh")))
       .withColumn("h", md5(col("sh")))
-      .withColumn("hv", expr(hexValueExpr("h")))
+      .withColumn("hv", expr(hexValueFastExpr("h")))
       .withColumn("fp", min(col("hv")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(asc("pos"))
@@ -552,7 +566,15 @@ object NearDup {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
     if (e0.count() > budget) return connectedComponentsStars(e0)._1
-    val arr = e0.collect()
+    // Collect PRIMITIVES, not Rows (ADVICE r13): at the 4M-edge budget
+    // boundary an Array[Row] of boxed longs costs hundreds of MB of
+    // transient driver heap; specialized (Long, Long) tuples decode
+    // straight from the internal rows.
+    val arr: Array[(Long, Long)] = {
+      val sp = edges.sparkSession
+      import sp.implicits._
+      e0.as[(Long, Long)].collect()
+    }
     val idx = new scala.collection.mutable.LongMap[Int](arr.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -563,9 +585,9 @@ object NearDup {
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    arr.foreach { r =>
-      val ra = find(nodeIdx(r.getLong(0)))
-      val rb = find(nodeIdx(r.getLong(1)))
+    arr.foreach { case (a, b) =>
+      val ra = find(nodeIdx(a))
+      val rb = find(nodeIdx(b))
       if (ra != rb) parent(ra) = rb
     }
     val minOfRoot = new scala.collection.mutable.HashMap[Int, Long]()

@@ -208,7 +208,7 @@ object PipelineOps {
       .select(col("lang"), (col("min_n").cast("double") / col("n")).as("rate"))
     c.documents
       .withColumn("h", md5(col("text")))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 10000)
       .join(broadcast(rates), Seq("lang"))
       .groupBy(col("lang"))
       .agg(
@@ -495,7 +495,7 @@ object PipelineOps {
           |     WHEN source IN ('src4','src5','src6','src7') THEN 2.0
           |     ELSE 1.0 END""".stripMargin).cast("double"))
       .withColumn("h", md5(col("text")))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 10000)
     // the small aggregates below are each referenced twice — checkpoint
     // them (source-count-sized rows) so their corpus-scanning lineage
     // executes once; the corpus itself is deliberately NOT checkpointed
@@ -605,7 +605,7 @@ object PipelineOps {
     // stage's input) — checkpoint each so the funnel chain executes once
     val train = scored(c).filter(col("source") =!= "src0")
       .withColumn("h", md5(col("text")))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 10000)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 10000)
       .localCheckpoint()
     val s1 = train.filter(col("quality") >= 0.7).localCheckpoint()
     val s2 = s1
@@ -730,7 +730,7 @@ object PipelineOps {
       .orderBy(asc("priority"), asc(idCol))
     df
       .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
-      .withColumn("u", expr(NearDup.hexValueExpr("h")) / 4294967296.0)
+      .withColumn("u", expr(NearDup.hexValueFastExpr("h")) / 4294967296.0)
       .withColumn("priority", col("u") / col(weightCol))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -900,7 +900,7 @@ object PipelineOps {
     val c = Catalog(spark, dir)
     val cells = c.documents
       .withColumn("fold",
-        expr(NearDup.hexValueExpr("md5(concat('cv:', CAST(doc_id AS STRING)))")) % 5)
+        expr(NearDup.hexValueFastExpr("md5(concat('cv:', CAST(doc_id AS STRING)))")) % 5)
       .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
     val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fold"))
     val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))

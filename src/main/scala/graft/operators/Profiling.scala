@@ -968,7 +968,7 @@ object Profiling {
         md5(concat(col("doc_id").cast("string"), lit(":"),
           md5(col("text")))).as("h"))
       .select(col("source"), col("text"),
-        expr(NearDup.hexValueExpr("h")).as("hv"))
+        expr(NearDup.hexValueFastExpr("h")).as("hv"))
     val per = leaves.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(length(col("text"))).cast("long").as("n_chars"),

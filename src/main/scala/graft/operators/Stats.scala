@@ -514,7 +514,19 @@ object Stats {
       df.join(ranked, df(m) === ranked("v")).drop("v")
         .withColumnRenamed("r2", s"r2_$m")
     }
-    val dec = "decimal(38,0)"
+    // Probe-proven narrow accumulation (r14, guide §2.3 narrower types —
+    // only when provably safe): every doubled midrank is ≤ 2n by
+    // construction, so each pairwise product is ≤ 4n² and each of the 15
+    // sums is ≤ 4n³. One exact count probe decides: n ≤ 10⁶ ⇒ 4n³ ≤
+    // 4·10¹⁸ < 2⁶³ and the whole pass runs in codegen'd int64 (the r13
+    // bench measured the 23-way DECIMAL(38,0) aggregate as Q161's single
+    // 1.5 s job — per-row BigDecimal multiply/add); past the fence the
+    // DECIMAL(38,0) path runs unchanged (the 100 TB shape). The sums are
+    // integers either way, so the cast("double") results — and the
+    // rounded correlations — are bit-identical; the oracle's HUGEINT
+    // text is untouched.
+    val nRows = base.count()
+    val dec = if (nRows <= 1000000L) "bigint" else "decimal(38,0)"
     def d(m: String): Column = col(s"r2_$m").cast(dec)
     val pairsIdx = for {
       i <- meas.indices; j <- meas.indices if i < j
@@ -860,7 +872,7 @@ object Stats {
     val picks = st.select(col("event_type").as("et"), col("n"))
       .withColumn("b", explode(sequence(lit(0), lit(199))))
       .withColumn("s", explode(sequence(lit(0), col("n") - 1)))
-      .withColumn("pick", expr(NearDup.hexValueExpr(
+      .withColumn("pick", expr(NearDup.hexValueFastExpr(
         "md5(concat('bs:', et, ':', CAST(b AS STRING), ':', CAST(s AS STRING)))"))
         % col("n") + 1)
     val means = picks.join(idx,
@@ -1275,7 +1287,7 @@ object Stats {
         sum(when(col("day") >= col("cut"), col("cents")).otherwise(0L))
           .cast("long").as("y"))
       .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 2)
   }
 
   /** The shared DuckDB text of [[expPanel]] (ev/ext/per_user CTEs). */
@@ -1462,7 +1474,7 @@ object Stats {
         col("type_b"), lit(":"), col("p").cast("string"), lit(":"),
         col("day").cast("string"))))
       .withColumn("eps",
-        when(expr(NearDup.hexValueExpr("h")) % 2 === 0L, 1L).otherwise(-1L))
+        when(expr(NearDup.hexValueFastExpr("h")) % 2 === 0L, 1L).otherwise(-1L))
       .groupBy(col("type_a"), col("type_b"), col("p"))
       .agg(sum(col("eps") * col("d")).cast("long").as("t_p"))
     perms.join(obs, Seq("type_a", "type_b"))
@@ -1667,7 +1679,7 @@ object Stats {
       .withColumn("converted", lit(1L))
     val flags = c.events
       .withColumn("h", md5(concat(lit("exp1:"), col("user_id").cast("string"))))
-      .withColumn("bucket", expr(NearDup.hexValueExpr("h")) % 2)
+      .withColumn("bucket", expr(NearDup.hexValueFastExpr("h")) % 2)
       .groupBy(col("user_id"), col("bucket"))
       .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
       .join(conv, Seq("user_id"), "left")
@@ -2479,7 +2491,7 @@ object Stats {
       .withColumn("t_death",
         when(col("t_h").isNotNull && col("t_h") <= 72L, col("t_h")))
       .withColumn("arm",
-        expr(NearDup.hexValueExpr(
+        expr(NearDup.hexValueFastExpr(
           "md5(concat('exp1:', CAST(user_id AS STRING)))")) % 2L)
       .select(col("arm"),
         coalesce(col("t_death"), lit(72L)).as("t_obs"),

@@ -24,9 +24,16 @@ object TensorGates {
     * (`NearDup.hexValueExpr`), so BOTH engines evaluate the identical
     * integer. `cast` is STRING for Spark, VARCHAR for DuckDB.
     */
-  private def signExpr(mode: String, idx: String, p: Int, cast: String): String =
-    "((" + NearDup.hexValueExpr(
-      s"md5('als:$mode:' || CAST($idx AS $cast) || ':$p')") + ") % 19 - 9)"
+  private def signExpr(mode: String, idx: String, p: Int, cast: String): String = {
+    // Spark side (STRING cast) takes the codegen'd fast twin; the oracle
+    // (VARCHAR) keeps the portable chain — identical values (Hex32Spec).
+    val hv =
+      if (cast == "STRING")
+        NearDup.hexValueFastExpr(s"md5('als:$mode:' || CAST($idx AS $cast) || ':$p')")
+      else
+        NearDup.hexValueExpr(s"md5('als:$mode:' || CAST($idx AS $cast) || ':$p')")
+    "((" + hv + ") % 19 - 9)"
+  }
 
   /** Q335 — one deterministic rank-2 relational CP-ALS mode-A update on
     * the Q43 events tensor (Kolda & Bader, SIAM Review 51(3) 2009, eq. 3.5:

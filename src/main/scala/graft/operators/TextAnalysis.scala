@@ -1038,7 +1038,7 @@ object TextAnalysis {
     val c = Catalog(spark, dir)
     val toks = c.documents
       .withColumn("bucket",
-        expr(NearDup.hexValueExpr("md5(concat('lm:', CAST(doc_id AS STRING)))")) % 2)
+        expr(NearDup.hexValueFastExpr("md5(concat('lm:', CAST(doc_id AS STRING)))")) % 2)
       .withColumn("w", expr("filter(split(text, ' '), t -> t <> '')"))
     val big = toks.filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("bucket"),
@@ -1467,7 +1467,7 @@ object TextAnalysis {
     val c = Catalog(spark, dir)
     val toks = c.documents
       .withColumn("bucket",
-        expr(NearDup.hexValueExpr("md5(concat('kn:', CAST(doc_id AS STRING)))")) % 2)
+        expr(NearDup.hexValueFastExpr("md5(concat('kn:', CAST(doc_id AS STRING)))")) % 2)
       .withColumn("w", expr("filter(split(text, ' '), t -> t <> '')"))
     val big = toks.filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("bucket"),

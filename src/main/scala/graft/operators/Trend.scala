@@ -2109,7 +2109,7 @@ object Trend {
     val meta = pos.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("v")).cast("long").as("sv"))
-    val hv = NearDup.hexValueExpr(
+    val hv = NearDup.hexValueFastExpr(
       "md5('boot:' || event_type || ':' || CAST(r AS STRING) || ':' || " +
         "CAST(i AS STRING))")
     val picks = meta.select(col("event_type"), col("n"))

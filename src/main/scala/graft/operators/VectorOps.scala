@@ -834,7 +834,7 @@ object VectorOps {
     val modulus = math.max(6L, (v.count() + 349L) / 350L)
     val ids = v.select(col("vec_id"))
       .withColumn("hv", md5(concat(lit("jl:v:"), col("vec_id").cast("string"))))
-      .filter(expr(graft.operators.NearDup.hexValueExpr("hv")) % lit(modulus) === 0L)
+      .filter(expr(graft.operators.NearDup.hexValueFastExpr("hv")) % lit(modulus) === 0L)
       .select(col("vec_id"))
       .repartition(spark.sparkContext.defaultParallelism)
     val sampled = ids.select(col("vec_id").as("v1"))
@@ -1336,7 +1336,11 @@ object VectorOps {
           "CAST(element_at(embedding, j) AS DOUBLE) * " +
           "CAST(element_at(embedding, k) AS DOUBLE))))").as("pp"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), expr("graft_vec_sum(pp)").as("sums"),
+      // count(pp), not count(*): a NULL embedding contributes no cells in
+      // the oracle's self-join and is skipped by graft_vec_sum, so it
+      // must not inflate n either (ADVICE r13 — unreachable for the
+      // declared NOT-NULL embeddings, pinned for the general operator).
+      .agg(count(col("pp")).as("n"), expr("graft_vec_sum(pp)").as("sums"),
         max(size(col("pp"))).as("ncells"))
       .withColumn("d", expr(
         "CAST((CAST(SQRT(8.0 * ncells + 1.0) AS BIGINT) - 1) DIV 2 AS INT)"))
@@ -1570,7 +1574,7 @@ object VectorOps {
       .reduce(_ union _)
     val capped = buckets
       .withColumn("h", md5(concat(lit("cap:"), col("vec_id").cast("string"))))
-      .withColumn("hv", expr(NearDup.hexValueExpr("h")))
+      .withColumn("hv", expr(NearDup.hexValueFastExpr("h")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("band"), col("bv"))
           .orderBy(asc("hv"), asc("vec_id"))))

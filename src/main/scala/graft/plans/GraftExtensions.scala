@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectFunction(GraftExtensions.dtwFunction)
     ext.injectFunction(GraftExtensions.lz76Function)
+    ext.injectFunction(GraftExtensions.hex32Function)
     ext.injectFunction(GraftExtensions.lcsFunction)
     ext.injectFunction(GraftExtensions.kmvFunction)
     ext.injectFunction(GraftExtensions.hhFunction)
@@ -99,6 +100,16 @@ object GraftExtensions {
   val lz76Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_lz76"), lz76Info,
       (children: Seq[Expression]) => Lz76(children(0)))
+
+  private val hex32Info = new ExpressionInfo(
+    classOf[Hex32].getName, null, "graft_hex32",
+    "graft_hex32(h) - first-8-hex-chars value of a (md5) hash string; " +
+      "value-identical to the portable 8-term instr/substring chain.",
+    "")
+
+  val hex32Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_hex32"), hex32Info,
+      (children: Seq[Expression]) => Hex32(children(0)))
 
   private val lcsInfo = new ExpressionInfo(
     classOf[Lcs].getName, null, "graft_lcs",
@@ -370,6 +381,8 @@ object GraftExtensions {
       children => Dtw(children(0), children(1), children(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lz76", children => Lz76(children(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hex32", children => Hex32(children(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lcs", children => Lcs(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

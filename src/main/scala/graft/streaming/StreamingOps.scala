@@ -90,17 +90,19 @@ object StreamingOps {
     * must equal the batch Q234 rows (asserted in StreamingSpec over a
     * multi-batch file replay).
     */
-  def manifestStream(docs: DataFrame): DataFrame =
+  def manifestStream(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.registerRuntime(docs.sparkSession)
     docs
       .select(col("source"), col("text"),
         md5(concat(col("doc_id").cast("string"), lit(":"),
           md5(col("text")))).as("h"))
       .select(col("source"), col("text"),
-        expr(graft.operators.NearDup.hexValueExpr("h")).as("hv"))
+        expr(graft.operators.NearDup.hexValueFastExpr("h")).as("hv"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(length(col("text"))).cast("long").as("n_chars"),
         (sum(col("hv")) % 2147483647L).cast("long").as("fp"))
+  }
 
   /** Event-time TimestampType column (µs, truncated from ns — the declared
     * cross-engine convention).

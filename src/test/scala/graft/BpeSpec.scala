@@ -23,6 +23,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver-local training equals the distributed loop exactly") {
+    val c = Catalog(spark, sf("sf0.001"))
+    val words = Bpe.wordTable(c.documents, "text").cache()
+    try {
+      val local = Bpe.train(words, 12) // inside the budget -> local path
+      val dist = Bpe.train(words, 12, budget = 0L) // force distributed
+      assert(local == dist,
+        s"local/distributed merge tables diverge:\n$local\nvs\n$dist")
+      assert(local.nonEmpty)
+    } finally { words.unpersist() }
+  }
+
   test("segment o merges round-trips: concatenated subwords reproduce every word") {
     val c = Catalog(spark, sf("sf0.001"))
     val words = Bpe.wordTable(c.documents, "text").cache()

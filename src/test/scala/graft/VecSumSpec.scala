@@ -45,6 +45,20 @@ class VecSumSpec extends SparkSpec {
     assert(r(1).isNullAt(1), "all-null group must yield NULL")
   }
 
+  test("graft_vec_sum fails loudly on a NULL element inside an array") {
+    Catalog(spark, sf("sf0.001"))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_vec_sum(a) FROM VALUES
+          |  (array(1.0D, CAST(NULL AS DOUBLE))) AS t(a)""".stripMargin)
+        .collect()
+    }
+    assert(Option(ex.getMessage).exists(_.contains("NULL element")) ||
+      Option(ex.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("NULL element")),
+      s"expected the dense-array contract message, got: ${ex.getMessage}")
+  }
+
   test("graft_vec_sum fails loudly on length mismatch") {
     Catalog(spark, sf("sf0.001"))
     val ex = intercept[Exception] {
