@@ -218,10 +218,13 @@ object Derived {
            |LOCATION '$loc'""".stripMargin)
       return spark.table(table)
     }
-    Graphs.triangleCorners(
+    // r14: the decomposed per-node aggregation (closing edges contribute
+    // their intersection size, apexes explode) — T + 2m aggregation rows
+    // instead of 3T corner rows; identical counts (AnalyticsOpsSpec).
+    Graphs.triangleCountsPerNode(
         coOrderPairCounts(spark, dir).select(col("a"), col("b")))
-      .groupBy(col("node").cast("long").as("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("node").cast("long").as("node"),
+        col("n_triangles").cast("long").as("n_triangles"))
       .write.mode("overwrite")
       .bucketBy(8, "node").sortBy("node")
       .option("path", loc)

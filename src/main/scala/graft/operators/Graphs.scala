@@ -79,6 +79,44 @@ object Graphs {
         col("u"), col("v"), col("w"))
   }
 
+  /** Per-node triangle counts from the same degree-oriented enumeration,
+    * WITHOUT exploding three corner rows per triangle (r14, guide §2.3
+    * aggregate before you shuffle): each closing edge (u, v) contributes
+    * its whole intersection size to u and to v as ONE pre-aggregated
+    * term, and only the apexes w explode — the aggregation input drops
+    * from 3T corner rows to T + 2m rows. Values are identical by the
+    * corner decomposition (every triangle counts once per corner);
+    * AnalyticsOpsSpec pins equality with [[triangleCorners]] grouped.
+    */
+  def triangleCountsPerNode(edges: DataFrame): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    oriented
+      .join(adj.select(col("u"), col("nbrs").as("u_nbrs")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("v_nbrs")), Seq("v"))
+      .select(col("u"), col("v"),
+        expr("array_intersect(u_nbrs, v_nbrs)").as("common"))
+      .filter(size(col("common")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("u").as("node"), size(col("common")).cast("long").as("cnt")),
+          struct(col("v").as("node"), size(col("common")).cast("long").as("cnt"))),
+        expr("transform(common, w -> struct(w AS node, 1L AS cnt))"))).as("t"))
+      .groupBy(col("t.node").as("node"))
+      .agg(sum(col("t.cnt")).cast("long").as("n_triangles"))
+  }
+
   /** Q103 — top-20 parts by triangle participation in the co-order graph:
     * parts that form "bought-together" cliques. Output is total-ordered
     * (count desc, partkey asc) so LIMIT is deterministic.

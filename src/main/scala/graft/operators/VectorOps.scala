@@ -556,24 +556,55 @@ object VectorOps {
     val cand = buckets.as("b1").join(buckets.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.bv") === col("b2.bv") &&
           col("b1.vec_id") < col("b2.vec_id"))
-      .select(col("b1.vec_id").as("v1"), col("b2.vec_id").as("v2")).distinct()
+      .select(col("b1.vec_id").as("v1"), col("b2.vec_id").as("v2"),
+        col("b1.band").as("band"))
     // Verify join: the candidate relation is the BIG side (up to the
     // true-pair mass); the integer-vector sides are n × ~520 B. Below
     // ~1 GB built size, broadcasting both sides keeps the candidates
-    // map-side (zero candidate shuffle beyond the distinct barrier);
-    // past that — production vector corpora — the plain equi-join
-    // shuffles bucket-co-located, which is the cluster-scale shape.
+    // map-side (zero candidate shuffle); past that — production vector
+    // corpora — the plain equi-join shuffles bucket-co-located, which
+    // is the cluster-scale shape.
+    //
+    // Dedup at the SOURCE, then verify, then the (now duplicate-free)
+    // distinct (r14, guide §2.3/§2.4): the r12→r14 sf10 sweeps measured
+    // the DISTINCT over the raw candidate relation as Q198's wall —
+    // 764 GB of aggregate spill / 43 GB of dedup shuffle at 200k
+    // label-clustered vectors (Σ bucket² candidates, each pair repeated
+    // once per shared band). Both band vectors ride the broadcast sides,
+    // so each candidate row can decide ROW-LOCALLY whether its band is
+    // the pair's minimal shared band and drop itself otherwise — every
+    // surviving pair is emitted exactly once, no exchange ever carries a
+    // duplicate, and only rows passing the exact cos ≥ 0.4 verify reach
+    // the output shuffle. Same rows as dedup→verify by determinism of
+    // the cosine; the r12-shape plan is preserved past the broadcast
+    // fence where the equi-join shuffles bucket-co-located.
     val hintIfSmall: DataFrame => DataFrame =
       if (rBits <= 12) broadcast(_) else identity
+    val bandArr = array((0 until SrpBands).map(b => col(s"band$b")): _*)
     val side1 = hintIfSmall(
-      withBands.select(col("vec_id").as("v1"), col("xi").as("x1"), col("nrm").as("n1")))
+      withBands.select(col("vec_id").as("v1"), col("xi").as("x1"),
+        col("nrm").as("n1"), bandArr.as("ba1")))
     val side2 = hintIfSmall(
-      withBands.select(col("vec_id").as("v2"), col("xi").as("x2"), col("nrm").as("n2")))
+      withBands.select(col("vec_id").as("v2"), col("xi").as("x2"),
+        col("nrm").as("n2"), bandArr.as("ba2")))
     cand.join(side1, Seq("v1")).join(side2, Seq("v2"))
+      // minimal-shared-band fence: a candidate row exists for every
+      // shared band, so array_position finds the smallest one; keep the
+      // row only when it IS that band (exactly-once per pair).
+      .filter(col("band") + 1 ===
+        expr("array_position(zip_with(ba1, ba2, (x, y) -> x = y), true)"))
       .withColumn("dp", expr("aggregate(zip_with(x1, x2, (a, b) -> a * b), 0L, (a, v) -> a + v)"))
       .withColumn("cos", col("dp").cast("double") /
         (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
       .filter(col("cos") >= 0.4)
+      // No DISTINCT: the minimal-shared-band fence above emits each
+      // ordered pair at most once by construction (one bucket row per
+      // (vec, band) ⇒ one candidate row per (pair, shared band) ⇒ one
+      // survivor per pair), so deduplication would be a full extra
+      // shuffle of the verified output for nothing — at the sf10 tier
+      // that output is ~1.7G rows (the corpus is ten giant near-dup
+      // clusters by construction). AnnSpec pins the pair set against
+      // the exhaustive Q50 relation.
       .select(col("v1").as("vec_lo"), col("v2").as("vec_hi"),
         round(col("cos"), 4).as("cos"))
       .orderBy(asc_nulls_first("vec_lo"), asc_nulls_first("vec_hi"))

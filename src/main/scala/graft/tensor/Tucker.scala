@@ -51,8 +51,9 @@ object Tucker {
   def hosvd(
       coo: DataFrame,
       ranks: (Int, Int, Int),
-      maxGramDim: Int = 4096): TuckerModel =
-    decompose(coo, ranks, maxGramDim, sweeps = 0)
+      maxGramDim: Int = 4096,
+      exactEigDim: Int = DefaultExactEigDim): TuckerModel =
+    decompose(coo, ranks, maxGramDim, sweeps = 0, exactEigDim = exactEigDim)
 
   /** HOOI refinement (higher-order orthogonal iteration — the ALS analog
     * for Tucker): start from the HOSVD bases, then per sweep re-extract
@@ -72,13 +73,22 @@ object Tucker {
       ranks: (Int, Int, Int),
       sweeps: Int = 2,
       maxGramDim: Int = 4096): TuckerModel =
-    decompose(coo, ranks, maxGramDim, sweeps = sweeps)
+    decompose(coo, ranks, maxGramDim, sweeps = sweeps,
+      exactEigDim = DefaultExactEigDim)
+
+  /** Full dsyev stays the exact path while it is seconds-cheap in pure
+    * Java (d <= 512 => ~0.3 s); above it the subspace iteration takes
+    * over (with a Ritz-residual convergence check and exact fallback),
+    * and past maxGramDim the Gram itself is never built.
+    */
+  val DefaultExactEigDim = 512
 
   private def decompose(
       coo: DataFrame,
       ranks: (Int, Int, Int),
       maxGramDim: Int,
-      sweeps: Int): TuckerModel = {
+      sweeps: Int,
+      exactEigDim: Int): TuckerModel = {
     val rdd = coo.selectExpr("CAST(i AS INT)", "CAST(j AS INT)", "CAST(k AS INT)", "CAST(v AS DOUBLE)")
       .rdd.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,27 +289,38 @@ object Tucker {
         val rnd = new java.util.Random(seed)
         var q = breeze.linalg.qr.reduced(
           BDM.tabulate(d, s)((_, _) => rnd.nextGaussian())).q
+        // Convergence-checked sweeps (r14, ADVICE r13): a fixed sweep
+        // count has no defense against a small spectral gap at rank r
+        // (rate (λ_{S+1}/λ_r)^sweeps). Run sweep batches until every
+        // selected Ritz pair's residual ‖G·u − θ·u‖ ≤ 1e-8·θ_max, up to
+        // 100 sweeps; if the gap is too small even then, fall back to
+        // the exact dsyev — slow but never wrong. Deterministic: fixed
+        // seed, fixed batch schedule, driver-side only.
         var it = 0
-        while (it < 20) {
-          q = breeze.linalg.qr.reduced(gm * q).q
-          it += 1
+        var converged = false
+        var ritz: Array[Array[Double]] = null
+        while (!converged && it < 100) {
+          var b = 0
+          while (b < 20) { q = breeze.linalg.qr.reduced(gm * q).q; b += 1 }
+          it += 20
+          val small = q.t * (gm * q) // S×S Rayleigh–Ritz projection
+          val es = eigSym((small + small.t) * 0.5)
+          val order = (0 until s).sortBy(p => -es.eigenvalues(p)).take(r)
+          val u = q * es.eigenvectors // d×S ritz vectors
+          val thetaMax = math.max(math.abs(es.eigenvalues(order.head)), 1e-300)
+          converged = order.forall { p =>
+            val up = u(::, p)
+            val resid = gm * up - up * es.eigenvalues(p)
+            breeze.linalg.norm(resid) <= 1e-8 * thetaMax
+          }
+          ritz = order.map { p =>
+            val v = Array.tabulate(d)(row => u(row, p))
+            val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+            if (lead < 0) v.map(-_) else v
+          }.toArray
         }
-        val small = q.t * (gm * q) // S×S Rayleigh–Ritz projection
-        val es = eigSym((small + small.t) * 0.5)
-        val order = (0 until s).sortBy(p => -es.eigenvalues(p)).take(r)
-        val u = q * es.eigenvectors // d×S ritz vectors
-        order.map { p =>
-          val v = Array.tabulate(d)(row => u(row, p))
-          val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
-          if (lead < 0) v.map(-_) else v
-        }.toArray
+        if (converged) ritz else leadingEigvecs(g, d, r)
       }
-
-      /** Full dsyev stays the exact path while it is seconds-cheap in
-        * pure Java (d ≤ 512 ⇒ ~0.3 s); above it the subspace iteration
-        * takes over, and past maxGramDim the Gram itself is never built.
-        */
-      val exactEigDim = 512
 
       def basis(mode: Int, d: Int, r: Int): Array[Array[Double]] =
         if (d <= exactEigDim) leadingEigvecs(gram(mode, d), d, r)

