@@ -18,9 +18,17 @@ object Sf10Rehearsal {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override for wide-output legs (r14): Q198's
+    // declared sf10 output is ~1.7G rows, and 64 partitions put ~750 MB
+    // under each of 32 concurrent sorts — execution memory fragments
+    // (UNABLE_TO_ACQUIRE) before the spill threshold helps. More, smaller
+    // partitions are the guide-§2.2 sizing; AQE still coalesces small
+    // stages, so light legs are unaffected.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
